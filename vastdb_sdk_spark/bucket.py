@@ -1,0 +1,109 @@
+"""Bucket: top-level container + snapshot scope.
+
+Reference: vastdb/bucket.py:19-73 — ``tx.bucket(name)`` returns a Bucket;
+``bucket.create_schema / schema / schemas`` manage schemas;
+``bucket.snapshot(name) / snapshots()`` expose point-in-time views stored
+under ``.snapshot/<name>`` (vastdb/_internal.py:1238-1264). Here a snapshot
+is a named pointer to an immutable manifest version.
+"""
+
+from __future__ import annotations
+
+from .catalog.manifest import Manifest
+from .errors import MissingSchema, MissingSnapshot, SchemaExists
+
+
+class Bucket:
+    def __init__(self, name: str, tx, snapshot_manifest: Manifest | None = None):
+        self.name = name
+        self.tx = tx
+        # non-None => this Bucket is a read-only snapshot view
+        self._snapshot_manifest = snapshot_manifest
+
+    def __repr__(self) -> str:
+        tag = " snapshot" if self._snapshot_manifest is not None else ""
+        return f"Bucket({self.name!r}{tag})"
+
+    # -- manifest access ---------------------------------------------------
+    @property
+    def _state(self):
+        return self.tx._state(self.name)
+
+    @property
+    def manifest(self) -> Manifest:
+        if self._snapshot_manifest is not None:
+            return self._snapshot_manifest
+        return self._state.manifest
+
+    @property
+    def readonly(self) -> bool:
+        return self._snapshot_manifest is not None
+
+    # -- schemas -----------------------------------------------------------
+    def create_schema(self, name: str, fail_if_exists: bool = True):
+        from .schema import Schema
+
+        st = self._state
+        try:
+            st.manifest.create_schema(name)
+        except SchemaExists:
+            if fail_if_exists:
+                raise
+            return Schema(name, self)
+        st.changes.record("create_schema", name, touched=[("schema", name)])
+        self.tx._audit_event(st, "create_schema", f"{self.name}/{name}")
+        return Schema(name, self)
+
+    def schema(self, name: str, fail_if_missing: bool = True):
+        from .schema import Schema
+
+        if name not in self.manifest.schemas:
+            if fail_if_missing:
+                raise MissingSchema(name)
+            return None
+        return Schema(name, self)
+
+    def schemas(self, batch_size: int | None = None) -> list:
+        """Top-level schemas (nested ones are reached via Schema.schemas())."""
+        from .schema import Schema
+
+        return [
+            Schema(name, self)
+            for name in sorted(self.manifest.schemas)
+            if "/" not in name
+        ]
+
+    # -- snapshots ---------------------------------------------------------
+    def create_snapshot(self, name: str):
+        """Record a named snapshot of the bucket's current committed state."""
+        st = self._state
+        version = st.manifest.version
+        st.manifest.snapshots[name] = version
+        st.changes.record("set_snapshot", name, version, touched=[("schema", f".snapshot/{name}")])
+        self.tx._audit_event(st, "create_snapshot", f"{self.name}@{name}")
+        return Bucket(self.name, self.tx, snapshot_manifest=st.store.load(version))
+
+    def snapshot(self, name: str, fail_if_missing: bool = True):
+        """Open a read-only view of the bucket as of snapshot ``name``
+        (reference: vastdb/bucket.py:43-56)."""
+        st = self._state
+        version = st.manifest.snapshots.get(name)
+        if version is None:
+            if fail_if_missing:
+                raise MissingSnapshot(name)
+            return None
+        return Bucket(self.name, self.tx, snapshot_manifest=st.store.load(version))
+
+    def snapshots(self) -> list:
+        st = self._state
+        return [
+            Bucket(self.name, self.tx, snapshot_manifest=st.store.load(v))
+            for _name, v in sorted(st.manifest.snapshots.items())
+        ]
+
+    def drop_snapshot(self, name: str) -> None:
+        st = self._state
+        if name not in st.manifest.snapshots:
+            raise MissingSnapshot(name)
+        del st.manifest.snapshots[name]
+        st.changes.record("drop_snapshot", name, touched=[("schema", f".snapshot/{name}")])

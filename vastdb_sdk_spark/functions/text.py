@@ -1,0 +1,102 @@
+"""Text-analysis expressions for LLM-data pipelines — all JVM-side.
+
+Beyond-parity operators (BASELINE.json north star): tokenization, token
+counting, n-gram shingling, quality scoring, language-ID heuristics,
+rolling-hash fingerprints. Every function returns a Spark ``Column`` built
+from built-in functions, so they vectorize in whole-stage codegen; nothing
+here uses a Python UDF. Each has a direct ANSI-SQL twin used by the DuckDB
+oracles in ``__spark_entry__.py`` — keep the two in sync.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# tiny deterministic stopword sets for the language-ID heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "de", "una"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased alphanumeric tokens, empty strings removed."""
+    return F.filter(
+        F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != F.lit("")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_ngrams(col: Column, n: int = 5) -> Column:
+    """Character n-grams of the lowercased text (for Jaccard similarity)."""
+    lowered = F.lower(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(lowered) - (n - 1), F.lit(1))),
+        lambda i: F.substring(lowered, i, n),
+    )
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """k-token shingles joined by a single space (MinHash input)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+            ),
+        )
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    stripped = F.regexp_replace(col, "[a-zA-Z0-9 ]", "")
+    return F.length(stripped) / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = tokens(col)
+    stops = LANG_MARKERS[lang]
+    hits = F.size(F.filter(toks, lambda t: t.isin(stops)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, low punctuation noise,
+    natural stopword density."""
+    n_tok = token_count(col)
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(col) * 4, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(col) * 5, F.lit(1.0))
+    return (len_score + punct_score + stop_score) / 3
+
+def lang_id(col: Column) -> Column:
+    """Tiny n-gram/stopword language-ID heuristic: pick the language whose
+    marker words hit the most tokens; 'und' (undetermined) when nothing hits."""
+    toks = tokens(col)
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.size(F.filter(toks, lambda t: t.isin(markers)))
+        take = hits > best_hits
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_hits = F.when(take, hits).otherwise(best_hits)
+    return best
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic 64-bit-ish document fingerprint: first 16 hex chars of
+    md5 over the normalized token stream (stable across engines — md5 is
+    available in both Spark and DuckDB, unlike xxhash64)."""
+    normalized = F.concat_ws(" ", tokens(col))
+    return F.substring(F.md5(normalized), 1, 16)

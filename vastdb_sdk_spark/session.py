@@ -1,0 +1,97 @@
+"""Session: SparkSession + warehouse root.
+
+Reference: ``vastdb.connect(endpoint, access, secret) -> Session``
+(vastdb/__init__.py:9-11, vastdb/session.py:20-70). There, a session is an
+HTTP client bound to a VAST cluster; here it is a SparkSession bound to a
+warehouse directory (the "cluster"). ``session.transaction()`` is the only
+entry point for work, exactly like the reference (README.md:70-90).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .config import EngineConfig
+from .errors import MissingBucket
+
+
+def build_spark(config: EngineConfig | None = None, app_name: str = "vastdb_sdk_spark") -> SparkSession:
+    """Create (or get) a local SparkSession tuned for this engine."""
+    config = config or EngineConfig()
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(config.shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", config.max_partition_bytes)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    for k, v in config.extra_spark_conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+class Session:
+    """Engine session: one warehouse directory, one SparkSession."""
+
+    def __init__(
+        self,
+        warehouse: str,
+        spark: SparkSession | None = None,
+        config: EngineConfig | None = None,
+    ):
+        self.warehouse = os.path.abspath(warehouse)
+        os.makedirs(self.warehouse, exist_ok=True)
+        self.config = config or EngineConfig()
+        self.spark = spark or build_spark(self.config)
+
+    def __repr__(self) -> str:
+        return f"Session(warehouse={self.warehouse!r})"
+
+    # -- bucket admin (reference buckets pre-exist server-side; we allow
+    #    creating them since the warehouse is ours) ------------------------
+    def create_bucket(self, name: str) -> None:
+        from .catalog.manifest import ManifestStore
+
+        ManifestStore(os.path.join(self.warehouse, name)).init_bucket()
+
+    def bucket_exists(self, name: str) -> bool:
+        from .catalog.manifest import ManifestStore
+
+        return ManifestStore(os.path.join(self.warehouse, name)).exists()
+
+    def transaction(self):
+        """Start a transaction context (reference: vastdb/session.py:66-70)."""
+        from .transaction import Transaction
+
+        return Transaction(self)
+
+    def _bucket_path(self, name: str) -> str:
+        path = os.path.join(self.warehouse, name)
+        from .catalog.manifest import ManifestStore
+
+        if not ManifestStore(path).exists():
+            raise MissingBucket(name)
+        return path
+
+
+def connect(
+    warehouse: str,
+    spark: SparkSession | None = None,
+    config: EngineConfig | None = None,
+    **_compat_kwargs,
+) -> Session:
+    """Open a warehouse (reference: ``vastdb.connect()``,
+    vastdb/__init__.py:9-11). Extra kwargs (endpoint/access/secret/ssl...)
+    are accepted for drop-in compatibility and ignored."""
+    return Session(warehouse, spark=spark, config=config)

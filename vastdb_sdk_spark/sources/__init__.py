@@ -1,0 +1,3 @@
+from .parquet_import import create_table_from_files, ImportMergePolicy
+
+__all__ = ["create_table_from_files", "ImportMergePolicy"]

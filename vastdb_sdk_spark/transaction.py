@@ -1,0 +1,155 @@
+"""Transactions: snapshot-isolated, commit-on-exit context managers.
+
+Reference semantics (vastdb/transaction.py:59-90): ``with session.
+transaction() as tx:`` begins a server transaction; clean exit commits,
+exception rolls back; everything (DDL, DML, scans) happens inside one tx.
+Here a transaction pins each touched bucket's manifest version at first
+access (snapshot isolation), buffers catalog mutations in a ChangeSet, and
+tracks data files written so rollback can delete them. Commit replays the
+ChangeSet onto the latest manifest via CAS (see catalog/manifest.py) and
+raises ``Conflict`` on concurrent modification — matching the isolation
+behavior the reference tests (vastdb/tests/test_schemas.py:40-57,
+test_tables.py:688-757).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import time
+
+from .catalog.manifest import ChangeSet, Manifest, ManifestStore
+from .errors import TransactionClosed
+
+_txid_counter = itertools.count(int(time.time() * 1000) % (1 << 40))
+
+
+class _BucketState:
+    def __init__(self, store: ManifestStore, manifest: Manifest):
+        self.store = store
+        self.manifest = manifest  # private working copy (base version pinned)
+        self.base_version = manifest.version
+        self.changes = ChangeSet()
+        self.staged_files: list[str] = []  # data files to delete on rollback
+        self.audit: list[dict] = []
+
+    def manifest_base(self) -> Manifest:
+        return self.store.load(self.base_version)
+
+
+class Transaction:
+    def __init__(self, session):
+        self._session = session
+        self.txid = next(_txid_counter)
+        self._buckets: dict[str, _BucketState] = {}
+        self._closed = False
+
+    # -- context manager ---------------------------------------------------
+    def __enter__(self) -> "Transaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.commit()
+        else:
+            self.rollback()
+
+    def __repr__(self) -> str:
+        return f"Transaction(id=0x{self.txid:016x})"
+
+    # -- state access ------------------------------------------------------
+    def _check_open(self) -> None:
+        if self._closed:
+            raise TransactionClosed(repr(self))
+
+    def _state(self, bucket_name: str) -> _BucketState:
+        self._check_open()
+        st = self._buckets.get(bucket_name)
+        if st is None:
+            path = self._session._bucket_path(bucket_name)
+            store = ManifestStore(path)
+            st = _BucketState(store, store.load())
+            self._buckets[bucket_name] = st
+        return st
+
+    @property
+    def spark(self):
+        return self._session.spark
+
+    # -- API ---------------------------------------------------------------
+    def bucket(self, name: str):
+        from .bucket import Bucket
+
+        self._state(name)  # pin manifest now; raises MissingBucket if absent
+        return Bucket(name, self)
+
+    def commit(self) -> None:
+        self._check_open()
+        self._closed = True
+        for name, st in self._buckets.items():
+            if st.changes.is_empty():
+                continue
+            new_manifest = st.store.commit(st.manifest_base(), st.changes)
+            self._write_audit(st, new_manifest.version)
+
+    def rollback(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        for st in self._buckets.values():
+            for path in st.staged_files:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+
+    # -- audit log (reference: tx.audit_log(),
+    #    vastdb/transaction.py:117-121) ------------------------------------
+    def _audit_event(self, st: _BucketState, op: str, obj: str, **details) -> None:
+        st.audit.append(
+            {
+                "txid": self.txid,
+                "ts": time.time_ns(),
+                "op": op,
+                "object": obj,
+                "details": json.dumps(details, default=str),
+            }
+        )
+
+    def _write_audit(self, st: _BucketState, version: int) -> None:
+        if not st.audit:
+            return
+        audit_dir = os.path.join(st.store.bucket_path, "_audit")
+        os.makedirs(audit_dir, exist_ok=True)
+        path = os.path.join(audit_dir, f"v{version:010d}.jsonl")
+        with open(path, "w") as f:
+            for rec in st.audit:
+                f.write(json.dumps(rec) + "\n")
+
+    def audit_log(self, bucket_name: str):
+        """Audit-log DataFrame for a bucket (engine operations history)."""
+        audit_dir = os.path.join(self._session._bucket_path(bucket_name), "_audit")
+        spark = self._session.spark
+        schema = "txid LONG, ts LONG, op STRING, object STRING, details STRING"
+        if not os.path.isdir(audit_dir) or not os.listdir(audit_dir):
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).json(audit_dir)
+
+    # -- catalog table (reference: tx.catalog(),
+    #    vastdb/transaction.py:107-115: queryable table of all objects) ----
+    def catalog(self, bucket_name: str):
+        st = self._state(bucket_name)
+        m = st.manifest
+        rows = []
+        for sname in m.schemas:
+            rows.append((bucket_name, sname, None, "schema", 0, 0))
+        for (sname, tname), te in m.tables.items():
+            rows.append(
+                (bucket_name, sname, tname, "table", te.num_rows, len(te.files))
+            )
+        return self._session.spark.createDataFrame(
+            rows,
+            "bucket STRING, schema_name STRING, table_name STRING, "
+            "object_type STRING, num_rows LONG, num_files LONG",
+        )
