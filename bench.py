@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall-clock seconds.
+
+Execution is measured with the `noop` sink so we time the full distributed
+plan (scan -> shuffle -> agg) without driver-side collect overhead dominating
+small results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from vastdb_sdk_spark.session import build_spark  # noqa: E402
+
+HEADLINE = [
+    "s1_scan_project",
+    "p3_between",
+    "p4_isin",
+    "o1_limit_topk",
+    "a1_tpch_q1",
+    "a2_count_distinct",
+    "j1_star_join_revenue",
+    "j2_semi_join",
+    "w1_topk_per_group",
+    "w2_running_sum",
+    "set2_intersect",
+    "f1_json_expansion",
+    "o5_vector_topk_l2",
+    "ann_cosine_topk",
+    "dd_exact",
+    "dd_minhash_sig",
+    "tx_token_stats",
+    "tx_quality",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = build_spark(app_name="vastdb_sdk_spark_bench")
+
+    queries = entry_mod.queries()
+    # warm up the JVM + parquet footer caches on a trivial action
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
