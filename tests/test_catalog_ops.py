@@ -1,0 +1,241 @@
+"""Schemas, snapshots, imports, projections, sorted tables, vector search,
+blob expansion — the catalog/layout operator families (SURVEY.md §2.11)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import vastdb_sdk_spark as vastdb
+from vastdb_sdk_spark import _ as D
+from vastdb_sdk_spark.sources import ImportMergePolicy, create_table_from_files, merge_schemas
+
+SF = "/root/testdata/sf0.001"
+
+
+# -- schemas (reference: vastdb/tests/test_schemas.py) ----------------------
+
+
+def test_schema_crud(session):
+    with session.transaction() as tx:
+        b = tx.bucket("bkt")
+        s = b.create_schema("s1")
+        s.create_schema("inner")  # nested "s1/inner"
+        assert [x.name for x in b.schemas()] == ["s1"]
+        assert [x.name for x in s.schemas()] == ["s1/inner"]
+    with session.transaction() as tx:
+        b = tx.bucket("bkt")
+        with pytest.raises(vastdb.SchemaExists):
+            b.create_schema("s1")
+        b.schema("s1/inner").drop()
+        b.schema("s1").rename("s2")
+    with session.transaction() as tx:
+        b = tx.bucket("bkt")
+        assert b.schema("s1", fail_if_missing=False) is None
+        assert b.schema("s2") is not None
+
+
+def test_drop_nonempty_schema_conflicts(clean_schema):
+    with clean_schema.transaction() as tx:
+        tx.bucket("bkt").schema("s").create_table("t", pa.schema([("a", pa.int64())]))
+    with pytest.raises(vastdb.Conflict):
+        with clean_schema.transaction() as tx:
+            tx.bucket("bkt").schema("s").drop()
+
+
+# -- imports ---------------------------------------------------------------
+
+
+def test_import_files_zero_copy(clean_schema):
+    with clean_schema.transaction() as tx:
+        s = tx.bucket("bkt").schema("s")
+        t = create_table_from_files(s, "li", [f"{SF}/lineitem.parquet"])
+        n = pq.ParquetFile(f"{SF}/lineitem.parquet").metadata.num_rows
+        assert t.count_rows() == n
+        imp = t.imports_table().select().read_all()
+        assert imp.column("NumRows").to_pylist() == [n]
+        assert imp.column("ObjectName").to_pylist()[0].endswith("lineitem.parquet")
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("li")
+        got = t.select(columns=["l_orderkey"], predicate=(D.l_linenumber == 1))
+        assert got.read_all().num_rows > 0
+
+
+def test_import_partitioned(clean_schema):
+    with clean_schema.transaction() as tx:
+        s = tx.bucket("bkt").schema("s")
+        base = pq.ParquetFile(f"{SF}/region.parquet").schema_arrow
+        schema = base.append(pa.field("batch", pa.string()))
+        t = s.create_table("r", schema)
+        t.import_partitioned_files({f"{SF}/region.parquet": {"batch": "b1"}})
+        got = t.select(columns=["r_name", "batch"]).read_all()
+        assert set(got.column("batch").to_pylist()) == {"b1"}
+        assert got.num_rows == 5
+
+
+def test_merge_policies():
+    s1 = pa.schema([("a", pa.int64()), ("b", pa.string())])
+    s2 = pa.schema([("a", pa.int64())])
+    s3 = pa.schema([("c", pa.float64())])
+    assert merge_schemas([s1, s2], ImportMergePolicy.containment) == s1
+    assert merge_schemas([s1, s1], ImportMergePolicy.strict) == s1
+    with pytest.raises(vastdb.InvalidArgument):
+        merge_schemas([s1, s2], ImportMergePolicy.strict)
+    u = merge_schemas([s2, s3], ImportMergePolicy.union)
+    assert u.names == ["a", "c"]
+    with pytest.raises(vastdb.InvalidArgument):
+        merge_schemas([s2, s3], ImportMergePolicy.containment)
+
+
+# -- snapshots -------------------------------------------------------------
+
+
+def test_snapshot_time_travel(clean_schema):
+    data = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("t", data.schema)
+        t.insert(data)
+    with clean_schema.transaction() as tx:
+        tx.bucket("bkt").create_snapshot("v1")
+    with clean_schema.transaction() as tx:
+        tx.bucket("bkt").schema("s").table("t").insert(data)
+    with clean_schema.transaction() as tx:
+        b = tx.bucket("bkt")
+        assert b.schema("s").table("t").count_rows() == 6
+        snap = b.snapshot("v1")
+        assert snap.schema("s").table("t").count_rows() == 3
+        with pytest.raises(vastdb.NotSupportedCommand):
+            snap.schema("s").table("t").insert(data)  # snapshots are read-only
+        with pytest.raises(vastdb.MissingSnapshot):
+            b.snapshot("nope")
+
+
+# -- sorted (Elysium) tables ----------------------------------------------
+
+
+def test_sorted_table_lifecycle(clean_schema):
+    data = pa.table(
+        {"k": pa.array([5, 3, 1, 4, 2], pa.int64()), "v": pa.array([50, 30, 10, 40, 20], pa.int64())}
+    )
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("e", data.schema, sorting_key=["k"])
+        t.insert(data)
+        assert not t.sorting_done()
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("e")
+        t.optimize()
+        assert t.sorting_done()
+        assert t.sorting_score() == 100
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("e")
+        got = t.select(predicate=(D.k >= 4)).read_all().sort_by("k")
+        assert got.column("v").to_pylist() == [40, 50]
+        # row ids preserved through the re-sort
+        rid = t.select(internal_row_id=True).read_all().sort_by("k")
+        assert rid.column("$row_id").to_pylist() == [2, 4, 1, 3, 0]
+
+
+def test_add_sorting_key(clean_schema):
+    data = pa.table({"k": pa.array([2, 1], pa.int64())})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("e", data.schema)
+        t.insert(data)
+        t.add_sorting_key(["k"])
+        with pytest.raises(vastdb.NotSupportedCommand):
+            t.add_sorting_key(["k"])
+
+
+# -- semi-sorted projections ----------------------------------------------
+
+
+def test_projection_lifecycle_and_routing(clean_schema):
+    data = pa.table(
+        {
+            "k": pa.array(list(range(100)), pa.int64()),
+            "v": pa.array([i * 2 for i in range(100)], pa.int64()),
+            "w": pa.array([str(i) for i in range(100)]),
+        }
+    )
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("p", data.schema)
+        t.insert(data)
+        t.create_projection("by_k", ["k"], ["v"])
+        assert [p.name for p in t.projections()] == ["by_k"]
+        assert t.projection("by_k").columns() == ["k", "v"]
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("p")
+        # covered query -> routed to projection; results identical
+        got = t.select(columns=["v"], predicate=(D.k == 50)).read_all()
+        assert got.column("v").to_pylist() == [100]
+        # uncovered query (needs w) -> falls back to base files
+        got2 = t.select(columns=["w"], predicate=(D.k == 50)).read_all()
+        assert got2.column("w").to_pylist() == ["50"]
+        # after DML the projection is stale and must not serve wrong data
+        t.update(pa.table({"$row_id": pa.array([50], pa.uint64()), "v": pa.array([999], pa.int64())}))
+        got3 = t.select(columns=["v"], predicate=(D.k == 50)).read_all()
+        assert got3.column("v").to_pylist() == [999]
+        assert t.projection("by_k").stale
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("p")
+        t.projection("by_k").rename("by_k2")
+        t.projection("by_k2").drop()
+        assert t.projections() == []
+
+
+# -- vector search ---------------------------------------------------------
+
+
+def test_vector_search_exact_topk(clean_schema):
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    vecs = rng.random((50, 8)).astype("float32")
+    data = pa.table(
+        {
+            "id": pa.array(range(50), pa.int64()),
+            "emb": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "v", data.schema, vector_index={"column": "emb", "metric": "l2sq"}
+        )
+        t.insert(data)
+        q = vecs[0].tolist()
+        got = t.vector_search(q, columns=["id"], limit=5)
+        dists = ((vecs - vecs[0]) ** 2).sum(axis=1)
+        expected = list(np.argsort(dists, kind="stable")[:5])
+        assert got.column("id").to_pylist() == [int(i) for i in expected]
+        assert got.schema.names == ["id", "vast_pysdk_vector_dist"]
+        # with predicate
+        got2 = t.vector_search(q, columns=["id"], limit=3, predicate=(D.id >= 10))
+        expected2 = [int(i) for i in np.argsort(dists, kind="stable") if i >= 10][:3]
+        assert got2.column("id").to_pylist() == expected2
+
+
+# -- blob expansion --------------------------------------------------------
+
+
+def test_blob_expansion(clean_schema):
+    data = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "j": pa.array(
+                ['{"a": 1, "nested": {"x": "u"}}', '{"a": 2, "nested": {"x": "w"}}']
+            ),
+        }
+    )
+    target = pa.schema([("a", pa.int64()), ("nested", pa.struct([("x", pa.string())]))])
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("b", data.schema)
+        t.insert(data)
+        t.create_blob_expansion("exp", source_column="j", target_schema=target)
+        assert t.blob_expansions() == ["exp"]
+        df = t.blob_expansion_df("exp")
+        rows = {tuple(r) for r in df.collect()}
+        assert rows == {
+            ('{"a": 1, "nested": {"x": "u"}}', 1, "u"),
+            ('{"a": 2, "nested": {"x": "w"}}', 2, "w"),
+        }
+        assert df.columns == ["j", "a", "nested__x"]
+        t.drop_blob_expansion("exp")
+        assert t.blob_expansions() == []

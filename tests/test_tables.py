@@ -1,0 +1,239 @@
+"""Table round-trip, DML, evolution, isolation — modeled on the reference's
+vastdb/tests/test_tables.py (insert -> select -> exact Arrow equality;
+update/delete by $row_id; rename/add/drop column; txn conflict)."""
+
+import pyarrow as pa
+import pytest
+
+import vastdb_sdk_spark as vastdb
+from vastdb_sdk_spark import _ as D
+
+BASIC3 = pa.schema([("a", pa.int64()), ("b", pa.float32()), ("s", pa.string())])
+BASIC3_DATA = pa.table(
+    {
+        "a": pa.array([111, 222, 333], pa.int64()),
+        "b": pa.array([0.5, 1.5, 2.5], pa.float32()),
+        "s": ["a", "bb", "ccc"],
+    }
+)
+
+
+def _make(session, data=BASIC3_DATA, schema=BASIC3, **kw):
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("t", schema, **kw)
+        if data is not None:
+            t.insert(data)
+    return session
+
+
+def test_roundtrip_exact(clean_schema):
+    _make(clean_schema)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        got = t.select().read_all().sort_by("a")
+        assert got.schema == BASIC3
+        assert got.equals(BASIC3_DATA)
+
+
+def test_projection_order_and_subset(clean_schema):
+    _make(clean_schema)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        got = t.select(columns=["s", "a"]).read_all()
+        assert got.schema.names == ["s", "a"]
+        got2 = t.select(columns=["b"]).read_all()
+        assert got2.schema.names == ["b"]
+
+
+def test_insert_returns_row_ids(clean_schema):
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("t", BASIC3)
+        ids1 = t.insert(BASIC3_DATA)
+        ids2 = t.insert(BASIC3_DATA)
+    assert ids1.to_pylist() == [0, 1, 2]
+    assert ids2.to_pylist() == [3, 4, 5]
+    assert ids1.type == pa.uint64()
+
+
+def test_internal_row_id(clean_schema):
+    _make(clean_schema)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        got = t.select(columns=["a"], internal_row_id=True).read_all().sort_by("a")
+        assert got.column("$row_id").to_pylist() == [0, 1, 2]
+        assert got.schema.field("$row_id").type == pa.uint64()
+
+
+def test_update_by_row_id(clean_schema):
+    _make(clean_schema)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        t.update(
+            pa.table({"$row_id": pa.array([1], pa.uint64()), "b": pa.array([99.5], pa.float32())})
+        )
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        got = t.select(internal_row_id=True).read_all().sort_by("a")
+        assert got.column("b").to_pylist() == [0.5, 99.5, 2.5]
+        # row ids survive the rewrite (SURVEY.md §7 watch-list 2)
+        assert got.column("$row_id").to_pylist() == [0, 1, 2]
+
+
+def test_delete_by_row_id(clean_schema):
+    _make(clean_schema)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        t.delete(pa.table({"$row_id": pa.array([0, 2], pa.uint64())}))
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        got = t.select(internal_row_id=True).read_all()
+        assert got.column("a").to_pylist() == [222]
+        assert got.column("$row_id").to_pylist() == [1]
+
+
+def test_update_then_insert_ids_continue(clean_schema):
+    _make(clean_schema)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        t.delete(pa.table({"$row_id": pa.array([2], pa.uint64())}))
+        ids = t.insert(BASIC3_DATA)
+        assert ids.to_pylist() == [3, 4, 5]  # deleted ids are never reused
+
+
+def test_limit_rows(clean_schema):
+    _make(clean_schema)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        assert t.select(limit_rows=2).read_all().num_rows == 2
+
+
+def test_count_rows(clean_schema):
+    _make(clean_schema)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        assert t.count_rows() == 3
+        assert t.count_rows(predicate=(D.a > 111)) == 2
+
+
+def test_rename_table(clean_schema):
+    _make(clean_schema)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        t.rename("t2")
+    with clean_schema.transaction() as tx:
+        s = tx.bucket("bkt").schema("s")
+        assert s.table("t", fail_if_missing=False) is None
+        assert s.table("t2").count_rows() == 3
+
+
+def test_schema_evolution(clean_schema):
+    _make(clean_schema)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        t.add_column(pa.field("extra", pa.int32()))
+        t.rename_column("b", "bb")
+        t.drop_column("s")
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        assert t.arrow_schema.names == ["a", "bb", "extra"]
+        got = t.select().read_all().sort_by("a")
+        assert got.column("bb").to_pylist() == [0.5, 1.5, 2.5]  # old files readable
+        assert got.column("extra").to_pylist() == [None, None, None]
+        # new inserts fill the new column
+        t.insert(
+            pa.table(
+                {
+                    "a": pa.array([444], pa.int64()),
+                    "bb": pa.array([4.5], pa.float32()),
+                    "extra": pa.array([7], pa.int32()),
+                }
+            )
+        )
+        got = t.select(columns=["a", "extra"], predicate=(D.a == 444)).read_all()
+        assert got.column("extra").to_pylist() == [7]
+
+
+def test_tx_isolation(clean_schema):
+    """Other transactions see pre-commit state (reference:
+    test_tables.py:688-720)."""
+    _make(clean_schema)
+    tx1 = clean_schema.transaction()
+    tx2 = clean_schema.transaction()
+    try:
+        t1 = tx1.bucket("bkt").schema("s").table("t")
+        t1.insert(BASIC3_DATA)
+        t2 = tx2.bucket("bkt").schema("s").table("t")
+        assert t2.count_rows() == 3  # does not see tx1's uncommitted insert
+    finally:
+        tx1.rollback()
+        tx2.rollback()
+
+
+def test_tx_conflict(clean_schema):
+    _make(clean_schema)
+    tx1 = clean_schema.transaction()
+    tx2 = clean_schema.transaction()
+    tx1.bucket("bkt").schema("s").table("t").insert(BASIC3_DATA)
+    tx2.bucket("bkt").schema("s").table("t").insert(BASIC3_DATA)
+    tx1.commit()
+    with pytest.raises(vastdb.Conflict):
+        tx2.commit()
+
+
+def test_rollback_removes_staged_data(clean_schema):
+    _make(clean_schema)
+    tx = clean_schema.transaction()
+    t = tx.bucket("bkt").schema("s").table("t")
+    t.insert(BASIC3_DATA)
+    tx.rollback()
+    with clean_schema.transaction() as tx:
+        assert tx.bucket("bkt").schema("s").table("t").count_rows() == 3
+
+
+def test_external_row_ids(clean_schema):
+    """Reference: use_external_row_ids_allocation writes a vastdb_rowid
+    column (test_tables.py:1055-1073)."""
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "t", BASIC3, use_external_row_ids_allocation=True
+        )
+        data = BASIC3_DATA.append_column(
+            "vastdb_rowid", pa.array([100, 200, 300], pa.int64())
+        )
+        ids = t.insert(data)
+        assert ids.to_pylist() == [100, 200, 300]
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        got = t.select(internal_row_id=True).read_all().sort_by("a")
+        assert got.column("$row_id").to_pylist() == [100, 200, 300]
+
+
+def test_unsupported_schema_rejected(clean_schema):
+    for bad in [
+        pa.schema([("d", pa.dictionary(pa.int32(), pa.string()))]),
+        pa.schema([("n", pa.null())]),
+        pa.schema([("d64", pa.date64())]),
+    ]:
+        with pytest.raises(vastdb.NotSupportedSchema):
+            with clean_schema.transaction() as tx:
+                tx.bucket("bkt").schema("s").create_table("bad", bad)
+
+
+def test_empty_projection_count_scan(clean_schema):
+    _make(clean_schema)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        got = t.select(columns=[]).read_all()
+        assert got.num_columns == 0
+
+
+def test_catalog_and_audit(clean_schema):
+    _make(clean_schema)
+    with clean_schema.transaction() as tx:
+        cat = tx.catalog("bkt").collect()
+        kinds = {(r.object_type, r.table_name) for r in cat}
+        assert ("schema", None) in kinds
+        assert ("table", "t") in kinds
+        audit = tx.audit_log("bkt").collect()
+        ops = {r.op for r in audit}
+        assert "create_table" in ops and "insert" in ops

@@ -1,3 +1,3 @@
-from .parquet_import import create_table_from_files, ImportMergePolicy
+from .parquet_import import create_table_from_files, merge_schemas, ImportMergePolicy
 
-__all__ = ["create_table_from_files", "ImportMergePolicy"]
+__all__ = ["create_table_from_files", "merge_schemas", "ImportMergePolicy"]

@@ -151,15 +151,25 @@ def storage_arrow_schema(schema: pa.Schema) -> pa.Schema:
     )
 
 
+def _cast_col(col: pa.ChunkedArray, target: pa.DataType) -> pa.ChunkedArray:
+    """Cast with two-step bridges for pairs pyarrow can't cast directly
+    (time32 <-> int64)."""
+    if col.type == target:
+        return col
+    if pa.types.is_time32(col.type) and pa.types.is_int64(target):
+        return col.cast(pa.int32()).cast(pa.int64())
+    if pa.types.is_int64(col.type) and pa.types.is_time32(target):
+        return col.cast(pa.int32()).cast(target)
+    return col.cast(target)
+
+
 def cast_to_storage(tbl: pa.Table, storage: pa.Schema) -> pa.Table:
     """Cast an input Arrow table to the storage schema (column order of the
     storage schema; missing nullable columns filled with nulls)."""
     arrays = []
     for f in storage:
         if f.name in tbl.schema.names:
-            col = tbl.column(f.name)
-            if col.type != f.type:
-                col = col.cast(f.type)
+            col = _cast_col(tbl.column(f.name), f.type)
         else:
             col = pa.nulls(len(tbl), f.type)
         arrays.append(col)
@@ -191,8 +201,7 @@ def cast_table_to_schema(tbl: pa.Table, target: pa.Schema) -> pa.Table:
         col = tbl.column(name)
         if name in target.names:
             f = target.field(name)
-            if col.type != f.type:
-                col = col.cast(f.type)
+            col = _cast_col(col, f.type)
             fields.append(pa.field(name, f.type, f.nullable))
         else:
             fields.append(pa.field(name, col.type))
