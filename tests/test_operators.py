@@ -1,0 +1,212 @@
+"""LLM-pipeline operators: dedup, similarity, multimodal, as-of join."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from vastdb_sdk_spark.operators import asof, dedup, multimodal, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    # add known near-dups and exact dups deterministically
+    base = df.limit(3).collect()
+    extra = [
+        (10001, base[0].text, base[0].lang, "dup_exact", len(base[0].text)),
+        (10002, base[1].text + " tail tokens appended here", base[1].lang, "dup_near", 0),
+    ]
+    extra_df = spark.createDataFrame(extra, df.schema)
+    return df.unionByName(extra_df)
+
+
+# -- exact dedup -----------------------------------------------------------
+
+
+def test_exact_duplicate_groups(docs):
+    groups = dedup.exact_duplicate_groups(docs, ["text"])
+    dup = groups.filter(F.col("n_copies") > 1).collect()
+    assert len(dup) == 1 and dup[0].n_copies == 2
+
+
+def test_dedup_exact_keeps_one(docs):
+    total = docs.count()
+    kept = dedup.dedup_exact(docs, ["text"], order_col="doc_id")
+    assert kept.count() == total - 1
+    # the kept representative is the min doc_id of the dup group
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 10001 not in kept_ids
+
+
+# -- minhash / LSH ---------------------------------------------------------
+
+
+def test_minhash_near_dup_pipeline(docs):
+    pairs = dedup.minhash_dedup_pairs(
+        docs, num_hashes=16, num_bands=4, threshold=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 10001) in found  # exact dup: jaccard 1.0
+    assert (1, 10002) in found  # near dup: high shingle overlap
+    for r in pairs:
+        assert r.jaccard >= 0.5
+
+
+def test_jaccard_values_sane(docs):
+    pairs = dedup.lsh_candidate_pairs(docs, num_hashes=8, num_bands=4)
+    verified = dedup.jaccard_verify_pairs(docs, pairs, threshold=0.0).collect()
+    jac = {(r.id_a, r.id_b): r.jaccard for r in verified}
+    assert jac.get((0, 10001)) == 1.0
+
+
+# -- simhash ---------------------------------------------------------------
+
+
+def test_simhash_near_pairs(docs):
+    fps = dedup.simhash(docs)
+    assert fps.count() == docs.count()
+    pairs = dedup.simhash_near_pairs(fps, max_hamming=3).collect()
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert found.get((0, 10001)) == 0  # identical text -> identical simhash
+
+
+# -- similarity search -----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _numpy_topk(emb_rows, q, k, metric="l2sq"):
+    mat = np.array([r.embedding for r in emb_rows], dtype=float)
+    ids = np.array([r.vec_id for r in emb_rows])
+    if metric == "l2sq":
+        d = ((mat - q) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))
+    else:
+        sim = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        order = np.lexsort((ids, -sim))
+    return [int(ids[i]) for i in order[:k]]
+
+
+def test_brute_force_topk_matches_numpy(emb):
+    rows = emb.collect()
+    q = [float(x) for x in rows[0].embedding]
+    got = similarity.brute_force_topk(emb, q, k=5, metric="l2sq", id_col="vec_id")
+    got_ids = [r.vec_id for r in got.select("vec_id").collect()]
+    assert got_ids == _numpy_topk(rows, np.array(q), 5)
+
+
+def test_rhp_lsh_topk_recall(emb):
+    rows = emb.collect()
+    q = [float(x) for x in rows[7].embedding]
+    indexed, planes = similarity.build_rhp_index(emb, num_planes=6, seed=42)
+    got = similarity.rhp_topk(
+        indexed, planes, q, k=5, metric="cosine", multiprobe_hamming=2, id_col="vec_id"
+    )
+    got_ids = {r.vec_id for r in got.select("vec_id").collect()}
+    exact = set(_numpy_topk(rows, np.array(q), 5, metric="cosine"))
+    # ANN: query's own vector must be found; recall over exact top-5 >= 2/5
+    assert rows[7].vec_id in got_ids
+    assert len(got_ids & exact) >= 2
+
+
+def test_ivf_topk(emb):
+    rows = emb.collect()
+    q = [float(x) for x in rows[3].embedding]
+    indexed, centroids = similarity.build_ivf_index(emb, num_centroids=8, seed=42)
+    got = similarity.ivf_topk(
+        indexed, centroids, q, k=3, nprobe=3, id_col="vec_id"
+    )
+    got_ids = [r.vec_id for r in got.select("vec_id").collect()]
+    assert rows[3].vec_id == got_ids[0]  # own vector is distance 0
+
+
+def test_embedding_near_dup_pairs(spark):
+    vecs = [[1.0, 0.0, 0.0, 0.0], [0.999, 0.01, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    pairs = similarity.embedding_near_dup_pairs(df, threshold=0.99, num_planes=4).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+
+
+# -- multimodal ------------------------------------------------------------
+
+
+def test_multimodal_decode_stub(spark):
+    payloads = [(i, bytes([i] * 32)) for i in range(10)]
+    df = spark.createDataFrame(payloads, "media_id LONG, payload BINARY")
+    out = multimodal.decode_images(df).collect()
+    assert len(out) == 10
+    byid = {r.media_id: r for r in out}
+    # deterministic: same payload -> same fake dimensions
+    out2 = {r.media_id: r for r in multimodal.decode_images(df).collect()}
+    for i in range(10):
+        assert (byid[i].width, byid[i].height) == (out2[i].width, out2[i].height)
+        assert 64 <= byid[i].width < 256 and 64 <= byid[i].height < 256
+        assert 0.0 <= byid[i].mean_luma <= 1.0
+
+
+def test_multimodal_features(spark):
+    df = spark.createDataFrame(
+        [(1, b"aaa"), (2, b"bbb")], "media_id LONG, payload BINARY"
+    )
+    out = {r.media_id: r.features for r in multimodal.extract_features(df, dim=8).collect()}
+    assert len(out[1]) == 8 and out[1] != out[2]
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, (None, None, None, None, 3500, None)), (2, (None, None, None, None, 0, None))],
+        multimodal.media_table_schema().simpleString().replace("struct", "STRUCT", 1)
+        if False
+        else "media_id LONG, meta STRUCT<media_type STRING, format STRING, width INT, height INT, duration_ms LONG, sample_rate INT>",
+    )
+    out = multimodal.frame_sample_plan(df, every_ms=1000).collect()
+    got = {(r.media_id, r.frame_ts_ms) for r in out}
+    assert got == {(1, 0), (1, 1000), (1, 2000), (1, 3000)}
+
+
+# -- as-of join ------------------------------------------------------------
+
+
+def test_asof_join_matches_pandas(spark):
+    left = [(u, t) for u in (1, 2) for t in (5, 10, 15, 25)]
+    right = [(1, 3, 100.0), (1, 10, 110.0), (1, 20, 120.0), (2, 7, 200.0)]
+    ldf = spark.createDataFrame(left, "user_id LONG, ts LONG")
+    rdf = spark.createDataFrame(right, "user_id LONG, ts LONG, px DOUBLE")
+    got = asof.asof_join(ldf, rdf, on="ts", by="user_id", right_cols=["px"])
+    got_m = {(r.user_id, r.ts): r.px for r in got.collect()}
+
+    lp = pd.DataFrame(left, columns=["user_id", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right, columns=["user_id", "ts", "px"]).sort_values("ts")
+    exp = pd.merge_asof(lp, rp, on="ts", by="user_id")
+    exp_m = {
+        (r.user_id, r.ts): (None if pd.isna(r.px) else r.px) for r in exp.itertuples()
+    }
+    assert got_m == exp_m
+
+
+def test_asof_join_tolerance(spark):
+    ldf = spark.createDataFrame([(1, 100)], "k LONG, ts LONG")
+    rdf = spark.createDataFrame([(1, 10, 1.0)], "k LONG, ts LONG, v DOUBLE")
+    got = asof.asof_join(ldf, rdf, on="ts", by="k", right_cols=["v"], tolerance=50)
+    assert got.collect()[0].v is None
+    got2 = asof.asof_join(ldf, rdf, on="ts", by="k", right_cols=["v"], tolerance=95)
+    assert got2.collect()[0].v == 1.0
+
+
+def test_range_join_bucketed(spark):
+    pts = spark.createDataFrame([(i,) for i in (5, 15, 55, 120)], "x LONG")
+    ivs = spark.createDataFrame(
+        [(0, 10, "a"), (50, 60, "b"), (100, 200, "c")], "lo LONG, hi LONG, tag STRING"
+    )
+    got = asof.range_join_bucketed(pts, ivs, "x", "lo", "hi", bucket_width=16)
+    m = {(r.x, r.tag) for r in got.collect()}
+    assert m == {(5, "a"), (55, "b"), (120, "c")}

@@ -1,0 +1,97 @@
+"""Structured Streaming: windowed aggregation, sessionization, and
+stream-into-engine-table ingestion (extension tier, SURVEY.md §2.9)."""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from vastdb_sdk_spark.streaming import events as ev
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def stream_dir(tmp_path, spark):
+    """A directory with the events table split into a few files (simulating
+    arriving batches)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = spark.read.parquet(f"{SF}/events.parquet")
+    d = str(tmp_path / "stream_in")
+    src.repartition(3).write.parquet(d)
+    return d
+
+
+def test_windowed_counts_stream(spark, stream_dir, tmp_path):
+    stream = ev.read_event_stream(spark, stream_dir)
+    agg = ev.windowed_counts(stream, window="1 hour", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM win_counts").collect()
+    # oracle: same aggregation in batch mode
+    batch = spark.read.parquet(stream_dir)
+    expected = (
+        ev.windowed_counts_batch(batch, window="1 hour")
+        .collect()
+    )
+    gm = {(r.window_start, r.event_type): (r.n_events, round(r.sum_value, 6)) for r in got}
+    em = {(r.window_start, r.event_type): (r.n_events, round(r.sum_value, 6)) for r in expected}
+    assert gm == em and len(gm) > 0
+
+
+def test_sessionize_stream(spark, stream_dir, tmp_path):
+    stream = ev.read_event_stream(spark, stream_dir)
+    sess = ev.sessionize(stream, gap="10 minutes", watermark="1 hour")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sessions").collect()
+    assert len(got) > 0
+    for r in got:
+        assert r.session_start <= r.session_end and r.n_events >= 1
+
+
+def test_stream_into_engine_table(session, stream_dir, tmp_path):
+    import vastdb_sdk_spark as vastdb
+
+    spark = session.spark
+    with session.transaction() as tx:
+        tx.bucket("bkt").create_schema("s").create_table(
+            "events", pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("ts", pa.int64()),
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("value", pa.float64()),
+                    ("props", pa.string()),
+                ]
+            )
+        )
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("events")
+        stream = ev.read_event_stream(spark, stream_dir)
+        q = ev.stream_into_table(stream, t, str(tmp_path / "ckpt3")).start()
+        q.awaitTermination(120)
+    n = spark.read.parquet(stream_dir).count()
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("events")
+        assert t.count_rows() == n
+        # audit trail shows per-batch inserts
+        ops = [r.op for r in tx.audit_log("bkt").collect()]
+        assert "insert_df" in ops

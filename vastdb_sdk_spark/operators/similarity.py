@@ -1,0 +1,199 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-parity (BASELINE.json north star). Two tiers:
+
+- **brute-force top-k** — exact; one scan, one ``orderBy(dist).limit(k)``
+  (Spark's TakeOrderedAndProject keeps only k rows per partition, so the
+  shuffle is k*num_partitions rows, not the corpus). The baseline and the
+  oracle-checkable path.
+- **LSH-bucketed (random hyperplane)** — scale path: sign-of-dot-product
+  signatures bucket the corpus; the query probes only its bucket (and
+  optionally neighboring buckets via multi-probe). Deterministic
+  hyperplanes from a seeded RNG so plans are reproducible.
+- **IVF (k-means coarse quantizer)** — scale path for batch knn-join:
+  assign vectors to nearest centroid (pyspark.ml KMeans), probe nprobe
+  nearest centroids per query.
+
+Distance math lives in functions/vector.py — all JVM-side expressions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity, distance_column, dot
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    metric: str = "l2sq",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k neighbors of one query vector."""
+    dist = distance_column(F.col(vec_col), query_vec, metric)
+    out = df.withColumn("distance", dist)
+    order = [F.col("distance").asc()]
+    if id_col:
+        order.append(F.col(id_col).asc())
+    return out.orderBy(*order).limit(k)
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim))
+
+
+def rhp_signature_col(vec_col: str, planes: np.ndarray):
+    """Random-hyperplane signature as a long (bit i = sign(v . plane_i))."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in plane]))
+        bit = F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return sig
+
+
+def build_rhp_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> tuple[DataFrame, np.ndarray]:
+    """Attach an LSH bucket id to every row. Returns (indexed_df, planes).
+    Persist/write the indexed_df once; queries then prune to one bucket."""
+    if dim is None:
+        dim = len(df.select(vec_col).head()[0])
+    planes = _hyperplanes(dim, num_planes, seed)
+    return df.withColumn("lsh_bucket", rhp_signature_col(vec_col, planes)), planes
+
+
+def rhp_topk(
+    indexed_df: DataFrame,
+    planes: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+    multiprobe_hamming: int = 1,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k: probe the query's bucket plus all buckets within
+    ``multiprobe_hamming`` bit flips (recall/latency dial). The bucket filter
+    is an isin() over at most sum_{i<=h} C(p,i) longs — partition-prunable if
+    the index is written bucketed/partitioned by lsh_bucket."""
+    q = np.asarray(query_vec, dtype=float)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        if float(q @ plane) >= 0:
+            qsig |= 1 << i
+    buckets = {qsig}
+    if multiprobe_hamming >= 1:
+        for i in range(len(planes)):
+            buckets.add(qsig ^ (1 << i))
+    if multiprobe_hamming >= 2:
+        for i in range(len(planes)):
+            for j in range(i + 1, len(planes)):
+                buckets.add(qsig ^ (1 << i) ^ (1 << j))
+    pruned = indexed_df.filter(F.col("lsh_bucket").isin(*[int(b) for b in buckets]))
+    return brute_force_topk(pruned, query_vec, k, vec_col, metric, id_col)
+
+
+def knn_join_cosine(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+    left_vec: str = "vec_a",
+    right_vec: str = "vec_b",
+) -> DataFrame:
+    """Exact k-NN join (every left row -> its k nearest right rows by cosine
+    similarity). Cross join + per-left-row window top-k; use only when one
+    side is broadcastable — for corpus-scale both-sides-large joins use the
+    IVF variant."""
+    from pyspark.sql import Window as W
+
+    sim = cosine_similarity(F.col(left_vec), F.col(right_vec))
+    joined = left.crossJoin(F.broadcast(right)).withColumn("cos_sim", sim)
+    w = W.partitionBy(left_id).orderBy(F.col("cos_sim").desc(), F.col(right_id).asc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn", left_vec, right_vec)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, LSH-bucketed: the
+    self-join key is the bucket id, so comparisons are |bucket|^2 not
+    |corpus|^2. High-cosine pairs almost surely share all hyperplane signs,
+    so recall at 0.95+ is high; raise num_planes to shrink buckets."""
+    indexed, _ = build_rhp_index(df, vec_col, num_planes, seed)
+    a = indexed.alias("a")
+    b = indexed.alias("b")
+    sim = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_centroids: int = 64,
+    seed: int = 42,
+) -> tuple[DataFrame, "np.ndarray"]:
+    """IVF coarse quantizer: k-means centroids (pyspark.ml, distributed),
+    every row tagged with its nearest centroid id. Write the result
+    partitioned by centroid_id and queries touch nprobe/num_centroids of the
+    data."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ml_df = df.withColumn("__features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=num_centroids, seed=seed, featuresCol="__features", predictionCol="centroid_id")
+    model = km.fit(ml_df)
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+    return model.transform(ml_df).drop("__features"), centroids
+
+
+def ivf_topk(
+    indexed_df: DataFrame,
+    centroids: "np.ndarray",
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    metric: str = "l2sq",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Probe the nprobe nearest centroids' partitions, exact distance inside."""
+    q = np.asarray(query_vec, dtype=float)
+    d2 = ((centroids - q) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2)[:nprobe]]
+    pruned = indexed_df.filter(F.col("centroid_id").isin(probe))
+    return brute_force_topk(pruned, query_vec, k, vec_col, metric, id_col)
