@@ -560,6 +560,122 @@ def q_mm_blob_meta(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# AS-OF join (custom operator Spark lacks; oracle: DuckDB's native ASOF JOIN)
+
+
+def q_asof_last_purchase(spark, sf):
+    """For each 'view' event, the value of the user's most recent 'purchase'
+    at or before it — vastdb_sdk_spark.operators.asof.asof_join (union +
+    last_value window: one shuffle, no nested-loop join)."""
+    from vastdb_sdk_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "ts", "user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(views, purchases, on="ts", by="user_id", right_cols=["value"])
+    return out.select(
+        "event_id", "user_id", F.round("value", 6).alias("last_purchase_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (bit-string form so the 64-bit fingerprint is portable SQL)
+
+_NIB = "instr('0123456789abcdef', substring(h, {pos}, 1)) - 1"
+_NIB_SQL = "strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1"
+
+
+def q_dd_simhash(spark, sf):
+    """64-bit SimHash as a bit string: per token md5, bit j votes +1/-1;
+    fingerprint bit = sign of vote sum. Entirely JVM-side (explode + one
+    wide aggregate)."""
+    d = _t(spark, sf, "documents")
+    ex = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t")).select(
+        "doc_id", F.md5("t").alias("h")
+    )
+    votes = [
+        F.sum(
+            F.expr(
+                f"((shiftright({_NIB.format(pos=1 + j // 4)}, {3 - j % 4}) & 1) * 2 - 1)"
+            )
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    agg = ex.groupBy("doc_id").agg(*votes)
+    bits = [F.when(F.col(f"v{j}") > 0, "1").otherwise("0") for j in range(64)]
+    return agg.select("doc_id", F.concat(*bits).alias("simhash_bits"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal decode stub through mapInPandas (oracle: same md5 arithmetic in
+# SQL — proves the Python-side batch plumbing produces exactly the declared
+# deterministic transform)
+
+
+def q_mm_decode_stub(spark, sf):
+    import hashlib
+
+    import pandas as pd
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+
+    def batches(it):
+        for pdf in it:
+            digests = pdf["text"].map(lambda s: hashlib.md5(s.encode("utf-8")).digest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fake_width": digests.map(lambda h: 64 + h[0] % 192),
+                    "fake_height": digests.map(lambda h: 64 + h[1] % 192),
+                    "luma_sum": digests.map(lambda h: sum(h[2:10])),
+                }
+            )
+
+    return d.mapInPandas(
+        batches,
+        "doc_id LONG, fake_width INT, fake_height INT, luma_sum INT",
+    )
+
+
+# ---------------------------------------------------------------------------
+# full near-dup pipelines with SQL oracles
+
+
+def q_dd_lsh_pairs(spark, sf):
+    """MinHash-LSH candidate pairs + exact Jaccard >= 0.9 (the scalable
+    near-dup plan; operators/dedup.py)."""
+    from vastdb_sdk_spark.operators.dedup import minhash_dedup_pairs
+
+    d = _t(spark, sf, "documents")
+    return minhash_dedup_pairs(
+        d, num_hashes=16, num_bands=4, threshold=0.9, shingle_k=3
+    )
+
+
+def q_dd_embed_neardup(spark, sf):
+    """Exact embedding near-dup pairs (cosine >= 0.45; the synthetic embeddings are near-orthogonal,
+    so 0.45 marks the most-similar tail). Exact so the oracle
+    matches bit-for-bit; the LSH-bucketed variant is exercised in tests."""
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    ea, eb = F.col("a.embedding"), F.col("b.embedding")
+    cos = _dot(ea, eb) / (F.sqrt(_dot(ea, ea)) * F.sqrt(_dot(eb, eb)))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.45)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round("cos_sim", 4).alias("cos_sim_r"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -599,6 +715,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_fingerprint": q_dd_fingerprint,
         "dd_minhash_sig": q_dd_minhash_sig,
         "dd_ngram_overlap": q_dd_ngram_overlap,
+        "asof_last_purchase": q_asof_last_purchase,
+        "dd_simhash": q_dd_simhash,
+        "mm_decode_stub": q_mm_decode_stub,
+        "dd_lsh_pairs": q_dd_lsh_pairs,
+        "dd_embed_neardup": q_dd_embed_neardup,
         "tx_token_stats": q_tx_token_stats,
         "tx_quality": q_tx_quality,
         "tx_langid": q_tx_langid,
@@ -613,6 +734,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # DuckDB oracles
+
+
+def _simhash_oracle_sql() -> str:
+    """Generated 64-bit-vote SimHash SQL (same hex-nibble arithmetic as the
+    Spark side)."""
+    tok = _SQL_TOKENS.format(c="text")
+    votes = ",\n".join(
+        f"SUM(((( strpos('0123456789abcdef', substr(h, {1 + j // 4}, 1)) - 1) >> {3 - j % 4}) & 1) * 2 - 1) AS v{j}"
+        for j in range(64)
+    )
+    bits = " || ".join(
+        f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(64)
+    )
+    return f"""
+        WITH ex AS (
+            SELECT doc_id, md5(t) AS h
+            FROM (SELECT doc_id, unnest({tok}) AS t FROM documents)
+        ), agg AS (
+            SELECT doc_id, {votes}
+            FROM ex GROUP BY doc_id
+        )
+        SELECT doc_id, {bits} AS simhash_bits FROM agg
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -850,6 +994,82 @@ def oracle_sql() -> dict[str, str]:
               ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING COUNT(*) >= 40
+        """,
+        "asof_last_purchase": """
+            SELECT v.event_id, v.user_id,
+                   ROUND(p.value, 6) AS last_purchase_value
+            FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'view') v
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+              ON v.user_id = p.user_id AND v.ts >= p.ts
+        """,
+        "dd_simhash": _simhash_oracle_sql(),
+        "mm_decode_stub": """
+            WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+            b AS (
+                SELECT doc_id,
+                       16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+                          + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS byte0,
+                       16 * (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
+                          + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS byte1,
+                       """ + " + ".join(
+                        f"""(16 * (strpos('0123456789abcdef', substr(h, {5 + 2 * i}, 1)) - 1)
+                          + (strpos('0123456789abcdef', substr(h, {6 + 2 * i}, 1)) - 1))"""
+                        for i in range(8)
+                    ) + """ AS luma_sum
+                FROM h
+            )
+            SELECT doc_id,
+                   CAST(64 + byte0 % 192 AS INT) AS fake_width,
+                   CAST(64 + byte1 % 192 AS INT) AS fake_height,
+                   CAST(luma_sum AS INT) AS luma_sum
+            FROM b
+        """,
+        "dd_lsh_pairs": f"""
+            WITH t AS (
+                SELECT doc_id, {tok} AS toks FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) < 3
+                            THEN [array_to_string(toks, ' ')]
+                            ELSE list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                       END AS sh
+                FROM t
+            ), sigs AS (
+                SELECT doc_id, sh,
+                       list_transform(range(0, 16),
+                           s -> list_min(list_transform(sh, x -> md5(s || '|' || x)))) AS sig
+                FROM sh
+            ), bands AS (
+                SELECT doc_id,
+                       b AS band_id,
+                       md5(b || '|' || array_to_string(sig[4*b+1:4*b+4], '|')) AS band_key
+                FROM sigs, (SELECT unnest(range(0, 4)) AS b)
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band_id = b.band_id AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
+            ), shs AS (
+                SELECT doc_id, list_distinct(sh) AS shd FROM sh
+            )
+            SELECT id_a, id_b,
+                   ROUND(len(list_intersect(sa.shd, sb.shd))
+                         / greatest(len(sa.shd) + len(sb.shd)
+                                    - len(list_intersect(sa.shd, sb.shd)), 1), 6) AS jaccard
+            FROM cand
+            JOIN shs sa ON cand.id_a = sa.doc_id
+            JOIN shs sb ON cand.id_b = sb.doc_id
+            WHERE len(list_intersect(sa.shd, sb.shd))
+                  / greatest(len(sa.shd) + len(sb.shd)
+                             - len(list_intersect(sa.shd, sb.shd)), 1) >= 0.9
+        """,
+        "dd_embed_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4) AS cos_sim_r
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
         """,
         "tx_token_stats": f"""
             SELECT doc_id,
