@@ -20,6 +20,10 @@ class QueryConfig:
     limit_rows_per_sub_split: int = 128 * 1024  # arrow batch size on the way out
     rows_per_split: int = 4_000_000
     use_semi_sorted_projections: bool = True  # scan-routing rule (SURVEY.md §4)
+    # select() results larger than this spill to parquet and stream back
+    # through a pyarrow dataset reader (bounded memory, like the reference's
+    # bounded-queue batch streaming — vastdb/table.py:597-704)
+    spill_threshold_rows: int = 4_000_000
     semi_sorted_projection_name: str = ""  # force a specific projection
     queue_priority: int | None = None  # no-op on Spark; accepted for parity
 

@@ -76,6 +76,14 @@ class Session:
 
         return Transaction(self)
 
+    @property
+    def features(self):
+        """Capability flags (reference: vastdb/features.py — all True here,
+        see features.py)."""
+        from .features import Features
+
+        return Features()
+
     def _bucket_path(self, name: str) -> str:
         path = os.path.join(self.warehouse, name)
         from .catalog.manifest import ManifestStore

@@ -136,6 +136,19 @@ class Transaction:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).json(audit_dir)
 
+    # -- SQL tier (the post-processing tier the reference reaches via
+    #    DuckDB/ADBC — README.md:230-246; here it's Spark SQL natively) -----
+    def sql(self, query: str, tables: dict | None = None, **kw_tables):
+        """Run Spark SQL over engine tables. ``tables`` maps view names to
+        Table objects; each is registered as a temp view bound to THIS
+        transaction's snapshot, so SQL sees transaction-consistent data.
+
+            tx.sql("SELECT count(*) FROM t WHERE a > 2", t=some_table)
+        """
+        for name, t in {**(tables or {}), **kw_tables}.items():
+            t.df().createOrReplaceTempView(name)
+        return self._session.spark.sql(query)
+
     # -- catalog table (reference: tx.catalog(),
     #    vastdb/transaction.py:107-115: queryable table of all objects) ----
     def catalog(self, bucket_name: str):
