@@ -1,0 +1,89 @@
+"""Plan-quality assertions: pushdown, pruning, file skipping, broadcast —
+the `.explain`-and-iterate loop, mechanized (SURVEY.md §4)."""
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from vastdb_sdk_spark import _ as D
+from vastdb_sdk_spark.plans import inspect as pi
+from vastdb_sdk_spark.plans.pruning import Interval, extract_intervals, prune_files
+from vastdb_sdk_spark.sources import create_table_from_files
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_engine_scan_pushdown_and_pruning(clean_schema):
+    with clean_schema.transaction() as tx:
+        s = tx.bucket("bkt").schema("s")
+        t = create_table_from_files(s, "li", [f"{SF}/lineitem.parquet"])
+        df = t.select_df(columns=["l_orderkey"], predicate=(D.l_quantity > 45))
+        pi.assert_filter_pushed(df, "GreaterThan(l_quantity,45.0)")
+        pi.assert_column_pruned(df, "l_comment")
+        pi.assert_column_pruned(df, "l_extendedprice")
+        assert pi.exchange_count(df) == 0
+
+
+def test_star_join_broadcasts(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["j1_star_join_revenue"](spark, SF)
+    assert pi.broadcast_join_count(df) >= 3  # all dims broadcast at this SF
+    assert pi.exchange_count(df) == 1  # only the final aggregation shuffles
+
+
+def test_interval_extraction():
+    assert extract_intervals((D.k > 5) & (D.k <= 9), "k")[0].overlaps(6, 6)
+    assert not extract_intervals((D.k > 5) & (D.k <= 9), "k")[0].overlaps(10, 99)
+    ors = extract_intervals((D.k == 1) | (D.k == 7), "k")
+    assert len(ors) == 2
+    assert extract_intervals(D.k.isin([1, 2, 3]), "k") is not None
+    # unconstrained shapes
+    assert extract_intervals(D.j > 5, "k") is None
+    assert extract_intervals((D.k > 5) | (D.j > 1), "k") is None
+
+
+def test_manifest_file_pruning_after_optimize(clean_schema):
+    """After optimize(), a sort-key range predicate must scan a strict
+    subset of files — planning-time skipping, before Spark even sees the
+    file list."""
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "e",
+            pa.schema([("k", pa.int64()), ("v", pa.int64())]),
+            sorting_key=["k"],
+        )
+        import random
+
+        rng = random.Random(42)
+        vals = list(range(40000))
+        rng.shuffle(vals)
+        t.insert(pa.table({"k": pa.array(vals, pa.int64()), "v": pa.array(vals, pa.int64())}))
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("e")
+        t.optimize(target_file_rows=5000)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("e")
+        total_files = len(t.entry.files)
+        assert total_files >= 4
+        df_all = t.select_df()
+        df_pruned = t.select_df(predicate=(D.k >= 100) & (D.k < 200))
+        assert pi.scanned_file_count(df_pruned) < pi.scanned_file_count(df_all)
+        assert pi.scanned_file_count(df_pruned) <= 2
+        # correctness unchanged
+        got = df_pruned.count()
+        assert got == 100
+        # point lookup touches one file
+        df_point = t.select_df(predicate=(D.k == 12345))
+        assert pi.scanned_file_count(df_point) == 1
+        assert df_point.count() == 1
+
+
+def test_pruning_conservative_without_stats(clean_schema):
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "t", pa.schema([("k", pa.int64())])
+        )
+        t.insert(pa.table({"k": pa.array([1, 2, 3], pa.int64())}))
+        # no sorting key -> no stats -> no pruning, still correct
+        assert t.select_df(predicate=(D.k == 2)).count() == 1

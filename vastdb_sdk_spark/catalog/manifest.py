@@ -64,6 +64,9 @@ class FileEntry:
     # file-column-name -> physical-column-name, for imported files whose
     # columns were named by the user (None = file already uses physical names)
     column_map: dict[str, str] | None = None
+    # logical column -> [min, max] (JSON scalars), recorded for sort-key
+    # columns; enables manifest-level file pruning (plans/pruning.py)
+    col_stats: dict[str, list] = field(default_factory=dict)
 
     @property
     def has_physical_row_id(self) -> bool:
@@ -79,6 +82,7 @@ class FileEntry:
             "sorted_by": self.sorted_by,
             "partition": self.partition,
             "column_map": self.column_map,
+            "col_stats": self.col_stats,
         }
 
     @staticmethod
@@ -92,6 +96,7 @@ class FileEntry:
             sorted_by=list(d.get("sorted_by", [])),
             partition=dict(d.get("partition", {})),
             column_map=d.get("column_map"),
+            col_stats=dict(d.get("col_stats", {})),
         )
 
     def row_id_range(self) -> tuple[int, int]:

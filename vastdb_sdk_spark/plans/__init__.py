@@ -1,0 +1,1 @@
+from . import inspect, pruning  # noqa: F401

@@ -1,0 +1,139 @@
+"""Manifest-level file pruning from predicate ranges.
+
+The reference gets data skipping two ways: Elysium tables are globally
+sorted so the server scans only matching row ranges (vastdb/table.py:
+865-887), and semi-sorted projections give min/max skipping on the sort key
+(SURVEY.md §4). Spark's parquet reader skips *row groups* from footer stats
+at execution time, but it still schedules a task per file; at 100 TB with
+~100k files, planning-time *file* pruning from manifest min/max stats is the
+difference between touching 100k files and touching 50.
+
+This module extracts closed intervals for a column from a predicate
+expression tree (our DSL) and drops manifest files whose recorded
+[min, max] cannot intersect. Conservative: anything not understood means
+"cannot prune".
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from ..expr import BinOp, ColumnRef, Expr, Isin, Literal
+
+_NEG_INF = object()
+_POS_INF = object()
+
+
+class Interval:
+    """Closed interval with open-ended sentinels."""
+
+    def __init__(self, lo: Any = _NEG_INF, hi: Any = _POS_INF):
+        self.lo = lo
+        self.hi = hi
+
+    def intersect(self, other: "Interval") -> "Interval":
+        lo = other.lo if self.lo is _NEG_INF else (
+            self.lo if other.lo is _NEG_INF else max(self.lo, other.lo)
+        )
+        hi = other.hi if self.hi is _POS_INF else (
+            self.hi if other.hi is _POS_INF else min(self.hi, other.hi)
+        )
+        return Interval(lo, hi)
+
+    def overlaps(self, lo: Any, hi: Any) -> bool:
+        """Does this interval intersect [lo, hi]?"""
+        if self.lo is not _NEG_INF and hi < self.lo:
+            return False
+        if self.hi is not _POS_INF and lo > self.hi:
+            return False
+        return True
+
+    def __repr__(self) -> str:
+        lo = "-inf" if self.lo is _NEG_INF else self.lo
+        hi = "+inf" if self.hi is _POS_INF else self.hi
+        return f"[{lo}, {hi}]"
+
+
+def _comparable(v: Any) -> bool:
+    return isinstance(v, (int, float, str)) and not isinstance(v, bool)
+
+
+def extract_intervals(pred: Any, col: str) -> list[Interval] | None:
+    """Intervals that ``col`` must fall in for ``pred`` to hold; ``None``
+    means unconstrained (no pruning possible)."""
+    if not isinstance(pred, Expr):
+        return None
+    node = pred
+    if isinstance(node, BinOp):
+        if node.op == "and":
+            left = extract_intervals(node.left, col)
+            right = extract_intervals(node.right, col)
+            if left is None:
+                return right
+            if right is None:
+                return left
+            out = [
+                li.intersect(ri)
+                for li in left
+                for ri in right
+            ]
+            return [iv for iv in out if _nonempty(iv)] or [Interval(1, 0)]
+        if node.op == "or":
+            left = extract_intervals(node.left, col)
+            right = extract_intervals(node.right, col)
+            if left is None or right is None:
+                return None  # one branch unconstrained -> no pruning
+            return left + right
+        # comparison: column vs literal (either side)
+        cref, lit, op = None, None, node.op
+        if isinstance(node.left, ColumnRef) and isinstance(node.right, Literal):
+            cref, lit = node.left, node.right.value
+        elif isinstance(node.right, ColumnRef) and isinstance(node.left, Literal):
+            cref, lit = node.right, node.left.value
+            flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+            op = flip.get(op, op)
+        if cref is None or cref.path != (col,) or not _comparable(lit):
+            return None
+        if op == "==":
+            return [Interval(lit, lit)]
+        if op == "<":
+            return [Interval(hi=lit)]  # conservative: treat < as <=
+        if op == "<=":
+            return [Interval(hi=lit)]
+        if op == ">":
+            return [Interval(lo=lit)]
+        if op == ">=":
+            return [Interval(lo=lit)]
+        return None
+    if isinstance(node, Isin):
+        if isinstance(node.inner, ColumnRef) and node.inner.path == (col,):
+            vals = [v for v in node.values if _comparable(v)]
+            if len(vals) == len(node.values):
+                return [Interval(v, v) for v in vals]
+        return None
+    return None
+
+
+def _nonempty(iv: Interval) -> bool:
+    if iv.lo is _NEG_INF or iv.hi is _POS_INF:
+        return True
+    return iv.lo <= iv.hi
+
+
+def prune_files(files: list, col: str, pred: Any) -> list:
+    """Drop FileEntry objects whose recorded col_stats[col] = [min, max]
+    cannot satisfy ``pred``. Files without stats are kept (conservative)."""
+    intervals = extract_intervals(pred, col)
+    if intervals is None:
+        return files
+    out = []
+    for fe in files:
+        stats = getattr(fe, "col_stats", None) or {}
+        mm = stats.get(col)
+        if not mm:
+            out.append(fe)
+            continue
+        lo, hi = mm
+        if any(iv.overlaps(lo, hi) for iv in intervals if _nonempty(iv)):
+            out.append(fe)
+    return out

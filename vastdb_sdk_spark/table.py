@@ -131,6 +131,16 @@ class Table:
     def __repr__(self) -> str:
         return f"Table({self.path})"
 
+    def __getitem__(self, name: str):
+        """Reference predicate style: ``t['b'] < 2`` (the SDK builds ibis
+        expressions from subscripting the table — README.md:105). Returns a
+        ColumnRef from our DSL; nested access chains (``t['s']['q']``) work
+        the same way."""
+        from .expr import ColumnRef, _validate_path
+
+        _validate_path(self.arrow_schema, (name,))
+        return ColumnRef(name)
+
     def _mutate(self, entry: TableEntry, op: str, **audit) -> None:
         if self.bucket.readonly:
             raise NotSupportedCommand("snapshot buckets are read-only")
@@ -408,6 +418,20 @@ class Table:
             return self.entry.num_rows  # manifest stats: zero I/O
         return self.df().filter(to_spark_predicate(predicate, self.arrow_schema)).count()
 
+    # -- manifest-level file pruning (plans/pruning.py) -------------------
+    def _pruned_files(self, predicate: Any) -> list[FileEntry] | None:
+        """Files that can possibly satisfy ``predicate`` given per-file
+        sort-key min/max stats; None = no pruning applicable."""
+        if predicate is None or isinstance(predicate, (bool, Column)):
+            return None
+        from .plans.pruning import prune_files
+
+        entry = self.entry
+        files = entry.files
+        for col in self._stat_columns(entry):
+            files = prune_files(files, col, predicate)
+        return files if len(files) < len(entry.files) else None
+
     # -- projection routing (SURVEY.md §4: NOT built into Catalyst) -------
     def _route_scan(
         self,
@@ -417,20 +441,21 @@ class Table:
         internal_row_id: bool,
     ) -> DataFrame:
         entry = self.entry
+        pruned = self._pruned_files(predicate)
         if (
             not entry.projections
             or not config.use_semi_sorted_projections
             or internal_row_id
         ):
-            return self.df(internal_row_id=internal_row_id)
+            return self.df(internal_row_id=internal_row_id, files=pruned)
         needed = set(self.arrow_schema.names if columns is None else columns)
         if predicate is not None and not isinstance(predicate, (bool, Column)):
             try:
                 needed |= predicate.root_columns()
             except AttributeError:
-                return self.df()
+                return self.df(files=pruned)
         elif isinstance(predicate, Column):
-            return self.df()
+            return self.df(files=pruned)
 
         forced = config.semi_sorted_projection_name
         candidates = []
@@ -445,9 +470,9 @@ class Table:
             if match:
                 candidates = match
             else:
-                return self.df()
+                return self.df(files=pruned)
         if not candidates:
-            return self.df()
+            return self.df(files=pruned)
         # prefer a projection whose sort key is actually filtered on
         pred_cols = set()
         if predicate is not None and not isinstance(predicate, bool):
@@ -482,6 +507,7 @@ class Table:
         sorted_by: list[str] | None = None,
         partition: dict | None = None,
         column_map: dict | None = None,
+        col_stats: dict | None = None,
     ) -> FileEntry:
         fe = FileEntry(
             path=path,
@@ -491,11 +517,62 @@ class Table:
             max_row_id=max_row_id,
             sorted_by=sorted_by or [],
             partition=partition or {},
+            col_stats=col_stats or {},
         )
         if column_map:
             fe.column_map = column_map
         entry.files.append(fe)
         return fe
+
+    @staticmethod
+    def _json_scalar(v):
+        return v if isinstance(v, (int, float, str)) and not isinstance(v, bool) else None
+
+    def _footer_col_stats(self, md, stat_cols: list[str], cmap: dict | None = None) -> dict:
+        """Per-file [min, max] for ``stat_cols`` from parquet footer
+        statistics (driver-side, one footer we already read)."""
+        out = {}
+        names = md.schema.to_arrow_schema().names
+        inv = {v: k for k, v in (cmap or {}).items()}
+        for col in stat_cols:
+            fcol = inv.get(col, col)
+            if fcol not in names:
+                continue
+            idx = names.index(fcol)
+            mins, maxs = [], []
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    mins = []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                lo, hi = self._json_scalar(min(mins)), self._json_scalar(max(maxs))
+                if lo is not None and hi is not None:
+                    out[col] = [lo, hi]
+        return out
+
+    def _arrow_col_stats(self, tbl: pa.Table, stat_cols: list[str]) -> dict:
+        import pyarrow.compute as pc
+
+        out = {}
+        for col in stat_cols:
+            if col not in tbl.schema.names:
+                continue
+            try:
+                mm = pc.min_max(tbl.column(col)).as_py()
+            except pa.ArrowNotImplementedError:
+                continue
+            lo, hi = self._json_scalar(mm["min"]), self._json_scalar(mm["max"])
+            if lo is not None and hi is not None:
+                out[col] = [lo, hi]
+        return out
+
+    def _stat_columns(self, entry: TableEntry) -> list[str]:
+        """Columns worth per-file min/max stats: the sorting key (file
+        pruning pays off once optimize() has clustered the data)."""
+        return list(entry.sorting_key)
 
     def _mark_unsorted(self, entry: TableEntry) -> None:
         if entry.sorting_key:
@@ -545,14 +622,20 @@ class Table:
             id_list = ids.to_pylist()
             lo, hi = min(id_list), max(id_list)
             path = self._write_parquet(tbl)
-            self._register_file(entry, path, n, min_row_id=lo, max_row_id=hi)
+            self._register_file(
+                entry, path, n, min_row_id=lo, max_row_id=hi,
+                col_stats=self._arrow_col_stats(rows, self._stat_columns(entry)),
+            )
             entry.next_row_id = max(entry.next_row_id, hi + 1)
             out_ids = ids.cast(_ROW_ID_ARROW)
         else:
             base = entry.next_row_id
             tbl = cast_to_storage(renamed, storage)
             path = self._write_parquet(tbl)
-            self._register_file(entry, path, n, row_id_base=base)
+            self._register_file(
+                entry, path, n, row_id_base=base,
+                col_stats=self._arrow_col_stats(rows, self._stat_columns(entry)),
+            )
             entry.next_row_id = base + n
             out_ids = pa.chunked_array([pa.array(range(base, base + n), pa.uint64())])
 
@@ -584,8 +667,15 @@ class Table:
             if not fn.endswith(".parquet"):
                 continue
             fpath = os.path.join(staging, fn)
-            nrows = pq.ParquetFile(fpath).metadata.num_rows
-            self._register_file(entry, fpath, nrows, row_id_base=base)
+            fmd = pq.ParquetFile(fpath).metadata
+            nrows = fmd.num_rows
+            stat_cols = self._stat_columns(entry)
+            self._register_file(
+                entry, fpath, nrows, row_id_base=base,
+                col_stats=self._footer_col_stats(
+                    fmd, stat_cols, {pmap.get(c, c): c for c in stat_cols}
+                ),
+            )
             self._state.staged_files.append(fpath)
             base += nrows
             total += nrows
@@ -639,7 +729,12 @@ class Table:
             hi = max(
                 md.row_group(i).column(rid_idx).statistics.max for i in range(md.num_row_groups)
             )
-            self._register_file(entry, fpath, nrows, min_row_id=lo, max_row_id=hi)
+            stat_cols = self._stat_columns(entry)
+            cmap = {pmap.get(c, c): c for c in stat_cols}
+            self._register_file(
+                entry, fpath, nrows, min_row_id=lo, max_row_id=hi,
+                col_stats=self._footer_col_stats(md, stat_cols, cmap),
+            )
             self._state.staged_files.append(fpath)
 
     def _rows_to_df(self, rows: pa.RecordBatch | pa.Table) -> DataFrame:
@@ -742,7 +837,8 @@ class Table:
             if all(k == v for k, v in cmap.items()):
                 cmap = None
             fe = self._register_file(
-                entry, path, nrows, row_id_base=entry.next_row_id, column_map=cmap
+                entry, path, nrows, row_id_base=entry.next_row_id, column_map=cmap,
+                col_stats=self._footer_col_stats(md.metadata, self._stat_columns(entry)),
             )
             entry.next_row_id += nrows
             import_rows.append(
