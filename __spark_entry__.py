@@ -359,6 +359,85 @@ def q_f1_json_expansion(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# F2+: scalar string/date/conditional functions (§2.8 — the superset tier)
+
+
+def q_f2_string_funcs(spark, sf):
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.substring("p_name", 1, 3).alias("name_pfx"),
+        F.levenshtein("p_type", F.lit("ECONOMY")).alias("type_edit_dist"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+def q_f3_date_funcs(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).alias("days_since_epoch_start"),
+    )
+
+
+def q_f4_conditional(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("RESIDENTIAL")).alias(
+            "segment_or_residential"
+        ),
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor"),
+        F.round(F.abs("c_acctbal"), 2).alias("bal_abs"),
+    )
+
+
+def q_a6_cube(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def q_w5_first_last(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+    )
+
+
+def q_w6_ntile(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey", "o_orderpriority", F.ntile(4).over(w).alias("price_quartile")
+    )
+
+
+# ---------------------------------------------------------------------------
 # O5/ANN: vector search (§2.6 O5) + similarity extensions
 
 
@@ -709,6 +788,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set2_intersect": q_set2_intersect,
         "set3_except": q_set3_except,
         "f1_json_expansion": q_f1_json_expansion,
+        "f2_string_funcs": q_f2_string_funcs,
+        "f3_date_funcs": q_f3_date_funcs,
+        "f4_conditional": q_f4_conditional,
+        "a6_cube": q_a6_cube,
+        "w5_first_last": q_w5_first_last,
+        "w6_ntile": q_w6_ntile,
         "o5_vector_topk_l2": q_o5_vector_topk_l2,
         "ann_cosine_topk": q_ann_cosine_topk,
         "dd_exact": q_dd_exact,
@@ -994,6 +1079,59 @@ def oracle_sql() -> dict[str, str]:
               ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING COUNT(*) >= 40
+        """,
+        "f2_string_funcs": """
+            SELECT p_partkey,
+                   UPPER(p_name) AS name_upper,
+                   LENGTH(p_name) AS name_len,
+                   REPLACE(p_name, ' ', '_') AS name_snake,
+                   SUBSTR(p_name, 1, 3) AS name_pfx,
+                   levenshtein(p_type, 'ECONOMY') AS type_edit_dist,
+                   p_brand || '/' || p_type AS brand_type
+            FROM part
+        """,
+        "f3_date_funcs": """
+            SELECT o_orderkey,
+                   CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+                   CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
+                   CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS order_day,
+                   CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS order_quarter,
+                   CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+                   CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT)
+                       AS days_since_epoch_start
+            FROM orders
+        """,
+        "f4_conditional": """
+            SELECT c_custkey,
+                   COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'RESIDENTIAL')
+                       AS segment_or_residential,
+                   CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                        WHEN c_acctbal < 5000 THEN 'standard'
+                        ELSE 'premium' END AS tier,
+                   GREATEST(c_acctbal, 0.0) AS bal_floor,
+                   ROUND(ABS(c_acctbal), 2) AS bal_abs
+            FROM customer
+        """,
+        "a6_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_price
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "w5_first_last": """
+            SELECT o_custkey, o_orderkey,
+                   FIRST_VALUE(o_totalprice) OVER w AS first_price,
+                   LAST_VALUE(o_totalprice) OVER w AS last_price
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate ASC, o_orderkey ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """,
+        "w6_ntile": """
+            SELECT o_orderkey, o_orderpriority,
+                   NTILE(4) OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice ASC, o_orderkey ASC)
+                       AS price_quartile
+            FROM orders
         """,
         "asof_last_purchase": """
             SELECT v.event_id, v.user_id,
