@@ -755,11 +755,59 @@ def q_dd_embed_neardup(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# E: the engine itself under the oracle gate — these route through
+# vastdb_sdk_spark's full path (bucket/schema/table catalog, zero-copy
+# import, manifest scan, predicate DSL pushdown), not spark.read directly.
+
+
+def _engine_table(spark, sf, table_name):
+    import tempfile
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark.sources import create_table_from_files
+
+    session = vastdb.connect(tempfile.mkdtemp(prefix="entry_wh_"), spark=spark)
+    session.create_bucket("b")
+    tx = session.transaction()
+    sc = tx.bucket("b").create_schema("s")
+    t = create_table_from_files(sc, table_name, [f"{sf}/{table_name}.parquet"])
+    return t  # tx intentionally left open while the DataFrame is consumed
+
+
+def q_e1_engine_scan(spark, sf):
+    """Engine select(): projection + predicate-DSL pushdown over an imported
+    table (reference select() semantics, Catalyst execution)."""
+    t = _engine_table(spark, sf, "lineitem")
+    return t.select_df(
+        columns=["l_orderkey", "l_quantity", "l_extendedprice"],
+        predicate=(t["l_quantity"] > 45) & (t["l_returnflag"] == "A"),
+    )
+
+
+def q_e2_engine_sql(spark, sf):
+    """Engine SQL tier: tx.sql over a transaction-bound view."""
+    t = _engine_table(spark, sf, "orders")
+    return t.tx.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM ords
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+        """,
+        ords=t,
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "e1_engine_scan": q_e1_engine_scan,
+        "e2_engine_sql": q_e2_engine_sql,
         "s1_scan_project": q_s1_scan_project,
         "p2_comparisons": q_p2_comparisons,
         "p3_between": q_p3_between,
@@ -847,6 +895,16 @@ def _simhash_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     tok = _SQL_TOKENS.format(c="text")
     return {
+        "e1_engine_scan": """
+            SELECT l_orderkey, l_quantity, l_extendedprice
+            FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'A'
+        """,
+        "e2_engine_sql": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS sum_price
+            FROM orders WHERE o_orderstatus = 'F'
+            GROUP BY o_orderpriority
+        """,
         "s1_scan_project": """
             SELECT l_orderkey, l_partkey, l_extendedprice
             FROM lineitem

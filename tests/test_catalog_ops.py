@@ -239,3 +239,34 @@ def test_blob_expansion(clean_schema):
         assert df.columns == ["j", "a", "nested__x"]
         t.drop_blob_expansion("exp")
         assert t.blob_expansions() == []
+
+
+def test_blob_expansion_missing_excessive_and_alter(clean_schema):
+    data = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "j": pa.array(['{"a": 1, "zz": true}', '{"a": 2, "b": 5}']),
+        }
+    )
+    target = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("b", data.schema)
+        t.insert(data)
+        t.create_blob_expansion(
+            "exp",
+            source_column="j",
+            target_schema=target,
+            copy_source=False,
+            missing_values_column="missing_keys",
+            excessive_values_column="extra_keys",
+        )
+        rows = {r.a: r for r in t.blob_expansion_df("exp").collect()}
+        assert rows[1].missing_keys == ["b"] and rows[1].extra_keys == ["zz"]
+        assert rows[2].missing_keys == [] and rows[2].extra_keys == []
+        t.alter_blob_expansion(
+            "exp", add_columns=pa.schema([("zz", pa.bool_())]), drop_columns=["b"]
+        )
+        df = t.blob_expansion_df("exp")
+        assert "zz" in df.columns and "b" not in df.columns
+        byid = {r.a: r for r in df.collect()}
+        assert byid[1].zz is True and byid[1].missing_keys == []

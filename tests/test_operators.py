@@ -202,6 +202,62 @@ def test_asof_join_tolerance(spark):
     assert got2.collect()[0].v == 1.0
 
 
+def test_salted_agg_matches_plain(spark):
+    from vastdb_sdk_spark.operators import skew
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    got = {
+        r.l_returnflag: (round(r.sum_l_quantity, 2), r.n_rows)
+        for r in skew.salted_agg_sum(
+            li, ["l_returnflag"], ["l_quantity"], num_salts=8, salt_from=["l_orderkey"]
+        ).collect()
+    }
+    exp = {
+        r.l_returnflag: (round(r.s, 2), r.n)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_salted_join_matches_plain(spark):
+    from vastdb_sdk_spark.operators import skew
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    got = skew.salted_join(li, o, "l_orderkey", num_salts=4, salt_from=["l_quantity"]).count()
+    exp = li.join(o, "l_orderkey").count()
+    assert got == exp
+
+
+def test_parallel_selects_threadsafe(clean_schema):
+    """Reference pattern 6: concurrent scans (vast_tests/test_scale.py)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow as pa
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark import _ as D
+
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "t", pa.schema([("a", pa.int64())])
+        )
+        t.insert(pa.table({"a": pa.array(range(5000), pa.int64())}))
+
+    def scan(i):
+        with clean_schema.transaction() as tx:
+            t = tx.bucket("bkt").schema("s").table("t")
+            return t.select(predicate=(D.a % 1 == 0) if False else (D.a >= i)).read_all().num_rows
+
+    with ThreadPoolExecutor(8) as pool:
+        results = list(pool.map(scan, range(8)))
+    assert results == [5000 - i for i in range(8)]
+
+
 def test_range_join_bucketed(spark):
     pts = spark.createDataFrame([(i,) for i in (5, 15, 55, 120)], "x LONG")
     ivs = spark.createDataFrame(

@@ -1,1 +1,1 @@
-from . import asof, dedup, multimodal, similarity  # noqa: F401
+from . import asof, dedup, multimodal, similarity, skew  # noqa: F401

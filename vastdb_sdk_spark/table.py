@@ -1212,11 +1212,16 @@ class Table:
         copy_source: bool = True,
         flatten: bool = True,
         delimiter: str = "__",
+        missing_values_column: str | None = None,
+        excessive_values_column: str | None = None,
     ) -> None:
         """Declare that ``source_column`` holds JSON to be parsed into typed
-        columns (reference: JSON is the only supported format). The expansion
-        is exposed as a derived DataFrame via ``blob_expansion_df`` and kept
-        current because it is computed over the live table."""
+        columns (reference: BlobExpansionConfig, vastdb/table.py:55-71 —
+        JSON is the only supported format; options for copying the source
+        column, flattening nested paths with a delimiter, and reporting
+        missing/excessive JSON keys). The expansion is exposed as a derived
+        DataFrame via ``blob_expansion_df`` and is always current because it
+        is computed over the live table."""
         entry = TableEntry.from_json(self.entry.to_json())
         if source_column not in self.arrow_schema.names:
             raise InvalidArgument(f"no column {source_column!r}")
@@ -1226,8 +1231,36 @@ class Table:
             "copy_source": copy_source,
             "flatten": flatten,
             "delimiter": delimiter,
+            "missing_values_column": missing_values_column,
+            "excessive_values_column": excessive_values_column,
         }
         self._mutate(entry, "create_blob_expansion", name=name)
+
+    def alter_blob_expansion(
+        self,
+        name: str,
+        *,
+        add_columns: pa.Schema | None = None,
+        drop_columns: list[str] | None = None,
+    ) -> None:
+        """Add/drop expansion target columns (reference: alter/add/drop
+        expansion columns, vastdb/table.py:1173-1215)."""
+        entry = TableEntry.from_json(self.entry.to_json())
+        cfg = entry.blob_expansions.get(name)
+        if cfg is None:
+            raise MissingProjection(name)
+        target = schema_from_b64(cfg["target_schema_b64"])
+        for col in drop_columns or []:
+            idx = target.get_field_index(col)
+            if idx < 0:
+                raise InvalidArgument(f"expansion has no column {col!r}")
+            target = target.remove(idx)
+        for f in add_columns or []:
+            if f.name in target.names:
+                raise InvalidArgument(f"expansion column {f.name!r} already exists")
+            target = target.append(f)
+        cfg["target_schema_b64"] = schema_to_b64(target)
+        self._mutate(entry, "alter_blob_expansion", name=name)
 
     def drop_blob_expansion(self, name: str) -> None:
         entry = TableEntry.from_json(self.entry.to_json())
@@ -1264,6 +1297,17 @@ class Table:
                     cols.append(F.col(f"__parsed.{f.name}").alias(f.name))
         else:
             cols.append(F.col("__parsed").alias(name))
+        # missing / excessive top-level keys vs the declared schema
+        declared = F.array(*[F.lit(f.name) for f in spark_target.fields])
+        actual = F.json_object_keys(F.col(src))
+        if cfg.get("missing_values_column"):
+            cols.append(
+                F.array_except(declared, actual).alias(cfg["missing_values_column"])
+            )
+        if cfg.get("excessive_values_column"):
+            cols.append(
+                F.array_except(actual, declared).alias(cfg["excessive_values_column"])
+            )
         return df.select(*cols)
 
     def _sync_blob_expansions(self, entry: TableEntry) -> None:
