@@ -514,37 +514,21 @@ def q_dd_fingerprint(spark, sf):
 
 
 def q_dd_minhash_sig(spark, sf):
-    """MinHash signature (4 md5-seeded hashes over 3-token shingles) + LSH
-    band key. Deterministic and engine-portable because the hash is md5 over
-    a canonical shingle string."""
+    """MinHash signature (4 universal-hash permutations of a single md5 base
+    per 3-token shingle) + LSH band key — one md5 per shingle regardless of
+    signature width (operators/dedup.py)."""
+    from vastdb_sdk_spark.operators.dedup import minhash_signatures
+
     d = _t(spark, sf, "documents")
-    # staged selects: each alias is referenced many times downstream, which
-    # keeps CollapseProject from inlining (re-evaluating) the tokenization
-    # per shingle element — O(n) instead of O(n^2) expression evaluation
-    df = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
-    toks = F.col("toks")
-    n = F.size(toks)
-    shingles = F.when(n < 3, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
-            ),
-        )
+    sigs = minhash_signatures(d, num_hashes=4, shingle_k=3)
+    mh = [F.element_at("minhash_sig", i + 1).alias(f"mh{i}") for i in range(4)]
+    out = sigs.select("doc_id", *mh)
+    band_src = F.concat_ws(
+        "|", *[F.col(f"mh{i}").cast("string") for i in range(4)]
     )
-    df = df.select("doc_id", shingles.alias("sh"))
-    sig_cols = [
-        F.array_min(F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(str(seed) + "|"), s)))).alias(f"mh{seed}")
-        for seed in range(4)
-    ]
-    df = df.select("doc_id", *sig_cols)
-    return df.select(
-        "doc_id",
-        "mh0", "mh1", "mh2", "mh3",
-        F.substring(F.md5(F.concat_ws("|", "mh0", "mh1", "mh2", "mh3")), 1, 16).alias("lsh_band"),
+    return out.select(
+        "doc_id", "mh0", "mh1", "mh2", "mh3",
+        F.substring(F.md5(band_src), 1, 16).alias("lsh_band"),
     )
 
 
@@ -869,6 +853,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # DuckDB oracles
 
 
+def _mh_base_sql(var: str) -> str:
+    """DuckDB twin of operators.dedup.minhash_base: first 12 hex chars of
+    md5 parsed as an int (nibble polynomial), reduced mod P."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({var}), {k}, 1)) - 1) * {16 ** (12 - k)}"
+        for k in range(1, 13)
+    )
+    return f"(({terms}) % 2147483647)"
+
+
 def _simhash_oracle_sql() -> str:
     """Generated 64-bit-vote SimHash SQL (same hex-nibble arithmetic as the
     Spark side)."""
@@ -1110,16 +1104,20 @@ def oracle_sql() -> dict[str, str]:
                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
                        END AS sh
                 FROM t
+            ), hb AS (
+                SELECT doc_id, list_transform(sh, s -> {_mh_base_sql('s')}) AS hb FROM sh
             ), sigs AS (
                 SELECT doc_id,
-                       list_min(list_transform(sh, s -> md5('0|' || s))) AS mh0,
-                       list_min(list_transform(sh, s -> md5('1|' || s))) AS mh1,
-                       list_min(list_transform(sh, s -> md5('2|' || s))) AS mh2,
-                       list_min(list_transform(sh, s -> md5('3|' || s))) AS mh3
-                FROM sh
+                       list_min(list_transform(hb, b -> (3 * b + 1) % 2147483647)) AS mh0,
+                       list_min(list_transform(hb, b -> (5 * b + 7920) % 2147483647)) AS mh1,
+                       list_min(list_transform(hb, b -> (7 * b + 15839) % 2147483647)) AS mh2,
+                       list_min(list_transform(hb, b -> (9 * b + 23758) % 2147483647)) AS mh3
+                FROM hb
             )
             SELECT doc_id, mh0, mh1, mh2, mh3,
-                   substr(md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3), 1, 16) AS lsh_band
+                   substr(md5(CAST(mh0 AS VARCHAR) || '|' || CAST(mh1 AS VARCHAR)
+                           || '|' || CAST(mh2 AS VARCHAR) || '|' || CAST(mh3 AS VARCHAR)),
+                          1, 16) AS lsh_band
             FROM sigs
         """,
         "dd_ngram_overlap": """
@@ -1231,15 +1229,21 @@ def oracle_sql() -> dict[str, str]:
                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
                        END AS sh
                 FROM t
+            ), hb AS (
+                SELECT doc_id, sh, list_transform(sh, s -> {_mh_base_sql('s')}) AS hb
+                FROM sh
             ), sigs AS (
                 SELECT doc_id, sh,
                        list_transform(range(0, 16),
-                           s -> list_min(list_transform(sh, x -> md5(s || '|' || x)))) AS sig
-                FROM sh
+                           s -> list_min(list_transform(hb,
+                                b -> ((2*s+3) * b + (7919*s+1)) % 2147483647))) AS sig
+                FROM hb
             ), bands AS (
                 SELECT doc_id,
                        b AS band_id,
-                       md5(b || '|' || array_to_string(sig[4*b+1:4*b+4], '|')) AS band_key
+                       md5(b || '|' || array_to_string(
+                           list_transform(sig[4*b+1:4*b+4], v -> CAST(v AS VARCHAR)), '|'))
+                           AS band_key
                 FROM sigs, (SELECT unnest(range(0, 4)) AS b)
             ), cand AS (
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -22,22 +22,32 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from vastdb_sdk_spark.session import build_spark  # noqa: E402
 
 HEADLINE = [
+    "e1_engine_scan",
     "s1_scan_project",
     "p3_between",
     "p4_isin",
     "o1_limit_topk",
     "a1_tpch_q1",
     "a2_count_distinct",
+    "a4_rollup",
     "j1_star_join_revenue",
     "j2_semi_join",
+    "j3_anti_join",
     "w1_topk_per_group",
     "w2_running_sum",
+    "w4_dense_rank",
     "set2_intersect",
     "f1_json_expansion",
+    "f2_string_funcs",
+    "f3_date_funcs",
     "o5_vector_topk_l2",
     "ann_cosine_topk",
+    "asof_last_purchase",
     "dd_exact",
     "dd_minhash_sig",
+    "dd_simhash",
+    "dd_lsh_pairs",
+    "mm_decode_stub",
     "tx_token_stats",
     "tx_quality",
 ]

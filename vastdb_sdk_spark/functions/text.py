@@ -44,9 +44,11 @@ def char_ngrams(col: Column, n: int = 5) -> Column:
     )
 
 
-def word_shingles(col: Column, k: int = 3) -> Column:
-    """k-token shingles joined by a single space (MinHash input)."""
-    toks = tokens(col)
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """k-token shingles from a token-array column. IMPORTANT: pass a plain
+    column *reference* (stage the tokenization in a prior select) — the
+    expression is embedded once per shingle element, so an inline ``tokens()``
+    expression here would be re-evaluated O(n) times per row."""
     n = F.size(toks)
     return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
         F.transform(
@@ -56,6 +58,13 @@ def word_shingles(col: Column, k: int = 3) -> Column:
             ),
         )
     )
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """k-token shingles joined by a single space (MinHash input). Prefer the
+    staged form (tokens in one select, shingles_from_tokens in the next) in
+    hot paths — see shingles_from_tokens."""
+    return shingles_from_tokens(tokens(col), k)
 
 
 def punct_ratio(col: Column) -> Column:

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens, word_shingles
+from ..functions.text import shingles_from_tokens, tokens, word_shingles
 
 # ---------------------------------------------------------------------------
 # exact
@@ -60,6 +60,22 @@ def dedup_exact(
 # MinHash + LSH
 
 
+# universal-hash family over a 31-bit prime: h_i(x) = (A_i*x + B_i) mod P.
+# One md5 per shingle (the base), then num_hashes cheap affine permutations —
+# 16x fewer md5 evaluations than seed-prefixed hashing at identical quality.
+MINHASH_P = 2_147_483_647
+def _mh_a(i: int) -> int:
+    return 2 * i + 3
+def _mh_b(i: int) -> int:
+    return 7919 * i + 1
+
+
+def minhash_base(col) -> "F.Column":
+    """48-bit integer base hash of a shingle: first 12 hex chars of md5,
+    reduced mod P. Identical arithmetic is used in the DuckDB oracles."""
+    return F.pmod(F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long"), F.lit(MINHASH_P))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -67,26 +83,38 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Per-document MinHash signature: for seed i, sig_i = min over shingles
-    of md5(i || shingle). md5 is deterministic and engine-portable; the
-    per-seed mins are computed inside one array expression, so the whole
-    signature is one projection (no explode, no shuffle)."""
-    staged = df.select(id_col, word_shingles(F.col(text_col), shingle_k).alias("__sh"))
+    """Per-document MinHash signature: sig_i = min over shingles of
+    (A_i * base(shingle) + B_i) mod P. The whole signature is computed in
+    staged projections (no explode, no shuffle) and the md5 base is hashed
+    once per shingle regardless of num_hashes."""
+    toked = df.select(id_col, tokens(F.col(text_col)).alias("__tk"))
+    staged = toked.select(
+        id_col, shingles_from_tokens(F.col("__tk"), shingle_k).alias("__sh")
+    )
+    based = staged.select(
+        id_col, F.transform(F.col("__sh"), minhash_base).alias("__hb")
+    )
+    # NB: the permutation lambda must take exactly ONE argument — PySpark
+    # treats a second parameter (even a defaulted one) as the element-index
+    # lambda variable, silently changing semantics. Hence the factory.
+    def _perm(i: int):
+        a, b0 = _mh_a(i), _mh_b(i)
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(b0), F.lit(MINHASH_P))
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(F.col("__sh"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
-            )
+            F.array_min(F.transform(F.col("__hb"), _perm(i)))
             for i in range(num_hashes)
         ]
     )
-    return staged.select(id_col, sig.alias("minhash_sig"))
+    return based.select(id_col, sig.alias("minhash_sig"))
 
 
 def lsh_band_keys(sig_df: DataFrame, num_bands: int, id_col: str = "doc_id") -> DataFrame:
     """Explode signatures into (band_id, band_key) rows. Two docs share a
     band_key iff their signature rows in that band agree exactly."""
     n = num_bands
+    sig_str = F.transform(F.col("minhash_sig"), lambda x: x.cast("string"))
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(n - 1)),
         lambda b: F.struct(
@@ -98,7 +126,7 @@ def lsh_band_keys(sig_df: DataFrame, num_bands: int, id_col: str = "doc_id") -> 
                     F.concat_ws(
                         "|",
                         F.slice(
-                            F.col("minhash_sig"),
+                            sig_str,
                             b * (F.size(F.col("minhash_sig")) / n).cast("int") + 1,
                             (F.size(F.col("minhash_sig")) / n).cast("int"),
                         ),
@@ -151,12 +179,22 @@ def jaccard_verify_pairs(
     threshold: float = 0.8,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard on candidate pairs only. Joins the (small)
-    candidate set back to the corpus twice; the shingle sets travel with the
-    join — fine because candidates are a vanishing fraction of the corpus."""
-    sh = df.select(
+    """Exact shingle-set Jaccard on candidate pairs only. The corpus is
+    first semi-joined down to documents that appear in a candidate pair, so
+    shingle sets are computed for |candidates| documents, not |corpus| —
+    at 100 TB candidates are a vanishing fraction and this is the difference
+    between re-tokenizing the corpus twice and touching only suspects."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    suspects = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sh = suspects.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__tk")
+    ).select(
         F.col(id_col),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("__sh"),
+        F.array_distinct(shingles_from_tokens(F.col("__tk"), shingle_k)).alias("__sh"),
     )
     a = sh.alias("sa")
     b = sh.alias("sb")
@@ -187,8 +225,15 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates -> exact Jaccard >= threshold."""
-    pairs = lsh_candidate_pairs(df, text_col, id_col, num_hashes, num_bands, shingle_k)
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard >= threshold.
+
+    The candidate set is persisted before verification: it is tiny relative
+    to the corpus and is consumed three times (two id projections + the
+    verify join) — without the persist the whole signature pipeline would
+    re-run per consumer."""
+    pairs = lsh_candidate_pairs(
+        df, text_col, id_col, num_hashes, num_bands, shingle_k
+    ).persist()
     return jaccard_verify_pairs(df, pairs, text_col, id_col, threshold, shingle_k)
 
 
