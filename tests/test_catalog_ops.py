@@ -107,6 +107,60 @@ def test_snapshot_time_travel(clean_schema):
             snap.schema("s").table("t").insert(data)  # snapshots are read-only
         with pytest.raises(vastdb.MissingSnapshot):
             b.snapshot("nope")
+        assert [s.snapshot_name for s in b.snapshots()] == ["v1"]
+
+
+def test_export_parquet(clean_schema, tmp_path):
+    import duckdb
+
+    with clean_schema.transaction() as tx:
+        s = tx.bucket("bkt").schema("s")
+        t = create_table_from_files(s, "li", [f"{SF}/lineitem.parquet"])
+        out = str(tmp_path / "export")
+        from vastdb_sdk_spark import _ as DD
+
+        t.export_parquet(out, columns=["l_orderkey", "l_quantity"], predicate=(DD.l_quantity > 45))
+    n = duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
+    exp = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/lineitem.parquet' WHERE l_quantity > 45"
+    ).fetchone()[0]
+    assert n == exp
+
+
+def test_fixed_size_list_roundtrip_and_predicate(clean_schema):
+    """P9 + F5: fixed-size-list (vector) columns round-trip and are
+    filterable (reference: vastdb/tests/test_fixed_list.py)."""
+    schema = pa.schema(
+        [("id", pa.int64()), ("v", pa.list_(pa.field("item", pa.float32(), False), 2))]
+    )
+    data = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "v": pa.array([[1.0, 2.0], [3.0, 4.0]], schema.field("v").type),
+        }
+    )
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("v", schema)
+        t.insert(data)
+        got = t.select().read_all().sort_by("id")
+        # storage widens fixed_size_list -> list; values round-trip
+        assert got.column("v").to_pylist() == [[1.0, 2.0], [3.0, 4.0]]
+        from pyspark.sql import functions as F
+
+        n = t.df().filter(F.array_contains("v", 3.0)).count()
+        assert n == 1
+
+
+def test_forced_missing_projection_raises(clean_schema):
+    from vastdb_sdk_spark.config import QueryConfig
+
+    data = pa.table({"a": pa.array([1], pa.int64())})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("t", data.schema)
+        t.insert(data)
+        t.create_projection("p", ["a"], [])
+        with pytest.raises(vastdb.MissingProjection):
+            t.select_df(config=QueryConfig(semi_sorted_projection_name="nope"))
 
 
 # -- sorted (Elysium) tables ----------------------------------------------

@@ -20,6 +20,7 @@ from .errors import (
     Conflict,
     InvalidArgument,
     MissingBucket,
+    MissingProjection,
     MissingSchema,
     MissingSnapshot,
     MissingTable,
@@ -56,6 +57,7 @@ __all__ = [
     "Conflict",
     "InvalidArgument",
     "MissingBucket",
+    "MissingProjection",
     "MissingSchema",
     "MissingSnapshot",
     "MissingTable",

@@ -14,11 +14,19 @@ from .errors import MissingSchema, MissingSnapshot, SchemaExists
 
 
 class Bucket:
-    def __init__(self, name: str, tx, snapshot_manifest: Manifest | None = None):
+    def __init__(
+        self,
+        name: str,
+        tx,
+        snapshot_manifest: Manifest | None = None,
+        snapshot_name: str | None = None,
+    ):
         self.name = name
         self.tx = tx
         # non-None => this Bucket is a read-only snapshot view
         self._snapshot_manifest = snapshot_manifest
+        # reference exposes snapshots as named objects under .snapshot/<name>
+        self.snapshot_name = snapshot_name
 
     def __repr__(self) -> str:
         tag = " snapshot" if self._snapshot_manifest is not None else ""
@@ -81,7 +89,7 @@ class Bucket:
         st.manifest.snapshots[name] = version
         st.changes.record("set_snapshot", name, version, touched=[("schema", f".snapshot/{name}")])
         self.tx._audit_event(st, "create_snapshot", f"{self.name}@{name}")
-        return Bucket(self.name, self.tx, snapshot_manifest=st.store.load(version))
+        return Bucket(self.name, self.tx, snapshot_manifest=st.store.load(version), snapshot_name=name)
 
     def snapshot(self, name: str, fail_if_missing: bool = True):
         """Open a read-only view of the bucket as of snapshot ``name``
@@ -92,13 +100,13 @@ class Bucket:
             if fail_if_missing:
                 raise MissingSnapshot(name)
             return None
-        return Bucket(self.name, self.tx, snapshot_manifest=st.store.load(version))
+        return Bucket(self.name, self.tx, snapshot_manifest=st.store.load(version), snapshot_name=name)
 
     def snapshots(self) -> list:
         st = self._state
         return [
-            Bucket(self.name, self.tx, snapshot_manifest=st.store.load(v))
-            for _name, v in sorted(st.manifest.snapshots.items())
+            Bucket(self.name, self.tx, snapshot_manifest=st.store.load(v), snapshot_name=n)
+            for n, v in sorted(st.manifest.snapshots.items())
         ]
 
     def drop_snapshot(self, name: str) -> None:

@@ -418,6 +418,17 @@ class Table:
             return self.entry.num_rows  # manifest stats: zero I/O
         return self.df().filter(to_spark_predicate(predicate, self.arrow_schema)).count()
 
+    def export_parquet(
+        self,
+        path: str,
+        columns: list[str] | None = None,
+        predicate: Any = None,
+    ) -> None:
+        """Export the (filtered) table to parquet — the reference streams
+        select() into a client-side ParquetWriter (README.md:221-228,
+        test_tables.py:632-663); here the write is distributed."""
+        self.select_df(columns, predicate).write.mode("overwrite").parquet(path)
+
     # -- manifest-level file pruning (plans/pruning.py) -------------------
     def _pruned_files(self, predicate: Any) -> list[FileEntry] | None:
         """Files that can possibly satisfy ``predicate`` given per-file
@@ -458,6 +469,10 @@ class Table:
             return self.df(files=pruned)
 
         forced = config.semi_sorted_projection_name
+        if forced and forced not in entry.projections:
+            # reference enforce gate: forcing a nonexistent projection is an
+            # error (vastdb/table.py:514-515)
+            raise MissingProjection(forced)
         candidates = []
         for pname, proj in entry.projections.items():
             if proj.get("stale"):
