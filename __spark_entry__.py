@@ -652,23 +652,20 @@ _NIB_SQL = "strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1"
 
 def q_dd_simhash(spark, sf):
     """64-bit SimHash as a bit string: per token md5, bit j votes +1/-1;
-    fingerprint bit = sign of vote sum. Entirely JVM-side (explode + one
-    wide aggregate)."""
+    fingerprint bit = sign of vote sum. Explode + wide codegen'd aggregate
+    (measured faster than an explode-free array-aggregate variant)."""
+    from vastdb_sdk_spark.operators.dedup import _hash_bit_pm
+
     d = _t(spark, sf, "documents")
-    ex = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t")).select(
-        "doc_id", F.md5("t").alias("h")
+    staged = d.select("doc_id", _tokens(F.col("text")).alias("tk"))
+    ex = staged.select("doc_id", F.explode(F.col("tk")).alias("t")).select(
+        "doc_id", F.md5(F.col("t")).alias("h")
     )
-    votes = [
-        F.sum(
-            F.expr(
-                f"((shiftright({_NIB.format(pos=1 + j // 4)}, {3 - j % 4}) & 1) * 2 - 1)"
-            )
-        ).alias(f"v{j}")
-        for j in range(64)
-    ]
-    agg = ex.groupBy("doc_id").agg(*votes)
+    votes = ex.groupBy("doc_id").agg(
+        *[F.sum(_hash_bit_pm(F.col("h"), j)).alias(f"v{j}") for j in range(64)]
+    )
     bits = [F.when(F.col(f"v{j}") > 0, "1").otherwise("0") for j in range(64)]
-    return agg.select("doc_id", F.concat(*bits).alias("simhash_bits"))
+    return votes.select("doc_id", F.concat(*bits).alias("simhash_bits"))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,102 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The built-in ``session_window`` (streaming/events.py) covers plain gap
+sessionization; this module shows the engine's escape hatch for operator
+semantics Spark lacks entirely — arbitrary per-key state machines. The
+example operator is a *value-threshold alerter with decay*: per user, track a
+running score that accumulates event values and decays per event; emit one
+row whenever the score crosses a threshold. Not expressible with windows
+(state is data-dependent, not time-bounded).
+
+Scale notes: state lives in the state store keyed by user; timeouts
+(ProcessingTimeTimeout) garbage-collect idle keys, so state size tracks
+*active* keys only. Arrow batches cross the Python boundary per key-group,
+not per row.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+ALERT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("alert_ts", T.LongType()),  # epoch nanos of crossing event
+        T.StructField("score", T.DoubleType()),
+        T.StructField("n_events_in_state", T.IntegerType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("score", T.DoubleType()),
+        T.StructField("n_events", T.IntegerType()),
+    ]
+)
+
+
+def threshold_alerts(
+    events: DataFrame,
+    threshold: float = 500.0,
+    decay: float = 0.9,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Stateful alert stream: score = score*decay + value per event (in ts
+    order within the micro-batch); emit (user, ts, score) on each upward
+    threshold crossing, then reset. Streaming only (Spark restriction);
+    a single availableNow micro-batch reproduces batch semantics exactly.
+
+    ``timeout_ms``: idle-key state GC for long-running continuous streams.
+    Default None = NoTimeout — REQUIRED for availableNow/one-shot runs:
+    ProcessingTimeTimeout makes an availableNow query keep scheduling
+    timeout-service batches and never terminate (measured, Spark 4.1)."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            score, n_events = state.get
+        else:
+            score, n_events = 0.0, 0
+        alerts = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                score = score * decay + float(value)
+                n_events += 1
+                if score >= threshold:
+                    alerts.append((user_id, int(ts), round(score, 6), n_events))
+                    score, n_events = 0.0, 0
+        state.update((score, n_events))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        if alerts:
+            yield pd.DataFrame(
+                alerts, columns=["user_id", "alert_ts", "score", "n_events_in_state"]
+            )
+
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=ALERT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout_conf,
+        )
+    )

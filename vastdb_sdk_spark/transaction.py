@@ -151,7 +151,11 @@ class Transaction:
 
     # -- catalog table (reference: tx.catalog(),
     #    vastdb/transaction.py:107-115: queryable table of all objects) ----
-    def catalog(self, bucket_name: str):
+    def catalog(self, bucket_name: str, *, as_table: bool = False):
+        """Queryable catalog of all objects in a bucket. With
+        ``as_table=True`` returns a reference-style object supporting
+        ``.select(columns, predicate)`` (the reference queries the catalog
+        like any table — vastdb/tests/test_tables.py:968-973)."""
         st = self._state(bucket_name)
         m = st.manifest
         rows = []
@@ -161,8 +165,13 @@ class Transaction:
             rows.append(
                 (bucket_name, sname, tname, "table", te.num_rows, len(te.files))
             )
-        return self._session.spark.createDataFrame(
+        df = self._session.spark.createDataFrame(
             rows,
             "bucket STRING, schema_name STRING, table_name STRING, "
             "object_type STRING, num_rows LONG, num_files LONG",
         )
+        if as_table:
+            from .derived import DerivedTable
+
+            return DerivedTable(df)
+        return df
