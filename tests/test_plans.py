@@ -79,6 +79,32 @@ def test_manifest_file_pruning_after_optimize(clean_schema):
         assert df_point.count() == 1
 
 
+def test_partition_pruning(clean_schema):
+    """Files imported with constant partition values are pruned at the
+    manifest level when the predicate excludes their partition."""
+    import pyarrow.parquet as pq
+
+    base = pq.ParquetFile(f"/root/testdata/sf0.001/region.parquet").schema_arrow
+    schema = base.append(pa.field("batch", pa.string()))
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("r", schema)
+        t.import_partitioned_files(
+            {"/root/testdata/sf0.001/region.parquet": {"batch": "b1"}}
+        )
+        t.import_partitioned_files(
+            {"/root/testdata/sf0.001/region.parquet": {"batch": "b2"}}
+        )
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("r")
+        all_df = t.select_df()
+        one = t.select_df(predicate=(D.batch == "b1"))
+        # NB: both partitions reference the SAME physical file, so count
+        # distinct scan tasks via the pruned manifest, not inputFiles()
+        assert len(t._pruned_files(D.batch == "b1")) == 1
+        assert t._pruned_files(D.batch == "b3") == []
+        assert one.count() == 5 and all_df.count() == 10
+
+
 def test_pruning_conservative_without_stats(clean_schema):
     with clean_schema.transaction() as tx:
         t = tx.bucket("bkt").schema("s").create_table(

@@ -137,3 +137,27 @@ def prune_files(files: list, col: str, pred: Any) -> list:
         if any(iv.overlaps(lo, hi) for iv in intervals if _nonempty(iv)):
             out.append(fe)
     return out
+
+
+def prune_files_by_partition(files: list, pred: Any) -> list:
+    """Partition pruning at the manifest level: a file whose constant
+    partition value (import_partitioned_files) cannot satisfy the predicate
+    is dropped before Spark plans. The partition value is an exact point, so
+    the min/max machinery applies with lo == hi."""
+    part_cols = set()
+    for fe in files:
+        part_cols |= set(fe.partition or {})
+    for col in part_cols:
+        intervals = extract_intervals(pred, col)
+        if intervals is None:
+            continue
+        kept = []
+        for fe in files:
+            v = (fe.partition or {}).get(col)
+            if v is None or not _comparable(v):
+                kept.append(fe)
+                continue
+            if any(iv.overlaps(v, v) for iv in intervals if _nonempty(iv)):
+                kept.append(fe)
+        files = kept
+    return files

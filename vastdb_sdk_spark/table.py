@@ -435,10 +435,10 @@ class Table:
         sort-key min/max stats; None = no pruning applicable."""
         if predicate is None or isinstance(predicate, (bool, Column)):
             return None
-        from .plans.pruning import prune_files
+        from .plans.pruning import prune_files, prune_files_by_partition
 
         entry = self.entry
-        files = entry.files
+        files = prune_files_by_partition(entry.files, predicate)
         for col in self._stat_columns(entry):
             files = prune_files(files, col, predicate)
         return files if len(files) < len(entry.files) else None
