@@ -646,10 +646,6 @@ def q_asof_last_purchase(spark, sf):
 # ---------------------------------------------------------------------------
 # SimHash (bit-string form so the 64-bit fingerprint is portable SQL)
 
-_NIB = "instr('0123456789abcdef', substring(h, {pos}, 1)) - 1"
-_NIB_SQL = "strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1"
-
-
 def q_dd_simhash(spark, sf):
     """64-bit SimHash as a bit string: per token md5, bit j votes +1/-1;
     fingerprint bit = sign of vote sum. Explode + wide codegen'd aggregate

@@ -1,0 +1,82 @@
+"""Scale-shaped robustness: wide tables, bulk distributed ingest, DML on
+multi-file tables (reference analog: vast_tests/test_scale.py and the
+64k-column pagination test)."""
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from vastdb_sdk_spark import _ as D
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_wide_table_roundtrip(clean_schema):
+    ncols = 300
+    schema = pa.schema([(f"c{i}", pa.int64()) for i in range(ncols)])
+    data = pa.table({f"c{i}": pa.array([i, i * 2], pa.int64()) for i in range(ncols)})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("wide", schema)
+        t.insert(data)
+        got = t.select(columns=["c0", "c150", "c299"], predicate=(D.c1 == 2)).read_all()
+        assert got.num_rows == 1
+        assert got.column("c299").to_pylist() == [598]
+        assert len(t.columns()) == ncols
+
+
+def test_bulk_insert_df_and_dml(clean_schema):
+    spark = clean_schema.spark
+    li = spark.read.parquet(f"{SF01}/lineitem.parquet")
+    schema = pa.schema(
+        [
+            ("l_orderkey", pa.int64()),
+            ("l_quantity", pa.float64()),
+            ("l_returnflag", pa.string()),
+        ]
+    )
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("li", schema)
+        n = t.insert_df(
+            li.select("l_orderkey", "l_quantity", "l_returnflag").repartition(4)
+        )
+        assert n == li.count()
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("li")
+        assert t.count_rows() == n
+        assert len(t.entry.files) > 1  # distributed write -> multiple files
+        # DML across multiple files: delete all rows with l_quantity > 49
+        victims = t.select_df(predicate=(D.l_quantity > 49.0), internal_row_id=True)
+        ids = [r["$row_id"] for r in victims.select("$row_id").collect()]
+        assert ids
+        t.delete(pa.table({"$row_id": pa.array(ids, pa.uint64())}))
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("li")
+        assert t.count_rows() == n - len(ids)
+        assert t.count_rows(predicate=(D.l_quantity > 49.0)) == 0
+        # update a known row after the delete rewrite
+        survivor = t.select_df(internal_row_id=True).limit(1).collect()[0]
+        t.update(
+            pa.table(
+                {
+                    "$row_id": pa.array([survivor["$row_id"]], pa.uint64()),
+                    "l_returnflag": ["Z"],
+                }
+            )
+        )
+        got = t.select_df(predicate=(D.l_returnflag == "Z")).count()
+        assert got == 1
+
+
+def test_many_small_inserts_one_tx(clean_schema):
+    """50 inserts in one transaction -> one commit, contiguous row ids."""
+    schema = pa.schema([("a", pa.int64())])
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("m", schema)
+        for i in range(50):
+            ids = t.insert(pa.table({"a": pa.array([i], pa.int64())}))
+            assert ids.to_pylist() == [i]
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("m")
+        assert t.count_rows() == 50
+        st = tx._state("bkt")
+        assert st.manifest.version >= 2  # catalog versions advanced by commits
