@@ -427,6 +427,19 @@ def q_w5_first_last(spark, sf):
     )
 
 
+def q_w7_event_time_window(spark, sf):
+    """Tumbling event-time window aggregation (the batch twin of the
+    streaming windowed_counts operator). Window start computed as integer
+    nanos floored to the hour — timezone-free on both engines."""
+    ev = _t(spark, sf, "events")
+    hour_ns = 3_600_000_000_000
+    ws = F.expr(f"(ts div {hour_ns}) * {hour_ns}")  # exact integer division
+    return ev.groupBy(ws.alias("window_start_ns"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def q_w6_ntile(spark, sf):
     o = _t(spark, sf, "orders")
     w = W.partitionBy("o_orderpriority").orderBy(
@@ -819,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_cube": q_a6_cube,
         "w5_first_last": q_w5_first_last,
         "w6_ntile": q_w6_ntile,
+        "w7_event_time_window": q_w7_event_time_window,
         "o5_vector_topk_l2": q_o5_vector_topk_l2,
         "ann_cosine_topk": q_ann_cosine_topk,
         "dd_exact": q_dd_exact,
@@ -1181,6 +1195,14 @@ def oracle_sql() -> dict[str, str]:
                                   ORDER BY o_totalprice ASC, o_orderkey ASC)
                        AS price_quartile
             FROM orders
+        """,
+        "w7_event_time_window": """
+            SELECT (epoch_ns(ts) // 3600000000000) * 3600000000000 AS window_start_ns,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2
         """,
         "asof_last_purchase": """
             SELECT v.event_id, v.user_id,
