@@ -671,7 +671,7 @@ def q_dd_simhash(spark, sf):
         "doc_id", F.md5(F.col("t")).alias("h")
     )
     votes = ex.groupBy("doc_id").agg(
-        *[F.sum(_hash_bit_pm(F.col("h"), j)).alias(f"v{j}") for j in range(64)]
+        *[F.sum(_hash_bit_pm("h", j)).alias(f"v{j}") for j in range(64)]
     )
     bits = [F.when(F.col(f"v{j}") > 0, "1").otherwise("0") for j in range(64)]
     return votes.select("doc_id", F.concat(*bits).alias("simhash_bits"))
@@ -750,18 +750,69 @@ def q_dd_embed_neardup(spark, sf):
 # import, manifest scan, predicate DSL pushdown), not spark.read directly.
 
 
+_ENGINE_WAREHOUSES: dict = {}
+
+
 def _engine_table(spark, sf, table_name):
     import tempfile
 
     import vastdb_sdk_spark as vastdb
     from vastdb_sdk_spark.sources import create_table_from_files
 
-    session = vastdb.connect(tempfile.mkdtemp(prefix="entry_wh_"), spark=spark)
-    session.create_bucket("b")
+    key = (sf, table_name)
+    if key not in _ENGINE_WAREHOUSES:
+        session = vastdb.connect(tempfile.mkdtemp(prefix="entry_wh_"), spark=spark)
+        session.create_bucket("b")
+        with session.transaction() as tx:
+            sc = tx.bucket("b").create_schema("s")
+            create_table_from_files(sc, table_name, [f"{sf}/{table_name}.parquet"])
+        _ENGINE_WAREHOUSES[key] = session
+    session = _ENGINE_WAREHOUSES[key]
     tx = session.transaction()
-    sc = tx.bucket("b").create_schema("s")
-    t = create_table_from_files(sc, table_name, [f"{sf}/{table_name}.parquet"])
-    return t  # tx intentionally left open while the DataFrame is consumed
+    return tx.bucket("b").schema("s").table(table_name)
+    # tx intentionally left open while the DataFrame is consumed
+
+
+def _engine_sorted_table(spark, sf):
+    """lineitem loaded into an engine table with sorting_key=l_shipdate and
+    optimize()d — scans with shipdate ranges prune files from the manifest
+    before Spark plans (the Elysium benefit, end-to-end)."""
+    import tempfile
+
+    import vastdb_sdk_spark as vastdb
+
+    key = (sf, "__sorted_lineitem")
+    if key not in _ENGINE_WAREHOUSES:
+        import pyarrow.parquet as pq
+
+        import vastdb_sdk_spark as vastdb
+
+        session = vastdb.connect(tempfile.mkdtemp(prefix="entry_whs_"), spark=spark)
+        session.create_bucket("b")
+        arrow_schema = pq.ParquetFile(f"{sf}/lineitem.parquet").schema_arrow
+        with session.transaction() as tx:
+            sc = tx.bucket("b").create_schema("s")
+            t = sc.create_table("li_sorted", arrow_schema, sorting_key=["l_shipdate"])
+            t.import_files([f"{sf}/lineitem.parquet"])
+        with session.transaction() as tx:
+            tx.bucket("b").schema("s").table("li_sorted").optimize(
+                target_file_rows=100_000
+            )
+        _ENGINE_WAREHOUSES[key] = session
+    session = _ENGINE_WAREHOUSES[key]
+    tx = session.transaction()
+    return tx.bucket("b").schema("s").table("li_sorted")
+
+
+def q_e3_engine_sorted_scan(spark, sf):
+    """Range scan on the sorted (Elysium) engine table: the manifest prunes
+    non-overlapping files by l_shipdate min/max, then parquet row-group
+    stats prune inside the survivors."""
+    t = _engine_sorted_table(spark, sf)
+    return t.select_df(
+        columns=["l_orderkey", "l_shipdate", "l_quantity"],
+        predicate=(t["l_shipdate"] >= "1997-01-01") & (t["l_shipdate"] < "1997-03-01"),
+    )
 
 
 def q_e1_engine_scan(spark, sf):
@@ -798,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "e1_engine_scan": q_e1_engine_scan,
         "e2_engine_sql": q_e2_engine_sql,
+        "e3_engine_sorted_scan": q_e3_engine_sorted_scan,
         "s1_scan_project": q_s1_scan_project,
         "p2_comparisons": q_p2_comparisons,
         "p3_between": q_p3_between,
@@ -905,6 +957,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 2) AS sum_price
             FROM orders WHERE o_orderstatus = 'F'
             GROUP BY o_orderpriority
+        """,
+        "e3_engine_sorted_scan": """
+            SELECT l_orderkey, l_shipdate, l_quantity
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-03-01'
         """,
         "s1_scan_project": """
             SELECT l_orderkey, l_partkey, l_extendedprice

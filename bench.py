@@ -23,6 +23,7 @@ from vastdb_sdk_spark.session import build_spark  # noqa: E402
 
 HEADLINE = [
     "e1_engine_scan",
+    "e3_engine_sorted_scan",
     "s1_scan_project",
     "p3_between",
     "p4_isin",

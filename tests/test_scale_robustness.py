@@ -67,6 +67,45 @@ def test_bulk_insert_df_and_dml(clean_schema):
         assert got == 1
 
 
+def test_vacuum_removes_orphans(clean_schema):
+    import os
+
+    data = pa.table({"a": pa.array(range(100), pa.int64())})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("t", data.schema)
+        t.insert(data)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        # rewrite orphans the original insert file
+        t.delete(pa.table({"$row_id": pa.array([0], pa.uint64())}))
+    deleted = clean_schema.vacuum("bkt")
+    assert len(deleted) == 1
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        assert t.count_rows() == 99
+        assert t.select_df().count() == 99  # data intact after vacuum
+        for fe in t.entry.files:
+            assert os.path.exists(fe.path)
+
+
+def test_vacuum_respects_snapshots(clean_schema):
+    data = pa.table({"a": pa.array(range(10), pa.int64())})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("t", data.schema)
+        t.insert(data)
+    with clean_schema.transaction() as tx:
+        tx.bucket("bkt").create_snapshot("keep")
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        t.delete(pa.table({"$row_id": pa.array([0], pa.uint64())}))
+    assert clean_schema.vacuum("bkt", keep_snapshots=True) == []
+    with clean_schema.transaction() as tx:
+        snap = tx.bucket("bkt").snapshot("keep")
+        assert snap.schema("s").table("t").count_rows() == 10  # still readable
+    deleted = clean_schema.vacuum("bkt", keep_snapshots=False)
+    assert len(deleted) == 1
+
+
 def test_many_small_inserts_one_tx(clean_schema):
     """50 inserts in one transaction -> one commit, contiguous row ids."""
     schema = pa.schema([("a", pa.int64())])

@@ -241,10 +241,14 @@ def minhash_dedup_pairs(
 # SimHash
 
 
-def _hash_bit_pm(h: Column, j: int) -> Column:
-    """+1/-1 vote from bit j (0..63) of a 32-hex-char hash string."""
-    nibble = F.conv(F.substring(h, 1 + j // 4, 1), 16, 10).cast("int")
-    return F.shiftright(nibble, 3 - j % 4).bitwiseAND(F.lit(1)) * 2 - 1
+def _hash_bit_pm(h, j: int) -> Column:
+    """+1/-1 vote from bit j (0..63) of a 32-hex-char hash string. ``h`` is
+    a column NAME: the expression is built as a SQL string because instr()
+    hex-nibble parsing benchmarked measurably faster than conv()."""
+    pos, sh = 1 + j // 4, 3 - j % 4
+    return F.expr(
+        f"((shiftright(instr('0123456789abcdef', substring({h}, {pos}, 1)) - 1, {sh}) & 1) * 2 - 1)"
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -259,7 +263,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         F.col(id_col), F.explode(F.col("__tk")).alias("__t")
     ).select(F.col(id_col), F.md5(F.col("__t")).alias("__h"))
     votes = toks.groupBy(id_col).agg(
-        *[F.sum(_hash_bit_pm(F.col("__h"), j)).alias(f"v{j}") for j in range(64)]
+        *[F.sum(_hash_bit_pm("__h", j)).alias(f"v{j}") for j in range(64)]
     )
     fp = None
     for j in range(64):

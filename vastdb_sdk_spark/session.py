@@ -76,6 +76,44 @@ class Session:
 
         return Transaction(self)
 
+    def vacuum(self, bucket_name: str, keep_snapshots: bool = True) -> list[str]:
+        """Delete data files no longer referenced by the current manifest
+        (nor, if ``keep_snapshots``, by any named snapshot) — the analog of
+        Delta VACUUM for files orphaned by update/delete/optimize rewrites.
+        Returns the deleted paths. Only files inside this bucket's data
+        directory are candidates: zero-copy imports from external paths are
+        never touched."""
+        from .catalog.manifest import ManifestStore
+
+        store = ManifestStore(self._bucket_path(bucket_name))
+        manifest = store.load()
+        referenced: set[str] = set()
+
+        def collect(m) -> None:
+            for te in m.tables.values():
+                for fe in te.files:
+                    referenced.add(os.path.abspath(fe.path))
+                for proj in te.projections.values():
+                    for fj in proj.get("files", []):
+                        referenced.add(os.path.abspath(fj["path"]))
+
+        collect(manifest)
+        if keep_snapshots:
+            for _name, version in manifest.snapshots.items():
+                collect(store.load(version))
+
+        data_root = os.path.join(store.bucket_path, "data")
+        deleted = []
+        for dirpath, _dirs, files in os.walk(data_root):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                path = os.path.abspath(os.path.join(dirpath, fn))
+                if path not in referenced:
+                    os.unlink(path)
+                    deleted.append(path)
+        return deleted
+
     @property
     def features(self):
         """Capability flags (reference: vastdb/features.py — all True here,

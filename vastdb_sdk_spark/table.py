@@ -541,6 +541,14 @@ class Table:
 
     @staticmethod
     def _json_scalar(v):
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            # space separator so lexicographic order lines up with the
+            # string timestamp literals used in predicates
+            return v.isoformat(sep=" ")
+        if isinstance(v, _dt.date):
+            return v.isoformat()
         return v if isinstance(v, (int, float, str)) and not isinstance(v, bool) else None
 
     def _footer_col_stats(self, md, stat_cols: list[str], cmap: dict | None = None) -> dict:
