@@ -404,6 +404,25 @@ def q_f4_conditional(spark, sf):
     )
 
 
+def q_f5_array_agg(spark, sf):
+    """Array aggregation: per customer the sorted list of order keys (array
+    columns cross-checked between engines via canonical sorted order)."""
+    o = _t(spark, sf, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderkey")).alias("__keys"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    # serialize the array to a canonical string: list-typed cells are the one
+    # place engine drivers canonicalize differently
+    return agg.select(
+        "o_custkey",
+        F.concat_ws(",", F.transform(F.col("__keys"), lambda x: x.cast("string"))).alias(
+            "order_keys"
+        ),
+        "n_orders",
+    )
+
+
 def q_a6_cube(spark, sf):
     o = _t(spark, sf, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
@@ -804,6 +823,103 @@ def _engine_sorted_table(spark, sf):
     return tx.bucket("b").schema("s").table("li_sorted")
 
 
+def q_e4_engine_dml(spark, sf):
+    """Engine DML under the oracle gate: delete all 'F'-status orders by
+    $row_id, zero out 1-URGENT totals via update, then scan. The oracle
+    reproduces the end state with WHERE + CASE over the pristine table."""
+    import tempfile
+
+    import pyarrow as pa
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark import _ as D
+    from vastdb_sdk_spark.sources import create_table_from_files
+
+    session = vastdb.connect(tempfile.mkdtemp(prefix="entry_dml_"), spark=spark)
+    session.create_bucket("b")
+    with session.transaction() as tx:
+        sc = tx.bucket("b").create_schema("s")
+        t = create_table_from_files(sc, "orders", [f"{sf}/orders.parquet"])
+        del_ids = [
+            r["$row_id"]
+            for r in t.select_df(predicate=(D.o_orderstatus == "F"), internal_row_id=True)
+            .select("$row_id")
+            .collect()
+        ]
+        t.delete(pa.table({"$row_id": pa.array(del_ids, pa.uint64())}))
+        upd = t.select_df(
+            predicate=(D.o_orderpriority == "1-URGENT"), internal_row_id=True
+        ).select("$row_id").collect()
+        t.update(
+            pa.table(
+                {
+                    "$row_id": pa.array([r["$row_id"] for r in upd], pa.uint64()),
+                    "o_totalprice": pa.array([-1.0] * len(upd), pa.float64()),
+                }
+            )
+        )
+    tx = session.transaction()
+    t = tx.bucket("b").schema("s").table("orders")
+    return t.select_df(columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+
+
+def q_e5_engine_projection(spark, sf):
+    """Semi-sorted projection routing under the gate: a covering projection
+    sorted by o_custkey serves the scan; results must equal the base table."""
+    import tempfile
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark import _ as D
+    from vastdb_sdk_spark.sources import create_table_from_files
+
+    key = (sf, "__proj_orders")
+    if key not in _ENGINE_WAREHOUSES:
+        session = vastdb.connect(tempfile.mkdtemp(prefix="entry_proj_"), spark=spark)
+        session.create_bucket("b")
+        with session.transaction() as tx:
+            sc = tx.bucket("b").create_schema("s")
+            t = create_table_from_files(sc, "orders", [f"{sf}/orders.parquet"])
+            t.create_projection("by_cust", ["o_custkey"], ["o_totalprice"])
+        _ENGINE_WAREHOUSES[key] = session
+    tx = _ENGINE_WAREHOUSES[key].transaction()
+    t = tx.bucket("b").schema("s").table("orders")
+    return t.select_df(
+        columns=["o_custkey", "o_totalprice"], predicate=(D.o_custkey < 500)
+    )
+
+
+def q_e6_engine_snapshot(spark, sf):
+    """Snapshot time travel under the gate: snapshot the imported state,
+    then delete everything from the live table — the snapshot still reads
+    the pristine rows the oracle sees."""
+    import tempfile
+
+    import pyarrow as pa
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark import _ as D
+    from vastdb_sdk_spark.sources import create_table_from_files
+
+    session = vastdb.connect(tempfile.mkdtemp(prefix="entry_snap_"), spark=spark)
+    session.create_bucket("b")
+    with session.transaction() as tx:
+        sc = tx.bucket("b").create_schema("s")
+        create_table_from_files(sc, "nation", [f"{sf}/nation.parquet"])
+    with session.transaction() as tx:
+        tx.bucket("b").create_snapshot("v1")
+    with session.transaction() as tx:
+        t = tx.bucket("b").schema("s").table("nation")
+        ids = [
+            r["$row_id"]
+            for r in t.select_df(internal_row_id=True).select("$row_id").collect()
+        ]
+        t.delete(pa.table({"$row_id": pa.array(ids, pa.uint64())}))
+    tx = session.transaction()
+    assert tx.bucket("b").schema("s").table("nation").count_rows() == 0
+    snap = tx.bucket("b").snapshot("v1")
+    return snap.schema("s").table("nation").select_df()
+
+
 def q_e3_engine_sorted_scan(spark, sf):
     """Range scan on the sorted (Elysium) engine table: the manifest prunes
     non-overlapping files by l_shipdate min/max, then parquet row-group
@@ -850,6 +966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_engine_scan": q_e1_engine_scan,
         "e2_engine_sql": q_e2_engine_sql,
         "e3_engine_sorted_scan": q_e3_engine_sorted_scan,
+        "e4_engine_dml": q_e4_engine_dml,
+        "e5_engine_projection": q_e5_engine_projection,
+        "e6_engine_snapshot": q_e6_engine_snapshot,
         "s1_scan_project": q_s1_scan_project,
         "p2_comparisons": q_p2_comparisons,
         "p3_between": q_p3_between,
@@ -881,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_string_funcs": q_f2_string_funcs,
         "f3_date_funcs": q_f3_date_funcs,
         "f4_conditional": q_f4_conditional,
+        "f5_array_agg": q_f5_array_agg,
         "a6_cube": q_a6_cube,
         "w5_first_last": q_w5_first_last,
         "w6_ntile": q_w6_ntile,
@@ -963,6 +1083,19 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate < TIMESTAMP '1997-03-01'
+        """,
+        "e4_engine_dml": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN -1.0
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderstatus
+            FROM orders WHERE o_orderstatus <> 'F'
+        """,
+        "e5_engine_projection": """
+            SELECT o_custkey, o_totalprice FROM orders WHERE o_custkey < 500
+        """,
+        "e6_engine_snapshot": """
+            SELECT * FROM nation
         """,
         "s1_scan_project": """
             SELECT l_orderkey, l_partkey, l_extendedprice
@@ -1232,6 +1365,13 @@ def oracle_sql() -> dict[str, str]:
                    GREATEST(c_acctbal, 0.0) AS bal_floor,
                    ROUND(ABS(c_acctbal), 2) AS bal_abs
             FROM customer
+        """,
+        "f5_array_agg": """
+            SELECT o_custkey,
+                   array_to_string(array_agg(o_orderkey ORDER BY o_orderkey), ',')
+                       AS order_keys,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY o_custkey
         """,
         "a6_cube": """
             SELECT o_orderstatus, o_orderpriority,
