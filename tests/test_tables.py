@@ -79,6 +79,19 @@ def test_update_by_row_id(clean_schema):
         assert got.column("$row_id").to_pylist() == [0, 1, 2]
 
 
+def test_update_can_set_null(clean_schema):
+    _make(clean_schema)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        t.update(
+            pa.table(
+                {"$row_id": pa.array([1], pa.uint64()), "s": pa.array([None], pa.string())}
+            )
+        )
+        got = t.select(internal_row_id=True).read_all().sort_by("a")
+        assert got.column("s").to_pylist() == ["a", None, "ccc"]
+
+
 def test_delete_by_row_id(clean_schema):
     _make(clean_schema)
     with clean_schema.transaction() as tx:

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles_from_tokens, tokens, word_shingles
+from ..functions.text import shingles_from_tokens, tokens
 
 # ---------------------------------------------------------------------------
 # exact

@@ -54,7 +54,6 @@ from .errors import (
     MissingProjection,
     NotSupportedCommand,
     ProjectionExists,
-    TooWideRow,
 )
 from .expr import to_spark_predicate
 from .types import (
@@ -798,11 +797,14 @@ class Table:
             base_df[INTERNAL_ROW_ID] == upd_df["__update_row_id"],
             "left",
         )
+        # join-match presence (not coalesce) decides which value wins, so an
+        # update may legitimately set a column to NULL
+        matched = upd_df["__update_row_id"].isNotNull()
         out_cols = []
         for f in self.arrow_schema:
             if f.name in upd_cols:
                 out_cols.append(
-                    F.coalesce(upd_df[f.name], base_df[f.name]).alias(f.name)
+                    F.when(matched, upd_df[f.name]).otherwise(base_df[f.name]).alias(f.name)
                 )
             else:
                 out_cols.append(base_df[f.name])
