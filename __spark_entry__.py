@@ -920,6 +920,79 @@ def q_e6_engine_snapshot(spark, sf):
     return snap.schema("s").table("nation").select_df()
 
 
+def q_e7_engine_partitioned(spark, sf):
+    """Hive-partitioned engine table: events ingested partitioned by
+    event_type; a single-partition query prunes the other partitions from
+    the manifest before Spark plans."""
+    import tempfile
+
+    import pyarrow as pa
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark import _ as D
+
+    key = (sf, "__part_events")
+    if key not in _ENGINE_WAREHOUSES:
+        session = vastdb.connect(tempfile.mkdtemp(prefix="entry_part_"), spark=spark)
+        session.create_bucket("b")
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.int64()),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+        with session.transaction() as tx:
+            t = tx.bucket("b").create_schema("s").create_table(
+                "events", schema, partition_by=["event_type"]
+            )
+            t.insert_df(_t(spark, sf, "events"))
+        _ENGINE_WAREHOUSES[key] = session
+    tx = _ENGINE_WAREHOUSES[key].transaction()
+    t = tx.bucket("b").schema("s").table("events")
+    return t.select_df(
+        columns=["event_id", "user_id", "value"],
+        predicate=(D.event_type == "purchase") & (D.value > 10.0),
+    )
+
+
+def q_ann_rhp_topk(spark, sf):
+    """Approximate NN via random-hyperplane LSH (deterministic seed): the
+    scale path for similarity search. No SQL oracle by design (ANN) — the
+    driver records a rows-only check; exactness is covered by
+    ann_cosine_topk and the recall test in tests/test_operators.py."""
+    from vastdb_sdk_spark.operators.similarity import build_rhp_index, rhp_topk
+
+    emb = _t(spark, sf, "embeddings")
+    vec = _query_vec(spark, sf, 0)
+    indexed, planes = build_rhp_index(emb, num_planes=6, seed=42)
+    return rhp_topk(
+        indexed, planes, vec, k=10, metric="cosine", multiprobe_hamming=2,
+        id_col="vec_id",
+    ).select("vec_id", "label")
+
+
+def q_ann_ivf_topk(spark, sf):
+    """Approximate NN via IVF (k-means coarse quantizer, seeded): probe the
+    3 nearest centroids only. Rows-only check (ANN; k-means assignment is
+    engine-specific)."""
+    from vastdb_sdk_spark.operators.similarity import build_ivf_index, ivf_topk
+
+    key = (sf, "__ivf_index")
+    if key not in _ENGINE_WAREHOUSES:
+        emb = _t(spark, sf, "embeddings")
+        indexed, centroids = build_ivf_index(emb, num_centroids=16, seed=42)
+        _ENGINE_WAREHOUSES[key] = (indexed.persist(), centroids)
+    indexed, centroids = _ENGINE_WAREHOUSES[key]
+    vec = _query_vec(spark, sf, 0)
+    return ivf_topk(indexed, centroids, vec, k=10, nprobe=3, id_col="vec_id").select(
+        "vec_id", "label"
+    )
+
+
 def q_e3_engine_sorted_scan(spark, sf):
     """Range scan on the sorted (Elysium) engine table: the manifest prunes
     non-overlapping files by l_shipdate min/max, then parquet row-group
@@ -969,6 +1042,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e4_engine_dml": q_e4_engine_dml,
         "e5_engine_projection": q_e5_engine_projection,
         "e6_engine_snapshot": q_e6_engine_snapshot,
+        "e7_engine_partitioned": q_e7_engine_partitioned,
+        "ann_rhp_topk": q_ann_rhp_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "s1_scan_project": q_s1_scan_project,
         "p2_comparisons": q_p2_comparisons,
         "p3_between": q_p3_between,
@@ -1083,6 +1159,10 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate < TIMESTAMP '1997-03-01'
+        """,
+        "e7_engine_partitioned": """
+            SELECT event_id, user_id, value FROM events
+            WHERE event_type = 'purchase' AND value > 10.0
         """,
         "e4_engine_dml": """
             SELECT o_orderkey,

@@ -67,6 +67,59 @@ def test_bulk_insert_df_and_dml(clean_schema):
         assert got == 1
 
 
+def test_partitioned_engine_table(clean_schema):
+    spark = clean_schema.spark
+    schema = pa.schema(
+        [("k", pa.int64()), ("region_id", pa.int32()), ("v", pa.float64())]
+    )
+    rows = [(i, i % 4, float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k LONG, region_id INT, v DOUBLE")
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "pt", schema, partition_by=["region_id"]
+        )
+        n = t.insert_df(df)
+        assert n == 1000
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("pt")
+        parts = {f.partition.get("region_id") for f in t.entry.files}
+        assert {0, 1, 2, 3} <= parts
+        # partition pruning at the manifest level
+        pruned = t._pruned_files(D.region_id == 2)
+        assert pruned is not None and all(
+            f.partition["region_id"] == 2 for f in pruned
+        )
+        got = t.select_df(predicate=(D.region_id == 2))
+        assert got.count() == 250
+        # partition column values are re-injected correctly
+        one = t.select_df(predicate=(D.k == 6)).collect()[0]
+        assert one.region_id == 2 and one.v == 6.0
+
+
+def test_compact_small_files(clean_schema):
+    data = pa.table({"a": pa.array(range(10), pa.int64())})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("c", data.schema)
+        for _ in range(6):
+            t.insert(data)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("c")
+        assert len(t.entry.files) == 6
+        before_ids = sorted(
+            t.select(internal_row_id=True).read_all().column("$row_id").to_pylist()
+        )
+        removed = t.compact(target_file_rows=1000)
+        assert removed > 0
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("c")
+        assert len(t.entry.files) < 6
+        after_ids = sorted(
+            t.select(internal_row_id=True).read_all().column("$row_id").to_pylist()
+        )
+        assert after_ids == before_ids  # row ids preserved through compaction
+    assert len(clean_schema.vacuum("bkt")) == 6  # originals now orphaned
+
+
 def test_vacuum_removes_orphans(clean_schema):
     import os
 

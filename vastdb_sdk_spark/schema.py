@@ -68,9 +68,12 @@ class Schema:
         vector_index: dict | None = None,
         create_imports_table: bool = False,
         use_external_row_ids_allocation: bool = False,
+        partition_by: list[str] | None = None,
     ):
         """Create a table from an Arrow schema
-        (reference: vastdb/schema.py:85-121)."""
+        (reference: vastdb/schema.py:85-121). ``partition_by`` is an engine
+        extension: insert_df writes hive-style partition directories and the
+        manifest prunes partitions at planning time."""
         from .table import Table
 
         validate_supported_schema(columns)
@@ -78,6 +81,10 @@ class Schema:
             missing = [k for k in sorting_key if k not in columns.names]
             if missing:
                 raise MissingTable(f"sorting key columns not in schema: {missing}")
+        if partition_by:
+            missing = [k for k in partition_by if k not in columns.names]
+            if missing:
+                raise MissingTable(f"partition columns not in schema: {missing}")
         st = self._state
         entry = TableEntry(
             name=name,
@@ -87,6 +94,8 @@ class Schema:
             use_external_row_ids=use_external_row_ids_allocation,
             vector_index=vector_index,
         )
+        if partition_by:
+            entry.properties["partition_by"] = list(partition_by)
         try:
             st.manifest.create_table(entry)
         except TableExists:

@@ -415,7 +415,12 @@ class Table:
         estimate probe (table.py:442-458), but exact."""
         if predicate is None:
             return self.entry.num_rows  # manifest stats: zero I/O
-        return self.df().filter(to_spark_predicate(predicate, self.arrow_schema)).count()
+        pruned = self._pruned_files(predicate)
+        return (
+            self.df(files=pruned)
+            .filter(to_spark_predicate(predicate, self.arrow_schema))
+            .count()
+        )
 
     def export_parquet(
         self,
@@ -674,38 +679,85 @@ class Table:
 
     def insert_df(self, df: DataFrame) -> int:
         """Distributed insert of a Spark DataFrame (engine extension; the
-        scalable ingest path). Returns number of rows inserted."""
+        scalable ingest path). Honors the table's ``partition_by`` spec:
+        rows land in hive-style partition directories, the manifest records
+        each file's partition values, and scans prune partitions before
+        Spark plans. Returns number of rows inserted."""
         entry = TableEntry.from_json(self.entry.to_json())
         pmap = self._physical_map()
+        part_cols = list(entry.properties.get("partition_by", []))
         cols = [F.col(c).alias(pmap.get(c, c)) for c in df.columns]
         staging = os.path.join(
             self._state.store.table_data_dir(self.schema.name, self.name),
             f"ins-{os.getpid()}-{time.time_ns()}",
         )
-        df.select(*cols).write.mode("overwrite").parquet(staging)
+        writer = df.select(*cols).write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*[pmap.get(c, c) for c in part_cols])
+        writer.parquet(staging)
+
+        arrow = self.arrow_schema
         total = 0
         base = entry.next_row_id
-        for fn in sorted(os.listdir(staging)):
-            if not fn.endswith(".parquet"):
-                continue
-            fpath = os.path.join(staging, fn)
-            fmd = pq.ParquetFile(fpath).metadata
-            nrows = fmd.num_rows
-            stat_cols = self._stat_columns(entry)
-            self._register_file(
-                entry, fpath, nrows, row_id_base=base,
-                col_stats=self._footer_col_stats(
-                    fmd, stat_cols, {pmap.get(c, c): c for c in stat_cols}
-                ),
-            )
-            self._state.staged_files.append(fpath)
-            base += nrows
-            total += nrows
+        for dirpath, _dirs, files in sorted(os.walk(staging)):
+            partition = self._partition_from_path(dirpath, staging, part_cols, arrow, pmap)
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(dirpath, fn)
+                fmd = pq.ParquetFile(fpath).metadata
+                nrows = fmd.num_rows
+                if nrows == 0:
+                    continue
+                stat_cols = self._stat_columns(entry)
+                self._register_file(
+                    entry, fpath, nrows, row_id_base=base,
+                    partition=partition,
+                    col_stats=self._footer_col_stats(
+                        fmd, stat_cols, {pmap.get(c, c): c for c in stat_cols}
+                    ),
+                )
+                self._state.staged_files.append(fpath)
+                base += nrows
+                total += nrows
         entry.next_row_id = base
         self._mark_unsorted(entry)
         self._mutate(entry, "insert_df", rows=total)
         self._sync_blob_expansions(entry)
         return total
+
+    @staticmethod
+    def _partition_from_path(
+        dirpath: str, staging: str, part_cols: list[str], arrow: pa.Schema, pmap: dict
+    ) -> dict:
+        """Parse hive-style ``col=value`` path segments into typed partition
+        values (typed so manifest pruning compares like with like)."""
+        import urllib.parse
+
+        rel = os.path.relpath(dirpath, staging)
+        partition: dict = {}
+        if rel == "." or not part_cols:
+            return partition
+        inv = {v: k for k, v in pmap.items()}
+        for seg in rel.split(os.sep):
+            if "=" not in seg:
+                continue
+            phys, raw = seg.split("=", 1)
+            logical = inv.get(phys, phys)
+            raw = urllib.parse.unquote(raw)
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                continue  # NULL partition: value stays in no-constant form
+            idx = arrow.get_field_index(logical)
+            if idx < 0:
+                continue
+            dt = arrow.field(idx).type
+            if pa.types.is_integer(dt):
+                partition[logical] = int(raw)
+            elif pa.types.is_floating(dt):
+                partition[logical] = float(raw)
+            else:
+                partition[logical] = raw
+        return partition
 
     # -- update / delete by row id (reference: vastdb/table.py:779-843) ---
     def _affected_split(self, ids: list[int]) -> tuple[list[FileEntry], list[FileEntry]]:
@@ -1122,6 +1174,27 @@ class Table:
         entry.sorting_score = 100
         entry.sorting_done = True
         self._mutate(entry, "optimize", key=entry.sorting_key)
+
+    def compact(self, target_file_rows: int = 4_000_000, min_files: int = 2) -> int:
+        """Bin-pack small files into target-sized ones (the companion of
+        optimize() for unsorted tables and of vacuum() for space): files
+        smaller than the target are rewritten together with physical row ids
+        preserved; large files are left untouched. Returns the number of
+        files compacted away. At scale this is the routine maintenance job
+        that keeps task counts proportional to data, not to insert history."""
+        entry = TableEntry.from_json(self.entry.to_json())
+        small = [f for f in entry.files if f.rows < target_file_rows]
+        if len(small) < min_files:
+            return 0
+        df = self.df(internal_row_id=True, files=small)
+        total = sum(f.rows for f in small)
+        n_parts = max(1, total // target_file_rows)
+        before = len(entry.files)
+        self._rewrite_files(entry, small, df.repartition(n_parts), "compact")
+        if entry.sorting_key:
+            self._mark_unsorted(entry)
+        self._mutate(entry, "compact", files_in=len(small))
+        return before - len(entry.files)
 
     # ------------------------------------------------------------------
     # semi-sorted projections (reference: vastdb/table.py:1040-1138)
