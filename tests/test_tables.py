@@ -104,6 +104,40 @@ def test_delete_by_row_id(clean_schema):
         assert got.column("$row_id").to_pylist() == [1]
 
 
+def test_delete_where(clean_schema):
+    _make(clean_schema)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        t.insert(
+            pa.table(
+                {
+                    "a": pa.array([444], pa.int64()),
+                    "b": pa.array([4.5], pa.float32()),
+                    "s": pa.array([None], pa.string()),
+                }
+            )
+        )
+        # delete where s contains 'c'; NULL-predicate rows must survive
+        t.delete_where(D.s.contains("c"))
+        got = t.select(internal_row_id=True).read_all().sort_by("a")
+        assert got.column("a").to_pylist() == [111, 222, 444]
+        assert got.column("$row_id").to_pylist() == [0, 1, 3]
+
+
+def test_update_where(clean_schema):
+    _make(clean_schema)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        t.update_where(D.a >= 222, {"b": 0.0, "s": t["s"]})
+        got = t.select().read_all().sort_by("a")
+        assert got.column("b").to_pylist() == [0.5, 0.0, 0.0]
+        assert got.column("s").to_pylist() == ["a", "bb", "ccc"]
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        with pytest.raises(vastdb.InvalidArgument):
+            t.update_where(D.a > 0, {"nope": 1})
+
+
 def test_update_then_insert_ids_continue(clean_schema):
     _make(clean_schema)
     with clean_schema.transaction() as tx:

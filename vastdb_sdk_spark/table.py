@@ -887,6 +887,66 @@ class Table:
         self._mark_unsorted(entry)
         self._mutate(entry, "delete", rows=len(ids))
 
+    def delete_where(self, predicate: Any) -> None:
+        """Predicate DELETE (engine extension): fully distributed — no
+        row-id collection on the driver. Manifest pruning narrows the
+        affected files first; untouched files are never rewritten. The
+        reference only offers row-id DML (vastdb/table.py:819-843); this is
+        the 100 TB-shaped equivalent of ``DELETE FROM t WHERE ...``."""
+        pred = to_spark_predicate(predicate, self.arrow_schema)
+        if pred is None:
+            raise InvalidArgument("delete_where requires a predicate")
+        entry = TableEntry.from_json(self.entry.to_json())
+        affected = self._pruned_files(predicate)
+        if affected is None:
+            affected = list(entry.files)
+        if not affected:
+            return
+        base_df = self.df(internal_row_id=True, files=affected)
+        remaining = base_df.filter(~pred | pred.isNull())
+        self._rewrite_files(entry, affected, remaining, "delw")
+        self._mark_unsorted(entry)
+        self._mutate(entry, "delete_where")
+
+    def update_where(self, predicate: Any, assignments: dict) -> None:
+        """Predicate UPDATE (engine extension): ``assignments`` maps column
+        names to Spark Columns, engine expressions, or literals, applied to
+        rows matching ``predicate``. Distributed end-to-end; only files that
+        can contain matches are rewritten."""
+        from .expr import Expr
+
+        pred = to_spark_predicate(predicate, self.arrow_schema)
+        if pred is None:
+            raise InvalidArgument("update_where requires a predicate")
+        bad = [c for c in assignments if c not in self.arrow_schema.names]
+        if bad:
+            raise InvalidArgument(f"unknown columns in assignments: {bad}")
+        entry = TableEntry.from_json(self.entry.to_json())
+        affected = self._pruned_files(predicate)
+        if affected is None:
+            affected = list(entry.files)
+        if not affected:
+            return
+        base_df = self.df(internal_row_id=True, files=affected)
+        out_cols = []
+        for f in self.arrow_schema:
+            if f.name in assignments:
+                v = assignments[f.name]
+                if isinstance(v, Expr):
+                    v = v.to_spark()
+                elif not isinstance(v, Column):
+                    v = F.lit(v)
+                # match the column's storage type so the rewritten parquet
+                # stays readable under the table's reader schema
+                v = v.cast(arrow_type_to_spark(storage_arrow_type(f.type)))
+                out_cols.append(F.when(pred, v).otherwise(F.col(f.name)).alias(f.name))
+            else:
+                out_cols.append(F.col(f.name))
+        out_cols.append(F.col(INTERNAL_ROW_ID))
+        self._rewrite_files(entry, affected, base_df.select(*out_cols), "updw")
+        self._mark_unsorted(entry)
+        self._mutate(entry, "update_where", columns=sorted(assignments))
+
     # ------------------------------------------------------------------
     # parquet import (zero-copy registration)
     def import_files(self, files_to_import: Iterable[str], config=None) -> None:
