@@ -993,6 +993,28 @@ def q_ann_ivf_topk(spark, sf):
     )
 
 
+def q_e8_engine_predicate_dml(spark, sf):
+    """Predicate DML (the distributed, no-id-collection path): DELETE WHERE
+    + UPDATE WHERE, then scan. Same end state as e4's row-id DML — both are
+    checked against the same SQL reconstruction."""
+    import tempfile
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark import _ as D
+    from vastdb_sdk_spark.sources import create_table_from_files
+
+    session = vastdb.connect(tempfile.mkdtemp(prefix="entry_pdml_"), spark=spark)
+    session.create_bucket("b")
+    with session.transaction() as tx:
+        sc = tx.bucket("b").create_schema("s")
+        t = create_table_from_files(sc, "orders", [f"{sf}/orders.parquet"])
+        t.delete_where(D.o_orderstatus == "F")
+        t.update_where(D.o_orderpriority == "1-URGENT", {"o_totalprice": -1.0})
+    tx = session.transaction()
+    t = tx.bucket("b").schema("s").table("orders")
+    return t.select_df(columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+
+
 def q_e3_engine_sorted_scan(spark, sf):
     """Range scan on the sorted (Elysium) engine table: the manifest prunes
     non-overlapping files by l_shipdate min/max, then parquet row-group
@@ -1043,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e5_engine_projection": q_e5_engine_projection,
         "e6_engine_snapshot": q_e6_engine_snapshot,
         "e7_engine_partitioned": q_e7_engine_partitioned,
+        "e8_engine_predicate_dml": q_e8_engine_predicate_dml,
         "ann_rhp_topk": q_ann_rhp_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "s1_scan_project": q_s1_scan_project,
@@ -1163,6 +1186,13 @@ def oracle_sql() -> dict[str, str]:
         "e7_engine_partitioned": """
             SELECT event_id, user_id, value FROM events
             WHERE event_type = 'purchase' AND value > 10.0
+        """,
+        "e8_engine_predicate_dml": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN -1.0
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderstatus
+            FROM orders WHERE o_orderstatus <> 'F'
         """,
         "e4_engine_dml": """
             SELECT o_orderkey,
