@@ -79,6 +79,39 @@ def test_manifest_file_pruning_after_optimize(clean_schema):
         assert df_point.count() == 1
 
 
+def test_interval_extraction_datetime_and_prefix():
+    import datetime as dt
+
+    ivs = extract_intervals(D.ts >= dt.datetime(1997, 1, 1), "ts")
+    assert ivs[0].overlaps("1997-06-01 00:00:00", "1997-06-02 00:00:00")
+    assert not ivs[0].overlaps("1996-01-01 00:00:00", "1996-02-01 00:00:00")
+    pfx = extract_intervals(D.s.startswith("abc"), "s")
+    assert pfx[0].overlaps("abcdef", "abq")
+    assert not pfx[0].overlaps("abb", "abb")
+    assert not pfx[0].overlaps("abd", "abz")
+
+
+def test_string_sortkey_prefix_pruning(clean_schema):
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "st", pa.schema([("name", pa.string()), ("v", pa.int64())]),
+            sorting_key=["name"],
+        )
+        names = [f"{c}{i:03d}" for c in "abcdefgh" for i in range(500)]
+        import random
+
+        random.Random(3).shuffle(names)
+        t.insert(pa.table({"name": pa.array(names), "v": pa.array(range(len(names)), pa.int64())}))
+    with clean_schema.transaction() as tx:
+        tx.bucket("bkt").schema("s").table("st").optimize(target_file_rows=1000)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("st")
+        total = len(t.entry.files)
+        pruned = t._pruned_files(D.name.startswith("c"))
+        assert pruned is not None and len(pruned) < total
+        assert t.select_df(predicate=D.name.startswith("c")).count() == 500
+
+
 def test_partition_pruning(clean_schema):
     """Files imported with constant partition values are pruned at the
     manifest level when the predicate excludes their partition."""

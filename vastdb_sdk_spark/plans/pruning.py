@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from ..expr import BinOp, ColumnRef, Expr, Isin, Literal
+from ..expr import BinOp, ColumnRef, Expr, Isin, Literal, StrOp
 
 _NEG_INF = object()
 _POS_INF = object()
@@ -58,6 +58,18 @@ def _comparable(v: Any) -> bool:
     return isinstance(v, (int, float, str)) and not isinstance(v, bool)
 
 
+def _norm_literal(v: Any) -> Any:
+    """Datetime/date literals compare against stats stored as ISO strings
+    (space separator — see Table._json_scalar)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v
+
+
 def extract_intervals(pred: Any, col: str) -> list[Interval] | None:
     """Intervals that ``col`` must fall in for ``pred`` to hold; ``None``
     means unconstrained (no pruning possible)."""
@@ -92,7 +104,10 @@ def extract_intervals(pred: Any, col: str) -> list[Interval] | None:
             cref, lit = node.right, node.left.value
             flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
             op = flip.get(op, op)
-        if cref is None or cref.path != (col,) or not _comparable(lit):
+        if cref is None or cref.path != (col,):
+            return None
+        lit = _norm_literal(lit)
+        if not _comparable(lit):
             return None
         if op == "==":
             return [Interval(lit, lit)]
@@ -107,9 +122,19 @@ def extract_intervals(pred: Any, col: str) -> list[Interval] | None:
         return None
     if isinstance(node, Isin):
         if isinstance(node.inner, ColumnRef) and node.inner.path == (col,):
-            vals = [v for v in node.values if _comparable(v)]
-            if len(vals) == len(node.values):
+            vals = [_norm_literal(v) for v in node.values]
+            if all(_comparable(v) for v in vals):
                 return [Interval(v, v) for v in vals]
+        return None
+    if isinstance(node, StrOp) and node.op == "startswith":
+        # prefix range (reference: util.prefix_to_range, vastdb/util.py:162-169):
+        # prefix <= s < prefix+maxchar — lexicographic interval over stats
+        if (
+            isinstance(node.inner, ColumnRef)
+            and node.inner.path == (col,)
+            and node.arg
+        ):
+            return [Interval(node.arg, node.arg + "\U0010ffff")]
         return None
     return None
 
