@@ -60,6 +60,33 @@ def test_import_files_zero_copy(clean_schema):
         assert got.read_all().num_rows > 0
 
 
+def test_import_same_basename_different_dirs(clean_schema, tmp_path):
+    """Row-id reconstruction must key on full paths: two imported files
+    sharing a basename used to collide in the file->rowid-base map."""
+    d1 = tmp_path / "d1"
+    d2 = tmp_path / "d2"
+    d1.mkdir()
+    d2.mkdir()
+    pq.write_table(pa.table({"a": pa.array([1, 2], pa.int64())}), d1 / "data.parquet")
+    pq.write_table(pa.table({"a": pa.array([3, 4], pa.int64())}), d2 / "data.parquet")
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("t", pa.schema([("a", pa.int64())]))
+        t.import_files([str(d1 / "data.parquet"), str(d2 / "data.parquet")])
+        got = t.select(internal_row_id=True).read_all().sort_by("a")
+        assert got.column("a").to_pylist() == [1, 2, 3, 4]
+        assert got.column("$row_id").to_pylist() == [0, 1, 2, 3]
+
+
+def test_double_import_rejected(clean_schema):
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "t", pq.ParquetFile(f"{SF}/region.parquet").schema_arrow
+        )
+        t.import_files([f"{SF}/region.parquet"])
+        with pytest.raises(vastdb.InvalidArgument):
+            t.import_files([f"{SF}/region.parquet"])
+
+
 def test_import_partitioned(clean_schema):
     with clean_schema.transaction() as tx:
         s = tx.bucket("bkt").schema("s")

@@ -241,18 +241,25 @@ class Table:
                 if has_phys_rid:
                     df = df.withColumnRenamed(PHYSICAL_ROW_ID, INTERNAL_ROW_ID)
                 else:
-                    base_map = [(os.path.basename(fe.path), fe.row_id_base) for fe in fes]
+                    # keyed by full file path — basenames may collide across
+                    # directories (e.g. zero-copy imports named alike).
+                    # Spark's _metadata.file_path uses Hadoop's "file:/abs"
+                    # form (single slash), not RFC-8089 file:///
+                    base_map = [
+                        ("file:" + os.path.abspath(fe.path), fe.row_id_base)
+                        for fe in fes
+                    ]
                     base_df = self.spark.createDataFrame(
-                        base_map, "__file_name STRING, __rid_base LONG"
+                        base_map, "__file_path STRING, __rid_base LONG"
                     )
                     df = (
-                        df.withColumn("__file_name", F.col("_metadata.file_name"))
+                        df.withColumn("__file_path", F.col("_metadata.file_path"))
                         .withColumn("__row_index", F.col("_metadata.row_index"))
-                        .join(F.broadcast(base_df), "__file_name")
+                        .join(F.broadcast(base_df), "__file_path")
                         .withColumn(
                             INTERNAL_ROW_ID, F.col("__rid_base") + F.col("__row_index")
                         )
-                        .drop("__file_name", "__row_index", "__rid_base")
+                        .drop("__file_path", "__row_index", "__rid_base")
                     )
             elif has_phys_rid:
                 df = df.drop(PHYSICAL_ROW_ID)
@@ -507,6 +514,12 @@ class Table:
         )
         pname, proj = candidates[0]
         files = [FileEntry.from_json(fj) for fj in proj["files"]]
+        # projection files carry sort-key stats: prune them too
+        if predicate is not None and not isinstance(predicate, (bool, Column)):
+            from .plans.pruning import prune_files
+
+            for col in proj["sorted"]:
+                files = prune_files(files, col, predicate)
         sub_schema = pa.schema(
             [_resolve_field(self.arrow_schema, n) for n in proj["sorted"] + proj["unsorted"]]
         )
@@ -957,6 +970,16 @@ class Table:
         vastdb/util.py:46-63)."""
         paths = [_strip_bucket(p) for p in files_to_import]
         entry = TableEntry.from_json(self.entry.to_json())
+        already = {
+            (os.path.abspath(f.path), tuple(sorted(f.partition.items())))
+            for f in entry.files
+        }
+        dupes = [p for p in paths if (os.path.abspath(p), ()) in already]
+        if dupes:
+            # the reference's imports-table bookkeeping exists to dedup
+            # repeated imports (vastdb/tests/test_imports.py); importing the
+            # same object twice would double-count rows
+            raise InvalidArgument(f"files already imported: {dupes}")
         arrow = self.arrow_schema
         storage = storage_arrow_schema(arrow)
         pmap = self._physical_map()
@@ -1298,16 +1321,22 @@ class Table:
         )
         out.write.mode("overwrite").parquet(staging)
         files = []
+        cmap = {pmap.get(c, c): c for c in sorted_columns}
         for fn in sorted(os.listdir(staging)):
             if not fn.endswith(".parquet"):
                 continue
             fpath = os.path.join(staging, fn)
-            nrows = pq.ParquetFile(fpath).metadata.num_rows
+            fmd = pq.ParquetFile(fpath).metadata
+            nrows = fmd.num_rows
             if nrows == 0:
                 continue
             files.append(
                 FileEntry(
-                    path=fpath, rows=nrows, row_id_base=0, sorted_by=list(sorted_columns)
+                    path=fpath,
+                    rows=nrows,
+                    row_id_base=0,
+                    sorted_by=list(sorted_columns),
+                    col_stats=self._footer_col_stats(fmd, sorted_columns, cmap),
                 )
             )
             self._state.staged_files.append(fpath)
