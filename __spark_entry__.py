@@ -423,6 +423,16 @@ def q_f5_array_agg(spark, sf):
     )
 
 
+def q_a7_approx_distinct(spark, sf):
+    """approx_count_distinct (HLL++). No oracle: sketch estimates are
+    engine-specific by construction — the driver records a rows-only check;
+    the exact twin a2_count_distinct is hash-verified."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+    )
+
+
 def q_a6_cube(spark, sf):
     o = _t(spark, sf, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
@@ -1101,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f4_conditional": q_f4_conditional,
         "f5_array_agg": q_f5_array_agg,
         "a6_cube": q_a6_cube,
+        "a7_approx_distinct": q_a7_approx_distinct,
         "w5_first_last": q_w5_first_last,
         "w6_ntile": q_w6_ntile,
         "w7_event_time_window": q_w7_event_time_window,

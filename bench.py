@@ -65,11 +65,17 @@ def main() -> int:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
+        # two runs, first discarded — the reference's own benchmark protocol
+        # (BASELINE.md scenario matrix: "n_runs with first run discarded");
+        # run 1 pays one-time costs (codegen compile, engine-warehouse build)
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        cold[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
@@ -80,6 +86,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_run": cold,
                 "sf": sf,
             }
         )
