@@ -257,6 +257,13 @@ def test_projection_lifecycle_and_routing(clean_schema):
         assert t.projection("by_k").stale
     with clean_schema.transaction() as tx:
         t = tx.bucket("bkt").schema("s").table("p")
+        # rebuild clears staleness and serves the post-DML data
+        t.projection("by_k").rebuild()
+        assert not t.projection("by_k").stale
+        got4 = t.select(columns=["v"], predicate=(D.k == 50)).read_all()
+        assert got4.column("v").to_pylist() == [999]
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("p")
         t.projection("by_k").rename("by_k2")
         t.projection("by_k2").drop()
         assert t.projections() == []

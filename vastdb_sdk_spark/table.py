@@ -1540,6 +1540,23 @@ class Projection:
         self.table._mutate(entry, "rename_projection", old=self.name, new=new_name)
         self.name = new_name
 
+    def rebuild(self) -> None:
+        """Re-materialize from the current table state and clear staleness
+        (DML marks projections stale; the scan router then bypasses them
+        until rebuilt — this is the refresh half of that lifecycle)."""
+        cfg = self._cfg
+        files = self.table._materialize_projection(
+            self.name, list(cfg["sorted"]), list(cfg["unsorted"])
+        )
+        entry = TableEntry.from_json(self.table.entry.to_json())
+        entry.projections[self.name] = {
+            "sorted": list(cfg["sorted"]),
+            "unsorted": list(cfg["unsorted"]),
+            "files": [f.to_json() for f in files],
+            "stale": False,
+        }
+        self.table._mutate(entry, "rebuild_projection", projection=self.name)
+
     def get_stats(self) -> TableStats:
         files = [FileEntry.from_json(fj) for fj in self._cfg["files"]]
         size = 0
