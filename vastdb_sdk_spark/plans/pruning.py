@@ -41,7 +41,10 @@ class Interval:
         return Interval(lo, hi)
 
     def overlaps(self, lo: Any, hi: Any) -> bool:
-        """Does this interval intersect [lo, hi]?"""
+        """Does this interval intersect [lo, hi]? Empty intervals (from
+        contradictory conjunctions) overlap nothing."""
+        if not _nonempty(self):
+            return False
         if self.lo is not _NEG_INF and hi < self.lo:
             return False
         if self.hi is not _POS_INF and lo > self.hi:
