@@ -23,7 +23,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity, distance_column, dot
+from ..functions.vector import cosine_similarity, distance_column, dot, l2sq
 
 
 def brute_force_topk(
@@ -179,6 +179,48 @@ def build_ivf_index(
     model = km.fit(ml_df)
     centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
     return model.transform(ml_df).drop("__features"), centroids
+
+
+def ivf_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    centroids: "np.ndarray",
+    k: int = 5,
+    nprobe: int = 2,
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+    left_vec: str = "vec_a",
+    right_vec: str = "vec_b",
+) -> DataFrame:
+    """Approximate k-NN join for two LARGE sides (neither broadcastable):
+    the right side must already carry ``centroid_id`` (build_ivf_index);
+    each left row is assigned to its ``nprobe`` nearest centroids (pure
+    expression math over the broadcast centroid constants), and the join is
+    an equi-join on centroid_id — shuffle volume is O(rows * nprobe), never
+    a cross product. Per-left-row top-k by cosine via window."""
+    from pyspark.sql import Window as W
+
+    cand = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                l2sq(
+                    F.col(left_vec), F.array(*[F.lit(float(x)) for x in c])
+                ).alias("cdist"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = F.slice(F.array_sort(cand, lambda a, b: F.when(a.cdist < b.cdist, -1).when(a.cdist > b.cdist, 1).otherwise(0)), 1, nprobe)
+    lhs = left.withColumn("centroid_id", F.explode(F.transform(probes, lambda p: p.cid)))
+    sim = cosine_similarity(F.col(left_vec), F.col(right_vec))
+    joined = lhs.join(right, "centroid_id").withColumn("cos_sim", sim)
+    w = W.partitionBy(left_id).orderBy(F.col("cos_sim").desc(), F.col(right_id).asc())
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(left_id, right_id, F.round("cos_sim", 6).alias("cos_sim"))
+    )
 
 
 def ivf_topk(

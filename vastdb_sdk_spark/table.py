@@ -1188,6 +1188,13 @@ class Table:
 
     # ------------------------------------------------------------------
     # stats / sorted tables
+    def history(self) -> DataFrame:
+        """Operation history of this table from the bucket audit log
+        (engine extension; the queryable analog of Delta's DESCRIBE
+        HISTORY)."""
+        log = self.tx.audit_log(self.bucket.name)
+        return log.filter(F.col("object") == self.path).orderBy(F.col("ts").asc())
+
     def get_stats(self) -> TableStats:
         entry = self.entry
         size = 0
