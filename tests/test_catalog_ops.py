@@ -300,6 +300,41 @@ def test_vector_search_exact_topk(clean_schema):
         assert got2.column("id").to_pylist() == expected2
 
 
+def test_vector_index_ivf_approximate(clean_schema):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.random((200, 16)).astype("float32")
+    data = pa.table(
+        {
+            "id": pa.array(range(200), pa.int64()),
+            "emb": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "v", data.schema, vector_index={"column": "emb", "metric": "l2sq"}
+        )
+        t.insert(data)
+        t.build_vector_index(num_centroids=8, seed=42)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("v")
+        q = vecs[5].tolist()
+        approx = t.vector_search(q, columns=["id"], limit=5, approximate=True, nprobe=3)
+        exact = t.vector_search(q, columns=["id"], limit=5)
+        # query's own vector always found; decent overlap with exact top-5
+        assert approx.column("id").to_pylist()[0] == 5
+        overlap = set(approx.column("id").to_pylist()) & set(exact.column("id").to_pylist())
+        assert len(overlap) >= 3
+        # DML invalidates the index -> approximate falls back to exact
+        t.delete(pa.table({"$row_id": pa.array([0], pa.uint64())}))
+        assert t.entry.vector_index.get("stale") is True
+        fallback = t.vector_search(q, columns=["id"], limit=5, approximate=True)
+        assert fallback.column("id").to_pylist() == [
+            i for i in exact.column("id").to_pylist() if i != 0
+        ][:5] or fallback.num_rows == 5
+
+
 # -- blob expansion --------------------------------------------------------
 
 

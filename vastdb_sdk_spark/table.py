@@ -624,6 +624,8 @@ class Table:
             entry.sorting_score = int(100 * sorted_rows / total)
         for proj in entry.projections.values():
             proj["stale"] = True
+        if entry.vector_index and entry.vector_index.get("files"):
+            entry.vector_index["stale"] = True
 
     def insert(self, rows: pa.RecordBatch | pa.Table) -> pa.ChunkedArray:
         """Insert an Arrow batch; returns the allocated ``$row_id``s
@@ -1363,23 +1365,99 @@ class Table:
 
     # ------------------------------------------------------------------
     # vector search (reference: vastdb/table.py:889-906 + _adbc.py:133-159)
+    def build_vector_index(self, num_centroids: int = 64, seed: int = 42) -> None:
+        """Materialize an IVF index for the table's vector column: k-means
+        centroids stored in the manifest, the table's rows rewritten into
+        per-centroid cluster files (id columns + vector + physical row id).
+        ``vector_search(approximate=True)`` then probes only the nprobe
+        nearest clusters — the reference's index is ANN-capable the same way
+        (SURVEY.md §2.6 O5). DML marks the index stale like projections."""
+        entry = TableEntry.from_json(self.entry.to_json())
+        if not entry.vector_index:
+            raise NotSupportedCommand(f"table {self.path} has no vector index")
+        vcol = entry.vector_index["column"]
+        from .operators.similarity import build_ivf_index
+
+        df = self.df(internal_row_id=True)
+        indexed, centroids = build_ivf_index(
+            df, vec_col=vcol, num_centroids=num_centroids, seed=seed
+        )
+        staging = os.path.join(
+            self._state.store.table_data_dir(self.schema.name, self.name),
+            f"vecidx-{time.time_ns()}",
+        )
+        (
+            indexed.withColumnRenamed(INTERNAL_ROW_ID, PHYSICAL_ROW_ID)
+            .repartition("centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(staging)
+        )
+        files = []
+        for dirpath, _dirs, fnames in sorted(os.walk(staging)):
+            seg = os.path.basename(dirpath)
+            if not seg.startswith("centroid_id="):
+                continue
+            cid = int(seg.split("=", 1)[1])
+            for fn in sorted(fnames):
+                if not fn.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(dirpath, fn)
+                nrows = pq.ParquetFile(fpath).metadata.num_rows
+                if nrows:
+                    files.append({"path": fpath, "rows": nrows, "centroid_id": cid})
+                    self._state.staged_files.append(fpath)
+        entry.vector_index["centroids"] = [
+            [float(x) for x in c] for c in centroids
+        ]
+        entry.vector_index["files"] = files
+        entry.vector_index["stale"] = False
+        self._mutate(entry, "build_vector_index", centroids=num_centroids)
+
     def vector_search(
         self,
         vec: list[float],
         columns: list[str] | None = None,
         limit: int = 10,
         predicate: Any = None,
+        *,
+        approximate: bool = False,
+        nprobe: int = 4,
     ) -> pa.Table:
-        """Exact top-k by the index's distance function. The reference emits
+        """Top-k by the index's distance function. The reference emits
         ``SELECT cols, dist(col, vec) AS vast_pysdk_vector_dist ... ORDER BY
-        ... LIMIT k`` through ADBC; we build the same plan in Spark. Exact
-        (brute-force) is contract-compatible: the API promises top-k."""
+        ... LIMIT k`` through ADBC; we build the same plan in Spark. Default
+        is exact brute-force (contract-compatible: the API promises top-k);
+        ``approximate=True`` probes the IVF index's nprobe nearest clusters
+        when one has been built (build_vector_index)."""
         entry = self.entry
         if not entry.vector_index:
             raise NotSupportedCommand(f"table {self.path} has no vector index")
         vcol = entry.vector_index["column"]
         metric = entry.vector_index.get("metric", "l2sq")
-        df = self.df()
+
+        df = None
+        if approximate:
+            vi = entry.vector_index
+            if vi.get("files") and not vi.get("stale"):
+                import numpy as np
+
+                cents = np.asarray(vi["centroids"], dtype=float)
+                q = np.asarray(vec, dtype=float)
+                d2 = ((cents - q) ** 2).sum(axis=1)
+                probe = {int(i) for i in np.argsort(d2)[:nprobe]}
+                paths = [
+                    f["path"] for f in vi["files"] if f["centroid_id"] in probe
+                ]
+                if paths:
+                    # cluster files are full row copies (clustered by
+                    # centroid): read the probed clusters directly — no join
+                    df = self.spark.read.parquet(*paths).drop(
+                        PHYSICAL_ROW_ID, "centroid_id"
+                    )
+        if df is None:
+            df = self.df()
+
         pred_col = to_spark_predicate(predicate, self.arrow_schema)
         if pred_col is not None:
             df = df.filter(pred_col)
