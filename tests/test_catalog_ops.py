@@ -393,3 +393,68 @@ def test_blob_expansion_missing_excessive_and_alter(clean_schema):
         assert "zz" in df.columns and "b" not in df.columns
         byid = {r.a: r for r in df.collect()}
         assert byid[1].zz is True and byid[1].missing_keys == []
+
+
+# -- paginated listings (reference: _internal.py list_* protocol) -----------
+
+
+def test_paginated_listings(session):
+    session.create_bucket("pgb")
+    with session.transaction() as tx:
+        b = tx.bucket("pgb")
+        for i in range(7):
+            b.create_schema(f"sc{i:02d}")
+        parent = b.schema("sc00")
+        for i in range(3):
+            parent.create_schema(f"kid{i}")
+        s = b.schema("sc01")
+        for i in range(9):
+            s.create_table(f"t{i:02d}", pa.schema([("a", pa.int64())]))
+    with session.transaction() as tx:
+        b = tx.bucket("pgb")
+        # schema pages: 7 items in pages of 3 -> 3,3,1
+        page, key, trunc = b.list_schemas(max_keys=3)
+        assert [x.name for x in page] == ["sc00", "sc01", "sc02"] and trunc
+        page, key, trunc = b.list_schemas(next_key=key, max_keys=3)
+        assert len(page) == 3 and trunc
+        page, key, trunc = b.list_schemas(next_key=key, max_keys=3)
+        assert len(page) == 1 and not trunc
+        # batch_size convenience loops to completion
+        assert len(b.schemas(batch_size=2)) == 7
+        # prefix + exact match
+        page, _, trunc = b.list_schemas(name_prefix="sc0", max_keys=100)
+        assert len(page) == 7 and not trunc
+        page, _, _ = b.list_schemas(name_prefix="sc03", exact_match=True)
+        assert [x.name for x in page] == ["sc03"]
+        # nested-schema pages use the short name for matching
+        kids, _, trunc = b.schema("sc00").list_schemas(name_prefix="kid", max_keys=2)
+        assert [x.name for x in kids] == ["sc00/kid0", "sc00/kid1"] and trunc
+        # table pages, names_only, count-only
+        s = b.schema("sc01")
+        names, key, trunc = s.list_tables(max_keys=4, names_only=True)
+        assert names == ["t00", "t01", "t02", "t03"] and trunc
+        names2, _, trunc = s.list_tables(next_key=key, max_keys=100, names_only=True)
+        assert len(names2) == 5 and not trunc
+        assert s.table_count() == 9
+        assert len(s.tables(batch_size=2)) == 9
+        assert [t.name for t in s.tables("t05")] == ["t05"]
+        assert s.tablenames(batch_size=4) == [f"t{i:02d}" for i in range(9)]
+        with pytest.raises(ValueError):
+            s.list_tables(max_keys=0)
+
+
+def test_wide_table_column_pagination(session):
+    # reference test_tables.py:1430-1464 — wide tables must list columns in
+    # pages; names-only path stays cheap
+    session.create_bucket("pgw")
+    cols = [f"long_f_name{i}" for i in range(2500)]
+    schema = pa.schema([(c, pa.int32()) for c in cols])
+    with session.transaction() as tx:
+        s = tx.bucket("pgw").create_schema("s")
+        t = s.create_table("wide", schema)
+        assert t.retrieve_column_names() == cols  # default page 1000 -> 3 pages
+        page, key, trunc = t.list_columns(max_keys=1000)
+        assert len(page) == 1000 and trunc and page[0].name == "long_f_name0"
+        page, key, trunc = t.list_columns(next_key=2000, max_keys=1000)
+        assert len(page) == 500 and not trunc
+        assert t.retrieve_column_names(batch_size=999) == cols

@@ -71,15 +71,38 @@ class Bucket:
             return None
         return Schema(name, self)
 
-    def schemas(self, batch_size: int | None = None) -> list:
-        """Top-level schemas (nested ones are reached via Schema.schemas())."""
+    def list_schemas(
+        self,
+        next_key: int = 0,
+        name_prefix: str = "",
+        exact_match: bool = False,
+        max_keys: int | None = None,
+    ) -> tuple[list, int, bool]:
+        """One page of top-level schemas under the reference's listing
+        protocol (vastdb/_internal.py:1188-1236): returns
+        ``(schemas, next_key, is_truncated)``; pass the returned
+        ``next_key`` back in to continue."""
+        from .catalog.listing import paginate_names
         from .schema import Schema
 
-        return [
-            Schema(name, self)
-            for name in sorted(self.manifest.schemas)
-            if "/" not in name
-        ]
+        names = sorted(n for n in self.manifest.schemas if "/" not in n)
+        page, key, truncated = paginate_names(
+            names, next_key, max_keys, name_prefix, exact_match
+        )
+        return [Schema(n, self) for n in page], key, truncated
+
+    def schemas(self, batch_size: int | None = None) -> list:
+        """Top-level schemas (nested ones are reached via Schema.schemas()).
+        Pages through list_schemas like the reference's pagination loop
+        (vastdb/bucket.py:58-68)."""
+        out: list = []
+        next_key, truncated = 0, True
+        while truncated:
+            page, next_key, truncated = self.list_schemas(
+                next_key=next_key, max_keys=batch_size
+            )
+            out.extend(page)
+        return out
 
     # -- snapshots ---------------------------------------------------------
     def create_snapshot(self, name: str):

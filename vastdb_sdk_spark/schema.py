@@ -49,13 +49,38 @@ class Schema:
     def schema(self, name: str, fail_if_missing: bool = True):
         return self.bucket.schema(self._sub_name(name), fail_if_missing)
 
-    def schemas(self) -> list:
+    def schemas(self, batch_size: int | None = None) -> list:
+        out: list = []
+        next_key, truncated = 0, True
+        while truncated:
+            page, next_key, truncated = self.list_schemas(
+                next_key=next_key, max_keys=batch_size
+            )
+            out.extend(page)
+        return out
+
+    def list_schemas(
+        self,
+        next_key: int = 0,
+        name_prefix: str = "",
+        exact_match: bool = False,
+        max_keys: int | None = None,
+    ) -> tuple[list, int, bool]:
+        """One page of child schemas — ``(schemas, next_key, is_truncated)``
+        per the reference listing protocol (vastdb/_internal.py:1188-1236).
+        ``name_prefix``/``exact_match`` apply to the child's short name."""
+        from .catalog.listing import paginate_names
+
         prefix = self.name + "/"
-        return [
-            Schema(n, self.bucket)
-            for n in sorted(self.bucket.manifest.schemas)
+        names = sorted(
+            n[len(prefix):]
+            for n in self.bucket.manifest.schemas
             if n.startswith(prefix) and "/" not in n[len(prefix):]
-        ]
+        )
+        page, key, truncated = paginate_names(
+            names, next_key, max_keys, name_prefix, exact_match
+        )
+        return [Schema(prefix + n, self.bucket) for n in page], key, truncated
 
     # -- DDL ---------------------------------------------------------------
     def create_table(
@@ -137,24 +162,67 @@ class Schema:
             return None
         return Table(name, self)
 
-    def tables(self, table_name: str | None = None) -> list:
-        """List tables; hides per-table imports side tables like the
-        reference hides its bookkeeping tables."""
+    def _table_names(self) -> list[str]:
+        """Visible (non-bookkeeping) table names, sorted."""
+        return sorted(
+            t
+            for (s, t) in self.bucket.manifest.tables
+            if s == self.name and "/" not in t
+        )
+
+    def list_tables(
+        self,
+        next_key: int = 0,
+        name_prefix: str = "",
+        exact_match: bool = False,
+        max_keys: int | None = None,
+        names_only: bool = False,
+    ) -> tuple[list, int, bool]:
+        """One page of tables — ``(tables, next_key, is_truncated)`` per the
+        reference listing protocol (vastdb/_internal.py:1483-1531).
+        ``names_only=True`` returns bare names (cheaper wire shape in the
+        reference; here it skips Table construction). Hides per-table
+        imports side tables like the reference hides bookkeeping tables."""
+        from .catalog.listing import paginate_names
         from .table import Table
 
-        out = []
-        for (s, t) in sorted(self.bucket.manifest.tables):
-            if s != self.name:
-                continue
-            if table_name and t != table_name:
-                continue
-            if "/" in t:  # imports side tables
-                continue
-            out.append(Table(t, self))
+        page, key, truncated = paginate_names(
+            self._table_names(), next_key, max_keys, name_prefix, exact_match
+        )
+        items = page if names_only else [Table(t, self) for t in page]
+        return items, key, truncated
+
+    def tables(
+        self, table_name: str | None = None, batch_size: int | None = None
+    ) -> list:
+        """List tables, paging through list_tables like the reference
+        (vastdb/schema.py:136-149: exact_match when a name is given)."""
+        out: list = []
+        next_key, truncated = 0, True
+        while truncated:
+            page, next_key, truncated = self.list_tables(
+                next_key=next_key,
+                name_prefix=table_name or "",
+                exact_match=bool(table_name),
+                max_keys=batch_size,
+            )
+            out.extend(page)
         return out
 
-    def tablenames(self) -> list[str]:
-        return [t.name for t in self.tables()]
+    def tablenames(self, batch_size: int | None = None) -> list[str]:
+        out: list[str] = []
+        next_key, truncated = 0, True
+        while truncated:
+            page, next_key, truncated = self.list_tables(
+                next_key=next_key, max_keys=batch_size, names_only=True
+            )
+            out.extend(page)
+        return out
+
+    def table_count(self) -> int:
+        """Count-only listing (the reference's count-only mode returns just
+        the number of matches without materializing entries)."""
+        return len(self._table_names())
 
     def drop(self) -> None:
         st = self._state

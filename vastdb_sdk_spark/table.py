@@ -115,6 +115,36 @@ class Table:
         schema (vastdb/table.py:259-272)."""
         return self.arrow_schema
 
+    def list_columns(
+        self, next_key: int = 0, max_keys: int | None = None
+    ) -> tuple[list[pa.Field], int, bool]:
+        """One page of column fields — ``(fields, next_key, is_truncated)``
+        per the reference listing protocol (vastdb/_internal.py:1623-1686,
+        paginated so 64k-column tables don't overflow one response —
+        reference test_tables.py:1430-1464)."""
+        from .catalog.listing import DEFAULT_PAGE_SIZE
+
+        if max_keys is None:
+            max_keys = DEFAULT_PAGE_SIZE
+        if max_keys <= 0:
+            raise ValueError(f"max_keys must be positive, got {max_keys}")
+        schema = self.arrow_schema
+        page = [schema.field(i) for i in range(next_key, min(next_key + max_keys, len(schema)))]
+        key = next_key + len(page)
+        return page, key, key < len(schema)
+
+    def retrieve_column_names(self, batch_size: int | None = None) -> list[str]:
+        """Names-only column listing (reference: retrieve_column_names —
+        cheaper wire shape that skips schema metadata)."""
+        out: list[str] = []
+        next_key, truncated = 0, True
+        while truncated:
+            page, next_key, truncated = self.list_columns(
+                next_key=next_key, max_keys=batch_size
+            )
+            out.extend(f.name for f in page)
+        return out
+
     @property
     def spark(self):
         return self.tx.spark
