@@ -690,20 +690,16 @@ def q_asof_last_purchase(spark, sf):
 
 def q_dd_simhash(spark, sf):
     """64-bit SimHash as a bit string: per token md5, bit j votes +1/-1;
-    fingerprint bit = sign of vote sum. Explode + wide codegen'd aggregate
-    (measured faster than an explode-free array-aggregate variant)."""
-    from vastdb_sdk_spark.operators.dedup import _hash_bit_pm
+    fingerprint bit = sign of vote sum. Packed-counter aggregate (32 longs
+    hold 64 one-counters) — see operators/dedup.simhash."""
+    from vastdb_sdk_spark.operators.dedup import simhash
 
-    d = _t(spark, sf, "documents")
-    staged = d.select("doc_id", _tokens(F.col("text")).alias("tk"))
-    ex = staged.select("doc_id", F.explode(F.col("tk")).alias("t")).select(
-        "doc_id", F.md5(F.col("t")).alias("h")
-    )
-    votes = ex.groupBy("doc_id").agg(
-        *[F.sum(_hash_bit_pm("h", j)).alias(f"v{j}") for j in range(64)]
-    )
-    bits = [F.when(F.col(f"v{j}") > 0, "1").otherwise("0") for j in range(64)]
-    return votes.select("doc_id", F.concat(*bits).alias("simhash_bits"))
+    fp = simhash(_t(spark, sf, "documents"), "text", "doc_id")
+    bits = [
+        F.when(F.shiftright(F.col("simhash"), 63 - j).bitwiseAND(F.lit(1)) != 0, "1").otherwise("0")
+        for j in range(64)
+    ]
+    return fp.select("doc_id", F.concat(*bits).alias("simhash_bits"))
 
 
 # ---------------------------------------------------------------------------
