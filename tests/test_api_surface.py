@@ -90,3 +90,95 @@ def test_spill_streaming_select(clean_schema):
         tmp_root = os.path.join(tx._state("bkt").store.bucket_path, "_tmp")
         leftovers = os.listdir(tmp_root) if os.path.isdir(tmp_root) else []
         assert leftovers == []  # spill dir removed on exhaustion
+
+
+# -- metadata handles & accessors (reference: Table.ref/handle/sorted_table/
+#    vector_index, Transaction.is_active/active_txid/table_from_metadata) ---
+
+
+def test_table_metadata_accessors(clean_schema):
+    with clean_schema.transaction() as tx:
+        s = tx.bucket("bkt").schema("s")
+        t = s.create_table(
+            "m",
+            pa.schema([("k", pa.int64()), ("v", pa.float64())]),
+            sorting_key=["k"],
+        )
+        assert t.ref == vastdb.TableRef("bkt", "s", "m")
+        assert t.ref.full_path == "bkt/s/m"
+        assert t.table_metadata.table_type == "table"
+        assert not t.table_metadata.is_imports_table
+        assert isinstance(t.handle, int) and t.handle == t.handle
+        assert t.sorted_table
+        assert [f.name for f in t.sorted_columns()] == ["k"]
+        assert t.vector_index is None
+        t.reload_schema(); t.reload_stats(); t.reload_sorted_columns()
+        # round-trip through metadata
+        t2 = tx.table_from_metadata(t.table_metadata)
+        assert t2.name == "m" and t2.ref == t.ref
+        v = s.create_table(
+            "vec",
+            pa.schema([("emb", pa.list_(pa.float32(), 4))]),
+            vector_index={"column": "emb", "metric": "l2sq"},
+        )
+        vi = v.vector_index
+        assert vi == vastdb.VectorIndex("emb", "l2sq", "array_distance")
+        assert not v.sorted_table and v.sorted_columns() == []
+
+
+def test_transaction_state_api(session):
+    session.create_bucket("txb")
+    tx = session.transaction()
+    assert tx.is_active and tx.active_txid == tx.txid
+    with pytest.raises(vastdb.NoAdbcConnection):
+        tx.adbc_conn
+    assert tx.catalog_snapshots("txb") == []
+    tx.commit()
+    assert not tx.is_active
+    with pytest.raises(vastdb.TransactionClosed):
+        tx.active_txid
+
+
+def test_insert_in_column_batches_wide(clean_schema):
+    cols = [("k", pa.int64())] + [(f"c{i:03d}", pa.int64()) for i in range(95)]
+    data = {"k": [3, 1, 2]}
+    data.update({f"c{i:03d}": [i, i + 1, i + 2] for i in range(95)})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "wide", pa.schema(cols), sorting_key=["k"]
+        )
+        ids = t.insert_in_column_batches(pa.table(data), max_columns_per_batch=40)
+        assert len(ids) == 3
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("wide")
+        got = t.select().read_all().sort_by("k")
+        assert got.num_rows == 3 and got.num_columns == 96
+        # k-order is [1,2,3] -> original rows [1,2,0] -> c094 [95,96,94]
+        assert got.column("c094").to_pylist() == [95, 96, 94]
+        assert got.column("k").to_pylist() == [1, 2, 3]
+
+
+def test_blob_expansion_handle(clean_schema):
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "b", pa.schema([("payload", pa.string())])
+        )
+        t.create_blob_expansion(
+            "exp",
+            source_column="payload",
+            target_schema=pa.schema([("a", pa.int64())]),
+        )
+        h = t.blob_expansion("payload")
+        assert h.source_column_name == "payload" and h.name == "exp"
+        h.add_columns(pa.schema([("b", pa.string())]))
+        assert h.columns().names == ["a", "b"]
+        h.drop_columns(pa.schema([("a", pa.int64())]))
+        assert h.columns().names == ["b"]
+        assert h.table_metadata.ref.table == "b"
+        h.drop()
+        assert t.blob_expansions() == []
+        with pytest.raises(vastdb.MissingProjection):
+            t.blob_expansion("payload")
+        # imports-table metadata handle
+        im = t.imports_table_metadata()
+        assert im.is_imports_table and im.ref.table.startswith("b/")

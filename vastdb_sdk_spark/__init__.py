@@ -25,6 +25,7 @@ from .errors import (
     MissingSchema,
     MissingSnapshot,
     MissingTable,
+    NoAdbcConnection,
     NotSupportedCommand,
     NotSupportedSchema,
     ProjectionExists,
@@ -36,6 +37,7 @@ from .errors import (
     VastdbSparkError,
 )
 from .expr import _, ColumnRef, Expr
+from .metadata import BlobExpansion, TableMetadata, TableRef, VectorIndex
 from .session import Session, build_spark, connect
 from .table import INTERNAL_ROW_ID, Table, TableStats
 
@@ -70,4 +72,9 @@ __all__ = [
     "TooLargeRequest",
     "TooWideRow",
     "TransactionClosed",
+    "NoAdbcConnection",
+    "TableRef",
+    "TableMetadata",
+    "VectorIndex",
+    "BlobExpansion",
 ]

@@ -93,3 +93,9 @@ class InvalidArgument(VastdbSparkError):
 
 class TransactionClosed(VastdbSparkError):
     """Operation attempted on a committed/rolled-back transaction."""
+
+
+class NoAdbcConnection(VastdbSparkError):
+    """No ADBC driver available (reference: NoAdbcConnectionError —
+    raised when a transaction's ADBC connection is requested but no
+    driver was supplied; this engine's SQL tier is ``tx.sql``)."""

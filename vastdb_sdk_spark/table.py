@@ -47,7 +47,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .catalog.manifest import FileEntry, TableEntry
+from .catalog.manifest import IMPORTED_OBJECTS_TABLE_NAME, FileEntry, TableEntry
 from .config import QueryConfig
 from .errors import (
     InvalidArgument,
@@ -144,6 +144,93 @@ class Table:
             )
             out.extend(f.name for f in page)
         return out
+
+    # ------------------------------------------------------------------
+    # metadata accessors (reference: vastdb/table.py:200-260, 920-970)
+    @property
+    def ref(self):
+        """Fully-qualified coordinates (reference: Table.ref)."""
+        from .metadata import TableRef
+
+        return TableRef(self.bucket.name, self.schema.name, self.name)
+
+    @property
+    def table_metadata(self):
+        from .metadata import TableMetadata
+
+        kind = "imports" if "/" in self.name else "table"
+        return TableMetadata(self.ref, kind)
+
+    @property
+    def handle(self) -> int:
+        """Stable integer handle (reference: Table.handle — an opaque server
+        id; here a deterministic hash of the table path)."""
+        import zlib
+
+        return zlib.crc32(self.path.encode())
+
+    @property
+    def sorted_table(self) -> bool:
+        """True iff the table has a sorting key (reference:
+        Table.sorted_table)."""
+        return bool(self.entry.sorting_key)
+
+    def sorted_columns(self) -> list[pa.Field]:
+        """Sorting-key columns as Arrow fields (reference:
+        Table.sorted_columns)."""
+        schema = self.arrow_schema
+        return [schema.field(k) for k in self.entry.sorting_key]
+
+    @property
+    def vector_index(self):
+        """Vector-index metadata or None (reference: Table.vector_index)."""
+        from .metadata import VectorIndex
+
+        vi = self.entry.vector_index
+        if not vi:
+            return None
+        metric = vi.get("metric", "l2sq")
+        sql_fn = {
+            "l2sq": "array_distance",
+            "cosine": "array_cosine_distance",
+            "ip": "array_negative_inner_product",
+        }.get(metric, metric)
+        return VectorIndex(vi["column"], metric, sql_fn)
+
+    def reload_schema(self) -> None:
+        """No-op: the manifest snapshot is authoritative within a
+        transaction (reference: reload_schema re-fetches from the server)."""
+
+    def reload_stats(self) -> None:
+        """No-op: stats are computed fresh on access (reference:
+        reload_stats re-fetches from the server)."""
+
+    def reload_sorted_columns(self) -> None:
+        """No-op: sorting metadata lives in the manifest (reference:
+        reload_sorted_columns re-fetches from the server)."""
+
+    def imports_table_metadata(self):
+        """Metadata handle for the imports side table (reference:
+        imports_table_metadata, vastdb/table.py:851-857)."""
+        from .metadata import TableMetadata, TableRef
+
+        iname = f"{self.name}/{IMPORTED_OBJECTS_TABLE_NAME}"
+        return TableMetadata(
+            TableRef(self.bucket.name, self.schema.name, iname), "imports"
+        )
+
+    def blob_expansion(self, source_column_name: str = "value"):
+        """Get a blob-expansion handle by its source column (reference:
+        Table.blob_expansion, vastdb/table.py:311-330). The handle's
+        add_columns/drop_columns/drop mutate the expansion."""
+        from .metadata import BlobExpansion
+
+        for name, cfg in sorted(self.entry.blob_expansions.items()):
+            if cfg["source_column"] == source_column_name:
+                return BlobExpansion(self, name, source_column_name)
+        raise MissingProjection(
+            f"no blob expansion with source column {source_column_name!r}"
+        )
 
     @property
     def spark(self):
@@ -716,6 +803,31 @@ class Table:
         self._mutate(entry, "insert", rows=n)
         self._sync_blob_expansions(entry)
         return out_ids
+
+    def insert_in_column_batches(
+        self, rows: pa.RecordBatch | pa.Table, max_columns_per_batch: int = 40
+    ) -> pa.ChunkedArray:
+        """Wide-row insert: the first ``max_columns_per_batch`` columns go
+        through ``insert`` (sorting-key columns first — they cannot be
+        updated afterwards), the rest are applied as ``$row_id``-keyed
+        updates in column groups (reference: insert_in_column_batches,
+        vastdb/table.py:706-737, MAX_COLUMN_IN_BATCH=40 — there an RPC-size
+        workaround; here a driver-side convenience for very wide schemas).
+        Returns the allocated row ids."""
+        if isinstance(rows, pa.RecordBatch):
+            rows = pa.Table.from_batches([rows])
+        names = list(rows.schema.names)
+        sort_first = [k for k in self.entry.sorting_key if k in names]
+        names = sort_first + [c for c in names if c not in sort_first]
+        head, tail = names[:max_columns_per_batch], names[max_columns_per_batch:]
+        row_ids = self.insert(rows.select(head))
+        for start in range(0, len(tail), max_columns_per_batch):
+            chunk = tail[start : start + max_columns_per_batch]
+            upd = rows.select(chunk).append_column(
+                pa.field(INTERNAL_ROW_ID, _ROW_ID_ARROW), row_ids
+            )
+            self.update(upd)
+        return row_ids
 
     def _write_parquet(self, tbl: pa.Table) -> str:
         path = self._state.store.new_data_file(self.schema.name, self.name)

@@ -20,7 +20,7 @@ import os
 import time
 
 from .catalog.manifest import ChangeSet, Manifest, ManifestStore
-from .errors import TransactionClosed
+from .errors import NoAdbcConnection, TransactionClosed
 
 _txid_counter = itertools.count(int(time.time() * 1000) % (1 << 40))
 
@@ -76,6 +76,43 @@ class Transaction:
     @property
     def spark(self):
         return self._session.spark
+
+    @property
+    def is_active(self) -> bool:
+        """True until commit/rollback (reference: Transaction.is_active,
+        vastdb/transaction.py:124-126)."""
+        return not self._closed
+
+    @property
+    def active_txid(self) -> int:
+        """The transaction id, raising once closed (reference:
+        Transaction.active_txid raises TransactionNotActiveError)."""
+        self._check_open()
+        return self.txid
+
+    def table_from_metadata(self, metadata):
+        """Resolve a Table from a TableMetadata handle (reference:
+        Transaction.table_from_metadata, vastdb/transaction.py:135-137)."""
+        ref = metadata.ref
+        return self.bucket(ref.bucket).schema(ref.schema).table(ref.table)
+
+    def catalog_snapshots(self, bucket_name: str) -> list:
+        """Snapshots usable as catalog scopes (reference:
+        Transaction.catalog_snapshots returns the catalog bucket's
+        snapshots; here the catalog is derived per bucket, so these are the
+        bucket's own snapshots)."""
+        return self.bucket(bucket_name).snapshots()
+
+    @property
+    def adbc_conn(self):
+        """The reference exposes an optional ADBC connection for its SQL
+        tier (vastdb/transaction.py:139-144, raising when no driver was
+        supplied). This engine's SQL tier is Spark SQL (``tx.sql``); no
+        ADBC driver is bundled, so this always raises — same behavior as
+        the reference without a driver."""
+        raise NoAdbcConnection(
+            "no ADBC driver: use tx.sql(...) (Spark SQL) instead"
+        )
 
     # -- API ---------------------------------------------------------------
     def bucket(self, name: str):
