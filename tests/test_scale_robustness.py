@@ -129,14 +129,15 @@ def test_vacuum_removes_orphans(clean_schema):
         t.insert(data)
     with clean_schema.transaction() as tx:
         t = tx.bucket("bkt").schema("s").table("t")
-        # rewrite orphans the original insert file
-        t.delete(pa.table({"$row_id": pa.array([0], pa.uint64())}))
+        # >30% of rows -> the deletion vector is folded: the original file
+        # and the transient DV sidecar are both orphaned by the rewrite
+        t.delete(pa.table({"$row_id": pa.array(range(40), pa.uint64())}))
     deleted = clean_schema.vacuum("bkt")
-    assert len(deleted) == 1
+    assert len(deleted) == 2
     with clean_schema.transaction() as tx:
         t = tx.bucket("bkt").schema("s").table("t")
-        assert t.count_rows() == 99
-        assert t.select_df().count() == 99  # data intact after vacuum
+        assert t.count_rows() == 60
+        assert t.select_df().count() == 60  # data intact after vacuum
         for fe in t.entry.files:
             assert os.path.exists(fe.path)
 
@@ -150,13 +151,17 @@ def test_vacuum_respects_snapshots(clean_schema):
         tx.bucket("bkt").create_snapshot("keep")
     with clean_schema.transaction() as tx:
         t = tx.bucket("bkt").schema("s").table("t")
-        t.delete(pa.table({"$row_id": pa.array([0], pa.uint64())}))
-    assert clean_schema.vacuum("bkt", keep_snapshots=True) == []
+        # heavy delete folds the DV -> old file + DV sidecar referenced only
+        # by the snapshot manifest
+        t.delete(pa.table({"$row_id": pa.array(range(6), pa.uint64())}))
+    # the transient DV sidecar (written then folded inside one tx) is
+    # referenced by no committed manifest -> vacuumable even with snapshots
+    assert len(clean_schema.vacuum("bkt", keep_snapshots=True)) == 1
     with clean_schema.transaction() as tx:
         snap = tx.bucket("bkt").snapshot("keep")
         assert snap.schema("s").table("t").count_rows() == 10  # still readable
     deleted = clean_schema.vacuum("bkt", keep_snapshots=False)
-    assert len(deleted) == 1
+    assert len(deleted) == 1  # the pre-delete data file
 
 
 def test_many_small_inserts_one_tx(clean_schema):
@@ -172,3 +177,119 @@ def test_many_small_inserts_one_tx(clean_schema):
         assert t.count_rows() == 50
         st = tx._state("bkt")
         assert st.manifest.version >= 2  # catalog versions advanced by commits
+
+# -- deletion vectors (merge-on-read DML) -----------------------------------
+
+
+def test_delete_writes_dv_not_rewrite(clean_schema):
+    data = pa.table({"a": pa.array(range(100), pa.int64())})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("t", data.schema)
+        t.insert(data)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        orig = [fe.path for fe in t.entry.files]
+        t.delete(pa.table({"$row_id": pa.array([3, 7], pa.uint64())}))
+        fe = t.entry.files[0]
+        # data file untouched; a DV sidecar carries the two ids
+        assert [f.path for f in t.entry.files] == orig
+        assert fe.dv_rows == 2 and len(fe.dv_paths) == 1
+        assert t.count_rows() == 98
+        got = t.select(columns=["a"]).read_all().column("a").to_pylist()
+        assert sorted(got) == [i for i in range(100) if i not in (3, 7)]
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        # second delete: disjoint accounting, including an already-deleted
+        # and a nonexistent id (both must not count)
+        t.delete(pa.table({"$row_id": pa.array([3, 5, 10_000], pa.uint64())}))
+        fe = t.entry.files[0]
+        assert fe.dv_rows == 3 and len(fe.dv_paths) == 2
+        assert t.count_rows() == 97
+        # row ids stable: $row_id 5 gone, 4 and 6 still present
+        ids = t.select(columns=["a"], internal_row_id=True).read_all()
+        got_ids = ids.column("$row_id").to_pylist()
+        assert 5 not in got_ids and 4 in got_ids and 6 in got_ids
+
+
+def test_delete_where_dv_and_fold(clean_schema):
+    data = pa.table({"a": pa.array(range(1000), pa.int64())})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("t", data.schema)
+        t.insert(data)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        t.delete_where(D.a.isin(list(range(0, 1000, 10))))  # 10% -> DV only
+        fe = t.entry.files[0]
+        assert fe.dv_rows == 100 and fe.rows == 1000
+        assert t.count_rows() == 900
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        t.delete_where(D.a < 500)  # pushes past 30% -> fold rewrites
+        fe = t.entry.files[0]
+        assert fe.dv_rows == 0 and fe.rows == 450
+        assert t.count_rows() == 450
+        got = t.select(columns=["a"]).read_all().column("a").to_pylist()
+        assert sorted(got) == [i for i in range(500, 1000) if i % 10 != 0]
+
+
+def test_update_after_dv_delete_purges_dv(clean_schema):
+    data = pa.table({"a": pa.array(range(10), pa.int64())})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("t", data.schema)
+        t.insert(data)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        t.delete(pa.table({"$row_id": pa.array([2], pa.uint64())}))
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        t.update(pa.table({"$row_id": pa.array([5], pa.uint64()),
+                           "a": pa.array([500], pa.int64())}))
+        # update rewrote the file -> DV folded away, deleted row stays gone
+        assert all(not fe.dv_paths for fe in t.entry.files)
+        assert t.count_rows() == 9
+        got = dict(zip(
+            t.select(internal_row_id=True).read_all().column("$row_id").to_pylist(),
+            t.select(internal_row_id=True).read_all().column("a").to_pylist(),
+        ))
+        assert got[5] == 500 and 2 not in got
+
+
+def test_dv_snapshot_time_travel(clean_schema):
+    data = pa.table({"a": pa.array(range(10), pa.int64())})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("t", data.schema)
+        t.insert(data)
+    with clean_schema.transaction() as tx:
+        tx.bucket("bkt").create_snapshot("before")
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        t.delete(pa.table({"$row_id": pa.array([0, 1], pa.uint64())}))
+        assert t.count_rows() == 8
+    with clean_schema.transaction() as tx:
+        snap = tx.bucket("bkt").snapshot("before")
+        assert snap.schema("s").table("t").count_rows() == 10
+
+
+def test_dv_select_splits_and_rollback(clean_schema):
+    data = pa.table({"a": pa.array(range(40), pa.int64())})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("t", data.schema)
+        for i in range(4):
+            t.insert(data.slice(i * 10, 10))
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        t.delete(pa.table({"$row_id": pa.array([12, 25], pa.uint64())}))
+        readers = t.select_splits(num_splits=2)
+        rows = [r for rd in readers for r in rd.read_all().column("a").to_pylist()]
+        assert len(rows) == 38 and 2 not in {12, 25} - set(rows)
+    # rollback deletes the staged DV
+    try:
+        with clean_schema.transaction() as tx:
+            t = tx.bucket("bkt").schema("s").table("t")
+            t.delete(pa.table({"$row_id": pa.array([30], pa.uint64())}))
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        assert t.count_rows() == 38  # rollback restored

@@ -67,10 +67,20 @@ class FileEntry:
     # logical column -> [min, max] (JSON scalars), recorded for sort-key
     # columns; enables manifest-level file pruning (plans/pruning.py)
     col_stats: dict[str, list] = field(default_factory=dict)
+    # deletion vectors: parquet sidecars of deleted $row_ids belonging to
+    # this file (column ``deleted_row_id``). Batches are disjoint by
+    # construction (each delete matches only still-live rows), so dv_rows
+    # is exact without reading them. Purged whenever the file is rewritten.
+    dv_paths: list[str] = field(default_factory=list)
+    dv_rows: int = 0
 
     @property
     def has_physical_row_id(self) -> bool:
         return self.row_id_base < 0
+
+    @property
+    def live_rows(self) -> int:
+        return self.rows - self.dv_rows
 
     def to_json(self) -> dict:
         return {
@@ -83,6 +93,8 @@ class FileEntry:
             "partition": self.partition,
             "column_map": self.column_map,
             "col_stats": self.col_stats,
+            "dv_paths": self.dv_paths,
+            "dv_rows": self.dv_rows,
         }
 
     @staticmethod
@@ -97,6 +109,8 @@ class FileEntry:
             partition=dict(d.get("partition", {})),
             column_map=d.get("column_map"),
             col_stats=dict(d.get("col_stats", {})),
+            dv_paths=list(d.get("dv_paths", [])),
+            dv_rows=d.get("dv_rows", 0),
         )
 
     def row_id_range(self) -> tuple[int, int]:
@@ -127,7 +141,13 @@ class TableEntry:
 
     @property
     def num_rows(self) -> int:
+        """Physical rows across files (deletion-vector'd rows included)."""
         return sum(f.rows for f in self.files)
+
+    @property
+    def live_rows(self) -> int:
+        """Visible rows: physical minus deletion-vector'd."""
+        return sum(f.rows - f.dv_rows for f in self.files)
 
     def to_json(self) -> dict:
         return {

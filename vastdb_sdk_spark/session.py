@@ -93,6 +93,8 @@ class Session:
             for te in m.tables.values():
                 for fe in te.files:
                     referenced.add(os.path.abspath(fe.path))
+                    for dvp in fe.dv_paths:
+                        referenced.add(os.path.abspath(dvp))
                 for proj in te.projections.values():
                     for fj in proj.get("files", []):
                         referenced.add(os.path.abspath(fj["path"]))

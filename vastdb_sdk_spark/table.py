@@ -294,12 +294,16 @@ class Table:
         *,
         files: list[FileEntry] | None = None,
         column_types: pa.Schema | None = None,
+        with_file_path: bool = False,
     ) -> DataFrame:
         """The table as a lazy Spark DataFrame (logical column names).
 
         This is the engine's FileSourceScan: one united parquet scan over the
-        manifest's files; Catalyst prunes/pushes down from here.
-        """
+        manifest's files; Catalyst prunes/pushes down from here. Rows masked
+        by deletion vectors are filtered via a row-id anti-join against the
+        scanned files' DV sidecars (broadcast when small).
+        ``with_file_path`` adds a ``__source_file`` column (absolute path of
+        the backing parquet file) for DML bookkeeping."""
         entry = self.entry
         arrow = column_types if column_types is not None else self.arrow_schema
         pmap = self._physical_map()
@@ -309,6 +313,9 @@ class Table:
             for f in arrow
         }
         file_list = entry.files if files is None else files
+        dv_paths = [p for fe in file_list for p in fe.dv_paths]
+        dv_rows = sum(fe.dv_rows for fe in file_list)
+        want_rid = internal_row_id or bool(dv_paths)
 
         if not file_list:
             spark_fields = [
@@ -343,6 +350,8 @@ class Table:
                 fields.append(T.StructField(PHYSICAL_ROW_ID, T.LongType(), False))
             reader_schema = T.StructType(fields)
             df = self.spark.read.schema(reader_schema).parquet(*[fe.path for fe in fes])
+            if with_file_path:
+                df = df.withColumn("__source_file", F.col("_metadata.file_path"))
             # file-name -> physical rename
             for phys, (logical, _st) in phys_fields.items():
                 if logical in part_d:
@@ -354,7 +363,7 @@ class Table:
             for phys, (logical, st_type) in phys_fields.items():
                 if logical in part_d:
                     df = df.withColumn(phys, F.lit(part_d[logical]).cast(st_type))
-            if internal_row_id:
+            if want_rid:
                 if has_phys_rid:
                     df = df.withColumnRenamed(PHYSICAL_ROW_ID, INTERNAL_ROW_ID)
                 else:
@@ -385,12 +394,28 @@ class Table:
         out_cols = [
             F.col(pmap.get(f.name, f.name)).alias(f.name) for f in arrow
         ]
-        if internal_row_id:
+        if want_rid:
             out_cols.append(F.col(INTERNAL_ROW_ID))
+        if with_file_path:
+            out_cols.append(F.col("__source_file"))
         parts = [p.select(*out_cols) for p in parts]
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
+        if dv_paths:
+            dv_df = (
+                self.spark.read.schema("deleted_row_id LONG").parquet(*dv_paths)
+            )
+            # broadcast small DVs; big ones go through a shuffled anti-join
+            if dv_rows <= 2_000_000:
+                dv_df = F.broadcast(dv_df)
+            df = df.join(
+                dv_df,
+                df[INTERNAL_ROW_ID] == dv_df["deleted_row_id"],
+                "left_anti",
+            )
+            if not internal_row_id:
+                df = df.drop(INTERNAL_ROW_ID)
         return df
 
     def select_df(
@@ -538,7 +563,7 @@ class Table:
         (count-only scans, vastdb/_internal.py:2590-2604) and of the row
         estimate probe (table.py:442-458), but exact."""
         if predicate is None:
-            return self.entry.num_rows  # manifest stats: zero I/O
+            return self.entry.live_rows  # manifest stats: zero I/O
         pruned = self._pruned_files(predicate)
         return (
             self.df(files=pruned)
@@ -1022,8 +1047,45 @@ class Table:
         self._mark_unsorted(entry)
         self._mutate(entry, "update", rows=len(ids))
 
+    # deletion-vector plumbing --------------------------------------------
+    DV_REWRITE_FRACTION = 0.3  # fold DVs into a rewrite past this fraction
+
+    def _write_dv(self, ids: list[int]) -> str:
+        """Write one deletion-vector sidecar (sorted ids, zstd parquet)."""
+        path = self._state.store.new_data_file(self.schema.name, self.name)
+        pq.write_table(
+            pa.table({"deleted_row_id": pa.array(sorted(ids), pa.int64())}),
+            path,
+            compression="zstd",
+        )
+        self._state.staged_files.append(path)
+        return path
+
+    def _fold_heavy_dvs(self, entry: TableEntry, candidates: list[FileEntry]) -> None:
+        """Rewrite files whose deletion vectors exceed DV_REWRITE_FRACTION
+        of their rows, dropping masked rows physically. Bounds the scan-time
+        anti-join: DVs never exceed ~30% of any file."""
+        heavy = [
+            fe
+            for fe in candidates
+            if fe.dv_rows and fe.rows and fe.dv_rows / fe.rows > self.DV_REWRITE_FRACTION
+        ]
+        if not heavy:
+            return
+        # df() over the updated entries applies the DV filter, so the
+        # rewrite output is exactly the surviving rows (row ids preserved)
+        keep = self.df(internal_row_id=True, files=heavy)
+        self._rewrite_files(entry, heavy, keep, "dvfold")
+
     def delete(self, rows: pa.RecordBatch | pa.Table) -> None:
-        """Delete rows keyed by ``$row_id`` (reference: vastdb/table.py:819-843)."""
+        """Delete rows keyed by ``$row_id`` (reference: vastdb/table.py:819-843).
+
+        Scale design: instead of rewriting every affected data file, the
+        matched row ids are appended as per-file deletion-vector sidecars
+        (Delta/Iceberg-style merge-on-read) — one column-pruned scan to
+        attribute ids to files, then tiny DV writes. Files whose DV grows
+        past DV_REWRITE_FRACTION are folded (rewritten without masked rows),
+        so read amplification stays bounded."""
         if isinstance(rows, pa.RecordBatch):
             rows = pa.Table.from_batches([rows])
         if INTERNAL_ROW_ID not in rows.schema.names:
@@ -1032,36 +1094,99 @@ class Table:
         if not ids:
             return
         entry = TableEntry.from_json(self.entry.to_json())
-        affected, _ = self._affected_split(ids)
-        base_df = self.df(internal_row_id=True, files=affected)
-        del_df = self._rows_to_df(rows.select([INTERNAL_ROW_ID]))
-        remaining = base_df.join(
-            F.broadcast(del_df),
-            base_df[INTERNAL_ROW_ID] == del_df["__update_row_id"],
-            "left_anti",
-        )
-        self._rewrite_files(entry, affected, remaining, "del")
+        # affected files computed on the WORKING COPY's entries so DV
+        # updates land on what _mutate commits
+        lo, hi = min(ids), max(ids)
+        affected = [
+            fe
+            for fe in entry.files
+            if not (fe.row_id_range()[1] < lo or fe.row_id_range()[0] > hi)
+        ]
+        if affected:
+            # one distributed job: which requested ids are live, and in
+            # which file? (Catalyst prunes the scan to metadata columns)
+            base = self.df(
+                internal_row_id=True, files=affected, with_file_path=True
+            ).select(INTERNAL_ROW_ID, "__source_file")
+            del_df = self._rows_to_df(rows.select([INTERNAL_ROW_ID]))
+            matched = (
+                base.join(
+                    F.broadcast(del_df),
+                    base[INTERNAL_ROW_ID] == del_df["__update_row_id"],
+                    "left_semi",
+                )
+                .groupBy("__source_file")
+                .agg(F.collect_list(INTERNAL_ROW_ID).alias("__ids"))
+                .collect()
+            )
+            by_path = {
+                "file:" + os.path.abspath(fe.path): fe for fe in affected
+            }
+            for row in matched:
+                fe = by_path[row["__source_file"]]
+                fe.dv_paths.append(self._write_dv(row["__ids"]))
+                fe.dv_rows += len(row["__ids"])
+            self._fold_heavy_dvs(entry, affected)
         self._mark_unsorted(entry)
         self._mutate(entry, "delete", rows=len(ids))
 
     def delete_where(self, predicate: Any) -> None:
         """Predicate DELETE (engine extension): fully distributed — no
         row-id collection on the driver. Manifest pruning narrows the
-        affected files first; untouched files are never rewritten. The
+        affected files first; matching row ids are written straight to
+        per-file deletion-vector sidecars (hive-partitioned by source file),
+        so no data file is rewritten and only the predicate columns are
+        read. Files whose DV grows past DV_REWRITE_FRACTION are folded. The
         reference only offers row-id DML (vastdb/table.py:819-843); this is
         the 100 TB-shaped equivalent of ``DELETE FROM t WHERE ...``."""
         pred = to_spark_predicate(predicate, self.arrow_schema)
         if pred is None:
             raise InvalidArgument("delete_where requires a predicate")
         entry = TableEntry.from_json(self.entry.to_json())
-        affected = self._pruned_files(predicate)
-        if affected is None:
+        pruned = self._pruned_files(predicate)
+        if pruned is None:
             affected = list(entry.files)
+        else:
+            keep = {fe.path for fe in pruned}
+            affected = [fe for fe in entry.files if fe.path in keep]
         if not affected:
             return
-        base_df = self.df(internal_row_id=True, files=affected)
-        remaining = base_df.filter(~pred | pred.isNull())
-        self._rewrite_files(entry, affected, remaining, "delw")
+        matching = (
+            self.df(internal_row_id=True, files=affected, with_file_path=True)
+            .filter(pred)
+            .select(
+                F.col(INTERNAL_ROW_ID).cast("long").alias("deleted_row_id"),
+                F.md5(F.col("__source_file")).alias("__fk"),
+            )
+        )
+        staging = os.path.join(
+            self._state.store.table_data_dir(self.schema.name, self.name),
+            f"dv-{os.getpid()}-{time.time_ns()}",
+        )
+        matching.write.partitionBy("__fk").mode("overwrite").parquet(staging)
+        self._state.staged_files.append(staging)
+        import hashlib
+
+        by_key = {
+            hashlib.md5(("file:" + os.path.abspath(fe.path)).encode()).hexdigest(): fe
+            for fe in affected
+        }
+        for dirname in sorted(os.listdir(staging)):
+            if not dirname.startswith("__fk="):
+                continue
+            fe = by_key[dirname.split("=", 1)[1]]
+            added = 0
+            for fn in sorted(os.listdir(os.path.join(staging, dirname))):
+                if not fn.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(staging, dirname, fn)
+                n = pq.ParquetFile(fpath).metadata.num_rows
+                if n == 0:
+                    continue
+                fe.dv_paths.append(fpath)
+                added += n
+            fe.dv_rows += added
+        self._fold_heavy_dvs(entry, affected)
         self._mark_unsorted(entry)
         self._mutate(entry, "delete_where")
 
@@ -1348,7 +1473,7 @@ class Table:
             except OSError:
                 pass
         return TableStats(
-            num_rows=entry.num_rows,
+            num_rows=entry.live_rows,
             size_in_bytes=size,
             sorting_score=entry.sorting_score,
             sorting_done=entry.sorting_done,

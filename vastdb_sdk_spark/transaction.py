@@ -134,10 +134,15 @@ class Transaction:
         if self._closed:
             return
         self._closed = True
+        import shutil
+
         for st in self._buckets.values():
             for path in st.staged_files:
                 try:
-                    os.unlink(path)
+                    if os.path.isdir(path):
+                        shutil.rmtree(path, ignore_errors=True)
+                    else:
+                        os.unlink(path)
                 except OSError:
                     pass
 
@@ -200,7 +205,7 @@ class Transaction:
             rows.append((bucket_name, sname, None, "schema", 0, 0))
         for (sname, tname), te in m.tables.items():
             rows.append(
-                (bucket_name, sname, tname, "table", te.num_rows, len(te.files))
+                (bucket_name, sname, tname, "table", te.live_rows, len(te.files))
             )
         df = self._session.spark.createDataFrame(
             rows,
