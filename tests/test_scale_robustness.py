@@ -244,8 +244,10 @@ def test_update_after_dv_delete_purges_dv(clean_schema):
         t = tx.bucket("bkt").schema("s").table("t")
         t.update(pa.table({"$row_id": pa.array([5], pa.uint64()),
                            "a": pa.array([500], pa.int64())}))
-        # update rewrote the file -> DV folded away, deleted row stays gone
-        assert all(not fe.dv_paths for fe in t.entry.files)
+        # merge-on-read update: old file DV-masks ids 2 (deleted) and 5
+        # (old version); the replacement row landed in a new file
+        old = t.entry.files[0]
+        assert old.dv_rows == 2 and len(t.entry.files) == 2
         assert t.count_rows() == 9
         got = dict(zip(
             t.select(internal_row_id=True).read_all().column("$row_id").to_pylist(),
@@ -293,3 +295,43 @@ def test_dv_select_splits_and_rollback(clean_schema):
     with clean_schema.transaction() as tx:
         t = tx.bucket("bkt").schema("s").table("t")
         assert t.count_rows() == 38  # rollback restored
+
+
+def test_update_twice_then_delete_same_row(clean_schema):
+    data = pa.table({"a": pa.array(range(10), pa.int64())})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("t", data.schema)
+        t.insert(data)
+    for val in (100, 200):
+        with clean_schema.transaction() as tx:
+            t = tx.bucket("bkt").schema("s").table("t")
+            t.update(pa.table({"$row_id": pa.array([4], pa.uint64()),
+                               "a": pa.array([val], pa.int64())}))
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        got = t.select(internal_row_id=True).read_all()
+        vals = dict(zip(got.column("$row_id").to_pylist(), got.column("a").to_pylist()))
+        assert vals[4] == 200 and t.count_rows() == 10
+        # now delete the twice-updated row: DV must land on its CURRENT file
+        t.delete(pa.table({"$row_id": pa.array([4], pa.uint64())}))
+        assert t.count_rows() == 9
+        ids = t.select(internal_row_id=True).read_all().column("$row_id").to_pylist()
+        assert 4 not in ids and sorted(ids) == [0, 1, 2, 3, 5, 6, 7, 8, 9]
+
+
+def test_update_where_merge_on_read(clean_schema):
+    data = pa.table({"a": pa.array(range(1000), pa.int64()),
+                     "b": pa.array([0] * 1000, pa.int64())})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("t", data.schema)
+        t.insert(data)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        orig = t.entry.files[0].path
+        t.update_where(D.a < 100, {"b": 7})
+        # merge-on-read: original file intact + DV, replacement file added
+        assert t.entry.files[0].path == orig
+        assert t.entry.files[0].dv_rows == 100
+        assert t.count_rows() == 1000
+        assert t.select_df(predicate=(D.b == 7)).count() == 100
+        assert t.select_df(predicate=(D.b == 0)).count() == 900

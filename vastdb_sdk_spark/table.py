@@ -352,6 +352,10 @@ class Table:
             df = self.spark.read.schema(reader_schema).parquet(*[fe.path for fe in fes])
             if with_file_path:
                 df = df.withColumn("__source_file", F.col("_metadata.file_path"))
+            if dv_paths:
+                # DV scope key: masks apply per owning file, so a
+                # replacement row reusing a masked id stays visible
+                df = df.withColumn("__dv_fk", F.md5(F.col("_metadata.file_path")))
             # file-name -> physical rename
             for phys, (logical, _st) in phys_fields.items():
                 if logical in part_d:
@@ -398,22 +402,25 @@ class Table:
             out_cols.append(F.col(INTERNAL_ROW_ID))
         if with_file_path:
             out_cols.append(F.col("__source_file"))
+        if dv_paths:
+            out_cols.append(F.col("__dv_fk"))
         parts = [p.select(*out_cols) for p in parts]
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
         if dv_paths:
-            dv_df = (
-                self.spark.read.schema("deleted_row_id LONG").parquet(*dv_paths)
-            )
+            dv_df = self.spark.read.schema(
+                "deleted_row_id LONG, owner_fk STRING"
+            ).parquet(*dv_paths)
             # broadcast small DVs; big ones go through a shuffled anti-join
             if dv_rows <= 2_000_000:
                 dv_df = F.broadcast(dv_df)
             df = df.join(
                 dv_df,
-                df[INTERNAL_ROW_ID] == dv_df["deleted_row_id"],
+                (df[INTERNAL_ROW_ID] == dv_df["deleted_row_id"])
+                & (df["__dv_fk"] == dv_df["owner_fk"]),
                 "left_anti",
-            )
+            ).drop("__dv_fk")
             if not internal_row_id:
                 df = df.drop(INTERNAL_ROW_ID)
         return df
@@ -1023,43 +1030,128 @@ class Table:
         if not ids:
             return
         entry = TableEntry.from_json(self.entry.to_json())
-        affected, _ = self._affected_split(ids)
-        base_df = self.df(internal_row_id=True, files=affected)
+        lo, hi = min(ids), max(ids)
+        affected = [
+            fe
+            for fe in entry.files
+            if not (fe.row_id_range()[1] < lo or fe.row_id_range()[0] > hi)
+        ]
+        if not affected:
+            return
+        # merge-on-read: DV-mask the old row versions and append ONLY the
+        # replacement rows (same row ids) as a new file — cost is
+        # proportional to matched rows, never to the size of touched files
+        base_df = self.df(
+            internal_row_id=True, files=affected, with_file_path=True
+        )
         upd_df = self._rows_to_df(rows)
         joined = base_df.join(
             F.broadcast(upd_df),
             base_df[INTERNAL_ROW_ID] == upd_df["__update_row_id"],
-            "left",
+            "inner",
         )
-        # join-match presence (not coalesce) decides which value wins, so an
-        # update may legitimately set a column to NULL
-        matched = upd_df["__update_row_id"].isNotNull()
         out_cols = []
         for f in self.arrow_schema:
+            # updated columns take the new value verbatim — an update may
+            # legitimately set a column to NULL (cast pins the storage type
+            # even for all-NULL batches)
             if f.name in upd_cols:
                 out_cols.append(
-                    F.when(matched, upd_df[f.name]).otherwise(base_df[f.name]).alias(f.name)
+                    upd_df[f.name]
+                    .cast(arrow_type_to_spark(storage_arrow_type(f.type)))
+                    .alias(f.name)
                 )
             else:
                 out_cols.append(base_df[f.name])
         out_cols.append(base_df[INTERNAL_ROW_ID])
-        self._rewrite_files(entry, affected, joined.select(*out_cols), "upd")
+        out_cols.append(F.col("__source_file"))
+        matched_df = joined.select(*out_cols).persist()
+        try:
+            per_file = (
+                matched_df.groupBy("__source_file")
+                .agg(F.collect_list(INTERNAL_ROW_ID).alias("__ids"))
+                .collect()
+            )
+            if per_file:
+                self._rewrite_files(
+                    entry, [], matched_df.drop("__source_file"), "upd"
+                )
+                by_path = {
+                    "file:" + os.path.abspath(fe.path): fe for fe in affected
+                }
+                for row in per_file:
+                    fe = by_path[row["__source_file"]]
+                    fe.dv_paths.append(self._write_dv(fe, row["__ids"]))
+                    fe.dv_rows += len(row["__ids"])
+                self._fold_heavy_dvs(entry, affected)
+        finally:
+            matched_df.unpersist()
         self._mark_unsorted(entry)
         self._mutate(entry, "update", rows=len(ids))
 
     # deletion-vector plumbing --------------------------------------------
     DV_REWRITE_FRACTION = 0.3  # fold DVs into a rewrite past this fraction
 
-    def _write_dv(self, ids: list[int]) -> str:
+    @staticmethod
+    def _dv_owner_fk(fe: FileEntry) -> str:
+        """Key tying a DV row to its owning data file — matches the scan's
+        md5(_metadata.file_path). DVs are file-scoped: a masked row id says
+        nothing about the same id in a replacement file written later."""
+        import hashlib
+
+        return hashlib.md5(("file:" + os.path.abspath(fe.path)).encode()).hexdigest()
+
+    def _write_dv(self, fe: FileEntry, ids: list[int]) -> str:
         """Write one deletion-vector sidecar (sorted ids, zstd parquet)."""
         path = self._state.store.new_data_file(self.schema.name, self.name)
+        n = len(ids)
         pq.write_table(
-            pa.table({"deleted_row_id": pa.array(sorted(ids), pa.int64())}),
+            pa.table(
+                {
+                    "deleted_row_id": pa.array(sorted(ids), pa.int64()),
+                    "owner_fk": pa.array([self._dv_owner_fk(fe)] * n),
+                }
+            ),
             path,
             compression="zstd",
         )
         self._state.staged_files.append(path)
         return path
+
+    def _write_dvs_distributed(
+        self, affected: list[FileEntry], dv_src: DataFrame
+    ) -> None:
+        """Write deletion vectors for ``dv_src`` rows (columns ``$row_id``,
+        ``__source_file``) without driver-side id collection: one
+        hive-partitioned write keyed on the source file, then footer-count
+        registration. Scales to predicates matching millions of rows."""
+        out = dv_src.select(
+            F.col(INTERNAL_ROW_ID).cast("long").alias("deleted_row_id"),
+            F.md5(F.col("__source_file")).alias("owner_fk"),
+            F.md5(F.col("__source_file")).alias("__fk"),
+        )
+        staging = os.path.join(
+            self._state.store.table_data_dir(self.schema.name, self.name),
+            f"dv-{os.getpid()}-{time.time_ns()}",
+        )
+        out.write.partitionBy("__fk").mode("overwrite").parquet(staging)
+        self._state.staged_files.append(staging)
+        by_key = {self._dv_owner_fk(fe): fe for fe in affected}
+        for dirname in sorted(os.listdir(staging)):
+            if not dirname.startswith("__fk="):
+                continue
+            fe = by_key[dirname.split("=", 1)[1]]
+            added = 0
+            for fn in sorted(os.listdir(os.path.join(staging, dirname))):
+                if not fn.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(staging, dirname, fn)
+                n = pq.ParquetFile(fpath).metadata.num_rows
+                if n == 0:
+                    continue
+                fe.dv_paths.append(fpath)
+                added += n
+            fe.dv_rows += added
 
     def _fold_heavy_dvs(self, entry: TableEntry, candidates: list[FileEntry]) -> None:
         """Rewrite files whose deletion vectors exceed DV_REWRITE_FRACTION
@@ -1124,7 +1216,7 @@ class Table:
             }
             for row in matched:
                 fe = by_path[row["__source_file"]]
-                fe.dv_paths.append(self._write_dv(row["__ids"]))
+                fe.dv_paths.append(self._write_dv(fe, row["__ids"]))
                 fe.dv_rows += len(row["__ids"])
             self._fold_heavy_dvs(entry, affected)
         self._mark_unsorted(entry)
@@ -1151,41 +1243,10 @@ class Table:
             affected = [fe for fe in entry.files if fe.path in keep]
         if not affected:
             return
-        matching = (
-            self.df(internal_row_id=True, files=affected, with_file_path=True)
-            .filter(pred)
-            .select(
-                F.col(INTERNAL_ROW_ID).cast("long").alias("deleted_row_id"),
-                F.md5(F.col("__source_file")).alias("__fk"),
-            )
-        )
-        staging = os.path.join(
-            self._state.store.table_data_dir(self.schema.name, self.name),
-            f"dv-{os.getpid()}-{time.time_ns()}",
-        )
-        matching.write.partitionBy("__fk").mode("overwrite").parquet(staging)
-        self._state.staged_files.append(staging)
-        import hashlib
-
-        by_key = {
-            hashlib.md5(("file:" + os.path.abspath(fe.path)).encode()).hexdigest(): fe
-            for fe in affected
-        }
-        for dirname in sorted(os.listdir(staging)):
-            if not dirname.startswith("__fk="):
-                continue
-            fe = by_key[dirname.split("=", 1)[1]]
-            added = 0
-            for fn in sorted(os.listdir(os.path.join(staging, dirname))):
-                if not fn.endswith(".parquet"):
-                    continue
-                fpath = os.path.join(staging, dirname, fn)
-                n = pq.ParquetFile(fpath).metadata.num_rows
-                if n == 0:
-                    continue
-                fe.dv_paths.append(fpath)
-                added += n
-            fe.dv_rows += added
+        matching = self.df(
+            internal_row_id=True, files=affected, with_file_path=True
+        ).filter(pred)
+        self._write_dvs_distributed(affected, matching)
         self._fold_heavy_dvs(entry, affected)
         self._mark_unsorted(entry)
         self._mutate(entry, "delete_where")
@@ -1204,12 +1265,19 @@ class Table:
         if bad:
             raise InvalidArgument(f"unknown columns in assignments: {bad}")
         entry = TableEntry.from_json(self.entry.to_json())
-        affected = self._pruned_files(predicate)
-        if affected is None:
+        pruned = self._pruned_files(predicate)
+        if pruned is None:
             affected = list(entry.files)
+        else:
+            keep = {fe.path for fe in pruned}
+            affected = [fe for fe in entry.files if fe.path in keep]
         if not affected:
             return
-        base_df = self.df(internal_row_id=True, files=affected)
+        # merge-on-read (see update()): only matching rows are written as a
+        # replacement file; old versions are DV-masked in place
+        base_df = self.df(
+            internal_row_id=True, files=affected, with_file_path=True
+        ).filter(pred)
         out_cols = []
         for f in self.arrow_schema:
             if f.name in assignments:
@@ -1221,11 +1289,24 @@ class Table:
                 # match the column's storage type so the rewritten parquet
                 # stays readable under the table's reader schema
                 v = v.cast(arrow_type_to_spark(storage_arrow_type(f.type)))
-                out_cols.append(F.when(pred, v).otherwise(F.col(f.name)).alias(f.name))
+                out_cols.append(v.alias(f.name))
             else:
                 out_cols.append(F.col(f.name))
         out_cols.append(F.col(INTERNAL_ROW_ID))
-        self._rewrite_files(entry, affected, base_df.select(*out_cols), "updw")
+        out_cols.append(F.col("__source_file"))
+        matched_df = base_df.select(*out_cols).persist()
+        try:
+            n_matched = matched_df.count()
+            if n_matched:
+                self._rewrite_files(
+                    entry, [], matched_df.drop("__source_file"), "updw"
+                )
+                self._write_dvs_distributed(
+                    affected, matched_df.select(INTERNAL_ROW_ID, "__source_file")
+                )
+                self._fold_heavy_dvs(entry, affected)
+        finally:
+            matched_df.unpersist()
         self._mark_unsorted(entry)
         self._mutate(entry, "update_where", columns=sorted(assignments))
 
