@@ -1021,6 +1021,37 @@ def q_e8_engine_predicate_dml(spark, sf):
     return t.select_df(columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
 
 
+def q_e9_engine_merge(spark, sf):
+    """MERGE upsert (engine extension on the deletion-vector machinery):
+    matched customers with negative balance get c_mktsegment='ADJUSTED'
+    (DV-mask + replacement rows, no file rewrite); 100 synthetic customers
+    insert via the not-matched branch. Oracle reconstructs with CASE +
+    UNION ALL."""
+    import tempfile
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark.sources import create_table_from_files
+
+    session = vastdb.connect(tempfile.mkdtemp(prefix="entry_merge_"), spark=spark)
+    session.create_bucket("b")
+    with session.transaction() as tx:
+        sc = tx.bucket("b").create_schema("s")
+        t = create_table_from_files(sc, "customer", [f"{sf}/customer.parquet"])
+        upd_src = (
+            t.select_df(columns=["c_custkey", "c_acctbal"])
+            .filter(F.col("c_acctbal") < 0)
+            .select("c_custkey", F.lit("ADJUSTED").alias("c_mktsegment"))
+        )
+        new_src = spark.range(100).select(
+            (F.lit(9_000_000) + F.col("id")).cast("long").alias("c_custkey"),
+            F.lit("SYNTH").alias("c_mktsegment"),
+        )
+        t.merge(upd_src.unionByName(new_src), on=["c_custkey"])
+    tx = session.transaction()
+    t = tx.bucket("b").schema("s").table("customer")
+    return t.select_df(columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+
 def q_e3_engine_sorted_scan(spark, sf):
     """Range scan on the sorted (Elysium) engine table: the manifest prunes
     non-overlapping files by l_shipdate min/max, then parquet row-group
@@ -1072,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e6_engine_snapshot": q_e6_engine_snapshot,
         "e7_engine_partitioned": q_e7_engine_partitioned,
         "e8_engine_predicate_dml": q_e8_engine_predicate_dml,
+        "e9_engine_merge": q_e9_engine_merge,
         "ann_rhp_topk": q_ann_rhp_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "s1_scan_project": q_s1_scan_project,
@@ -1193,6 +1225,17 @@ def oracle_sql() -> dict[str, str]:
         "e7_engine_partitioned": """
             SELECT event_id, user_id, value FROM events
             WHERE event_type = 'purchase' AND value > 10.0
+        """,
+        "e9_engine_merge": """
+            SELECT c_custkey,
+                   CASE WHEN c_acctbal < 0 THEN 'ADJUSTED'
+                        ELSE c_mktsegment END AS c_mktsegment,
+                   c_acctbal
+            FROM customer
+            UNION ALL
+            SELECT 9000000 + r AS c_custkey, 'SYNTH' AS c_mktsegment,
+                   NULL AS c_acctbal
+            FROM range(100) t(r)
         """,
         "e8_engine_predicate_dml": """
             SELECT o_orderkey,

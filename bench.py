@@ -77,6 +77,9 @@ def main() -> int:
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
+        # drop anything a query persisted (e.g. LSH candidate sets) so later
+        # queries aren't measured under another query's cache pressure
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

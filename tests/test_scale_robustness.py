@@ -335,3 +335,54 @@ def test_update_where_merge_on_read(clean_schema):
         assert t.count_rows() == 1000
         assert t.select_df(predicate=(D.b == 7)).count() == 100
         assert t.select_df(predicate=(D.b == 0)).count() == 900
+
+
+def test_merge_upsert(clean_schema):
+    data = pa.table({"k": pa.array(range(10), pa.int64()),
+                     "v": pa.array([f"v{i}" for i in range(10)])})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("t", data.schema)
+        t.insert(data)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        spark = tx.spark
+        src = spark.createDataFrame(
+            [(5, "NEW5"), (7, "NEW7"), (100, "NEW100"), (101, "NEW101")],
+            "k LONG, v STRING",
+        )
+        counts = t.merge(src, on=["k"])
+        assert counts == {"updated": 2, "deleted": 0, "inserted": 2}
+        assert t.count_rows() == 12
+        got = dict(
+            (r["k"], r["v"]) for r in t.select_df().collect()
+        )
+        assert got[5] == "NEW5" and got[7] == "NEW7"
+        assert got[100] == "NEW100" and got[101] == "NEW101"
+        assert got[3] == "v3"
+    # merge survives commit; when_matched=delete; assignments form
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        spark = tx.spark
+        src = spark.createDataFrame([(100,), (3,), (999,)], "k LONG")
+        counts = t.merge(src, on=["k"], when_matched="delete", when_not_matched=None)
+        assert counts == {"updated": 0, "deleted": 2, "inserted": 0}
+        assert t.count_rows() == 10
+        src2 = spark.createDataFrame([(5,), (6,)], "k LONG")
+        counts = t.merge(src2, on=["k"], assignments={"v": "X"}, when_not_matched=None)
+        assert counts["updated"] == 2
+        got = dict((r["k"], r["v"]) for r in t.select_df().collect())
+        assert got[5] == "X" and got[6] == "X" and 3 not in got and 100 not in got
+
+
+def test_merge_validation(clean_schema):
+    data = pa.table({"k": pa.array([1], pa.int64())})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("t", data.schema)
+        t.insert(data)
+        src = tx.spark.createDataFrame([(1,)], "z LONG")
+        from vastdb_sdk_spark import InvalidArgument
+
+        with pytest.raises(InvalidArgument):
+            t.merge(src, on=["z"])
+        with pytest.raises(InvalidArgument):
+            t.merge(src.withColumnRenamed("z", "k"), on=["k"], when_matched="bogus")

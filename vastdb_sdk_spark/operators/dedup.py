@@ -268,25 +268,34 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     slower — per-token array allocation beats codegen'd accumulators at no
     point.)"""
     # LUTs: nibble value -> packed increment. Bit 4k is the nibble's MSB.
+    # The LUT arrays are constant-folded literals; the nibbles are staged as
+    # 16 SCALAR columns, not an array — a per-token array allocation was
+    # measured 2x slower under bench heap pressure (same trap as the
+    # explode-free variant below).
     lut_hi = [((v >> 3) & 1) | (((v >> 2) & 1) << 32) for v in range(16)]
     lut_lo = [((v >> 1) & 1) | ((v & 1) << 32) for v in range(16)]
     hi = F.array(*[F.lit(x).cast("long") for x in lut_hi])
     lo = F.array(*[F.lit(x).cast("long") for x in lut_lo])
     staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tk"))
     toks = staged.select(F.col(id_col), F.explode(F.col("__tk")).alias("__t")).select(
+        F.col(id_col), F.substring(F.md5("__t"), 1, 16).alias("__h")
+    )
+    nibs = toks.select(
         F.col(id_col),
-        # 1-based nibble+1 per hex char, ready for element_at
-        F.expr(
-            "transform(split(substring(md5(__t), 1, 16), ''), "
-            "c -> instr('0123456789abcdef', c))"
-        ).alias("__nb"),
+        *[
+            # 1-based nibble+1 per hex char, ready for element_at
+            F.expr(f"instr('0123456789abcdef', substring(__h, {k + 1}, 1))").alias(
+                f"__nb{k}"
+            )
+            for k in range(16)
+        ],
     )
     aggs = []
     for k in range(16):
-        nb = F.element_at(F.col("__nb"), k + 1)
+        nb = F.col(f"__nb{k}")
         aggs.append(F.sum(F.element_at(hi, nb)).alias(f"p{2 * k}"))
         aggs.append(F.sum(F.element_at(lo, nb)).alias(f"p{2 * k + 1}"))
-    votes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    votes = nibs.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *aggs)
     fp = None
     for j in range(64):
         p = F.col(f"p{j // 2}")

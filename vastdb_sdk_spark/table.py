@@ -1310,6 +1310,124 @@ class Table:
         self._mark_unsorted(entry)
         self._mutate(entry, "update_where", columns=sorted(assignments))
 
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        *,
+        when_matched: str | None = "update",
+        assignments: dict | None = None,
+        when_not_matched: str | None = "insert",
+    ) -> dict:
+        """Delta-style MERGE (upsert) — engine extension built on the
+        merge-on-read DML machinery; the reference has no equivalent.
+
+        ``on`` lists the join-key columns. Matched target rows are either
+        updated (``when_matched="update"``: columns from ``assignments``
+        — target col -> Column/engine expr/literal — or, by default, every
+        non-key source column) or deleted (``"delete"``) or left alone
+        (None). Unmatched source rows are inserted (``when_not_matched=
+        "insert"``) or dropped (None). Source keys are assumed unique —
+        duplicate keys produce one replacement row per source match.
+
+        Scale shape: one inner join for matches (DV-mask old versions +
+        write only replacement rows), one anti-join for inserts
+        (distributed ``insert_df``); no data file is rewritten. Returns
+        ``{"updated": n, "deleted": n, "inserted": n}``.
+        """
+        from .expr import Expr
+
+        arrow = self.arrow_schema
+        bad = [k for k in on if k not in arrow.names or k not in source.columns]
+        if bad or not on:
+            raise InvalidArgument(f"merge keys must exist on both sides: {bad or on}")
+        if when_matched not in ("update", "delete", None):
+            raise InvalidArgument(f"when_matched: {when_matched!r}")
+        if when_not_matched not in ("insert", None):
+            raise InvalidArgument(f"when_not_matched: {when_not_matched!r}")
+
+        source = source.persist()
+        counts = {"updated": 0, "deleted": 0, "inserted": 0}
+        try:
+            base = self.df(internal_row_id=True, with_file_path=True)
+            pre_files = list(self.entry.files)
+            cond = None
+            for k in on:
+                c = base[k].eqNullSafe(source[k])
+                cond = c if cond is None else cond & c
+
+            matched_df = None
+            if when_matched is not None:
+                joined = base.join(source, cond, "inner")
+                if when_matched == "update":
+                    upd = assignments or {
+                        c: source[c]
+                        for c in source.columns
+                        if c in arrow.names and c not in on
+                    }
+                    out_cols = []
+                    for f in arrow:
+                        if f.name in upd:
+                            v = upd[f.name]
+                            if isinstance(v, Expr):
+                                v = v.to_spark()
+                            elif not isinstance(v, Column):
+                                v = F.lit(v)
+                            v = v.cast(arrow_type_to_spark(storage_arrow_type(f.type)))
+                            out_cols.append(v.alias(f.name))
+                        else:
+                            out_cols.append(base[f.name])
+                    out_cols.append(base[INTERNAL_ROW_ID])
+                    out_cols.append(base["__source_file"])
+                    matched_df = joined.select(*out_cols).persist()
+                else:  # delete
+                    matched_df = joined.select(
+                        base[INTERNAL_ROW_ID], base["__source_file"]
+                    ).persist()
+                n_matched = matched_df.count()
+                counts["updated" if when_matched == "update" else "deleted"] = n_matched
+
+            if when_not_matched == "insert":
+                not_matched = source.join(base, cond, "left_anti")
+                ins_cols = []
+                for f in arrow:
+                    if f.name in source.columns:
+                        ins_cols.append(
+                            not_matched[f.name]
+                            .cast(arrow_type_to_spark(storage_arrow_type(f.type)))
+                            .alias(f.name)
+                        )
+                    else:
+                        ins_cols.append(
+                            F.lit(None)
+                            .cast(arrow_type_to_spark(storage_arrow_type(f.type)))
+                            .alias(f.name)
+                        )
+                counts["inserted"] = self.insert_df(not_matched.select(*ins_cols))
+
+            # snapshot AFTER insert_df's own _mutate so its files survive
+            entry = TableEntry.from_json(self.entry.to_json())
+            if matched_df is not None and (counts["updated"] or counts["deleted"]):
+                if when_matched == "update":
+                    self._rewrite_files(
+                        entry, [], matched_df.drop("__source_file"), "merge"
+                    )
+                # DV attribution targets pre-merge files only (matches were
+                # computed before the insert), keyed on the copy's entries
+                pre_paths = {fe.path for fe in pre_files}
+                affected = [fe for fe in entry.files if fe.path in pre_paths]
+                self._write_dvs_distributed(
+                    affected, matched_df.select(INTERNAL_ROW_ID, "__source_file")
+                )
+                self._fold_heavy_dvs(entry, affected)
+            self._mark_unsorted(entry)
+            self._mutate(entry, "merge", **counts)
+        finally:
+            source.unpersist()
+            if matched_df is not None:
+                matched_df.unpersist()
+        return counts
+
     # ------------------------------------------------------------------
     # parquet import (zero-copy registration)
     def import_files(self, files_to_import: Iterable[str], config=None) -> None:
