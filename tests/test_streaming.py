@@ -95,3 +95,26 @@ def test_stream_into_engine_table(session, stream_dir, tmp_path):
         # audit trail shows per-batch inserts
         ops = [r.op for r in tx.audit_log("bkt").collect()]
         assert "insert_df" in ops
+
+
+def test_rate_limited_trigger_batches(spark, stream_dir, tmp_path):
+    """maxFilesPerTrigger bounds each micro-batch: 3 input files with a
+    1-file cap must process in 3 rate-limited micro-batches (availableNow
+    honors the cap), with no rows lost."""
+    stream = ev.read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    counted = stream.groupBy().count()
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("rate_limited")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batches = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
+    total_expected = spark.read.parquet(stream_dir).count()
+    assert len(batches) == 3  # one micro-batch per file
+    assert sum(batches) == total_expected
+    got = spark.sql("SELECT * FROM rate_limited").collect()[0][0]
+    assert got == total_expected

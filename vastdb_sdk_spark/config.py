@@ -26,6 +26,10 @@ class QueryConfig:
     spill_threshold_rows: int = 4_000_000
     semi_sorted_projection_name: str = ""  # force a specific projection
     queue_priority: int | None = None  # no-op on Spark; accepted for parity
+    # reference wire-protocol knobs with no Spark analog; accepted so
+    # SDK-style configs pass through unchanged (vastdb/config.py:32-41)
+    data_endpoints: list | None = None
+    num_row_groups_per_sub_split: int = 8
 
 
 @dataclass
