@@ -1052,6 +1052,34 @@ def q_e9_engine_merge(spark, sf):
     return t.select_df(columns=["c_custkey", "c_mktsegment", "c_acctbal"])
 
 
+def q_e10_sql_frontend(spark, sf):
+    """Pure-SQL front-end (sqlfront.py): DDL + predicate DML + MERGE-free
+    aggregate SELECT, all issued as SQL text. The reference reaches SQL via
+    DuckDB/ADBC (vastdb/transaction.py:139-144); here the statement tier is
+    native and rides the same DV machinery as e8, so the oracle is a CASE
+    reconstruction over the original table."""
+    import tempfile
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark.sources import create_table_from_files
+
+    session = vastdb.connect(tempfile.mkdtemp(prefix="entry_sql_"), spark=spark)
+    session.create_bucket("b")
+    with session.transaction() as tx:
+        sc = tx.bucket("b").create_schema("s")
+        create_table_from_files(sc, "orders", [f"{sf}/orders.parquet"])
+        tx.execute_sql(
+            "DELETE FROM b.s.orders WHERE o_orderstatus = 'P';"
+            "UPDATE b.s.orders SET o_totalprice = o_totalprice * 2"
+            " WHERE o_orderpriority = '1-URGENT'"
+        )
+    return session.execute_sql(
+        "SELECT o_orderstatus, count(*) AS n_rows,"
+        " round(sum(o_totalprice), 2) AS total"
+        " FROM b.s.orders GROUP BY o_orderstatus"
+    )
+
+
 def q_e3_engine_sorted_scan(spark, sf):
     """Range scan on the sorted (Elysium) engine table: the manifest prunes
     non-overlapping files by l_shipdate min/max, then parquet row-group
@@ -1104,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e7_engine_partitioned": q_e7_engine_partitioned,
         "e8_engine_predicate_dml": q_e8_engine_predicate_dml,
         "e9_engine_merge": q_e9_engine_merge,
+        "e10_sql_frontend": q_e10_sql_frontend,
         "ann_rhp_topk": q_ann_rhp_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "s1_scan_project": q_s1_scan_project,
@@ -1236,6 +1265,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 9000000 + r AS c_custkey, 'SYNTH' AS c_mktsegment,
                    NULL AS c_acctbal
             FROM range(100) t(r)
+        """,
+        "e10_sql_frontend": """
+            SELECT o_orderstatus, count(*) AS n_rows,
+                   round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                                  THEN o_totalprice * 2
+                                  ELSE o_totalprice END), 2) AS total
+            FROM orders WHERE o_orderstatus <> 'P'
+            GROUP BY o_orderstatus
         """,
         "e8_engine_predicate_dml": """
             SELECT o_orderkey,

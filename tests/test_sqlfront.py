@@ -1,0 +1,190 @@
+"""SQL front-end (sqlfront.py): DDL/DML/SELECT statements dispatched onto
+the engine. The reference reaches SQL via DuckDB over ADBC
+(vastdb/transaction.py:139-144); here the statement tier is native, so
+SQL-issued DML must show the exact transactional/merge-on-read behavior of
+the Python API it delegates to."""
+
+import pyarrow as pa
+import pytest
+
+import vastdb_sdk_spark as vastdb
+from vastdb_sdk_spark.errors import InvalidArgument, MissingSchema, MissingTable
+
+
+@pytest.fixture()
+def sql_session(session):
+    session.execute_sql("CREATE SCHEMA bkt.s")
+    session.execute_sql(
+        "CREATE TABLE bkt.s.t (a BIGINT, b DOUBLE, name STRING)"
+    )
+    session.execute_sql(
+        "INSERT INTO bkt.s.t VALUES"
+        " (1, 0.5, 'one'), (2, 1.5, 'two'), (3, 2.5, 'three')"
+    )
+    return session
+
+
+def test_ddl_roundtrip(session):
+    session.execute_sql("CREATE SCHEMA bkt.s")
+    session.execute_sql(
+        "CREATE TABLE bkt.s.t (a BIGINT NOT NULL, tags ARRAY<STRING>,"
+        " meta STRUCT<k: STRING, v: INT>)"
+    )
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        assert t.arrow_schema.names == ["a", "tags", "meta"]
+        assert not t.arrow_schema.field("a").nullable
+        assert pa.types.is_list(t.arrow_schema.field("tags").type)
+        assert pa.types.is_struct(t.arrow_schema.field("meta").type)
+    # IF NOT EXISTS is a no-op on the existing table
+    session.execute_sql("CREATE TABLE IF NOT EXISTS bkt.s.t (x INT)")
+    with session.transaction() as tx:
+        assert tx.bucket("bkt").schema("s").table("t").arrow_schema.names[0] == "a"
+    session.execute_sql("DROP TABLE bkt.s.t")
+    with session.transaction() as tx:
+        with pytest.raises(MissingTable):
+            tx.bucket("bkt").schema("s").table("t")
+    session.execute_sql("DROP TABLE IF EXISTS bkt.s.t")  # silent
+    session.execute_sql("DROP SCHEMA bkt.s")
+    with session.transaction() as tx:
+        with pytest.raises(MissingSchema):
+            tx.bucket("bkt").schema("s")
+
+
+def test_insert_and_select(sql_session):
+    df = sql_session.execute_sql(
+        "SELECT name, a + 1 AS a1 FROM bkt.s.t WHERE b > 1 ORDER BY a"
+    )
+    assert [(r.name, r.a1) for r in df.collect()] == [("two", 3), ("three", 4)]
+
+
+def test_select_join_two_tables(sql_session):
+    sql_session.execute_sql(
+        "CREATE TABLE bkt.s.dim (a BIGINT, label STRING);"
+        "INSERT INTO bkt.s.dim VALUES (1, 'L1'), (2, 'L2')"
+    )
+    rows = sql_session.execute_sql(
+        "SELECT t.name, d.label FROM bkt.s.t t JOIN bkt.s.dim d ON t.a = d.a"
+        " ORDER BY t.a"
+    ).collect()
+    assert [(r.name, r.label) for r in rows] == [("one", "L1"), ("two", "L2")]
+
+
+def test_string_literal_not_rewritten(sql_session):
+    # a literal that looks like a table identifier must survive untouched
+    rows = sql_session.execute_sql(
+        "SELECT 'bkt.s.t' AS lit, count(*) AS n FROM bkt.s.t"
+    ).collect()
+    assert rows[0].lit == "bkt.s.t" and rows[0].n == 3
+
+
+def test_default_bucket_two_part_names(sql_session):
+    df = sql_session.execute_sql(
+        "SELECT count(*) AS n FROM s.t", default_bucket="bkt"
+    )
+    assert df.collect()[0].n == 3
+
+
+def test_insert_with_column_list(sql_session):
+    sql_session.execute_sql("INSERT INTO bkt.s.t (a, name) VALUES (9, 'nine')")
+    r = sql_session.execute_sql(
+        "SELECT b, name FROM bkt.s.t WHERE a = 9"
+    ).collect()[0]
+    assert r.b is None and r.name == "nine"
+
+
+def test_insert_select(sql_session):
+    sql_session.execute_sql(
+        "INSERT INTO bkt.s.t SELECT a + 10, b, upper(name) FROM bkt.s.t"
+    )
+    rows = sql_session.execute_sql(
+        "SELECT name FROM bkt.s.t WHERE a > 10 ORDER BY a"
+    ).collect()
+    assert [r.name for r in rows] == ["ONE", "TWO", "THREE"]
+
+
+def test_update_delete(sql_session):
+    sql_session.execute_sql("UPDATE bkt.s.t SET b = b * 10 WHERE a >= 2")
+    sql_session.execute_sql("DELETE FROM bkt.s.t WHERE name = 'three'")
+    rows = sql_session.execute_sql(
+        "SELECT a, b FROM bkt.s.t ORDER BY a"
+    ).collect()
+    assert [(r.a, r.b) for r in rows] == [(1, 0.5), (2, 15.0)]
+
+
+def test_update_is_transactional(sql_session):
+    # rollback inside an explicit transaction undoes SQL-issued DML
+    with pytest.raises(RuntimeError):
+        with sql_session.transaction() as tx:
+            tx.execute_sql("DELETE FROM bkt.s.t WHERE a = 1")
+            raise RuntimeError("abort")
+    assert (
+        sql_session.execute_sql("SELECT count(*) AS n FROM bkt.s.t").collect()[0].n
+        == 3
+    )
+
+
+def test_alter_table(sql_session):
+    sql_session.execute_sql(
+        "ALTER TABLE bkt.s.t ADD COLUMN extra INT;"
+        "ALTER TABLE bkt.s.t RENAME COLUMN extra TO bonus;"
+    )
+    with sql_session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        assert "bonus" in t.arrow_schema.names
+    sql_session.execute_sql("ALTER TABLE bkt.s.t DROP COLUMN bonus")
+    sql_session.execute_sql("ALTER TABLE bkt.s.t RENAME TO t2")
+    assert (
+        sql_session.execute_sql("SELECT count(*) AS n FROM bkt.s.t2").collect()[0].n
+        == 3
+    )
+
+
+def test_merge_upsert(sql_session):
+    sql_session.execute_sql(
+        "CREATE TABLE bkt.s.src (a BIGINT, b DOUBLE, name STRING);"
+        "INSERT INTO bkt.s.src VALUES (2, 99.0, 'TWO'), (7, 7.5, 'seven')"
+    )
+    res = sql_session.execute_sql(
+        "MERGE INTO bkt.s.t USING bkt.s.src AS s ON t.a = s.a"
+        " WHEN MATCHED THEN UPDATE SET *"
+        " WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert res == {"updated": 1, "deleted": 0, "inserted": 1}
+    rows = sql_session.execute_sql(
+        "SELECT a, name FROM bkt.s.t ORDER BY a"
+    ).collect()
+    assert [(r.a, r.name) for r in rows] == [
+        (1, "one"), (2, "TWO"), (3, "three"), (7, "seven"),
+    ]
+
+
+def test_merge_using_subquery_delete(sql_session):
+    res = sql_session.execute_sql(
+        "MERGE INTO bkt.s.t USING (SELECT 1 AS a) ON t.a = s.a"
+        " WHEN MATCHED THEN DELETE"
+    )
+    assert res["deleted"] == 1
+    assert (
+        sql_session.execute_sql("SELECT count(*) AS n FROM bkt.s.t").collect()[0].n
+        == 2
+    )
+
+
+def test_unsupported_statement_raises(sql_session):
+    with pytest.raises(InvalidArgument):
+        sql_session.execute_sql("GRANT ALL ON bkt.s.t TO nobody")
+
+
+def test_snapshot_consistent_select(sql_session):
+    """A SELECT bound inside a tx sees the tx snapshot even as another
+    transaction commits new rows."""
+    with sql_session.transaction() as tx:
+        df = tx.execute_sql("SELECT count(*) AS n FROM bkt.s.t")
+        with sql_session.transaction() as tx2:
+            tx2.execute_sql("INSERT INTO bkt.s.t VALUES (50, 5.0, 'fifty')")
+        assert df.collect()[0].n == 3  # pinned file list predates tx2
+    assert (
+        sql_session.execute_sql("SELECT count(*) AS n FROM bkt.s.t").collect()[0].n
+        == 4
+    )

@@ -116,6 +116,15 @@ class Session:
                     deleted.append(path)
         return deleted
 
+    def execute_sql(self, statement: str, default_bucket: str | None = None):
+        """Auto-commit convenience for the SQL front-end: runs ``statement``
+        (``;``-separated script allowed) in its own transaction and commits.
+        SELECT results stay lazy — they read the files pinned at execution
+        time, which remain valid until ``vacuum``. For multi-statement
+        atomicity use ``tx.execute_sql`` inside ``session.transaction()``."""
+        with self.transaction() as tx:
+            return tx.execute_sql(statement, default_bucket=default_bucket)
+
     @property
     def features(self):
         """Capability flags (reference: vastdb/features.py — all True here,

@@ -1,0 +1,441 @@
+"""Pure-SQL front-end over the engine (engine extension).
+
+The reference reaches SQL by handing Arrow data to DuckDB over ADBC
+(vastdb/transaction.py:139-144 and the SDK README's SQL examples); the
+SELECT tier here is Spark SQL over transaction-consistent views
+(``Transaction.sql``). This module adds the *statement* tier on top:
+DDL and DML text is dispatched onto the same manifest/DV machinery the
+Python API uses, so ``INSERT``/``UPDATE``/``DELETE``/``MERGE`` issued as
+SQL get identical transactional + merge-on-read semantics.
+
+Design: no hand-written SQL expression grammar. Only the statement
+*skeleton* (keywords + table identifiers) is recognized here; every
+expression is parsed by Spark itself —
+
+- column definition lists  -> ``StructType.fromDDL``
+- WHERE / SET / scalar expressions -> ``F.expr`` (Catalyst's parser)
+- VALUES rows and SELECT bodies    -> ``spark.sql``
+
+so the accepted expression dialect is exactly Spark SQL, and anything
+Catalyst can push down stays pushed down.
+
+Identifier convention: tables are ``bucket.schema.table``, or
+``schema.table`` when a ``default_bucket`` is given. In SELECT text,
+any dotted identifier that resolves to an engine table is bound to a
+transaction-consistent temp view; identifiers that don't resolve are
+left for Spark (aliases, struct fields, registered views).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .errors import InvalidArgument, MissingBucket, MissingSchema, MissingTable
+from .types import spark_type_to_arrow
+
+_IDENT = r"(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
+_DOTTED = rf"{_IDENT}(?:\s*\.\s*{_IDENT}){{0,2}}"
+
+
+def _unquote(part: str) -> str:
+    part = part.strip()
+    return part[1:-1] if part.startswith("`") else part
+
+
+def _parts(dotted: str) -> list[str]:
+    return [_unquote(p) for p in dotted.split(".")]
+
+
+def _split_top(text: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren/bracket depth 0, outside quotes."""
+    out, buf, depth, quote = [], [], 0, None
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                # doubled quote is an escape inside SQL strings
+                if i + 1 < len(text) and text[i + 1] == quote:
+                    buf.append(text[i + 1])
+                    i += 1
+                else:
+                    quote = None
+        elif ch in "'\"`":
+            quote = ch
+            buf.append(ch)
+        elif ch in "([":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    if buf or not out:
+        out.append("".join(buf))
+    return out
+
+
+class SqlFrontend:
+    """Statement dispatcher bound to one open transaction."""
+
+    def __init__(self, tx, default_bucket: str | None = None):
+        self._tx = tx
+        self._default_bucket = default_bucket
+
+    # -- identifier resolution --------------------------------------------
+
+    def _bucket_names(self) -> list[str]:
+        import os
+
+        from .catalog.manifest import ManifestStore
+
+        wh = self._tx._session.warehouse
+        names = []
+        for name in sorted(os.listdir(wh)):
+            path = os.path.join(wh, name)
+            if os.path.isdir(path) and ManifestStore(path).exists():
+                names.append(name)
+        return names
+
+    def _resolve_table(self, dotted: str, must_exist: bool = True):
+        """``b.s.t`` or (with default bucket) ``s.t`` -> (bucket, schema,
+        table_name, Table|None)."""
+        parts = _parts(dotted)
+        if len(parts) == 3:
+            b, s, t = parts
+        elif len(parts) == 2 and self._default_bucket:
+            b, (s, t) = self._default_bucket, parts
+        else:
+            raise InvalidArgument(
+                f"table identifier {dotted!r} must be bucket.schema.table"
+                " (or schema.table with a default bucket)"
+            )
+        schema = self._tx.bucket(b).schema(s)
+        if not must_exist:
+            return b, s, t, None
+        return b, s, t, schema.table(t)
+
+    def _try_resolve(self, dotted: str):
+        """Best-effort resolution for SELECT-text rewriting: returns a
+        Table or None, never raises (aliases/struct paths won't resolve)."""
+        parts = _parts(dotted)
+        candidates = []
+        if len(parts) == 3:
+            candidates.append(tuple(parts))
+        elif len(parts) == 2:
+            if self._default_bucket:
+                candidates.append((self._default_bucket, *parts))
+            else:
+                candidates.extend((b, *parts) for b in self._bucket_names())
+        for b, s, t in candidates:
+            try:
+                return (b, s, t, self._tx.bucket(b).schema(s).table(t))
+            except (MissingBucket, MissingSchema, MissingTable):
+                continue
+        return None
+
+    # -- SELECT tier -------------------------------------------------------
+
+    def _bind_views(self, text: str) -> str:
+        """Replace every dotted identifier in ``text`` that resolves to an
+        engine table with a temp view pinned to this transaction's
+        snapshot. Quoted strings are masked first so literals like
+        'a.b.c' are never rewritten."""
+        masked = re.sub(r"'(?:[^']|'')*'", lambda m: "\0" * len(m.group()), text)
+        rewrites = {}
+        for m in re.finditer(_DOTTED, masked):
+            dotted = m.group()
+            if "." not in dotted or dotted in rewrites:
+                continue
+            hit = self._try_resolve(dotted)
+            if hit is None:
+                continue
+            b, s, t, table = hit
+            view = f"vastdb_sql_{b}_{s}_{t}_{self._tx.txid & 0xFFFF:04x}"
+            table.df().createOrReplaceTempView(view)
+            rewrites[dotted] = view
+        # longest first so `b.s.t` wins over a nested `s.t` match
+        for dotted in sorted(rewrites, key=len, reverse=True):
+            pattern = rf"(?<![\w.`]){re.escape(dotted)}(?![\w.`])"
+            # apply on the live text but honor the literal mask: rebuild
+            # positions from the masked copy
+            out, last = [], 0
+            for m in re.finditer(pattern, masked):
+                out.append(text[last : m.start()])
+                out.append(rewrites[dotted])
+                last = m.end()
+            out.append(text[last:])
+            text = "".join(out)
+            masked = re.sub(r"'(?:[^']|'')*'", lambda m: "\0" * len(m.group()), text)
+        return text
+
+    def _select(self, statement: str):
+        return self._tx.spark.sql(self._bind_views(statement))
+
+    # -- statement dispatch ------------------------------------------------
+
+    def execute(self, statement: str):
+        """Execute one statement; returns a DataFrame for SELECT-like
+        statements, None for DDL, and a result dict for DML."""
+        stmt = statement.strip().rstrip(";").strip()
+        head = stmt.split(None, 2)
+        kw = head[0].upper() if head else ""
+        if kw in ("SELECT", "WITH", "VALUES", "TABLE"):
+            return self._select(stmt)
+        if kw == "CREATE" and head[1].upper() == "SCHEMA":
+            return self._create_schema(stmt)
+        if kw == "DROP" and head[1].upper() == "SCHEMA":
+            return self._drop_schema(stmt)
+        if kw == "CREATE" and head[1].upper() == "TABLE":
+            return self._create_table(stmt)
+        if kw == "DROP" and head[1].upper() == "TABLE":
+            return self._drop_table(stmt)
+        if kw == "ALTER" and head[1].upper() == "TABLE":
+            return self._alter_table(stmt)
+        if kw == "INSERT":
+            return self._insert(stmt)
+        if kw == "DELETE":
+            return self._delete(stmt)
+        if kw == "UPDATE":
+            return self._update(stmt)
+        if kw == "MERGE":
+            return self._merge(stmt)
+        raise InvalidArgument(f"unsupported SQL statement: {stmt[:60]!r}")
+
+    def execute_script(self, script: str) -> list:
+        """Run ``;``-separated statements in order; returns each result."""
+        return [
+            self.execute(s)
+            for s in _split_top(script, ";")
+            if s.strip()
+        ]
+
+    # -- DDL ---------------------------------------------------------------
+
+    def _create_schema(self, stmt: str):
+        m = re.match(
+            rf"(?is)CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?({_DOTTED})\s*$", stmt
+        )
+        if not m:
+            raise InvalidArgument(f"cannot parse: {stmt!r}")
+        parts = _parts(m.group(2))
+        if len(parts) == 2:
+            b, s = parts
+        elif len(parts) == 1 and self._default_bucket:
+            b, s = self._default_bucket, parts[0]
+        else:
+            raise InvalidArgument("CREATE SCHEMA needs bucket.schema")
+        self._tx.bucket(b).create_schema(s, fail_if_exists=not m.group(1))
+        return None
+
+    def _drop_schema(self, stmt: str):
+        m = re.match(rf"(?is)DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?({_DOTTED})\s*$", stmt)
+        if not m:
+            raise InvalidArgument(f"cannot parse: {stmt!r}")
+        parts = _parts(m.group(2))
+        if len(parts) == 2:
+            b, s = parts
+        elif len(parts) == 1 and self._default_bucket:
+            b, s = self._default_bucket, parts[0]
+        else:
+            raise InvalidArgument("DROP SCHEMA needs bucket.schema")
+        try:
+            self._tx.bucket(b).schema(s).drop()
+        except MissingSchema:
+            if not m.group(1):
+                raise
+        return None
+
+    def _create_table(self, stmt: str):
+        m = re.match(
+            rf"(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_DOTTED})\s*\((.*)\)\s*$",
+            stmt,
+        )
+        if not m:
+            raise InvalidArgument(f"cannot parse: {stmt!r}")
+        b, s, t, _ = self._resolve_table(m.group(2), must_exist=False)
+        # Spark's own DDL parser handles the column list, including nested
+        # struct/array/map types and NOT NULL markers
+        struct = T.StructType.fromDDL(m.group(3))
+        arrow = pa.schema(
+            [
+                pa.field(f.name, spark_type_to_arrow(f.dataType), nullable=f.nullable)
+                for f in struct.fields
+            ]
+        )
+        schema = self._tx.bucket(b).schema(s)
+        if m.group(1):
+            try:
+                return schema.table(t) and None
+            except MissingTable:
+                pass
+        schema.create_table(t, arrow)
+        return None
+
+    def _drop_table(self, stmt: str):
+        m = re.match(rf"(?is)DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_DOTTED})\s*$", stmt)
+        if not m:
+            raise InvalidArgument(f"cannot parse: {stmt!r}")
+        try:
+            _, _, _, table = self._resolve_table(m.group(2))
+        except MissingTable:
+            if m.group(1):
+                return None
+            raise
+        table.drop()
+        return None
+
+    def _alter_table(self, stmt: str):
+        m = re.match(rf"(?is)ALTER\s+TABLE\s+({_DOTTED})\s+(.*)$", stmt)
+        if not m:
+            raise InvalidArgument(f"cannot parse: {stmt!r}")
+        _, _, _, table = self._resolve_table(m.group(1))
+        action = m.group(2).strip()
+        if am := re.match(rf"(?is)RENAME\s+TO\s+({_IDENT})\s*$", action):
+            table.rename(_unquote(am.group(1)))
+            return None
+        if am := re.match(
+            rf"(?is)RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})\s*$", action
+        ):
+            table.rename_column(_unquote(am.group(1)), _unquote(am.group(2)))
+            return None
+        if am := re.match(rf"(?is)ADD\s+COLUMN\s+(.*)$", action):
+            struct = T.StructType.fromDDL(am.group(1))
+            for f in struct.fields:
+                table.add_column(
+                    pa.field(f.name, spark_type_to_arrow(f.dataType), f.nullable)
+                )
+            return None
+        if am := re.match(rf"(?is)DROP\s+COLUMN\s+({_IDENT})\s*$", action):
+            table.drop_column(_unquote(am.group(1)))
+            return None
+        raise InvalidArgument(f"unsupported ALTER TABLE action: {action!r}")
+
+    # -- DML ---------------------------------------------------------------
+
+    def _insert(self, stmt: str):
+        m = re.match(
+            rf"(?is)INSERT\s+INTO\s+({_DOTTED})\s*(\(([^)]*)\))?\s*(VALUES\s+.*|SELECT\s+.*|WITH\s+.*|TABLE\s+.*)$",
+            stmt,
+        )
+        if not m:
+            raise InvalidArgument(f"cannot parse: {stmt!r}")
+        _, _, _, table = self._resolve_table(m.group(1))
+        names = [_unquote(c) for c in _split_top(m.group(3))] if m.group(3) else None
+        src = self._select(m.group(4))
+        arrow = table.arrow_schema
+        if names is None:
+            if len(src.columns) != len(arrow.names):
+                raise InvalidArgument(
+                    f"INSERT has {len(src.columns)} columns, table has"
+                    f" {len(arrow.names)}"
+                )
+            names = arrow.names
+        elif len(names) != len(src.columns):
+            raise InvalidArgument("INSERT column list does not match source arity")
+        src = src.toDF(*names)
+        from .types import arrow_type_to_spark, storage_arrow_type
+
+        cols = []
+        for f in arrow:
+            spark_t = arrow_type_to_spark(storage_arrow_type(f.type))
+            if f.name in names:
+                cols.append(F.col(f.name).cast(spark_t).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(spark_t).alias(f.name))
+        n = table.insert_df(src.select(*cols))
+        return {"inserted": n}
+
+    def _delete(self, stmt: str):
+        m = re.match(
+            rf"(?is)DELETE\s+FROM\s+({_DOTTED})(?:\s+WHERE\s+(.*))?$", stmt
+        )
+        if not m:
+            raise InvalidArgument(f"cannot parse: {stmt!r}")
+        _, _, _, table = self._resolve_table(m.group(1))
+        pred = F.expr(m.group(2)) if m.group(2) else F.lit(True)
+        table.delete_where(pred)
+        return {"deleted": True}
+
+    def _update(self, stmt: str):
+        m = re.match(
+            rf"(?is)UPDATE\s+({_DOTTED})\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", stmt
+        )
+        if not m:
+            raise InvalidArgument(f"cannot parse: {stmt!r}")
+        _, _, _, table = self._resolve_table(m.group(1))
+        assignments = {}
+        for item in _split_top(m.group(2)):
+            am = re.match(rf"(?s)\s*({_IDENT})\s*=\s*(.*)$", item)
+            if not am:
+                raise InvalidArgument(f"cannot parse SET item: {item!r}")
+            assignments[_unquote(am.group(1))] = F.expr(am.group(2).strip())
+        pred = F.expr(m.group(3)) if m.group(3) else F.lit(True)
+        table.update_where(pred, assignments)
+        return {"updated": True}
+
+    def _merge(self, stmt: str):
+        """Delta-style MERGE, the subset Table.merge() expresses: equi-key
+        ON, ``WHEN MATCHED THEN UPDATE SET *`` / ``DELETE``, ``WHEN NOT
+        MATCHED THEN INSERT *``."""
+        m = re.match(
+            rf"(?is)MERGE\s+INTO\s+({_DOTTED})(?:\s+(?:AS\s+)?(?!USING\b){_IDENT})?"
+            rf"\s+USING\s+(\((?:[^()]|\([^()]*\))*\)|{_DOTTED})"
+            rf"(?:\s+(?:AS\s+)?(?!ON\b)({_IDENT}))?"
+            rf"\s+ON\s+(.*?)\s+(WHEN\s+.*)$",
+            stmt,
+        )
+        if not m:
+            raise InvalidArgument(f"cannot parse: {stmt!r}")
+        _, _, _, target = self._resolve_table(m.group(1))
+        src_text = m.group(2).strip()
+        if src_text.startswith("("):
+            source = self._select(src_text[1:-1])
+        else:
+            hit = self._try_resolve(src_text)
+            if hit is None:
+                raise InvalidArgument(f"USING table not found: {src_text!r}")
+            source = hit[3].df()
+        on = []
+        for clause in re.split(r"(?i)\s+AND\s+", m.group(4)):
+            em = re.match(
+                rf"(?s)\s*(?:{_IDENT}\s*\.\s*)?({_IDENT})\s*=\s*"
+                rf"(?:{_IDENT}\s*\.\s*)?({_IDENT})\s*$",
+                clause,
+            )
+            if not em or _unquote(em.group(1)) != _unquote(em.group(2)):
+                raise InvalidArgument(
+                    f"MERGE ON must be equi-joins on same-named keys: {clause!r}"
+                )
+            on.append(_unquote(em.group(1)))
+        when_matched = None
+        when_not_matched = None
+        for wm in re.finditer(
+            r"(?is)WHEN\s+(NOT\s+)?MATCHED\s+THEN\s+(UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*)",
+            m.group(5),
+        ):
+            action = re.sub(r"\s+", " ", wm.group(2).upper())
+            if wm.group(1):
+                if action != "INSERT *":
+                    raise InvalidArgument("WHEN NOT MATCHED supports INSERT *")
+                when_not_matched = "insert"
+            elif action == "DELETE":
+                when_matched = "delete"
+            elif action == "UPDATE SET *":
+                when_matched = "update"
+        return target.merge(
+            source,
+            on,
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+        )

@@ -191,6 +191,19 @@ class Transaction:
             t.df().createOrReplaceTempView(name)
         return self._session.spark.sql(query)
 
+    def execute_sql(self, statement: str, default_bucket: str | None = None):
+        """Statement tier of the SQL front-end (sqlfront.py): DDL/DML text
+        (``CREATE/ALTER/DROP``, ``INSERT/UPDATE/DELETE/MERGE``) dispatched
+        onto this transaction's engine objects; SELECT-like text runs on
+        Spark SQL with engine tables auto-bound as snapshot-consistent
+        views. Tables are addressed ``bucket.schema.table`` (or
+        ``schema.table`` with ``default_bucket``). Multiple ``;``-separated
+        statements run in order; returns the last statement's result."""
+        from .sqlfront import SqlFrontend
+
+        results = SqlFrontend(self, default_bucket).execute_script(statement)
+        return results[-1] if results else None
+
     # -- catalog table (reference: tx.catalog(),
     #    vastdb/transaction.py:107-115: queryable table of all objects) ----
     def catalog(self, bucket_name: str, *, as_table: bool = False):

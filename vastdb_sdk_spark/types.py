@@ -110,6 +110,49 @@ def arrow_schema_to_spark(schema: pa.Schema) -> T.StructType:
     )
 
 
+def spark_type_to_arrow(dt: T.DataType) -> pa.DataType:
+    """Map a Spark SQL type to the Arrow type the engine stores for it —
+    the inverse of :func:`arrow_type_to_spark` restricted to Spark-native
+    types (used by the SQL front-end's ``CREATE TABLE`` path, where column
+    types arrive as Spark DDL text)."""
+    if isinstance(dt, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dt, T.ByteType):
+        return pa.int8()
+    if isinstance(dt, T.ShortType):
+        return pa.int16()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.FloatType):
+        return pa.float32()
+    if isinstance(dt, T.DoubleType):
+        return pa.float64()
+    if isinstance(dt, T.StringType):
+        return pa.utf8()
+    if isinstance(dt, T.BinaryType):
+        return pa.binary()
+    if isinstance(dt, T.DecimalType):
+        return pa.decimal128(dt.precision, dt.scale)
+    if isinstance(dt, T.DateType):
+        return pa.date32()
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return pa.timestamp("us")
+    if isinstance(dt, T.ArrayType):
+        return pa.list_(spark_type_to_arrow(dt.elementType))
+    if isinstance(dt, T.MapType):
+        return pa.map_(spark_type_to_arrow(dt.keyType), spark_type_to_arrow(dt.valueType))
+    if isinstance(dt, T.StructType):
+        return pa.struct(
+            [
+                pa.field(f.name, spark_type_to_arrow(f.dataType), nullable=f.nullable)
+                for f in dt.fields
+            ]
+        )
+    raise NotSupportedSchema(f"unsupported Spark type for engine storage: {dt}")
+
+
 # ---------------------------------------------------------------------------
 # storage schema: the Arrow schema actually written to parquet, chosen so the
 # Spark parquet reader reproduces arrow_schema_to_spark() exactly. Types with
