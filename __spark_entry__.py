@@ -562,7 +562,7 @@ def q_dd_minhash_sig(spark, sf):
     from vastdb_sdk_spark.operators.dedup import minhash_signatures
 
     d = _t(spark, sf, "documents")
-    sigs = minhash_signatures(d, num_hashes=4, shingle_k=3)
+    sigs = minhash_signatures(d, num_hashes=4, shingle_k=3, hash_fn="md5")
     mh = [F.element_at("minhash_sig", i + 1).alias(f"mh{i}") for i in range(4)]
     out = sigs.select("doc_id", *mh)
     band_src = F.concat_ws(
@@ -688,13 +688,36 @@ def q_asof_last_purchase(spark, sf):
 # ---------------------------------------------------------------------------
 # SimHash (bit-string form so the 64-bit fingerprint is portable SQL)
 
+def q_dd_simhash_fast(spark, sf):
+    """Production SimHash path: xxhash64 token hashes (native 64-bit, no hex
+    parsing), same packed-counter aggregation. Fingerprints differ from the
+    md5 path by construction, so this is a rows-only gate entry; exactness
+    of the algorithm is oracle-checked via dd_simhash (md5)."""
+    from vastdb_sdk_spark.operators.dedup import simhash
+
+    fp = simhash(_t(spark, sf, "documents"), "text", "doc_id")
+    return fp.select("doc_id", F.col("simhash").cast("string").alias("simhash_str"))
+
+
+def q_dd_lsh_pairs_fast(spark, sf):
+    """Production MinHash-LSH near-dup path: xxhash64 shingle base + long
+    band keys. Pair set at threshold 0.9 equals the md5 path's set except
+    for hash-collision noise (none on this corpus); rows-only gate entry."""
+    from vastdb_sdk_spark.operators.dedup import minhash_dedup_pairs
+
+    d = _t(spark, sf, "documents")
+    return minhash_dedup_pairs(
+        d, num_hashes=16, num_bands=4, threshold=0.9, shingle_k=3
+    )
+
+
 def q_dd_simhash(spark, sf):
     """64-bit SimHash as a bit string: per token md5, bit j votes +1/-1;
     fingerprint bit = sign of vote sum. Packed-counter aggregate (32 longs
     hold 64 one-counters) — see operators/dedup.simhash."""
     from vastdb_sdk_spark.operators.dedup import simhash
 
-    fp = simhash(_t(spark, sf, "documents"), "text", "doc_id")
+    fp = simhash(_t(spark, sf, "documents"), "text", "doc_id", hash_fn="md5")
     bits = [
         F.when(F.shiftright(F.col("simhash"), 63 - j).bitwiseAND(F.lit(1)) != 0, "1").otherwise("0")
         for j in range(64)
@@ -744,7 +767,7 @@ def q_dd_lsh_pairs(spark, sf):
 
     d = _t(spark, sf, "documents")
     return minhash_dedup_pairs(
-        d, num_hashes=16, num_bands=4, threshold=0.9, shingle_k=3
+        d, num_hashes=16, num_bands=4, threshold=0.9, shingle_k=3, hash_fn="md5"
     )
 
 
@@ -1180,8 +1203,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_ngram_overlap": q_dd_ngram_overlap,
         "asof_last_purchase": q_asof_last_purchase,
         "dd_simhash": q_dd_simhash,
+        "dd_simhash_fast": q_dd_simhash_fast,
         "mm_decode_stub": q_mm_decode_stub,
         "dd_lsh_pairs": q_dd_lsh_pairs,
+        "dd_lsh_pairs_fast": q_dd_lsh_pairs_fast,
         "dd_embed_neardup": q_dd_embed_neardup,
         "tx_token_stats": q_tx_token_stats,
         "tx_quality": q_tx_quality,

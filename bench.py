@@ -47,7 +47,9 @@ HEADLINE = [
     "dd_exact",
     "dd_minhash_sig",
     "dd_simhash",
+    "dd_simhash_fast",
     "dd_lsh_pairs",
+    "dd_lsh_pairs_fast",
     "mm_decode_stub",
     "tx_token_stats",
     "tx_quality",

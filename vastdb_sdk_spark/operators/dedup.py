@@ -70,9 +70,15 @@ def _mh_b(i: int) -> int:
     return 7919 * i + 1
 
 
-def minhash_base(col) -> "F.Column":
-    """48-bit integer base hash of a shingle: first 12 hex chars of md5,
-    reduced mod P. Identical arithmetic is used in the DuckDB oracles."""
+def minhash_base(col, hash_fn: str = "xxhash64") -> "F.Column":
+    """Integer base hash of a shingle, reduced mod P.
+
+    ``xxhash64`` (default) is the scale path: one native 64-bit hash per
+    shingle, no string materialization. ``md5`` parses the first 12 hex
+    chars to a 48-bit integer — slower, but DuckDB can reproduce the exact
+    arithmetic, so the oracle-gated queries pin it."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(MINHASH_P))
     return F.pmod(F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long"), F.lit(MINHASH_P))
 
 
@@ -82,17 +88,21 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-document MinHash signature: sig_i = min over shingles of
     (A_i * base(shingle) + B_i) mod P. The whole signature is computed in
-    staged projections (no explode, no shuffle) and the md5 base is hashed
+    staged projections (no explode, no shuffle) and the base is hashed
     once per shingle regardless of num_hashes."""
     toked = df.select(id_col, tokens(F.col(text_col)).alias("__tk"))
     staged = toked.select(
         id_col, shingles_from_tokens(F.col("__tk"), shingle_k).alias("__sh")
     )
     based = staged.select(
-        id_col, F.transform(F.col("__sh"), minhash_base).alias("__hb")
+        id_col,
+        F.transform(
+            F.col("__sh"), lambda x: minhash_base(x, hash_fn)
+        ).alias("__hb"),
     )
     # NB: the permutation lambda must take exactly ONE argument — PySpark
     # treats a second parameter (even a defaulted one) as the element-index
@@ -110,30 +120,37 @@ def minhash_signatures(
     return based.select(id_col, sig.alias("minhash_sig"))
 
 
-def lsh_band_keys(sig_df: DataFrame, num_bands: int, id_col: str = "doc_id") -> DataFrame:
+def lsh_band_keys(
+    sig_df: DataFrame,
+    num_bands: int,
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """Explode signatures into (band_id, band_key) rows. Two docs share a
-    band_key iff their signature rows in that band agree exactly."""
+    band_key iff their signature rows in that band agree exactly. With
+    ``xxhash64`` the band key is a LONG (8-byte shuffle key); the ``md5``
+    variant keeps the oracle-reproducible 32-char hex key."""
     n = num_bands
     sig_str = F.transform(F.col("minhash_sig"), lambda x: x.cast("string"))
+
+    def _band_key(b):
+        joined = F.concat_ws(
+            "|",
+            b.cast("string"),
+            F.concat_ws(
+                "|",
+                F.slice(
+                    sig_str,
+                    b * (F.size(F.col("minhash_sig")) / n).cast("int") + 1,
+                    (F.size(F.col("minhash_sig")) / n).cast("int"),
+                ),
+            ),
+        )
+        return F.xxhash64(joined) if hash_fn == "xxhash64" else F.md5(joined)
+
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(n - 1)),
-        lambda b: F.struct(
-            b.alias("band_id"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    b.cast("string"),
-                    F.concat_ws(
-                        "|",
-                        F.slice(
-                            sig_str,
-                            b * (F.size(F.col("minhash_sig")) / n).cast("int") + 1,
-                            (F.size(F.col("minhash_sig")) / n).cast("int"),
-                        ),
-                    ),
-                )
-            ).alias("band_key"),
-        ),
+        lambda b: F.struct(b.alias("band_id"), _band_key(b).alias("band_key")),
     )
     return sig_df.select(id_col, F.explode(bands).alias("b")).select(
         id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
@@ -147,13 +164,14 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     num_bands: int = 4,
     shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH. The self-join runs on
     (band_id, band_key) — the shuffle key is a hash, buckets are tiny for
     non-pathological corpora, and the quadratic blowup is bounded per bucket.
     At 100 TB this is THE standard scalable near-dup plan."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    bands = lsh_band_keys(sigs, num_bands, id_col)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, hash_fn)
+    bands = lsh_band_keys(sigs, num_bands, id_col, hash_fn)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -224,6 +242,7 @@ def minhash_dedup_pairs(
     num_bands: int = 4,
     threshold: float = 0.8,
     shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact Jaccard >= threshold.
 
@@ -232,7 +251,7 @@ def minhash_dedup_pairs(
     verify join) — without the persist the whole signature pipeline would
     re-run per consumer."""
     pairs = lsh_candidate_pairs(
-        df, text_col, id_col, num_hashes, num_bands, shingle_k
+        df, text_col, id_col, num_hashes, num_bands, shingle_k, hash_fn
     ).persist()
     return jaccard_verify_pairs(df, pairs, text_col, id_col, threshold, shingle_k)
 
@@ -251,10 +270,21 @@ def _hash_bit_pm(h, j: int) -> Column:
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash: per token, md5 bits vote +1/-1 per bit position; the
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """64-bit SimHash: per token, hash bits vote +1/-1 per bit position; the
     fingerprint takes the sign of each vote sum (bit j of the fingerprint is
     set iff ones_j*2 > n_tokens — same sign test, counted over ones).
+
+    ``hash_fn="xxhash64"`` (default, scale path): one native 64-bit token
+    hash, bits extracted by shift-and — no string hex parsing at all. Ones
+    are still packed two 32-bit counters per long (32 aggregate buffers).
+    ``hash_fn="md5"`` keeps the DuckDB-reproducible fingerprints the oracle
+    gate checks; the LUT machinery below is that path.
 
     Votes are packed: md5 nibble k (hex char k) carries fingerprint bits
     4k..4k+3; two 32-bit one-counters share each long accumulator (long 2k
@@ -272,11 +302,39 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     # 16 SCALAR columns, not an array — a per-token array allocation was
     # measured 2x slower under bench heap pressure (same trap as the
     # explode-free variant below).
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tk"))
+    if hash_fn == "xxhash64":
+        toks = staged.select(
+            F.col(id_col), F.explode(F.col("__tk")).alias("__t")
+        ).select(F.col(id_col), F.xxhash64("__t").alias("__h"))
+        # packed ones-counters: long k holds bit 2k (low 32) and bit 2k+1
+        # (high 32); bit j here means hash bit j counted from the MSB so
+        # fingerprint bit ordering matches the md5 path's convention
+        aggs = []
+        for k in range(32):
+            j0, j1 = 63 - 2 * k, 63 - (2 * k + 1)
+            packed = F.expr(
+                f"(shiftright(__h, {j0}) & 1) | shiftleft(shiftright(__h, {j1}) & 1, 32)"
+            )
+            aggs.append(F.sum(packed).alias(f"p{k}"))
+        votes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *aggs)
+        fp = None
+        for j in range(64):
+            p = F.col(f"p{j // 2}")
+            ones = (
+                p.bitwiseAND(F.lit(0xFFFFFFFF)) if j % 2 == 0 else F.shiftright(p, 32)
+            )
+            bit = (
+                F.when(ones * 2 > F.col("__n"), F.lit(1)).otherwise(F.lit(0)).cast("long")
+            )
+            term = F.shiftleft(bit, 63 - j)
+            fp = term if fp is None else fp.bitwiseOR(term)
+        return votes.select(F.col(id_col), fp.alias("simhash"))
+
     lut_hi = [((v >> 3) & 1) | (((v >> 2) & 1) << 32) for v in range(16)]
     lut_lo = [((v >> 1) & 1) | ((v & 1) << 32) for v in range(16)]
     hi = F.array(*[F.lit(x).cast("long") for x in lut_hi])
     lo = F.array(*[F.lit(x).cast("long") for x in lut_lo])
-    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tk"))
     toks = staged.select(F.col(id_col), F.explode(F.col("__tk")).alias("__t")).select(
         F.col(id_col), F.substring(F.md5("__t"), 1, 16).alias("__h")
     )
