@@ -118,3 +118,51 @@ def test_rate_limited_trigger_batches(spark, stream_dir, tmp_path):
     assert sum(batches) == total_expected
     got = spark.sql("SELECT * FROM rate_limited").collect()[0][0]
     assert got == total_expected
+
+
+def test_stream_ingest_exactly_once_on_replay(session, stream_dir, tmp_path):
+    """Checkpoint-recovery replay must not duplicate rows: the micro-batch
+    id is committed with the data (set_stream_offset), so re-running the
+    whole stream against a wiped checkpoint replays every batch as a no-op,
+    while genuinely new files (higher batch ids) still ingest."""
+    import shutil
+
+    spark = session.spark
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    with session.transaction() as tx:
+        tx.bucket("bkt").create_schema("s").create_table("events", schema)
+    ckpt = str(tmp_path / "ckpt_once")
+
+    def run_stream():
+        with session.transaction() as tx:
+            t = tx.bucket("bkt").schema("s").table("events")
+            stream = ev.read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+            q = ev.stream_into_table(stream, t, ckpt).start()
+            q.awaitTermination(120)
+
+    run_stream()
+    n = spark.read.parquet(stream_dir).count()
+    with session.transaction() as tx:
+        assert tx.bucket("bkt").schema("s").table("events").count_rows() == n
+
+    # crash simulation: checkpoint lost, every micro-batch replays
+    shutil.rmtree(ckpt)
+    run_stream()
+    with session.transaction() as tx:
+        assert tx.bucket("bkt").schema("s").table("events").count_rows() == n
+
+    # new file arrives -> new batch id -> ingested exactly once
+    extra = spark.read.parquet(stream_dir).limit(7)
+    extra.coalesce(1).write.mode("append").parquet(stream_dir)
+    run_stream()
+    with session.transaction() as tx:
+        assert tx.bucket("bkt").schema("s").table("events").count_rows() == n + 7

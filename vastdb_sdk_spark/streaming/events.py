@@ -125,18 +125,30 @@ def sessionize(
 
 
 def stream_into_table(stream_df: DataFrame, table, checkpoint_dir: str):
-    """Append a stream into an engine table: one transaction per micro-batch
-    (atomic, auditable, snapshot-consistent). ``table`` is a bound
-    vastdb_sdk_spark Table whose session outlives the query."""
+    """Append a stream into an engine table with EXACTLY-ONCE semantics:
+    one transaction per micro-batch, and the batch id is recorded in the
+    table manifest inside that same transaction (``set_stream_offset``, cf.
+    Delta's txnAppId/txnVersion pattern). If the insert commits but the
+    checkpoint write doesn't (crash between the two), the replayed batch is
+    detected as already-applied and skipped — no duplicate rows. The stream
+    identity is derived from the checkpoint dir, so a restarted query with
+    the same checkpoint resumes the same offset sequence. ``table`` is a
+    bound vastdb_sdk_spark Table whose session outlives the query."""
+    import os
+
     session = table.tx._session
     bucket = table.bucket.name
     schema_name = table.schema.name
     table_name = table.name
+    stream_id = f"ckpt:{os.path.abspath(checkpoint_dir)}"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         with session.transaction() as tx:
             t = tx.bucket(bucket).schema(schema_name).table(table_name)
+            if batch_id <= t.stream_offset(stream_id):
+                return  # replayed micro-batch: already committed
             t.insert_df(batch_df)
+            t.set_stream_offset(stream_id, batch_id)
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -1655,6 +1655,24 @@ class Table:
         )
 
     # ------------------------------------------------------------------
+    # streaming ingest offsets (engine extension): exactly-once foreachBatch
+    # sinks record the last applied micro-batch id here, in the SAME
+    # transaction as the data write, so a batch replayed after checkpoint
+    # recovery is detected and skipped (cf. Delta's txnAppId/txnVersion).
+    def stream_offset(self, stream_id: str) -> int:
+        """Last micro-batch id applied for ``stream_id``; -1 if none."""
+        return int(self.entry.properties.get("stream_offsets", {}).get(stream_id, -1))
+
+    def set_stream_offset(self, stream_id: str, batch_id: int) -> None:
+        """Record ``batch_id`` as applied for ``stream_id`` (committed
+        atomically with any data mutations in this transaction)."""
+        entry = TableEntry.from_json(self.entry.to_json())
+        offsets = dict(entry.properties.get("stream_offsets", {}))
+        offsets[stream_id] = int(batch_id)
+        entry.properties["stream_offsets"] = offsets
+        self._mutate(entry, "set_stream_offset", stream=stream_id, batch=batch_id)
+
+    # ------------------------------------------------------------------
     # stats / sorted tables
     def history(self) -> DataFrame:
         """Operation history of this table from the bucket audit log
