@@ -64,6 +64,31 @@ def test_empty_and_intersection_prunes_everything():
     assert all(not iv.overlaps(-1000, 1000) for iv in ivs)
 
 
+def test_arithmetic_predicates_never_prune():
+    """Any arithmetic in a predicate must make the pruner bail (None =
+    unconstrained), never mis-prune: (k+1) > 5 is NOT a bound on k."""
+    for pred in [
+        (D.k + 1) > 5,
+        (2 * D.k) <= 10,
+        (D.k / 2) == 3,
+        (D.k % 7) == 0,
+        (10 - D.k) < 4,
+        (-D.k) < 0,
+    ]:
+        assert extract_intervals(pred, "k") is None
+    # and arithmetic on ONE conjunct doesn't poison the other
+    ivs = extract_intervals(((D.k + 1) > 5) & (D.k <= 100), "k")
+    assert ivs and ivs[0].overlaps(100, 100) and not ivs[0].overlaps(101, 200)
+
+
+def test_arithmetic_compiles_to_spark(spark):
+    df = spark.range(10).withColumnRenamed("id", "k")
+    pred = ((D.k * 2 + 1) % 3 == 0) & ((20 / (D.k + 1)) >= 4)
+    rows = sorted(r.k for r in df.filter(pred.to_spark()).collect())
+    # k in 0..9 with (2k+1)%3==0 and 20/(k+1)>=4: k=1 (3%3, 10>=4), k=4 (9%3, 4>=4)
+    assert rows == [1, 4]
+
+
 def test_connect_compat_kwargs(tmp_path):
     # reference signature: connect(endpoint=..., access=..., secret=...)
     s = vastdb.connect(

@@ -374,6 +374,40 @@ def test_merge_upsert(clean_schema):
         assert got[5] == "X" and got[6] == "X" and 3 not in got and 100 not in got
 
 
+def test_merge_expr_assignments_and_aliases(clean_schema):
+    """F.expr assignments with alias-qualified refs to both join sides;
+    insert_assignments projects unmatched source rows through expressions."""
+    from pyspark.sql import functions as F
+
+    data = pa.table({"k": pa.array([1, 2], pa.int64()),
+                     "v": pa.array([10, 20], pa.int64()),
+                     "tag": pa.array(["a", "b"])})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("t", data.schema)
+        t.insert(data)
+        src = tx.spark.createDataFrame(
+            [(2, 5), (9, 7)], "k LONG, v LONG"
+        )
+        counts = t.merge(
+            src, on=["k"],
+            assignments={"v": F.expr("t.v + s.v")},
+            insert_assignments={"k": F.expr("s.k"), "tag": F.expr("upper('new')")},
+            target_alias="t", source_alias="s",
+        )
+        assert counts == {"updated": 1, "deleted": 0, "inserted": 1}
+        got = {r["k"]: (r["v"], r["tag"]) for r in t.select_df().collect()}
+        assert got[2] == (25, "b")          # v updated, tag untouched
+        assert got[9] == (None, "NEW")      # v unmentioned -> NULL
+        # plain strings stay literals (pre-existing contract)
+        t.merge(src, on=["k"], assignments={"tag": "lit"}, when_not_matched=None)
+        assert {r["tag"] for r in t.select_df(predicate=(D.k == 2)).collect()} == {"lit"}
+        # unknown assignment target is rejected
+        from vastdb_sdk_spark import InvalidArgument
+
+        with pytest.raises(InvalidArgument):
+            t.merge(src, on=["k"], assignments={"nope": 1})
+
+
 def test_merge_validation(clean_schema):
     data = pa.table({"k": pa.array([1], pa.int64())})
     with clean_schema.transaction() as tx:

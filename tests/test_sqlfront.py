@@ -159,6 +159,54 @@ def test_merge_upsert(sql_session):
     ]
 
 
+def test_merge_column_level_set(sql_session):
+    """SET col = expr with alias-qualified references to both sides, plus
+    INSERT (cols) VALUES (exprs) with NULL for unmentioned columns."""
+    sql_session.execute_sql(
+        "CREATE TABLE bkt.s.src (a BIGINT, delta DOUBLE, label STRING);"
+        "INSERT INTO bkt.s.src VALUES (2, 10.0, 'TWO'), (7, 7.5, 'seven')"
+    )
+    res = sql_session.execute_sql(
+        "MERGE INTO bkt.s.t AS tgt USING bkt.s.src AS s ON tgt.a = s.a"
+        " WHEN MATCHED THEN UPDATE SET b = tgt.b + s.delta, name = lower(s.label)"
+        " WHEN NOT MATCHED THEN INSERT (a, name) VALUES (s.a, concat('n-', s.label))"
+    )
+    assert res == {"updated": 1, "deleted": 0, "inserted": 1}
+    rows = sql_session.execute_sql(
+        "SELECT a, b, name FROM bkt.s.t ORDER BY a"
+    ).collect()
+    assert [(r.a, r.b, r.name) for r in rows] == [
+        (1, 0.5, "one"), (2, 11.5, "two"), (3, 2.5, "three"),
+        (7, None, "n-seven"),
+    ]
+
+
+def test_merge_default_alias_is_table_name(sql_session):
+    """Without AS aliases, the bare table names qualify columns."""
+    sql_session.execute_sql(
+        "CREATE TABLE bkt.s.src (a BIGINT, b DOUBLE, name STRING);"
+        "INSERT INTO bkt.s.src VALUES (1, 100.0, 'ONE')"
+    )
+    sql_session.execute_sql(
+        "MERGE INTO bkt.s.t USING bkt.s.src ON a = a"
+        " WHEN MATCHED THEN UPDATE SET b = t.b + src.b"
+    )
+    r = sql_session.execute_sql("SELECT b FROM bkt.s.t WHERE a = 1").collect()[0]
+    assert r.b == 100.5
+
+
+def test_merge_bad_set_column_raises(sql_session):
+    sql_session.execute_sql(
+        "CREATE TABLE bkt.s.src2 (a BIGINT);"
+        "INSERT INTO bkt.s.src2 VALUES (1)"
+    )
+    with pytest.raises(InvalidArgument):
+        sql_session.execute_sql(
+            "MERGE INTO bkt.s.t USING bkt.s.src2 AS s ON t.a = s.a"
+            " WHEN MATCHED THEN UPDATE SET nonexistent = 1"
+        )
+
+
 def test_merge_using_subquery_delete(sql_session):
     res = sql_session.execute_sql(
         "MERGE INTO bkt.s.t USING (SELECT 1 AS a) ON t.a = s.a"

@@ -72,14 +72,42 @@ class Expr:
         return BinOp(">=", self, _wrap(other))
 
     # -- arithmetic (superset; used by vector_search predicates etc.) ------
+    # The manifest pruner (plans/pruning.py) only understands bare
+    # column-vs-literal comparisons; arithmetic anywhere in a predicate
+    # makes extract_intervals return None (no pruning) — correct, never
+    # wrong-results. Covered by test_dsl_contracts.
     def __add__(self, other: Any) -> "Expr":
         return BinOp("+", self, _wrap(other))
+
+    def __radd__(self, other: Any) -> "Expr":
+        return BinOp("+", _wrap(other), self)
 
     def __sub__(self, other: Any) -> "Expr":
         return BinOp("-", self, _wrap(other))
 
+    def __rsub__(self, other: Any) -> "Expr":
+        return BinOp("-", _wrap(other), self)
+
     def __mul__(self, other: Any) -> "Expr":
         return BinOp("*", self, _wrap(other))
+
+    def __rmul__(self, other: Any) -> "Expr":
+        return BinOp("*", _wrap(other), self)
+
+    def __truediv__(self, other: Any) -> "Expr":
+        return BinOp("/", self, _wrap(other))
+
+    def __rtruediv__(self, other: Any) -> "Expr":
+        return BinOp("/", _wrap(other), self)
+
+    def __mod__(self, other: Any) -> "Expr":
+        return BinOp("%", self, _wrap(other))
+
+    def __rmod__(self, other: Any) -> "Expr":
+        return BinOp("%", _wrap(other), self)
+
+    def __neg__(self) -> "Expr":
+        return BinOp("-", Literal(0), self)
 
     # -- reference predicate dialect --------------------------------------
     def between(self, lo: Any, hi: Any) -> "Expr":
@@ -192,6 +220,8 @@ _SPARK_BINOPS = {
     "+": lambda a, b: a + b,
     "-": lambda a, b: a - b,
     "*": lambda a, b: a * b,
+    "/": lambda a, b: a / b,
+    "%": lambda a, b: a % b,
 }
 
 

@@ -27,6 +27,9 @@ def build_spark(config: EngineConfig | None = None, app_name: str = "vastdb_sdk_
         .config("spark.sql.shuffle.partitions", str(config.shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # explicit (it defaults on with AQE): runtime skew-join splitting is
+        # part of the 100 TB design contract (SCALING.md) — do not turn off
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", config.max_partition_bytes)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -385,11 +385,14 @@ class SqlFrontend:
         return {"updated": True}
 
     def _merge(self, stmt: str):
-        """Delta-style MERGE, the subset Table.merge() expresses: equi-key
-        ON, ``WHEN MATCHED THEN UPDATE SET *`` / ``DELETE``, ``WHEN NOT
-        MATCHED THEN INSERT *``."""
+        """Delta-style MERGE on Table.merge(): equi-key ON; ``WHEN MATCHED
+        THEN UPDATE SET *`` / ``UPDATE SET col = expr, ...`` / ``DELETE``;
+        ``WHEN NOT MATCHED THEN INSERT *`` / ``INSERT (cols) VALUES
+        (exprs)``. SET/VALUES expressions are Spark SQL, parsed by Catalyst
+        against the joined frame — qualify ambiguous columns with the
+        target/source aliases (defaults: the bare table names)."""
         m = re.match(
-            rf"(?is)MERGE\s+INTO\s+({_DOTTED})(?:\s+(?:AS\s+)?(?!USING\b){_IDENT})?"
+            rf"(?is)MERGE\s+INTO\s+({_DOTTED})(?:\s+(?:AS\s+)?(?!USING\b)({_IDENT}))?"
             rf"\s+USING\s+(\((?:[^()]|\([^()]*\))*\)|{_DOTTED})"
             rf"(?:\s+(?:AS\s+)?(?!ON\b)({_IDENT}))?"
             rf"\s+ON\s+(.*?)\s+(WHEN\s+.*)$",
@@ -397,8 +400,10 @@ class SqlFrontend:
         )
         if not m:
             raise InvalidArgument(f"cannot parse: {stmt!r}")
-        _, _, _, target = self._resolve_table(m.group(1))
-        src_text = m.group(2).strip()
+        _, _, tname, target = self._resolve_table(m.group(1))
+        target_alias = _unquote(m.group(2)) if m.group(2) else tname
+        src_text = m.group(3).strip()
+        source_alias = _unquote(m.group(4)) if m.group(4) else None
         if src_text.startswith("("):
             source = self._select(src_text[1:-1])
         else:
@@ -406,8 +411,10 @@ class SqlFrontend:
             if hit is None:
                 raise InvalidArgument(f"USING table not found: {src_text!r}")
             source = hit[3].df()
+            if source_alias is None:
+                source_alias = _parts(src_text)[-1]
         on = []
-        for clause in re.split(r"(?i)\s+AND\s+", m.group(4)):
+        for clause in re.split(r"(?i)\s+AND\s+", m.group(5)):
             em = re.match(
                 rf"(?s)\s*(?:{_IDENT}\s*\.\s*)?({_IDENT})\s*=\s*"
                 rf"(?:{_IDENT}\s*\.\s*)?({_IDENT})\s*$",
@@ -419,23 +426,61 @@ class SqlFrontend:
                 )
             on.append(_unquote(em.group(1)))
         when_matched = None
+        assignments = None
         when_not_matched = None
+        insert_assignments = None
         for wm in re.finditer(
-            r"(?is)WHEN\s+(NOT\s+)?MATCHED\s+THEN\s+(UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*)",
-            m.group(5),
+            r"(?is)WHEN\s+(NOT\s+)?MATCHED\s+THEN\s+"
+            r"(.*?)(?=\s+WHEN\s+(?:NOT\s+)?MATCHED\b|\s*$)",
+            m.group(6),
         ):
-            action = re.sub(r"\s+", " ", wm.group(2).upper())
+            action = wm.group(2).strip()
             if wm.group(1):
-                if action != "INSERT *":
-                    raise InvalidArgument("WHEN NOT MATCHED supports INSERT *")
-                when_not_matched = "insert"
-            elif action == "DELETE":
+                if re.match(r"(?is)INSERT\s+\*\s*$", action):
+                    when_not_matched = "insert"
+                elif im := re.match(
+                    r"(?is)INSERT\s*\(([^()]*)\)\s*VALUES\s*\((.*)\)\s*$", action
+                ):
+                    when_not_matched = "insert"
+                    cols = [_unquote(c) for c in _split_top(im.group(1))]
+                    vals = [v.strip() for v in _split_top(im.group(2))]
+                    if len(cols) != len(vals):
+                        raise InvalidArgument(
+                            "INSERT column list does not match VALUES arity"
+                        )
+                    insert_assignments = {
+                        c: F.expr(v) for c, v in zip(cols, vals)
+                    }
+                else:
+                    raise InvalidArgument(
+                        f"WHEN NOT MATCHED supports INSERT * or INSERT (cols)"
+                        f" VALUES (exprs): {action!r}"
+                    )
+            elif re.match(r"(?is)DELETE\s*$", action):
                 when_matched = "delete"
-            elif action == "UPDATE SET *":
+            elif re.match(r"(?is)UPDATE\s+SET\s+\*\s*$", action):
                 when_matched = "update"
+            elif um := re.match(r"(?is)UPDATE\s+SET\s+(.*)$", action):
+                when_matched = "update"
+                assignments = {}
+                for item in _split_top(um.group(1)):
+                    am = re.match(
+                        rf"(?s)\s*(?:{_IDENT}\s*\.\s*)?({_IDENT})\s*=\s*(.*)$", item
+                    )
+                    if not am:
+                        raise InvalidArgument(f"cannot parse SET item: {item!r}")
+                    assignments[_unquote(am.group(1))] = F.expr(
+                        am.group(2).strip()
+                    )
+            else:
+                raise InvalidArgument(f"unsupported MERGE action: {action!r}")
         return target.merge(
             source,
             on,
             when_matched=when_matched,
+            assignments=assignments,
             when_not_matched=when_not_matched,
+            insert_assignments=insert_assignments,
+            target_alias=target_alias,
+            source_alias=source_alias,
         )

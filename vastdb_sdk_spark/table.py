@@ -1318,17 +1318,28 @@ class Table:
         when_matched: str | None = "update",
         assignments: dict | None = None,
         when_not_matched: str | None = "insert",
+        insert_assignments: dict | None = None,
+        target_alias: str | None = None,
+        source_alias: str | None = None,
     ) -> dict:
         """Delta-style MERGE (upsert) — engine extension built on the
         merge-on-read DML machinery; the reference has no equivalent.
 
         ``on`` lists the join-key columns. Matched target rows are either
         updated (``when_matched="update"``: columns from ``assignments``
-        — target col -> Column/engine expr/literal — or, by default, every
-        non-key source column) or deleted (``"delete"``) or left alone
-        (None). Unmatched source rows are inserted (``when_not_matched=
-        "insert"``) or dropped (None). Source keys are assumed unique —
+        — target col -> Column/engine expr/literal; plain strings are
+        literals — or, by default, every non-key source column) or deleted
+        (``"delete"``) or left alone (None). Unmatched source rows are
+        inserted (``when_not_matched="insert"``: full rows, or the
+        expressions in ``insert_assignments`` — unmentioned columns become
+        NULL) or dropped (None). Source keys are assumed unique —
         duplicate keys produce one replacement row per source match.
+
+        ``target_alias``/``source_alias`` wrap the two sides in named
+        subquery aliases so ``F.expr`` columns (the SQL front-end's SET
+        clauses) can qualify ambiguous names (``F.expr("t.price +
+        s.delta")``). Unqualified refs that exist on both sides raise
+        Spark's ambiguity error — qualify them.
 
         Scale shape: one inner join for matches (DV-mask old versions +
         write only replacement rows), one anti-join for inserts
@@ -1345,16 +1356,32 @@ class Table:
             raise InvalidArgument(f"when_matched: {when_matched!r}")
         if when_not_matched not in ("insert", None):
             raise InvalidArgument(f"when_not_matched: {when_not_matched!r}")
+        for label, d in (("assignments", assignments),
+                         ("insert_assignments", insert_assignments)):
+            unknown = [k for k in (d or {}) if k not in arrow.names]
+            if unknown:
+                raise InvalidArgument(f"{label} target unknown columns: {unknown}")
 
+        if source_alias:
+            source = source.alias(source_alias)
         source = source.persist()
         counts = {"updated": 0, "deleted": 0, "inserted": 0}
         try:
             base = self.df(internal_row_id=True, with_file_path=True)
+            if target_alias:
+                base = base.alias(target_alias)
             pre_files = list(self.entry.files)
             cond = None
             for k in on:
                 c = base[k].eqNullSafe(source[k])
                 cond = c if cond is None else cond & c
+
+            def _compile(v):
+                if isinstance(v, Expr):
+                    return v.to_spark()
+                if isinstance(v, Column):
+                    return v
+                return F.lit(v)  # plain strings are literals, not SQL
 
             matched_df = None
             if when_matched is not None:
@@ -1368,11 +1395,7 @@ class Table:
                     out_cols = []
                     for f in arrow:
                         if f.name in upd:
-                            v = upd[f.name]
-                            if isinstance(v, Expr):
-                                v = v.to_spark()
-                            elif not isinstance(v, Column):
-                                v = F.lit(v)
+                            v = _compile(upd[f.name])
                             v = v.cast(arrow_type_to_spark(storage_arrow_type(f.type)))
                             out_cols.append(v.alias(f.name))
                         else:
@@ -1391,18 +1414,19 @@ class Table:
                 not_matched = source.join(base, cond, "left_anti")
                 ins_cols = []
                 for f in arrow:
-                    if f.name in source.columns:
+                    spark_t = arrow_type_to_spark(storage_arrow_type(f.type))
+                    if insert_assignments is not None:
+                        if f.name in insert_assignments:
+                            v = _compile(insert_assignments[f.name])
+                            ins_cols.append(v.cast(spark_t).alias(f.name))
+                        else:
+                            ins_cols.append(F.lit(None).cast(spark_t).alias(f.name))
+                    elif f.name in source.columns:
                         ins_cols.append(
-                            not_matched[f.name]
-                            .cast(arrow_type_to_spark(storage_arrow_type(f.type)))
-                            .alias(f.name)
+                            not_matched[f.name].cast(spark_t).alias(f.name)
                         )
                     else:
-                        ins_cols.append(
-                            F.lit(None)
-                            .cast(arrow_type_to_spark(storage_arrow_type(f.type)))
-                            .alias(f.name)
-                        )
+                        ins_cols.append(F.lit(None).cast(spark_t).alias(f.name))
                 counts["inserted"] = self.insert_df(not_matched.select(*ins_cols))
 
             # snapshot AFTER insert_df's own _mutate so its files survive
