@@ -1103,6 +1103,42 @@ def q_e10_sql_frontend(spark, sf):
     )
 
 
+def q_e11_merge_conditional(spark, sf):
+    """Column-level conditional MERGE through the SQL front-end: guarded
+    UPDATE SET col = expr (alias-qualified refs to both join sides) and
+    guarded INSERT (cols) VALUES (exprs). Arithmetic is exact-double
+    (* 2, pass-throughs) so the oracle CASE reconstruction hash-matches
+    without rounding."""
+    import tempfile
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark.sources import create_table_from_files
+
+    session = vastdb.connect(tempfile.mkdtemp(prefix="entry_mergec_"), spark=spark)
+    session.create_bucket("b")
+    with session.transaction() as tx:
+        sc = tx.bucket("b").create_schema("s")
+        create_table_from_files(sc, "customer", [f"{sf}/customer.parquet"])
+        tx.execute_sql(
+            "MERGE INTO b.s.customer USING ("
+            "  SELECT c_custkey, -c_acctbal AS boost"
+            "  FROM b.s.customer WHERE c_acctbal < 0"
+            "  UNION ALL"
+            "  SELECT 9000000 + c_custkey AS c_custkey, 60.0 AS boost"
+            "  FROM b.s.customer WHERE c_custkey <= 100"
+            ") AS s ON customer.c_custkey = s.c_custkey"
+            " WHEN MATCHED AND s.boost > 50"
+            "  THEN UPDATE SET c_acctbal = customer.c_acctbal * 2"
+            " WHEN NOT MATCHED AND s.c_custkey % 2 = 0"
+            "  THEN INSERT (c_custkey, c_name, c_acctbal)"
+            "  VALUES (s.c_custkey, concat('SYN#', CAST(s.c_custkey AS STRING)),"
+            "          s.boost)"
+        )
+    return session.execute_sql(
+        "SELECT c_custkey, c_acctbal, c_name FROM b.s.customer"
+    )
+
+
 def q_e3_engine_sorted_scan(spark, sf):
     """Range scan on the sorted (Elysium) engine table: the manifest prunes
     non-overlapping files by l_shipdate min/max, then parquet row-group
@@ -1156,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e8_engine_predicate_dml": q_e8_engine_predicate_dml,
         "e9_engine_merge": q_e9_engine_merge,
         "e10_sql_frontend": q_e10_sql_frontend,
+        "e11_merge_conditional": q_e11_merge_conditional,
         "ann_rhp_topk": q_ann_rhp_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "s1_scan_project": q_s1_scan_project,
@@ -1298,6 +1335,19 @@ def oracle_sql() -> dict[str, str]:
                                   ELSE o_totalprice END), 2) AS total
             FROM orders WHERE o_orderstatus <> 'P'
             GROUP BY o_orderstatus
+        """,
+        "e11_merge_conditional": """
+            SELECT c_custkey,
+                   CASE WHEN c_acctbal < -50 THEN c_acctbal * 2
+                        ELSE c_acctbal END AS c_acctbal,
+                   c_name
+            FROM customer
+            UNION ALL
+            SELECT 9000000 + c_custkey AS c_custkey,
+                   60.0 AS c_acctbal,
+                   'SYN#' || CAST(9000000 + c_custkey AS VARCHAR) AS c_name
+            FROM customer
+            WHERE c_custkey <= 100 AND (9000000 + c_custkey) % 2 = 0
         """,
         "e8_engine_predicate_dml": """
             SELECT o_orderkey,

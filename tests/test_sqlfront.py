@@ -195,6 +195,29 @@ def test_merge_default_alias_is_table_name(sql_session):
     assert r.b == 100.5
 
 
+def test_merge_conditional_clauses(sql_session):
+    """WHEN MATCHED AND <guard> leaves non-qualifying matches untouched;
+    WHEN NOT MATCHED AND <guard> drops non-qualifying source rows."""
+    sql_session.execute_sql(
+        "CREATE TABLE bkt.s.src (a BIGINT, b DOUBLE, name STRING);"
+        "INSERT INTO bkt.s.src VALUES"
+        " (1, -1.0, 'skip-update'), (2, 99.0, 'hit'),"
+        " (8, -8.0, 'skip-insert'), (9, 9.0, 'new')"
+    )
+    res = sql_session.execute_sql(
+        "MERGE INTO bkt.s.t USING bkt.s.src AS s ON t.a = s.a"
+        " WHEN MATCHED AND s.b > 0 THEN UPDATE SET *"
+        " WHEN NOT MATCHED AND s.b > 0 THEN INSERT *"
+    )
+    assert res == {"updated": 1, "deleted": 0, "inserted": 1}
+    rows = sql_session.execute_sql(
+        "SELECT a, name FROM bkt.s.t ORDER BY a"
+    ).collect()
+    assert [(r.a, r.name) for r in rows] == [
+        (1, "one"), (2, "hit"), (3, "three"), (9, "new"),
+    ]
+
+
 def test_merge_bad_set_column_raises(sql_session):
     sql_session.execute_sql(
         "CREATE TABLE bkt.s.src2 (a BIGINT);"

@@ -386,11 +386,12 @@ class SqlFrontend:
 
     def _merge(self, stmt: str):
         """Delta-style MERGE on Table.merge(): equi-key ON; ``WHEN MATCHED
-        THEN UPDATE SET *`` / ``UPDATE SET col = expr, ...`` / ``DELETE``;
-        ``WHEN NOT MATCHED THEN INSERT *`` / ``INSERT (cols) VALUES
-        (exprs)``. SET/VALUES expressions are Spark SQL, parsed by Catalyst
-        against the joined frame — qualify ambiguous columns with the
-        target/source aliases (defaults: the bare table names)."""
+        [AND guard] THEN UPDATE SET *`` / ``UPDATE SET col = expr, ...`` /
+        ``DELETE``; ``WHEN NOT MATCHED [AND guard] THEN INSERT *`` /
+        ``INSERT (cols) VALUES (exprs)``. Guards/SET/VALUES expressions are
+        Spark SQL, parsed by Catalyst against the joined frame — qualify
+        ambiguous columns with the target/source aliases (defaults: the
+        bare table names)."""
         m = re.match(
             rf"(?is)MERGE\s+INTO\s+({_DOTTED})(?:\s+(?:AS\s+)?(?!USING\b)({_IDENT}))?"
             rf"\s+USING\s+(\((?:[^()]|\([^()]*\))*\)|{_DOTTED})"
@@ -429,12 +430,19 @@ class SqlFrontend:
         assignments = None
         when_not_matched = None
         insert_assignments = None
+        matched_condition = None
+        not_matched_condition = None
         for wm in re.finditer(
-            r"(?is)WHEN\s+(NOT\s+)?MATCHED\s+THEN\s+"
+            r"(?is)WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+"
             r"(.*?)(?=\s+WHEN\s+(?:NOT\s+)?MATCHED\b|\s*$)",
             m.group(6),
         ):
-            action = wm.group(2).strip()
+            action = wm.group(3).strip()
+            guard = F.expr(wm.group(2).strip()) if wm.group(2) else None
+            if wm.group(1):
+                not_matched_condition = guard
+            else:
+                matched_condition = guard
             if wm.group(1):
                 if re.match(r"(?is)INSERT\s+\*\s*$", action):
                     when_not_matched = "insert"
@@ -481,6 +489,8 @@ class SqlFrontend:
             assignments=assignments,
             when_not_matched=when_not_matched,
             insert_assignments=insert_assignments,
+            matched_condition=matched_condition,
+            not_matched_condition=not_matched_condition,
             target_alias=target_alias,
             source_alias=source_alias,
         )

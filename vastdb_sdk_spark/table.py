@@ -1319,6 +1319,8 @@ class Table:
         assignments: dict | None = None,
         when_not_matched: str | None = "insert",
         insert_assignments: dict | None = None,
+        matched_condition=None,
+        not_matched_condition=None,
         target_alias: str | None = None,
         source_alias: str | None = None,
     ) -> dict:
@@ -1334,6 +1336,11 @@ class Table:
         expressions in ``insert_assignments`` — unmentioned columns become
         NULL) or dropped (None). Source keys are assumed unique —
         duplicate keys produce one replacement row per source match.
+
+        ``matched_condition`` / ``not_matched_condition`` (Column or engine
+        Expr) are the SQL ``WHEN [NOT] MATCHED AND <cond>`` guards: matched
+        target rows failing the guard are left untouched; unmatched source
+        rows failing theirs are dropped instead of inserted.
 
         ``target_alias``/``source_alias`` wrap the two sides in named
         subquery aliases so ``F.expr`` columns (the SQL front-end's SET
@@ -1362,6 +1369,16 @@ class Table:
             if unknown:
                 raise InvalidArgument(f"{label} target unknown columns: {unknown}")
 
+        def _cond(label, c):
+            if c is None or isinstance(c, Column):
+                return c
+            if isinstance(c, Expr):
+                return c.to_spark()
+            raise InvalidArgument(f"{label} must be a Column or engine Expr")
+
+        matched_condition = _cond("matched_condition", matched_condition)
+        not_matched_condition = _cond("not_matched_condition", not_matched_condition)
+
         if source_alias:
             source = source.alias(source_alias)
         source = source.persist()
@@ -1386,6 +1403,8 @@ class Table:
             matched_df = None
             if when_matched is not None:
                 joined = base.join(source, cond, "inner")
+                if matched_condition is not None:
+                    joined = joined.filter(matched_condition)
                 if when_matched == "update":
                     upd = assignments or {
                         c: source[c]
@@ -1412,6 +1431,8 @@ class Table:
 
             if when_not_matched == "insert":
                 not_matched = source.join(base, cond, "left_anti")
+                if not_matched_condition is not None:
+                    not_matched = not_matched.filter(not_matched_condition)
                 ins_cols = []
                 for f in arrow:
                     spark_t = arrow_type_to_spark(storage_arrow_type(f.type))
