@@ -242,6 +242,57 @@ def test_merge_using_subquery_delete(sql_session):
     )
 
 
+def test_time_travel_select(sql_session):
+    """VERSION AS OF <n>, quoted named snapshots, and TIMESTAMP AS OF all
+    bind the historical manifest; current-state reads are unaffected."""
+    import datetime as dt
+
+    with sql_session.transaction() as tx:
+        v0 = tx.bucket("bkt").manifest.version
+        tx.bucket("bkt").create_snapshot("before-zeroing")
+    mid = dt.datetime.now(dt.timezone.utc).isoformat()
+    sql_session.execute_sql("UPDATE bkt.s.t SET b = 0.0")
+    assert (
+        sql_session.execute_sql("SELECT sum(b) AS s FROM bkt.s.t").collect()[0].s
+        == 0.0
+    )
+    for suffix in (
+        f"VERSION AS OF {v0}",
+        "VERSION AS OF 'before-zeroing'",
+        f"FOR SYSTEM_TIME AS OF '{mid}'",
+        f"TIMESTAMP AS OF '{mid}'",
+    ):
+        r = sql_session.execute_sql(
+            f"SELECT round(sum(b), 2) AS s FROM bkt.s.t {suffix}"
+        ).collect()[0]
+        assert r.s == 4.5, suffix
+    # historical and current joined in one statement
+    r = sql_session.execute_sql(
+        f"SELECT round(sum(cur.b - old.b), 2) AS drift"
+        f" FROM bkt.s.t cur JOIN bkt.s.t VERSION AS OF {v0} old ON cur.a = old.a"
+    ).collect()[0]
+    assert r.drift == -4.5
+
+
+def test_bucket_as_of_api(sql_session):
+    import time
+
+    sql_session.execute_sql("DELETE FROM bkt.s.t WHERE a = 1")
+    with sql_session.transaction() as tx:
+        b = tx.bucket("bkt")
+        cur = b.manifest.version
+        old = b.as_of(version=cur - 1)
+        assert old.readonly
+        assert old.schema("s").table("t").count_rows() == 3
+        assert b.schema("s").table("t").count_rows() == 2
+        # timestamp far in the future -> current version; exactly-one-arg
+        assert b.as_of(timestamp=time.time() + 3600).manifest.version == cur
+        with pytest.raises(InvalidArgument):
+            b.as_of()
+        with pytest.raises(InvalidArgument):
+            b.as_of(version=1, timestamp=0.0)
+
+
 def test_unsupported_statement_raises(sql_session):
     with pytest.raises(InvalidArgument):
         sql_session.execute_sql("GRANT ALL ON bkt.s.t TO nobody")

@@ -125,6 +125,38 @@ class Bucket:
             return None
         return Bucket(self.name, self.tx, snapshot_manifest=st.store.load(version), snapshot_name=name)
 
+    def as_of(self, version: int | None = None, timestamp=None):
+        """Read-only view of the bucket at an arbitrary committed manifest
+        ``version``, or the last version committed at or before
+        ``timestamp`` (datetime, ISO string, or epoch seconds) — the
+        engine analog of ``VERSION/TIMESTAMP AS OF`` time travel. Named
+        snapshots (``snapshot()``) are pointers into this same chain."""
+        import datetime as _dt
+
+        from .errors import InvalidArgument
+
+        st = self._state
+        if (version is None) == (timestamp is None):
+            raise InvalidArgument("as_of needs exactly one of version/timestamp")
+        if timestamp is not None:
+            if isinstance(timestamp, str):
+                ts = _dt.datetime.fromisoformat(timestamp)
+                if ts.tzinfo is None:
+                    ts = ts.replace(tzinfo=_dt.timezone.utc)
+                timestamp = ts.timestamp()
+            elif isinstance(timestamp, _dt.datetime):
+                ts = timestamp
+                if ts.tzinfo is None:
+                    ts = ts.replace(tzinfo=_dt.timezone.utc)
+                timestamp = ts.timestamp()
+            version = st.store.version_at(float(timestamp))
+        return Bucket(
+            self.name,
+            self.tx,
+            snapshot_manifest=st.store.load(version),
+            snapshot_name=f"@v{version}",
+        )
+
     def snapshots(self) -> list:
         st = self._state
         return [

@@ -24,10 +24,12 @@ commit protocol and object model are unchanged.
 
 from __future__ import annotations
 
+import bisect
 import copy
 import json
 import os
 import tempfile
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any, Iterator
@@ -195,12 +197,16 @@ class Manifest:
         self.schemas: dict[str, dict] = {}
         self.tables: dict[tuple[str, str], TableEntry] = {}
         self.snapshots: dict[str, int] = {}
+        # commit wall-clock (epoch seconds), for TIMESTAMP AS OF; None until
+        # written (pre-upgrade versions fall back to file mtime)
+        self.committed_at: float | None = None
         if data:
             self.schemas = dict(data.get("schemas", {}))
             for td in data.get("tables", []):
                 te = TableEntry.from_json(td)
                 self.tables[(te.schema_name, te.name)] = te
             self.snapshots = dict(data.get("snapshots", {}))
+            self.committed_at = data.get("committed_at")
 
     def to_json(self) -> dict:
         return {
@@ -208,6 +214,7 @@ class Manifest:
             "schemas": self.schemas,
             "tables": [t.to_json() for t in self.tables.values()],
             "snapshots": self.snapshots,
+            "committed_at": self.committed_at,
         }
 
     def copy(self) -> "Manifest":
@@ -296,6 +303,8 @@ class ManifestStore:
         return os.path.join(self.catalog_path, f"v{version:010d}.json")
 
     def _write_version(self, m: Manifest) -> None:
+        if m.committed_at is None:
+            m.committed_at = time.time()
         path = self._version_path(m.version)
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         try:
@@ -329,6 +338,40 @@ class ManifestStore:
         except FileNotFoundError:
             raise MissingSnapshot(f"manifest version {version}") from None
         return Manifest(version=version, data=data)
+
+    def available_versions(self) -> list[int]:
+        """Retained manifest versions, ascending (vacuum may have removed a
+        prefix)."""
+        out = []
+        for name in os.listdir(self.catalog_path):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    pass
+        out.sort()
+        return out
+
+    def _commit_time(self, version: int) -> float:
+        m = self.load(version)
+        if m.committed_at is not None:
+            return m.committed_at
+        # versions written before committed_at existed: file mtime
+        return os.path.getmtime(self._version_path(version))
+
+    def version_at(self, ts: float) -> int:
+        """Largest retained version committed at or before epoch-seconds
+        ``ts`` (commit times are monotone along the version chain, so this
+        is a bisect — O(log n) manifest loads even with 10^5 versions)."""
+        versions = self.available_versions()
+        if not versions:
+            raise MissingSnapshot("no manifest versions")
+        idx = bisect.bisect_right(versions, ts, key=self._commit_time) - 1
+        if idx < 0:
+            raise MissingSnapshot(
+                f"no manifest version committed at or before ts={ts}"
+            )
+        return versions[idx]
 
     # -- commit ------------------------------------------------------------
     def commit(self, base: Manifest, changes: "ChangeSet") -> Manifest:

@@ -179,8 +179,47 @@ class SqlFrontend:
             masked = re.sub(r"'(?:[^']|'')*'", lambda m: "\0" * len(m.group()), text)
         return text
 
+    def _bind_time_travel(self, text: str) -> str:
+        """Rewrite ``<table> [FOR] VERSION|TIMESTAMP AS OF <v>`` suffixes to
+        temp views over the historical manifest (Bucket.as_of / named
+        snapshots). Runs before _bind_views so the suffix is consumed
+        together with the identifier."""
+        masked = re.sub(r"'(?:[^']|'')*'", lambda m: "\0" * len(m.group()), text)
+        pattern = (
+            rf"(?is)({_DOTTED})\s+(?:FOR\s+)?"
+            rf"(SYSTEM_VERSION|VERSION|SYSTEM_TIME|TIMESTAMP)\s+AS\s+OF\s+"
+            rf"(\0+|\d+)"
+        )
+        for m in reversed(list(re.finditer(pattern, masked))):
+            hit = self._try_resolve(m.group(1))
+            if hit is None:
+                continue
+            b, s, t, _table = hit
+            kind = m.group(2).upper()
+            raw = text[m.start(3) : m.end(3)]
+            bucket = self._tx.bucket(b)
+            if raw.isdigit():
+                if kind in ("SYSTEM_TIME", "TIMESTAMP"):
+                    snap = bucket.as_of(timestamp=float(raw))
+                else:
+                    snap = bucket.as_of(version=int(raw))
+            else:
+                literal = raw[1:-1].replace("''", "'")
+                if kind in ("SYSTEM_TIME", "TIMESTAMP"):
+                    snap = bucket.as_of(timestamp=literal)
+                else:
+                    # quoted VERSION AS OF = named snapshot
+                    snap = bucket.snapshot(literal)
+            view = (
+                f"vastdb_tt_{b}_{s}_{t}_{self._tx.txid & 0xFFFF:04x}"
+                f"_{abs(hash((kind, raw))) & 0xFFFFFF:06x}"
+            )
+            snap.schema(s).table(t).df().createOrReplaceTempView(view)
+            text = text[: m.start()] + view + text[m.end() :]
+        return text
+
     def _select(self, statement: str):
-        return self._tx.spark.sql(self._bind_views(statement))
+        return self._tx.spark.sql(self._bind_views(self._bind_time_travel(statement)))
 
     # -- statement dispatch ------------------------------------------------
 
