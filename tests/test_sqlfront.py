@@ -218,6 +218,26 @@ def test_merge_conditional_clauses(sql_session):
     ]
 
 
+def test_merge_multi_clause_first_match_wins(sql_session):
+    """UPDATE and DELETE clauses in one MERGE, ordered: a row matching the
+    first guard is updated even if it also matches the delete guard."""
+    sql_session.execute_sql(
+        "CREATE TABLE bkt.s.src (a BIGINT, flag STRING);"
+        "INSERT INTO bkt.s.src VALUES (1, 'keep'), (2, 'drop'), (3, 'keep')"
+    )
+    res = sql_session.execute_sql(
+        "MERGE INTO bkt.s.t USING bkt.s.src AS s ON t.a = s.a"
+        " WHEN MATCHED AND s.flag = 'keep' THEN UPDATE SET b = t.b + 100"
+        " WHEN MATCHED THEN DELETE"
+        " WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert res == {"updated": 2, "deleted": 1, "inserted": 0}
+    rows = sql_session.execute_sql(
+        "SELECT a, b FROM bkt.s.t ORDER BY a"
+    ).collect()
+    assert [(r.a, r.b) for r in rows] == [(1, 100.5), (3, 102.5)]
+
+
 def test_merge_bad_set_column_raises(sql_session):
     sql_session.execute_sql(
         "CREATE TABLE bkt.s.src2 (a BIGINT);"

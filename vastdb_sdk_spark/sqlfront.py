@@ -465,11 +465,9 @@ class SqlFrontend:
                     f"MERGE ON must be equi-joins on same-named keys: {clause!r}"
                 )
             on.append(_unquote(em.group(1)))
-        when_matched = None
-        assignments = None
+        matched_clauses = []
         when_not_matched = None
         insert_assignments = None
-        matched_condition = None
         not_matched_condition = None
         for wm in re.finditer(
             r"(?is)WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+"
@@ -479,10 +477,11 @@ class SqlFrontend:
             action = wm.group(3).strip()
             guard = F.expr(wm.group(2).strip()) if wm.group(2) else None
             if wm.group(1):
+                if when_not_matched is not None:
+                    raise InvalidArgument(
+                        "only one WHEN NOT MATCHED clause is supported"
+                    )
                 not_matched_condition = guard
-            else:
-                matched_condition = guard
-            if wm.group(1):
                 if re.match(r"(?is)INSERT\s+\*\s*$", action):
                     when_not_matched = "insert"
                 elif im := re.match(
@@ -504,11 +503,10 @@ class SqlFrontend:
                         f" VALUES (exprs): {action!r}"
                     )
             elif re.match(r"(?is)DELETE\s*$", action):
-                when_matched = "delete"
+                matched_clauses.append(("delete", guard, None))
             elif re.match(r"(?is)UPDATE\s+SET\s+\*\s*$", action):
-                when_matched = "update"
+                matched_clauses.append(("update", guard, None))
             elif um := re.match(r"(?is)UPDATE\s+SET\s+(.*)$", action):
-                when_matched = "update"
                 assignments = {}
                 for item in _split_top(um.group(1)):
                     am = re.match(
@@ -519,17 +517,17 @@ class SqlFrontend:
                     assignments[_unquote(am.group(1))] = F.expr(
                         am.group(2).strip()
                     )
+                matched_clauses.append(("update", guard, assignments))
             else:
                 raise InvalidArgument(f"unsupported MERGE action: {action!r}")
         return target.merge(
             source,
             on,
-            when_matched=when_matched,
-            assignments=assignments,
+            when_matched=None,
             when_not_matched=when_not_matched,
             insert_assignments=insert_assignments,
-            matched_condition=matched_condition,
             not_matched_condition=not_matched_condition,
+            matched_clauses=matched_clauses,
             target_alias=target_alias,
             source_alias=source_alias,
         )

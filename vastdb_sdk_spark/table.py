@@ -39,6 +39,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
+from functools import reduce
 from typing import Any, Iterable
 
 import pyarrow as pa
@@ -1321,6 +1322,7 @@ class Table:
         insert_assignments: dict | None = None,
         matched_condition=None,
         not_matched_condition=None,
+        matched_clauses: list | None = None,
         target_alias: str | None = None,
         source_alias: str | None = None,
     ) -> dict:
@@ -1341,6 +1343,12 @@ class Table:
         Expr) are the SQL ``WHEN [NOT] MATCHED AND <cond>`` guards: matched
         target rows failing the guard are left untouched; unmatched source
         rows failing theirs are dropped instead of inserted.
+
+        ``matched_clauses`` generalizes to ordered multi-clause MERGE
+        (first TRUE guard wins per row, SQL semantics): a list of
+        ``("update", guard, assignments)`` / ``("delete", guard, None)``
+        tuples; guard None = unconditional (consumes all remaining
+        matches). Overrides when_matched/matched_condition/assignments.
 
         ``target_alias``/``source_alias`` wrap the two sides in named
         subquery aliases so ``F.expr`` columns (the SQL front-end's SET
@@ -1379,10 +1387,32 @@ class Table:
         matched_condition = _cond("matched_condition", matched_condition)
         not_matched_condition = _cond("not_matched_condition", not_matched_condition)
 
+        if matched_clauses is None:
+            clauses = (
+                [(when_matched, matched_condition, assignments)]
+                if when_matched is not None
+                else []
+            )
+        else:
+            clauses = []
+            for cl in matched_clauses:
+                action = cl[0]
+                guard = cl[1] if len(cl) > 1 else None
+                asg = cl[2] if len(cl) > 2 else None
+                if action not in ("update", "delete"):
+                    raise InvalidArgument(f"matched clause action: {action!r}")
+                unknown = [k for k in (asg or {}) if k not in arrow.names]
+                if unknown:
+                    raise InvalidArgument(
+                        f"clause assignments target unknown columns: {unknown}"
+                    )
+                clauses.append((action, _cond("clause guard", guard), asg))
+
         if source_alias:
             source = source.alias(source_alias)
         source = source.persist()
         counts = {"updated": 0, "deleted": 0, "inserted": 0}
+        replace_df = del_df = None
         try:
             base = self.df(internal_row_id=True, with_file_path=True)
             if target_alias:
@@ -1400,34 +1430,48 @@ class Table:
                     return v
                 return F.lit(v)  # plain strings are literals, not SQL
 
-            matched_df = None
-            if when_matched is not None:
+            if clauses:
                 joined = base.join(source, cond, "inner")
-                if matched_condition is not None:
-                    joined = joined.filter(matched_condition)
-                if when_matched == "update":
-                    upd = assignments or {
-                        c: source[c]
-                        for c in source.columns
-                        if c in arrow.names and c not in on
-                    }
-                    out_cols = []
-                    for f in arrow:
-                        if f.name in upd:
-                            v = _compile(upd[f.name])
-                            v = v.cast(arrow_type_to_spark(storage_arrow_type(f.type)))
-                            out_cols.append(v.alias(f.name))
-                        else:
-                            out_cols.append(base[f.name])
-                    out_cols.append(base[INTERNAL_ROW_ID])
-                    out_cols.append(base["__source_file"])
-                    matched_df = joined.select(*out_cols).persist()
-                else:  # delete
-                    matched_df = joined.select(
-                        base[INTERNAL_ROW_ID], base["__source_file"]
-                    ).persist()
-                n_matched = matched_df.count()
-                counts["updated" if when_matched == "update" else "deleted"] = n_matched
+                upd_parts, del_parts = [], []
+                prior = []  # guards of earlier clauses (first TRUE wins)
+                for action, guard, asg in clauses:
+                    branch = joined
+                    for pc in prior:
+                        branch = branch.filter(~F.coalesce(pc, F.lit(False)))
+                    if guard is not None:
+                        branch = branch.filter(guard)
+                        prior.append(guard)
+                    else:
+                        prior.append(F.lit(True))
+                    if action == "update":
+                        upd = asg or {
+                            c: source[c]
+                            for c in source.columns
+                            if c in arrow.names and c not in on
+                        }
+                        out_cols = []
+                        for f in arrow:
+                            if f.name in upd:
+                                v = _compile(upd[f.name])
+                                v = v.cast(
+                                    arrow_type_to_spark(storage_arrow_type(f.type))
+                                )
+                                out_cols.append(v.alias(f.name))
+                            else:
+                                out_cols.append(base[f.name])
+                        out_cols.append(base[INTERNAL_ROW_ID])
+                        out_cols.append(base["__source_file"])
+                        upd_parts.append(branch.select(*out_cols))
+                    else:  # delete
+                        del_parts.append(
+                            branch.select(base[INTERNAL_ROW_ID], base["__source_file"])
+                        )
+                if upd_parts:
+                    replace_df = reduce(DataFrame.unionByName, upd_parts).persist()
+                    counts["updated"] = replace_df.count()
+                if del_parts:
+                    del_df = reduce(DataFrame.unionByName, del_parts).persist()
+                    counts["deleted"] = del_df.count()
 
             if when_not_matched == "insert":
                 not_matched = source.join(base, cond, "left_anti")
@@ -1452,25 +1496,32 @@ class Table:
 
             # snapshot AFTER insert_df's own _mutate so its files survive
             entry = TableEntry.from_json(self.entry.to_json())
-            if matched_df is not None and (counts["updated"] or counts["deleted"]):
-                if when_matched == "update":
+            if counts["updated"] or counts["deleted"]:
+                if counts["updated"]:
                     self._rewrite_files(
-                        entry, [], matched_df.drop("__source_file"), "merge"
+                        entry, [], replace_df.drop("__source_file"), "merge"
                     )
+                masked_parts = []
+                if counts["updated"]:
+                    masked_parts.append(
+                        replace_df.select(INTERNAL_ROW_ID, "__source_file")
+                    )
+                if counts["deleted"]:
+                    masked_parts.append(del_df)
+                matched_ids = reduce(DataFrame.unionByName, masked_parts)
                 # DV attribution targets pre-merge files only (matches were
                 # computed before the insert), keyed on the copy's entries
                 pre_paths = {fe.path for fe in pre_files}
                 affected = [fe for fe in entry.files if fe.path in pre_paths]
-                self._write_dvs_distributed(
-                    affected, matched_df.select(INTERNAL_ROW_ID, "__source_file")
-                )
+                self._write_dvs_distributed(affected, matched_ids)
                 self._fold_heavy_dvs(entry, affected)
             self._mark_unsorted(entry)
             self._mutate(entry, "merge", **counts)
         finally:
             source.unpersist()
-            if matched_df is not None:
-                matched_df.unpersist()
+            for df in (replace_df, del_df):
+                if df is not None:
+                    df.unpersist()
         return counts
 
     # ------------------------------------------------------------------
