@@ -852,6 +852,98 @@ def _engine_sorted_table(spark, sf):
     return tx.bucket("b").schema("s").table("li_sorted")
 
 
+def _engine_sorted_events(spark, sf):
+    """Events in a sorted engine table (sorting_key = user_id, ts) — the
+    analog of the reference perf bench's Elysium stock-bars table sorted on
+    (sid, ts) (vastdb/bench/test_perf.py:24-59). optimize() globally
+    range-sorts so the el1–el5 selective queries below (the reference's own
+    5-query protocol mapped onto events) prune manifest files on the lead
+    sort key before Spark plans."""
+    import tempfile
+
+    import pyarrow as pa
+
+    import vastdb_sdk_spark as vastdb
+
+    key = (sf, "__sorted_events")
+    if key not in _ENGINE_WAREHOUSES:
+        session = vastdb.connect(tempfile.mkdtemp(prefix="entry_whe_"), spark=spark)
+        session.create_bucket("b")
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.int64()),  # nanos-as-long (parquet TIMESTAMP(NANOS))
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+        with session.transaction() as tx:
+            t = tx.bucket("b").create_schema("s").create_table(
+                "events", schema, sorting_key=["user_id", "ts"]
+            )
+            t.insert_df(_t(spark, sf, "events"))
+        with session.transaction() as tx:
+            tx.bucket("b").schema("s").table("events").optimize(
+                target_file_rows=12_500
+            )
+        _ENGINE_WAREHOUSES[key] = session
+    tx = _ENGINE_WAREHOUSES[key].transaction()
+    return tx.bucket("b").schema("s").table("events")
+
+
+_EL_COLS = ["event_id", "user_id", "ts", "value"]
+
+
+def q_el1_sorted_point(spark, sf):
+    """Reference bench query 1: point lookup on the lead sort key
+    (`sid = 10033007` ≙ user_id = 1033) — prunes to one file."""
+    t = _engine_sorted_events(spark, sf)
+    return t.select_df(columns=_EL_COLS, predicate=(t["user_id"] == 1033))
+
+
+def q_el2_sorted_ts_between(spark, sf):
+    """Reference bench query 2: `ts BETWEEN` two timestamps (second sort
+    key; integer-nanos comparison, tz-free)."""
+    t = _engine_sorted_events(spark, sf)
+    lo = 1704844800000000000  # 2024-01-10 00:00:00 UTC in nanos
+    hi = 1705017600000000000  # 2024-01-12 00:00:00 UTC
+    return t.select_df(
+        columns=_EL_COLS, predicate=(t["ts"] >= lo) & (t["ts"] < hi)
+    )
+
+
+def q_el3_sorted_conjunction(spark, sf):
+    """Reference bench query 3: sort-key equality AND non-key comparison
+    (`bid_qty = 684000 AND ask_close > 1` ≙ user_id = 684 AND value > 1)."""
+    t = _engine_sorted_events(spark, sf)
+    return t.select_df(
+        columns=_EL_COLS, predicate=(t["user_id"] == 684) & (t["value"] > 1.0)
+    )
+
+
+def q_el4_sorted_or_ranges(spark, sf):
+    """Reference bench query 4: OR of two narrow BETWEEN ranges on a
+    non-key column (`ask_open BETWEEN ... OR ask_open BETWEEN ...`)."""
+    t = _engine_sorted_events(spark, sf)
+    return t.select_df(
+        columns=_EL_COLS,
+        predicate=t["value"].between(437.4, 437.5)
+        | t["value"].between(38.0, 38.1),
+    )
+
+
+def q_el5_sorted_isin(spark, sf):
+    """Reference bench query 5: IN-list on a categorical column
+    (`ticker IN ('BANR','KELYB')` ≙ event_type IN two values)."""
+    t = _engine_sorted_events(spark, sf)
+    return t.select_df(
+        columns=_EL_COLS + ["event_type"],
+        predicate=t["event_type"].isin(["click", "error"]),
+    )
+
+
 def q_e4_engine_dml(spark, sf):
     """Engine DML under the oracle gate: delete all 'F'-status orders by
     $row_id, zero out 1-URGENT totals via update, then scan. The oracle
@@ -1193,6 +1285,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e9_engine_merge": q_e9_engine_merge,
         "e10_sql_frontend": q_e10_sql_frontend,
         "e11_merge_conditional": q_e11_merge_conditional,
+        "el1_sorted_point": q_el1_sorted_point,
+        "el2_sorted_ts_between": q_el2_sorted_ts_between,
+        "el3_sorted_conjunction": q_el3_sorted_conjunction,
+        "el4_sorted_or_ranges": q_el4_sorted_or_ranges,
+        "el5_sorted_isin": q_el5_sorted_isin,
         "ann_rhp_topk": q_ann_rhp_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "s1_scan_project": q_s1_scan_project,
@@ -1348,6 +1445,28 @@ def oracle_sql() -> dict[str, str]:
                    'SYN#' || CAST(9000000 + c_custkey AS VARCHAR) AS c_name
             FROM customer
             WHERE c_custkey <= 100 AND (9000000 + c_custkey) % 2 = 0
+        """,
+        "el1_sorted_point": """
+            SELECT event_id, user_id, epoch_ns(ts) AS ts, value
+            FROM events WHERE user_id = 1033
+        """,
+        "el2_sorted_ts_between": """
+            SELECT event_id, user_id, epoch_ns(ts) AS ts, value
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
+        """,
+        "el3_sorted_conjunction": """
+            SELECT event_id, user_id, epoch_ns(ts) AS ts, value
+            FROM events WHERE user_id = 684 AND value > 1.0
+        """,
+        "el4_sorted_or_ranges": """
+            SELECT event_id, user_id, epoch_ns(ts) AS ts, value
+            FROM events
+            WHERE value BETWEEN 437.4 AND 437.5 OR value BETWEEN 38.0 AND 38.1
+        """,
+        "el5_sorted_isin": """
+            SELECT event_id, user_id, epoch_ns(ts) AS ts, value, event_type
+            FROM events WHERE event_type IN ('click', 'error')
         """,
         "e8_engine_predicate_dml": """
             SELECT o_orderkey,

@@ -24,6 +24,11 @@ from vastdb_sdk_spark.session import build_spark  # noqa: E402
 HEADLINE = [
     "e1_engine_scan",
     "e3_engine_sorted_scan",
+    "el1_sorted_point",
+    "el2_sorted_ts_between",
+    "el3_sorted_conjunction",
+    "el4_sorted_or_ranges",
+    "el5_sorted_isin",
     "s1_scan_project",
     "p3_between",
     "p4_isin",
