@@ -313,6 +313,28 @@ def test_bucket_as_of_api(sql_session):
             b.as_of(version=1, timestamp=0.0)
 
 
+def test_show_and_describe(sql_session):
+    sql_session.execute_sql(
+        "CREATE SCHEMA bkt.s2; CREATE TABLE bkt.s2.extra (x INT)"
+    )
+    schemas = sql_session.execute_sql("SHOW SCHEMAS IN bkt").collect()
+    assert {r.schema_name for r in schemas} == {"s", "s2"}
+    tables = sql_session.execute_sql("SHOW TABLES IN bkt.s").collect()
+    assert [r.table_name for r in tables] == ["t"]
+    assert sql_session.execute_sql(
+        "SHOW TABLES IN bkt.s LIKE 'zz%'"
+    ).collect() == []
+    cols = sql_session.execute_sql("SHOW COLUMNS IN bkt.s.t").collect()
+    assert [r.col_name for r in cols] == ["a", "b", "name"]
+    desc = sql_session.execute_sql("DESCRIBE TABLE bkt.s.t").collect()
+    assert [(r.col_name, r.data_type) for r in desc] == [
+        ("a", "bigint"), ("b", "double"), ("name", "string"),
+    ]
+    hist = sql_session.execute_sql("DESCRIBE HISTORY bkt.s.t").collect()
+    assert any(r.op == "create_table" for r in hist)
+    assert any(r.op.startswith("insert") for r in hist)
+
+
 def test_unsupported_statement_raises(sql_session):
     with pytest.raises(InvalidArgument):
         sql_session.execute_sql("GRANT ALL ON bkt.s.t TO nobody")

@@ -241,6 +241,10 @@ class SqlFrontend:
             return self._drop_table(stmt)
         if kw == "ALTER" and head[1].upper() == "TABLE":
             return self._alter_table(stmt)
+        if kw == "SHOW":
+            return self._show(stmt)
+        if kw in ("DESCRIBE", "DESC"):
+            return self._describe(stmt)
         if kw == "INSERT":
             return self._insert(stmt)
         if kw == "DELETE":
@@ -359,6 +363,93 @@ class SqlFrontend:
             table.drop_column(_unquote(am.group(1)))
             return None
         raise InvalidArgument(f"unsupported ALTER TABLE action: {action!r}")
+
+    # -- catalog statements ------------------------------------------------
+
+    def _like_to_prefix(self, like: str | None) -> str:
+        """The listing protocol supports prefix match; accept LIKE patterns
+        of the form 'prefix%' (or a bare literal = exact prefix)."""
+        if like is None:
+            return ""
+        pat = like[1:-1].replace("''", "'")
+        if pat.endswith("%"):
+            pat = pat[:-1]
+        if "%" in pat or "_" in pat:
+            raise InvalidArgument(
+                "only 'prefix%' LIKE patterns are supported in SHOW"
+            )
+        return pat
+
+    def _show(self, stmt: str):
+        spark = self._tx.spark
+        like = r"(?:\s+LIKE\s+('(?:[^']|'')*'))?"
+        if m := re.match(
+            rf"(?is)SHOW\s+SCHEMAS(?:\s+IN\s+({_IDENT}))?{like}\s*$", stmt
+        ):
+            b = _unquote(m.group(1)) if m.group(1) else self._default_bucket
+            if not b:
+                raise InvalidArgument("SHOW SCHEMAS needs IN <bucket>")
+            prefix = self._like_to_prefix(m.group(2))
+            names = [
+                s.name
+                for s in self._tx.bucket(b).schemas()
+                if s.name.startswith(prefix)
+            ]
+            return spark.createDataFrame(
+                [(b, n) for n in names], "bucket STRING, schema_name STRING"
+            )
+        if m := re.match(
+            rf"(?is)SHOW\s+TABLES(?:\s+IN\s+({_DOTTED}))?{like}\s*$", stmt
+        ):
+            if not m.group(1):
+                raise InvalidArgument("SHOW TABLES needs IN <bucket.schema>")
+            parts = _parts(m.group(1))
+            if len(parts) == 2:
+                b, s = parts
+            elif len(parts) == 1 and self._default_bucket:
+                b, s = self._default_bucket, parts[0]
+            else:
+                raise InvalidArgument("SHOW TABLES needs IN bucket.schema")
+            prefix = self._like_to_prefix(m.group(2))
+            names, _, _ = self._tx.bucket(b).schema(s).list_tables(
+                name_prefix=prefix, names_only=True, max_keys=1_000_000
+            )
+            return spark.createDataFrame(
+                [(b, s, n) for n in names],
+                "bucket STRING, schema_name STRING, table_name STRING",
+            )
+        if m := re.match(rf"(?is)SHOW\s+COLUMNS\s+IN\s+({_DOTTED})\s*$", stmt):
+            _, _, _, table = self._resolve_table(m.group(1))
+            return spark.createDataFrame(
+                [(n,) for n in table.retrieve_column_names()], "col_name STRING"
+            )
+        raise InvalidArgument(f"unsupported SHOW statement: {stmt[:60]!r}")
+
+    def _describe(self, stmt: str):
+        spark = self._tx.spark
+        if m := re.match(
+            rf"(?is)(?:DESCRIBE|DESC)\s+HISTORY\s+({_DOTTED})\s*$", stmt
+        ):
+            _, _, _, table = self._resolve_table(m.group(1))
+            return table.history()
+        if m := re.match(
+            rf"(?is)(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?({_DOTTED})\s*$", stmt
+        ):
+            _, _, _, table = self._resolve_table(m.group(1))
+            from .types import arrow_type_to_spark, storage_arrow_type
+
+            rows = [
+                (
+                    f.name,
+                    arrow_type_to_spark(storage_arrow_type(f.type)).simpleString(),
+                    f.nullable,
+                )
+                for f in table.arrow_schema
+            ]
+            return spark.createDataFrame(
+                rows, "col_name STRING, data_type STRING, nullable BOOLEAN"
+            )
+        raise InvalidArgument(f"cannot parse: {stmt!r}")
 
     # -- DML ---------------------------------------------------------------
 
