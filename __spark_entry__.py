@@ -240,6 +240,72 @@ def q_j1_star_join_revenue(spark, sf):
     )
 
 
+def q_tpch_q3(spark, sf):
+    """TPC-H Q3 (shipping priority): broadcast the filtered customer dim,
+    shuffle lineitem/orders once on the join key, top-10 by revenue with a
+    unique tie-break for a stable LIMIT."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q18(spark, sf):
+    """TPC-H Q18 (large-volume customers): map-side partial agg on lineitem,
+    semi-filter via the aggregated order keys, broadcast customer."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 320)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+def q_tpch_q10(spark, sf):
+    """TPC-H Q10 (returned items): revenue lost to returns per customer in
+    a quarter; nation broadcast, top-20 stable LIMIT."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 def q_j2_semi_join(spark, sf):
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders").filter(
@@ -1309,6 +1375,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_rollup": q_a4_rollup,
         "a5_conditional_agg": q_a5_conditional_agg,
         "j1_star_join_revenue": q_j1_star_join_revenue,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q18": q_tpch_q18,
         "j2_semi_join": q_j2_semi_join,
         "j3_anti_join": q_j3_anti_join,
         "j4_outer_join_counts": q_j4_outer_join_counts,
@@ -1576,6 +1645,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation   ON c_nationkey = n_nationkey
             JOIN region   ON n_regionkey = r_regionkey
             GROUP BY n_name, r_name
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey, o_orderdate,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-10-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "tpch_q18": """
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                   o_totalprice, sum_qty
+            FROM (
+                SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(l_quantity) > 320
+            )
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
         """,
         "j2_semi_join": """
             SELECT c_custkey, c_name FROM customer

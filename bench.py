@@ -37,6 +37,9 @@ HEADLINE = [
     "a2_count_distinct",
     "a4_rollup",
     "j1_star_join_revenue",
+    "tpch_q3",
+    "tpch_q10",
+    "tpch_q18",
     "j2_semi_join",
     "j3_anti_join",
     "w1_topk_per_group",
