@@ -522,6 +522,19 @@ def q_w5_first_last(spark, sf):
     )
 
 
+def q_w8_attribution_join(spark, sf):
+    """Batch twin of streaming/join.attribution_join (watermarked
+    stream-stream self-join): view -> purchase pairs per user within 30
+    minutes. The same function powers the streaming path; the oracle is a
+    plain interval self-join."""
+    from vastdb_sdk_spark.streaming.join import attribution_join
+
+    ev = _t(spark, sf, "events")
+    return attribution_join(ev, "view", "purchase", within="30 minutes").select(
+        "user_id", "first_event_id", "then_event_id"
+    )
+
+
 def q_w7_event_time_window(spark, sf):
     """Tumbling event-time window aggregation (the batch twin of the
     streaming windowed_counts operator). Window start computed as integer
@@ -1398,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_first_last": q_w5_first_last,
         "w6_ntile": q_w6_ntile,
         "w7_event_time_window": q_w7_event_time_window,
+        "w8_attribution_join": q_w8_attribution_join,
         "o5_vector_topk_l2": q_o5_vector_topk_l2,
         "ann_cosine_topk": q_ann_cosine_topk,
         "dd_exact": q_dd_exact,
@@ -1514,6 +1528,15 @@ def oracle_sql() -> dict[str, str]:
                    'SYN#' || CAST(9000000 + c_custkey AS VARCHAR) AS c_name
             FROM customer
             WHERE c_custkey <= 100 AND (9000000 + c_custkey) % 2 = 0
+        """,
+        "w8_attribution_join": """
+            SELECT a.user_id, a.event_id AS first_event_id,
+                   b.event_id AS then_event_id
+            FROM events a
+            JOIN events b ON a.user_id = b.user_id
+            WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+              AND b.ts >= a.ts
+              AND b.ts <= a.ts + INTERVAL 30 MINUTE
         """,
         "el1_sorted_point": """
             SELECT event_id, user_id, epoch_ns(ts) AS ts, value

@@ -48,6 +48,46 @@ def test_windowed_counts_stream(spark, stream_dir, tmp_path):
     assert gm == em and len(gm) > 0
 
 
+def test_stream_stream_interval_join(spark, stream_dir, tmp_path):
+    """Watermarked self-join (view -> purchase attribution) on a stream
+    matches the batch twin run by the very same functions."""
+    from vastdb_sdk_spark.streaming.join import attribution_join
+
+    stream = ev.read_event_stream(spark, stream_dir)
+    joined = attribution_join(
+        stream, "view", "purchase", within="30 minutes", watermark="2 hours"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckptj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.first_event_id, r.then_event_id)
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    }
+    batch = spark.read.parquet(stream_dir)
+    expected_df = attribution_join(
+        batch, "view", "purchase", within="30 minutes"
+    )
+    expected = {
+        (r.first_event_id, r.then_event_id) for r in expected_df.collect()
+    }
+    assert len(expected) > 0
+    # streaming inner join emits exactly the batch pairs (no late data here:
+    # availableNow drains everything before the watermark closes)
+    assert got == expected
+    # every emitted pair respects the interval bound
+    assert all(
+        0 <= r.lag_ns <= 30 * 60 * 1_000_000_000
+        for r in expected_df.collect()
+    )
+
+
 def test_sessionize_stream(spark, stream_dir, tmp_path):
     stream = ev.read_event_stream(spark, stream_dir)
     sess = ev.sessionize(stream, gap="10 minutes", watermark="1 hour")
