@@ -972,14 +972,16 @@ def _engine_sorted_events(spark, sf):
     return tx.bucket("b").schema("s").table("events")
 
 
-_EL_COLS = ["event_id", "user_id", "ts", "value"]
+# ts stays a FILTER column only: DuckDB 1.0 truncates parquet ns
+# timestamps to micros, so returning raw nanos would never hash-match
+_EL_COLS = ["event_id", "user_id", "value"]
 
 
 def q_el1_sorted_point(spark, sf):
     """Reference bench query 1: point lookup on the lead sort key
-    (`sid = 10033007` ≙ user_id = 1033) — prunes to one file."""
+    (`sid = 10033007` ≙ user_id = 7) — prunes to one file."""
     t = _engine_sorted_events(spark, sf)
-    return t.select_df(columns=_EL_COLS, predicate=(t["user_id"] == 1033))
+    return t.select_df(columns=_EL_COLS, predicate=(t["user_id"] == 7))
 
 
 def q_el2_sorted_ts_between(spark, sf):
@@ -995,10 +997,10 @@ def q_el2_sorted_ts_between(spark, sf):
 
 def q_el3_sorted_conjunction(spark, sf):
     """Reference bench query 3: sort-key equality AND non-key comparison
-    (`bid_qty = 684000 AND ask_close > 1` ≙ user_id = 684 AND value > 1)."""
+    (`bid_qty = 684000 AND ask_close > 1` ≙ user_id = 11 AND value > 1)."""
     t = _engine_sorted_events(spark, sf)
     return t.select_df(
-        columns=_EL_COLS, predicate=(t["user_id"] == 684) & (t["value"] > 1.0)
+        columns=_EL_COLS, predicate=(t["user_id"] == 11) & (t["value"] > 1.0)
     )
 
 
@@ -1539,25 +1541,25 @@ def oracle_sql() -> dict[str, str]:
               AND b.ts <= a.ts + INTERVAL 30 MINUTE
         """,
         "el1_sorted_point": """
-            SELECT event_id, user_id, epoch_ns(ts) AS ts, value
-            FROM events WHERE user_id = 1033
+            SELECT event_id, user_id, value
+            FROM events WHERE user_id = 7
         """,
         "el2_sorted_ts_between": """
-            SELECT event_id, user_id, epoch_ns(ts) AS ts, value
+            SELECT event_id, user_id, value
             FROM events
             WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
         """,
         "el3_sorted_conjunction": """
-            SELECT event_id, user_id, epoch_ns(ts) AS ts, value
-            FROM events WHERE user_id = 684 AND value > 1.0
+            SELECT event_id, user_id, value
+            FROM events WHERE user_id = 11 AND value > 1.0
         """,
         "el4_sorted_or_ranges": """
-            SELECT event_id, user_id, epoch_ns(ts) AS ts, value
+            SELECT event_id, user_id, value
             FROM events
             WHERE value BETWEEN 437.4 AND 437.5 OR value BETWEEN 38.0 AND 38.1
         """,
         "el5_sorted_isin": """
-            SELECT event_id, user_id, epoch_ns(ts) AS ts, value, event_type
+            SELECT event_id, user_id, value, event_type
             FROM events WHERE event_type IN ('click', 'error')
         """,
         "e8_engine_predicate_dml": """

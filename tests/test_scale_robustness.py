@@ -164,6 +164,46 @@ def test_vacuum_respects_snapshots(clean_schema):
     assert len(deleted) == 1  # the pre-delete data file
 
 
+def test_vacuum_retain_versions_sets_time_travel_horizon(clean_schema):
+    from vastdb_sdk_spark.errors import MissingSnapshot
+
+    data = pa.table({"a": pa.array([0], pa.int64())})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("t", data.schema)
+        t.insert(data)
+    for i in range(1, 5):
+        with clean_schema.transaction() as tx:
+            tx.bucket("bkt").schema("s").table("t").insert(
+                pa.table({"a": pa.array([i], pa.int64())})
+            )
+    with clean_schema.transaction() as tx:
+        cur = tx.bucket("bkt").manifest.version
+    deleted = clean_schema.vacuum("bkt", retain_versions=2)
+    assert any(p.endswith(".json") for p in deleted)
+    with clean_schema.transaction() as tx:
+        b = tx.bucket("bkt")
+        # newest 2 versions remain reachable
+        assert b.as_of(version=cur).schema("s").table("t").count_rows() == 5
+        assert b.as_of(version=cur - 1).schema("s").table("t").count_rows() == 4
+        with pytest.raises(MissingSnapshot):
+            b.as_of(version=cur - 2)
+        # version_at bisects over surviving versions only
+        import time
+
+        assert b.as_of(timestamp=time.time()).manifest.version == cur
+    # a named snapshot pins its manifest version through vacuum
+    with clean_schema.transaction() as tx:
+        tx.bucket("bkt").create_snapshot("keeper")
+    with clean_schema.transaction() as tx:
+        tx.bucket("bkt").schema("s").table("t").insert(
+            pa.table({"a": pa.array([99], pa.int64())})
+        )
+    clean_schema.vacuum("bkt", retain_versions=1)
+    with clean_schema.transaction() as tx:
+        snap = tx.bucket("bkt").snapshot("keeper")
+        assert snap.schema("s").table("t").count_rows() == 5
+
+
 def test_many_small_inserts_one_tx(clean_schema):
     """50 inserts in one transaction -> one commit, contiguous row ids."""
     schema = pa.schema([("a", pa.int64())])

@@ -50,6 +50,16 @@ def value_hash(rows, columns):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    if only:
+        known = set(entry_mod.queries())
+        resolved = set()
+        for sel in only:
+            hits = {n for n in known if n == sel or n.startswith(sel + "_") or n.startswith(sel)}
+            if not hits:
+                print(f"error: no query matches {sel!r}", file=sys.stderr)
+                return 2
+            resolved |= hits
+        only = resolved
     spark = build_spark()
     con = duckdb.connect()
     for t in entry_mod.TABLES:

@@ -79,13 +79,26 @@ class Session:
 
         return Transaction(self)
 
-    def vacuum(self, bucket_name: str, keep_snapshots: bool = True) -> list[str]:
+    def vacuum(
+        self,
+        bucket_name: str,
+        keep_snapshots: bool = True,
+        retain_versions: int | None = None,
+    ) -> list[str]:
         """Delete data files no longer referenced by the current manifest
         (nor, if ``keep_snapshots``, by any named snapshot) — the analog of
         Delta VACUUM for files orphaned by update/delete/optimize rewrites.
         Returns the deleted paths. Only files inside this bucket's data
         directory are candidates: zero-copy imports from external paths are
-        never touched."""
+        never touched.
+
+        ``retain_versions=N`` additionally prunes manifest version files
+        older than the newest N (never the current version, never a
+        named-snapshot target): the manifest chain otherwise grows one JSON
+        per commit forever, and at commit-heavy scale the catalog dir —
+        not the data — becomes the clutter. This sets the time-travel
+        horizon: ``as_of`` to a pruned version raises ``MissingSnapshot``
+        (``version_at`` bisects over the retained versions only)."""
         from .catalog.manifest import ManifestStore
 
         store = ManifestStore(self._bucket_path(bucket_name))
@@ -115,6 +128,20 @@ class Session:
                     continue
                 path = os.path.abspath(os.path.join(dirpath, fn))
                 if path not in referenced:
+                    os.unlink(path)
+                    deleted.append(path)
+
+        if retain_versions is not None:
+            if retain_versions < 1:
+                from .errors import InvalidArgument
+
+                raise InvalidArgument("retain_versions must be >= 1")
+            cur = store.current_version()
+            pinned = {cur} | set(manifest.snapshots.values())
+            cutoff = cur - retain_versions
+            for v in store.available_versions():
+                if v <= cutoff and v not in pinned:
+                    path = store._version_path(v)
                     os.unlink(path)
                     deleted.append(path)
         return deleted
