@@ -522,6 +522,41 @@ def q_w5_first_last(spark, sf):
     )
 
 
+def q_a8_grouping_sets(spark, sf):
+    """GROUPING SETS — the generalization rollup/cube (a4/a6) specialize;
+    one shuffle, Expand node feeds all three grouping shapes."""
+    o = _t(spark, sf, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+def q_a9_percentiles(spark, sf):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont` semantics)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99_price"),
+    )
+
+
+def q_f6_levenshtein(spark, sf):
+    """Edit-distance scalar (fuzzy matching primitive for entity
+    resolution; same algorithm both engines)."""
+    c = _t(spark, sf, "customer")
+    return c.filter(F.col("c_custkey") <= 500).select(
+        "c_custkey",
+        F.levenshtein(F.col("c_name"), F.lit("Customer#000000042")).alias("dist"),
+    )
+
+
 def q_w8_attribution_join(spark, sf):
     """Batch twin of streaming/join.attribution_join (watermarked
     stream-stream self-join): view -> purchase pairs per user within 30
@@ -1410,6 +1445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f5_array_agg": q_f5_array_agg,
         "a6_cube": q_a6_cube,
         "a7_approx_distinct": q_a7_approx_distinct,
+        "a8_grouping_sets": q_a8_grouping_sets,
+        "a9_percentiles": q_a9_percentiles,
+        "f6_levenshtein": q_f6_levenshtein,
         "w5_first_last": q_w5_first_last,
         "w6_ntile": q_w6_ntile,
         "w7_event_time_window": q_w7_event_time_window,
@@ -1530,6 +1568,24 @@ def oracle_sql() -> dict[str, str]:
                    'SYN#' || CAST(9000000 + c_custkey AS VARCHAR) AS c_name
             FROM customer
             WHERE c_custkey <= 100 AND (9000000 + c_custkey) % 2 = 0
+        """,
+        "a8_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_rows,
+                   ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "a9_percentiles": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+                   ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+                   ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "f6_levenshtein": """
+            SELECT c_custkey,
+                   levenshtein(c_name, 'Customer#000000042') AS dist
+            FROM customer WHERE c_custkey <= 500
         """,
         "w8_attribution_join": """
             SELECT a.user_id, a.event_id AS first_event_id,

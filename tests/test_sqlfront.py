@@ -313,6 +313,27 @@ def test_bucket_as_of_api(sql_session):
             b.as_of(version=1, timestamp=0.0)
 
 
+def test_create_table_as_select(sql_session):
+    res = sql_session.execute_sql(
+        "CREATE TABLE bkt.s.t2 AS"
+        " SELECT a, b * 2 AS b2, upper(name) AS uname FROM bkt.s.t WHERE a <= 2"
+    )
+    assert res == {"inserted": 2}
+    rows = sql_session.execute_sql(
+        "SELECT a, b2, uname FROM bkt.s.t2 ORDER BY a"
+    ).collect()
+    assert [(r.a, r.b2, r.uname) for r in rows] == [(1, 1.0, "ONE"), (2, 3.0, "TWO")]
+    # CTAS result is a real engine table: DML + time travel work on it
+    sql_session.execute_sql("DELETE FROM bkt.s.t2 WHERE a = 1")
+    assert (
+        sql_session.execute_sql("SELECT count(*) AS n FROM bkt.s.t2").collect()[0].n
+        == 1
+    )
+    assert sql_session.execute_sql(
+        "CREATE TABLE IF NOT EXISTS bkt.s.t2 AS SELECT 1 AS x"
+    ) is None
+
+
 def test_show_and_describe(sql_session):
     sql_session.execute_sql(
         "CREATE SCHEMA bkt.s2; CREATE TABLE bkt.s2.extra (x INT)"

@@ -300,6 +300,32 @@ class SqlFrontend:
         return None
 
     def _create_table(self, stmt: str):
+        if m := re.match(
+            rf"(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_DOTTED})\s+AS\s+"
+            rf"(SELECT\s+.*|WITH\s+.*|TABLE\s+.*|VALUES\s+.*)$",
+            stmt,
+        ):
+            # CTAS: schema inferred from the SELECT, then a plain insert_df
+            b, s, t, _ = self._resolve_table(m.group(2), must_exist=False)
+            src = self._select(m.group(3))
+            arrow = pa.schema(
+                [
+                    pa.field(
+                        f.name, spark_type_to_arrow(f.dataType), nullable=f.nullable
+                    )
+                    for f in src.schema.fields
+                ]
+            )
+            schema = self._tx.bucket(b).schema(s)
+            if m.group(1):
+                try:
+                    schema.table(t)
+                    return None
+                except MissingTable:
+                    pass
+            table = schema.create_table(t, arrow)
+            n = table.insert_df(src)
+            return {"inserted": n}
         m = re.match(
             rf"(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_DOTTED})\s*\((.*)\)\s*$",
             stmt,
