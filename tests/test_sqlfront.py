@@ -313,6 +313,19 @@ def test_bucket_as_of_api(sql_session):
             b.as_of(version=1, timestamp=0.0)
 
 
+def test_truncate_and_copy(sql_session, tmp_path):
+    out = str(tmp_path / "export_t")
+    sql_session.execute_sql(f"COPY bkt.s.t TO '{out}'")
+    with sql_session.transaction() as tx:
+        assert tx.spark.read.parquet(out).count() == 3
+    res = sql_session.execute_sql("TRUNCATE TABLE bkt.s.t")
+    assert res == {"truncated": True}
+    assert (
+        sql_session.execute_sql("SELECT count(*) AS n FROM bkt.s.t").collect()[0].n
+        == 0
+    )
+
+
 def test_create_table_as_select(sql_session):
     res = sql_session.execute_sql(
         "CREATE TABLE bkt.s.t2 AS"

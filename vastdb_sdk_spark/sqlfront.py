@@ -241,6 +241,26 @@ class SqlFrontend:
             return self._drop_table(stmt)
         if kw == "ALTER" and head[1].upper() == "TABLE":
             return self._alter_table(stmt)
+        if kw == "TRUNCATE":
+            m = re.match(
+                rf"(?is)TRUNCATE\s+(?:TABLE\s+)?({_DOTTED})\s*$", stmt
+            )
+            if not m:
+                raise InvalidArgument(f"cannot parse: {stmt!r}")
+            _, _, _, table = self._resolve_table(m.group(1))
+            table.delete_where(F.lit(True))
+            return {"truncated": True}
+        if kw == "COPY":
+            m = re.match(
+                rf"(?is)COPY\s+({_DOTTED})\s+TO\s+'([^']+)'\s*$", stmt
+            )
+            if not m:
+                raise InvalidArgument(
+                    f"cannot parse (expected COPY b.s.t TO 'path'): {stmt!r}"
+                )
+            _, _, _, table = self._resolve_table(m.group(1))
+            table.export_parquet(m.group(2))
+            return {"exported": m.group(2)}
         if kw == "SHOW":
             return self._show(stmt)
         if kw in ("DESCRIBE", "DESC"):
