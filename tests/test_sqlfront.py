@@ -313,6 +313,44 @@ def test_bucket_as_of_api(sql_session):
             b.as_of(version=1, timestamp=0.0)
 
 
+def test_clone_and_restore(sql_session):
+    # shallow clone shares data files; sides diverge independently
+    sql_session.execute_sql("CREATE TABLE bkt.s.t_clone CLONE bkt.s.t")
+    with sql_session.transaction() as tx:
+        src = tx.bucket("bkt").schema("s").table("t")
+        cl = tx.bucket("bkt").schema("s").table("t_clone")
+        assert {f.path for f in cl.entry.files} == {f.path for f in src.entry.files}
+    sql_session.execute_sql("DELETE FROM bkt.s.t_clone WHERE a = 1")
+    assert (
+        sql_session.execute_sql("SELECT count(*) AS n FROM bkt.s.t").collect()[0].n
+        == 3
+    )
+    assert (
+        sql_session.execute_sql(
+            "SELECT count(*) AS n FROM bkt.s.t_clone"
+        ).collect()[0].n
+        == 2
+    )
+    # restore the original to its pre-DML version
+    with sql_session.transaction() as tx:
+        v0 = tx.bucket("bkt").manifest.version
+    sql_session.execute_sql("UPDATE bkt.s.t SET b = 0.0")
+    sql_session.execute_sql("DELETE FROM bkt.s.t WHERE a >= 2")
+    res = sql_session.execute_sql(
+        f"RESTORE TABLE bkt.s.t TO VERSION AS OF {v0}"
+    )
+    assert res == {"restored_to_version": v0}
+    rows = sql_session.execute_sql(
+        "SELECT a, b FROM bkt.s.t ORDER BY a"
+    ).collect()
+    assert [(r.a, r.b) for r in rows] == [(1, 0.5), (2, 1.5), (3, 2.5)]
+    # pre-restore state is still time-travelable (history moved forward)
+    n = sql_session.execute_sql(
+        f"SELECT count(*) AS n FROM bkt.s.t VERSION AS OF {v0 + 2}"
+    ).collect()[0].n
+    assert n == 1
+
+
 def test_truncate_and_copy(sql_session, tmp_path):
     out = str(tmp_path / "export_t")
     sql_session.execute_sql(f"COPY bkt.s.t TO '{out}'")

@@ -135,6 +135,31 @@ class Schema:
             self._create_imports_table(name)
         return Table(name, self)
 
+    def clone_table(self, source, name: str):
+        """Zero-copy shallow clone (Delta ``CREATE TABLE ... SHALLOW CLONE``
+        analog): the new table's manifest entry references the source's data
+        files byte-for-byte — no data moves at any scale. The entries then
+        diverge independently: DML on either side writes its own DV
+        sidecars/replacement files; ``vacuum`` counts references from every
+        table, so shared files survive until both sides drop them."""
+        from .table import Table
+
+        st = self._state
+        entry = TableEntry.from_json(source.entry.to_json())
+        entry.name = name
+        entry.schema_name = self.name
+        st.manifest.create_table(entry)
+        st.changes.record(
+            "create_table", entry.to_json(), touched=[("table", self.name, name)]
+        )
+        self.tx._audit_event(
+            st,
+            "clone_table",
+            f"{self.bucket.name}/{self.name}/{name}",
+            source=source.path,
+        )
+        return Table(name, self)
+
     def _imports_table_name(self, table_name: str) -> str:
         return f"{table_name}/{IMPORTED_OBJECTS_TABLE_NAME}"
 

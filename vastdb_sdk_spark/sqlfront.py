@@ -241,6 +241,25 @@ class SqlFrontend:
             return self._drop_table(stmt)
         if kw == "ALTER" and head[1].upper() == "TABLE":
             return self._alter_table(stmt)
+        if kw == "RESTORE":
+            m = re.match(
+                rf"(?is)RESTORE\s+TABLE\s+({_DOTTED})\s+TO\s+"
+                rf"(?:SYSTEM_)?(VERSION|TIME|TIMESTAMP)\s+AS\s+OF\s+"
+                rf"('(?:[^']|'')*'|\d+)\s*$",
+                stmt,
+            )
+            if not m:
+                raise InvalidArgument(f"cannot parse: {stmt!r}")
+            b, _, _, table = self._resolve_table(m.group(1))
+            raw = m.group(3)
+            if raw.isdigit() and m.group(2).upper() == "VERSION":
+                version = int(raw)
+            else:
+                literal = raw[1:-1].replace("''", "'") if raw.startswith("'") else raw
+                ts = float(literal) if not raw.startswith("'") else literal
+                version = self._tx.bucket(b).as_of(timestamp=ts).manifest.version
+            table.restore(version)
+            return {"restored_to_version": version}
         if kw == "TRUNCATE":
             m = re.match(
                 rf"(?is)TRUNCATE\s+(?:TABLE\s+)?({_DOTTED})\s*$", stmt
@@ -320,6 +339,17 @@ class SqlFrontend:
         return None
 
     def _create_table(self, stmt: str):
+        if m := re.match(
+            rf"(?is)CREATE\s+TABLE\s+({_DOTTED})\s+(?:SHALLOW\s+)?CLONE\s+"
+            rf"({_DOTTED})\s*$",
+            stmt,
+        ):
+            b, s, t, _ = self._resolve_table(m.group(1), must_exist=False)
+            hit = self._try_resolve(m.group(2))
+            if hit is None:
+                raise InvalidArgument(f"CLONE source not found: {m.group(2)!r}")
+            self._tx.bucket(b).schema(s).clone_table(hit[3], t)
+            return None
         if m := re.match(
             rf"(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_DOTTED})\s+AS\s+"
             rf"(SELECT\s+.*|WITH\s+.*|TABLE\s+.*|VALUES\s+.*)$",

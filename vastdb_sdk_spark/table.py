@@ -53,6 +53,7 @@ from .config import QueryConfig
 from .errors import (
     InvalidArgument,
     MissingProjection,
+    MissingTable,
     NotSupportedCommand,
     ProjectionExists,
 )
@@ -1523,6 +1524,30 @@ class Table:
                 if df is not None:
                     df.unpersist()
         return counts
+
+    def restore(self, version: int) -> None:
+        """Restore this table's full state (files, DVs, schema, projections,
+        sort metadata) to what it was at manifest ``version``, committed as
+        a NEW version — the Delta RESTORE analog: history only moves
+        forward, so the pre-restore state stays time-travelable. The row-id
+        allocator keeps its high-water mark so ids minted after the restore
+        point are never reissued. Requires the old data files to still
+        exist (vacuum + ``retain_versions`` define how far back restore can
+        reach)."""
+        st = self._state
+        old_manifest = st.store.load(version)
+        key = (self.schema.name, self.name)
+        if key not in old_manifest.tables:
+            raise MissingTable(f"{self.path} did not exist at version {version}")
+        entry = TableEntry.from_json(old_manifest.tables[key].to_json())
+        missing = [fe.path for fe in entry.files if not os.path.exists(fe.path)]
+        if missing:
+            raise InvalidArgument(
+                f"cannot restore to version {version}: {len(missing)} data"
+                f" file(s) were vacuumed, e.g. {missing[:2]}"
+            )
+        entry.next_row_id = max(entry.next_row_id, self.entry.next_row_id)
+        self._mutate(entry, "restore", version=version)
 
     # ------------------------------------------------------------------
     # parquet import (zero-copy registration)
