@@ -448,6 +448,18 @@ def test_merge_expr_assignments_and_aliases(clean_schema):
             t.merge(src, on=["k"], assignments={"nope": 1})
 
 
+def test_merge_into_empty_table(clean_schema):
+    """First CDC batch case: merging into a never-written table takes the
+    pure-insert path (regression: empty df() lacked __source_file)."""
+    schema = pa.schema([("k", pa.int64()), ("v", pa.string())])
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("t", schema)
+        src = tx.spark.createDataFrame([(1, "a"), (2, "b")], "k LONG, v STRING")
+        counts = t.merge(src, on=["k"])
+        assert counts == {"updated": 0, "deleted": 0, "inserted": 2}
+        assert t.count_rows() == 2
+
+
 def test_merge_validation(clean_schema):
     data = pa.table({"k": pa.array([1], pa.int64())})
     with clean_schema.transaction() as tx:

@@ -155,3 +155,62 @@ def stream_into_table(stream_df: DataFrame, table, checkpoint_dir: str):
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def stream_merge_into_table(
+    stream_df: DataFrame,
+    table,
+    keys: list[str],
+    checkpoint_dir: str,
+    *,
+    dedup_batch: bool = True,
+):
+    """CDC-style streaming UPSERT: each micro-batch is MERGEd into the
+    engine table (update matches on ``keys``, insert the rest) inside one
+    transaction, with the same exactly-once batch-id bookkeeping as
+    ``stream_into_table`` — a replayed batch after checkpoint loss is
+    skipped, so upserts are applied once even though MERGE itself is not
+    idempotent for aggregating assignments.
+
+    ``dedup_batch`` keeps only the LAST row per key within a micro-batch
+    (by the int64-nanos ``ts`` column when present, else arbitrary), the
+    usual CDC contract when one key changes twice in the same batch —
+    Table.merge assumes unique source keys.
+
+    Scale shape per batch: one window (or drop-duplicates) shuffle on the
+    keys + merge's inner/anti joins; state lives in the table, not the
+    stream — there is no unbounded streaming state at all."""
+    import os
+
+    from pyspark.sql import Window
+
+    session = table.tx._session
+    bucket = table.bucket.name
+    schema_name = table.schema.name
+    table_name = table.name
+    stream_id = f"ckpt-merge:{os.path.abspath(checkpoint_dir)}"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        with session.transaction() as tx:
+            t = tx.bucket(bucket).schema(schema_name).table(table_name)
+            if batch_id <= t.stream_offset(stream_id):
+                return  # replayed micro-batch: already merged
+            src = batch_df
+            if dedup_batch:
+                if "ts" in src.columns:
+                    w = Window.partitionBy(*keys).orderBy(F.col("ts").desc())
+                    src = (
+                        src.withColumn("__rn", F.row_number().over(w))
+                        .filter(F.col("__rn") == 1)
+                        .drop("__rn")
+                    )
+                else:
+                    src = src.dropDuplicates(keys)
+            t.merge(src, on=keys)
+            t.set_stream_offset(stream_id, batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -325,6 +325,8 @@ class Table:
             ]
             if internal_row_id:
                 spark_fields.append(T.StructField(INTERNAL_ROW_ID, T.LongType(), False))
+            if with_file_path:
+                spark_fields.append(T.StructField("__source_file", T.StringType(), True))
             return self.spark.createDataFrame([], T.StructType(spark_fields))
 
         # group files by (rowid kind, column-name map, partition values)
