@@ -1012,6 +1012,33 @@ def _engine_sorted_events(spark, sf):
 _EL_COLS = ["event_id", "user_id", "value"]
 
 
+def q_e12_engine_restore(spark, sf):
+    """Restore closes the loop on time travel: import orders, run
+    destructive DML (delete + update), then RESTORE to the pre-DML version
+    — the final scan must be byte-identical to the pristine table, which is
+    exactly what the oracle (plain SELECT) asserts."""
+    import tempfile
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark.sources import create_table_from_files
+
+    session = vastdb.connect(tempfile.mkdtemp(prefix="entry_restore_"), spark=spark)
+    session.create_bucket("b")
+    with session.transaction() as tx:
+        sc = tx.bucket("b").create_schema("s")
+        create_table_from_files(sc, "orders", [f"{sf}/orders.parquet"])
+    with session.transaction() as tx:
+        v0 = tx.bucket("b").manifest.version
+    session.execute_sql(
+        "DELETE FROM b.s.orders WHERE o_orderstatus = 'O';"
+        "UPDATE b.s.orders SET o_totalprice = 0.0 WHERE o_orderkey % 2 = 0"
+    )
+    session.execute_sql(f"RESTORE TABLE b.s.orders TO VERSION AS OF {v0}")
+    return session.execute_sql(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM b.s.orders"
+    )
+
+
 def q_el1_sorted_point(spark, sf):
     """Reference bench query 1: point lookup on the lead sort key
     (`sid = 10033007` ≙ user_id = 7) — prunes to one file."""
@@ -1401,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e9_engine_merge": q_e9_engine_merge,
         "e10_sql_frontend": q_e10_sql_frontend,
         "e11_merge_conditional": q_e11_merge_conditional,
+        "e12_engine_restore": q_e12_engine_restore,
         "el1_sorted_point": q_el1_sorted_point,
         "el2_sorted_ts_between": q_el2_sorted_ts_between,
         "el3_sorted_conjunction": q_el3_sorted_conjunction,
@@ -1595,6 +1623,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.event_type = 'view' AND b.event_type = 'purchase'
               AND b.ts >= a.ts
               AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        """,
+        "e12_engine_restore": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         """,
         "el1_sorted_point": """
             SELECT event_id, user_id, value

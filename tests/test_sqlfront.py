@@ -313,6 +313,19 @@ def test_bucket_as_of_api(sql_session):
             b.as_of(version=1, timestamp=0.0)
 
 
+def test_optimize_and_vacuum_statements(sql_session):
+    # unsorted table -> OPTIMIZE compacts; then VACUUM collects orphans
+    sql_session.execute_sql("INSERT INTO bkt.s.t VALUES (4, 4.5, 'four')")
+    res = sql_session.execute_sql("OPTIMIZE bkt.s.t TARGET FILE ROWS 1000")
+    assert res["optimized"] == "compact" and res["files_compacted"] >= 2
+    res = sql_session.execute_sql("VACUUM bkt RETAIN 5 VERSIONS")
+    assert res["deleted_files"] >= 2  # the pre-compaction files
+    rows = sql_session.execute_sql(
+        "SELECT count(*) AS n FROM bkt.s.t"
+    ).collect()
+    assert rows[0].n == 4
+
+
 def test_clone_and_restore(sql_session):
     # shallow clone shares data files; sides diverge independently
     sql_session.execute_sql("CREATE TABLE bkt.s.t_clone CLONE bkt.s.t")

@@ -241,6 +241,34 @@ class SqlFrontend:
             return self._drop_table(stmt)
         if kw == "ALTER" and head[1].upper() == "TABLE":
             return self._alter_table(stmt)
+        if kw == "OPTIMIZE":
+            m = re.match(
+                rf"(?is)OPTIMIZE\s+({_DOTTED})"
+                rf"(?:\s+TARGET\s+FILE\s+ROWS\s+(\d+))?\s*$",
+                stmt,
+            )
+            if not m:
+                raise InvalidArgument(f"cannot parse: {stmt!r}")
+            _, _, _, table = self._resolve_table(m.group(1))
+            target = int(m.group(2)) if m.group(2) else 4_000_000
+            if table.entry.sorting_key:
+                table.optimize(target_file_rows=target)
+                return {"optimized": "sort"}
+            n = table.compact(target_file_rows=target)
+            return {"optimized": "compact", "files_compacted": n}
+        if kw == "VACUUM":
+            m = re.match(
+                rf"(?is)VACUUM\s+({_IDENT})"
+                rf"(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$",
+                stmt,
+            )
+            if not m:
+                raise InvalidArgument(f"cannot parse: {stmt!r}")
+            deleted = self._tx._session.vacuum(
+                _unquote(m.group(1)),
+                retain_versions=int(m.group(2)) if m.group(2) else None,
+            )
+            return {"deleted_files": len(deleted)}
         if kw == "RESTORE":
             m = re.match(
                 rf"(?is)RESTORE\s+TABLE\s+({_DOTTED})\s+TO\s+"
