@@ -262,6 +262,66 @@ def test_merge_using_subquery_delete(sql_session):
     )
 
 
+def test_merge_not_matched_by_source(sql_session):
+    """WHEN NOT MATCHED BY SOURCE routes target-only rows through ordered
+    UPDATE/DELETE clauses (full sync semantics): guarded update marks the
+    row, the unguarded DELETE fallback removes the rest."""
+    sql_session.execute_sql(
+        "CREATE TABLE bkt.s.src (a BIGINT, b DOUBLE, name STRING);"
+        "INSERT INTO bkt.s.src VALUES (2, 99.0, 'TWO'), (7, 7.0, 'seven')"
+    )
+    res = sql_session.execute_sql(
+        "MERGE INTO bkt.s.t USING bkt.s.src AS s ON t.a = s.a"
+        " WHEN MATCHED THEN UPDATE SET *"
+        " WHEN NOT MATCHED THEN INSERT *"
+        " WHEN NOT MATCHED BY SOURCE AND t.a = 1 THEN UPDATE SET name = 'stale'"
+        " WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    assert res == {"updated": 2, "deleted": 1, "inserted": 1}
+    rows = sql_session.execute_sql(
+        "SELECT a, name FROM bkt.s.t ORDER BY a"
+    ).collect()
+    assert [(r.a, r.name) for r in rows] == [
+        (1, "stale"), (2, "TWO"), (7, "seven"),
+    ]
+
+
+def test_merge_multi_not_matched_insert_clauses(sql_session):
+    """Ordered WHEN NOT MATCHED clauses: the first TRUE guard picks the
+    insert shape, the unguarded fallback takes the remainder."""
+    sql_session.execute_sql(
+        "CREATE TABLE bkt.s.src (a BIGINT, b DOUBLE, name STRING);"
+        "INSERT INTO bkt.s.src VALUES (8, -8.0, 'neg'), (9, 9.0, 'pos')"
+    )
+    res = sql_session.execute_sql(
+        "MERGE INTO bkt.s.t USING bkt.s.src AS s ON t.a = s.a"
+        " WHEN NOT MATCHED AND s.b > 0 THEN INSERT *"
+        " WHEN NOT MATCHED THEN INSERT (a, name) VALUES (s.a, 'defaulted')"
+    )
+    assert res == {"updated": 0, "deleted": 0, "inserted": 2}
+    rows = sql_session.execute_sql(
+        "SELECT a, b, name FROM bkt.s.t WHERE a > 3 ORDER BY a"
+    ).collect()
+    assert [(r.a, r.b, r.name) for r in rows] == [
+        (8, None, "defaulted"), (9, 9.0, "pos"),
+    ]
+
+
+def test_merge_not_matched_by_source_rejects_bad_forms(sql_session):
+    sql_session.execute_sql(
+        "CREATE TABLE bkt.s.src3 (a BIGINT);"
+        "INSERT INTO bkt.s.src3 VALUES (1)"
+    )
+    base = "MERGE INTO bkt.s.t USING bkt.s.src3 AS s ON t.a = s.a "
+    for tail in (
+        "WHEN NOT MATCHED BY SOURCE THEN INSERT *",   # insert needs a source row
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",  # no source to copy
+        "WHEN MATCHED BY SOURCE THEN DELETE",  # BY SOURCE only valid on NOT
+    ):
+        with pytest.raises(InvalidArgument):
+            sql_session.execute_sql(base + tail)
+
+
 def test_time_travel_select(sql_session):
     """VERSION AS OF <n>, quoted named snapshots, and TIMESTAMP AS OF all
     bind the historical manifest; current-state reads are unaffected."""

@@ -661,68 +661,74 @@ class SqlFrontend:
                 )
             on.append(_unquote(em.group(1)))
         matched_clauses = []
-        when_not_matched = None
-        insert_assignments = None
-        not_matched_condition = None
+        not_matched_clauses = []
+        nmbs_clauses = []
+
+        def _parse_set(text):
+            assignments = {}
+            for item in _split_top(text):
+                am = re.match(
+                    rf"(?s)\s*(?:{_IDENT}\s*\.\s*)?({_IDENT})\s*=\s*(.*)$", item
+                )
+                if not am:
+                    raise InvalidArgument(f"cannot parse SET item: {item!r}")
+                assignments[_unquote(am.group(1))] = F.expr(am.group(2).strip())
+            return assignments
+
         for wm in re.finditer(
-            r"(?is)WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+"
+            r"(?is)WHEN\s+(NOT\s+)?MATCHED(\s+BY\s+(?:SOURCE|TARGET))?"
+            r"(?:\s+AND\s+(.*?))?\s+THEN\s+"
             r"(.*?)(?=\s+WHEN\s+(?:NOT\s+)?MATCHED\b|\s*$)",
             m.group(6),
         ):
-            action = wm.group(3).strip()
-            guard = F.expr(wm.group(2).strip()) if wm.group(2) else None
-            if wm.group(1):
-                if when_not_matched is not None:
-                    raise InvalidArgument(
-                        "only one WHEN NOT MATCHED clause is supported"
-                    )
-                not_matched_condition = guard
+            action = wm.group(4).strip()
+            guard = F.expr(wm.group(3).strip()) if wm.group(3) else None
+            by_source = bool(
+                wm.group(2) and wm.group(2).upper().rstrip().endswith("SOURCE")
+            )
+            if by_source and not wm.group(1):
+                raise InvalidArgument(
+                    "MATCHED BY SOURCE is not valid; use WHEN NOT MATCHED BY SOURCE"
+                )
+            if wm.group(1) and not by_source:
+                # WHEN NOT MATCHED [BY TARGET] -> insert clause
                 if re.match(r"(?is)INSERT\s+\*\s*$", action):
-                    when_not_matched = "insert"
+                    not_matched_clauses.append((guard, None))
                 elif im := re.match(
                     r"(?is)INSERT\s*\(([^()]*)\)\s*VALUES\s*\((.*)\)\s*$", action
                 ):
-                    when_not_matched = "insert"
                     cols = [_unquote(c) for c in _split_top(im.group(1))]
                     vals = [v.strip() for v in _split_top(im.group(2))]
                     if len(cols) != len(vals):
                         raise InvalidArgument(
                             "INSERT column list does not match VALUES arity"
                         )
-                    insert_assignments = {
-                        c: F.expr(v) for c, v in zip(cols, vals)
-                    }
+                    not_matched_clauses.append(
+                        (guard, {c: F.expr(v) for c, v in zip(cols, vals)})
+                    )
                 else:
                     raise InvalidArgument(
                         f"WHEN NOT MATCHED supports INSERT * or INSERT (cols)"
                         f" VALUES (exprs): {action!r}"
                     )
-            elif re.match(r"(?is)DELETE\s*$", action):
-                matched_clauses.append(("delete", guard, None))
+                continue
+            dest = nmbs_clauses if by_source else matched_clauses
+            if re.match(r"(?is)DELETE\s*$", action):
+                dest.append(("delete", guard, None))
             elif re.match(r"(?is)UPDATE\s+SET\s+\*\s*$", action):
-                matched_clauses.append(("update", guard, None))
+                dest.append(("update", guard, None))
             elif um := re.match(r"(?is)UPDATE\s+SET\s+(.*)$", action):
-                assignments = {}
-                for item in _split_top(um.group(1)):
-                    am = re.match(
-                        rf"(?s)\s*(?:{_IDENT}\s*\.\s*)?({_IDENT})\s*=\s*(.*)$", item
-                    )
-                    if not am:
-                        raise InvalidArgument(f"cannot parse SET item: {item!r}")
-                    assignments[_unquote(am.group(1))] = F.expr(
-                        am.group(2).strip()
-                    )
-                matched_clauses.append(("update", guard, assignments))
+                dest.append(("update", guard, _parse_set(um.group(1))))
             else:
                 raise InvalidArgument(f"unsupported MERGE action: {action!r}")
         return target.merge(
             source,
             on,
             when_matched=None,
-            when_not_matched=when_not_matched,
-            insert_assignments=insert_assignments,
-            not_matched_condition=not_matched_condition,
+            when_not_matched=None,
             matched_clauses=matched_clauses,
+            not_matched_clauses=not_matched_clauses,
+            not_matched_by_source_clauses=nmbs_clauses,
             target_alias=target_alias,
             source_alias=source_alias,
         )

@@ -1326,6 +1326,8 @@ class Table:
         matched_condition=None,
         not_matched_condition=None,
         matched_clauses: list | None = None,
+        not_matched_clauses: list | None = None,
+        not_matched_by_source_clauses: list | None = None,
         target_alias: str | None = None,
         source_alias: str | None = None,
     ) -> dict:
@@ -1352,6 +1354,13 @@ class Table:
         ``("update", guard, assignments)`` / ``("delete", guard, None)``
         tuples; guard None = unconditional (consumes all remaining
         matches). Overrides when_matched/matched_condition/assignments.
+        ``not_matched_clauses`` does the same for inserts: ordered
+        ``(guard, insert_assignments)`` tuples (assignments None = full
+        source row), overriding when_not_matched/not_matched_condition/
+        insert_assignments. ``not_matched_by_source_clauses`` routes TARGET
+        rows with no source match through ordered ``("update", guard,
+        assignments)`` / ``("delete", guard, None)`` tuples — assignments
+        there may reference target columns only.
 
         ``target_alias``/``source_alias`` wrap the two sides in named
         subquery aliases so ``F.expr`` columns (the SQL front-end's SET
@@ -1390,6 +1399,22 @@ class Table:
         matched_condition = _cond("matched_condition", matched_condition)
         not_matched_condition = _cond("not_matched_condition", not_matched_condition)
 
+        def _norm_upd_del(raw, label):
+            out = []
+            for cl in raw:
+                action = cl[0]
+                guard = cl[1] if len(cl) > 1 else None
+                asg = cl[2] if len(cl) > 2 else None
+                if action not in ("update", "delete"):
+                    raise InvalidArgument(f"{label} clause action: {action!r}")
+                unknown = [k for k in (asg or {}) if k not in arrow.names]
+                if unknown:
+                    raise InvalidArgument(
+                        f"{label} assignments target unknown columns: {unknown}"
+                    )
+                out.append((action, _cond(f"{label} guard", guard), asg))
+            return out
+
         if matched_clauses is None:
             clauses = (
                 [(when_matched, matched_condition, assignments)]
@@ -1397,19 +1422,35 @@ class Table:
                 else []
             )
         else:
-            clauses = []
-            for cl in matched_clauses:
-                action = cl[0]
-                guard = cl[1] if len(cl) > 1 else None
-                asg = cl[2] if len(cl) > 2 else None
-                if action not in ("update", "delete"):
-                    raise InvalidArgument(f"matched clause action: {action!r}")
+            clauses = _norm_upd_del(matched_clauses, "matched")
+
+        if not_matched_clauses is None:
+            ins_clauses = (
+                [(not_matched_condition, insert_assignments)]
+                if when_not_matched == "insert"
+                else []
+            )
+        else:
+            ins_clauses = []
+            for cl in not_matched_clauses:
+                guard = cl[0] if len(cl) > 0 else None
+                asg = cl[1] if len(cl) > 1 else None
                 unknown = [k for k in (asg or {}) if k not in arrow.names]
                 if unknown:
                     raise InvalidArgument(
-                        f"clause assignments target unknown columns: {unknown}"
+                        f"insert assignments target unknown columns: {unknown}"
                     )
-                clauses.append((action, _cond("clause guard", guard), asg))
+                ins_clauses.append((_cond("insert guard", guard), asg))
+
+        nmbs_clauses = _norm_upd_del(
+            not_matched_by_source_clauses or [], "not-matched-by-source"
+        )
+        for action, _g, asg in nmbs_clauses:
+            if action == "update" and not asg:
+                raise InvalidArgument(
+                    "NOT MATCHED BY SOURCE UPDATE needs explicit assignments"
+                    " (there is no source row to copy from)"
+                )
 
         if source_alias:
             source = source.alias(source_alias)
@@ -1433,12 +1474,13 @@ class Table:
                     return v
                 return F.lit(v)  # plain strings are literals, not SQL
 
-            if clauses:
-                joined = base.join(source, cond, "inner")
-                upd_parts, del_parts = [], []
-                prior = []  # guards of earlier clauses (first TRUE wins)
-                for action, guard, asg in clauses:
-                    branch = joined
+            def _route(df_in, clause_list):
+                """Ordered first-TRUE-guard-wins routing shared by all WHEN
+                groups: yields (clause, branch-frame) pairs."""
+                prior = []
+                for cl in clause_list:
+                    guard = cl[1] if len(cl) == 3 else cl[0]
+                    branch = df_in
                     for pc in prior:
                         branch = branch.filter(~F.coalesce(pc, F.lit(False)))
                     if guard is not None:
@@ -1446,56 +1488,80 @@ class Table:
                         prior.append(guard)
                     else:
                         prior.append(F.lit(True))
+                    yield cl, branch
+
+            def _replacement_cols(asg, default_upd):
+                out_cols = []
+                for f in arrow:
+                    upd = asg if asg is not None else default_upd
+                    if f.name in upd:
+                        v = _compile(upd[f.name])
+                        v = v.cast(arrow_type_to_spark(storage_arrow_type(f.type)))
+                        out_cols.append(v.alias(f.name))
+                    else:
+                        out_cols.append(base[f.name])
+                out_cols.append(base[INTERNAL_ROW_ID])
+                out_cols.append(base["__source_file"])
+                return out_cols
+
+            upd_parts, del_parts = [], []
+            if clauses:
+                joined = base.join(source, cond, "inner")
+                default_upd = {
+                    c: source[c]
+                    for c in source.columns
+                    if c in arrow.names and c not in on
+                }
+                for (action, _g, asg), branch in _route(joined, clauses):
                     if action == "update":
-                        upd = asg or {
-                            c: source[c]
-                            for c in source.columns
-                            if c in arrow.names and c not in on
-                        }
-                        out_cols = []
-                        for f in arrow:
-                            if f.name in upd:
-                                v = _compile(upd[f.name])
-                                v = v.cast(
-                                    arrow_type_to_spark(storage_arrow_type(f.type))
-                                )
-                                out_cols.append(v.alias(f.name))
-                            else:
-                                out_cols.append(base[f.name])
-                        out_cols.append(base[INTERNAL_ROW_ID])
-                        out_cols.append(base["__source_file"])
-                        upd_parts.append(branch.select(*out_cols))
+                        upd_parts.append(
+                            branch.select(*_replacement_cols(asg or None, default_upd))
+                        )
                     else:  # delete
                         del_parts.append(
                             branch.select(base[INTERNAL_ROW_ID], base["__source_file"])
                         )
-                if upd_parts:
-                    replace_df = reduce(DataFrame.unionByName, upd_parts).persist()
-                    counts["updated"] = replace_df.count()
-                if del_parts:
-                    del_df = reduce(DataFrame.unionByName, del_parts).persist()
-                    counts["deleted"] = del_df.count()
+            if nmbs_clauses:
+                tgt_only = base.join(source, cond, "left_anti")
+                for (action, _g, asg), branch in _route(tgt_only, nmbs_clauses):
+                    if action == "update":
+                        upd_parts.append(branch.select(*_replacement_cols(asg, {})))
+                    else:
+                        del_parts.append(
+                            branch.select(base[INTERNAL_ROW_ID], base["__source_file"])
+                        )
+            if upd_parts:
+                replace_df = reduce(DataFrame.unionByName, upd_parts).persist()
+                counts["updated"] = replace_df.count()
+            if del_parts:
+                del_df = reduce(DataFrame.unionByName, del_parts).persist()
+                counts["deleted"] = del_df.count()
 
-            if when_not_matched == "insert":
+            if ins_clauses:
                 not_matched = source.join(base, cond, "left_anti")
-                if not_matched_condition is not None:
-                    not_matched = not_matched.filter(not_matched_condition)
-                ins_cols = []
-                for f in arrow:
-                    spark_t = arrow_type_to_spark(storage_arrow_type(f.type))
-                    if insert_assignments is not None:
-                        if f.name in insert_assignments:
-                            v = _compile(insert_assignments[f.name])
-                            ins_cols.append(v.cast(spark_t).alias(f.name))
+                ins_parts = []
+                for (_g, asg), branch in _route(not_matched, ins_clauses):
+                    ins_cols = []
+                    for f in arrow:
+                        spark_t = arrow_type_to_spark(storage_arrow_type(f.type))
+                        if asg is not None:
+                            if f.name in asg:
+                                v = _compile(asg[f.name])
+                                ins_cols.append(v.cast(spark_t).alias(f.name))
+                            else:
+                                ins_cols.append(
+                                    F.lit(None).cast(spark_t).alias(f.name)
+                                )
+                        elif f.name in source.columns:
+                            ins_cols.append(
+                                branch[f.name].cast(spark_t).alias(f.name)
+                            )
                         else:
                             ins_cols.append(F.lit(None).cast(spark_t).alias(f.name))
-                    elif f.name in source.columns:
-                        ins_cols.append(
-                            not_matched[f.name].cast(spark_t).alias(f.name)
-                        )
-                    else:
-                        ins_cols.append(F.lit(None).cast(spark_t).alias(f.name))
-                counts["inserted"] = self.insert_df(not_matched.select(*ins_cols))
+                    ins_parts.append(branch.select(*ins_cols))
+                counts["inserted"] = self.insert_df(
+                    reduce(DataFrame.unionByName, ins_parts)
+                )
 
             # snapshot AFTER insert_df's own _mutate so its files survive
             entry = TableEntry.from_json(self.entry.to_json())
