@@ -307,6 +307,33 @@ def test_merge_multi_not_matched_insert_clauses(sql_session):
     ]
 
 
+def test_keywords_inside_string_literals_are_data(sql_session):
+    """THEN/WHEN/WHERE inside quoted literals must not derail the regex
+    clause splitters (literal-masked parsing)."""
+    sql_session.execute_sql(
+        "UPDATE bkt.s.t SET name = 'a WHERE b THEN c' WHERE a = 1"
+    )
+    r = sql_session.execute_sql("SELECT name FROM bkt.s.t WHERE a = 1").collect()
+    assert [x.name for x in r] == ["a WHERE b THEN c"]
+    sql_session.execute_sql(
+        "CREATE TABLE bkt.s.srcq (a BIGINT, b DOUBLE, name STRING);"
+        "INSERT INTO bkt.s.srcq VALUES (1, 1.0, 'x'), (9, 9.0, 'y')"
+    )
+    res = sql_session.execute_sql(
+        "MERGE INTO bkt.s.t USING bkt.s.srcq AS s ON t.a = s.a"
+        " WHEN MATCHED AND t.name != 'no THEN here' THEN"
+        "   UPDATE SET name = 'IF THEN WHEN MATCHED'"
+        " WHEN NOT MATCHED THEN INSERT (a, name) VALUES (s.a, 'lit (WHEN')"
+    )
+    assert res == {"updated": 1, "deleted": 0, "inserted": 1}
+    rows = sql_session.execute_sql(
+        "SELECT a, name FROM bkt.s.t WHERE a IN (1, 9) ORDER BY a"
+    ).collect()
+    assert [(r.a, r.name) for r in rows] == [
+        (1, "IF THEN WHEN MATCHED"), (9, "lit (WHEN"),
+    ]
+
+
 def test_merge_not_matched_by_source_rejects_bad_forms(sql_session):
     sql_session.execute_sql(
         "CREATE TABLE bkt.s.src3 (a BIGINT);"

@@ -50,6 +50,38 @@ def _parts(dotted: str) -> list[str]:
     return [_unquote(p) for p in dotted.split(".")]
 
 
+def _mask_literals(text: str) -> str:
+    """Length-preserving copy with quoted-string contents blanked to ``_``
+    so the keyword regexes (THEN/WHEN/WHERE/parens) can't be fooled by data
+    that happens to contain them. Callers match patterns against the masked
+    copy and span-slice the *original* for the real sub-texts (identical
+    offsets by construction). Handles ``''``/``""`` doubled-quote escapes;
+    backtick identifier contents are left intact so ``_IDENT`` still
+    matches them."""
+    out = list(text)
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if text[j] == ch:
+                    if j + 1 < n and text[j + 1] == ch:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = "_"
+            i = j + 1
+        elif ch == "`":
+            j = text.find("`", i + 1)
+            i = (j if j != -1 else n) + 1
+        else:
+            i += 1
+    return "".join(out)
+
+
 def _split_top(text: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` at paren/bracket depth 0, outside quotes."""
     out, buf, depth, quote = [], [], 0, None
@@ -603,18 +635,21 @@ class SqlFrontend:
 
     def _update(self, stmt: str):
         m = re.match(
-            rf"(?is)UPDATE\s+({_DOTTED})\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", stmt
+            rf"(?is)UPDATE\s+({_DOTTED})\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
+            _mask_literals(stmt),  # ' WHERE ' inside a SET literal is data
         )
         if not m:
             raise InvalidArgument(f"cannot parse: {stmt!r}")
         _, _, _, table = self._resolve_table(m.group(1))
         assignments = {}
-        for item in _split_top(m.group(2)):
+        for item in _split_top(stmt[m.start(2):m.end(2)]):
             am = re.match(rf"(?s)\s*({_IDENT})\s*=\s*(.*)$", item)
             if not am:
                 raise InvalidArgument(f"cannot parse SET item: {item!r}")
             assignments[_unquote(am.group(1))] = F.expr(am.group(2).strip())
-        pred = F.expr(m.group(3)) if m.group(3) else F.lit(True)
+        pred = (
+            F.expr(stmt[m.start(3):m.end(3)]) if m.group(3) else F.lit(True)
+        )
         table.update_where(pred, assignments)
         return {"updated": True}
 
@@ -622,22 +657,28 @@ class SqlFrontend:
         """Delta-style MERGE on Table.merge(): equi-key ON; ``WHEN MATCHED
         [AND guard] THEN UPDATE SET *`` / ``UPDATE SET col = expr, ...`` /
         ``DELETE``; ``WHEN NOT MATCHED [AND guard] THEN INSERT *`` /
-        ``INSERT (cols) VALUES (exprs)``. Guards/SET/VALUES expressions are
+        ``INSERT (cols) VALUES (exprs)``; ``WHEN NOT MATCHED BY SOURCE
+        [AND guard] THEN UPDATE SET col = expr`` / ``DELETE`` (full-sync
+        merges). Guards/SET/VALUES expressions are
         Spark SQL, parsed by Catalyst against the joined frame — qualify
         ambiguous columns with the target/source aliases (defaults: the
         bare table names)."""
+        # All keyword/paren regexes run against the literal-masked copy so
+        # WHEN/THEN/ON/parens inside string data can't derail clause
+        # splitting; sub-texts fed to Catalyst are span-sliced from stmt.
+        masked = _mask_literals(stmt)
         m = re.match(
             rf"(?is)MERGE\s+INTO\s+({_DOTTED})(?:\s+(?:AS\s+)?(?!USING\b)({_IDENT}))?"
             rf"\s+USING\s+(\((?:[^()]|\([^()]*\))*\)|{_DOTTED})"
             rf"(?:\s+(?:AS\s+)?(?!ON\b)({_IDENT}))?"
             rf"\s+ON\s+(.*?)\s+(WHEN\s+.*)$",
-            stmt,
+            masked,
         )
         if not m:
             raise InvalidArgument(f"cannot parse: {stmt!r}")
         _, _, tname, target = self._resolve_table(m.group(1))
         target_alias = _unquote(m.group(2)) if m.group(2) else tname
-        src_text = m.group(3).strip()
+        src_text = stmt[m.start(3):m.end(3)].strip()
         source_alias = _unquote(m.group(4)) if m.group(4) else None
         if src_text.startswith("("):
             source = self._select(src_text[1:-1])
@@ -675,14 +716,20 @@ class SqlFrontend:
                 assignments[_unquote(am.group(1))] = F.expr(am.group(2).strip())
             return assignments
 
+        otail, mtail = stmt[m.start(6):], masked[m.start(6):]
         for wm in re.finditer(
             r"(?is)WHEN\s+(NOT\s+)?MATCHED(\s+BY\s+(?:SOURCE|TARGET))?"
             r"(?:\s+AND\s+(.*?))?\s+THEN\s+"
             r"(.*?)(?=\s+WHEN\s+(?:NOT\s+)?MATCHED\b|\s*$)",
-            m.group(6),
+            mtail,
         ):
-            action = wm.group(4).strip()
-            guard = F.expr(wm.group(3).strip()) if wm.group(3) else None
+            action = otail[wm.start(4):wm.end(4)].strip()
+            action_masked = mtail[wm.start(4):wm.end(4)].strip()
+            guard = (
+                F.expr(otail[wm.start(3):wm.end(3)].strip())
+                if wm.group(3)
+                else None
+            )
             by_source = bool(
                 wm.group(2) and wm.group(2).upper().rstrip().endswith("SOURCE")
             )
@@ -692,13 +739,20 @@ class SqlFrontend:
                 )
             if wm.group(1) and not by_source:
                 # WHEN NOT MATCHED [BY TARGET] -> insert clause
-                if re.match(r"(?is)INSERT\s+\*\s*$", action):
+                if re.match(r"(?is)INSERT\s+\*\s*$", action_masked):
                     not_matched_clauses.append((guard, None))
                 elif im := re.match(
-                    r"(?is)INSERT\s*\(([^()]*)\)\s*VALUES\s*\((.*)\)\s*$", action
+                    r"(?is)INSERT\s*\(([^()]*)\)\s*VALUES\s*\((.*)\)\s*$",
+                    action_masked,
                 ):
-                    cols = [_unquote(c) for c in _split_top(im.group(1))]
-                    vals = [v.strip() for v in _split_top(im.group(2))]
+                    cols = [
+                        _unquote(c)
+                        for c in _split_top(action[im.start(1):im.end(1)])
+                    ]
+                    vals = [
+                        v.strip()
+                        for v in _split_top(action[im.start(2):im.end(2)])
+                    ]
                     if len(cols) != len(vals):
                         raise InvalidArgument(
                             "INSERT column list does not match VALUES arity"
@@ -713,12 +767,12 @@ class SqlFrontend:
                     )
                 continue
             dest = nmbs_clauses if by_source else matched_clauses
-            if re.match(r"(?is)DELETE\s*$", action):
+            if re.match(r"(?is)DELETE\s*$", action_masked):
                 dest.append(("delete", guard, None))
-            elif re.match(r"(?is)UPDATE\s+SET\s+\*\s*$", action):
+            elif re.match(r"(?is)UPDATE\s+SET\s+\*\s*$", action_masked):
                 dest.append(("update", guard, None))
-            elif um := re.match(r"(?is)UPDATE\s+SET\s+(.*)$", action):
-                dest.append(("update", guard, _parse_set(um.group(1))))
+            elif um := re.match(r"(?is)UPDATE\s+SET\s+(.*)$", action_masked):
+                dest.append(("update", guard, _parse_set(action[um.start(1):um.end(1)])))
             else:
                 raise InvalidArgument(f"unsupported MERGE action: {action!r}")
         return target.merge(
