@@ -306,6 +306,180 @@ def q_tpch_q10(spark, sf):
     )
 
 
+def q_tpch_q5(spark, sf):
+    """TPC-H Q5 (local supplier volume): one year of one region's orders
+    where the supplier and customer share a nation. Fact tables shuffle on
+    orderkey once; supplier/nation/region are broadcast dims, so the
+    nation-match condition rides the broadcast join instead of a second
+    shuffle."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q6(spark, sf):
+    """TPC-H Q6 (forecasting revenue): pure scan-side query — date range,
+    discount band, and quantity cap all push down to the parquet scan, then
+    a single global aggregate. The plan should be scan -> partial agg ->
+    one-row exchange."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def q_tpch_q7(spark, sf):
+    """TPC-H Q7 (volume shipping): trade between two nations by year and
+    direction. nation is joined twice under different roles — both
+    broadcast — and the OR-pair condition is applied after the two
+    nation names are bound."""
+    s = _t(spark, sf, "supplier")
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_6")
+    rpair = (F.col("supp_nation") == "NATION_6") & (F.col("cust_nation") == "NATION_9")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair | rpair)
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q13(spark, sf):
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join with
+    an extra non-key condition folded into the join predicate (customers
+    with zero qualifying orders must still appear with c_count = 0), then a
+    second aggregation over the first."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_tpch_q14(spark, sf):
+    """TPC-H Q14 (promo revenue share): one month of lineitem against the
+    part dim (broadcast), conditional numerator over the same aggregate
+    denominator — a single pass, no second scan."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = _t(spark, sf, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def q_tpch_q15(spark, sf):
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, keep the
+    max. The scalar-subquery max is a window max over the aggregated frame
+    — that frame is one row per supplier (tiny at any SF), so the
+    single-partition window is not a scale hazard. Revenue is rounded
+    BEFORE the max comparison so both engines compare identical values."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    top = rev.withColumn("mx", F.max("total_revenue").over(W.partitionBy())).filter(
+        F.col("total_revenue") == F.col("mx")
+    )
+    return top.join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey")).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+def q_tpch_q17(spark, sf):
+    """TPC-H Q17 (small-quantity-order revenue): the correlated per-part
+    average subquery is decorrelated into a groupBy-on-partkey aggregate
+    joined back to lineitem — the standard Spark rewrite; the brand filter
+    broadcasts. (Adapted: testdata part has no p_container, so the filter
+    is brand-only.)"""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#3")
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(thresh, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
 def q_j2_semi_join(spark, sf):
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders").filter(
@@ -1454,7 +1628,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_conditional_agg": q_a5_conditional_agg,
         "j1_star_join_revenue": q_j1_star_join_revenue,
         "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
         "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
         "j2_semi_join": q_j2_semi_join,
         "j3_anti_join": q_j3_anti_join,
@@ -1770,6 +1951,90 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
             LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "tpch_q6": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q7": """
+            SELECT supp_nation, cust_nation, l_year,
+                   ROUND(SUM(volume), 2) AS revenue
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                       l_extendedprice * (1 - l_discount) AS volume
+                FROM supplier, lineitem, orders, customer,
+                     nation n1, nation n2
+                WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                  AND c_custkey = o_custkey
+                  AND s_nationkey = n1.n_nationkey
+                  AND c_nationkey = n2.n_nationkey
+                  AND ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_6')
+                    OR (n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_9'))
+                  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                                     AND TIMESTAMP '1997-12-31'
+            ) shipping
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "tpch_q13": """
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer
+                LEFT OUTER JOIN orders
+                  ON c_custkey = o_custkey
+                 AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey
+            ) c_orders
+            GROUP BY c_count
+        """,
+        "tpch_q14": """
+            SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                   / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey
+              AND l_shipdate >= TIMESTAMP '1996-09-01'
+              AND l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        "tpch_q15": """
+            WITH revenue AS (
+                SELECT l_suppkey AS supplier_no,
+                       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier, revenue
+            WHERE s_suppkey = supplier_no
+              AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        """,
+        "tpch_q17": """
+            SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey AND p_brand = 'Brand#3'
+              AND l_quantity < (
+                  SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+                  WHERE l2.l_partkey = p_partkey)
         """,
         "tpch_q10": """
             SELECT c_custkey, c_name, c_acctbal, n_name,

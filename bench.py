@@ -38,7 +38,14 @@ HEADLINE = [
     "a4_rollup",
     "j1_star_join_revenue",
     "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
     "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
     "tpch_q18",
     "j2_semi_join",
     "j3_anti_join",
