@@ -164,6 +164,40 @@ def test_vacuum_respects_snapshots(clean_schema):
     assert len(deleted) == 1  # the pre-delete data file
 
 
+def test_vacuum_data_files_sets_as_of_horizon(clean_schema):
+    """A vacuum that deletes data files must make as_of to older versions
+    fail at BIND time (MissingSnapshot), not mid-scan with FileNotFound;
+    named-snapshot versions stay readable (their files were kept)."""
+    from vastdb_sdk_spark.errors import MissingSnapshot
+
+    data = pa.table({"a": pa.array(range(100), pa.int64())})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("t", data.schema)
+        t.insert(data)
+    with clean_schema.transaction() as tx:
+        v_old = tx.bucket("bkt").manifest.version
+        tx.bucket("bkt").create_snapshot("pinned")
+    with clean_schema.transaction() as tx:
+        # fold-threshold delete rewrites the file -> the original parquet is
+        # referenced only by older manifests (and the pinned snapshot)
+        tx.bucket("bkt").schema("s").table("t").delete(
+            pa.table({"$row_id": pa.array(range(40), pa.uint64())})
+        )
+    assert clean_schema.vacuum("bkt") != []
+    with clean_schema.transaction() as tx:
+        b = tx.bucket("bkt")
+        # current state reads fine; the horizon commit added a version
+        assert b.schema("s").table("t").count_rows() == 60
+        assert b.as_of(version=b.manifest.version - 1) is not None
+        with pytest.raises(MissingSnapshot):
+            b.as_of(version=v_old - 1)
+        # the named-snapshot version is exempt and still fully readable
+        assert (
+            b.as_of(version=v_old).schema("s").table("t").count_rows() == 100
+        )
+        assert b.snapshot("pinned").schema("s").table("t").count_rows() == 100
+
+
 def test_vacuum_retain_versions_sets_time_travel_horizon(clean_schema):
     from vastdb_sdk_spark.errors import MissingSnapshot
 

@@ -150,6 +150,13 @@ class Bucket:
                     ts = ts.replace(tzinfo=_dt.timezone.utc)
                 timestamp = ts.timestamp()
             version = st.store.version_at(float(timestamp))
+        horizon = st.manifest.vacuum_horizon
+        if version < horizon and version not in st.manifest.snapshots.values():
+            raise MissingSnapshot(
+                f"version {version} is below the vacuum horizon ({horizon}):"
+                " a VACUUM may have deleted its data files; only"
+                " named-snapshot versions remain readable past a vacuum"
+            )
         return Bucket(
             self.name,
             self.tx,

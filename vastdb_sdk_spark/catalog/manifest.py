@@ -200,6 +200,11 @@ class Manifest:
         # commit wall-clock (epoch seconds), for TIMESTAMP AS OF; None until
         # written (pre-upgrade versions fall back to file mtime)
         self.committed_at: float | None = None
+        # newest version whose data files a vacuum may have deleted: time
+        # travel below this is refused at bind time (Delta-retention
+        # semantics) instead of failing mid-scan with FileNotFound. Named
+        # snapshots are exempt — vacuum(keep_snapshots=True) keeps theirs.
+        self.vacuum_horizon: int = 0
         if data:
             self.schemas = dict(data.get("schemas", {}))
             for td in data.get("tables", []):
@@ -207,6 +212,7 @@ class Manifest:
                 self.tables[(te.schema_name, te.name)] = te
             self.snapshots = dict(data.get("snapshots", {}))
             self.committed_at = data.get("committed_at")
+            self.vacuum_horizon = data.get("vacuum_horizon", 0)
 
     def to_json(self) -> dict:
         return {
@@ -215,6 +221,7 @@ class Manifest:
             "tables": [t.to_json() for t in self.tables.values()],
             "snapshots": self.snapshots,
             "committed_at": self.committed_at,
+            "vacuum_horizon": self.vacuum_horizon,
         }
 
     def copy(self) -> "Manifest":
@@ -222,6 +229,7 @@ class Manifest:
         m.schemas = copy.deepcopy(self.schemas)
         m.tables = {k: TableEntry.from_json(v.to_json()) for k, v in self.tables.items()}
         m.snapshots = dict(self.snapshots)
+        m.vacuum_horizon = self.vacuum_horizon
         return m
 
     # -- schema ops --------------------------------------------------------
@@ -481,6 +489,11 @@ class ChangeSet:
     def _apply_replace_table(m: Manifest, schema: str, name: str, entry_json: dict) -> None:
         m.get_table(schema, name)  # must exist
         m.tables[(schema, name)] = TableEntry.from_json(entry_json)
+
+    @staticmethod
+    def _apply_set_vacuum_horizon(m: Manifest, version: int) -> None:
+        # monotone max: concurrent vacuums can only move the horizon forward
+        m.vacuum_horizon = max(m.vacuum_horizon, version)
 
     @staticmethod
     def _apply_set_snapshot(m: Manifest, name: str, version: int) -> None:

@@ -98,7 +98,13 @@ class Session:
         per commit forever, and at commit-heavy scale the catalog dir —
         not the data — becomes the clutter. This sets the time-travel
         horizon: ``as_of`` to a pruned version raises ``MissingSnapshot``
-        (``version_at`` bisects over the retained versions only)."""
+        (``version_at`` bisects over the retained versions only).
+
+        Deleting any data file also advances the manifest's
+        ``vacuum_horizon``: ``as_of`` to an older version (whose entries
+        may reference the deleted files) is refused at bind time with
+        ``MissingSnapshot`` rather than failing mid-scan — except versions
+        pinned by a named snapshot, whose files were kept."""
         from .catalog.manifest import ManifestStore
 
         store = ManifestStore(self._bucket_path(bucket_name))
@@ -130,6 +136,18 @@ class Session:
                 if path not in referenced:
                     os.unlink(path)
                     deleted.append(path)
+
+        if deleted:
+            # Versions older than the one we collected against may reference
+            # the files just deleted: advance the vacuum horizon (its own
+            # CAS commit) so as_of below it fails at BIND time with a clear
+            # MissingSnapshot instead of mid-scan FileNotFound. Named
+            # snapshots stay readable (their files were collected above).
+            from .catalog.manifest import ChangeSet
+
+            changes = ChangeSet()
+            changes.record("set_vacuum_horizon", manifest.version)
+            store.commit(manifest, changes)
 
         if retain_versions is not None:
             if retain_versions < 1:
