@@ -1261,6 +1261,49 @@ def q_el5_sorted_isin(spark, sf):
     )
 
 
+def q_e13_engine_zorder(spark, sf):
+    """Z-order clustering: events rewritten on a Morton curve over
+    (user_id, value), then a 2-D selective predicate — both dimensions
+    prune files via manifest min/max stats (see
+    tests/test_plans.py::test_zorder_prunes_every_dimension for the
+    pruning assertion; here the gate checks the clustered table still
+    answers exactly)."""
+    import tempfile
+
+    import pyarrow as pa
+
+    import vastdb_sdk_spark as vastdb
+
+    key = (sf, "__zorder_events")
+    if key not in _ENGINE_WAREHOUSES:
+        session = vastdb.connect(tempfile.mkdtemp(prefix="entry_whz_"), spark=spark)
+        session.create_bucket("b")
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.int64()),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+        with session.transaction() as tx:
+            t = tx.bucket("b").create_schema("s").create_table("events", schema)
+            t.insert_df(_t(spark, sf, "events"))
+        with session.transaction() as tx:
+            tx.bucket("b").schema("s").table("events").optimize(
+                target_file_rows=1250, zorder=["user_id", "value"]
+            )
+        _ENGINE_WAREHOUSES[key] = session
+    tx = _ENGINE_WAREHOUSES[key].transaction()
+    t = tx.bucket("b").schema("s").table("events")
+    return t.select_df(
+        columns=_EL_COLS,
+        predicate=t["user_id"].between(3, 5) & t["value"].between(100.0, 140.0),
+    )
+
+
 def q_e4_engine_dml(spark, sf):
     """Engine DML under the oracle gate: delete all 'F'-status orders by
     $row_id, zero out 1-URGENT totals via update, then scan. The oracle
@@ -1603,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e10_sql_frontend": q_e10_sql_frontend,
         "e11_merge_conditional": q_e11_merge_conditional,
         "e12_engine_restore": q_e12_engine_restore,
+        "e13_engine_zorder": q_e13_engine_zorder,
         "el1_sorted_point": q_el1_sorted_point,
         "el2_sorted_ts_between": q_el2_sorted_ts_between,
         "el3_sorted_conjunction": q_el3_sorted_conjunction,
@@ -1807,6 +1851,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "e12_engine_restore": """
             SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        """,
+        "e13_engine_zorder": """
+            SELECT event_id, user_id, value
+            FROM events
+            WHERE user_id BETWEEN 3 AND 5
+              AND value BETWEEN 100.0 AND 140.0
         """,
         "el1_sorted_point": """
             SELECT event_id, user_id, value

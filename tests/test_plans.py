@@ -43,6 +43,68 @@ def test_interval_extraction():
     assert extract_intervals((D.k > 5) | (D.j > 1), "k") is None
 
 
+def test_zorder_prunes_every_dimension(clean_schema):
+    """optimize(zorder=[x, y]) must make a narrow predicate on EITHER
+    column scan a strict subset of files; the lexicographic sort key
+    (x, y) is the contrast — there a y-only predicate scans everything
+    because every file spans the full y range."""
+    import random
+
+    rng = random.Random(7)
+    pairs = [(i // 200, i % 200) for i in range(40_000)]  # x,y grid 0..199
+    rng.shuffle(pairs)
+    xs = pa.array([p[0] for p in pairs], pa.int64())
+    ys = pa.array([p[1] for p in pairs], pa.int64())
+    schema = pa.schema([("x", pa.int64()), ("y", pa.int64())])
+    with clean_schema.transaction() as tx:
+        s = tx.bucket("bkt").schema("s")
+        s.create_table("zt", schema).insert(pa.table({"x": xs, "y": ys}))
+        s.create_table("lex", schema, sorting_key=["x", "y"]).insert(
+            pa.table({"x": xs, "y": ys})
+        )
+    with clean_schema.transaction() as tx:
+        tx.bucket("bkt").schema("s").table("zt").optimize(
+            target_file_rows=2500, zorder=["x", "y"]
+        )
+        tx.bucket("bkt").schema("s").table("lex").optimize(target_file_rows=2500)
+    with clean_schema.transaction() as tx:
+        zt = tx.bucket("bkt").schema("s").table("zt")
+        lex = tx.bucket("bkt").schema("s").table("lex")
+        n_z, n_lex = len(zt.entry.files), len(lex.entry.files)
+        assert n_z >= 8 and n_lex >= 8
+        y_pred = (D.y >= 0) & (D.y < 12)
+        z_scan = pi.scanned_file_count(zt.select_df(predicate=y_pred))
+        lex_scan = pi.scanned_file_count(lex.select_df(predicate=y_pred))
+        assert lex_scan == n_lex  # trailing key: no pruning at all
+        assert z_scan <= n_z // 2  # z-order: y alone prunes most files
+        # the leading dimension prunes too
+        x_pred = (D.x >= 0) & (D.x < 12)
+        assert pi.scanned_file_count(zt.select_df(predicate=x_pred)) <= n_z // 2
+        # correctness on both layouts
+        assert zt.select_df(predicate=y_pred).count() == 12 * 200
+        assert lex.select_df(predicate=y_pred).count() == 12 * 200
+        both = zt.select_df(predicate=y_pred & (D.x >= 150))
+        assert both.count() == 50 * 12
+
+
+def test_zorder_rejections(clean_schema):
+    from vastdb_sdk_spark.errors import InvalidArgument, NotSupportedCommand
+
+    schema = pa.schema([("k", pa.int64()), ("name", pa.string())])
+    with clean_schema.transaction() as tx:
+        s = tx.bucket("bkt").schema("s")
+        t = s.create_table("zr", schema)
+        t.insert(pa.table({"k": pa.array([1, 2]), "name": ["a", "b"]}))
+        with pytest.raises(InvalidArgument):
+            t.optimize(zorder=["nope"])
+        with pytest.raises(InvalidArgument):
+            t.optimize(zorder=["name"])  # non-numeric
+        srt = s.create_table("zs", schema, sorting_key=["k"])
+        srt.insert(pa.table({"k": pa.array([1]), "name": ["a"]}))
+        with pytest.raises(NotSupportedCommand):
+            srt.optimize(zorder=["k"])
+
+
 def test_manifest_file_pruning_after_optimize(clean_schema):
     """After optimize(), a sort-key range predicate must scan a strict
     subset of files — planning-time skipping, before Spark even sees the

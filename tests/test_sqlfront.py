@@ -413,6 +413,26 @@ def test_optimize_and_vacuum_statements(sql_session):
     assert rows[0].n == 4
 
 
+def test_optimize_zorder_statement(sql_session):
+    res = sql_session.execute_sql(
+        "OPTIMIZE bkt.s.t ZORDER BY (a, b) TARGET FILE ROWS 2"
+    )
+    assert res == {"optimized": "zorder", "cluster_by": ["a", "b"]}
+    with sql_session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        assert t.entry.properties["cluster_by"] == ["a", "b"]
+        # every rewritten file carries min/max stats on both dimensions
+        assert all(
+            set(f.col_stats) >= {"a", "b"} for f in t.entry.files
+        )
+    rows = sql_session.execute_sql(
+        "SELECT a, name FROM bkt.s.t ORDER BY a"
+    ).collect()
+    assert [(r.a, r.name) for r in rows] == [
+        (1, "one"), (2, "two"), (3, "three"),
+    ]
+
+
 def test_clone_and_restore(sql_session):
     # shallow clone shares data files; sides diverge independently
     sql_session.execute_sql("CREATE TABLE bkt.s.t_clone CLONE bkt.s.t")

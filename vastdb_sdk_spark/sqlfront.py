@@ -276,13 +276,18 @@ class SqlFrontend:
         if kw == "OPTIMIZE":
             m = re.match(
                 rf"(?is)OPTIMIZE\s+({_DOTTED})"
+                rf"(?:\s+ZORDER\s+BY\s*\(([^()]*)\))?"
                 rf"(?:\s+TARGET\s+FILE\s+ROWS\s+(\d+))?\s*$",
                 stmt,
             )
             if not m:
                 raise InvalidArgument(f"cannot parse: {stmt!r}")
             _, _, _, table = self._resolve_table(m.group(1))
-            target = int(m.group(2)) if m.group(2) else 4_000_000
+            target = int(m.group(3)) if m.group(3) else 4_000_000
+            if m.group(2):
+                cols = [_unquote(c) for c in _split_top(m.group(2))]
+                table.optimize(target_file_rows=target, zorder=cols)
+                return {"optimized": "zorder", "cluster_by": cols}
             if table.entry.sorting_key:
                 table.optimize(target_file_rows=target)
                 return {"optimized": "sort"}

@@ -763,9 +763,14 @@ class Table:
         return out
 
     def _stat_columns(self, entry: TableEntry) -> list[str]:
-        """Columns worth per-file min/max stats: the sorting key (file
-        pruning pays off once optimize() has clustered the data)."""
-        return list(entry.sorting_key)
+        """Columns worth per-file min/max stats: the sorting key, or the
+        Z-order cluster columns (file pruning pays off once optimize() has
+        clustered the data)."""
+        cols = list(entry.sorting_key)
+        cols += [
+            c for c in entry.properties.get("cluster_by", []) if c not in cols
+        ]
+        return cols
 
     def _mark_unsorted(self, entry: TableEntry) -> None:
         if entry.sorting_key:
@@ -1911,7 +1916,9 @@ class Table:
         self._mark_unsorted(entry)
         self._mutate(entry, "add_sorting_key", key=columns)
 
-    def optimize(self, target_file_rows: int = 4_000_000) -> None:
+    def optimize(
+        self, target_file_rows: int = 4_000_000, zorder: list[str] | None = None
+    ) -> None:
         """Re-sort the table by its sorting key — the engine-side analog of
         the reference's *asynchronous server* Elysium sort (vastdb/
         table.py:865-887: score rises as the server re-sorts in background).
@@ -1920,7 +1927,20 @@ class Table:
         Spark plan: range-partition on the key (so files are globally
         sorted and non-overlapping -> parquet min/max skipping at scale),
         sort within partitions, rewrite all files with physical row ids.
+
+        ``zorder=[c1, c2, ...]`` instead clusters by a Morton (Z-order)
+        curve over up to 4 numeric columns: each column is bucketed into
+        256 equal-width bins and the bin bits are interleaved, so files end
+        up min/max-tight on EVERY listed column, not just the leading
+        lexicographic key — a selective predicate on any single dimension
+        still prunes most files. The whole computation is JVM-side column
+        arithmetic (one min/max pass + shift/mask exprs); at 100 TB it
+        costs one full shuffle, same as a sort. Equal-width binning is
+        skew-sensitive: heavily skewed columns cluster better under a
+        plain sorting key. Mutually exclusive with an Elysium sorting key.
         """
+        if zorder is not None:
+            return self._optimize_zorder(target_file_rows, zorder)
         entry = TableEntry.from_json(self.entry.to_json())
         if not entry.sorting_key:
             raise NotSupportedCommand("table has no sorting key")
@@ -1939,6 +1959,80 @@ class Table:
         entry.sorting_score = 100
         entry.sorting_done = True
         self._mutate(entry, "optimize", key=entry.sorting_key)
+
+    def _optimize_zorder(self, target_file_rows: int, zorder: list[str]) -> None:
+        from functools import reduce as _reduce
+
+        entry = TableEntry.from_json(self.entry.to_json())
+        if entry.sorting_key:
+            raise NotSupportedCommand(
+                "table has an Elysium sorting key; zorder and sorting_key"
+                " are alternative layouts"
+            )
+        if not 1 <= len(zorder) <= 4:
+            raise InvalidArgument("zorder takes 1-4 columns")
+        missing = [c for c in zorder if c not in self.arrow_schema.names]
+        if missing:
+            raise InvalidArgument(f"unknown zorder columns: {missing}")
+        df = self.df(internal_row_id=True)
+        numeric = {
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+        }
+        dtypes = dict(df.dtypes)
+        bad = [
+            c for c in zorder
+            if dtypes[c] not in numeric and not dtypes[c].startswith("decimal")
+        ]
+        if bad:
+            raise InvalidArgument(
+                f"zorder needs numeric columns (equal-width binning): {bad}"
+            )
+        # one JVM-side pass for the bin ranges
+        aggs = [F.min(c).alias(f"__lo{i}") for i, c in enumerate(zorder)]
+        aggs += [F.max(c).alias(f"__hi{i}") for i, c in enumerate(zorder)]
+        row = df.agg(*aggs).first()
+        k = len(zorder)
+        terms = []
+        for j, c in enumerate(zorder):
+            lo, hi = row[f"__lo{j}"], row[f"__hi{j}"]
+            if lo is None or hi is None or float(hi) == float(lo):
+                continue  # constant/all-null column adds no ordering bits
+            span = float(hi) - float(lo)
+            bucket = F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col(c).cast("double") - F.lit(float(lo)))
+                        / F.lit(span)
+                        * 256.0
+                    ),
+                ),
+            )
+            bucket = F.coalesce(bucket, F.lit(0)).cast("long")
+            for i in range(8):  # interleave bit i of every column
+                terms.append(
+                    F.shiftleft(
+                        F.shiftright(bucket, i).bitwiseAND(F.lit(1)), i * k + j
+                    )
+                )
+        zval = (
+            _reduce(lambda a, b: a.bitwiseOR(b), terms) if terms else F.lit(0)
+        )
+        n_rows = max(entry.num_rows, 1)
+        n_parts = max(1, n_rows // target_file_rows)
+        out = (
+            df.withColumn("__z", zval)
+            .repartitionByRange(n_parts, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        # record the cluster columns BEFORE the rewrite so the new files'
+        # footer min/max stats are collected for them (select() then prunes
+        # on every zorder dimension independently)
+        entry.properties["cluster_by"] = list(zorder)
+        self._rewrite_files(entry, list(entry.files), out, "zorder")
+        self._mutate(entry, "optimize", zorder=zorder)
 
     def compact(self, target_file_rows: int = 4_000_000, min_files: int = 2) -> int:
         """Bin-pack small files into target-sized ones (the companion of
