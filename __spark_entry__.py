@@ -1633,28 +1633,78 @@ def q_e2_engine_sql(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering matters: the driver's correctness gate reads a 50-query
+    # window from the front of this dict.  Queries not yet gated in a prior
+    # round (and queries new this round) go FIRST; a handful of re-gates
+    # for the core engine paths fill out the window; everything verified in
+    # round 1 trails behind.
     return {
+        # -- never gated in round 1 (positions 51-88 back then) ----------
+        "w1_topk_per_group": q_w1_topk_per_group,
+        "w2_running_sum": q_w2_running_sum,
+        "w3_lag_delta": q_w3_lag_delta,
+        "w4_dense_rank": q_w4_dense_rank,
+        "w5_first_last": q_w5_first_last,
+        "w6_ntile": q_w6_ntile,
+        "w7_event_time_window": q_w7_event_time_window,
+        "w8_attribution_join": q_w8_attribution_join,
+        "set1_union": q_set1_union,
+        "set2_intersect": q_set2_intersect,
+        "set3_except": q_set3_except,
+        "f1_json_expansion": q_f1_json_expansion,
+        "f2_string_funcs": q_f2_string_funcs,
+        "f3_date_funcs": q_f3_date_funcs,
+        "f4_conditional": q_f4_conditional,
+        "f5_array_agg": q_f5_array_agg,
+        "f6_levenshtein": q_f6_levenshtein,
+        "a6_cube": q_a6_cube,
+        "a7_approx_distinct": q_a7_approx_distinct,
+        "a8_grouping_sets": q_a8_grouping_sets,
+        "a9_percentiles": q_a9_percentiles,
+        "o5_vector_topk_l2": q_o5_vector_topk_l2,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "asof_last_purchase": q_asof_last_purchase,
+        "dd_exact": q_dd_exact,
+        "dd_fingerprint": q_dd_fingerprint,
+        "dd_minhash_sig": q_dd_minhash_sig,
+        "dd_ngram_overlap": q_dd_ngram_overlap,
+        "dd_simhash": q_dd_simhash,
+        "dd_simhash_fast": q_dd_simhash_fast,
+        "dd_lsh_pairs": q_dd_lsh_pairs,
+        "dd_lsh_pairs_fast": q_dd_lsh_pairs_fast,
+        "dd_embed_neardup": q_dd_embed_neardup,
+        "tx_token_stats": q_tx_token_stats,
+        "tx_quality": q_tx_quality,
+        "tx_langid": q_tx_langid,
+        "mm_decode_stub": q_mm_decode_stub,
+        "mm_blob_meta": q_mm_blob_meta,
+        # -- re-gates of the core engine paths (verified round 1) --------
         "e1_engine_scan": q_e1_engine_scan,
         "e2_engine_sql": q_e2_engine_sql,
-        "e3_engine_sorted_scan": q_e3_engine_sorted_scan,
         "e4_engine_dml": q_e4_engine_dml,
+        "e9_engine_merge": q_e9_engine_merge,
+        "e10_sql_frontend": q_e10_sql_frontend,
+        "e13_engine_zorder": q_e13_engine_zorder,
+        "el1_sorted_point": q_el1_sorted_point,
+        "a1_tpch_q1": q_a1_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
+        "j1_star_join_revenue": q_j1_star_join_revenue,
+        "s1_scan_project": q_s1_scan_project,
+        # -- verified in round 1, below the window ------------------------
+        "e3_engine_sorted_scan": q_e3_engine_sorted_scan,
         "e5_engine_projection": q_e5_engine_projection,
         "e6_engine_snapshot": q_e6_engine_snapshot,
         "e7_engine_partitioned": q_e7_engine_partitioned,
         "e8_engine_predicate_dml": q_e8_engine_predicate_dml,
-        "e9_engine_merge": q_e9_engine_merge,
-        "e10_sql_frontend": q_e10_sql_frontend,
         "e11_merge_conditional": q_e11_merge_conditional,
         "e12_engine_restore": q_e12_engine_restore,
-        "e13_engine_zorder": q_e13_engine_zorder,
-        "el1_sorted_point": q_el1_sorted_point,
         "el2_sorted_ts_between": q_el2_sorted_ts_between,
         "el3_sorted_conjunction": q_el3_sorted_conjunction,
         "el4_sorted_or_ranges": q_el4_sorted_or_ranges,
         "el5_sorted_isin": q_el5_sorted_isin,
         "ann_rhp_topk": q_ann_rhp_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "s1_scan_project": q_s1_scan_project,
         "p2_comparisons": q_p2_comparisons,
         "p3_between": q_p3_between,
         "p4_isin": q_p4_isin,
@@ -1665,15 +1715,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p10_literals": q_p10_literals,
         "p11_false_predicate": q_p11_false_predicate,
         "o1_limit_topk": q_o1_limit_topk,
-        "a1_tpch_q1": q_a1_tpch_q1,
         "a2_count_distinct": q_a2_count_distinct,
         "a3_having": q_a3_having,
         "a4_rollup": q_a4_rollup,
         "a5_conditional_agg": q_a5_conditional_agg,
-        "j1_star_join_revenue": q_j1_star_join_revenue,
-        "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
         "tpch_q10": q_tpch_q10,
         "tpch_q13": q_tpch_q13,
@@ -1684,44 +1730,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_semi_join": q_j2_semi_join,
         "j3_anti_join": q_j3_anti_join,
         "j4_outer_join_counts": q_j4_outer_join_counts,
-        "w1_topk_per_group": q_w1_topk_per_group,
-        "w2_running_sum": q_w2_running_sum,
-        "w3_lag_delta": q_w3_lag_delta,
-        "w4_dense_rank": q_w4_dense_rank,
-        "set1_union": q_set1_union,
-        "set2_intersect": q_set2_intersect,
-        "set3_except": q_set3_except,
-        "f1_json_expansion": q_f1_json_expansion,
-        "f2_string_funcs": q_f2_string_funcs,
-        "f3_date_funcs": q_f3_date_funcs,
-        "f4_conditional": q_f4_conditional,
-        "f5_array_agg": q_f5_array_agg,
-        "a6_cube": q_a6_cube,
-        "a7_approx_distinct": q_a7_approx_distinct,
-        "a8_grouping_sets": q_a8_grouping_sets,
-        "a9_percentiles": q_a9_percentiles,
-        "f6_levenshtein": q_f6_levenshtein,
-        "w5_first_last": q_w5_first_last,
-        "w6_ntile": q_w6_ntile,
-        "w7_event_time_window": q_w7_event_time_window,
-        "w8_attribution_join": q_w8_attribution_join,
-        "o5_vector_topk_l2": q_o5_vector_topk_l2,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "dd_exact": q_dd_exact,
-        "dd_fingerprint": q_dd_fingerprint,
-        "dd_minhash_sig": q_dd_minhash_sig,
-        "dd_ngram_overlap": q_dd_ngram_overlap,
-        "asof_last_purchase": q_asof_last_purchase,
-        "dd_simhash": q_dd_simhash,
-        "dd_simhash_fast": q_dd_simhash_fast,
-        "mm_decode_stub": q_mm_decode_stub,
-        "dd_lsh_pairs": q_dd_lsh_pairs,
-        "dd_lsh_pairs_fast": q_dd_lsh_pairs_fast,
-        "dd_embed_neardup": q_dd_embed_neardup,
-        "tx_token_stats": q_tx_token_stats,
-        "tx_quality": q_tx_quality,
-        "tx_langid": q_tx_langid,
-        "mm_blob_meta": q_mm_blob_meta,
     }
 
 
