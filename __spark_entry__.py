@@ -480,6 +480,333 @@ def q_tpch_q17(spark, sf):
     )
 
 
+def q_tpch_q2(spark, sf):
+    """TPC-H Q2 (minimum-cost supplier): for each size-15 STANDARD part, the
+    EUROPE supplier(s) with the minimum account balance among those that
+    shipped it. (Adapted: testdata has no partsupp — supplier-part pairs
+    derive from lineitem, min s_acctbal stands in for min ps_supplycost.)
+    The correlated min decorrelates to a groupBy + join-back on identical
+    double values (no arithmetic, so cross-engine equality is exact); all
+    dims broadcast; top-100 stable LIMIT."""
+    pairs = (
+        _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    s_eur = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    j = pairs.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    ).join(F.broadcast(s_eur), F.col("l_suppkey") == F.col("s_suppkey"))
+    minb = j.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        j.join(
+            minb,
+            (F.col("p_partkey") == F.col("m_partkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(100)
+    )
+
+
+def q_tpch_q4(spark, sf):
+    """TPC-H Q4 (order priority checking): the EXISTS subquery decorrelates
+    to a left-semi join whose non-equi late-shipment condition evaluates
+    inside the hash join. (Adapted: no commit/receipt dates in testdata, so
+    'late' = shipped after the order date.)"""
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_tpch_q8(spark, sf):
+    """TPC-H Q8 (national market share): NATION_5's share of AMERICA-region
+    revenue on PROMO parts per order year. Every dimension broadcasts; the
+    two fact tables shuffle once on orderkey; numerator and denominator
+    come out of one aggregate pass."""
+    p = _t(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = _t(spark, sf, "customer")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    s = _t(spark, sf, "supplier")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q_tpch_q9(spark, sf):
+    """TPC-H Q9 (product type profit): profit per supplier nation and order
+    year over 'green' parts. (Adapted: no partsupp — supply cost proxied at
+    10% of p_retailprice.) part/supplier/nation broadcast; lineitem-orders
+    is the one big shuffle."""
+    p = _t(spark, sf, "part").filter(F.col("p_name").contains("green"))
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.1) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+def q_tpch_q11(spark, sf):
+    """TPC-H Q11 (important stock): per-part shipped value for NATION_3
+    suppliers, kept when above 1/10,000 of the total. (Adapted: no partsupp
+    — value = sum(extendedprice * quantity) of that nation's lines.) The
+    scalar total is a 1-row aggregate cross-joined back (broadcast), NOT a
+    global window — no single-partition stage at scale."""
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+    sn = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey"
+    )
+    val = (
+        li.join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value_raw"))
+    )
+    total = val.agg(F.sum("value_raw").alias("total_value"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value_raw") > F.lit(0.0001) * F.col("total_value"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.round("value_raw", 2).alias("value"),
+        )
+    )
+
+
+def q_tpch_q12(spark, sf):
+    """TPC-H Q12 (shipping priority classes): late 1996 lines joined to
+    their orders, conditional high/low-priority counts per line status.
+    (Adapted: no shipmode/receiptdate — 'late' = shipped >30 days after the
+    order date, groups by l_linestatus.)"""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = _t(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q16(spark, sf):
+    """TPC-H Q16 (part/supplier relationship): distinct shipping suppliers
+    per (brand, type, size) bucket, excluding negative-balance suppliers
+    (the 'complaints' NOT IN analog, a broadcast anti-join) and one brand.
+    Supplier-part pairs derive from lineitem (no partsupp in testdata)."""
+    li = _t(spark, sf, "lineitem")
+    bad = _t(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45)
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q19(spark, sf):
+    """TPC-H Q19 (discounted revenue): a disjunction of three brand/size/
+    quantity conjunctions evaluated inside one broadcast hash join; the
+    shared quantity bound (l_quantity <= 30) pushes to the lineitem scan.
+    One aggregate row out."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") <= 30)
+    p = _t(spark, sf, "part")
+    branch1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 20)
+    )
+    branch3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch1 | branch2 | branch3)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q20(spark, sf):
+    """TPC-H Q20 (potential part promotion): suppliers whose 1996 shipped
+    quantity of 'red' parts exceeds 1.3x the per-supplier average — a
+    two-level aggregate with the scalar average broadcast back into the
+    filter. (Adapted: no partsupp availqty, so the threshold is relative.)"""
+    red = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    s = _t(spark, sf, "supplier")
+    per_supp = (
+        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("red_qty"))
+    )
+    avg1 = per_supp.agg(F.avg("red_qty").alias("avg_qty"))
+    return (
+        per_supp.crossJoin(F.broadcast(avg1))
+        .filter(F.col("red_qty") > F.lit(1.3) * F.col("avg_qty"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.round("red_qty", 2).alias("red_qty_r"))
+    )
+
+
+def q_tpch_q21(spark, sf):
+    """TPC-H Q21 (suppliers who kept orders waiting): late lines of NATION_1
+    suppliers on finished orders where another supplier contributed a line
+    (EXISTS -> left-semi self-join) but no other supplier was late (NOT
+    EXISTS -> left-anti self-join). lineitem self-joins twice on orderkey —
+    both sides pre-filtered before the shuffle. (Adapted: 'late' = shipped
+    >45 days after order date.)"""
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lf = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    late = lf.filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+    n1 = _t(spark, sf, "nation").filter(F.col("n_name") == "NATION_1")
+    s1 = (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    l1 = late.join(F.broadcast(s1), F.col("l_suppkey") == F.col("s_suppkey"))
+    all_f = lf.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    late2 = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    return (
+        l1.join(
+            all_f,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late2,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+def q_tpch_q22(spark, sf):
+    """TPC-H Q22 (global sales opportunity): above-average-balance customers
+    from seven nations with no orders at all, counted per nation. The
+    scalar average is a 1-row broadcast; the no-orders test is a left-anti
+    join. (Adapted: cntrycode = c_nationkey — testdata has no phone.)"""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").select("o_custkey")
+    avg1 = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    rich = (
+        c.filter(F.col("c_nationkey").isin(1, 2, 3, 4, 5, 6, 7))
+        .crossJoin(F.broadcast(avg1))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+    )
+    return (
+        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 def q_j2_semi_join(spark, sf):
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders").filter(
@@ -664,12 +991,23 @@ def q_f5_array_agg(spark, sf):
 
 
 def q_a7_approx_distinct(spark, sf):
-    """approx_count_distinct (HLL++). No oracle: sketch estimates are
-    engine-specific by construction — the driver records a rows-only check;
-    the exact twin a2_count_distinct is hash-verified."""
+    """approx_count_distinct (HLL++), gated deterministically: the sketch
+    estimate is engine-specific by construction, so the output is the exact
+    count plus a boolean 'estimate within 5% of exact' — the oracle computes
+    the exact count and asserts the flag TRUE. A wrong sketch (or a >5%
+    drift) flips the flag and fails the hash."""
     o = _t(spark, sf, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+    agg = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("__approx"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "exact_customers",
+        (
+            F.abs(F.col("__approx") - F.col("exact_customers"))
+            <= 0.05 * F.col("exact_customers")
+        ).alias("within_tol"),
     )
 
 
@@ -934,6 +1272,74 @@ def q_tx_langid(spark, sf):
         .otherwise("en")
     )
     return d.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# DS: dataset assembly — deterministic sampling / splitting / packing
+# (operators/sampling.py; beyond-parity north star)
+
+
+def q_ds_stratified_sample(spark, sf):
+    """Stratified deterministic sampling: keep 30% of 'en' docs and 60% of
+    every other language, membership decided by a Knuth multiplicative hash
+    of doc_id (operators/sampling.stratified_sample) — reproducible across
+    runs, partitionings, and engines; no rand()."""
+    from vastdb_sdk_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf, "documents")
+    out = stratified_sample(d, "doc_id", "lang", {"en": 0.3}, default_fraction=0.6)
+    return out.select("doc_id", "lang", "source")
+
+
+def q_ds_train_test_split(spark, sf):
+    """Hash-based train/test split + per-split stats
+    (operators/sampling.train_test_split): membership is a pure function of
+    doc_id, so growing the corpus can never migrate a test doc into train —
+    the leakage-prevention property a versioned pretraining set needs."""
+    from vastdb_sdk_spark.operators.sampling import train_test_split
+
+    d = _t(spark, sf, "documents")
+    out = train_test_split(d, "doc_id", test_fraction=0.1)
+    return out.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def q_tx_pack_greedy(spark, sf):
+    """Context-window packing (operators/sampling.pack_greedy): documents
+    packed into 512-token bins per language by prefix token count — one
+    range shuffle on (lang, doc_id), no UDF. Output = per-bin occupancy."""
+    from vastdb_sdk_spark.operators.sampling import pack_greedy
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "lang", F.size(_tokens(F.col("text"))).alias("n_tokens")
+    )
+    packed = pack_greedy(d, "n_tokens", budget=512, stratum_col="lang")
+    return packed.groupBy("lang", "pack_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
+def q_tx_bigram_topk(spark, sf):
+    """Vocabulary mining: corpus-wide top-50 token bigrams. The explode fans
+    out ~n_tokens rows per doc; the count is one shuffle on the bigram key;
+    the top-k has a unique tie-break for a stable LIMIT."""
+    d = _t(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(50)
+    )
 
 
 # ---------------------------------------------------------------------------

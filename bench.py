@@ -99,6 +99,17 @@ def main() -> int:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    # Cold-run timings go to a side file, NOT stdout: the driver parses the
+    # last stdout line as JSON from a bounded tail buffer, and a line carrying
+    # two full per-query dicts overflows it (round-2 bench was unparseable).
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_COLD.json"),
+            "w",
+        ) as f:
+            json.dump({"cold_run": cold, "sf": sf}, f)
+    except OSError:
+        pass
     print(
         json.dumps(
             {
@@ -106,9 +117,9 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "cold_run": cold,
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     return 0

@@ -1,0 +1,102 @@
+"""Deterministic sampling / splitting / packing operators for
+training-data pipelines.
+
+Beyond-parity (BASELINE.json north star): the reference has no sampling
+surface; these are the dataset-assembly primitives a 100 TB pretraining
+pipeline needs, designed Spark-first:
+
+- **hash_sample / stratified_sample**: row membership is a pure function of
+  the key column (multiplicative Knuth hash), so the sample is stable across
+  runs, executors, and engines — no ``rand()``, no seed-plumbing through
+  tasks, fully pushed into whole-stage codegen, and reproducible by any SQL
+  engine for auditing. Filtering happens before any shuffle, so a 1 %
+  sample of 100 TB reads 100 TB but shuffles ~1 TB.
+- **train_test_split**: the same hash assigns each row to a named split;
+  a document can never migrate between splits when the corpus grows
+  (membership depends only on the key, not on row count or ordering) —
+  the property that prevents train/test leakage across dataset versions.
+- **pack_greedy**: assigns documents to fixed-token-budget context windows
+  ("packing") with one window function per stratum — a single range-shuffle
+  on (stratum, position); no driver-side loop, no UDF.
+
+All transforms are pure DataFrame -> DataFrame and engine-reproducible
+(the gate queries in ``__spark_entry__`` hash-match DuckDB running the
+identical arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# Knuth's multiplicative constant (2^32 / golden ratio), applied to a 64-bit
+# key then reduced mod 10_000: two decimal digits of bucket resolution.
+# Plain integer arithmetic so DuckDB/any engine reproduces it bit-for-bit
+# (no overflow at testdata scale: key * KNUTH < 2^63 for key < ~3.4e9; for
+# larger key spaces compose with pmod first).
+_KNUTH = 2654435761
+_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column | str, buckets: int = _BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets) from an integer key column."""
+    key = F.col(key) if isinstance(key, str) else key
+    return (key.cast("long") * F.lit(_KNUTH)) % F.lit(buckets)
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Keep ``fraction`` of rows, membership decided by the key hash alone.
+
+    Unlike ``df.sample()`` the result is identical across runs/partitionings
+    and across engines; unlike ``TABLESAMPLE`` it composes with joins (both
+    sides sampled on the same key keep matching rows).
+    """
+    return df.filter(hash_bucket(key_col) < int(fraction * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame, key_col: str, strata_col: str, fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling rates (e.g. downsample dominant
+    languages, keep the tail). ``fractions`` maps stratum value -> rate."""
+    rate = F.lit(int(default_fraction * _BUCKETS))
+    for value, frac in fractions.items():
+        rate = F.when(F.col(strata_col) == value, int(frac * _BUCKETS)).otherwise(rate)
+    return df.filter(hash_bucket(key_col) < rate)
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_fraction: float = 0.1,
+    split_col: str = "split",
+) -> DataFrame:
+    """Tag each row 'train' / 'test' by key hash. Growing the corpus never
+    moves an existing row between splits."""
+    is_test = hash_bucket(key_col) < int(test_fraction * _BUCKETS)
+    return df.withColumn(split_col, F.when(is_test, "test").otherwise("train"))
+
+
+def pack_greedy(
+    df: DataFrame,
+    size_col: str,
+    budget: int,
+    stratum_col: str | None = None,
+    order_col: str = "doc_id",
+    bin_col: str = "pack_bin",
+) -> DataFrame:
+    """Assign rows to fixed-budget bins by running-sum order ("sequence
+    packing" for context windows): bin = floor(prefix_sum_before / budget).
+
+    One window per stratum — Spark executes it as a single range shuffle on
+    (stratum, order). At 100 TB the stratum must bound partition size (pack
+    per language/source/date, never one global stream); a document larger
+    than ``budget`` still gets its own bin rather than being dropped.
+    """
+    parts = [stratum_col] if stratum_col else []
+    w = (
+        W.partitionBy(*parts)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prefix_before = F.sum(F.col(size_col)).over(w) - F.col(size_col)
+    return df.withColumn(bin_col, F.floor(prefix_before / F.lit(budget)))
