@@ -36,22 +36,24 @@ TABLES = [
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-        # unless read as int64 epoch-nanos (the reference keeps ns timestamps
-        # too — SURVEY.md §1.3 documents the ns delta). All engine-side
-        # comparisons/windows use the int64 directly: same ordering, no
-        # session-timezone dependence.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.ts is parquet TIMESTAMP(us); read it under an explicit
+        # int64 schema so engine-side comparisons/windows use the raw
+        # epoch-micros long directly: same ordering, no session-timezone
+        # dependence, and one convention shared with the streaming tier
+        # (streaming/events.py EVENTS_SCHEMA).
+        from vastdb_sdk_spark.streaming.events import EVENTS_SCHEMA
+
+        return spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/{name}.parquet")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _ns(ts: str) -> int:
-    """Epoch-nanos of a UTC timestamp string (for filtering the events.ts
+def _us(ts: str) -> int:
+    """Epoch-micros of a UTC timestamp string (for filtering the events.ts
     int64 column; the DuckDB oracle compares native TIMESTAMPs)."""
     import datetime as dt
 
     d = dt.datetime.fromisoformat(ts).replace(tzinfo=dt.timezone.utc)
-    return int(d.timestamp()) * 1_000_000_000
+    return int(d.timestamp()) * 1_000_000
 
 
 # identical tokenization on both engines: lowercase, split on non-[a-z0-9],
@@ -127,8 +129,8 @@ def q_p8_struct_field(spark, sf):
 def q_p10_literals(spark, sf):
     ev = _t(spark, sf, "events")
     return ev.filter(
-        (F.col("ts") >= _ns("2024-01-02 00:00:00"))
-        & (F.col("ts") < _ns("2024-01-05 00:00:00"))
+        (F.col("ts") >= _us("2024-01-02 00:00:00"))
+        & (F.col("ts") < _us("2024-01-05 00:00:00"))
         & (F.col("value") > 50.0)
         & (F.col("event_type") != "error")
     ).select("event_id", "event_type", "value")
@@ -362,29 +364,33 @@ def q_tpch_q6(spark, sf):
 
 def q_tpch_q7(spark, sf):
     """TPC-H Q7 (volume shipping): trade between two nations by year and
-    direction. nation is joined twice under different roles — both
-    broadcast — and the OR-pair condition is applied after the two
-    nation names are bound."""
-    s = _t(spark, sf, "supplier")
+    direction. supplier and customer are pre-filtered to the two nations
+    BEFORE the fact-table joins (inner broadcast joins against the 2-row
+    nation slices), so ~92% of lineitem rows drop at the first hash-join
+    probe instead of after the full 5-way join; the OR-pair disjunction
+    then only has to exclude the two same-nation combinations."""
     li = _t(spark, sf, "lineitem").filter(
         F.col("l_shipdate").between("1996-01-01", "1997-12-31")
     )
     o = _t(spark, sf, "orders")
-    c = _t(spark, sf, "customer")
-    n1 = _t(spark, sf, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
-    )
-    n2 = _t(spark, sf, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
-    )
+    n1 = _t(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_9", "NATION_6")
+    ).select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_9", "NATION_6")
+    ).select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    s = _t(spark, sf, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    ).select("s_suppkey", "supp_nation")
+    c = _t(spark, sf, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+    ).select("c_custkey", "cust_nation")
     pair = (F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_6")
     rpair = (F.col("supp_nation") == "NATION_6") & (F.col("cust_nation") == "NATION_9")
     return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .filter(pair | rpair)
         .withColumn("l_year", F.year("l_shipdate").cast("long"))
         .groupBy("supp_nation", "cust_nation", "l_year")
@@ -584,10 +590,11 @@ def q_tpch_q8(spark, sf):
 
 def q_tpch_q9(spark, sf):
     """TPC-H Q9 (product type profit): profit per supplier nation and order
-    year over 'green' parts. (Adapted: no partsupp — supply cost proxied at
-    10% of p_retailprice.) part/supplier/nation broadcast; lineitem-orders
-    is the one big shuffle."""
-    p = _t(spark, sf, "part").filter(F.col("p_name").contains("green"))
+    year over 'gear' parts. (Adapted: no partsupp — supply cost proxied at
+    10% of p_retailprice; part names are '<adj> <noun>' so the name filter
+    is '%gear%'.) part/supplier/nation broadcast; lineitem-orders is the
+    one big shuffle."""
+    p = _t(spark, sf, "part").filter(F.col("p_name").contains("gear"))
     li = _t(spark, sf, "lineitem")
     o = _t(spark, sf, "orders")
     s = _t(spark, sf, "supplier")
@@ -786,11 +793,18 @@ def q_tpch_q21(spark, sf):
 
 def q_tpch_q22(spark, sf):
     """TPC-H Q22 (global sales opportunity): above-average-balance customers
-    from seven nations with no orders at all, counted per nation. The
+    from seven nations with no large orders, counted per nation. The
     scalar average is a 1-row broadcast; the no-orders test is a left-anti
-    join. (Adapted: cntrycode = c_nationkey — testdata has no phone.)"""
+    join. (Adapted: cntrycode = c_nationkey — testdata has no phone — and
+    'no orders' becomes 'no orders over 300k': every testdata customer has
+    at least one order, so the literal anti-join would gate on an empty
+    result.)"""
     c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders").select("o_custkey")
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 300000.0)
+        .select("o_custkey")
+    )
     avg1 = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("avg_bal"))
     rich = (
         c.filter(F.col("c_nationkey").isin(1, 2, 3, 4, 5, 6, 7))
@@ -1085,11 +1099,11 @@ def q_w8_attribution_join(spark, sf):
 def q_w7_event_time_window(spark, sf):
     """Tumbling event-time window aggregation (the batch twin of the
     streaming windowed_counts operator). Window start computed as integer
-    nanos floored to the hour — timezone-free on both engines."""
+    micros floored to the hour — timezone-free on both engines."""
     ev = _t(spark, sf, "events")
-    hour_ns = 3_600_000_000_000
-    ws = F.expr(f"(ts div {hour_ns}) * {hour_ns}")  # exact integer division
-    return ev.groupBy(ws.alias("window_start_ns"), "event_type").agg(
+    hour_us = 3_600_000_000
+    ws = F.expr(f"(ts div {hour_us}) * {hour_us}")  # exact integer division
+    return ev.groupBy(ws.alias("window_start_us"), "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
@@ -1384,19 +1398,49 @@ def q_asof_last_purchase(spark, sf):
 
 def q_dd_simhash_fast(spark, sf):
     """Production SimHash path: xxhash64 token hashes (native 64-bit, no hex
-    parsing), same packed-counter aggregation. Fingerprints differ from the
-    md5 path by construction, so this is a rows-only gate entry; exactness
-    of the algorithm is oracle-checked via dd_simhash (md5)."""
+    parsing), same packed-counter aggregation. The fingerprint VALUES are
+    engine-specific (DuckDB has no xxhash64), so the gate asserts two
+    structural invariants the oracle CAN check deterministically:
+
+    - ``fp_consistent`` (per doc): every doc with the same exact text got
+      the same fingerprint — count over (text) == count over (text, fp).
+      A nondeterministic or partitioning-sensitive aggregation breaks it.
+    - ``fp_diverse`` (corpus scalar, repeated per row): distinct
+      fingerprints >= half of distinct texts — a degenerate fingerprint
+      (constant, truncated, or sign-collapsed votes) breaks it. The slack
+      is deliberate: SimHash maps near-duplicate texts to IDENTICAL
+      fingerprints by design, so fp-partition == text-partition would be
+      wrong; on this corpus the collision mass is far below 50%.
+
+    Exact value semantics of the algorithm are pinned by the md5 twin
+    dd_simhash."""
+    from pyspark.sql import Window as W2
+
     from vastdb_sdk_spark.operators.dedup import simhash
 
-    fp = simhash(_t(spark, sf, "documents"), "text", "doc_id")
-    return fp.select("doc_id", F.col("simhash").cast("string").alias("simhash_str"))
+    d = _t(spark, sf, "documents")
+    fp = simhash(d, "text", "doc_id").join(d.select("doc_id", "text"), "doc_id")
+    text_cnt = F.count(F.lit(1)).over(W2.partitionBy("text"))
+    pair_cnt = F.count(F.lit(1)).over(W2.partitionBy("text", "simhash"))
+    diversity = fp.agg(
+        (
+            F.countDistinct("simhash") * 2 >= F.countDistinct("text")
+        ).alias("fp_diverse")
+    )
+    return (
+        fp.select("doc_id", (pair_cnt == text_cnt).alias("fp_consistent"))
+        .crossJoin(F.broadcast(diversity))
+    )
 
 
 def q_dd_lsh_pairs_fast(spark, sf):
     """Production MinHash-LSH near-dup path: xxhash64 shingle base + long
-    band keys. Pair set at threshold 0.9 equals the md5 path's set except
-    for hash-collision noise (none on this corpus); rows-only gate entry."""
+    band keys. Candidate generation differs from the md5 path, but the
+    OUTPUT is candidates verified at exact Jaccard >= 0.9 — and on this
+    corpus both hash families' banded LSH recall every >=0.9 pair, so the
+    surviving pair sets are identical. Gated against the md5 path's DuckDB
+    oracle: lost recall, broken band keys, or a verify bug in the fast
+    path diverges the pair set and fails the hash."""
     from vastdb_sdk_spark.operators.dedup import minhash_dedup_pairs
 
     d = _t(spark, sf, "documents")
@@ -1466,24 +1510,37 @@ def q_dd_lsh_pairs(spark, sf):
 
 
 def q_dd_embed_neardup(spark, sf):
-    """Exact embedding near-dup pairs (cosine >= 0.45; the synthetic embeddings are near-orthogonal,
-    so 0.45 marks the most-similar tail). Exact so the oracle
-    matches bit-for-bit; the LSH-bucketed variant is exercised in tests."""
-    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    ea, eb = F.col("a.embedding"), F.col("b.embedding")
-    cos = _dot(ea, eb) / (F.sqrt(_dot(ea, ea)) * F.sqrt(_dot(eb, eb)))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn("cos_sim", cos)
-        .filter(F.col("cos_sim") >= 0.45)
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round("cos_sim", 4).alias("cos_sim_r"),
-        )
+    """LSH-bucketed embedding near-dup (operators/similarity.
+    embedding_near_dup_pairs, banded random-hyperplane index): candidates
+    come from an equi-join on (band_id, band_bits) — |bucket|^2 per bucket,
+    never corpus^2 — then exact-cosine verification at threshold 0.95.
+
+    The synthetic embeddings are near-orthogonal (max pairwise cosine
+    ~0.51), so true near-duplicates are planted inside the query: every
+    vector gets a twin with +1e-6 on coordinate 0 (cosine ~= 1 - 1e-14).
+    The oracle reproduces the identical augmentation in SQL and computes
+    the ground-truth pair set by exact all-pairs at sf0.01 — a recall or
+    precision defect in the bucketed path (broken signature, band split,
+    candidate dedup, or verify filter) changes the pair set and fails the
+    hash. Output is the id pairs alone: the planted cosines sit at the
+    double-rounding knife edge, so values stay out of the hash on purpose."""
+    from vastdb_sdk_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+    twins = emb.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + F.when(i == 0, F.lit(1e-6)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    aug = emb.unionByName(twins)
+    pairs = embedding_near_dup_pairs(
+        aug, threshold=0.95, num_planes=12, num_bands=2
+    )
+    return pairs.select("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -1566,7 +1623,7 @@ def _engine_sorted_events(spark, sf):
         schema = pa.schema(
             [
                 ("event_id", pa.int64()),
-                ("ts", pa.int64()),  # nanos-as-long (parquet TIMESTAMP(NANOS))
+                ("ts", pa.int64()),  # micros-as-long (parquet TIMESTAMP(us))
                 ("user_id", pa.int64()),
                 ("event_type", pa.string()),
                 ("value", pa.float64()),
@@ -1587,8 +1644,9 @@ def _engine_sorted_events(spark, sf):
     return tx.bucket("b").schema("s").table("events")
 
 
-# ts stays a FILTER column only: DuckDB 1.0 truncates parquet ns
-# timestamps to micros, so returning raw nanos would never hash-match
+# ts stays a FILTER column only (these queries mirror the reference bench,
+# which projects the payload columns; the engine sees ts as micros-long,
+# the oracle as native TIMESTAMP)
 _EL_COLS = ["event_id", "user_id", "value"]
 
 
@@ -1628,10 +1686,10 @@ def q_el1_sorted_point(spark, sf):
 
 def q_el2_sorted_ts_between(spark, sf):
     """Reference bench query 2: `ts BETWEEN` two timestamps (second sort
-    key; integer-nanos comparison, tz-free)."""
+    key; integer-micros comparison, tz-free)."""
     t = _engine_sorted_events(spark, sf)
-    lo = 1704844800000000000  # 2024-01-10 00:00:00 UTC in nanos
-    hi = 1705017600000000000  # 2024-01-12 00:00:00 UTC
+    lo = 1704844800000000  # 2024-01-10 00:00:00 UTC in micros
+    hi = 1705017600000000  # 2024-01-12 00:00:00 UTC
     return t.select_df(
         columns=_EL_COLS, predicate=(t["ts"] >= lo) & (t["ts"] < hi)
     )
@@ -1848,25 +1906,48 @@ def q_e7_engine_partitioned(spark, sf):
 
 def q_ann_rhp_topk(spark, sf):
     """Approximate NN via random-hyperplane LSH (deterministic seed): the
-    scale path for similarity search. No SQL oracle by design (ANN) — the
-    driver records a rows-only check; exactness is covered by
-    ann_cosine_topk and the recall test in tests/test_operators.py."""
-    from vastdb_sdk_spark.operators.similarity import build_rhp_index, rhp_topk
+    scale path for similarity search. ANN results are approximate by
+    definition, so the gate emits the property the oracle CAN assert
+    deterministically: the probe returns exactly k rows and its
+    recall@10 against the in-plan exact top-10 (brute_force_topk — itself
+    value-gated by ann_cosine_topk) is >= 0.7. Seeded hyperplanes on a
+    fixed corpus make the flag stable; a recall regression in the bucket
+    probe flips it and fails the hash."""
+    from vastdb_sdk_spark.operators.similarity import (
+        brute_force_topk,
+        build_rhp_index,
+        rhp_topk,
+    )
 
     emb = _t(spark, sf, "embeddings")
     vec = _query_vec(spark, sf, 0)
     indexed, planes = build_rhp_index(emb, num_planes=6, seed=42)
-    return rhp_topk(
+    approx = rhp_topk(
         indexed, planes, vec, k=10, metric="cosine", multiprobe_hamming=2,
         id_col="vec_id",
-    ).select("vec_id", "label")
+    ).select("vec_id")
+    exact = brute_force_topk(emb, vec, k=10, metric="cosine", id_col="vec_id").select(
+        "vec_id"
+    )
+    hits = approx.join(F.broadcast(exact), "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    k_ret = approx.agg(F.count(F.lit(1)).alias("k_returned"))
+    return k_ret.crossJoin(hits).select(
+        "k_returned", (F.col("n_hits") >= 7).alias("recall_ok")
+    )
 
 
 def q_ann_ivf_topk(spark, sf):
     """Approximate NN via IVF (k-means coarse quantizer, seeded): probe the
-    3 nearest centroids only. Rows-only check (ANN; k-means assignment is
-    engine-specific)."""
-    from vastdb_sdk_spark.operators.similarity import build_ivf_index, ivf_topk
+    3 nearest centroids only. Same verified-recall gate shape as
+    ann_rhp_topk (k-means assignments are engine-specific, recall@10 vs the
+    in-plan exact top-10 is not): k rows out, recall >= 0.6."""
+    from vastdb_sdk_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_topk,
+    )
 
     key = (sf, "__ivf_index")
     if key not in _ENGINE_WAREHOUSES:
@@ -1875,8 +1956,19 @@ def q_ann_ivf_topk(spark, sf):
         _ENGINE_WAREHOUSES[key] = (indexed.persist(), centroids)
     indexed, centroids = _ENGINE_WAREHOUSES[key]
     vec = _query_vec(spark, sf, 0)
-    return ivf_topk(indexed, centroids, vec, k=10, nprobe=3, id_col="vec_id").select(
-        "vec_id", "label"
+    approx = ivf_topk(indexed, centroids, vec, k=10, nprobe=3, id_col="vec_id").select(
+        "vec_id"
+    )
+    emb = _t(spark, sf, "embeddings")
+    exact = brute_force_topk(emb, vec, k=10, metric="l2sq", id_col="vec_id").select(
+        "vec_id"
+    )
+    hits = approx.join(F.broadcast(exact), "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    k_ret = approx.agg(F.count(F.lit(1)).alias("k_returned"))
+    return k_ret.crossJoin(hits).select(
+        "k_returned", (F.col("n_hits") >= 6).alias("recall_ok")
     )
 
 
@@ -2040,12 +2132,77 @@ def q_e2_engine_sql(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate reads a 50-query
-    # window from the front of this dict.  Queries not yet gated in a prior
-    # round (and queries new this round) go FIRST; a handful of re-gates
-    # for the core engine paths fill out the window; everything verified in
-    # round 1 trails behind.
+    # window from the front of this dict.  Round-4 rotation: the 15 queries
+    # registered this round go first, then the 4 whose query or oracle
+    # changed this round, then 31 of the 38 entries that have never had a
+    # driver-green row (rounds 1-3 always gated the same front).  The 7
+    # remaining never-gated entries (p2-p7, p11 — simple predicate scans)
+    # sit at positions 51-57 for the round-5 rotation; everything with a
+    # committed CORRECTNESS_rN green row trails behind.
     return {
-        # -- never gated in round 1 (positions 51-88 back then) ----------
+        # -- new this round (registered + oracled) ------------------------
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        "ds_stratified_sample": q_ds_stratified_sample,
+        "ds_train_test_split": q_ds_train_test_split,
+        "tx_pack_greedy": q_tx_pack_greedy,
+        "tx_bigram_topk": q_tx_bigram_topk,
+        # -- query or oracle changed this round ---------------------------
+        "a7_approx_distinct": q_a7_approx_distinct,
+        "dd_simhash_fast": q_dd_simhash_fast,
+        "dd_lsh_pairs_fast": q_dd_lsh_pairs_fast,
+        "dd_embed_neardup": q_dd_embed_neardup,
+        # -- never driver-gated in rounds 1-3 -----------------------------
+        "tpch_q5": q_tpch_q5,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "j2_semi_join": q_j2_semi_join,
+        "j3_anti_join": q_j3_anti_join,
+        "j4_outer_join_counts": q_j4_outer_join_counts,
+        "a2_count_distinct": q_a2_count_distinct,
+        "a3_having": q_a3_having,
+        "a4_rollup": q_a4_rollup,
+        "a5_conditional_agg": q_a5_conditional_agg,
+        "o1_limit_topk": q_o1_limit_topk,
+        "e3_engine_sorted_scan": q_e3_engine_sorted_scan,
+        "e5_engine_projection": q_e5_engine_projection,
+        "e6_engine_snapshot": q_e6_engine_snapshot,
+        "e7_engine_partitioned": q_e7_engine_partitioned,
+        "e8_engine_predicate_dml": q_e8_engine_predicate_dml,
+        "e11_merge_conditional": q_e11_merge_conditional,
+        "e12_engine_restore": q_e12_engine_restore,
+        "el2_sorted_ts_between": q_el2_sorted_ts_between,
+        "el3_sorted_conjunction": q_el3_sorted_conjunction,
+        "el4_sorted_or_ranges": q_el4_sorted_or_ranges,
+        "el5_sorted_isin": q_el5_sorted_isin,
+        "ann_rhp_topk": q_ann_rhp_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "p8_struct_field": q_p8_struct_field,
+        "p10_literals": q_p10_literals,
+        # ---- window boundary (driver gates the 50 entries above) --------
+        # -- never gated; next in line for the round-5 rotation -----------
+        "p2_comparisons": q_p2_comparisons,
+        "p3_between": q_p3_between,
+        "p4_isin": q_p4_isin,
+        "p5_isnull": q_p5_isnull,
+        "p6_startswith": q_p6_startswith,
+        "p7_contains": q_p7_contains,
+        "p11_false_predicate": q_p11_false_predicate,
+        # -- driver-green in a committed CORRECTNESS_rN -------------------
         "w1_topk_per_group": q_w1_topk_per_group,
         "w2_running_sum": q_w2_running_sum,
         "w3_lag_delta": q_w3_lag_delta,
@@ -2064,7 +2221,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f5_array_agg": q_f5_array_agg,
         "f6_levenshtein": q_f6_levenshtein,
         "a6_cube": q_a6_cube,
-        "a7_approx_distinct": q_a7_approx_distinct,
         "a8_grouping_sets": q_a8_grouping_sets,
         "a9_percentiles": q_a9_percentiles,
         "o5_vector_topk_l2": q_o5_vector_topk_l2,
@@ -2075,16 +2231,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_sig": q_dd_minhash_sig,
         "dd_ngram_overlap": q_dd_ngram_overlap,
         "dd_simhash": q_dd_simhash,
-        "dd_simhash_fast": q_dd_simhash_fast,
         "dd_lsh_pairs": q_dd_lsh_pairs,
-        "dd_lsh_pairs_fast": q_dd_lsh_pairs_fast,
-        "dd_embed_neardup": q_dd_embed_neardup,
         "tx_token_stats": q_tx_token_stats,
         "tx_quality": q_tx_quality,
         "tx_langid": q_tx_langid,
         "mm_decode_stub": q_mm_decode_stub,
         "mm_blob_meta": q_mm_blob_meta,
-        # -- re-gates of the core engine paths (verified round 1) --------
         "e1_engine_scan": q_e1_engine_scan,
         "e2_engine_sql": q_e2_engine_sql,
         "e4_engine_dml": q_e4_engine_dml,
@@ -2097,45 +2249,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "j1_star_join_revenue": q_j1_star_join_revenue,
         "s1_scan_project": q_s1_scan_project,
-        # -- verified in round 1, below the window ------------------------
-        "e3_engine_sorted_scan": q_e3_engine_sorted_scan,
-        "e5_engine_projection": q_e5_engine_projection,
-        "e6_engine_snapshot": q_e6_engine_snapshot,
-        "e7_engine_partitioned": q_e7_engine_partitioned,
-        "e8_engine_predicate_dml": q_e8_engine_predicate_dml,
-        "e11_merge_conditional": q_e11_merge_conditional,
-        "e12_engine_restore": q_e12_engine_restore,
-        "el2_sorted_ts_between": q_el2_sorted_ts_between,
-        "el3_sorted_conjunction": q_el3_sorted_conjunction,
-        "el4_sorted_or_ranges": q_el4_sorted_or_ranges,
-        "el5_sorted_isin": q_el5_sorted_isin,
-        "ann_rhp_topk": q_ann_rhp_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "p2_comparisons": q_p2_comparisons,
-        "p3_between": q_p3_between,
-        "p4_isin": q_p4_isin,
-        "p5_isnull": q_p5_isnull,
-        "p6_startswith": q_p6_startswith,
-        "p7_contains": q_p7_contains,
-        "p8_struct_field": q_p8_struct_field,
-        "p10_literals": q_p10_literals,
-        "p11_false_predicate": q_p11_false_predicate,
-        "o1_limit_topk": q_o1_limit_topk,
-        "a2_count_distinct": q_a2_count_distinct,
-        "a3_having": q_a3_having,
-        "a4_rollup": q_a4_rollup,
-        "a5_conditional_agg": q_a5_conditional_agg,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
-        "j2_semi_join": q_j2_semi_join,
-        "j3_anti_join": q_j3_anti_join,
-        "j4_outer_join_counts": q_j4_outer_join_counts,
     }
 
 
@@ -2183,7 +2296,7 @@ def _simhash_oracle_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     tok = _SQL_TOKENS.format(c="text")
-    return {
+    sqls = {
         "e1_engine_scan": """
             SELECT l_orderkey, l_quantity, l_extendedprice
             FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'A'
@@ -2734,7 +2847,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "w7_event_time_window": """
-            SELECT (epoch_ns(ts) // 3600000000000) * 3600000000000 AS window_start_ns,
+            SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
                    event_type,
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 2) AS sum_value
@@ -2817,11 +2930,34 @@ def oracle_sql() -> dict[str, str]:
                              - len(list_intersect(sa.shd, sb.shd)), 1) >= 0.9
         """,
         "dd_embed_neardup": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
-                                                b.embedding::DOUBLE[]), 4) AS cos_sim_r
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+            WITH base AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), aug AS (
+                SELECT vec_id, e FROM base
+                UNION ALL
+                SELECT vec_id + 10000000 AS vec_id,
+                       [e[1] + 0.000001] || e[2:] AS e
+                FROM base
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.e, b.e) >= 0.95
+        """,
+        "a7_approx_distinct": """
+            SELECT o_orderstatus,
+                   COUNT(DISTINCT o_custkey) AS exact_customers,
+                   TRUE AS within_tol
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "dd_simhash_fast": """
+            SELECT doc_id, TRUE AS fp_consistent, TRUE AS fp_diverse
+            FROM documents
+        """,
+        "ann_rhp_topk": """
+            SELECT CAST(10 AS BIGINT) AS k_returned, TRUE AS recall_ok
+        """,
+        "ann_ivf_topk": """
+            SELECT CAST(10 AS BIGINT) AS k_returned, TRUE AS recall_ok
         """,
         "tx_token_stats": f"""
             SELECT doc_id,
@@ -2867,4 +3003,228 @@ def oracle_sql() -> dict[str, str]:
                    CAST(64 + (n_chars * 7) % 64 AS INT) AS fake_height
             FROM documents
         """,
+        "tpch_q2": """
+            WITH pairs AS (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            ), s_eur AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier, nation, region
+                WHERE s_nationkey = n_nationkey
+                  AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+            ), j AS (
+                SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name
+                FROM pairs
+                JOIN part ON l_partkey = p_partkey
+                JOIN s_eur ON l_suppkey = s_suppkey
+                WHERE p_size = 15 AND p_type = 'STANDARD'
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+            FROM j
+            WHERE s_acctbal = (SELECT MIN(j2.s_acctbal) FROM j j2
+                               WHERE j2.p_partkey = j.p_partkey)
+            ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+            LIMIT 100
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+              )
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q8": """
+            SELECT o_year,
+                   ROUND(SUM(CASE WHEN supp_nation = 'NATION_5'
+                                  THEN volume ELSE 0 END) / SUM(volume), 4)
+                       AS mkt_share
+            FROM (
+                SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                       l_extendedprice * (1 - l_discount) AS volume,
+                       n2.n_name AS supp_nation
+                FROM part, lineitem, orders, customer, supplier,
+                     nation n1, nation n2, region
+                WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+                  AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+                  AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+                  AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+                  AND p_type = 'PROMO'
+                  AND o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o_orderdate < TIMESTAMP '1997-01-01'
+            ) all_nations
+            GROUP BY o_year
+        """,
+        "tpch_q9": """
+            SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+            FROM (
+                SELECT n_name AS nation,
+                       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                       l_extendedprice * (1 - l_discount)
+                       - 0.1 * p_retailprice * l_quantity AS amount
+                FROM part, supplier, lineitem, orders, nation
+                WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+                  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+                  AND p_name LIKE '%gear%'
+            ) profit
+            GROUP BY nation, o_year
+        """,
+        "tpch_q11": """
+            WITH val AS (
+                SELECT l_partkey,
+                       SUM(l_extendedprice * l_quantity) AS value_raw
+                FROM lineitem, supplier, nation
+                WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+                  AND n_name = 'NATION_3'
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey AS ps_partkey, ROUND(value_raw, 2) AS value
+            FROM val
+            WHERE value_raw > 0.0001 * (SELECT SUM(value_raw) FROM val)
+        """,
+        "tpch_q12": """
+            SELECT l_linestatus,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem, orders
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+            GROUP BY l_linestatus
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+              )
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "tpch_q19": """
+            SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey AND l_quantity <= 30
+              AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                    AND l_quantity BETWEEN 1 AND 11)
+                OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                    AND l_quantity BETWEEN 10 AND 20)
+                OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                    AND l_quantity BETWEEN 20 AND 30))
+        """,
+        "tpch_q20": """
+            WITH per_supp AS (
+                SELECT l_suppkey, SUM(l_quantity) AS red_qty
+                FROM lineitem
+                WHERE l_partkey IN (
+                          SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+                      )
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, ROUND(red_qty, 2) AS red_qty_r
+            FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+            WHERE red_qty > 1.3 * (SELECT AVG(red_qty) FROM per_supp)
+        """,
+        "tpch_q21": """
+            WITH lf AS (
+                SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+            ), late AS (
+                SELECT l_orderkey, l_suppkey FROM lf
+                WHERE l_shipdate > o_orderdate + INTERVAL 45 DAY
+            )
+            SELECT s_name, COUNT(*) AS numwait
+            FROM late l1
+            JOIN supplier ON l1.l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_1'
+              AND EXISTS (
+                  SELECT 1 FROM lf l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey
+              )
+              AND NOT EXISTS (
+                  SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+              )
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 20
+        """,
+        "tpch_q22": """
+            SELECT c_nationkey AS cntrycode,
+                   COUNT(*) AS numcust,
+                   ROUND(SUM(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+              AND c_acctbal > (
+                  SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+              )
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0
+              )
+            GROUP BY c_nationkey
+        """,
+        "ds_stratified_sample": """
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE (doc_id * 2654435761) % 10000 <
+                  CASE WHEN lang = 'en' THEN 3000 ELSE 6000 END
+        """,
+        "ds_train_test_split": """
+            SELECT CASE WHEN (doc_id * 2654435761) % 10000 < 1000
+                        THEN 'test' ELSE 'train' END AS split,
+                   lang,
+                   COUNT(*) AS n_docs,
+                   ROUND(AVG(n_chars), 4) AS avg_chars
+            FROM documents
+            GROUP BY 1, 2
+        """,
+        "tx_pack_greedy": f"""
+            WITH sized AS (
+                SELECT doc_id, lang, len({tok}) AS n_tokens FROM documents
+            ), packed AS (
+                SELECT lang, n_tokens,
+                       CAST(FLOOR((SUM(n_tokens) OVER (
+                                PARTITION BY lang ORDER BY doc_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW
+                            ) - n_tokens) / 512.0) AS BIGINT) AS pack_bin
+                FROM sized
+            )
+            SELECT lang, pack_bin, COUNT(*) AS n_docs,
+                   SUM(n_tokens) AS sum_tokens
+            FROM packed GROUP BY lang, pack_bin
+        """,
+        "tx_bigram_topk": f"""
+            WITH t AS (
+                SELECT {tok} AS toks FROM documents
+            ), bg AS (
+                SELECT unnest(list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])) AS bigram
+                FROM t
+            )
+            SELECT bigram, COUNT(*) AS cnt
+            FROM bg GROUP BY bigram
+            ORDER BY cnt DESC, bigram ASC
+            LIMIT 50
+        """,
     }
+    # the fast (xxhash64) LSH path is verified against the md5 twin's
+    # ground truth: both emit the exact-Jaccard-verified pair set, which is
+    # identical on this corpus (see q_dd_lsh_pairs_fast docstring).
+    sqls["dd_lsh_pairs_fast"] = sqls["dd_lsh_pairs"]
+    return sqls

@@ -11,9 +11,15 @@ SF = "/root/testdata/sf0.001"
 
 
 def _events(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # subset: state-store streaming tests pay per-key python overhead
-    return spark.read.parquet(f"{SF}/events.parquet").filter("user_id < 60")
+    from vastdb_sdk_spark.streaming.events import EVENTS_SCHEMA
+
+    # subset: state-store streaming tests pay per-key python overhead;
+    # explicit schema keeps ts as epoch-micros long (the tier convention)
+    return (
+        spark.read.schema(EVENTS_SCHEMA)
+        .parquet(f"{SF}/events.parquet")
+        .filter("user_id < 60")
+    )
 
 
 def _python_oracle(rows, threshold=500.0, decay=0.9):

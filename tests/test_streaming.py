@@ -16,9 +16,9 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture()
 def stream_dir(tmp_path, spark):
     """A directory with the events table split into a few files (simulating
-    arriving batches)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = spark.read.parquet(f"{SF}/events.parquet")
+    arriving batches). Written from the explicit long-ts schema so the
+    stream and every batch verification see the same epoch-micros longs."""
+    src = spark.read.schema(ev.EVENTS_SCHEMA).parquet(f"{SF}/events.parquet")
     d = str(tmp_path / "stream_in")
     src.repartition(3).write.parquet(d)
     return d
@@ -83,7 +83,7 @@ def test_stream_stream_interval_join(spark, stream_dir, tmp_path):
     assert got == expected
     # every emitted pair respects the interval bound
     assert all(
-        0 <= r.lag_ns <= 30 * 60 * 1_000_000_000
+        0 <= r.lag_us <= 30 * 60 * 1_000_000
         for r in expected_df.collect()
     )
 
@@ -163,7 +163,12 @@ def test_stream_merge_into_engine_table(session, stream_dir, tmp_path):
             stream, t, ["user_id"], str(tmp_path / "ckptm")
         ).start()
         q.awaitTermination(180)
-    batch = spark.read.parquet(stream_dir)
+    # verify against a batch read under the SAME explicit schema the stream
+    # used: schema inference maps the parquet ts column to timestamp_ntz
+    # (Spark 4 reads nano timestamps natively), while the stream — and the
+    # int64-ts engine table — see epoch longs; comparing raw ts values
+    # across the two representations is type-unsound.
+    batch = spark.read.schema(ev.EVENTS_SCHEMA).parquet(stream_dir)
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
     expected = {
         (r.user_id, r.ts)

@@ -11,8 +11,11 @@ def test_stream_dedup_exact(spark, tmp_path):
     from vastdb_sdk_spark.streaming.dedup import stream_dedup_exact
     from vastdb_sdk_spark.streaming.events import read_event_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{SF}/events.parquet").limit(500)
+    from vastdb_sdk_spark.streaming.events import EVENTS_SCHEMA
+
+    ev = (
+        spark.read.schema(EVENTS_SCHEMA).parquet(f"{SF}/events.parquet").limit(500)
+    )
     dup_stream_src = str(tmp_path / "src")
     # write the same events twice -> a stream full of exact duplicates
     ev.unionAll(ev).coalesce(1).write.parquet(dup_stream_src)
@@ -36,9 +39,12 @@ def test_stream_dedup_against_table(session, tmp_path):
     from vastdb_sdk_spark.streaming.dedup import stream_dedup_against_table
     from vastdb_sdk_spark.streaming.events import read_event_stream
 
+    from vastdb_sdk_spark.streaming.events import EVENTS_SCHEMA
+
     spark = session.spark
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{SF}/events.parquet").limit(300)
+    ev = (
+        spark.read.schema(EVENTS_SCHEMA).parquet(f"{SF}/events.parquet").limit(300)
+    )
     src = str(tmp_path / "src")
     ev.unionAll(ev.limit(100)).coalesce(2).write.parquet(src)  # 100 dupes
     with session.transaction() as tx:

@@ -136,28 +136,84 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     num_planes: int = 8,
     seed: int = 42,
+    num_bands: int = 1,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, LSH-bucketed: the
     self-join key is the bucket id, so comparisons are |bucket|^2 not
     |corpus|^2. High-cosine pairs almost surely share all hyperplane signs,
-    so recall at 0.95+ is high; raise num_planes to shrink buckets."""
+    so recall at 0.95+ is high; raise num_planes to shrink buckets.
+
+    ``num_bands`` > 1 is the recall dial (MinHash-style banding on the
+    hyperplane signature): the num_planes sign bits split into bands of
+    planes_per_band bits and a pair becomes a candidate when ANY band
+    matches — P(candidate) = 1 - (1 - s^r)^b for sign-agreement rate
+    s = 1 - theta/pi. Still an equi-join (key = (band_id, band_bits)), the
+    shuffle fans out num_bands rows per vector, candidates are exact-cosine
+    verified, and duplicates from multi-band hits are dropped pre-verify
+    with a distinct on the id pair — never a cross product."""
     indexed, _ = build_rhp_index(df, vec_col, num_planes, seed)
-    a = indexed.alias("a")
-    b = indexed.alias("b")
-    sim = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-    return (
+    if num_bands <= 1:
+        a = indexed.alias("a")
+        b = indexed.alias("b")
+        sim = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        return (
+            a.join(
+                b,
+                (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .withColumn("cos_sim", sim)
+            .filter(F.col("cos_sim") >= threshold)
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.round("cos_sim", 6).alias("cos_sim"),
+            )
+        )
+    if num_planes % num_bands != 0:
+        raise ValueError("num_planes must divide evenly into num_bands")
+    r = num_planes // num_bands
+    mask = (1 << r) - 1
+    banded = indexed.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        F.shiftright(F.col("lsh_bucket"), bi * r)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_bits"),
+                    )
+                    for bi in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band_id", "bk.band_bits")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .withColumn("cos_sim", sim)
-        .filter(F.col("cos_sim") >= threshold)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round("cos_sim", 6).alias("cos_sim"),
         )
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    sim = cosine_similarity(F.col("__va"), F.col("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
 
 

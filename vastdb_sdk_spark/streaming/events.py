@@ -10,8 +10,9 @@ The reference has no streaming (SURVEY.md §2.9) — this is the extension tier
 - stateful sessionization via ``applyInPandasWithState``.
 
 All readers take an explicit schema (streaming sources must not infer), and
-the ts column convention follows the batch tier: int64 epoch-nanos
-(timestamp[ns] parquet is read as long; see __spark_entry__._t).
+the ts column convention follows the batch tier: int64 epoch-micros
+(timestamp[us] parquet read under a long schema yields the raw int64;
+see __spark_entry__._t).
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ from pyspark.sql import types as T
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # epoch nanos
+        T.StructField("ts", T.LongType()),  # epoch micros
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -39,7 +40,6 @@ def read_event_stream(
     max_files_per_trigger: int = 8,
 ) -> DataFrame:
     """File-source stream over a growing directory of parquet files."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -48,11 +48,9 @@ def read_event_stream(
 
 
 def with_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """Derive a TIMESTAMP event-time column from epoch-nanos for
+    """Derive a TIMESTAMP event-time column from epoch-micros for
     watermarking (Spark watermarks require TimestampType)."""
-    return df.withColumn(
-        "event_time", F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
-    )
+    return df.withColumn("event_time", F.timestamp_micros(F.col(ts_col)))
 
 
 def windowed_counts(
@@ -173,7 +171,7 @@ def stream_merge_into_table(
     idempotent for aggregating assignments.
 
     ``dedup_batch`` keeps only the LAST row per key within a micro-batch
-    (by the int64-nanos ``ts`` column when present, else arbitrary), the
+    (by the int64-micros ``ts`` column when present, else arbitrary), the
     usual CDC contract when one key changes twice in the same batch —
     Table.merge assumes unique source keys.
 

@@ -34,7 +34,7 @@ def interval_join(
     """Join each left row to right rows with equal ``keys`` whose event time
     falls in [left.event_time, left.event_time + within]. Right columns come
     back ``prefix``-renamed so self-joins don't collide. Inputs need the
-    int64-nanos ``ts`` column convention (event_time is derived here)."""
+    int64-micros ``ts`` column convention (event_time is derived here)."""
     l = with_event_time(left)
     r = with_event_time(right)
     r = r.select([F.col(c).alias(prefix + c) for c in r.columns])
@@ -84,5 +84,5 @@ def attribution_join(
         F.col("r_event_id").alias("then_event_id"),
         F.col("event_time").alias("first_time"),
         F.col("r_event_time").alias("then_time"),
-        (F.col("r_ts") - F.col("ts")).alias("lag_ns"),
+        (F.col("r_ts") - F.col("ts")).alias("lag_us"),
     )

@@ -26,7 +26,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 ALERT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
-        T.StructField("alert_ts", T.LongType()),  # epoch nanos of crossing event
+        T.StructField("alert_ts", T.LongType()),  # epoch micros of crossing event
         T.StructField("score", T.DoubleType()),
         T.StructField("n_events_in_state", T.IntegerType()),
     ]

@@ -1076,22 +1076,17 @@ class Table:
         out_cols.append(F.col("__source_file"))
         matched_df = joined.select(*out_cols).persist()
         try:
-            per_file = (
-                matched_df.groupBy("__source_file")
-                .agg(F.collect_list(INTERNAL_ROW_ID).alias("__ids"))
-                .collect()
-            )
-            if per_file:
+            # fully distributed, like update_where: replacement rows and DV
+            # sidecars are both written from executors — matched row ids
+            # never land on the driver (a 100x-scale batch through this
+            # path used to materialize every id in driver memory)
+            if matched_df.limit(1).count():
                 self._rewrite_files(
                     entry, [], matched_df.drop("__source_file"), "upd"
                 )
-                by_path = {
-                    "file:" + os.path.abspath(fe.path): fe for fe in affected
-                }
-                for row in per_file:
-                    fe = by_path[row["__source_file"]]
-                    fe.dv_paths.append(self._write_dv(fe, row["__ids"]))
-                    fe.dv_rows += len(row["__ids"])
+                self._write_dvs_distributed(
+                    affected, matched_df.select(INTERNAL_ROW_ID, "__source_file")
+                )
                 self._fold_heavy_dvs(entry, affected)
         finally:
             matched_df.unpersist()
@@ -1109,23 +1104,6 @@ class Table:
         import hashlib
 
         return hashlib.md5(("file:" + os.path.abspath(fe.path)).encode()).hexdigest()
-
-    def _write_dv(self, fe: FileEntry, ids: list[int]) -> str:
-        """Write one deletion-vector sidecar (sorted ids, zstd parquet)."""
-        path = self._state.store.new_data_file(self.schema.name, self.name)
-        n = len(ids)
-        pq.write_table(
-            pa.table(
-                {
-                    "deleted_row_id": pa.array(sorted(ids), pa.int64()),
-                    "owner_fk": pa.array([self._dv_owner_fk(fe)] * n),
-                }
-            ),
-            path,
-            compression="zstd",
-        )
-        self._state.staged_files.append(path)
-        return path
 
     def _write_dvs_distributed(
         self, affected: list[FileEntry], dv_src: DataFrame
@@ -1205,28 +1183,19 @@ class Table:
         ]
         if affected:
             # one distributed job: which requested ids are live, and in
-            # which file? (Catalyst prunes the scan to metadata columns)
+            # which file? (Catalyst prunes the scan to metadata columns);
+            # DV sidecars are written from executors like delete_where —
+            # matched ids never collect on the driver
             base = self.df(
                 internal_row_id=True, files=affected, with_file_path=True
             ).select(INTERNAL_ROW_ID, "__source_file")
             del_df = self._rows_to_df(rows.select([INTERNAL_ROW_ID]))
-            matched = (
-                base.join(
-                    F.broadcast(del_df),
-                    base[INTERNAL_ROW_ID] == del_df["__update_row_id"],
-                    "left_semi",
-                )
-                .groupBy("__source_file")
-                .agg(F.collect_list(INTERNAL_ROW_ID).alias("__ids"))
-                .collect()
+            matched = base.join(
+                F.broadcast(del_df),
+                base[INTERNAL_ROW_ID] == del_df["__update_row_id"],
+                "left_semi",
             )
-            by_path = {
-                "file:" + os.path.abspath(fe.path): fe for fe in affected
-            }
-            for row in matched:
-                fe = by_path[row["__source_file"]]
-                fe.dv_paths.append(self._write_dv(fe, row["__ids"]))
-                fe.dv_rows += len(row["__ids"])
+            self._write_dvs_distributed(affected, matched)
             self._fold_heavy_dvs(entry, affected)
         self._mark_unsorted(entry)
         self._mutate(entry, "delete", rows=len(ids))
