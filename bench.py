@@ -49,6 +49,17 @@ HEADLINE = [
     "tpch_q18",
     "j2_semi_join",
     "j3_anti_join",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
     "w1_topk_per_group",
     "w2_running_sum",
     "w4_dense_rank",
@@ -68,6 +79,10 @@ HEADLINE = [
     "mm_decode_stub",
     "tx_token_stats",
     "tx_quality",
+    "tx_bigram_topk",
+    "tx_pack_greedy",
+    "ds_train_test_split",
+    "dd_embed_neardup",
 ]
 
 
