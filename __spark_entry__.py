@@ -3181,11 +3181,11 @@ def oracle_sql() -> dict[str, str]:
         "ds_stratified_sample": """
             SELECT doc_id, lang, source
             FROM documents
-            WHERE (doc_id * 2654435761) % 10000 <
+            WHERE ((doc_id % 3037000493) * 2654435761) % 10000 <
                   CASE WHEN lang = 'en' THEN 3000 ELSE 6000 END
         """,
         "ds_train_test_split": """
-            SELECT CASE WHEN (doc_id * 2654435761) % 10000 < 1000
+            SELECT CASE WHEN ((doc_id % 3037000493) * 2654435761) % 10000 < 1000
                         THEN 'test' ELSE 'train' END AS split,
                    lang,
                    COUNT(*) AS n_docs,

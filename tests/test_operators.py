@@ -136,6 +136,26 @@ def test_embedding_near_dup_pairs(spark):
     assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
 
 
+def test_embedding_near_dup_pairs_banded(spark):
+    """Banded multiprobe: a pair that disagrees on ONE plane still surfaces
+    when the disagreeing bit lands in only one of the two bands, and the
+    multi-band candidate dedup never double-reports a pair."""
+    vecs = [[1.0, 0.0, 0.0, 0.0], [0.999, 0.01, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    pairs = similarity.embedding_near_dup_pairs(
+        df, threshold=0.99, num_planes=4, num_bands=2
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+    assert len(pairs) == 1  # distinct() collapses multi-band hits
+    # banded result is a superset of the single-table result by construction
+    single = similarity.embedding_near_dup_pairs(
+        df, threshold=0.99, num_planes=4
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in single} <= {(r.id_a, r.id_b) for r in pairs}
+
+
 # -- multimodal ------------------------------------------------------------
 
 

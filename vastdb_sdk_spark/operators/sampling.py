@@ -29,19 +29,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-# Knuth's multiplicative constant (2^32 / golden ratio), applied to a 64-bit
-# key then reduced mod 10_000: two decimal digits of bucket resolution.
-# Plain integer arithmetic so DuckDB/any engine reproduces it bit-for-bit
-# (no overflow at testdata scale: key * KNUTH < 2^63 for key < ~3.4e9; for
-# larger key spaces compose with pmod first).
+# Knuth's multiplicative constant (2^32 / golden ratio), applied to the key
+# after a prime-modulus fold, then reduced mod 10_000: two decimal digits of
+# bucket resolution. Plain integer arithmetic so DuckDB/any engine
+# reproduces it bit-for-bit. The pre-fold makes the multiply overflow-safe
+# for the FULL int64 key space: (_FOLD_P - 1) * _KNUTH < 2^63, so no silent
+# wraparound regardless of key magnitude (keys below _FOLD_P — e.g. every
+# testdata id — pass through the fold unchanged).
 _KNUTH = 2654435761
+_FOLD_P = 3_037_000_493  # prime; largest residue * _KNUTH stays under 2^63
 _BUCKETS = 10_000
 
 
 def hash_bucket(key: Column | str, buckets: int = _BUCKETS) -> Column:
-    """Deterministic bucket in [0, buckets) from an integer key column."""
+    """Deterministic bucket in [0, buckets) from an integer key column.
+    SQL twin: ``((key % 3037000493) * 2654435761) % buckets`` (pmod
+    semantics for negative keys)."""
     key = F.col(key) if isinstance(key, str) else key
-    return (key.cast("long") * F.lit(_KNUTH)) % F.lit(buckets)
+    folded = F.pmod(key.cast("long"), F.lit(_FOLD_P))
+    return (folded * F.lit(_KNUTH)) % F.lit(buckets)
 
 
 def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
