@@ -182,3 +182,21 @@ def test_blob_expansion_handle(clean_schema):
         # imports-table metadata handle
         im = t.imports_table_metadata()
         assert im.is_imports_table and im.ref.table.startswith("b/")
+
+
+def test_expand_ip_ranges():
+    """Reference util.py:128 parity: last-octet endpoint ranges expand,
+    plain endpoints pass through in order, inverted ranges reject."""
+    from vastdb_sdk_spark.util import expand_ip_ranges
+
+    assert expand_ip_ranges(
+        ["http://172.19.101.1-3", "https://10.0.0.7", "http://1.2.3.4-4"]
+    ) == [
+        "http://172.19.101.1",
+        "http://172.19.101.2",
+        "http://172.19.101.3",
+        "https://10.0.0.7",
+        "http://1.2.3.4",
+    ]
+    with pytest.raises(vastdb.InvalidArgument):
+        expand_ip_ranges(["http://1.2.3.9-2"])

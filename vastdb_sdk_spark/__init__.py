@@ -15,7 +15,7 @@ is also a Spark DataFrame (``table.df()``/``table.select_df()``), and the
 similarity search, text analysis and streaming at scale.
 """
 
-from . import functions, operators, plans, sources, streaming  # noqa: F401
+from . import functions, operators, plans, sources, streaming, util  # noqa: F401
 from .config import EngineConfig, ImportConfig, QueryConfig
 from .errors import (
     Conflict,

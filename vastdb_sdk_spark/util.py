@@ -1,0 +1,42 @@
+"""User-facing conveniences mirroring the reference's ``vastdb/util.py``.
+
+Most of that module is either already re-expressed elsewhere here —
+``create_table_from_files`` and the three schema-merge policies live in
+``sources/parquet_import.py``; ``prefix_to_range`` is the manifest pruner's
+startswith interval (plans/pruning.py:132); record-batch wire serialization
+is subsumed by parquet — leaving only the endpoint-range helper below
+(reference: vastdb/util.py:128-145).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .errors import InvalidArgument
+
+# '<scheme>://<three dotted octets>.<start>-<end>' (the reference accepts
+# http only; metrics/shuffle-service endpoints here may be https too)
+_RANGE_RE = re.compile(
+    r"^(?P<base>[a-z][a-z0-9+.-]*://\d{1,3}\.\d{1,3}\.\d{1,3})"
+    r"\.(?P<lo>\d{1,3})-(?P<hi>\d{1,3})$"
+)
+
+
+def expand_ip_ranges(endpoints: list[str]) -> list[str]:
+    """Expand endpoint strings whose last octet is a range, e.g.
+    ``'http://172.19.101.1-16'`` -> 16 endpoints; strings without a range
+    pass through verbatim, order preserved (reference: vastdb/util.py:128).
+    """
+    out: list[str] = []
+    for endpoint in endpoints:
+        m = _RANGE_RE.match(endpoint)
+        if not m:
+            out.append(endpoint)
+            continue
+        lo, hi = int(m.group("lo")), int(m.group("hi"))
+        if lo > hi:
+            raise InvalidArgument(
+                f"invalid last-octet range {lo}-{hi} in {endpoint!r}"
+            )
+        out.extend(f"{m.group('base')}.{octet}" for octet in range(lo, hi + 1))
+    return out
