@@ -137,6 +137,7 @@ def embedding_near_dup_pairs(
     num_planes: int = 8,
     seed: int = 42,
     num_bands: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, LSH-bucketed: the
     self-join key is the bucket id, so comparisons are |bucket|^2 not
@@ -150,8 +151,11 @@ def embedding_near_dup_pairs(
     s = 1 - theta/pi. Still an equi-join (key = (band_id, band_bits)), the
     shuffle fans out num_bands rows per vector, candidates are exact-cosine
     verified, and duplicates from multi-band hits are dropped pre-verify
-    with a distinct on the id pair — never a cross product."""
-    indexed, _ = build_rhp_index(df, vec_col, num_planes, seed)
+    with a distinct on the id pair — never a cross product.
+
+    Pass ``dim`` (embedding width) to keep plan construction free of driver
+    actions; leaving it None falls back to a one-row ``head()`` probe."""
+    indexed, _ = build_rhp_index(df, vec_col, num_planes, seed, dim=dim)
     if num_bands <= 1:
         a = indexed.alias("a")
         b = indexed.alias("b")
@@ -171,7 +175,7 @@ def embedding_near_dup_pairs(
             )
         )
     if num_planes % num_bands != 0:
-        raise ValueError("num_planes must divide evenly into num_bands")
+        raise ValueError("num_bands must divide num_planes evenly")
     r = num_planes // num_bands
     mask = (1 << r) - 1
     banded = indexed.select(
