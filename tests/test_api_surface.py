@@ -200,3 +200,18 @@ def test_expand_ip_ranges():
     ]
     with pytest.raises(vastdb.InvalidArgument):
         expand_ip_ranges(["http://1.2.3.9-2"])
+    # extension over the reference: a port and/or path suffix on a ranged
+    # endpoint is carried onto every expanded endpoint
+    assert expand_ip_ranges(["http://1.2.3.1-2:8080"]) == [
+        "http://1.2.3.1:8080",
+        "http://1.2.3.2:8080",
+    ]
+    assert expand_ip_ranges(["https://1.2.3.1-2:8443/api/v2"]) == [
+        "https://1.2.3.1:8443/api/v2",
+        "https://1.2.3.2:8443/api/v2",
+    ]
+    assert expand_ip_ranges(["http://1.2.3.4-6/data"]) == [
+        "http://1.2.3.4/data",
+        "http://1.2.3.5/data",
+        "http://1.2.3.6/data",
+    ]

@@ -14,18 +14,22 @@ import re
 
 from .errors import InvalidArgument
 
-# '<scheme>://<three dotted octets>.<start>-<end>' (the reference accepts
-# http only; metrics/shuffle-service endpoints here may be https too)
+# '<scheme>://<three dotted octets>.<start>-<end>[:port][/path]' (the
+# reference accepts http and no suffix; https and a port/path suffix —
+# carried onto every expanded endpoint — are extensions here)
 _RANGE_RE = re.compile(
     r"^(?P<base>[a-z][a-z0-9+.-]*://\d{1,3}\.\d{1,3}\.\d{1,3})"
-    r"\.(?P<lo>\d{1,3})-(?P<hi>\d{1,3})$"
+    r"\.(?P<lo>\d{1,3})-(?P<hi>\d{1,3})"
+    r"(?P<suffix>(?::\d{1,5})?(?:/[^\s]*)?)$"
 )
 
 
 def expand_ip_ranges(endpoints: list[str]) -> list[str]:
     """Expand endpoint strings whose last octet is a range, e.g.
-    ``'http://172.19.101.1-16'`` -> 16 endpoints; strings without a range
-    pass through verbatim, order preserved (reference: vastdb/util.py:128).
+    ``'http://172.19.101.1-16'`` -> 16 endpoints; a trailing port and/or
+    path (``'http://172.19.101.1-16:8080/api'``) is carried onto each
+    expanded endpoint. Strings without a range pass through verbatim,
+    order preserved (reference: vastdb/util.py:128).
     """
     out: list[str] = []
     for endpoint in endpoints:
@@ -38,5 +42,8 @@ def expand_ip_ranges(endpoints: list[str]) -> list[str]:
             raise InvalidArgument(
                 f"invalid last-octet range {lo}-{hi} in {endpoint!r}"
             )
-        out.extend(f"{m.group('base')}.{octet}" for octet in range(lo, hi + 1))
+        suffix = m.group("suffix") or ""
+        out.extend(
+            f"{m.group('base')}.{octet}{suffix}" for octet in range(lo, hi + 1)
+        )
     return out
