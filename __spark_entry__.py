@@ -1320,6 +1320,86 @@ def q_ds_train_test_split(spark, sf):
     )
 
 
+def q_ds_resample_mix(spark, sf):
+    """Weighted domain resampling (operators/sampling.resample_to_mix):
+    undersample languages to a target 40/20/20/20 en/de/zh/fr mix ('es' is
+    dropped), keeping the binding stratum whole. Membership is the same
+    engine-reproducible Knuth hash as the other sampling gates; the
+    per-stratum thresholds are computed declaratively (aggregate broadcast
+    back, no driver collect), and the oracle recomputes them in SQL from
+    the same double arithmetic."""
+    from vastdb_sdk_spark.operators.sampling import resample_to_mix
+
+    d = _t(spark, sf, "documents")
+    out = resample_to_mix(
+        d, "doc_id", "lang", {"en": 0.4, "de": 0.2, "zh": 0.2, "fr": 0.2}
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_tx_pii_scrub(spark, sf):
+    """PII detection + redaction (functions/scrub): the corpus carries no
+    real PII, so deterministic PII is injected per doc (email/URL/IPv4/
+    phone built from doc_id, plus a second email on every third doc), then
+    counted and scrubbed. The patterns live in the restricted Java/RE2-
+    common regex subset, so DuckDB reproduces both the counts and the
+    redacted text byte-for-byte — scrub_sql()/count_sql() are generated
+    from the SAME pattern table the Spark expressions use."""
+    from vastdb_sdk_spark.functions.scrub import (
+        PII_PATTERNS,
+        pii_count,
+        scrub_pii,
+    )
+
+    d = _t(spark, sf, "documents")
+    ds = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), ds, F.lit("@example.com via"),
+        F.lit(" https://data.example.org/doc/"), ds,
+        F.lit(" or +1-555-"), F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" from 10."), F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".0."), (F.pmod(F.col("doc_id"), F.lit(254)) + 1).cast("string"), F.lit(" ."),
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit(" cc admin@corp.io")).otherwise(F.lit("")),
+    )
+    staged = d.select("doc_id", aug.alias("__aug"))
+    return staged.select(
+        "doc_id",
+        scrub_pii(F.col("__aug")).alias("scrubbed"),
+        *[
+            pii_count(F.col("__aug"), k).cast("long").alias(f"n_{k}")
+            for k in PII_PATTERNS
+        ],
+    )
+
+
+def q_dd_contamination(spark, sf):
+    """Train/eval n-gram contamination (operators/contamination.
+    ngram_contamination): eval set = every 97th doc, train = the rest;
+    a train doc is contaminated when it shares a word 8-gram with an eval
+    doc. The eval side's distinct grams are broadcast, so the corpus probe
+    is a map-side hash join — the GPT-3-style decontamination shape that
+    survives 100 TB.
+
+    The synthetic corpus has no natural 8-gram overlap, so contamination
+    is PLANTED (same device as the embedding twins): every eval doc gets a
+    train-side twin (id + 5M) that embeds its full text behind a prefix.
+    The gate's expected output is exactly one pair per eval doc whose
+    n_shared equals that doc's distinct-8-gram count — a recall loss
+    (missed plant) or precision loss (phantom pair) fails the hash.
+    Output: (train_id, eval_id, n_shared)."""
+    from vastdb_sdk_spark.operators.contamination import ngram_contamination
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    ev = d.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
+    planted = ev.select(
+        (F.col("doc_id") + F.lit(5_000_000)).alias("doc_id"),
+        F.concat(F.lit("copied fragment "), F.col("text")).alias("text"),
+    )
+    tr = d.filter(F.pmod(F.col("doc_id"), F.lit(97)) != 0).unionByName(planted)
+    return ngram_contamination(tr, ev, n=8)
+
+
 def q_tx_pack_greedy(spark, sf):
     """Context-window packing (operators/sampling.pack_greedy): documents
     packed into 512-token bins per language by prefix token count — one
@@ -2171,6 +2251,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash_fast": q_dd_simhash_fast,
         "dd_embed_neardup": q_dd_embed_neardup,
         "ann_rhp_topk": q_ann_rhp_topk,
+        # -- new this round (registered + oracled) ------------------------
+        "ds_resample_mix": q_ds_resample_mix,
+        "tx_pii_scrub": q_tx_pii_scrub,
+        "dd_contamination": q_dd_contamination,
         # -- oldest driver greens (rounds 2-3), due for re-validation -----
         "w1_topk_per_group": q_w1_topk_per_group,
         "w2_running_sum": q_w2_running_sum,
@@ -2207,11 +2291,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_stub": q_mm_decode_stub,
         "mm_blob_meta": q_mm_blob_meta,
         "e1_engine_scan": q_e1_engine_scan,
+        # ---- window boundary (driver gates the 50 entries above) --------
+        # -- round-2/3 greens that didn't fit the window ------------------
         "e2_engine_sql": q_e2_engine_sql,
         "e4_engine_dml": q_e4_engine_dml,
         "e9_engine_merge": q_e9_engine_merge,
-        # ---- window boundary (driver gates the 50 entries above) --------
-        # -- round-2/3 greens that didn't fit the window ------------------
         "e10_sql_frontend": q_e10_sql_frontend,
         "e13_engine_zorder": q_e13_engine_zorder,
         "el1_sorted_point": q_el1_sorted_point,
@@ -2308,6 +2392,36 @@ def _simhash_oracle_sql() -> str:
             FROM ex GROUP BY doc_id
         )
         SELECT doc_id, {bits} AS simhash_bits FROM agg
+    """
+
+
+def _pii_scrub_oracle_sql() -> str:
+    """DuckDB twin of q_tx_pii_scrub: identical deterministic PII
+    augmentation, then scrub/count SQL GENERATED from the same
+    PII_PATTERNS table the Spark expressions use (functions/scrub.py), so
+    the two dialects cannot drift apart."""
+    from vastdb_sdk_spark.functions.scrub import (
+        PII_PATTERNS,
+        count_sql,
+        scrub_sql,
+    )
+
+    aug = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com via'"
+        " || ' https://data.example.org/doc/' || CAST(doc_id AS VARCHAR)"
+        " || ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.0.' || CAST(doc_id % 254 + 1 AS VARCHAR) || ' .'"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@corp.io' ELSE '' END"
+    )
+    counts = ", ".join(
+        f"CAST({count_sql('__aug', k)} AS BIGINT) AS n_{k}" for k in PII_PATTERNS
+    )
+    return f"""
+        WITH staged AS (SELECT doc_id, {aug} AS __aug FROM documents)
+        SELECT doc_id, {scrub_sql('__aug')} AS scrubbed, {counts}
+        FROM staged
     """
 
 
@@ -3209,6 +3323,58 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(n_chars), 4) AS avg_chars
             FROM documents
             GROUP BY 1, 2
+        """,
+        "ds_resample_mix": """
+            WITH c AS (
+                SELECT lang, COUNT(*) AS n,
+                       CASE lang WHEN 'en' THEN CAST(0.4 AS DOUBLE)
+                                 WHEN 'de' THEN CAST(0.2 AS DOUBLE)
+                                 WHEN 'zh' THEN CAST(0.2 AS DOUBLE)
+                                 WHEN 'fr' THEN CAST(0.2 AS DOUBLE)
+                       END AS w
+                FROM documents GROUP BY lang
+            ), cw AS (
+                SELECT * FROM c WHERE w IS NOT NULL
+            ), s AS (
+                SELECT MIN(n / w) AS scale FROM cw
+            ), th AS (
+                SELECT lang, FLOOR(scale * w / n * 10000) AS thr
+                FROM cw, s
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN th ON d.lang = th.lang
+            WHERE ((d.doc_id % 3037000493) * 2654435761) % 10000 < th.thr
+        """,
+        "tx_pii_scrub": _pii_scrub_oracle_sql(),
+        "dd_contamination": f"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id % 97 <> 0
+                UNION ALL
+                SELECT doc_id + 5000000 AS doc_id,
+                       'copied fragment ' || text AS text
+                FROM documents WHERE doc_id % 97 = 0
+                UNION ALL
+                SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+            ), toks AS (
+                SELECT doc_id, {tok} AS tk FROM corpus
+            ), g AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           CASE WHEN len(tk) < 8
+                                THEN [array_to_string(tk, ' ')]
+                                ELSE list_transform(
+                                    range(1, len(tk) - 8 + 2),
+                                    i -> array_to_string(
+                                        list_slice(tk, i, i + 7), ' '))
+                           END)) AS gram
+                FROM toks
+            ),
+            t AS (SELECT doc_id AS train_id, gram FROM g WHERE doc_id % 97 <> 0),
+            e AS (SELECT doc_id AS eval_id,  gram FROM g WHERE doc_id % 97 = 0)
+            SELECT train_id, eval_id, COUNT(*) AS n_shared
+            FROM t JOIN e USING (gram)
+            GROUP BY train_id, eval_id
         """,
         "tx_pack_greedy": f"""
             WITH sized AS (

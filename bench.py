@@ -83,6 +83,9 @@ HEADLINE = [
     "tx_pack_greedy",
     "ds_train_test_split",
     "dd_embed_neardup",
+    "ds_resample_mix",
+    "tx_pii_scrub",
+    "dd_contamination",
 ]
 
 

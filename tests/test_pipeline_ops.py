@@ -1,0 +1,138 @@
+"""Unit tests for the round-5 training-pipeline operators: PII scrub,
+n-gram contamination, weighted domain resampling."""
+
+from pyspark.sql import functions as F
+
+from vastdb_sdk_spark.functions.scrub import (
+    PII_PATTERNS,
+    pii_count,
+    pii_counts,
+    scrub_pii,
+)
+from vastdb_sdk_spark.operators.contamination import (
+    decontaminate,
+    ngram_contamination,
+)
+from vastdb_sdk_spark.operators.sampling import hash_bucket, resample_to_mix
+
+
+def test_scrub_redacts_each_kind(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "write to jane.doe+x@corp.example.org today"),
+            (2, "docs at https://ex.org/a/b?q=1 and http://ex.org"),
+            (3, "node 192.168.0.17 timed out"),
+            (4, "call +44-201-3344 now"),
+            (5, "nothing here: v1.2.3 and 3.14"),
+        ],
+        "id INT, t STRING",
+    )
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id", scrub_pii("t").alias("s"), *pii_counts("t")
+        ).collect()
+    }
+    assert rows[1].s == "write to <EMAIL> today" and rows[1].n_email == 1
+    assert rows[2].s == "docs at <URL> and <URL>" and rows[2].n_url == 2
+    assert rows[3].s == "node <IPV4> timed out" and rows[3].n_ipv4 == 1
+    assert rows[4].s == "call <PHONE> now" and rows[4].n_phone == 1
+    assert rows[5].s == "nothing here: v1.2.3 and 3.14"
+    assert (rows[5].n_email, rows[5].n_url, rows[5].n_ipv4, rows[5].n_phone) == (
+        0, 0, 0, 0,
+    )
+
+
+def test_scrub_url_before_email(spark):
+    # an email-looking path segment inside a URL must be redacted as URL
+    df = spark.createDataFrame(
+        [("https://h.io/u@v.wx rest",)], "t STRING"
+    )
+    out = df.select(scrub_pii("t").alias("s")).head().s
+    assert out == "<URL> rest"
+    # but the raw count still sees the embedded email (detection != redaction)
+    assert df.select(pii_count("t", "email").alias("n")).head().n == 1
+
+
+def test_contamination_planted_and_clean(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words then " + base),     # contains eval 0's text
+            (2, "totally different words entirely unrelated content here now"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    ev = spark.createDataFrame([(100, base)], "doc_id LONG, text STRING")
+    pairs = ngram_contamination(train, ev, n=8).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    # eval doc has 10 tokens -> 3 distinct 8-grams, all inside train doc 1
+    assert (p.train_id, p.eval_id, p.n_shared) == (1, 100, 3)
+    clean = decontaminate(train, ev, n=8)
+    assert [r.doc_id for r in clean.collect()] == [2]
+
+
+def test_contamination_short_doc_verbatim(spark):
+    # eval doc shorter than n tokens matches only verbatim copies
+    train = spark.createDataFrame(
+        [(1, "tiny probe"), (2, "a tiny probe inside")],
+        "doc_id LONG, text STRING",
+    )
+    ev = spark.createDataFrame([(9, "tiny probe")], "doc_id LONG, text STRING")
+    got = {
+        (r.train_id, r.eval_id)
+        for r in ngram_contamination(train, ev, n=8).collect()
+    }
+    # doc 1 is the verbatim copy; doc 2's degenerate gram is the full
+    # 4-token text, which differs
+    assert got == {(1, 9)}
+
+
+def test_resample_to_mix_proportions(spark):
+    rows = [(i, "en" if i % 10 < 6 else ("de" if i % 10 < 8 else "fr"))
+            for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    out = resample_to_mix(df, "doc_id", "lang", {"en": 0.5, "de": 0.25, "fr": 0.25})
+    mix = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(mix.values())
+    # fr is binding (1000 docs / 0.25 weight): kept ~whole; realized mix
+    # within a point of target (hash threshold granularity + hash variance)
+    assert mix["fr"] > 900
+    assert abs(mix["en"] / total - 0.5) < 0.05
+    assert abs(mix["de"] / total - 0.25) < 0.05
+    assert abs(mix["fr"] / total - 0.25) < 0.05
+
+
+def test_resample_to_mix_drops_unlisted_and_is_deterministic(spark):
+    rows = [(i, ["en", "de", "xx"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    out1 = sorted(r.doc_id for r in resample_to_mix(df, "doc_id", "lang", {"en": 0.5, "de": 0.5}).collect())
+    out2 = sorted(r.doc_id for r in resample_to_mix(df, "doc_id", "lang", {"en": 0.5, "de": 0.5}).collect())
+    assert out1 == out2
+    langs = {r.lang for r in resample_to_mix(df, "doc_id", "lang", {"en": 0.5, "de": 0.5}).collect()}
+    assert "xx" not in langs
+    # membership is the documented hash arithmetic — subset of hash_sample
+    kept = set(out1)
+    for i in range(0, 300, 3):  # en rows
+        bucket = ((i % 3_037_000_493) * 2654435761) % 10_000
+        if i in kept:
+            assert bucket < 10_000  # sanity: kept rows obey the threshold shape
+
+
+def test_resample_to_mix_empty_weights_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "en")], "doc_id LONG, lang STRING")
+    with pytest.raises(ValueError):
+        resample_to_mix(df, "doc_id", "lang", {})
+
+
+def test_pattern_table_is_the_single_source():
+    # the oracle generators must cover exactly the Spark pattern table
+    from vastdb_sdk_spark.functions.scrub import count_sql, scrub_sql
+
+    s = scrub_sql("t")
+    for k in PII_PATTERNS:
+        assert f"<{k.upper()}>" in s
+        assert PII_PATTERNS[k].replace("'", "''") in count_sql("t", k)

@@ -82,6 +82,55 @@ def train_test_split(
     return df.withColumn(split_col, F.when(is_test, "test").otherwise("train"))
 
 
+def resample_to_mix(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    weights: dict[str, float],
+) -> DataFrame:
+    """Deterministically undersample strata so the output follows the
+    target ``weights`` mix (e.g. ``{"en": 0.4, "de": 0.3, "fr": 0.3}``)
+    while keeping the maximum possible row count: the binding stratum
+    (smallest count/weight ratio) is kept whole and every other stratum is
+    hash-thresholded down to match. Rows whose stratum is not in
+    ``weights`` are dropped.
+
+    Fully declarative — per-stratum counts come from an aggregate that is
+    broadcast-joined back (a handful of rows), never collected to the
+    driver, so the plan is one scan + one tiny shuffle + a map-side
+    filter; membership is the same :func:`hash_bucket` arithmetic as
+    ``hash_sample``, hence stable across runs/engines and reproducible in
+    SQL for auditing. The integer bucket threshold makes the realized mix
+    approximate to 1/buckets (1e-4) per stratum.
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty mapping")
+    wt = F.lit(None).cast("double")
+    for value, w in weights.items():
+        wt = F.when(F.col(stratum_col) == value, F.lit(float(w))).otherwise(wt)
+    counts = (
+        df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__w", wt)
+        .filter(F.col("__w").isNotNull())
+    )
+    # scale = min over strata of n/w; stratum threshold = scale*w/n buckets.
+    # The expression shapes mirror the SQL twin exactly (same associativity)
+    # so double rounding is engine-identical.
+    scale = counts.agg(F.min(F.col("__n") / F.col("__w")).alias("__scale"))
+    thr = counts.crossJoin(F.broadcast(scale)).select(
+        stratum_col,
+        F.floor(
+            F.col("__scale") * F.col("__w") / F.col("__n") * F.lit(_BUCKETS)
+        ).alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(thr), stratum_col)
+        .filter(hash_bucket(key_col) < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
 def pack_greedy(
     df: DataFrame,
     size_col: str,
