@@ -1004,6 +1004,46 @@ def q_f5_array_agg(spark, sf):
     )
 
 
+def q_skew_salted_agg(spark, sf):
+    """Two-stage salted aggregation (operators/skew.salted_agg_sum): the
+    hot-key fix for skewed groupBys — (key, salt) partials, then key
+    finals, two uniform shuffles instead of one skewed one. Gated on an
+    INTEGER sum (n_chars): integer addition is order-independent, so the
+    salted result must equal the plain GROUP BY bit-for-bit regardless of
+    how the salt splits rows (a double sum would drift at the ulp level).
+    Salt is a deterministic hash of doc_id, never rand()."""
+    from vastdb_sdk_spark.operators.skew import salted_agg_sum
+
+    d = _t(spark, sf, "documents")
+    out = salted_agg_sum(
+        d, ["lang"], ["n_chars"], num_salts=16, salt_from=["doc_id"]
+    )
+    return out.select("lang", "sum_n_chars", "n_rows")
+
+
+def q_skew_salted_join(spark, sf):
+    """Salted broadcast join (operators/skew.salted_join): the big side's
+    salt spreads each hot key over num_salts tasks; the broadcast side is
+    replicated across all salts. An inner equi-join must preserve exactly
+    the unsalted join's rows — gated against the plain SQL join+GROUP BY.
+    The dim side is derived in-plan (distinct event_type + its length) so
+    the gate needs no extra table."""
+    from vastdb_sdk_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf, "events").select("event_id", "event_type", "user_id")
+    dim = (
+        ev.select("event_type").distinct()
+        .withColumn("type_len", F.length("event_type").cast("long"))
+    )
+    joined = salted_join(
+        ev, dim, on="event_type", num_salts=8, salt_from=["event_id"]
+    )
+    return joined.groupBy("event_type", "type_len").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def q_a7_approx_distinct(spark, sf):
     """approx_count_distinct (HLL++), gated deterministically: the sketch
     estimate is engine-specific by construction, so the output is the exact
@@ -2255,6 +2295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_resample_mix": q_ds_resample_mix,
         "tx_pii_scrub": q_tx_pii_scrub,
         "dd_contamination": q_dd_contamination,
+        "skew_salted_agg": q_skew_salted_agg,
+        "skew_salted_join": q_skew_salted_join,
         # -- oldest driver greens (rounds 2-3), due for re-validation -----
         "w1_topk_per_group": q_w1_topk_per_group,
         "w2_running_sum": q_w2_running_sum,
@@ -2289,10 +2331,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_quality": q_tx_quality,
         "tx_langid": q_tx_langid,
         "mm_decode_stub": q_mm_decode_stub,
-        "mm_blob_meta": q_mm_blob_meta,
-        "e1_engine_scan": q_e1_engine_scan,
         # ---- window boundary (driver gates the 50 entries above) --------
         # -- round-2/3 greens that didn't fit the window ------------------
+        "mm_blob_meta": q_mm_blob_meta,
+        "e1_engine_scan": q_e1_engine_scan,
         "e2_engine_sql": q_e2_engine_sql,
         "e4_engine_dml": q_e4_engine_dml,
         "e9_engine_merge": q_e9_engine_merge,
@@ -3323,6 +3365,19 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(n_chars), 4) AS avg_chars
             FROM documents
             GROUP BY 1, 2
+        """,
+        "skew_salted_agg": """
+            SELECT lang,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+                   COUNT(*) AS n_rows
+            FROM documents GROUP BY lang
+        """,
+        "skew_salted_join": """
+            SELECT event_type,
+                   CAST(LENGTH(event_type) AS BIGINT) AS type_len,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
         "ds_resample_mix": """
             WITH c AS (

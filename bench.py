@@ -86,6 +86,8 @@ HEADLINE = [
     "ds_resample_mix",
     "tx_pii_scrub",
     "dd_contamination",
+    "skew_salted_agg",
+    "skew_salted_join",
 ]
 
 

@@ -136,3 +136,40 @@ def test_pattern_table_is_the_single_source():
     for k in PII_PATTERNS:
         assert f"<{k.upper()}>" in s
         assert PII_PATTERNS[k].replace("'", "''") in count_sql("t", k)
+
+
+def test_scrub_composes_with_streaming(spark, tmp_path):
+    """scrub_pii is a pure map expression, so it must run unchanged inside
+    a Structured Streaming pipeline (file source -> scrub -> memory sink)
+    and agree with the batch run over the same files."""
+    df = spark.createDataFrame(
+        [
+            (1, "ping admin@ex.org now"),
+            (2, "fetch https://a.io/x then stop"),
+            (3, "clean row"),
+        ],
+        "id LONG, t STRING",
+    )
+    src = str(tmp_path / "scrub_in")
+    df.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = stream.select("id", scrub_pii("t").alias("s"), *pii_counts("t"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scrub_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_scrub"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.id: (r.s, r.n_email, r.n_url)
+        for r in spark.sql("SELECT * FROM scrub_stream").collect()
+    }
+    batch = spark.read.parquet(src).select(
+        "id", scrub_pii("t").alias("s"), *pii_counts("t")
+    )
+    expected = {r.id: (r.s, r.n_email, r.n_url) for r in batch.collect()}
+    assert got == expected
+    assert got[1][0] == "ping <EMAIL> now" and got[2][0] == "fetch <URL> then stop"
