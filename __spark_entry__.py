@@ -2107,6 +2107,63 @@ def q_ann_ivf_topk(spark, sf):
     )
 
 
+def q_ann_ivf_knn_join(spark, sf):
+    """Corpus x corpus approximate k-NN join (operators/similarity.
+    ivf_knn_join): both sides large, so no broadcast of vectors — each left
+    row probes its nprobe nearest centroids and the join is an equi-join on
+    centroid_id, O(rows * nprobe) shuffle. Gate shape follows ann_rhp_topk:
+    assignments are engine-specific, so the oracle asserts the
+    deterministic properties — 10 probe rows each return exactly k=5
+    neighbors, and avg recall@5 vs the in-plan exact cosine k-NN join is
+    >= 0.55 (measured 0.68-0.78 at sf0.01/0.1 with seeded k-means;
+    deterministic, healthy margin)."""
+    from vastdb_sdk_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_knn_join,
+        knn_join_cosine,
+    )
+
+    key = (sf, "__ivf_index")
+    if key not in _ENGINE_WAREHOUSES:
+        emb0 = _t(spark, sf, "embeddings")
+        indexed, centroids = build_ivf_index(emb0, num_centroids=16, seed=42)
+        _ENGINE_WAREHOUSES[key] = (indexed.persist(), centroids)
+    indexed, centroids = _ENGINE_WAREHOUSES[key]
+    emb = _t(spark, sf, "embeddings")
+    left = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a")
+    )
+    right = indexed.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"),
+        "centroid_id",
+    )
+    rplain = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b")
+    )
+    approx = ivf_knn_join(left, right, centroids, k=5, nprobe=4).select(
+        "id_a", "id_b"
+    )
+    exact = knn_join_cosine(left, rplain, k=5).select("id_a", "id_b")
+    per_left = (
+        approx.groupBy("id_a")
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .join(
+            approx.join(exact, ["id_a", "id_b"], "left_semi")
+            .groupBy("id_a")
+            .agg(F.count(F.lit(1)).alias("__hits")),
+            "id_a",
+            "left",
+        )
+    )
+    return per_left.agg(
+        F.count(F.lit(1)).alias("n_left"),
+        F.min(F.col("__k") == 5).alias("all_k_returned"),
+        (F.avg(F.coalesce(F.col("__hits"), F.lit(0)) / F.lit(5.0)) >= 0.55).alias(
+            "avg_recall_ok"
+        ),
+    )
+
+
 def q_e8_engine_predicate_dml(spark, sf):
     """Predicate DML (the distributed, no-id-collection path): DELETE WHERE
     + UPDATE WHERE, then scan. Same end state as e4's row-id DML — both are
@@ -2297,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_contamination": q_dd_contamination,
         "skew_salted_agg": q_skew_salted_agg,
         "skew_salted_join": q_skew_salted_join,
+        "ann_ivf_knn_join": q_ann_ivf_knn_join,
         # -- oldest driver greens (rounds 2-3), due for re-validation -----
         "w1_topk_per_group": q_w1_topk_per_group,
         "w2_running_sum": q_w2_running_sum,
@@ -2330,9 +2388,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_token_stats": q_tx_token_stats,
         "tx_quality": q_tx_quality,
         "tx_langid": q_tx_langid,
-        "mm_decode_stub": q_mm_decode_stub,
         # ---- window boundary (driver gates the 50 entries above) --------
         # -- round-2/3 greens that didn't fit the window ------------------
+        "mm_decode_stub": q_mm_decode_stub,
         "mm_blob_meta": q_mm_blob_meta,
         "e1_engine_scan": q_e1_engine_scan,
         "e2_engine_sql": q_e2_engine_sql,
@@ -3128,6 +3186,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_rhp_topk": """
             SELECT CAST(10 AS BIGINT) AS k_returned, TRUE AS recall_ok
+        """,
+        "ann_ivf_knn_join": """
+            SELECT CAST(10 AS BIGINT) AS n_left,
+                   TRUE AS all_k_returned,
+                   TRUE AS avg_recall_ok
         """,
         "ann_ivf_topk": """
             SELECT CAST(10 AS BIGINT) AS k_returned, TRUE AS recall_ok

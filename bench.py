@@ -88,6 +88,7 @@ HEADLINE = [
     "dd_contamination",
     "skew_salted_agg",
     "skew_salted_join",
+    "ann_ivf_knn_join",
 ]
 
 

@@ -222,6 +222,57 @@ def test_asof_join_tolerance(spark):
     assert got2.collect()[0].v == 1.0
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_join_directions_match_pandas(spark, direction):
+    """All three merge_asof directions against the pandas oracle, including
+    exact-tie timestamps (inclusive on both sides) and groups missing one
+    side entirely."""
+    left = [(u, t) for u in (1, 2, 3) for t in (5, 10, 15, 25)]
+    right = [
+        (1, 3, 100.0), (1, 10, 110.0), (1, 20, 120.0),
+        (2, 7, 200.0), (2, 30, 230.0),
+        # user 3 has no right rows at all
+    ]
+    ldf = spark.createDataFrame(left, "user_id LONG, ts LONG")
+    rdf = spark.createDataFrame(right, "user_id LONG, ts LONG, px DOUBLE")
+    got = asof.asof_join(
+        ldf, rdf, on="ts", by="user_id", right_cols=["px"], direction=direction
+    )
+    got_m = {(r.user_id, r.ts): r.px for r in got.collect()}
+
+    lp = pd.DataFrame(left, columns=["user_id", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right, columns=["user_id", "ts", "px"]).sort_values("ts")
+    exp = pd.merge_asof(lp, rp, on="ts", by="user_id", direction=direction)
+    exp_m = {
+        (r.user_id, r.ts): (None if pd.isna(r.px) else r.px) for r in exp.itertuples()
+    }
+    assert got_m == exp_m
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_join_direction_tolerance_matches_pandas(spark, direction):
+    left = [(1, t) for t in range(0, 200, 35)]
+    right = [(1, t, float(t)) for t in (12, 60, 61, 150)]
+    ldf = spark.createDataFrame(left, "k LONG, ts LONG")
+    rdf = spark.createDataFrame(right, "k LONG, ts LONG, v DOUBLE")
+    got = asof.asof_join(
+        ldf, rdf, on="ts", by="k", right_cols=["v"],
+        tolerance=20, direction=direction,
+    )
+    got_m = {(r.k, r.ts): r.v for r in got.collect()}
+    lp = pd.DataFrame(left, columns=["k", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right, columns=["k", "ts", "v"]).sort_values("ts")
+    exp = pd.merge_asof(lp, rp, on="ts", by="k", tolerance=20, direction=direction)
+    exp_m = {(r.k, r.ts): (None if pd.isna(r.v) else r.v) for r in exp.itertuples()}
+    assert got_m == exp_m
+
+
+def test_asof_join_bad_direction_rejected(spark):
+    ldf = spark.createDataFrame([(1, 1)], "k LONG, ts LONG")
+    with pytest.raises(ValueError):
+        asof.asof_join(ldf, ldf, on="ts", by="k", direction="sideways")
+
+
 def test_salted_agg_matches_plain(spark):
     from vastdb_sdk_spark.operators import skew
 

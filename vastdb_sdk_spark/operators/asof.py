@@ -28,13 +28,26 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance: int | float | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.on <= left.on`` within the same ``by`` group (pandas
-    ``merge_asof`` semantics, distributed).
+    """For each left row, attach the matching right row within the same
+    ``by`` group (pandas ``merge_asof`` semantics, distributed):
 
-    ``tolerance``: max allowed left.on - right.on (same units as ``on``).
+    - ``direction="backward"`` (default): latest right with
+      ``right.on <= left.on``;
+    - ``direction="forward"``: earliest right with ``right.on >= left.on``;
+    - ``direction="nearest"``: whichever of the two is closer in ``on``
+      (ties -> backward, matching pandas).
+
+    ``tolerance``: max allowed |left.on - right.on| (same units as ``on``).
+
+    Cost: backward/forward are ONE shuffle (the window's partitionBy);
+    nearest adds a second sort over the SAME partitioning (no second
+    shuffle — the exchange is reused, only the within-partition order
+    flips).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     by = [by] if isinstance(by, str) else list(by)
     right_cols = right_cols or [c for c in right.columns if c not in by + [on]]
 
@@ -65,29 +78,61 @@ def asof_join(
     )
     unioned = lhs_aligned.unionByName(rhs_aligned)
 
-    # right rows sort before left rows at the same timestamp => inclusive <=
-    w = (
-        W.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("__side").asc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    filled = unioned.select(
-        "*",
-        F.last("__r_on", ignorenulls=True).over(w).alias("__m_on"),
-        *[
-            F.last(rc, ignorenulls=True).over(w).alias(f"__m_{rc}")
+    cols = ["*"]
+    if direction in ("backward", "nearest"):
+        # right rows sort before left at the same ts => inclusive <=
+        wb = (
+            W.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__side").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        cols.append(F.last("__r_on", ignorenulls=True).over(wb).alias("__b_on"))
+        cols += [
+            F.last(rc, ignorenulls=True).over(wb).alias(f"__b_{rc}")
             for rc in carried
-        ],
-    ).filter(F.col("__side") == 1)
+        ]
+    if direction in ("forward", "nearest"):
+        # left rows sort before right at the same ts => inclusive >=
+        wf = (
+            W.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__side").desc())
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        cols.append(F.first("__r_on", ignorenulls=True).over(wf).alias("__f_on"))
+        cols += [
+            F.first(rc, ignorenulls=True).over(wf).alias(f"__f_{rc}")
+            for rc in carried
+        ]
+    filled = unioned.select(*cols).filter(F.col("__side") == 1)
+
+    lon = F.col(on).cast("long")
+    if direction == "nearest":
+        b_ok = F.col("__b_on").isNotNull()
+        f_ok = F.col("__f_on").isNotNull()
+        # ties -> backward (pandas); a missing side loses automatically
+        use_b = b_ok & (
+            ~f_ok | ((lon - F.col("__b_on")) <= (F.col("__f_on") - lon))
+        )
+        m_on = F.when(use_b, F.col("__b_on")).otherwise(F.col("__f_on"))
+        picked = {
+            rc: F.when(use_b, F.col(f"__b_{rc}")).otherwise(F.col(f"__f_{rc}"))
+            for rc in carried
+        }
+    elif direction == "forward":
+        m_on = F.col("__f_on")
+        picked = {rc: F.col(f"__f_{rc}") for rc in carried}
+    else:
+        m_on = F.col("__b_on")
+        picked = {rc: F.col(f"__b_{rc}") for rc in carried}
 
     within = (
         F.lit(True)
         if tolerance is None
-        else (F.col(on).cast("long") - F.col("__m_on")) <= F.lit(tolerance)
+        else F.abs(lon - m_on) <= F.lit(tolerance)
     )
     out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
     out_cols += [
-        F.when(F.col("__m_on").isNotNull() & within, F.col(f"__m___r_{c}"))
+        F.when(m_on.isNotNull() & within, picked[f"__r_{c}"])
         .alias(c + suffix if c in left.columns else c)
         for c in right_cols
     ]
