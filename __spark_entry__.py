@@ -1492,6 +1492,34 @@ def q_mm_blob_meta(spark, sf):
     )
 
 
+def q_mm_frame_sample(spark, sf):
+    """Video frame-sampling plan (operators/multimodal.frame_sample_plan):
+    one row per (media_id, frame_ts_ms) at a 1000 ms stride, derived from
+    metadata duration — pure JVM sequence/explode, no decode, no Python.
+    Media metadata is synthesized deterministically from documents
+    (duration = n_chars * 10 ms, docs with doc_id % 7 == 0 get duration 0
+    to pin the empty-plan edge); the oracle replays it with DuckDB
+    generate_series."""
+    from vastdb_sdk_spark.operators.multimodal import frame_sample_plan
+
+    d = _t(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("fake").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(F.pmod(F.col("doc_id"), F.lit(7)) == 0, F.lit(0))
+            .otherwise(F.col("n_chars") * 10)
+            .cast("long")
+            .alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    return frame_sample_plan(media, every_ms=1000)
+
+
 # ---------------------------------------------------------------------------
 # AS-OF join (custom operator Spark lacks; oracle: DuckDB's native ASOF JOIN)
 
@@ -2355,6 +2383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": q_skew_salted_agg,
         "skew_salted_join": q_skew_salted_join,
         "ann_ivf_knn_join": q_ann_ivf_knn_join,
+        "mm_frame_sample": q_mm_frame_sample,
         # -- oldest driver greens (rounds 2-3), due for re-validation -----
         "w1_topk_per_group": q_w1_topk_per_group,
         "w2_running_sum": q_w2_running_sum,
@@ -2387,9 +2416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_lsh_pairs": q_dd_lsh_pairs,
         "tx_token_stats": q_tx_token_stats,
         "tx_quality": q_tx_quality,
-        "tx_langid": q_tx_langid,
         # ---- window boundary (driver gates the 50 entries above) --------
         # -- round-2/3 greens that didn't fit the window ------------------
+        "tx_langid": q_tx_langid,
         "mm_decode_stub": q_mm_decode_stub,
         "mm_blob_meta": q_mm_blob_meta,
         "e1_engine_scan": q_e1_engine_scan,
@@ -3191,6 +3220,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(10 AS BIGINT) AS n_left,
                    TRUE AS all_k_returned,
                    TRUE AS avg_recall_ok
+        """,
+        "mm_frame_sample": """
+            SELECT doc_id AS media_id,
+                   unnest(range(0, n_chars * 10, 1000)) AS frame_ts_ms
+            FROM documents
+            WHERE doc_id % 7 <> 0 AND n_chars * 10 > 0
         """,
         "ann_ivf_topk": """
             SELECT CAST(10 AS BIGINT) AS k_returned, TRUE AS recall_ok

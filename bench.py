@@ -89,6 +89,7 @@ HEADLINE = [
     "skew_salted_agg",
     "skew_salted_join",
     "ann_ivf_knn_join",
+    "mm_frame_sample",
 ]
 
 
