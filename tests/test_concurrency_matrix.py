@@ -1,0 +1,116 @@
+"""Concurrent-transaction conflict matrix (SURVEY.md §2 D9, reference
+semantics vastdb/transaction.py + vast_tests conflict cases): any two
+transactions that both modify the SAME table must serialize — the second
+committer raises Conflict — while transactions touching DIFFERENT tables
+commit independently. Covers DML x DML, DDL x DML, and DDL x DDL pairs,
+plus the retry path (a conflicted operation replayed in a fresh
+transaction lands)."""
+
+import pyarrow as pa
+import pytest
+
+import vastdb_sdk_spark as vastdb
+from vastdb_sdk_spark import _ as D
+
+ROWS = pa.table({"a": [1, 2, 3], "s": ["x", "y", "z"]})
+
+
+@pytest.fixture()
+def two_tables(session):
+    with session.transaction() as tx:
+        sc = tx.bucket("bkt").create_schema("s")
+        for name in ("t1", "t2"):
+            sc.create_table(name, ROWS.schema).insert(ROWS)
+    return session
+
+
+def _op(kind):
+    def run(tx, table_name):
+        t = tx.bucket("bkt").schema("s").table(table_name)
+        if kind == "insert":
+            t.insert(ROWS)
+        elif kind == "delete":
+            t.delete_where(D.a == 1)
+        elif kind == "update":
+            t.update_where(D.a == 2, {"s": "upd"})
+        elif kind == "add_column":
+            t.add_column(pa.field("extra", pa.int64()))
+        elif kind == "rename_column":
+            t.rename_column("s", "s2")
+        else:
+            raise AssertionError(kind)
+    return run
+
+
+OPS = ["insert", "delete", "update", "add_column", "rename_column"]
+
+
+@pytest.mark.parametrize("op_a", OPS)
+@pytest.mark.parametrize("op_b", ["insert", "update", "add_column"])
+def test_same_table_second_committer_conflicts(two_tables, op_a, op_b):
+    tx1 = two_tables.transaction()
+    tx2 = two_tables.transaction()
+    _op(op_a)(tx1, "t1")
+    _op(op_b)(tx2, "t1")
+    tx1.commit()
+    with pytest.raises(vastdb.Conflict):
+        tx2.commit()
+
+
+def test_conflict_retry_lands_on_fresh_snapshot(two_tables):
+    """The standard retry loop: a conflicted DML replayed in a fresh
+    transaction (which sees the winner's commit) succeeds and both effects
+    land. (Ops invalidated by the winner — e.g. inserting with a renamed
+    column's old name — correctly stay invalid; retry means re-running the
+    LOGIC on the new snapshot, not replaying a stale buffer.)"""
+    tx1 = two_tables.transaction()
+    tx2 = two_tables.transaction()
+    _op("insert")(tx1, "t1")
+    _op("update")(tx2, "t1")
+    tx1.commit()
+    with pytest.raises(vastdb.Conflict):
+        tx2.commit()
+    with two_tables.transaction() as tx3:
+        _op("update")(tx3, "t1")
+    with two_tables.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t1")
+        assert t.count_rows() == 6  # tx1's insert landed
+        got = t.select(predicate=(D.s == "upd")).read_all()
+        assert got.num_rows == 2  # both a==2 rows updated by the retry
+
+
+@pytest.mark.parametrize("op_a", OPS)
+@pytest.mark.parametrize("op_b", ["insert", "update", "add_column"])
+def test_different_tables_commit_independently(two_tables, op_a, op_b):
+    tx1 = two_tables.transaction()
+    tx2 = two_tables.transaction()
+    _op(op_a)(tx1, "t1")
+    _op(op_b)(tx2, "t2")
+    tx1.commit()
+    tx2.commit()  # must NOT conflict
+
+
+def test_conflict_loser_state_not_applied(two_tables):
+    tx1 = two_tables.transaction()
+    tx2 = two_tables.transaction()
+    tx1.bucket("bkt").schema("s").table("t1").update_where(D.a == 1, {"s": "w1"})
+    tx2.bucket("bkt").schema("s").table("t1").update_where(D.a == 1, {"s": "w2"})
+    tx1.commit()
+    with pytest.raises(vastdb.Conflict):
+        tx2.commit()
+    with two_tables.transaction() as tx:
+        got = (
+            tx.bucket("bkt").schema("s").table("t1")
+            .select(predicate=(D.a == 1)).read_all()
+        )
+    assert got.column("s").to_pylist() == ["w1"]
+
+
+def test_drop_vs_dml_conflicts(two_tables):
+    tx1 = two_tables.transaction()
+    tx2 = two_tables.transaction()
+    tx1.bucket("bkt").schema("s").table("t1").drop()
+    tx2.bucket("bkt").schema("s").table("t1").insert(ROWS)
+    tx1.commit()
+    with pytest.raises(vastdb.Conflict):
+        tx2.commit()
