@@ -208,3 +208,31 @@ def test_pruning_conservative_without_stats(clean_schema):
         t.insert(pa.table({"k": pa.array([1, 2, 3], pa.int64())}))
         # no sorting key -> no stats -> no pruning, still correct
         assert t.select_df(predicate=(D.k == 2)).count() == 1
+
+
+def test_round5_operator_plan_shapes(spark):
+    """Plan-quality gates for the round-5 operators: scrubbing is a pure
+    map (zero exchanges), contamination and the salted/resample joins
+    broadcast their small side, and nothing falls back to sort-merge."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    scrub = qs["tx_pii_scrub"](spark, SF)
+    assert pi.exchange_count(scrub) == 0
+    assert "Python" not in pi.formatted_plan(scrub)
+
+    cont = qs["dd_contamination"](spark, SF)
+    assert pi.broadcast_join_count(cont) >= 1
+    assert pi.sortmerge_join_count(cont) == 0
+
+    resample = qs["ds_resample_mix"](spark, SF)
+    assert pi.broadcast_join_count(resample) >= 1
+    assert pi.sortmerge_join_count(resample) == 0
+
+    sj = qs["skew_salted_join"](spark, SF)
+    assert pi.broadcast_join_count(sj) >= 1
+    assert pi.sortmerge_join_count(sj) == 0
+
+    frames = qs["mm_frame_sample"](spark, SF)
+    assert pi.exchange_count(frames) == 0
+    assert "Python" not in pi.formatted_plan(frames)
