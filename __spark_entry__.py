@@ -1617,6 +1617,27 @@ def q_dd_simhash(spark, sf):
     return fp.select("doc_id", F.concat(*bits).alias("simhash_bits"))
 
 
+def q_dd_simhash_pairs(spark, sf):
+    """SimHash near-pair search (operators/dedup.simhash_near_pairs): the
+    pigeonhole block join — 64 bits split into max_hamming+1 = 4 blocks,
+    any pair within the budget agrees on >=1 block, so the self-join key
+    is a 16-bit block value, never a cross product. The corpus has no
+    natural near-pairs, so twins are planted (every 50th doc duplicated at
+    id + 1M -> hamming 0); the oracle computes ground truth by exact
+    ALL-PAIRS hamming over its own md5-reproduced fingerprints — a recall
+    loss in the block join (missed pair) or a phantom pair fails the
+    hash. Fingerprint equality itself is pinned by dd_simhash."""
+    from vastdb_sdk_spark.operators.dedup import simhash, simhash_near_pairs
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    twins = d.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    aug = d.unionByName(twins)
+    fp = simhash(aug, "text", "doc_id", hash_fn="md5")
+    return simhash_near_pairs(fp, max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # multimodal decode stub through mapInPandas (oracle: same md5 arithmetic in
 # SQL — proves the Python-side batch plumbing produces exactly the declared
@@ -2384,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": q_skew_salted_join,
         "ann_ivf_knn_join": q_ann_ivf_knn_join,
         "mm_frame_sample": q_mm_frame_sample,
+        "dd_simhash_pairs": q_dd_simhash_pairs,
         # -- oldest driver greens (rounds 2-3), due for re-validation -----
         "w1_topk_per_group": q_w1_topk_per_group,
         "w2_running_sum": q_w2_running_sum,
@@ -2415,9 +2437,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash": q_dd_simhash,
         "dd_lsh_pairs": q_dd_lsh_pairs,
         "tx_token_stats": q_tx_token_stats,
-        "tx_quality": q_tx_quality,
         # ---- window boundary (driver gates the 50 entries above) --------
         # -- round-2/3 greens that didn't fit the window ------------------
+        "tx_quality": q_tx_quality,
         "tx_langid": q_tx_langid,
         "mm_decode_stub": q_mm_decode_stub,
         "mm_blob_meta": q_mm_blob_meta,
@@ -2501,9 +2523,9 @@ def _mh_base_sql(var: str) -> str:
     return f"(({terms}) % 2147483647)"
 
 
-def _simhash_oracle_sql() -> str:
+def _simhash_oracle_sql(source: str = "documents") -> str:
     """Generated 64-bit-vote SimHash SQL (same hex-nibble arithmetic as the
-    Spark side)."""
+    Spark side). ``source`` is the table/CTE carrying (doc_id, text)."""
     tok = _SQL_TOKENS.format(c="text")
     votes = ",\n".join(
         f"SUM(((( strpos('0123456789abcdef', substr(h, {1 + j // 4}, 1)) - 1) >> {3 - j % 4}) & 1) * 2 - 1) AS v{j}"
@@ -2515,12 +2537,42 @@ def _simhash_oracle_sql() -> str:
     return f"""
         WITH ex AS (
             SELECT doc_id, md5(t) AS h
-            FROM (SELECT doc_id, unnest({tok}) AS t FROM documents)
+            FROM (SELECT doc_id, unnest({tok}) AS t FROM {source})
         ), agg AS (
             SELECT doc_id, {votes}
             FROM ex GROUP BY doc_id
         )
         SELECT doc_id, {bits} AS simhash_bits FROM agg
+    """
+
+
+def _simhash_pairs_oracle_sql() -> str:
+    """DuckDB twin of q_dd_simhash_pairs: same twin augmentation, exact
+    ALL-PAIRS hamming over the oracle-reproduced md5 fingerprints (the
+    pigeonhole path's ground truth: every pair with hamming <= 3, none
+    invented)."""
+    inner = _simhash_oracle_sql("corpus")
+    # splice the corpus CTE into the generated WITH
+    inner = inner.replace(
+        "WITH ex AS (",
+        """WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text
+            FROM documents WHERE doc_id % 50 = 0
+        ), ex AS (""",
+        1,
+    )
+    return f"""
+        WITH fps AS ({inner})
+        SELECT id_a, id_b, hamming FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_filter(range(1, 65),
+                        i -> substr(a.simhash_bits, CAST(i AS INT), 1)
+                          <> substr(b.simhash_bits, CAST(i AS INT), 1)))
+                        AS BIGINT) AS hamming
+            FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        ) WHERE hamming <= 3
     """
 
 
@@ -3227,6 +3279,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 7 <> 0 AND n_chars * 10 > 0
         """,
+        "dd_simhash_pairs": _simhash_pairs_oracle_sql(),
         "ann_ivf_topk": """
             SELECT CAST(10 AS BIGINT) AS k_returned, TRUE AS recall_ok
         """,
