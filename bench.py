@@ -90,6 +90,7 @@ HEADLINE = [
     "skew_salted_join",
     "ann_ivf_knn_join",
     "mm_frame_sample",
+    "range_join_purchases",
 ]
 
 
