@@ -1617,6 +1617,39 @@ def q_dd_simhash(spark, sf):
     return fp.select("doc_id", F.concat(*bits).alias("simhash_bits"))
 
 
+def q_range_join_purchases(spark, sf):
+    """Point-in-interval range join (operators/asof.range_join_bucketed):
+    purchases falling within [view.ts, view.ts + 1h] for the same user.
+    The interval explodes into 1h-wide buckets so the theta condition
+    becomes an equi-join on bucket + residual filter — a hash join, never
+    Spark's broadcast-nested-loop fallback for inequality joins. The
+    oracle runs the plain theta join in DuckDB. Timestamps follow the
+    engine's epoch-micros long convention."""
+    from vastdb_sdk_spark.operators.asof import range_join_bucketed
+
+    HOUR_US = 3_600_000_000
+    ev = _t(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.lit(HOUR_US)).alias("end_ts"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "value"
+    )
+    joined = range_join_bucketed(
+        purch, views,
+        left_point="p_ts", right_start="start_ts", right_end="end_ts",
+        bucket_width=HOUR_US,
+        extra_on=lambda l, r: l["p_user"] == r["v_user"],
+    )
+    return joined.groupBy("view_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def q_dd_simhash_pairs(spark, sf):
     """SimHash near-pair search (operators/dedup.simhash_near_pairs): the
     pigeonhole block join — 64 bits split into max_hamming+1 = 4 blocks,
@@ -2406,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_knn_join": q_ann_ivf_knn_join,
         "mm_frame_sample": q_mm_frame_sample,
         "dd_simhash_pairs": q_dd_simhash_pairs,
+        "range_join_purchases": q_range_join_purchases,
         # -- oldest driver greens (rounds 2-3), due for re-validation -----
         "w1_topk_per_group": q_w1_topk_per_group,
         "w2_running_sum": q_w2_running_sum,
@@ -2436,9 +2470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_ngram_overlap": q_dd_ngram_overlap,
         "dd_simhash": q_dd_simhash,
         "dd_lsh_pairs": q_dd_lsh_pairs,
-        "tx_token_stats": q_tx_token_stats,
         # ---- window boundary (driver gates the 50 entries above) --------
         # -- round-2/3 greens that didn't fit the window ------------------
+        "tx_token_stats": q_tx_token_stats,
         "tx_quality": q_tx_quality,
         "tx_langid": q_tx_langid,
         "mm_decode_stub": q_mm_decode_stub,
@@ -3280,6 +3314,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 7 <> 0 AND n_chars * 10 > 0
         """,
         "dd_simhash_pairs": _simhash_pairs_oracle_sql(),
+        "range_join_purchases": """
+            WITH v AS (
+                SELECT event_id AS view_id, user_id,
+                       epoch_us(ts) AS start_ts
+                FROM events WHERE event_type = 'view'
+            ), p AS (
+                SELECT user_id, epoch_us(ts) AS p_ts, value
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT view_id, COUNT(*) AS n_purchases,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM v JOIN p
+              ON p.user_id = v.user_id
+             AND p.p_ts >= v.start_ts
+             AND p.p_ts <= v.start_ts + 3600000000
+            GROUP BY view_id
+        """,
         "ann_ivf_topk": """
             SELECT CAST(10 AS BIGINT) AS k_returned, TRUE AS recall_ok
         """,
