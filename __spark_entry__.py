@@ -1617,6 +1617,21 @@ def q_dd_simhash(spark, sf):
     return fp.select("doc_id", F.concat(*bits).alias("simhash_bits"))
 
 
+def q_sessionize_batch(spark, sf):
+    """Gap-based sessionization (streaming/events.sessionize, built on
+    Spark's session_window) run in batch mode — the SAME function the
+    streaming tier uses, so the oracle pins the session semantics the
+    stream inherits. Spark's session range is [start, last_event + gap):
+    an event exactly gap later opens a NEW session, hence the oracle's
+    lag-diff split condition is >= gap. Oracle = classic lag + cumulative-
+    sum session reconstruction in SQL."""
+    from vastdb_sdk_spark.streaming.events import sessionize
+
+    ev = _t(spark, sf, "events")
+    s = sessionize(ev, gap="10 minutes", watermark="1 hour")
+    return s.select("user_id", "session_start", "session_end", "n_events")
+
+
 def q_range_join_purchases(spark, sf):
     """Point-in-interval range join (operators/asof.range_join_bucketed):
     purchases falling within [view.ts, view.ts + 1h] for the same user.
@@ -2440,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": q_mm_frame_sample,
         "dd_simhash_pairs": q_dd_simhash_pairs,
         "range_join_purchases": q_range_join_purchases,
+        "sessionize_batch": q_sessionize_batch,
         # -- oldest driver greens (rounds 2-3), due for re-validation -----
         "w1_topk_per_group": q_w1_topk_per_group,
         "w2_running_sum": q_w2_running_sum,
@@ -2469,9 +2485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_sig": q_dd_minhash_sig,
         "dd_ngram_overlap": q_dd_ngram_overlap,
         "dd_simhash": q_dd_simhash,
-        "dd_lsh_pairs": q_dd_lsh_pairs,
         # ---- window boundary (driver gates the 50 entries above) --------
         # -- round-2/3 greens that didn't fit the window ------------------
+        "dd_lsh_pairs": q_dd_lsh_pairs,
         "tx_token_stats": q_tx_token_stats,
         "tx_quality": q_tx_quality,
         "tx_langid": q_tx_langid,
@@ -3314,6 +3330,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 7 <> 0 AND n_chars * 10 > 0
         """,
         "dd_simhash_pairs": _simhash_pairs_oracle_sql(),
+        "sessionize_batch": """
+            WITH m AS (
+                SELECT user_id, ts,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                              OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id, ts,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sid
+        """,
         "range_join_purchases": """
             WITH v AS (
                 SELECT event_id AS view_id, user_id,

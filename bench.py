@@ -91,6 +91,7 @@ HEADLINE = [
     "ann_ivf_knn_join",
     "mm_frame_sample",
     "range_join_purchases",
+    "sessionize_batch",
 ]
 
 
