@@ -1113,6 +1113,30 @@ def q_a9_percentiles(spark, sf):
     )
 
 
+def q_a10_approx_percentile(spark, sf):
+    """approx_percentile (Greenwald-Khanna sketch), gated like a7: the
+    sketch value is engine-specific, so the output is the exact
+    interpolated percentile plus a boolean 'sketch within 5% of exact'
+    per group — the oracle computes the exact quantile and asserts the
+    flag. A sketch drift beyond tolerance flips the flag and fails the
+    hash."""
+    li = _t(spark, sf, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_exact"),
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.9), F.lit(1000)
+        ).alias("__p90_sketch"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "p90_exact",
+        (
+            F.abs(F.col("__p90_sketch") - F.col("p90_exact"))
+            <= 0.05 * F.abs(F.col("p90_exact"))
+        ).alias("within_tol"),
+    )
+
+
 def q_f6_levenshtein(spark, sf):
     """Edit-distance scalar (fuzzy matching primitive for entity
     resolution; same algorithm both engines)."""
@@ -2456,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash_pairs": q_dd_simhash_pairs,
         "range_join_purchases": q_range_join_purchases,
         "sessionize_batch": q_sessionize_batch,
+        "a10_approx_percentile": q_a10_approx_percentile,
         # -- oldest driver greens (rounds 2-3), due for re-validation -----
         "w1_topk_per_group": q_w1_topk_per_group,
         "w2_running_sum": q_w2_running_sum,
@@ -2484,9 +2509,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_fingerprint": q_dd_fingerprint,
         "dd_minhash_sig": q_dd_minhash_sig,
         "dd_ngram_overlap": q_dd_ngram_overlap,
-        "dd_simhash": q_dd_simhash,
         # ---- window boundary (driver gates the 50 entries above) --------
         # -- round-2/3 greens that didn't fit the window ------------------
+        "dd_simhash": q_dd_simhash,
         "dd_lsh_pairs": q_dd_lsh_pairs,
         "tx_token_stats": q_tx_token_stats,
         "tx_quality": q_tx_quality,
@@ -3330,6 +3355,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 7 <> 0 AND n_chars * 10 > 0
         """,
         "dd_simhash_pairs": _simhash_pairs_oracle_sql(),
+        "a10_approx_percentile": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact,
+                   TRUE AS within_tol
+            FROM lineitem GROUP BY l_returnflag
+        """,
         "sessionize_batch": """
             WITH m AS (
                 SELECT user_id, ts,
