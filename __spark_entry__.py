@@ -2450,10 +2450,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # at 51-57 last round), then the 5 whose query or oracle changed this
     # round (tpch_q12 + tx_pack_greedy oracle BIGINT casts; dd_simhash_fast
     # gate re-keyed off raw text; dd_embed_neardup + ann_rhp_topk now pass
-    # dim=64 explicitly), then the 38 oldest driver greens (rounds 2-3) for
-    # re-validation.  Every round-4 green trails behind the boundary; after
-    # this round all 103 registered queries have a committed driver-green
-    # row and nothing green is older than two rounds.
+    # dim=64 explicitly), then the 11 queries REGISTERED this round
+    # (resample/PII/contamination/skew/knn-join/frame-sample/simhash-pairs/
+    # range-join/sessionize/approx-percentile), then the 27 oldest driver
+    # greens (rounds 2-3) for re-validation.  Every round-4 green trails
+    # behind the boundary; after this round all 114 registered queries have
+    # a committed driver-green row.
     return {
         # -- never driver-gated (rounds 1-4) ------------------------------
         "p2_comparisons": q_p2_comparisons,
