@@ -9,6 +9,9 @@ the round-4 tpch_q12/tx_pack_greedy failure mode) are caught locally as a
 TYPE failure instead of being masked by Python-level stringification.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+       python tools/check_correctness.py [sf_dir] --window
+(--window restricts the run to the first 50 queries() entries — exactly
+the slice the driver's correctness gate reads.)
 """
 
 from __future__ import annotations
@@ -120,8 +123,13 @@ def spark_to_arrow(sdf) -> pa.Table:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    window_only = "--window" in args
+    args = [a for a in args if a != "--window"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if window_only:
+        only = set(list(entry_mod.queries())[:50]) | only
     if only:
         known = set(entry_mod.queries())
         resolved = set()
