@@ -100,6 +100,76 @@ def test_ivf_knn_join(spark):
         assert best.id_b == lid and best.cos_sim == 1.0
 
 
+def test_assign_probe_centroids_scales_to_1024(spark):
+    """The probe assignment must work at reference vector-index scale
+    (num_centroids >= 1024): centroids ride a broadcast variable into an
+    Arrow-batched mapInPandas, so plan size is O(1) in num_centroids —
+    the old literal-expression formulation hit JVM codegen limits here."""
+    import numpy as np
+
+    from vastdb_sdk_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
+    dim = len(emb.select("embedding").head()[0])
+    rng = np.random.default_rng(7)
+    centroids = rng.standard_normal((1024, dim))
+
+    out = similarity.assign_probe_centroids(emb, centroids, "embedding", nprobe=3)
+    # O(1) plan: no per-centroid constants leak into the plan text
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 20_000, "plan size must not grow with num_centroids"
+    rows = out.select("vec_id", "centroid_id").collect()
+    assert len(rows) == 50 * 3
+
+    # verify against a numpy reference for every row
+    got = {}
+    for r in rows:
+        got.setdefault(r.vec_id, []).append(r.centroid_id)
+    sample = {r.vec_id: np.asarray(r.embedding, float) for r in emb.collect()}
+    c_sq = (centroids * centroids).sum(axis=1)
+    for vid, vec in sample.items():
+        d2 = c_sq - 2.0 * (centroids @ vec)
+        want = list(np.argsort(d2, kind="stable")[:3])
+        assert got[vid] == want, f"probe mismatch for vec {vid}"
+
+
+def test_ivf_knn_join_1024_centroids(spark):
+    """End-to-end ivf_knn_join at num_centroids=1024 (synthetic centroids;
+    KMeans itself is orthogonal). Every vector's own row must survive as its
+    top match — assignment and equi-join agree on the same centroid."""
+    import numpy as np
+
+    from vastdb_sdk_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    dim = len(emb.select("embedding").head()[0])
+    rng = np.random.default_rng(11)
+    centroids = rng.standard_normal((1024, dim))
+
+    right = similarity.assign_probe_centroids(
+        emb, centroids, "embedding", nprobe=1
+    ).select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"), "centroid_id"
+    )
+    left = emb.limit(10).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a")
+    )
+    got = similarity.ivf_knn_join(left, right, centroids, k=1, nprobe=2).collect()
+    assert len(got) == 10
+    for r in got:
+        assert r.id_b == r.id_a and r.cos_sim == 1.0
+
+
+def test_rhp_signature_plane_bound(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from vastdb_sdk_spark.operators import similarity
+
+    with _pytest.raises(ValueError, match="at most 32 planes"):
+        similarity.rhp_signature_col("embedding", np.zeros((33, 4)))
+
+
 def test_table_history(clean_schema):
     data = pa.table({"a": pa.array([1, 2], pa.int64())})
     with clean_schema.transaction() as tx:

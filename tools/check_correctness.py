@@ -75,6 +75,8 @@ def canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if math.isinf(v):
+            return "inf" if v > 0 else "-inf"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return f"{v:.10g}"

@@ -23,7 +23,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity, distance_column, dot, l2sq
+from ..functions.vector import cosine_similarity, distance_column, dot
 
 
 def brute_force_topk(
@@ -48,8 +48,30 @@ def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((num_planes, dim))
 
 
+#: rhp_signature_col builds one literal plane array per hyperplane, so the
+#: generated expression tree is O(num_planes * dim) constants. 32 planes is a
+#: hard cap: beyond it the signature no longer fits comfortably in a long's
+#: sign-free bits AND the codegen'd constant pool grows past what the JVM
+#: compiles efficiently (same failure mode the IVF probe had before it moved
+#: to assign_probe_centroids). For wider signatures, band several 32-plane
+#: signatures instead (embedding_near_dup_pairs ``num_bands``).
+_MAX_RHP_PLANES = 32
+
+
 def rhp_signature_col(vec_col: str, planes: np.ndarray):
-    """Random-hyperplane signature as a long (bit i = sign(v . plane_i))."""
+    """Random-hyperplane signature as a long (bit i = sign(v . plane_i)).
+
+    Bounded at ``_MAX_RHP_PLANES`` (=32) planes: the planes are embedded as
+    literal expressions, so codegen size is O(num_planes * dim). That bound
+    keeps whole-stage codegen healthy; need more bits -> use banding, not a
+    wider signature."""
+    if len(planes) > _MAX_RHP_PLANES:
+        raise ValueError(
+            f"rhp_signature_col supports at most {_MAX_RHP_PLANES} planes "
+            f"(got {len(planes)}): planes are literal expressions and codegen "
+            "size is O(num_planes * dim). Split into bands "
+            "(embedding_near_dup_pairs num_bands) instead of widening."
+        )
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         d = dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in plane]))
@@ -241,6 +263,67 @@ def build_ivf_index(
     return model.transform(ml_df).drop("__features"), centroids
 
 
+def assign_probe_centroids(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    vec_col: str,
+    nprobe: int = 1,
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """Attach each row's ``nprobe`` nearest centroid ids (by squared L2),
+    emitting ``nprobe`` rows per input row with ``out_col: int``.
+
+    Scale design: the centroid matrix rides a Spark *broadcast variable*
+    (one copy per executor, NOT per task and NOT in the plan), and the
+    distance matrix is computed per Arrow batch in numpy via
+    ``mapInPandas`` — ``||x||^2 - 2 x.C^T + ||c||^2`` is one BLAS GEMM per
+    batch. This replaces an earlier pure-expression formulation that
+    embedded every centroid as literal constants: that was O(num_centroids
+    * dim) *codegen size*, which blows the JVM 64KB-method / constant-pool
+    limits near ~1k centroids regardless of data volume. The mapInPandas
+    path is O(1) plan size, zero shuffle, and handles num_centroids in the
+    tens of thousands (reference vector-index scale, vastdb/table.py:889-906).
+
+    Ties are broken toward the lower centroid id (stable argsort), matching
+    the old expression path's array_sort tie behavior."""
+    import pandas as pd
+
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    if nprobe > len(C):
+        raise ValueError(f"nprobe={nprobe} exceeds num_centroids={len(C)}")
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(C)
+    # fresh StructType — StructType.add mutates in place, and df.schema is a
+    # live reference to the DataFrame's cached schema object
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, IntegerType(), False)]
+    )
+    cols = [f.name for f in df.schema.fields if f.name != out_col]
+    vpos = cols.index(vec_col)
+    npb = int(nprobe)
+
+    def probe_batches(batches):
+        cent = bc.value
+        c_sq = (cent * cent).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, vpos]]
+            )
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; row term constant per
+            # row so it can't change the argsort — skip it.
+            d2 = c_sq[None, :] - 2.0 * (X @ cent.T)
+            order = np.argsort(d2, axis=1, kind="stable")[:, :npb]
+            rep = pdf.iloc[np.repeat(np.arange(len(pdf)), npb)].reset_index(drop=True)
+            rep[out_col] = order.reshape(-1).astype("int32")
+            yield rep
+
+    return df.mapInPandas(probe_batches, schema=out_schema)
+
+
 def ivf_knn_join(
     left: DataFrame,
     right: DataFrame,
@@ -254,25 +337,14 @@ def ivf_knn_join(
 ) -> DataFrame:
     """Approximate k-NN join for two LARGE sides (neither broadcastable):
     the right side must already carry ``centroid_id`` (build_ivf_index);
-    each left row is assigned to its ``nprobe`` nearest centroids (pure
-    expression math over the broadcast centroid constants), and the join is
+    each left row is assigned to its ``nprobe`` nearest centroids
+    (assign_probe_centroids — broadcast numpy centroid matrix + Arrow-batched
+    mapInPandas, O(1) plan size at any num_centroids), and the join is
     an equi-join on centroid_id — shuffle volume is O(rows * nprobe), never
     a cross product. Per-left-row top-k by cosine via window."""
     from pyspark.sql import Window as W
 
-    cand = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cid"),
-                l2sq(
-                    F.col(left_vec), F.array(*[F.lit(float(x)) for x in c])
-                ).alias("cdist"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    probes = F.slice(F.array_sort(cand, lambda a, b: F.when(a.cdist < b.cdist, -1).when(a.cdist > b.cdist, 1).otherwise(0)), 1, nprobe)
-    lhs = left.withColumn("centroid_id", F.explode(F.transform(probes, lambda p: p.cid)))
+    lhs = assign_probe_centroids(left, centroids, left_vec, nprobe=nprobe)
     sim = cosine_similarity(F.col(left_vec), F.col(right_vec))
     joined = lhs.join(right, "centroid_id").withColumn("cos_sim", sim)
     w = W.partitionBy(left_id).orderBy(F.col("cos_sim").desc(), F.col(right_id).asc())
