@@ -215,3 +215,11 @@ def test_expand_ip_ranges():
         "http://1.2.3.5/data",
         "http://1.2.3.6/data",
     ]
+    # an out-of-range port on a RANGED endpoint raises instead of silently
+    # passing the endpoint through unexpanded (typo-masking hazard)
+    for bad in ("http://1.2.3.1-2:0", "http://1.2.3.1-2:99999",
+                "http://1.2.3.1-2:123456"):
+        with pytest.raises(vastdb.InvalidArgument):
+            expand_ip_ranges([bad])
+    # non-ranged endpoints are never validated — verbatim pass-through
+    assert expand_ip_ranges(["http://1.2.3.4:99999"]) == ["http://1.2.3.4:99999"]

@@ -249,6 +249,45 @@ def test_asof_join_directions_match_pandas(spark, direction):
     assert got_m == exp_m
 
 
+def test_asof_join_fractional_on_column(spark):
+    """Double `on` keys must not truncate (pandas merge_asof allows float
+    keys): left 5.4 vs rights 5.0/5.6 — truncation to long ties them at 5
+    and mis-picks backward; true nearest is forward (5.6). The fractional
+    tolerance must likewise be applied to the untruncated distance."""
+    ldf = spark.createDataFrame([(1, 5.4)], "k LONG, ts DOUBLE")
+    rdf = spark.createDataFrame(
+        [(1, 5.0, 50.0), (1, 5.6, 56.0)], "k LONG, ts DOUBLE, v DOUBLE"
+    )
+    got = asof.asof_join(
+        ldf, rdf, on="ts", by="k", right_cols=["v"], direction="nearest"
+    )
+    assert got.collect()[0].v == 56.0
+    # tolerance 0.3: backward dist 0.4 exceeds it; old long-truncated math
+    # said |5-5|=0 and kept it
+    got2 = asof.asof_join(
+        ldf, rdf, on="ts", by="k", right_cols=["v"],
+        direction="backward", tolerance=0.3,
+    )
+    assert got2.collect()[0].v is None
+    # pandas oracle over a denser fractional grid
+    left = [(1, t / 7.0) for t in range(0, 40, 3)]
+    right = [(1, t / 5.0, float(t)) for t in range(0, 25, 2)]
+    ldf2 = spark.createDataFrame(left, "k LONG, ts DOUBLE")
+    rdf2 = spark.createDataFrame(right, "k LONG, ts DOUBLE, v DOUBLE")
+    got3 = asof.asof_join(
+        ldf2, rdf2, on="ts", by="k", right_cols=["v"],
+        direction="nearest", tolerance=0.25,
+    )
+    got_m = {round(r.ts, 9): r.v for r in got3.collect()}
+    lp = pd.DataFrame(left, columns=["k", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right, columns=["k", "ts", "v"]).sort_values("ts")
+    exp = pd.merge_asof(lp, rp, on="ts", by="k", direction="nearest", tolerance=0.25)
+    exp_m = {
+        round(r.ts, 9): (None if pd.isna(r.v) else r.v) for r in exp.itertuples()
+    }
+    assert got_m == exp_m
+
+
 @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 def test_asof_join_direction_tolerance_matches_pandas(spark, direction):
     left = [(1, t) for t in range(0, 200, 35)]

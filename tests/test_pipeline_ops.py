@@ -105,19 +105,33 @@ def test_resample_to_mix_proportions(spark):
 
 
 def test_resample_to_mix_drops_unlisted_and_is_deterministic(spark):
-    rows = [(i, ["en", "de", "xx"][i % 3]) for i in range(300)]
+    # unequal strata so the non-binding one (en, 200 rows) actually gets
+    # thresholded: scale = min(200/0.5, 100/0.5) = 200 -> thr_en = 5000,
+    # thr_de = 10000 (kept whole)
+    rows = [(i, ["en", "en", "de", "xx"][i % 4]) for i in range(400)]
     df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
     out1 = sorted(r.doc_id for r in resample_to_mix(df, "doc_id", "lang", {"en": 0.5, "de": 0.5}).collect())
     out2 = sorted(r.doc_id for r in resample_to_mix(df, "doc_id", "lang", {"en": 0.5, "de": 0.5}).collect())
     assert out1 == out2
-    langs = {r.lang for r in resample_to_mix(df, "doc_id", "lang", {"en": 0.5, "de": 0.5}).collect()}
-    assert "xx" not in langs
-    # membership is the documented hash arithmetic — subset of hash_sample
     kept = set(out1)
-    for i in range(0, 300, 3):  # en rows
+    assert "xx" not in {lang for i, lang in rows if i in kept}
+    # membership is EXACTLY the documented hash arithmetic: recompute the
+    # per-stratum thresholds and assert kept <=> bucket < threshold
+    import math
+
+    counts = {"en": 200, "de": 100}
+    scale = min(n / 0.5 for n in counts.values())
+    thr = {s: math.floor(scale * 0.5 / n * 10_000) for s, n in counts.items()}
+    assert thr == {"en": 5000, "de": 10000}
+    for i, lang in rows:
         bucket = ((i % 3_037_000_493) * 2654435761) % 10_000
-        if i in kept:
-            assert bucket < 10_000  # sanity: kept rows obey the threshold shape
+        if lang in thr:
+            assert (i in kept) == (bucket < thr[lang]), (i, lang, bucket)
+        else:
+            assert i not in kept
+    # and the binding stratum must be kept whole while en actually shrinks
+    assert sum(1 for i, l in rows if l == "de" and i in kept) == 100
+    assert 0 < sum(1 for i, l in rows if l == "en" and i in kept) < 200
 
 
 def test_resample_to_mix_empty_weights_raises(spark):

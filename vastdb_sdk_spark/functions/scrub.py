@@ -25,14 +25,17 @@ from pyspark.sql import functions as F
 # Pattern design notes:
 # - EMAIL: local part per RFC-lite; TLD >= 2 alpha.
 # - URL: scheme to first whitespace — intentionally greedy; redacting too
-#   much of a URL is safe, leaking part of one is not.
+#   much of a URL is safe, leaking part of one is not. Whitespace is an
+#   EXPLICIT character class, not \s: Java's \s includes \x0b (vertical
+#   tab) while RE2's does not, so `[^\s]+` would redact differently across
+#   Spark and DuckDB on text containing vertical tabs.
 # - IPV4: dotted quad with word boundaries; octet-range validation (<=255)
 #   is NOT regex-encoded — a false positive redaction is harmless.
 # - PHONE: international-ish +CC-NNN-NNNN with -/./space separators; kept
 #   narrow on purpose (digit runs in scientific text shouldn't be eaten).
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "url": r"https?://[^\s]+",
+    "url": "https?://[^ \\t\\n\\r\\f\\x0b]+",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
     "phone": r"\+\d{1,3}[-. ]\d{3}[-. ]\d{4}",
 }

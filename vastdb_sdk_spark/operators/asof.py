@@ -48,6 +48,16 @@ def asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown asof direction: {direction!r}")
+    # distance/tolerance arithmetic type: integral `on` stays long (full
+    # int64 precision for epoch-micros); fractional `on` (float/double/
+    # decimal, pandas merge_asof allows both) must NOT truncate — a left at
+    # 5.4 with rights at 5.0/5.6 would tie at long precision and mis-pick.
+    from pyspark.sql.types import DecimalType, DoubleType, FloatType
+
+    _on_t = left.schema[on].dataType
+    arith_t = (
+        "double" if isinstance(_on_t, (FloatType, DoubleType, DecimalType)) else "long"
+    )
     by = [by] if isinstance(by, str) else list(by)
     right_cols = right_cols or [c for c in right.columns if c not in by + [on]]
 
@@ -63,7 +73,7 @@ def asof_join(
     lhs_aligned = lhs.select(
         *by,
         F.col(on),
-        F.lit(None).cast("long").alias("__r_on"),
+        F.lit(None).cast(arith_t).alias("__r_on"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(rc) for c, rc in zip(right_cols, carried)],
         "__side",
         F.struct(*left.columns).alias("__l"),
@@ -71,7 +81,7 @@ def asof_join(
     rhs_aligned = rhs.select(
         *by,
         F.col(on),
-        F.col(on).cast("long").alias("__r_on"),
+        F.col(on).cast(arith_t).alias("__r_on"),
         *[F.col(c).alias(rc) for c, rc in zip(right_cols, carried)],
         "__side",
         F.lit(None).cast(lhs_aligned.schema["__l"].dataType).alias("__l"),
@@ -105,7 +115,7 @@ def asof_join(
         ]
     filled = unioned.select(*cols).filter(F.col("__side") == 1)
 
-    lon = F.col(on).cast("long")
+    lon = F.col(on).cast(arith_t)
     if direction == "nearest":
         b_ok = F.col("__b_on").isNotNull()
         f_ok = F.col("__f_on").isNotNull()

@@ -20,7 +20,7 @@ from .errors import InvalidArgument
 _RANGE_RE = re.compile(
     r"^(?P<base>[a-z][a-z0-9+.-]*://\d{1,3}\.\d{1,3}\.\d{1,3})"
     r"\.(?P<lo>\d{1,3})-(?P<hi>\d{1,3})"
-    r"(?P<suffix>(?::\d{1,5})?(?:/[^\s]*)?)$"
+    r"(?P<suffix>(?::(?P<port>\d+))?(?:/[^\s]*)?)$"
 )
 
 
@@ -41,6 +41,14 @@ def expand_ip_ranges(endpoints: list[str]) -> list[str]:
         if lo > hi:
             raise InvalidArgument(
                 f"invalid last-octet range {lo}-{hi} in {endpoint!r}"
+            )
+        # a ranged endpoint with a nonsense port must raise, not silently
+        # pass through unexpanded (that would mask a typo in an endpoint
+        # list); non-ranged endpoints are still passed through untouched
+        port = m.group("port")
+        if port is not None and not 1 <= int(port) <= 65535:
+            raise InvalidArgument(
+                f"invalid port {port!r} in ranged endpoint {endpoint!r}"
             )
         suffix = m.group("suffix") or ""
         out.extend(
