@@ -2027,7 +2027,15 @@ def q_e13_engine_zorder(spark, sf):
 def q_e4_engine_dml(spark, sf):
     """Engine DML under the oracle gate: delete all 'F'-status orders by
     $row_id, zero out 1-URGENT totals via update, then scan. The oracle
-    reproduces the end state with WHERE + CASE over the pristine table."""
+    reproduces the end state with WHERE + CASE over the pristine table.
+
+    NOTE — not the recommended pattern at scale: collecting $row_id to the
+    driver mirrors the reference's client API shape (update/delete take
+    client-supplied rowids, vastdb/table.py:779-843) and is exercised here
+    for parity. At 100 TB use predicate DML — ``delete_where`` /
+    ``update_where`` (table.py delete_where/update_where), fully
+    distributed, no driver collect — gated by e8_engine_predicate_dml,
+    which produces this exact same end state."""
     import tempfile
 
     import pyarrow as pa
@@ -2092,7 +2100,12 @@ def q_e5_engine_projection(spark, sf):
 def q_e6_engine_snapshot(spark, sf):
     """Snapshot time travel under the gate: snapshot the imported state,
     then delete everything from the live table — the snapshot still reads
-    the pristine rows the oracle sees."""
+    the pristine rows the oracle sees.
+
+    NOTE — the id-collecting delete here is gate-sized reference parity
+    (client-supplied rowids, vastdb/table.py:779-843); the scale path for
+    "delete everything matching P" is ``delete_where`` (distributed, no
+    driver collect) — see e8_engine_predicate_dml."""
     import tempfile
 
     import pyarrow as pa
@@ -2445,74 +2458,21 @@ def q_e2_engine_sql(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate reads a 50-query
-    # window from the front of this dict.  Round-5 rotation: first the 7
-    # entries that have NEVER had a driver-green row (p2-p7, p11 — queued
-    # at 51-57 last round), then the 5 whose query or oracle changed this
-    # round (tpch_q12 + tx_pack_greedy oracle BIGINT casts; dd_simhash_fast
-    # gate re-keyed off raw text; dd_embed_neardup + ann_rhp_topk now pass
-    # dim=64 explicitly), then the 11 queries REGISTERED this round
-    # (resample/PII/contamination/skew/knn-join/frame-sample/simhash-pairs/
-    # range-join/sessionize/approx-percentile), then the 27 oldest driver
-    # greens (rounds 2-3) for re-validation.  Every round-4 green trails
-    # behind the boundary; after this round all 114 registered queries have
-    # a committed driver-green row.
+    # window from the front of this dict.  Round-6 rotation policy: (1) any
+    # query whose implementation changed this round goes first
+    # (ann_ivf_knn_join — IVF probe moved to broadcast mapInPandas;
+    # tx_pii_scrub — URL pattern whitespace class; asof_last_purchase —
+    # distance arithmetic type), then (2) queries ordered by the age of
+    # their last driver-green row, stalest first: the 19 round-3 greens,
+    # then 28 of the 45 round-4 greens.  The 17 round-4 greens that don't
+    # fit sit directly after the boundary and lead the round-7 window, so
+    # no entry's latest green ever ages past ~3 rounds.
     return {
-        # -- never driver-gated (rounds 1-4) ------------------------------
-        "p2_comparisons": q_p2_comparisons,
-        "p3_between": q_p3_between,
-        "p4_isin": q_p4_isin,
-        "p5_isnull": q_p5_isnull,
-        "p6_startswith": q_p6_startswith,
-        "p7_contains": q_p7_contains,
-        "p11_false_predicate": q_p11_false_predicate,
-        # -- query or oracle changed this round ---------------------------
-        "tpch_q12": q_tpch_q12,
-        "tx_pack_greedy": q_tx_pack_greedy,
-        "dd_simhash_fast": q_dd_simhash_fast,
-        "dd_embed_neardup": q_dd_embed_neardup,
-        "ann_rhp_topk": q_ann_rhp_topk,
-        # -- new this round (registered + oracled) ------------------------
-        "ds_resample_mix": q_ds_resample_mix,
-        "tx_pii_scrub": q_tx_pii_scrub,
-        "dd_contamination": q_dd_contamination,
-        "skew_salted_agg": q_skew_salted_agg,
-        "skew_salted_join": q_skew_salted_join,
+        # -- code changed in round 6 (IVF probe, PII pattern, asof math) ---
         "ann_ivf_knn_join": q_ann_ivf_knn_join,
-        "mm_frame_sample": q_mm_frame_sample,
-        "dd_simhash_pairs": q_dd_simhash_pairs,
-        "range_join_purchases": q_range_join_purchases,
-        "sessionize_batch": q_sessionize_batch,
-        "a10_approx_percentile": q_a10_approx_percentile,
-        # -- oldest driver greens (rounds 2-3), due for re-validation -----
-        "w1_topk_per_group": q_w1_topk_per_group,
-        "w2_running_sum": q_w2_running_sum,
-        "w3_lag_delta": q_w3_lag_delta,
-        "w4_dense_rank": q_w4_dense_rank,
-        "w5_first_last": q_w5_first_last,
-        "w6_ntile": q_w6_ntile,
-        "w7_event_time_window": q_w7_event_time_window,
-        "w8_attribution_join": q_w8_attribution_join,
-        "set1_union": q_set1_union,
-        "set2_intersect": q_set2_intersect,
-        "set3_except": q_set3_except,
-        "f1_json_expansion": q_f1_json_expansion,
-        "f2_string_funcs": q_f2_string_funcs,
-        "f3_date_funcs": q_f3_date_funcs,
-        "f4_conditional": q_f4_conditional,
-        "f5_array_agg": q_f5_array_agg,
-        "f6_levenshtein": q_f6_levenshtein,
-        "a6_cube": q_a6_cube,
-        "a8_grouping_sets": q_a8_grouping_sets,
-        "a9_percentiles": q_a9_percentiles,
-        "o5_vector_topk_l2": q_o5_vector_topk_l2,
-        "ann_cosine_topk": q_ann_cosine_topk,
+        "tx_pii_scrub": q_tx_pii_scrub,
         "asof_last_purchase": q_asof_last_purchase,
-        "dd_exact": q_dd_exact,
-        "dd_fingerprint": q_dd_fingerprint,
-        "dd_minhash_sig": q_dd_minhash_sig,
-        "dd_ngram_overlap": q_dd_ngram_overlap,
-        # ---- window boundary (driver gates the 50 entries above) --------
-        # -- round-2/3 greens that didn't fit the window ------------------
+        # -- oldest driver greens (round 3) — stalest first ----------------
         "dd_simhash": q_dd_simhash,
         "dd_lsh_pairs": q_dd_lsh_pairs,
         "tx_token_stats": q_tx_token_stats,
@@ -2532,7 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "j1_star_join_revenue": q_j1_star_join_revenue,
         "s1_scan_project": q_s1_scan_project,
-        # -- driver-green in CORRECTNESS_r04 ------------------------------
+        # -- round-4 greens, first 28 (rest queued for round 7) ------------
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
@@ -2560,6 +2520,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_anti_join": q_j3_anti_join,
         "j4_outer_join_counts": q_j4_outer_join_counts,
         "a2_count_distinct": q_a2_count_distinct,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        # ---- window boundary (driver gates the 50 entries above) --------
+        # -- round-4 greens deferred to the round-7 window -----------------
         "a3_having": q_a3_having,
         "a4_rollup": q_a4_rollup,
         "a5_conditional_agg": q_a5_conditional_agg,
@@ -2575,9 +2538,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "el3_sorted_conjunction": q_el3_sorted_conjunction,
         "el4_sorted_or_ranges": q_el4_sorted_or_ranges,
         "el5_sorted_isin": q_el5_sorted_isin,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "p8_struct_field": q_p8_struct_field,
         "p10_literals": q_p10_literals,
+        # -- round-5 greens (freshest; re-enter the window in round 7+) ----
+        "p2_comparisons": q_p2_comparisons,
+        "p3_between": q_p3_between,
+        "p4_isin": q_p4_isin,
+        "p5_isnull": q_p5_isnull,
+        "p6_startswith": q_p6_startswith,
+        "p7_contains": q_p7_contains,
+        "p11_false_predicate": q_p11_false_predicate,
+        "tpch_q12": q_tpch_q12,
+        "tx_pack_greedy": q_tx_pack_greedy,
+        "dd_simhash_fast": q_dd_simhash_fast,
+        "dd_embed_neardup": q_dd_embed_neardup,
+        "ann_rhp_topk": q_ann_rhp_topk,
+        "ds_resample_mix": q_ds_resample_mix,
+        "dd_contamination": q_dd_contamination,
+        "skew_salted_agg": q_skew_salted_agg,
+        "skew_salted_join": q_skew_salted_join,
+        "mm_frame_sample": q_mm_frame_sample,
+        "dd_simhash_pairs": q_dd_simhash_pairs,
+        "range_join_purchases": q_range_join_purchases,
+        "sessionize_batch": q_sessionize_batch,
+        "a10_approx_percentile": q_a10_approx_percentile,
+        "w1_topk_per_group": q_w1_topk_per_group,
+        "w2_running_sum": q_w2_running_sum,
+        "w3_lag_delta": q_w3_lag_delta,
+        "w4_dense_rank": q_w4_dense_rank,
+        "w5_first_last": q_w5_first_last,
+        "w6_ntile": q_w6_ntile,
+        "w7_event_time_window": q_w7_event_time_window,
+        "w8_attribution_join": q_w8_attribution_join,
+        "set1_union": q_set1_union,
+        "set2_intersect": q_set2_intersect,
+        "set3_except": q_set3_except,
+        "f1_json_expansion": q_f1_json_expansion,
+        "f2_string_funcs": q_f2_string_funcs,
+        "f3_date_funcs": q_f3_date_funcs,
+        "f4_conditional": q_f4_conditional,
+        "f5_array_agg": q_f5_array_agg,
+        "f6_levenshtein": q_f6_levenshtein,
+        "a6_cube": q_a6_cube,
+        "a8_grouping_sets": q_a8_grouping_sets,
+        "a9_percentiles": q_a9_percentiles,
+        "o5_vector_topk_l2": q_o5_vector_topk_l2,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "dd_exact": q_dd_exact,
+        "dd_fingerprint": q_dd_fingerprint,
+        "dd_minhash_sig": q_dd_minhash_sig,
+        "dd_ngram_overlap": q_dd_ngram_overlap,
     }
 
 

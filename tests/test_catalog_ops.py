@@ -395,6 +395,49 @@ def test_blob_expansion_missing_excessive_and_alter(clean_schema):
         assert byid[1].zz is True and byid[1].missing_keys == []
 
 
+def test_blob_expansion_alter_idempotent_and_backfills(clean_schema):
+    """Reference parity (vastdb/tests/test_blob_expansion.py:105-220):
+    add-existing / drop-missing succeed silently, and — the delta our
+    derived-view design makes stronger than the reference daemon — a column
+    added AFTER rows were inserted is backfilled for those old rows too,
+    while a dropped column retires for all rows immediately."""
+    old = pa.table(
+        {
+            "id": pa.array([1], pa.int64()),
+            "j": pa.array(['{"a": 1, "b": 10, "c": "old"}']),
+        }
+    )
+    new = pa.table(
+        {
+            "id": pa.array([2], pa.int64()),
+            "j": pa.array(['{"a": 2, "b": 20, "c": "new"}']),
+        }
+    )
+    target = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("b", old.schema)
+        t.insert(old)
+        t.create_blob_expansion(
+            "exp", source_column="j", target_schema=target, copy_source=False
+        )
+        # idempotent alters: re-add an existing column, drop a missing one
+        t.alter_blob_expansion("exp", add_columns=pa.schema([("a", pa.int64())]))
+        t.alter_blob_expansion("exp", drop_columns=["nope"])
+        df = t.blob_expansion_df("exp")
+        assert df.columns == ["a", "b"]
+        # add c / drop b, then insert another row: c is backfilled for the
+        # pre-alter row, b is retired for every row
+        t.alter_blob_expansion(
+            "exp", add_columns=pa.schema([("c", pa.string())]), drop_columns=["b"]
+        )
+        t.insert(new)
+        rows = {r.a: r for r in t.blob_expansion_df("exp").collect()}
+        assert set(t.blob_expansion_df("exp").columns) == {"a", "c"}
+        assert rows[1].c == "old" and rows[2].c == "new"
+        # dropping the same column again is still silent
+        t.alter_blob_expansion("exp", drop_columns=["b"])
+
+
 # -- paginated listings (reference: _internal.py list_* protocol) -----------
 
 

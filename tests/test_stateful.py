@@ -89,6 +89,107 @@ def test_threshold_alerts_streaming(spark, tmp_path):
         assert r.score >= 500.0
 
 
+def test_sessionize_stateful_matches_batch_twin(spark, tmp_path):
+    """The applyInPandasWithState sessionizer over a REPLAYED MULTI-BATCH
+    stream (3 chronological files, maxFilesPerTrigger=1 — state genuinely
+    crosses micro-batch boundaries) must equal the batch twin
+    (streaming/events.sessionize, i.e. built-in session_window) exactly.
+    A per-user sentinel event at max_ts + gap in the final file drains
+    every real session (the documented cutover-flush pattern); sentinel
+    sessions themselves stay open in state and are never emitted."""
+    import pyarrow.parquet as pq
+
+    from vastdb_sdk_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        read_event_stream,
+        sessionize,
+    )
+    from vastdb_sdk_spark.streaming.stateful import sessionize_stateful
+
+    GAP_US = 10 * 60 * 1_000_000
+    ev = _events(spark)
+    rows = ev.select("event_id", "ts", "user_id").collect()
+    assert len(rows) > 100
+    max_ts = max(r.ts for r in rows)
+    users = sorted({r.user_id for r in rows})
+    flush_ts = max_ts + 2 * GAP_US
+
+    # three chronological files + the flush file; written in order so the
+    # file stream (oldest-mtime-first) replays them chronologically
+    import time as _time
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    ordered = sorted(rows, key=lambda r: r.ts)
+    cut = len(ordered) // 3
+    parts = [ordered[:cut], ordered[cut : 2 * cut], ordered[2 * cut :]]
+    parts[2] = parts[2] + [None]  # marker: flush events ride the last file
+    for i, part in enumerate(parts):
+        data = [r for r in part if r is not None]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r.event_id for r in data], pa.int64()),
+                "ts": pa.array([r.ts for r in data], pa.int64()),
+                "user_id": pa.array([r.user_id for r in data], pa.int64()),
+                "event_type": pa.array(["x"] * len(data)),
+                "value": pa.array([0.0] * len(data)),
+                "props": pa.array([""] * len(data)),
+            }
+        )
+        if None in part:
+            flush = pa.table(
+                {
+                    "event_id": pa.array(
+                        [10**12 + u for u in users], pa.int64()
+                    ),
+                    "ts": pa.array([flush_ts] * len(users), pa.int64()),
+                    "user_id": pa.array(users, pa.int64()),
+                    "event_type": pa.array(["__flush"] * len(users)),
+                    "value": pa.array([0.0] * len(users)),
+                    "props": pa.array([""] * len(users)),
+                }
+            )
+            tbl = pa.concat_tables([tbl, flush])
+        pq.write_table(tbl, str(src / f"part-{i:02d}.parquet"))
+        _time.sleep(0.05)  # distinct mtimes => deterministic replay order
+
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    sess = sessionize_stateful(stream, gap_us=GAP_US)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_stateful")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_stateful").collect()
+    }
+
+    # batch twin: the very same sessionize the sessionize_batch gate runs
+    # (session_window), over the REAL events only — no sentinels
+    batch = (
+        spark.read.schema(EVENTS_SCHEMA)
+        .parquet(str(src))
+        .filter(F.col("event_type") != "__flush")
+    )
+    twin = sessionize(batch, gap="10 minutes", watermark="1 hour")
+    exp = {
+        (
+            r.user_id,
+            int(r.session_start.timestamp() * 1_000_000),
+            int(r.session_end.timestamp() * 1_000_000),
+            r.n_events,
+        )
+        for r in twin.collect()
+    }
+    assert len(exp) > 10
+    assert got == exp
+
+
 def test_catalog_as_table(clean_schema):
     with clean_schema.transaction() as tx:
         tx.bucket("bkt").schema("s").create_table(

@@ -100,3 +100,85 @@ def threshold_alerts(
             timeoutConf=timeout_conf,
         )
     )
+
+
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.LongType()),  # epoch micros
+        T.StructField("session_end", T.LongType()),    # last event's ts
+        T.StructField("n_events", T.IntegerType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start", T.LongType()),
+        T.StructField("end", T.LongType()),
+        T.StructField("n", T.IntegerType()),
+    ]
+)
+
+
+def sessionize_stateful(events: DataFrame, gap_us: int) -> DataFrame:
+    """Gap sessionization as a custom per-key state machine
+    (applyInPandasWithState) — the Python-stateful twin of
+    ``streaming/events.sessionize`` (built-in session_window).
+
+    Semantics match session_window's split rule: an event exactly ``gap_us``
+    after the previous one opens a NEW session (diff >= gap closes).
+    Emitted ``session_start``/``session_end`` are the first/last event's
+    epoch-micros ts, same shape the batch twin aggregates with min/max.
+
+    State is O(1) per key: exactly one open (start, end, n) triple; a
+    session is emitted the moment an in-gap-violating event arrives, and
+    the trailing session per key stays open in state (drain a finite
+    replay by appending one sentinel event per key at
+    ``max_ts + gap_us``, which closes every real session and itself
+    remains the never-emitted open session — the standard cutover flush).
+
+    REQUIRES per-key ts-ordered arrival across micro-batches (e.g. a
+    date-partitioned replay with maxFilesPerTrigger=1); events within one
+    batch are sorted here, but a later batch carrying earlier timestamps
+    would mis-split. For out-of-order streams use
+    ``streaming/events.sessionize`` (session_window + watermark), which
+    merges late events server-side."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout below
+            state.remove()
+            return
+        cur = state.get if state.exists else None  # (start, end, n)
+        closed = []
+        # a key's rows can arrive as several Arrow chunks within one
+        # micro-batch; order is only guaranteed after a global batch sort
+        for ts in sorted(int(t) for pdf in pdfs for t in pdf["ts"]):
+            if cur is None:
+                cur = (ts, ts, 1)
+            elif ts - cur[1] >= gap_us:
+                closed.append((user_id, cur[0], cur[1], cur[2]))
+                cur = (ts, ts, 1)
+            else:
+                cur = (cur[0], max(cur[1], ts), cur[2] + 1)
+        if cur is not None:
+            state.update(cur)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            )
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

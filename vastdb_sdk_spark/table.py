@@ -2252,7 +2252,20 @@ class Table:
         drop_columns: list[str] | None = None,
     ) -> None:
         """Add/drop expansion target columns (reference: alter/add/drop
-        expansion columns, vastdb/table.py:1173-1215)."""
+        expansion columns, vastdb/table.py:1173-1215). Both directions are
+        idempotent, matching the reference's contract — adding an existing
+        column and dropping a missing one succeed silently
+        (vastdb/tests/test_blob_expansion.py: add_already_added_columns,
+        drop_already_dropped_columns, drop_non_existent_columns).
+
+        Semantic delta vs the reference: there the server's expansion
+        daemon continuously parses blobs into a physical target table
+        (vastdb/_internal.py:2109-2402), so an added column starts NULL
+        until rows are re-processed. Here the expansion is a derived view
+        recomputed from the live source column at query time
+        (``blob_expansion_df``), so an added column is immediately
+        backfilled for ALL rows — past and future inserts alike — and a
+        dropped column disappears immediately."""
         entry = TableEntry.from_json(self.entry.to_json())
         cfg = entry.blob_expansions.get(name)
         if cfg is None:
@@ -2260,13 +2273,11 @@ class Table:
         target = schema_from_b64(cfg["target_schema_b64"])
         for col in drop_columns or []:
             idx = target.get_field_index(col)
-            if idx < 0:
-                raise InvalidArgument(f"expansion has no column {col!r}")
-            target = target.remove(idx)
+            if idx >= 0:
+                target = target.remove(idx)
         for f in add_columns or []:
-            if f.name in target.names:
-                raise InvalidArgument(f"expansion column {f.name!r} already exists")
-            target = target.append(f)
+            if f.name not in target.names:
+                target = target.append(f)
         cfg["target_schema_b64"] = schema_to_b64(target)
         self._mutate(entry, "alter_blob_expansion", name=name)
 
