@@ -2452,6 +2452,82 @@ def q_e2_engine_sql(spark, sf):
     )
 
 
+def q_tx_repetition(spark, sf):
+    """Gopher-family intra-document repetition stats (functions/text.
+    dup_ngram_fraction; Rae et al. 2021 §A1.1 "duplicate n-gram fraction"
+    quality filters): per doc, the fraction of 2-gram and 3-gram
+    occurrences that repeat an earlier occurrence. Pure array HOFs over a
+    staged token column — zero shuffle, zero Python, one codegen'd map.
+    Fractions ROUND(4) like tx_quality; exact gram counts ride along as
+    ints so the hash pins the arithmetic, not just the rounding."""
+    from vastdb_sdk_spark.functions.text import dup_ngram_fraction, shingles_from_tokens
+
+    d = _t(spark, sf, "documents")
+    staged = d.select("doc_id", _tokens(F.col("text")).alias("tk"))
+    g2 = shingles_from_tokens(F.col("tk"), 2)
+    return staged.select(
+        "doc_id",
+        F.size("tk").alias("n_tokens"),
+        F.size(g2).alias("n_2grams"),
+        F.size(F.array_distinct(g2)).alias("n_2grams_distinct"),
+        F.round(dup_ngram_fraction(F.col("tk"), 2), 4).alias("dup_2gram_frac"),
+        F.round(dup_ngram_fraction(F.col("tk"), 3), 4).alias("dup_3gram_frac"),
+    )
+
+
+def q_tx_chunk_windows(spark, sf):
+    """Fixed-token-window chunking with overlap (operators/sampling.
+    chunk_fixed_tokens — the context-window assembly step of a training/
+    RAG pipeline): size=64, overlap=8 over every 5th doc. Chunk ids come
+    from sequence+explode, the text from one array slice — per-row
+    arithmetic only, zero shuffle; output volume is O(n_tokens/stride).
+    The oracle rebuilds the identical chunks with DuckDB list slicing
+    (both engines: 1-based, end-clamped)."""
+    from vastdb_sdk_spark.operators.sampling import chunk_fixed_tokens
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    return chunk_fixed_tokens(d, text_col="text", size=64, overlap=8)
+
+
+def q_dd_dup_clusters(spark, sf):
+    """Connected components over an exact-duplicate pair list
+    (operators/dedup.dup_clusters): twin CHAINS are planted (every 10th
+    doc copied at +1M and +2M), md5-equality self-join yields the pair
+    set, and the operator's iterative min-label propagation must label
+    each 3-node component with its minimum doc_id. The oracle computes
+    ground-truth components with a recursive CTE over the identical pair
+    set — a propagation bug (missed round, wrong join side, bad
+    convergence test) splits or mislabels a component and fails the hash.
+    At scale the pair generation would be exact_duplicate_groups (one
+    groupBy, no self-join); the self-join here keeps the oracle pair set
+    bit-identical."""
+    from vastdb_sdk_spark.operators.dedup import dup_clusters
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    tw = d.filter(F.col("doc_id") % 10 == 0)
+    aug = (
+        d.unionByName(
+            tw.select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text")
+        )
+        .unionByName(
+            tw.select((F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"), "text")
+        )
+    )
+    h = aug.select("doc_id", F.md5("text").alias("h"))
+    pairs = (
+        h.alias("a")
+        .join(
+            h.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    return dup_clusters(pairs)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2462,16 +2538,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query whose implementation changed this round goes first
     # (ann_ivf_knn_join — IVF probe moved to broadcast mapInPandas;
     # tx_pii_scrub — URL pattern whitespace class; asof_last_purchase —
-    # distance arithmetic type), then (2) queries ordered by the age of
-    # their last driver-green row, stalest first: the 19 round-3 greens,
-    # then 28 of the 45 round-4 greens.  The 17 round-4 greens that don't
-    # fit sit directly after the boundary and lead the round-7 window, so
-    # no entry's latest green ever ages past ~3 rounds.
+    # distance arithmetic type), then (2) the three operators REGISTERED
+    # this round (repetition stats, token chunking, dup clusters), then
+    # (3) queries ordered by the age of their last driver-green row,
+    # stalest first: the 19 round-3 greens, then 25 of the 45 round-4
+    # greens.  The 20 round-4 greens that don't fit sit directly after
+    # the boundary and lead the round-7 window, so no entry's latest
+    # green ever ages past ~3 rounds.
     return {
         # -- code changed in round 6 (IVF probe, PII pattern, asof math) ---
         "ann_ivf_knn_join": q_ann_ivf_knn_join,
         "tx_pii_scrub": q_tx_pii_scrub,
         "asof_last_purchase": q_asof_last_purchase,
+        # -- new in round 6 (registered + oracled) -------------------------
+        "tx_repetition": q_tx_repetition,
+        "tx_chunk_windows": q_tx_chunk_windows,
+        "dd_dup_clusters": q_dd_dup_clusters,
         # -- oldest driver greens (round 3) — stalest first ----------------
         "dd_simhash": q_dd_simhash,
         "dd_lsh_pairs": q_dd_lsh_pairs,
@@ -2518,10 +2600,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_lsh_pairs_fast": q_dd_lsh_pairs_fast,
         "j2_semi_join": q_j2_semi_join,
         "j3_anti_join": q_j3_anti_join,
+        # ---- window boundary (driver gates the 50 entries above) --------
         "j4_outer_join_counts": q_j4_outer_join_counts,
         "a2_count_distinct": q_a2_count_distinct,
         "ann_ivf_topk": q_ann_ivf_topk,
-        # ---- window boundary (driver gates the 50 entries above) --------
         # -- round-4 greens deferred to the round-7 window -----------------
         "a3_having": q_a3_having,
         "a4_rollup": q_a4_rollup,
@@ -2695,7 +2777,73 @@ def _pii_scrub_oracle_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     tok = _SQL_TOKENS.format(c="text")
+    # DuckDB twin of shingles_from_tokens(tk, n): when len < n the gram list
+    # is the single space-joined token string; 1-based, range() end-exclusive
+    def _grams(n: int) -> str:
+        parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+        return (
+            f"CASE WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')] "
+            f"ELSE list_transform(range(1, len(toks) - {n - 2}), i -> {parts}) END"
+        )
+
     sqls = {
+        "tx_repetition": f"""
+            WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
+            g AS (
+                SELECT doc_id, len(toks) AS n_tokens,
+                       {_grams(2)} AS g2, {_grams(3)} AS g3
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   len(g2) AS n_2grams,
+                   len(list_distinct(g2)) AS n_2grams_distinct,
+                   ROUND(1.0 - len(list_distinct(g2))
+                             / greatest(len(g2), 1)::DOUBLE, 4) AS dup_2gram_frac,
+                   ROUND(1.0 - len(list_distinct(g3))
+                             / greatest(len(g3), 1)::DOUBLE, 4) AS dup_3gram_frac
+            FROM g
+        """,
+        "tx_chunk_windows": f"""
+            WITH t AS (
+                SELECT doc_id, {tok} AS toks FROM documents WHERE doc_id % 5 = 0
+            ),
+            c AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+            e AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, CAST(ceil(greatest(n - 8, 1) / 56.0) AS BIGINT)))
+                           AS chunk_id
+                FROM c
+            )
+            SELECT doc_id, chunk_id,
+                   len(toks[chunk_id * 56 + 1 : chunk_id * 56 + 64])
+                       AS n_chunk_tokens,
+                   array_to_string(toks[chunk_id * 56 + 1 : chunk_id * 56 + 64], ' ')
+                       AS chunk_text
+            FROM e
+        """,
+        "dd_dup_clusters": """
+            WITH RECURSIVE aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0
+            ), p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM aug a JOIN aug b
+                  ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+            ), edges AS (
+                SELECT id_a AS s, id_b AS d FROM p
+                UNION
+                SELECT id_b, id_a FROM p
+            ), reach(node, lab) AS (
+                SELECT s, s FROM edges
+                UNION
+                SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+            )
+            SELECT node AS doc_id, MIN(lab) AS cluster_id
+            FROM reach GROUP BY node
+        """,
         "e1_engine_scan": """
             SELECT l_orderkey, l_quantity, l_extendedprice
             FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'A'

@@ -92,6 +92,9 @@ HEADLINE = [
     "mm_frame_sample",
     "range_join_purchases",
     "sessionize_batch",
+    "tx_repetition",
+    "tx_chunk_windows",
+    "dd_dup_clusters",
 ]
 
 

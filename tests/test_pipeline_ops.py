@@ -187,3 +187,86 @@ def test_scrub_composes_with_streaming(spark, tmp_path):
     expected = {r.id: (r.s, r.n_email, r.n_url) for r in batch.collect()}
     assert got == expected
     assert got[1][0] == "ping <EMAIL> now" and got[2][0] == "fetch <URL> then stop"
+
+
+# -- round-6 additions: repetition stats, chunking, dup clusters ------------
+
+
+def test_dup_ngram_fraction(spark):
+    from vastdb_sdk_spark.functions.text import dup_ngram_fraction, tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),          # bigrams: ab,ba,ab,ba,ab,ba,ab -> 7 total 2 distinct
+            (2, "one two three four five"),  # all distinct
+            (3, "x"),                        # shorter than n -> 0
+            (4, ""),                         # empty -> 0
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.doc_id: (round(r.f2, 6), round(r.f3, 6))
+        for r in df.select(tokens(F.col("text")).alias("tk"), "doc_id")
+        .select(
+            "doc_id",
+            dup_ngram_fraction(F.col("tk"), 2).alias("f2"),
+            dup_ngram_fraction(F.col("tk"), 3).alias("f3"),
+        )
+        .collect()
+    }
+    assert out[1] == (round(1 - 2 / 7, 6), round(1 - 2 / 6, 6))
+    assert out[2] == (0.0, 0.0)
+    assert out[3] == (0.0, 0.0)
+    assert out[4] == (0.0, 0.0)
+
+
+def test_chunk_fixed_tokens(spark):
+    import pytest as _pytest
+
+    from vastdb_sdk_spark.operators.sampling import chunk_fixed_tokens
+
+    words = " ".join(f"w{i}" for i in range(1, 22))  # 21 tokens
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, "")], "doc_id LONG, text STRING"
+    )
+    out = chunk_fixed_tokens(df, size=8, overlap=2)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    # doc 1: stride 6, n=21 -> ceil(19/6)=4 chunks at starts 1,7,13,19
+    assert {cid for d, cid in rows if d == 1} == {0, 1, 2, 3}
+    assert rows[(1, 0)].chunk_text.split() == [f"w{i}" for i in range(1, 9)]
+    assert rows[(1, 2)].chunk_text.split() == [f"w{i}" for i in range(13, 21)]
+    assert rows[(1, 3)].chunk_text.split() == ["w19", "w20", "w21"]
+    assert rows[(1, 3)].n_chunk_tokens == 3
+    # every token covered, consecutive chunks overlap by exactly 2
+    assert set(rows[(1, 1)].chunk_text.split()) & set(
+        rows[(1, 0)].chunk_text.split()
+    ) == {"w7", "w8"}
+    # doc 2: single chunk, doc 3: no rows
+    assert {cid for d, cid in rows if d == 2} == {0}
+    assert rows[(2, 0)].chunk_text == "a b c"
+    assert not [1 for d, _ in rows if d == 3]
+    with _pytest.raises(ValueError):
+        chunk_fixed_tokens(df, size=4, overlap=4)
+
+
+def test_dup_clusters(spark):
+    from vastdb_sdk_spark.operators.dedup import dup_clusters
+
+    # components: {1,2,3} (chain), {10,11} (pair), {20,21,22,23} (star on 21)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (21, 20), (21, 22), (21, 23)],
+        "id_a LONG, id_b LONG",
+    )
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    from vastdb_sdk_spark.operators.dedup import dup_clusters
+
+    # a 12-node path needs multiple propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], "id_a LONG, id_b LONG"
+    )
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == {i: 100 for i in range(100, 113)}

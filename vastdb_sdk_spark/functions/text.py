@@ -103,6 +103,24 @@ def lang_id(col: Column) -> Column:
     return best
 
 
+def dup_ngram_fraction(toks: Column, n: int) -> Column:
+    """Fraction of n-gram occurrences that repeat an earlier occurrence
+    within the SAME document — the Gopher repetition-quality family
+    (Rae et al. 2021 §A1.1: "duplicate n-gram fraction"): highly
+    repetitive machine-generated text scores near 1, natural prose near 0.
+
+    Pure array HOFs over a staged token column (pass a column REFERENCE,
+    same contract as shingles_from_tokens) — one whole-stage-codegen
+    expression, zero shuffle, zero Python. SQL twin:
+    ``1 - len(list_distinct(grams)) / len(grams)`` over the identical
+    gram construction."""
+    grams = shingles_from_tokens(toks, n)
+    total = F.size(grams)
+    return F.lit(1.0) - F.size(F.array_distinct(grams)) / F.greatest(
+        total, F.lit(1)
+    ).cast("double")
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic 64-bit-ish document fingerprint: first 16 hex chars of
     md5 over the normalized token stream (stable across engines — md5 is

@@ -406,3 +406,73 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list: every node
+    that appears in ``pairs`` is labeled with its component's minimum id
+    (``cluster_id``) — the canonical-representative step that turns
+    pairwise dedup output (minhash_dedup_pairs / simhash_near_pairs /
+    embedding_near_dup_pairs) into keep-one-per-cluster decisions.
+    Singletons (docs in no pair) are absent; left-join the corpus and
+    coalesce(cluster_id, doc_id) to default them.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels (one
+    shuffle-join + groupBy per round), terminating when a round changes
+    nothing. Rounds needed = graph diameter, and near-dup graphs are
+    diameter-bounded in practice (clusters are cliques-ish chains of
+    copies, not long paths), so 3-5 rounds is typical. Each round
+    localCheckpoints the label frame: without it the iterated plan nests
+    exponentially and analysis time dominates. At 100 TB the per-round
+    cost is one equi-join shuffle on node id — for adversarial
+    long-diameter graphs switch to alternating large-star/small-star
+    (Kiveris et al. 2014), same join primitive, O(log^2 n) rounds.
+
+    The convergence check is one tiny aggregate per round (count of
+    changed labels) — the only driver-side values are that scalar count,
+    never node data."""
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias(
+                    "new_lab"
+                ),
+                "lab",
+            )
+        )
+        changed = new_labels.filter(F.col("new_lab") < F.col("lab")).count()
+        labels = new_labels.select(
+            "node", F.col("new_lab").alias("lab")
+        ).localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
+    )

@@ -131,6 +131,56 @@ def resample_to_mix(
     )
 
 
+def chunk_fixed_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    size: int = 128,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-token-window chunks with ``overlap``
+    tokens of context carry-over — the context-window chunking step of a
+    training/RAG pipeline. Output: (id, chunk_id, n_chunk_tokens,
+    chunk_text), one row per chunk.
+
+    Chunk i covers tokens [i*stride+1, i*stride+size] (stride =
+    size-overlap, 1-indexed); n_chunks = ceil(max(n_tokens-overlap,1) /
+    stride), so every token lands in >=1 chunk and a short doc yields
+    exactly one. Empty-token docs yield no rows.
+
+    Scale design: tokenization is staged once per row, chunk ids come from
+    ``sequence``+``explode`` and the slice/join are array HOFs — all
+    whole-stage codegen, zero shuffle, output size O(n_tokens/stride) per
+    doc. No Python, no window function (chunking is per-row arithmetic,
+    unlike pack_greedy's cross-row running sum)."""
+    from ..functions.text import tokens
+
+    if overlap >= size:
+        raise ValueError(f"overlap={overlap} must be < size={size}")
+    stride = size - overlap
+    staged = df.select(
+        id_col, tokens(F.col(text_col)).alias("__toks")
+    ).withColumn("__n", F.size(F.col("__toks")))
+    n_chunks = F.ceil(
+        F.greatest(F.col("__n") - overlap, F.lit(1)) / F.lit(float(stride))
+    )
+    return (
+        staged.filter(F.col("__n") > 0)
+        .withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            id_col,
+            "chunk_id",
+            F.size(
+                F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, size)
+            ).alias("n_chunk_tokens"),
+            F.concat_ws(
+                " ",
+                F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, size),
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def pack_greedy(
     df: DataFrame,
     size_col: str,
