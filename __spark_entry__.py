@@ -2528,6 +2528,41 @@ def q_dd_dup_clusters(spark, sf):
     return dup_clusters(pairs)
 
 
+def q_ds_quality_filter(spark, sf):
+    """Per-source percentile quality gate (operators/sampling.
+    quality_percentile_filter): keep the top half of docs by quality score
+    WITHIN each source — relative per-domain cutoffs, the pretraining
+    filter shape that doesn't wipe out low-scoring domains wholesale.
+    Ordering uses ROUND(quality, 4) + doc_id tiebreak so the boundary is
+    engine-deterministic (raw doubles can differ at 1e-16 across engines;
+    rounding makes near-ties explicit ties resolved by id). One window
+    shuffle partitioned by source."""
+    from vastdb_sdk_spark.operators.sampling import quality_percentile_filter
+
+    d = q_tx_quality(spark, sf).join(
+        _t(spark, sf, "documents").select("doc_id", "source"), "doc_id"
+    )
+    return quality_percentile_filter(
+        d, F.col("quality"), keep_fraction=0.5, stratum_col="source"
+    ).select("doc_id", "source", "quality")
+
+
+def q_ann_quantize_int8(spark, sf):
+    """Per-dimension symmetric int8 embedding quantization
+    (operators/similarity.quantize_embeddings_int8): scale_d = corpus
+    max(|x_d|), q = floor(127*x/scale + 0.5). The 4x-fewer-bytes storage/
+    shuffle path for ANN at scale. Plan: one tiny aggregate broadcast back
+    + a per-row zip_with — no collect, no second corpus scan. floor(x+.5)
+    instead of round() because floor is bit-identical across engines; max
+    is exact (no accumulation), so the scale array hashes identically."""
+    from vastdb_sdk_spark.operators.similarity import quantize_embeddings_int8
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    return quantize_embeddings_int8(emb, dim=64).select(
+        "vec_id", "embedding_q8"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2538,11 +2573,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query whose implementation changed this round goes first
     # (ann_ivf_knn_join — IVF probe moved to broadcast mapInPandas;
     # tx_pii_scrub — URL pattern whitespace class; asof_last_purchase —
-    # distance arithmetic type), then (2) the three operators REGISTERED
-    # this round (repetition stats, token chunking, dup clusters), then
+    # distance arithmetic type), then (2) the five operators REGISTERED
+    # this round (repetition stats, token chunking, dup clusters,
+    # quality-percentile filter, int8 quantization), then
     # (3) queries ordered by the age of their last driver-green row,
-    # stalest first: the 19 round-3 greens, then 25 of the 45 round-4
-    # greens.  The 20 round-4 greens that don't fit sit directly after
+    # stalest first: the 19 round-3 greens, then 23 of the 45 round-4
+    # greens.  The 22 round-4 greens that don't fit sit directly after
     # the boundary and lead the round-7 window, so no entry's latest
     # green ever ages past ~3 rounds.
     return {
@@ -2554,6 +2590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_repetition": q_tx_repetition,
         "tx_chunk_windows": q_tx_chunk_windows,
         "dd_dup_clusters": q_dd_dup_clusters,
+        "ds_quality_filter": q_ds_quality_filter,
+        "ann_quantize_int8": q_ann_quantize_int8,
         # -- oldest driver greens (round 3) — stalest first ----------------
         "dd_simhash": q_dd_simhash,
         "dd_lsh_pairs": q_dd_lsh_pairs,
@@ -2598,9 +2636,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_bigram_topk": q_tx_bigram_topk,
         "a7_approx_distinct": q_a7_approx_distinct,
         "dd_lsh_pairs_fast": q_dd_lsh_pairs_fast,
+        # ---- window boundary (driver gates the 50 entries above) --------
         "j2_semi_join": q_j2_semi_join,
         "j3_anti_join": q_j3_anti_join,
-        # ---- window boundary (driver gates the 50 entries above) --------
         "j4_outer_join_counts": q_j4_outer_join_counts,
         "a2_count_distinct": q_a2_count_distinct,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2820,6 +2858,45 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[chunk_id * 56 + 1 : chunk_id * 56 + 64], ' ')
                        AS chunk_text
             FROM e
+        """,
+        "ds_quality_filter": f"""
+            WITH t AS (
+                SELECT doc_id, text, {tok} AS toks FROM documents
+            ), q AS (
+                SELECT doc_id,
+                       ROUND((
+                           least(len(toks) / 64.0, 1.0)
+                         + (1.0 - least(4.0 * length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                                        / greatest(length(text), 1), 1.0))
+                         + least(5.0 * len(list_filter(toks,
+                               x -> x IN ('the','and','of','to','in')))
+                                        / greatest(len(toks), 1), 1.0)
+                       ) / 3, 4) AS quality
+                FROM t
+            ), r AS (
+                SELECT q.doc_id, d.source, q.quality,
+                       PERCENT_RANK() OVER (
+                           PARTITION BY d.source ORDER BY q.quality, q.doc_id
+                       ) AS pr
+                FROM q JOIN documents d ON q.doc_id = d.doc_id
+            )
+            SELECT doc_id, source, quality FROM r WHERE pr >= 0.5
+        """,
+        "ann_quantize_int8": """
+            WITH s AS (
+                SELECT list(mx ORDER BY i) AS scale FROM (
+                    SELECT i,
+                           greatest(max(abs(CAST(embedding[i] AS DOUBLE))), 1e-30)
+                               AS mx
+                    FROM embeddings, range(1, 65) t(i)
+                    GROUP BY i
+                )
+            )
+            SELECT vec_id,
+                   list_transform(range(1, 65), i ->
+                       CAST(floor(127.0 * CAST(embedding[i] AS DOUBLE) / scale[i]
+                                  + 0.5) AS INT)) AS embedding_q8
+            FROM embeddings, s
         """,
         "dd_dup_clusters": """
             WITH RECURSIVE aug AS (

@@ -95,6 +95,8 @@ HEADLINE = [
     "tx_repetition",
     "tx_chunk_windows",
     "dd_dup_clusters",
+    "ds_quality_filter",
+    "ann_quantize_int8",
 ]
 
 

@@ -270,3 +270,48 @@ def test_dup_clusters_long_chain_converges(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
     assert got == {i: 100 for i in range(100, 113)}
+
+
+def test_quality_percentile_filter(spark):
+    from vastdb_sdk_spark.operators.sampling import quality_percentile_filter
+
+    rows = [(i, "a" if i < 10 else "b", float(i % 10)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, q DOUBLE")
+    kept = {
+        r.doc_id
+        for r in quality_percentile_filter(
+            df, "q", keep_fraction=0.5, stratum_col="source"
+        ).collect()
+    }
+    # per stratum of 10 rows: percent_rank = (rank-1)/9, keep pr >= 0.5
+    # -> ranks 6..10 -> scores 5..9 in each
+    assert kept == {i for i in range(20) if i % 10 >= 5}
+    # keep_fraction=1.0 keeps everything; invalid fractions raise
+    assert quality_percentile_filter(df, "q", 1.0, "source").count() == 20
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quality_percentile_filter(df, "q", 0.0)
+
+
+def test_quantize_embeddings_int8(spark):
+    import math
+
+    from vastdb_sdk_spark.operators.similarity import quantize_embeddings_int8
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 0.0, 0.5]),
+            (2, [0.5, 4.0, 0.0, -1.0]),
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    out = {r.vec_id: r for r in quantize_embeddings_int8(df, dim=4).collect()}
+    # scales = per-dim max abs = [1.0, 4.0, 1e-30, 1.0]
+    assert out[1].q8_scale[:2] == [1.0, 4.0] and out[1].q8_scale[3] == 1.0
+    q = lambda x, s: math.floor(127.0 * x / s + 0.5)
+    assert out[1].embedding_q8 == [127, q(-2.0, 4.0), 0, q(0.5, 1.0)]
+    assert out[2].embedding_q8 == [q(0.5, 1.0), 127, 0, -127]
+    # all values inside int8 range
+    for r in out.values():
+        assert all(-127 <= v <= 127 for v in r.embedding_q8)

@@ -131,6 +131,39 @@ def resample_to_mix(
     )
 
 
+def quality_percentile_filter(
+    df: DataFrame,
+    score_col,
+    keep_fraction: float = 0.5,
+    stratum_col: str | None = None,
+    order_tiebreak: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``keep_fraction`` of rows by a quality score, per
+    stratum (e.g. per source/language) — the percentile-based quality
+    gate of a pretraining pipeline (relative cutoffs per domain rather
+    than one global absolute threshold, so a low-scoring domain isn't
+    wiped out wholesale).
+
+    ``score_col`` may be a column name or a Column expression (e.g.
+    functions/text.quality_score). Membership is PERCENT_RANK over
+    (stratum, score, tiebreak) — deterministic under ties via the id
+    tiebreak, engine-reproducible in SQL. One range-shuffle per stratum
+    (the window); at 100 TB the stratum must bound partition size, same
+    contract as pack_greedy. Rows with percent_rank >= 1-keep_fraction
+    are kept, so exactly the top fraction survives (ceil-ish at small n:
+    the rank-1 row always survives)."""
+    if not 0.0 < keep_fraction <= 1.0:
+        raise ValueError(f"keep_fraction must be in (0, 1], got {keep_fraction}")
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    parts = [stratum_col] if stratum_col else []
+    w = W.partitionBy(*parts).orderBy(score.asc(), F.col(order_tiebreak).asc())
+    return (
+        df.withColumn("__pr", F.percent_rank().over(w))
+        .filter(F.col("__pr") >= 1.0 - keep_fraction)
+        .drop("__pr")
+    )
+
+
 def chunk_fixed_tokens(
     df: DataFrame,
     text_col: str = "text",
