@@ -75,3 +75,111 @@ def stream_dedup_against_table(stream: DataFrame, table, checkpoint_dir: str):
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def stream_dedup_near_against_table(
+    stream: DataFrame,
+    corpus_table,
+    sig_table,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+):
+    """Continuous NEAR-duplicate-free ingestion — the streaming face of the
+    MinHash-LSH batch pipeline (operators/dedup.py), with all dedup state in
+    ENGINE TABLES instead of the stream state store (state grows with the
+    corpus; the state store must not — SURVEY §2.9 scale discipline).
+
+    Per micro-batch (foreachBatch):
+
+    1. in-batch pass: ``minhash_dedup_pairs`` within the batch; for every
+       verified pair the higher id is dropped (conservative: a chain
+       a~b~c keeps only a).
+    2. cross-batch pass: the batch's LSH band keys equi-join the persisted
+       signature table — candidates are (new, old) id pairs sharing a
+       band, verified by exact Jaccard against the corpus table's text
+       (only suspects are re-read, the corpus is semi-joined down first).
+    3. survivors are appended to ``corpus_table`` and their band keys to
+       ``sig_table`` in ONE engine transaction, with the micro-batch id
+       recorded via ``set_stream_offset`` — a replayed batch after a
+       checkpoint/commit race is detected and skipped (exactly-once, the
+       same txnAppId pattern as stream_into_table).
+
+    Shuffle volume per batch: O(batch x num_bands) band rows joined
+    against the signature table (equi-join on an 8-byte hash key) — never
+    batch x corpus. Caller contract: ids are globally unique across the
+    stream and corpus; ``sig_table`` has columns (doc_id int64,
+    band_id int32, band_key int64); ``corpus_table`` has the stream's
+    columns."""
+    from ..operators.dedup import (
+        jaccard_verify_pairs,
+        lsh_band_keys,
+        minhash_dedup_pairs,
+        minhash_signatures,
+    )
+
+    import os
+
+    session = corpus_table.tx._session
+    bucket = corpus_table.bucket.name
+    schema_name = corpus_table.schema.name
+    corpus_name = corpus_table.name
+    sig_name = sig_table.name
+    cols = [f.name for f in corpus_table.arrow_schema]
+    stream_id = f"ckpt:{os.path.abspath(checkpoint_dir)}"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(*cols).dropDuplicates([id_col])
+        # 1. in-batch near-dups: drop the higher id of every verified pair
+        in_pairs = minhash_dedup_pairs(
+            batch, text_col, id_col, num_hashes, num_bands, threshold,
+            shingle_k, hash_fn="xxhash64",
+        )
+        in_drop = in_pairs.select(F.col("id_b").alias(id_col)).distinct()
+        survivors = batch.join(in_drop, id_col, "left_anti").persist()
+        sigs = minhash_signatures(
+            survivors, text_col, id_col, num_hashes, shingle_k, "xxhash64"
+        )
+        bands = lsh_band_keys(sigs, num_bands, id_col, "xxhash64").persist()
+        with session.transaction() as tx:
+            ct = tx.bucket(bucket).schema(schema_name).table(corpus_name)
+            st = tx.bucket(bucket).schema(schema_name).table(sig_name)
+            if batch_id <= ct.stream_offset(stream_id):
+                return  # replayed micro-batch: already committed
+            # 2. cross-batch candidates via the persisted signature table
+            old_bands = st.df().select(
+                F.col(id_col).alias("__old_id"), "band_id", "band_key"
+            )
+            cand = (
+                bands.join(old_bands, ["band_id", "band_key"])
+                .select(
+                    F.col(id_col).alias("id_a"), F.col("__old_id").alias("id_b")
+                )
+                .distinct()
+            )
+            old_texts = ct.df().select(id_col, text_col)
+            union_docs = survivors.select(id_col, text_col).unionByName(old_texts)
+            verified = jaccard_verify_pairs(
+                union_docs, cand, text_col, id_col, threshold, shingle_k
+            )
+            cross_drop = verified.select(F.col("id_a").alias(id_col)).distinct()
+            fresh = survivors.join(cross_drop, id_col, "left_anti")
+            ct.insert_df(fresh)
+            st.insert_df(
+                bands.join(cross_drop, id_col, "left_anti").select(
+                    id_col, "band_id", "band_key"
+                )
+            )
+            ct.set_stream_offset(stream_id, batch_id)
+        survivors.unpersist()
+        bands.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
