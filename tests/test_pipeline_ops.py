@@ -315,3 +315,51 @@ def test_quantize_embeddings_int8(spark):
     # all values inside int8 range
     for r in out.values():
         assert all(-127 <= v <= 127 for v in r.embedding_q8)
+
+
+def test_dedup_keep_representative_transitive(spark):
+    from vastdb_sdk_spark.operators.dedup import dedup_keep_representative
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 7, 10, 11)],
+        "doc_id LONG, text STRING",
+    )
+    # chain 1~2, 2~3 (no 1~3 pair) and pair 10~11; 7 is a singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a LONG, id_b LONG"
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_keep_representative(df, pairs).collect()
+    )
+    assert kept == [1, 7, 10]
+
+
+def test_chunk_fixed_tokens_coverage_grid(spark):
+    """Property grid: for doc lengths 0..40 x (size, overlap) combos, every
+    token position is covered, consecutive chunks overlap by exactly
+    `overlap` (except a shorter final chunk), and the chunk count matches
+    ceil(max(n-overlap,1)/stride)."""
+    import math
+
+    from vastdb_sdk_spark.operators.sampling import chunk_fixed_tokens
+
+    docs = [(n, " ".join(f"t{i}" for i in range(n))) for n in range(0, 41)]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    for size, overlap in ((8, 0), (8, 2), (5, 4), (16, 8), (3, 0)):
+        stride = size - overlap
+        out = {}
+        for r in chunk_fixed_tokens(df, size=size, overlap=overlap).collect():
+            out.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text.split()
+        for n in range(0, 41):
+            if n == 0:
+                assert n not in out
+                continue
+            chunks = out[n]
+            want_count = math.ceil(max(n - overlap, 1) / stride)
+            assert len(chunks) == want_count, (n, size, overlap)
+            covered = set()
+            for cid, toks in chunks.items():
+                start = cid * stride
+                assert toks == [f"t{i}" for i in range(start, min(start + size, n))]
+                covered.update(range(start, min(start + size, n)))
+            assert covered == set(range(n)), (n, size, overlap)

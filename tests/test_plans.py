@@ -236,3 +236,43 @@ def test_round5_operator_plan_shapes(spark):
     frames = qs["mm_frame_sample"](spark, SF)
     assert pi.exchange_count(frames) == 0
     assert "Python" not in pi.formatted_plan(frames)
+
+
+def test_round6_operator_plan_shapes(spark):
+    """Plan-quality gates for the round-6 operators: repetition stats and
+    chunking are pure maps (zero exchanges, no Python); the quantizer's
+    scale aggregate comes back via broadcast (no sort-merge); the quality
+    filter is exactly one window shuffle; the IVF probe assignment is one
+    Arrow-batched Python stage with O(1) plan size."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    rep = qs["tx_repetition"](spark, SF)
+    assert pi.exchange_count(rep) == 0
+    assert "Python" not in pi.formatted_plan(rep)
+
+    chunk = qs["tx_chunk_windows"](spark, SF)
+    assert pi.exchange_count(chunk) == 0
+    assert "Python" not in pi.formatted_plan(chunk)
+
+    quant = qs["ann_quantize_int8"](spark, SF)
+    # the 1-row scale aggregate joins back as BroadcastNestedLoopJoin
+    # (BuildRight, one broadcast row) — broadcast, but not a hash join
+    qplan = pi.formatted_plan(quant)
+    assert "BroadcastExchange" in qplan
+    assert pi.sortmerge_join_count(quant) == 0
+
+    qf = qs["ds_quality_filter"](spark, SF)
+    assert pi.exchange_count(qf) <= 2  # window + the doc_id/source join
+
+    import numpy as np
+
+    from vastdb_sdk_spark.operators.similarity import assign_probe_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probed = assign_probe_centroids(
+        emb, np.zeros((512, 64)) + np.eye(512, 64), "embedding", nprobe=2
+    )
+    plan = pi.formatted_plan(probed)
+    assert "MapInPandas" in plan
+    assert len(plan) < 20_000  # plan size independent of num_centroids

@@ -476,3 +476,24 @@ def dup_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
     )
+
+
+def dedup_keep_representative(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-call near-dup dedup: given any pair list (minhash_dedup_pairs /
+    simhash_near_pairs / embedding_near_dup_pairs output), keep exactly one
+    representative per duplicate CLUSTER — the minimum id — plus every
+    singleton. Transitive closure via :func:`dup_clusters`, so a~b~c keeps
+    only min(a,b,c) even when the (a,c) pair was never emitted.
+
+    Plan: dup_clusters' propagation rounds + one broadcast-ish join of the
+    (tiny) non-representative id set back onto the corpus as an anti-join —
+    the corpus is scanned once."""
+    clusters = dup_clusters(pairs, id_a="id_a", id_b="id_b")
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
