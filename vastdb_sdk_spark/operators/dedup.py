@@ -456,6 +456,9 @@ def dup_clusters(
             .groupBy("dst")
             .agg(F.min("lab").alias("nlab"))
         )
+        # checkpoint BEFORE the convergence count: the count then reads the
+        # materialized round result instead of re-running the join pipeline
+        # (count-then-checkpoint computed every round twice)
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
             .select(
@@ -465,11 +468,10 @@ def dup_clusters(
                 ),
                 "lab",
             )
+            .localCheckpoint(eager=True)
         )
         changed = new_labels.filter(F.col("new_lab") < F.col("lab")).count()
-        labels = new_labels.select(
-            "node", F.col("new_lab").alias("lab")
-        ).localCheckpoint(eager=True)
+        labels = new_labels.select("node", F.col("new_lab").alias("lab"))
         if changed == 0:
             break
     edges.unpersist()
