@@ -363,3 +363,44 @@ def test_chunk_fixed_tokens_coverage_grid(spark):
                 assert toks == [f"t{i}" for i in range(start, min(start + size, n))]
                 covered.update(range(start, min(start + size, n)))
             assert covered == set(range(n)), (n, size, overlap)
+
+
+def test_dup_clusters_random_graphs_match_union_find(spark):
+    """Randomized robustness: dup_clusters on random edge lists must equal
+    a python union-find oracle (component = min id)."""
+    import random
+
+    from vastdb_sdk_spark.operators.dedup import dup_clusters
+
+    rng = random.Random(20260814)
+    for trial in range(4):
+        n = rng.randint(10, 60)
+        m = rng.randint(5, 80)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        want = {}
+        for v in touched:
+            # min id of v's component (roots are minimal by construction)
+            want[v] = find(v)
+        pairs = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges], "id_a LONG, id_b LONG"
+        )
+        got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+        assert got == want, (trial, n, m)
