@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -116,7 +117,7 @@ def main() -> int:
     # MEDIAN recorded. Round 5 showed single warm runs drift 1.3-1.8x on
     # untouched queries from machine noise; the median of 3 pins that down
     # while min/max spread goes to the side file for drift diagnosis.
-    n_warm = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    n_warm = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -131,7 +132,7 @@ def main() -> int:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(time.time() - t0)
         runs.sort()
-        timings[name] = round(runs[len(runs) // 2], 3)
+        timings[name] = round(statistics.median(runs), 3)
         spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
         # drop anything a query persisted (e.g. LSH candidate sets) so later
         # queries aren't measured under another query's cache pressure

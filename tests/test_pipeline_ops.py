@@ -404,3 +404,70 @@ def test_dup_clusters_random_graphs_match_union_find(spark):
         )
         got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
         assert got == want, (trial, n, m)
+
+
+def test_dup_clusters_raises_on_nonconvergence(spark):
+    import pytest as _pytest
+
+    from vastdb_sdk_spark.operators.dedup import dup_clusters
+
+    # a 10-hop path cannot converge in 2 rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300, 310)], "id_a LONG, id_b LONG"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iterations=2)
+
+
+def test_quality_percentile_filter_nondyadic_fraction(spark):
+    """keep_fraction=0.7 over 11 rows: percent_rank 3/10 = 0.3 must clear
+    the 1-0.7 threshold despite 0.30000000000000004 float representation
+    — the documented top 70% is 8 rows, not 7."""
+    from vastdb_sdk_spark.operators.sampling import quality_percentile_filter
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(11)], "doc_id LONG, q DOUBLE"
+    )
+    kept = sorted(
+        r.doc_id for r in quality_percentile_filter(df, "q", 0.7).collect()
+    )
+    assert kept == list(range(3, 11))
+
+
+def test_asof_mixed_key_types_uses_double(spark):
+    """Integral left + fractional right must not truncate the right side."""
+    from vastdb_sdk_spark.operators import asof
+
+    ldf = spark.createDataFrame([(1, 5)], "k LONG, ts LONG")
+    rdf = spark.createDataFrame(
+        [(1, 4.5, 45.0), (1, 5.6, 56.0)], "k LONG, ts DOUBLE, v DOUBLE"
+    )
+    got = asof.asof_join(
+        ldf, rdf, on="ts", by="k", right_cols=["v"], direction="nearest"
+    )
+    # true distances: backward 0.5, forward 0.6 -> backward (45.0); long
+    # truncation saw |5-4|=1 vs |5-5|=0 and mis-picked forward
+    assert got.collect()[0].v == 45.0
+
+
+def test_assign_probe_centroids_rejects_existing_out_col(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from vastdb_sdk_spark.operators.similarity import assign_probe_centroids
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0)], "vec_id LONG, embedding ARRAY<DOUBLE>, centroid_id INT"
+    )
+    with _pytest.raises(ValueError, match="already exists"):
+        assign_probe_centroids(df, np.eye(2), "embedding")
+
+
+def test_quantize_embeddings_empty_frame_message(spark):
+    import pytest as _pytest
+
+    from vastdb_sdk_spark.operators.similarity import quantize_embeddings_int8
+
+    df = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<FLOAT>")
+    with _pytest.raises(ValueError, match="pass dim"):
+        quantize_embeddings_int8(df)

@@ -52,11 +52,16 @@ def asof_join(
     # int64 precision for epoch-micros); fractional `on` (float/double/
     # decimal, pandas merge_asof allows both) must NOT truncate — a left at
     # 5.4 with rights at 5.0/5.6 would tie at long precision and mis-pick.
+    # BOTH sides decide: an integral left with a fractional right (or vice
+    # versa) must still use double, or the fractional side truncates.
     from pyspark.sql.types import DecimalType, DoubleType, FloatType
 
-    _on_t = left.schema[on].dataType
+    _frac = (FloatType, DoubleType, DecimalType)
     arith_t = (
-        "double" if isinstance(_on_t, (FloatType, DoubleType, DecimalType)) else "long"
+        "double"
+        if isinstance(left.schema[on].dataType, _frac)
+        or isinstance(right.schema[on].dataType, _frac)
+        else "long"
     )
     by = [by] if isinstance(by, str) else list(by)
     right_cols = right_cols or [c for c in right.columns if c not in by + [on]]

@@ -450,6 +450,7 @@ def dup_clusters(
         .withColumn("lab", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
@@ -473,8 +474,19 @@ def dup_clusters(
         changed = new_labels.filter(F.col("new_lab") < F.col("lab")).count()
         labels = new_labels.select("node", F.col("new_lab").alias("lab"))
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # returning partially-propagated labels would SILENTLY split
+        # components — for dedup that means keeping multiple copies of the
+        # same duplicate cluster; fail loudly instead
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iterations="
+            f"{max_iterations} (graph diameter exceeds it). Raise "
+            "max_iterations, or use an alternating large-star/small-star "
+            "formulation for adversarial long-chain graphs."
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
     )

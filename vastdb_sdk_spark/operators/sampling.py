@@ -157,9 +157,13 @@ def quality_percentile_filter(
     score = F.col(score_col) if isinstance(score_col, str) else score_col
     parts = [stratum_col] if stratum_col else []
     w = W.partitionBy(*parts).orderBy(score.asc(), F.col(order_tiebreak).asc())
+    # epsilon absorbs the representation error of 1-keep_fraction (e.g.
+    # 1-0.7 = 0.30000000000000004 would drop the exact-boundary rank whose
+    # percent_rank is k/(n-1) = 0.299999...); percent_rank spacing is
+    # 1/(n-1), far above 1e-12 for any real stratum
     return (
         df.withColumn("__pr", F.percent_rank().over(w))
-        .filter(F.col("__pr") >= 1.0 - keep_fraction)
+        .filter(F.col("__pr") >= 1.0 - keep_fraction - 1e-12)
         .drop("__pr")
     )
 

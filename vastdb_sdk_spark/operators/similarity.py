@@ -291,6 +291,11 @@ def assign_probe_centroids(
     C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
     if nprobe > len(C):
         raise ValueError(f"nprobe={nprobe} exceeds num_centroids={len(C)}")
+    if out_col in df.columns:
+        raise ValueError(
+            f"column {out_col!r} already exists; drop it before re-probing "
+            "(e.g. df.drop(...)) or pass a different out_col"
+        )
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     sc = df.sparkSession.sparkContext
@@ -300,7 +305,7 @@ def assign_probe_centroids(
     out_schema = StructType(
         list(df.schema.fields) + [StructField(out_col, IntegerType(), False)]
     )
-    cols = [f.name for f in df.schema.fields if f.name != out_col]
+    cols = [f.name for f in df.schema.fields]
     vpos = cols.index(vec_col)
     npb = int(nprobe)
 
@@ -395,7 +400,13 @@ def quantize_embeddings_int8(
 
     Pass ``dim`` to keep plan construction free of driver actions."""
     if dim is None:
-        dim = len(df.select(vec_col).head()[0])
+        probe = df.select(vec_col).head()
+        if probe is None or probe[0] is None:
+            raise ValueError(
+                f"cannot infer embedding dim from {vec_col!r} (empty frame "
+                "or null first vector) — pass dim= explicitly"
+            )
+        dim = len(probe[0])
     scales = df.groupBy().agg(
         F.array(
             *[

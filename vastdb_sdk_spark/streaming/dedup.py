@@ -96,9 +96,10 @@ def stream_dedup_near_against_table(
 
     Per micro-batch (foreachBatch):
 
-    1. in-batch pass: ``minhash_dedup_pairs`` within the batch; for every
-       verified pair the higher id is dropped (conservative: a chain
-       a~b~c keeps only a).
+    1. in-batch pass: LSH candidates + exact-Jaccard verify within the
+       batch (same pipeline as ``minhash_dedup_pairs``, composed here with
+       an explicit persist lifecycle); for every verified pair the higher
+       id is dropped (conservative: a chain a~b~c keeps only a).
     2. cross-batch pass: the batch's LSH band keys equi-join the persisted
        signature table — candidates are (new, old) id pairs sharing a
        band, verified by exact Jaccard against the corpus table's text
@@ -118,7 +119,7 @@ def stream_dedup_near_against_table(
     from ..operators.dedup import (
         jaccard_verify_pairs,
         lsh_band_keys,
-        minhash_dedup_pairs,
+        lsh_candidate_pairs,
         minhash_signatures,
     )
 
@@ -133,50 +134,75 @@ def stream_dedup_near_against_table(
     stream_id = f"ckpt:{os.path.abspath(checkpoint_dir)}"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # every persist in this batch is released in the finally — a
+        # long-running stream must not accumulate CacheManager entries
+        # (hence lsh_candidate_pairs + jaccard_verify_pairs composed here
+        # with an explicit lifecycle, not minhash_dedup_pairs' internal
+        # batch-oriented persist)
         batch = batch_df.select(*cols).dropDuplicates([id_col])
-        # 1. in-batch near-dups: drop the higher id of every verified pair
-        in_pairs = minhash_dedup_pairs(
-            batch, text_col, id_col, num_hashes, num_bands, threshold,
-            shingle_k, hash_fn="xxhash64",
-        )
-        in_drop = in_pairs.select(F.col("id_b").alias(id_col)).distinct()
-        survivors = batch.join(in_drop, id_col, "left_anti").persist()
-        sigs = minhash_signatures(
-            survivors, text_col, id_col, num_hashes, shingle_k, "xxhash64"
-        )
-        bands = lsh_band_keys(sigs, num_bands, id_col, "xxhash64").persist()
-        with session.transaction() as tx:
-            ct = tx.bucket(bucket).schema(schema_name).table(corpus_name)
-            st = tx.bucket(bucket).schema(schema_name).table(sig_name)
-            if batch_id <= ct.stream_offset(stream_id):
-                return  # replayed micro-batch: already committed
-            # 2. cross-batch candidates via the persisted signature table
-            old_bands = st.df().select(
-                F.col(id_col).alias("__old_id"), "band_id", "band_key"
-            )
-            cand = (
-                bands.join(old_bands, ["band_id", "band_key"])
-                .select(
-                    F.col(id_col).alias("id_a"), F.col("__old_id").alias("id_b")
-                )
-                .distinct()
-            )
-            old_texts = ct.df().select(id_col, text_col)
-            union_docs = survivors.select(id_col, text_col).unionByName(old_texts)
-            verified = jaccard_verify_pairs(
-                union_docs, cand, text_col, id_col, threshold, shingle_k
-            )
-            cross_drop = verified.select(F.col("id_a").alias(id_col)).distinct()
-            fresh = survivors.join(cross_drop, id_col, "left_anti")
-            ct.insert_df(fresh)
-            st.insert_df(
-                bands.join(cross_drop, id_col, "left_anti").select(
-                    id_col, "band_id", "band_key"
+        cached = []
+
+        def _persist(df):
+            cached.append(df.persist())
+            return cached[-1]
+
+        try:
+            # 1. in-batch near-dups: drop the higher id of every verified pair
+            in_cand = _persist(
+                lsh_candidate_pairs(
+                    batch, text_col, id_col, num_hashes, num_bands,
+                    shingle_k, "xxhash64",
                 )
             )
-            ct.set_stream_offset(stream_id, batch_id)
-        survivors.unpersist()
-        bands.unpersist()
+            in_pairs = jaccard_verify_pairs(
+                batch, in_cand, text_col, id_col, threshold, shingle_k
+            )
+            in_drop = in_pairs.select(F.col("id_b").alias(id_col)).distinct()
+            survivors = _persist(batch.join(in_drop, id_col, "left_anti"))
+            sigs = minhash_signatures(
+                survivors, text_col, id_col, num_hashes, shingle_k, "xxhash64"
+            )
+            bands = _persist(lsh_band_keys(sigs, num_bands, id_col, "xxhash64"))
+            with session.transaction() as tx:
+                ct = tx.bucket(bucket).schema(schema_name).table(corpus_name)
+                st = tx.bucket(bucket).schema(schema_name).table(sig_name)
+                if batch_id <= ct.stream_offset(stream_id):
+                    return  # replayed micro-batch: already committed
+                # 2. cross-batch candidates via the persisted signature table
+                old_bands = st.df().select(
+                    F.col(id_col).alias("__old_id"), "band_id", "band_key"
+                )
+                cand = (
+                    bands.join(old_bands, ["band_id", "band_key"])
+                    .select(
+                        F.col(id_col).alias("id_a"),
+                        F.col("__old_id").alias("id_b"),
+                    )
+                    .distinct()
+                )
+                old_texts = ct.df().select(id_col, text_col)
+                union_docs = survivors.select(id_col, text_col).unionByName(
+                    old_texts
+                )
+                verified = jaccard_verify_pairs(
+                    union_docs, cand, text_col, id_col, threshold, shingle_k
+                )
+                # persisted: consumed by BOTH inserts below — without it the
+                # verify stage (a corpus semi-join + shingle pass) runs twice
+                cross_drop = _persist(
+                    verified.select(F.col("id_a").alias(id_col)).distinct()
+                )
+                fresh = survivors.join(cross_drop, id_col, "left_anti")
+                ct.insert_df(fresh)
+                st.insert_df(
+                    bands.join(cross_drop, id_col, "left_anti").select(
+                        id_col, "band_id", "band_key"
+                    )
+                )
+                ct.set_stream_offset(stream_id, batch_id)
+        finally:
+            for df in cached:
+                df.unpersist()
 
     return (
         stream.writeStream.foreachBatch(write_batch)
