@@ -289,3 +289,28 @@ def test_stream_dedup_near_against_table(session, tmp_path):
             sorted(got_ids - want)[:8], sorted(want - got_ids)[:8]
         )
         assert st.count_rows() == len(want) * 4  # num_bands rows per survivor
+
+
+def test_build_ivf_index_sampled_fit(spark):
+    """Sampled k-means fit (the 100 TB path): centroids come from a
+    fraction of the corpus but EVERY row gets an assignment, and the
+    index still sends each vector to its nearest centroid (numpy check)."""
+    import numpy as np
+
+    from vastdb_sdk_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    indexed, centroids = similarity.build_ivf_index(
+        emb, num_centroids=8, seed=42, sample_fraction=0.4, sample_key="vec_id"
+    )
+    rows = indexed.select("vec_id", "embedding", "centroid_id").collect()
+    assert len(rows) == n and centroids.shape[0] == 8
+    for r in rows[:50]:
+        v = np.asarray(r.embedding, float)
+        d2 = ((centroids - v) ** 2).sum(axis=1)
+        assert r.centroid_id == int(np.argmin(d2))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sample_fraction"):
+        similarity.build_ivf_index(emb, sample_fraction=1.5)
