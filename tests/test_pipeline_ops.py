@@ -471,3 +471,15 @@ def test_quantize_embeddings_empty_frame_message(spark):
     df = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<FLOAT>")
     with _pytest.raises(ValueError, match="pass dim"):
         quantize_embeddings_int8(df)
+
+
+def test_dup_clusters_long_path_logarithmic_rounds(spark):
+    """Pointer jumping: a 400-node path converges within ~log2(400)+2
+    rounds — plain propagation would need 400."""
+    from vastdb_sdk_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000, 1400)], "id_a LONG, id_b LONG"
+    )
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs, max_iterations=12).collect()}
+    assert got == {i: 1000 for i in range(1000, 1401)}

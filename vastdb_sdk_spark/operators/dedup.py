@@ -422,17 +422,16 @@ def dup_clusters(
     Singletons (docs in no pair) are absent; left-join the corpus and
     coalesce(cluster_id, doc_id) to default them.
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes the min of its own label and its neighbors' labels (one
-    shuffle-join + groupBy per round), terminating when a round changes
-    nothing. Rounds needed = graph diameter, and near-dup graphs are
-    diameter-bounded in practice (clusters are cliques-ish chains of
-    copies, not long paths), so 3-5 rounds is typical. Each round
-    localCheckpoints the label frame: without it the iterated plan nests
-    exponentially and analysis time dominates. At 100 TB the per-round
-    cost is one equi-join shuffle on node id — for adversarial
-    long-diameter graphs switch to alternating large-star/small-star
-    (Kiveris et al. 2014), same join primitive, O(log^2 n) rounds.
+    Algorithm: min-label propagation WITH pointer jumping — each round
+    every node takes the min of its own, its neighbors', and its label's
+    label (two equi-joins + one groupBy per round), terminating when a
+    round changes nothing. Pointer jumping (lab <- lab(lab)) halves chain
+    lengths per round, so convergence is O(log diameter): a 1000-hop
+    adversarial path needs ~10 rounds, and real near-dup graphs (copy
+    cliques) finish in 2-3. Each round localCheckpoints the label frame:
+    without it the iterated plan nests exponentially and analysis time
+    dominates. At 100 TB the per-round cost is two equi-join shuffles on
+    node id.
 
     The convergence check is one tiny aggregate per round (count of
     changed labels) — the only driver-side values are that scalar count,
@@ -457,18 +456,39 @@ def dup_clusters(
             .groupBy("dst")
             .agg(F.min("lab").alias("nlab"))
         )
+        propagated = labels.join(
+            neighbor_min, labels.node == neighbor_min.dst, "left"
+        ).select(
+            "node",
+            F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias(
+                "lab"
+            ),
+        )
+        # pointer jumping (lab <- lab(lab)): halves chain lengths every
+        # round, so a diameter-L path converges in O(log L) rounds instead
+        # of O(L) — the long-chain adversary the plain propagation needed
+        # large-star/small-star for. Safe: labels only ever decrease, and a
+        # label's label is in the same component.
+        jumped = (
+            propagated.alias("x")
+            .join(
+                propagated.alias("y"),
+                F.col("x.lab") == F.col("y.node"),
+                "left",
+            )
+            .select(
+                F.col("x.node").alias("node"),
+                F.least(
+                    F.col("x.lab"), F.coalesce(F.col("y.lab"), F.col("x.lab"))
+                ).alias("new_lab"),
+            )
+        )
         # checkpoint BEFORE the convergence count: the count then reads the
         # materialized round result instead of re-running the join pipeline
         # (count-then-checkpoint computed every round twice)
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
-            .select(
-                "node",
-                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias(
-                    "new_lab"
-                ),
-                "lab",
-            )
+            jumped.join(labels.select("node", "lab"), "node")
+            .select("node", "new_lab", "lab")
             .localCheckpoint(eager=True)
         )
         changed = new_labels.filter(F.col("new_lab") < F.col("lab")).count()
@@ -483,9 +503,8 @@ def dup_clusters(
         # same duplicate cluster; fail loudly instead
         raise RuntimeError(
             f"dup_clusters did not converge within max_iterations="
-            f"{max_iterations} (graph diameter exceeds it). Raise "
-            "max_iterations, or use an alternating large-star/small-star "
-            "formulation for adversarial long-chain graphs."
+            f"{max_iterations} (needs ~log2(graph diameter) + 1 rounds); "
+            "raise max_iterations."
         )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
