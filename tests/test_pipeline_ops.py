@@ -483,3 +483,25 @@ def test_dup_clusters_long_path_logarithmic_rounds(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs, max_iterations=12).collect()}
     assert got == {i: 1000 for i in range(1000, 1401)}
+
+
+def test_lsh_bucket_size_guard(spark):
+    """max_bucket_size drops the quadratic bomb: 40 identical docs share
+    every band bucket (780 pairs uncapped); with the cap their bucket is
+    dropped while a distinct near-dup pair elsewhere still surfaces."""
+    from vastdb_sdk_spark.operators.dedup import lsh_candidate_pairs
+
+    boiler = [(i, "the same boilerplate footer text repeated here") for i in range(40)]
+    pairx = [
+        (100, "totally unique alpha beta gamma delta epsilon zeta eta theta"),
+        (101, "totally unique alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    df = spark.createDataFrame(boiler + pairx, "doc_id LONG, text STRING")
+    uncapped = lsh_candidate_pairs(df).collect()
+    assert len(uncapped) >= 780  # 40*39/2 boilerplate pairs at minimum
+    capped = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(df, max_bucket_size=10).collect()
+    }
+    assert all(a >= 100 for a, _ in capped)  # boilerplate bucket dropped
+    assert (100, 101) in capped              # real near-dup pair survives

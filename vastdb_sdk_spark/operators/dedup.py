@@ -165,13 +165,32 @@ def lsh_candidate_pairs(
     num_bands: int = 4,
     shingle_k: int = 3,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH. The self-join runs on
     (band_id, band_key) — the shuffle key is a hash, buckets are tiny for
     non-pathological corpora, and the quadratic blowup is bounded per bucket.
-    At 100 TB this is THE standard scalable near-dup plan."""
+    At 100 TB this is THE standard scalable near-dup plan.
+
+    ``max_bucket_size`` guards the degenerate corpus (thousands of
+    byte-identical boilerplate docs land in ONE bucket -> |bucket|² pairs,
+    the quadratic bomb no banding prevents): buckets larger than the cap
+    are dropped from pair generation. Recall caveat by design — members of
+    an oversized bucket are near-certain duplicates of each other, so at
+    scale handle them with EXACT dedup first (dedup_exact removes
+    byte-identical mass cheaply) and use the cap as the backstop; dropped
+    buckets cost one extra window pass over the band rows."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, hash_fn)
     bands = lsh_band_keys(sigs, num_bands, id_col, hash_fn)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window as W
+
+        wb = W.partitionBy("band_id", "band_key")
+        bands = (
+            bands.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
