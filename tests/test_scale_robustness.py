@@ -506,3 +506,59 @@ def test_merge_validation(clean_schema):
             t.merge(src, on=["z"])
         with pytest.raises(InvalidArgument):
             t.merge(src.withColumnRenamed("z", "k"), on=["k"], when_matched="bogus")
+
+
+def test_wide_scan_rowid_ranges(clean_schema):
+    """Reduced-scale replica of the reference's wide-scan harness
+    (vastdb/bench/test_sample.py:146-204: 10k float cols, queries select a
+    random column subset over ORed ``vastdb_rowid.between`` row-group
+    ranges): 400 float32 columns x 20k rows with external row ids; a
+    5-range ORed rowid scan over 60 random columns must (a) return exactly
+    the ranges' rows, (b) push the rowid ranges into the parquet scan, and
+    (c) prune the unselected 340 columns from ReadSchema."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from vastdb_sdk_spark.plans import inspect as pi
+
+    ncols, nrows = 400, 20_000
+    with clean_schema.transaction() as tx:
+        s = tx.bucket("bkt").schema("s")
+        schema = pa.schema(
+            [("vastdb_rowid", pa.int64())]
+            + [(f"c{i}", pa.float32()) for i in range(ncols)]
+        )
+        t = s.create_table("wide", schema, use_external_row_ids_allocation=True)
+        spark = t.spark
+        src = spark.range(nrows).select(
+            F.col("id").alias("vastdb_rowid"),
+            *[
+                (F.col("id") * (i + 1)).cast("float").alias(f"c{i}")
+                for i in range(ncols)
+            ],
+        )
+        t.insert_df(src)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("wide")
+        rng = random.Random(42)
+        sel = sorted(rng.sample(range(ncols), 60))
+        cols = [f"c{i}" for i in sel]
+        ranges = [(k * 4000, k * 4000 + 99) for k in range(5)]  # 5 x 100 rows
+        pred = None
+        for lo, hi in ranges:
+            term = D.vastdb_rowid.between(lo, hi)
+            pred = term if pred is None else (pred | term)
+        df = t.select_df(columns=cols + ["vastdb_rowid"], predicate=pred)
+        rows = df.collect()
+        assert len(rows) == 500
+        # value spot-check: c_i at rowid r is r*(i+1)
+        r0 = {r.vastdb_rowid: r for r in rows}
+        probe = sel[7]
+        assert r0[4050][f"c{probe}"] == float(4050 * (probe + 1))
+        # pushdown + pruning
+        plan = pi.formatted_plan(df)
+        assert "vastdb_rowid" in plan
+        dropped = [f"c{i}" for i in range(ncols) if i not in sel][:5]
+        for c in dropped:
+            pi.assert_column_pruned(df, c)
