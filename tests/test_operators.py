@@ -376,3 +376,24 @@ def test_range_join_bucketed(spark):
     got = asof.range_join_bucketed(pts, ivs, "x", "lo", "hi", bucket_width=16)
     m = {(r.x, r.tag) for r in got.collect()}
     assert m == {(5, "a"), (55, "b"), (120, "c")}
+
+
+def test_resize_images_stub(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"imagebytes-1")), (2, bytearray(b"imagebytes-2")), (3, None)],
+        "media_id LONG, payload BINARY",
+    )
+    out = {r.media_id: r for r in multimodal.resize_images(df, 8, 8).collect()}
+    assert len(out) == 3
+    assert out[1].width == 8 and out[1].height == 8
+    assert len(out[1].payload) == 64
+    assert out[3].payload is None
+    # deterministic: same payload + dims -> same bytes; different dims differ
+    again = {r.media_id: r for r in multimodal.resize_images(df, 8, 8).collect()}
+    assert bytes(again[1].payload) == bytes(out[1].payload)
+    other = {r.media_id: r for r in multimodal.resize_images(df, 4, 4).collect()}
+    assert bytes(other[1].payload) != bytes(out[1].payload)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.resize_images(df, 0, 8)

@@ -160,3 +160,61 @@ def frame_sample_plan(
     return df.filter(dur.isNotNull() & (dur > 0)).select(
         id_col, ts.alias("frame_ts_ms")
     )
+
+
+RESIZE_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize image payloads to (width, height) via mapInPandas — the
+    batch-preprocessing step before feature extraction. With
+    ``resizer=None`` a deterministic fake produces a stable payload from
+    md5(original || dims) (container has no Pillow); a real implementation
+    slots into ``resizer`` without touching the Spark-side plumbing:
+
+        def pil_resize(b, w, h):
+            img = PIL.Image.open(io.BytesIO(b)).resize((w, h)); ...
+
+    Null payloads pass through as null (width/height still set, matching
+    decode_images' behavior of total output rows == input rows)."""
+    if width <= 0 or height <= 0:
+        raise ValueError(f"target dims must be positive, got {width}x{height}")
+
+    def fake(b: bytes, w: int, h: int) -> bytes:
+        seed = hashlib.md5(b + f"|{w}x{h}".encode()).digest()
+        # deterministic pseudo-payload scaled to the target size (capped)
+        n = min(w * h, 4096)
+        return (seed * ((n // len(seed)) + 1))[:n]
+
+    fn = resizer or fake
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": pdf[payload_col].map(
+                        lambda b: fn(bytes(b), width, height)
+                        if b is not None
+                        else None
+                    ),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, RESIZE_RESULT_SCHEMA)
