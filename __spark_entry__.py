@@ -2563,6 +2563,26 @@ def q_ann_quantize_int8(spark, sf):
     )
 
 
+def q_tx_normalize(spark, sf):
+    """Text normalization (functions/text.normalize_text): strip control
+    chars, collapse whitespace runs, trim — chained regexp_replace in
+    whole-stage codegen, zero shuffle. The corpus is already clean, so
+    dirt is injected deterministically in-plan (control bytes + tab runs
+    around every text); the oracle injects the identical dirt with chr()
+    and runs the identical Java/RE2-common patterns, so the normalized
+    strings hash-match byte-for-byte."""
+    from vastdb_sdk_spark.functions.text import normalize_text
+
+    d = _t(spark, sf, "documents")
+    dirty = F.concat(F.lit("\x01  "), F.col("text"), F.lit(" \t\t zz \x07"))
+    clean = normalize_text(dirty)
+    return d.select(
+        "doc_id",
+        clean.alias("clean"),
+        F.length(clean).alias("n_clean_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2592,6 +2612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_dup_clusters": q_dd_dup_clusters,
         "ds_quality_filter": q_ds_quality_filter,
         "ann_quantize_int8": q_ann_quantize_int8,
+        "tx_normalize": q_tx_normalize,
         # -- oldest driver greens (round 3) — stalest first ----------------
         "dd_simhash": q_dd_simhash,
         "dd_lsh_pairs": q_dd_lsh_pairs,
@@ -2635,8 +2656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_train_test_split": q_ds_train_test_split,
         "tx_bigram_topk": q_tx_bigram_topk,
         "a7_approx_distinct": q_a7_approx_distinct,
-        "dd_lsh_pairs_fast": q_dd_lsh_pairs_fast,
         # ---- window boundary (driver gates the 50 entries above) --------
+        "dd_lsh_pairs_fast": q_dd_lsh_pairs_fast,
         "j2_semi_join": q_j2_semi_join,
         "j3_anti_join": q_j3_anti_join,
         "j4_outer_join_counts": q_j4_outer_join_counts,
@@ -2813,6 +2834,24 @@ def _pii_scrub_oracle_sql() -> str:
     """
 
 
+def _tx_normalize_oracle_sql() -> str:
+    """DuckDB twin of q_tx_normalize, generated from the SAME pattern
+    constants as the Spark side (functions/text.CONTROL_CHARS_RE /
+    WS_RUN_RE) so they cannot drift — the scrub.py single-source
+    discipline."""
+    from vastdb_sdk_spark.functions.text import CONTROL_CHARS_RE, WS_RUN_RE
+
+    dirty = "chr(1) || '  ' || text || ' ' || chr(9) || chr(9) || ' zz ' || chr(7)"
+    clean = (
+        f"trim(regexp_replace(regexp_replace({dirty}, "
+        f"'{CONTROL_CHARS_RE}', '', 'g'), '{WS_RUN_RE}', ' ', 'g'))"
+    )
+    return f"""
+        SELECT doc_id, {clean} AS clean, length({clean}) AS n_clean_chars
+        FROM documents
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     tok = _SQL_TOKENS.format(c="text")
     # DuckDB twin of shingles_from_tokens(tk, n): when len < n the gram list
@@ -2882,6 +2921,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, quality FROM r WHERE pr >= 0.5
         """,
+        "tx_normalize": _tx_normalize_oracle_sql(),
         "ann_quantize_int8": """
             WITH s AS (
                 SELECT list(mx ORDER BY i) AS scale FROM (

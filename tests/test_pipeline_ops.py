@@ -505,3 +505,20 @@ def test_lsh_bucket_size_guard(spark):
     }
     assert all(a >= 100 for a, _ in capped)  # boilerplate bucket dropped
     assert (100, 101) in capped              # real near-dup pair survives
+
+
+def test_normalize_text(spark):
+    from vastdb_sdk_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "\x01hello\x07  world\t\tnow\x0b "),
+            (2, "already clean"),
+            (3, "\x00\x1f\x7f"),
+        ],
+        "id LONG, t STRING",
+    )
+    got = {r.id: r.s for r in df.select("id", normalize_text(F.col("t")).alias("s")).collect()}
+    assert got[1] == "hello world now"
+    assert got[2] == "already clean"
+    assert got[3] == ""

@@ -103,6 +103,29 @@ def lang_id(col: Column) -> Column:
     return best
 
 
+#: Control characters stripped by normalize_text. Explicit class (not \p{Cc})
+#: so Spark's Java regex and DuckDB's RE2 agree byte-for-byte — the same
+#: Java/RE2-common-subset discipline as functions/scrub.py. \x09-\x0d
+#: (tab/newline/CR/FF/VT) are whitespace, handled by the collapse step.
+CONTROL_CHARS_RE = "[\\x00-\\x08\\x0e-\\x1f\\x7f]"
+#: Whitespace runs collapsed to one space; explicit class, not \s (Java's \s
+#: and RE2's disagree on \x0b).
+WS_RUN_RE = "[ \\t\\n\\r\\f\\x0b]+"
+
+
+def normalize_text(col: Column) -> Column:
+    """Pretraining-corpus text normalization: strip control characters,
+    collapse whitespace runs to single spaces, trim. Pure chained
+    regexp_replace + trim — zero shuffle, whole-stage codegen, and the
+    pattern constants are restricted to the Java/RE2-common subset so the
+    DuckDB oracle audits the result bit-for-bit. (Unicode NFC/NFKC needs
+    a JVM Normalizer UDF or a Pandas UDF — out of the pure-expression
+    tier by design; document upstream if the corpus needs it.)"""
+    out = F.regexp_replace(col, CONTROL_CHARS_RE, "")
+    out = F.regexp_replace(out, WS_RUN_RE, " ")
+    return F.trim(out)
+
+
 def dup_ngram_fraction(toks: Column, n: int) -> Column:
     """Fraction of n-gram occurrences that repeat an earlier occurrence
     within the SAME document — the Gopher repetition-quality family
