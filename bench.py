@@ -98,6 +98,7 @@ HEADLINE = [
     "dd_dup_clusters",
     "ds_quality_filter",
     "ann_quantize_int8",
+    "tx_normalize",
 ]
 
 
