@@ -441,16 +441,16 @@ def dup_clusters(
     Singletons (docs in no pair) are absent; left-join the corpus and
     coalesce(cluster_id, doc_id) to default them.
 
-    Algorithm: min-label propagation WITH pointer jumping — each round
-    every node takes the min of its own, its neighbors', and its label's
-    label (two equi-joins + one groupBy per round), terminating when a
-    round changes nothing. Pointer jumping (lab <- lab(lab)) halves chain
-    lengths per round, so convergence is O(log diameter): a 1000-hop
-    adversarial path needs ~10 rounds, and real near-dup graphs (copy
-    cliques) finish in 2-3. Each round localCheckpoints the label frame:
-    without it the iterated plan nests exponentially and analysis time
-    dominates. At 100 TB the per-round cost is two equi-join shuffles on
-    node id.
+    Algorithm: min-label propagation with pointer jumping from round 3 —
+    every round each node takes the min of its own and its neighbors'
+    labels (one equi-join + groupBy); from round 3 it also takes its
+    label's label (lab <- lab(lab), one more equi-join), which halves
+    chain lengths per round so convergence is O(log diameter): a
+    1000-hop adversarial path needs ~10 rounds, while real near-dup
+    graphs (copy cliques) finish in 2 plain rounds and never pay the
+    jump join. Each round localCheckpoints the label frame: without it
+    the iterated plan nests exponentially and analysis time dominates.
+    Terminates when a round changes nothing.
 
     The convergence check is one tiny aggregate per round (count of
     changed labels) — the only driver-side values are that scalar count,
@@ -469,7 +469,7 @@ def dup_clusters(
         .localCheckpoint(eager=True)
     )
     converged = False
-    for _ in range(max_iterations):
+    for round_idx in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy("dst")
@@ -487,21 +487,26 @@ def dup_clusters(
         # round, so a diameter-L path converges in O(log L) rounds instead
         # of O(L) — the long-chain adversary the plain propagation needed
         # large-star/small-star for. Safe: labels only ever decrease, and a
-        # label's label is in the same component.
-        jumped = (
-            propagated.alias("x")
-            .join(
-                propagated.alias("y"),
-                F.col("x.lab") == F.col("y.node"),
-                "left",
+        # label's label is in the same component. Engaged from round 3
+        # only: real near-dup graphs (copy cliques/stars) converge in 2
+        # plain rounds, so the common case never pays the extra join.
+        if round_idx >= 2:
+            jumped = (
+                propagated.alias("x")
+                .join(
+                    propagated.alias("y"),
+                    F.col("x.lab") == F.col("y.node"),
+                    "left",
+                )
+                .select(
+                    F.col("x.node").alias("node"),
+                    F.least(
+                        F.col("x.lab"), F.coalesce(F.col("y.lab"), F.col("x.lab"))
+                    ).alias("new_lab"),
+                )
             )
-            .select(
-                F.col("x.node").alias("node"),
-                F.least(
-                    F.col("x.lab"), F.coalesce(F.col("y.lab"), F.col("x.lab"))
-                ).alias("new_lab"),
-            )
-        )
+        else:
+            jumped = propagated.select("node", F.col("lab").alias("new_lab"))
         # checkpoint BEFORE the convergence count: the count then reads the
         # materialized round result instead of re-running the join pipeline
         # (count-then-checkpoint computed every round twice)
