@@ -2563,6 +2563,34 @@ def q_ann_quantize_int8(spark, sf):
     )
 
 
+def q_e14_engine_dedup(spark, sf):
+    """Engine-tier exact dedup under the gate (table.dedup_rows): orders
+    imported twice (a byte-identical copy, so every row is duplicated),
+    then dedup_rows() DV-masks/folds the copies in place — keeper = lowest
+    $row_id, no driver-side id collection (one window + the distributed DV
+    writer). The scan must return exactly the pristine table the oracle
+    reads."""
+    import shutil
+    import tempfile
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark.sources import create_table_from_files
+
+    session = vastdb.connect(tempfile.mkdtemp(prefix="entry_dedup_"), spark=spark)
+    session.create_bucket("b")
+    dup_copy = tempfile.mktemp(suffix=".parquet", prefix="orders_copy_")
+    shutil.copyfile(f"{sf}/orders.parquet", dup_copy)
+    with session.transaction() as tx:
+        sc = tx.bucket("b").create_schema("s")
+        t = create_table_from_files(
+            sc, "orders", [f"{sf}/orders.parquet", dup_copy]
+        )
+        t.dedup_rows()
+    tx = session.transaction()
+    t = tx.bucket("b").schema("s").table("orders")
+    return t.select_df(columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+
 def q_tx_normalize(spark, sf):
     """Text normalization (functions/text.normalize_text): strip control
     chars, collapse whitespace runs, trim — chained regexp_replace in
@@ -2613,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_quality_filter": q_ds_quality_filter,
         "ann_quantize_int8": q_ann_quantize_int8,
         "tx_normalize": q_tx_normalize,
+        "e14_engine_dedup": q_e14_engine_dedup,
         # -- oldest driver greens (round 3) — stalest first ----------------
         "dd_simhash": q_dd_simhash,
         "dd_lsh_pairs": q_dd_lsh_pairs,
@@ -2655,8 +2684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_stratified_sample": q_ds_stratified_sample,
         "ds_train_test_split": q_ds_train_test_split,
         "tx_bigram_topk": q_tx_bigram_topk,
-        "a7_approx_distinct": q_a7_approx_distinct,
         # ---- window boundary (driver gates the 50 entries above) --------
+        "a7_approx_distinct": q_a7_approx_distinct,
         "dd_lsh_pairs_fast": q_dd_lsh_pairs_fast,
         "j2_semi_join": q_j2_semi_join,
         "j3_anti_join": q_j3_anti_join,
@@ -2922,6 +2951,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, quality FROM r WHERE pr >= 0.5
         """,
         "tx_normalize": _tx_normalize_oracle_sql(),
+        "e14_engine_dedup": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        """,
         "ann_quantize_int8": """
             WITH s AS (
                 SELECT list(mx ORDER BY i) AS scale FROM (

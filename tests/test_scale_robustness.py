@@ -562,3 +562,57 @@ def test_wide_scan_rowid_ranges(clean_schema):
         dropped = [f"c{i}" for i in range(ncols) if i not in sel][:5]
         for c in dropped:
             pi.assert_column_pruned(df, c)
+
+
+def test_dedup_rows_in_place(clean_schema):
+    """Engine-tier exact dedup: duplicate rows across TWO imports are
+    DV-masked in place (no file rewrite), keeper = lowest $row_id,
+    idempotent on re-run, and key-scoped dedup keeps one row per key."""
+    import pyarrow.parquet as _pq
+
+    a = pa.table(
+        {
+            "k": pa.array(list(range(1, 11)), pa.int64()),
+            "v": pa.array([f"a{i}" for i in range(1, 11)]),
+        }
+    )
+    # file B: 2 exact dups of A (20% of B — below the 30% fold threshold,
+    # so B keeps a DV sidecar instead of being rewritten) + 8 new rows
+    b = pa.table(
+        {
+            "k": pa.array([1, 2] + list(range(11, 19)), pa.int64()),
+            "v": pa.array(["a1", "a2"] + [f"a{i}" for i in range(11, 19)]),
+        }
+    )
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("d", a.schema)
+        t.insert(a)
+        t.insert(b)
+        assert t.count_rows() == 20
+        t.dedup_rows()  # all-columns dedup
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("d")
+        assert t.count_rows() == 18
+        rows = t.select(internal_row_id=True).read_all()
+        # keepers of the dup pair are the FIRST insert's ids (0,1 not 10,11)
+        kept_ids = sorted(rows.column("$row_id").to_pylist())
+        assert kept_ids == list(range(10)) + list(range(12, 20))
+        # dups were DV-masked in place, not rewritten
+        assert any(fe.dv_paths for fe in t.entry.files)
+        t.dedup_rows()  # idempotent
+        assert t.count_rows() == 18
+        # key-scoped: duplicate k values collapse to the lowest $row_id
+        t.insert(
+            pa.table({"k": pa.array([3, 4], pa.int64()), "v": pa.array(["z3", "z4"])})
+        )
+        t.dedup_rows(columns=["k"])
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("d")
+        got = {r["k"]: r["v"] for r in t.select().read_all().to_pylist()}
+        assert got[3] == "a3" and got[4] == "a4" and len(got) == 18
+        import pytest as _pytest
+
+        import vastdb_sdk_spark as vastdb
+
+        with _pytest.raises(vastdb.InvalidArgument):
+            t.dedup_rows(columns=["nope"])

@@ -1229,6 +1229,39 @@ class Table:
         self._mark_unsorted(entry)
         self._mutate(entry, "delete_where")
 
+    def dedup_rows(self, columns: list[str] | None = None) -> None:
+        """Exact table dedup (engine extension): keep ONE row per distinct
+        ``columns`` value (default: all columns) — the kept representative
+        is the lowest ``$row_id``, so repeated runs are idempotent and the
+        survivor set is deterministic. Fully distributed: losers are found
+        with one window over the key columns (a single shuffle) and written
+        straight to per-file deletion-vector sidecars — no data file is
+        rewritten, no ids cross the driver. The batch-tier twin over plain
+        DataFrames is operators/dedup.dedup_exact; this is the same
+        semantics applied to a managed table in place. Near-dup cleanup
+        composes: compute pairs with the operators tier, map losers to a
+        predicate or rowid set, then delete."""
+        entry = TableEntry.from_json(self.entry.to_json())
+        cols = columns or [f.name for f in self.arrow_schema]
+        bad = [c for c in cols if c not in self.arrow_schema.names]
+        if bad:
+            raise InvalidArgument(f"unknown columns: {bad}")
+        if not entry.files:
+            return
+        from pyspark.sql import Window as W
+
+        df = self.df(internal_row_id=True, files=entry.files, with_file_path=True)
+        w = W.partitionBy(*cols).orderBy(F.col(INTERNAL_ROW_ID).asc())
+        losers = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .select(INTERNAL_ROW_ID, "__source_file")
+        )
+        self._write_dvs_distributed(entry.files, losers)
+        self._fold_heavy_dvs(entry, entry.files)
+        self._mark_unsorted(entry)
+        self._mutate(entry, "dedup_rows")
+
     def update_where(self, predicate: Any, assignments: dict) -> None:
         """Predicate UPDATE (engine extension): ``assignments`` maps column
         names to Spark Columns, engine expressions, or literals, applied to
