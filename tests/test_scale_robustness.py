@@ -616,3 +616,40 @@ def test_dedup_rows_in_place(clean_schema):
 
         with _pytest.raises(vastdb.InvalidArgument):
             t.dedup_rows(columns=["nope"])
+
+
+def test_dedup_near_rows_in_place(clean_schema):
+    """Near-dup table cleanup: a chain of incrementally-edited copies
+    collapses transitively to the lowest-$row_id original; unrelated docs
+    survive; idempotent on re-run."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    other = "one two three four five six seven eight nine ten " * 4
+    data = pa.table(
+        {
+            "doc": pa.array(
+                [
+                    base,                       # 0 keeper
+                    base + "tail1",             # 1 near-dup of 0
+                    base + "tail1 tail2",       # 2 near-dup of 1 (chain)
+                    other,                      # 3 unrelated keeper
+                    other + "xx",               # 4 near-dup of 3
+                ]
+            )
+        }
+    )
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("nd", data.schema)
+        t.insert(data)
+        t.dedup_near_rows("doc", threshold=0.8)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("nd")
+        rows = t.select(internal_row_id=True).read_all()
+        assert sorted(rows.column("$row_id").to_pylist()) == [0, 3]
+        t.dedup_near_rows("doc", threshold=0.8)  # idempotent
+        assert t.count_rows() == 2
+        import pytest as _pytest
+
+        import vastdb_sdk_spark as vastdb
+
+        with _pytest.raises(vastdb.InvalidArgument):
+            t.dedup_near_rows("nope")

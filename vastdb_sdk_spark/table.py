@@ -1262,6 +1262,52 @@ class Table:
         self._mark_unsorted(entry)
         self._mutate(entry, "dedup_rows")
 
+    def dedup_near_rows(
+        self,
+        text_column: str,
+        threshold: float = 0.8,
+        num_hashes: int = 16,
+        num_bands: int = 4,
+        shingle_k: int = 3,
+    ) -> None:
+        """NEAR-duplicate table cleanup in place (engine extension): the
+        full batch near-dup pipeline — MinHash-LSH candidates, exact
+        Jaccard >= threshold, connected components — runs over the table
+        keyed by ``$row_id``, and every non-representative cluster member
+        (keeper = lowest ``$row_id``, transitively: a~b~c keeps only a) is
+        DV-masked via the distributed writer. No id collection, no file
+        rewrite below the fold threshold; idempotent (survivors have no
+        qualifying pairs left). Composition of operators/dedup.py
+        (minhash_dedup_pairs + dup_clusters) with the engine's DML tier —
+        the exact-dup fast path is :meth:`dedup_rows`."""
+        if text_column not in self.arrow_schema.names:
+            raise InvalidArgument(f"no column {text_column!r}")
+        entry = TableEntry.from_json(self.entry.to_json())
+        if not entry.files:
+            return
+        from .operators.dedup import dup_clusters, minhash_dedup_pairs
+
+        df = self.df(internal_row_id=True, files=entry.files, with_file_path=True)
+        docs = df.select(
+            F.col(INTERNAL_ROW_ID).alias("doc_id"), F.col(text_column).alias("text")
+        )
+        pairs = minhash_dedup_pairs(
+            docs, "text", "doc_id", num_hashes, num_bands, threshold, shingle_k,
+            hash_fn="xxhash64",
+        )
+        losers = (
+            dup_clusters(pairs)
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select(F.col("doc_id").alias(INTERNAL_ROW_ID))
+        )
+        dv_src = df.join(losers, INTERNAL_ROW_ID, "left_semi").select(
+            INTERNAL_ROW_ID, "__source_file"
+        )
+        self._write_dvs_distributed(entry.files, dv_src)
+        self._fold_heavy_dvs(entry, entry.files)
+        self._mark_unsorted(entry)
+        self._mutate(entry, "dedup_near_rows")
+
     def update_where(self, predicate: Any, assignments: dict) -> None:
         """Predicate UPDATE (engine extension): ``assignments`` maps column
         names to Spark Columns, engine expressions, or literals, applied to
