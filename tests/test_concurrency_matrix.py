@@ -37,12 +37,18 @@ def _op(kind):
             t.add_column(pa.field("extra", pa.int64()))
         elif kind == "rename_column":
             t.rename_column("s", "s2")
+        elif kind == "dedup":
+            # ingest-then-dedup (a no-dup dedup_rows is an effective no-op
+            # commit and correctly does NOT conflict — value-based check;
+            # see test_noop_commit_does_not_conflict)
+            t.insert(ROWS)
+            t.dedup_rows()
         else:
             raise AssertionError(kind)
     return run
 
 
-OPS = ["insert", "delete", "update", "add_column", "rename_column"]
+OPS = ["insert", "delete", "update", "add_column", "rename_column", "dedup"]
 
 
 @pytest.mark.parametrize("op_a", OPS)
@@ -114,3 +120,17 @@ def test_drop_vs_dml_conflicts(two_tables):
     tx1.commit()
     with pytest.raises(vastdb.Conflict):
         tx2.commit()
+
+
+def test_noop_commit_does_not_conflict(two_tables):
+    """Conflict detection is VALUE-based (object state at base vs tip), so
+    a commit whose net effect is nothing — here dedup_rows over a table
+    with no duplicates — does not invalidate a concurrent writer."""
+    tx1 = two_tables.transaction()
+    tx2 = two_tables.transaction()
+    tx1.bucket("bkt").schema("s").table("t1").dedup_rows()  # no dups -> no-op
+    _op("insert")(tx2, "t1")
+    tx1.commit()
+    tx2.commit()  # must NOT conflict
+    with two_tables.transaction() as tx:
+        assert tx.bucket("bkt").schema("s").table("t1").count_rows() == 6
