@@ -653,3 +653,34 @@ def test_dedup_near_rows_in_place(clean_schema):
 
         with _pytest.raises(vastdb.InvalidArgument):
             t.dedup_near_rows("nope")
+
+
+def test_dedup_rows_respects_snapshots_and_vacuum(clean_schema):
+    """Time travel across an in-place dedup: a snapshot taken before
+    dedup_rows still reads every duplicate; vacuum after the fold only
+    removes files no committed manifest references."""
+    data = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("t", data.schema)
+        t.insert(data)
+        t.insert(data)
+    with clean_schema.transaction() as tx:
+        tx.bucket("bkt").create_snapshot("before")
+    with clean_schema.transaction() as tx:
+        tx.bucket("bkt").schema("s").table("t").dedup_rows()
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        assert t.count_rows() == 3
+        snap = tx.bucket("bkt").snapshot("before")
+        assert snap.schema("s").table("t").count_rows() == 6
+    # snapshot-referenced files survive vacuum; dropping the snapshot
+    # releases them
+    clean_schema.vacuum("bkt", keep_snapshots=True)
+    with clean_schema.transaction() as tx:
+        snap = tx.bucket("bkt").snapshot("before")
+        assert snap.schema("s").table("t").count_rows() == 6
+    with clean_schema.transaction() as tx:
+        tx.bucket("bkt").drop_snapshot("before")
+    clean_schema.vacuum("bkt", keep_snapshots=False)
+    with clean_schema.transaction() as tx:
+        assert tx.bucket("bkt").schema("s").table("t").count_rows() == 3
