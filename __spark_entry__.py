@@ -2570,6 +2570,7 @@ def q_e14_engine_dedup(spark, sf):
     $row_id, no driver-side id collection (one window + the distributed DV
     writer). The scan must return exactly the pristine table the oracle
     reads."""
+    import os
     import shutil
     import tempfile
 
@@ -2578,7 +2579,8 @@ def q_e14_engine_dedup(spark, sf):
 
     session = vastdb.connect(tempfile.mkdtemp(prefix="entry_dedup_"), spark=spark)
     session.create_bucket("b")
-    dup_copy = tempfile.mktemp(suffix=".parquet", prefix="orders_copy_")
+    fd, dup_copy = tempfile.mkstemp(suffix=".parquet", prefix="orders_copy_")
+    os.close(fd)
     shutil.copyfile(f"{sf}/orders.parquet", dup_copy)
     with session.transaction() as tx:
         sc = tx.bucket("b").create_schema("s")

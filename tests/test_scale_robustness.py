@@ -684,3 +684,31 @@ def test_dedup_rows_respects_snapshots_and_vacuum(clean_schema):
     clean_schema.vacuum("bkt", keep_snapshots=False)
     with clean_schema.transaction() as tx:
         assert tx.bucket("bkt").schema("s").table("t").count_rows() == 3
+
+
+def test_dedup_rows_noop_and_map_key_guard(clean_schema):
+    """A duplicate-free dedup_rows is a TRUE no-op: no manifest mutation,
+    no audit event, projections stay fresh. Map-typed key columns are
+    rejected up front (Spark cannot partition on maps)."""
+    import vastdb_sdk_spark as vastdb
+
+    data = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("n", data.schema)
+        t.insert(data)
+        t.create_projection("p", ["a"], [])
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("n")
+        t.dedup_rows()  # nothing to dedup
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("n")
+        assert "dedup_rows" not in [r.op for r in t.history().collect()]
+        assert t.count_rows() == 3
+    mschema = pa.schema(
+        [("k", pa.int64()), ("m", pa.map_(pa.string(), pa.int64()))]
+    )
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("mp", mschema)
+        with pytest.raises(vastdb.InvalidArgument, match="map-typed"):
+            t.dedup_rows()
+        t.dedup_rows(columns=["k"])  # explicit non-map key is fine (empty table)

@@ -314,3 +314,17 @@ def test_build_ivf_index_sampled_fit(spark):
 
     with _pytest.raises(ValueError, match="sample_fraction"):
         similarity.build_ivf_index(emb, sample_fraction=1.5)
+
+
+def test_build_ivf_index_sample_guards(spark):
+    import pytest as _pytest
+
+    from vastdb_sdk_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with _pytest.raises(ValueError, match="sample_key given without"):
+        similarity.build_ivf_index(emb, sample_key="vec_id")
+    with _pytest.raises(ValueError, match="< num_centroids"):
+        similarity.build_ivf_index(
+            emb, num_centroids=64, sample_fraction=0.01, sample_key="vec_id"
+        )

@@ -262,15 +262,19 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     shingle_k: int = 3,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact Jaccard >= threshold.
+    ``max_bucket_size`` passes through to :func:`lsh_candidate_pairs` (the
+    degenerate-corpus quadratic-bomb guard).
 
     The candidate set is persisted before verification: it is tiny relative
     to the corpus and is consumed three times (two id projections + the
     verify join) — without the persist the whole signature pipeline would
     re-run per consumer."""
     pairs = lsh_candidate_pairs(
-        df, text_col, id_col, num_hashes, num_bands, shingle_k, hash_fn
+        df, text_col, id_col, num_hashes, num_bands, shingle_k, hash_fn,
+        max_bucket_size,
     ).persist()
     return jaccard_verify_pairs(df, pairs, text_col, id_col, threshold, shingle_k)
 
@@ -491,6 +495,9 @@ def dup_clusters(
         # only: real near-dup graphs (copy cliques/stars) converge in 2
         # plain rounds, so the common case never pays the extra join.
         if round_idx >= 2:
+            # materialize once: propagated feeds BOTH sides of the self-join
+            # (same count-then-checkpoint discipline as below)
+            propagated = propagated.localCheckpoint(eager=True)
             jumped = (
                 propagated.alias("x")
                 .join(

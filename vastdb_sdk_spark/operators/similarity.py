@@ -266,6 +266,11 @@ def build_ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if sample_key is not None and sample_fraction is None:
+        raise ValueError(
+            "sample_key given without sample_fraction — the fit would "
+            "silently run over the FULL corpus; pass sample_fraction"
+        )
     fit_df = df
     if sample_fraction is not None:
         if not 0.0 < sample_fraction <= 1.0:
@@ -276,6 +281,13 @@ def build_ivf_index(
             fit_df = hash_sample(df, sample_key, sample_fraction)
         else:
             fit_df = df.sample(fraction=sample_fraction, seed=seed)
+        n_fit = fit_df.count()
+        if n_fit < num_centroids:
+            raise ValueError(
+                f"sampled fit set has {n_fit} rows < num_centroids="
+                f"{num_centroids}; raise sample_fraction or lower "
+                "num_centroids"
+            )
     to_vec = lambda c: array_to_vector(F.col(c).cast("array<double>"))
     km = KMeans(
         k=num_centroids, seed=seed, featuresCol="__features",

@@ -67,8 +67,6 @@ def assert_filter_pushed(df: DataFrame, fragment: str) -> None:
 def assert_column_pruned(df: DataFrame, column: str) -> None:
     # match the NAME position (after '<' or ',') so 'c1' doesn't
     # false-positive against 'c12:float' in the schema string
-    import re
-
     pat = re.compile(rf"[<,]{re.escape(column)}:")
     schemas = read_schemas(df)
     assert schemas and all(not pat.search(s) for s in schemas), (

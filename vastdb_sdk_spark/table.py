@@ -1246,6 +1246,17 @@ class Table:
         bad = [c for c in cols if c not in self.arrow_schema.names]
         if bad:
             raise InvalidArgument(f"unknown columns: {bad}")
+        unkeyable = [
+            c
+            for c in cols
+            if pa.types.is_map(self.arrow_schema.field(c).type)
+        ]
+        if unkeyable:
+            raise InvalidArgument(
+                f"map-typed columns cannot be dedup keys (Spark cannot "
+                f"group/partition on maps): {unkeyable}; pass explicit "
+                "columns= excluding them"
+            )
         if not entry.files:
             return
         from pyspark.sql import Window as W
@@ -1256,8 +1267,17 @@ class Table:
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") > 1)
             .select(INTERNAL_ROW_ID, "__source_file")
+            .persist()
         )
-        self._write_dvs_distributed(entry.files, losers)
+        try:
+            # a duplicate-free table must be a TRUE no-op: no manifest
+            # mutation, no projection/vector-index staling, and a
+            # concurrent writer stays conflict-free
+            if losers.limit(1).isEmpty():
+                return
+            self._write_dvs_distributed(entry.files, losers)
+        finally:
+            losers.unpersist()
         self._fold_heavy_dvs(entry, entry.files)
         self._mark_unsorted(entry)
         self._mutate(entry, "dedup_rows")
@@ -1269,6 +1289,7 @@ class Table:
         num_hashes: int = 16,
         num_bands: int = 4,
         shingle_k: int = 3,
+        max_bucket_size: int | None = None,
     ) -> None:
         """NEAR-duplicate table cleanup in place (engine extension): the
         full batch near-dup pipeline — MinHash-LSH candidates, exact
@@ -1293,17 +1314,23 @@ class Table:
         )
         pairs = minhash_dedup_pairs(
             docs, "text", "doc_id", num_hashes, num_bands, threshold, shingle_k,
-            hash_fn="xxhash64",
-        )
-        losers = (
-            dup_clusters(pairs)
-            .filter(F.col("doc_id") != F.col("cluster_id"))
-            .select(F.col("doc_id").alias(INTERNAL_ROW_ID))
-        )
-        dv_src = df.join(losers, INTERNAL_ROW_ID, "left_semi").select(
-            INTERNAL_ROW_ID, "__source_file"
-        )
-        self._write_dvs_distributed(entry.files, dv_src)
+            hash_fn="xxhash64", max_bucket_size=max_bucket_size,
+        ).persist()
+        try:
+            # TRUE no-op when no qualifying pairs exist (see dedup_rows)
+            if pairs.limit(1).isEmpty():
+                return
+            losers = (
+                dup_clusters(pairs)
+                .filter(F.col("doc_id") != F.col("cluster_id"))
+                .select(F.col("doc_id").alias(INTERNAL_ROW_ID))
+            )
+            dv_src = df.join(losers, INTERNAL_ROW_ID, "left_semi").select(
+                INTERNAL_ROW_ID, "__source_file"
+            )
+            self._write_dvs_distributed(entry.files, dv_src)
+        finally:
+            pairs.unpersist()
         self._fold_heavy_dvs(entry, entry.files)
         self._mark_unsorted(entry)
         self._mutate(entry, "dedup_near_rows")
