@@ -88,6 +88,7 @@ def stream_dedup_near_against_table(
     num_bands: int = 4,
     threshold: float = 0.8,
     shingle_k: int = 3,
+    max_bucket_size: int | None = None,
 ):
     """Continuous NEAR-duplicate-free ingestion — the streaming face of the
     MinHash-LSH batch pipeline (operators/dedup.py), with all dedup state in
@@ -112,7 +113,11 @@ def stream_dedup_near_against_table(
 
     Shuffle volume per batch: O(batch x num_bands) band rows joined
     against the signature table (equi-join on an 8-byte hash key) — never
-    batch x corpus. Caller contract: ids are globally unique across the
+    batch x corpus. ``max_bucket_size`` caps in-batch candidate buckets
+    (the quadratic-bomb guard); note the members of a capped bucket still
+    land in the signature table, so heavy boilerplate must be removed by
+    EXACT dedup upstream (stream_dedup_exact / dedup_rows) — the cap is a
+    backstop, not a boilerplate strategy. Caller contract: ids are globally unique across the
     stream and corpus; ``sig_table`` has columns (doc_id int64,
     band_id int32, band_key int64); ``corpus_table`` has the stream's
     columns."""
@@ -151,7 +156,7 @@ def stream_dedup_near_against_table(
             in_cand = _persist(
                 lsh_candidate_pairs(
                     batch, text_col, id_col, num_hashes, num_bands,
-                    shingle_k, "xxhash64",
+                    shingle_k, "xxhash64", max_bucket_size,
                 )
             )
             in_pairs = jaccard_verify_pairs(
