@@ -2623,14 +2623,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query whose implementation changed this round goes first
     # (ann_ivf_knn_join — IVF probe moved to broadcast mapInPandas;
     # tx_pii_scrub — URL pattern whitespace class; asof_last_purchase —
-    # distance arithmetic type), then (2) the five operators REGISTERED
+    # distance arithmetic type), then (2) the seven operators REGISTERED
     # this round (repetition stats, token chunking, dup clusters,
-    # quality-percentile filter, int8 quantization), then
-    # (3) queries ordered by the age of their last driver-green row,
-    # stalest first: the 19 round-3 greens, then 23 of the 45 round-4
-    # greens.  The 22 round-4 greens that don't fit sit directly after
-    # the boundary and lead the round-7 window, so no entry's latest
-    # green ever ages past ~3 rounds.
+    # quality-percentile filter, int8 quantization, text normalization,
+    # engine in-place dedup), then (3) queries ordered by the age of
+    # their last driver-green row, stalest first: the 19 round-3 greens,
+    # then 21 of the 45 round-4 greens.  The 24 round-4 greens that
+    # don't fit sit directly after the boundary and lead the round-7
+    # window, so no entry's latest green ever ages past ~3 rounds.
     return {
         # -- code changed in round 6 (IVF probe, PII pattern, asof math) ---
         "ann_ivf_knn_join": q_ann_ivf_knn_join,
