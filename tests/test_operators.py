@@ -397,3 +397,76 @@ def test_resize_images_stub(spark):
 
     with _pytest.raises(ValueError):
         multimodal.resize_images(df, 0, 8)
+
+
+# -- asof hypothesis fuzz vs pandas ----------------------------------------
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+_asof_case = hst.fixed_dictionaries(
+    {
+        "float_keys": hst.booleans(),
+        "direction": hst.sampled_from(["backward", "forward", "nearest"]),
+        "tolerance": hst.sampled_from([None, 3, 17]),
+        "left_ts": hst.lists(
+            hst.integers(0, 60), min_size=1, max_size=12, unique=True
+        ),
+        "right_ts": hst.lists(
+            hst.integers(0, 60), min_size=0, max_size=12, unique=True
+        ),
+        "groups": hst.integers(1, 2),
+    }
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=_asof_case)
+def test_asof_join_fuzz_matches_pandas(spark, case):
+    """Random series x {backward, forward, nearest} x tolerance x
+    int/float keys must equal pandas merge_asof exactly (incl. groups
+    with no right rows and exact-tie timestamps)."""
+    scale = 0.7 if case["float_keys"] else 1
+    t_type = "DOUBLE" if case["float_keys"] else "LONG"
+    tol = case["tolerance"] if case["tolerance"] is None else case["tolerance"] * scale
+
+    left = [
+        (g, t * scale) for g in range(case["groups"]) for t in case["left_ts"]
+    ]
+    right = [
+        (g, t * scale, float(g * 1000 + t))
+        for g in range(case["groups"])
+        for t in case["right_ts"]
+    ]
+    ldf = spark.createDataFrame(left, f"k LONG, ts {t_type}")
+    rdf = (
+        spark.createDataFrame(right, f"k LONG, ts {t_type}, v DOUBLE")
+        if right
+        else spark.createDataFrame([], f"k LONG, ts {t_type}, v DOUBLE")
+    )
+    got = asof.asof_join(
+        ldf, rdf, on="ts", by="k", right_cols=["v"],
+        direction=case["direction"], tolerance=tol,
+    )
+    got_m = {(r.k, round(float(r.ts), 9)): r.v for r in got.collect()}
+
+    ts_dtype = "float64" if case["float_keys"] else "int64"
+    lp = pd.DataFrame(left, columns=["k", "ts"]).astype(
+        {"k": "int64", "ts": ts_dtype}
+    ).sort_values("ts")
+    rp = pd.DataFrame(right, columns=["k", "ts", "v"]).astype(
+        {"k": "int64", "ts": ts_dtype, "v": "float64"}
+    ).sort_values("ts")
+    exp = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction=case["direction"], tolerance=tol
+    )
+    exp_m = {
+        (r.k, round(float(r.ts), 9)): (None if pd.isna(r.v) else r.v)
+        for r in exp.itertuples()
+    }
+    assert got_m == exp_m
