@@ -328,3 +328,82 @@ def test_build_ivf_index_sample_guards(spark):
         similarity.build_ivf_index(
             emb, num_centroids=64, sample_fraction=0.01, sample_key="vec_id"
         )
+
+
+def test_stream_dedup_near_incremental_restarts(session, tmp_path):
+    """Multi-RUN continuity: run the ingester to completion, restart with
+    the SAME checkpoint (no new data -> no-op), then land a new file with
+    a near-copy of an already-ingested doc and restart again — only the
+    new batch processes, and the signature table built in run 1 still
+    catches the cross-RUN near-dup."""
+    import pyarrow.parquet as pq
+
+    from vastdb_sdk_spark.streaming.dedup import stream_dedup_near_against_table
+
+    spark = session.spark
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 40")
+        .collect()
+    )
+    base = [(r.doc_id, r.text) for r in docs]
+    src = tmp_path / "inc_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_inc")
+
+    def _write(name, part):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([d for d, _ in part], pa.int64()),
+                    "text": pa.array([t for _, t in part]),
+                }
+            ),
+            str(src / name),
+        )
+
+    def _run():
+        with session.transaction() as tx:
+            ct = tx.bucket("bkt").schema("s").table("corpus")
+            st = tx.bucket("bkt").schema("s").table("sigs")
+            stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(
+                str(src)
+            )
+            q = stream_dedup_near_against_table(stream, ct, st, ckpt).start()
+            q.awaitTermination(240)
+
+    with session.transaction() as tx:
+        sc = tx.bucket("bkt").create_schema("s")
+        sc.create_table(
+            "corpus", pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+        )
+        sc.create_table(
+            "sigs",
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("band_id", pa.int32()),
+                    ("band_key", pa.int64()),
+                ]
+            ),
+        )
+    _write("part-0.parquet", base)
+    _run()
+    with session.transaction() as tx:
+        n1 = tx.bucket("bkt").schema("s").table("corpus").count_rows()
+        assert n1 > 30  # base minus any natural near-dups
+    _run()  # restart, no new files -> no-op
+    with session.transaction() as tx:
+        assert tx.bucket("bkt").schema("s").table("corpus").count_rows() == n1
+    # new file: one near-copy of an ingested doc + one genuinely new doc
+    _write(
+        "part-1.parquet",
+        [(90_000, base[0][1] + " tail"), (90_001, "entirely new words " * 20)],
+    )
+    _run()
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("corpus")
+        ids = {r.doc_id for r in t.df().select("doc_id").collect()}
+        assert 90_001 in ids and 90_000 not in ids
+        assert t.count_rows() == n1 + 1
