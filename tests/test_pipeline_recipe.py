@@ -1,0 +1,103 @@
+"""End-to-end pretraining-data pipeline recipe: every stage of the
+LLM-data tier chained over the documents corpus, asserting the invariants
+a production pipeline would gate on. This is the "a reference user could
+run their whole workflow here" integration test."""
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_full_pretraining_pipeline(spark):
+    from vastdb_sdk_spark.functions.scrub import pii_counts, scrub_pii
+    from vastdb_sdk_spark.functions.text import (
+        dup_ngram_fraction,
+        normalize_text,
+        quality_score,
+        token_count,
+        tokens,
+    )
+    from vastdb_sdk_spark.operators.contamination import decontaminate
+    from vastdb_sdk_spark.operators.dedup import (
+        dedup_keep_representative,
+        minhash_dedup_pairs,
+    )
+    from vastdb_sdk_spark.operators.sampling import (
+        chunk_fixed_tokens,
+        pack_greedy,
+        quality_percentile_filter,
+        resample_to_mix,
+        train_test_split,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. normalize + scrub (pure maps)
+    clean = docs.select(
+        "doc_id", "lang", "source",
+        scrub_pii(normalize_text(F.col("text"))).alias("text"),
+    )
+    assert clean.count() == n0  # maps never drop rows
+
+    # 2. repetition + quality gating: drop degenerate docs, keep the top
+    # 80% by quality per source
+    scored = clean.select(
+        "*",
+        F.round(quality_score(F.col("text")), 4).alias("quality"),
+        dup_ngram_fraction(tokens(F.col("text")), 2).alias("rep2"),
+    ).filter(F.col("rep2") < 0.9)
+    gated = quality_percentile_filter(
+        scored, F.col("quality"), keep_fraction=0.8, stratum_col="source"
+    ).drop("rep2")
+    n_gated = gated.count()
+    assert 0 < n_gated <= scored.count()
+
+    # 3. near-dedup, transitively keep one per cluster
+    pairs = minhash_dedup_pairs(gated, threshold=0.8, hash_fn="xxhash64")
+    deduped = dedup_keep_representative(gated, pairs)
+    n_dedup = deduped.count()
+    assert n_dedup <= n_gated
+    # re-running finds nothing new (idempotence)
+    pairs2 = minhash_dedup_pairs(deduped, threshold=0.8, hash_fn="xxhash64")
+    assert dedup_keep_representative(deduped, pairs2).count() == n_dedup
+
+    # 4. decontaminate against a planted eval set (verbatim slice of a doc)
+    probe = deduped.orderBy("doc_id").limit(1).collect()[0]
+    ev = spark.createDataFrame(
+        [(1, " ".join(probe.text.split()[:30]))], "doc_id LONG, text STRING"
+    )
+    safe = decontaminate(deduped, ev, n=8)
+    n_safe = safe.count()
+    assert n_safe < n_dedup  # the probe's source doc was quarantined
+    assert safe.filter(F.col("doc_id") == probe.doc_id).count() == 0
+
+    # 5. language mix + leak-proof split
+    mixed = resample_to_mix(
+        safe, "doc_id", "lang", {"en": 0.5, "de": 0.25, "fr": 0.25}
+    )
+    split = train_test_split(mixed, "doc_id", test_fraction=0.1)
+    marks = {r.split for r in split.select("split").distinct().collect()}
+    assert marks <= {"train", "test"}
+    # growing the corpus cannot migrate rows between splits: re-split of a
+    # subset agrees with the full split on every shared doc
+    sub = train_test_split(mixed.limit(50), "doc_id", test_fraction=0.1)
+    full_m = {r.doc_id: r.split for r in split.collect()}
+    for r in sub.collect():
+        assert full_m[r.doc_id] == r.split
+
+    # 6. context-window chunking + packing
+    train = split.filter(F.col("split") == "train")
+    chunks = chunk_fixed_tokens(train, text_col="text", size=64, overlap=8)
+    assert chunks.count() >= train.count()  # every non-empty doc chunks
+    assert chunks.filter(F.col("n_chunk_tokens") > 64).count() == 0
+    packed = pack_greedy(
+        chunks.withColumn("n_tok", F.col("n_chunk_tokens")),
+        size_col="n_tok", budget=512, stratum_col="doc_id",
+        order_col="chunk_id",
+    )
+    # bins respect the budget for everything smaller than one window
+    over = packed.groupBy("doc_id", "pack_bin").agg(
+        F.sum("n_tok").alias("tot")
+    ).filter(F.col("tot") > 512 + 64)
+    assert over.count() == 0
