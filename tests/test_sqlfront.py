@@ -544,3 +544,26 @@ def test_snapshot_consistent_select(sql_session):
         sql_session.execute_sql("SELECT count(*) AS n FROM bkt.s.t").collect()[0].n
         == 4
     )
+
+
+def test_optimize_dedup_statement(sql_session):
+    # duplicate two existing rows, then full-row and key-scoped SQL dedup
+    sql_session.execute_sql(
+        "INSERT INTO bkt.s.t VALUES (1, 0.5, 'one'), (2, 1.5, 'two')"
+    )
+    res = sql_session.execute_sql("OPTIMIZE bkt.s.t DEDUP")
+    assert res == {"optimized": "dedup", "rows_removed": 2}
+    rows = sql_session.execute_sql("SELECT count(*) AS n FROM bkt.s.t").collect()
+    assert rows[0].n == 3
+    # key-scoped: plant a conflicting name for a=1, keep the earliest row
+    sql_session.execute_sql("INSERT INTO bkt.s.t VALUES (1, 9.9, 'uno')")
+    res = sql_session.execute_sql("OPTIMIZE bkt.s.t DEDUP BY (a)")
+    assert res == {"optimized": "dedup", "rows_removed": 1}
+    got = {
+        r.a: r.name
+        for r in sql_session.execute_sql("SELECT a, name FROM bkt.s.t").collect()
+    }
+    assert got == {1: "one", 2: "two", 3: "three"}
+    # idempotent re-run removes nothing
+    res = sql_session.execute_sql("OPTIMIZE bkt.s.t DEDUP")
+    assert res["rows_removed"] == 0

@@ -275,6 +275,24 @@ class SqlFrontend:
             return self._alter_table(stmt)
         if kw == "OPTIMIZE":
             m = re.match(
+                rf"(?is)OPTIMIZE\s+({_DOTTED})\s+DEDUP"
+                rf"(?:\s+BY\s*\(([^()]*)\))?\s*$",
+                stmt,
+            )
+            if m:
+                _, _, _, table = self._resolve_table(m.group(1))
+                cols = (
+                    [_unquote(c) for c in _split_top(m.group(2))]
+                    if m.group(2)
+                    else None
+                )
+                before = table.count_rows()
+                table.dedup_rows(columns=cols)
+                return {
+                    "optimized": "dedup",
+                    "rows_removed": before - table.count_rows(),
+                }
+            m = re.match(
                 rf"(?is)OPTIMIZE\s+({_DOTTED})"
                 rf"(?:\s+ZORDER\s+BY\s*\(([^()]*)\))?"
                 rf"(?:\s+TARGET\s+FILE\s+ROWS\s+(\d+))?\s*$",
