@@ -712,3 +712,55 @@ def test_dedup_rows_noop_and_map_key_guard(clean_schema):
         with pytest.raises(vastdb.InvalidArgument, match="map-typed"):
             t.dedup_rows()
         t.dedup_rows(columns=["k"])  # explicit non-map key is fine (empty table)
+
+
+def test_wide_ingest_chunked_column_updates(clean_schema):
+    """Reduced-scale replica of the reference ingest harness
+    (vastdb/bench/test_sample.py:46-143: wide rows inserted, then updated
+    in 10-column chunks keyed by rowid): 120 float32 columns x 2k rows
+    with external rowids; three 10-column chunk updates must land without
+    touching the other 90 columns."""
+    ncols, nrows = 120, 2000
+    with clean_schema.transaction() as tx:
+        s = tx.bucket("bkt").schema("s")
+        schema = pa.schema(
+            [("vastdb_rowid", pa.int64())]
+            + [(f"c{i}", pa.float32()) for i in range(ncols)]
+        )
+        t = s.create_table("wi", schema, use_external_row_ids_allocation=True)
+        spark = t.spark
+        src = spark.range(nrows).select(
+            F.col("id").alias("vastdb_rowid"),
+            *[(F.col("id") * (i + 1)).cast("float").alias(f"c{i}") for i in range(ncols)],
+        )
+        t.insert_df(src)
+    for chunk in range(3):
+        cols = [f"c{chunk * 10 + j}" for j in range(10)]
+        with clean_schema.transaction() as tx:
+            t = tx.bucket("bkt").schema("s").table("wi")
+            upd = {
+                "$row_id": pa.array(range(0, 100), pa.uint64()),
+                **{
+                    c: pa.array([float(-1 - chunk)] * 100, pa.float32())
+                    for c in cols
+                },
+            }
+            t.update(pa.table(upd))
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("wi")
+        assert t.count_rows() == nrows
+        got = t.select_df(
+            columns=["vastdb_rowid", "c0", "c15", "c29", "c30", "c119"],
+            predicate=(D.vastdb_rowid < 100),
+        ).collect()
+        assert len(got) == 100
+        for r in got:
+            assert r.c0 == -1.0 and r.c15 == -2.0 and r.c29 == -3.0
+            # untouched columns keep their original derived values
+            assert r.c30 == float(r.vastdb_rowid * 31)
+            assert r.c119 == float(r.vastdb_rowid * 120)
+        # rows past the updated range are fully pristine
+        far = t.select_df(
+            columns=["vastdb_rowid", "c5"], predicate=(D.vastdb_rowid == 1500)
+        ).collect()[0]
+        assert far.c5 == float(1500 * 6)
