@@ -764,3 +764,31 @@ def test_wide_ingest_chunked_column_updates(clean_schema):
             columns=["vastdb_rowid", "c5"], predicate=(D.vastdb_rowid == 1500)
         ).collect()[0]
         assert far.c5 == float(1500 * 6)
+
+
+def test_parallel_selective_queries(clean_schema):
+    """Reference concurrency smoke (vastdb/vast_tests/test_scale.py:14-35:
+    10 parallel selective queries): ten threads issue selective scans with
+    different predicates against one engine table concurrently; every
+    thread must get its exact count (Spark actions are thread-safe and the
+    manifest snapshot each transaction pinned is immutable)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    data = pa.table(
+        {
+            "k": pa.array(list(range(2000)), pa.int64()),
+            "grp": pa.array([i % 10 for i in range(2000)], pa.int64()),
+        }
+    )
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("pq", data.schema)
+        t.insert(data)
+
+    def probe(g):
+        with clean_schema.transaction() as tx:
+            t = tx.bucket("bkt").schema("s").table("pq")
+            return g, t.count_rows(predicate=(D.grp == g))
+
+    with ThreadPoolExecutor(max_workers=10) as pool:
+        got = dict(pool.map(probe, range(10)))
+    assert got == {g: 200 for g in range(10)}
