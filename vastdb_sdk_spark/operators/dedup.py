@@ -445,7 +445,8 @@ def dup_clusters(
     Singletons (docs in no pair) are absent; left-join the corpus and
     coalesce(cluster_id, doc_id) to default them.
 
-    Algorithm: min-label propagation with pointer jumping from round 3 —
+    Algorithm: min-label propagation with pointer jumping (the classic
+    Shiloach-Vishkin shortcutting step) from round 3 —
     every round each node takes the min of its own and its neighbors'
     labels (one equi-join + groupBy); from round 3 it also takes its
     label's label (lab <- lab(lab), one more equi-join), which halves
