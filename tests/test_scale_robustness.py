@@ -792,3 +792,27 @@ def test_parallel_selective_queries(clean_schema):
     with ThreadPoolExecutor(max_workers=10) as pool:
         got = dict(pool.map(probe, range(10)))
     assert got == {g: 200 for g in range(10)}
+
+
+def test_sequential_full_scans_stable(clean_schema):
+    """Reference HA-latency harness shape (vastdb/vast_tests/test_ha.py:
+    12-29: 50 sequential full scans, per-query seconds logged): 25
+    sequential full scans must all agree, and latency must not degrade
+    (no per-scan state accumulates — generous 5x bound so machine noise
+    cannot flake the test; a genuine leak grows far past that)."""
+    import time as _time
+
+    data = pa.table({"v": pa.array(range(200_000), pa.int64())})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("ha", data.schema)
+        t.insert(data)
+    times = []
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("ha")
+        for _ in range(25):
+            t0 = _time.time()
+            assert t.count_rows() == 200_000
+            times.append(_time.time() - t0)
+    first5 = sum(times[:5]) / 5
+    last5 = sum(times[-5:]) / 5
+    assert last5 < 5 * first5 + 0.25, (first5, last5)
