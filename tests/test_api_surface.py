@@ -223,3 +223,24 @@ def test_expand_ip_ranges():
             expand_ip_ranges([bad])
     # non-ranged endpoints are never validated — verbatim pass-through
     assert expand_ip_ranges(["http://1.2.3.4:99999"]) == ["http://1.2.3.4:99999"]
+
+
+def test_gate_registry_integrity():
+    """The driver contract cannot silently drift: every queries() entry is
+    unique, every one has a DuckDB oracle, and every bench headline name
+    resolves to a registered query."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from bench import HEADLINE
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    assert len(qs) >= 121
+    assert set(oracles) == set(qs), (
+        set(qs) - set(oracles), set(oracles) - set(qs)
+    )
+    missing = [h for h in HEADLINE if h not in qs]
+    assert not missing, missing
+    assert len(HEADLINE) == len(set(HEADLINE))
