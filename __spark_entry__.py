@@ -2554,12 +2554,19 @@ def q_ann_quantize_int8(spark, sf):
     shuffle path for ANN at scale. Plan: one tiny aggregate broadcast back
     + a per-row zip_with — no collect, no second corpus scan. floor(x+.5)
     instead of round() because floor is bit-identical across engines; max
-    is exact (no accumulation), so the scale array hashes identically."""
+    is exact (no accumulation), so the scale array hashes identically.
+    The quantized vector is emitted as a comma-joined string: the driver's
+    canonicalizer sorts output frames in pandas, which cannot sort raw
+    array columns — gate outputs must be scalar (pinned by
+    tests/test_gate_registry.py::test_gate_outputs_are_scalar)."""
     from vastdb_sdk_spark.operators.similarity import quantize_embeddings_int8
 
     emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
     return quantize_embeddings_int8(emb, dim=64).select(
-        "vec_id", "embedding_q8"
+        "vec_id",
+        F.array_join(F.col("embedding_q8").cast("array<string>"), ",").alias(
+            "q8_csv"
+        ),
     )
 
 
@@ -2619,74 +2626,22 @@ def q_tx_normalize(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate reads a 50-query
-    # window from the front of this dict.  Round-6 rotation policy: (1) any
+    # window from the front of this dict.  Round-7 rotation policy: (1) any
     # query whose implementation changed this round goes first
-    # (ann_ivf_knn_join — IVF probe moved to broadcast mapInPandas;
-    # tx_pii_scrub — URL pattern whitespace class; asof_last_purchase —
-    # distance arithmetic type), then (2) the seven operators REGISTERED
-    # this round (repetition stats, token chunking, dup clusters,
-    # quality-percentile filter, int8 quantization, text normalization,
-    # engine in-place dedup), then (3) queries ordered by the age of
-    # their last driver-green row, stalest first: the 19 round-3 greens,
-    # then 21 of the 45 round-4 greens.  The 24 round-4 greens that
-    # don't fit sit directly after the boundary and lead the round-7
-    # window, so no entry's latest green ever ages past ~3 rounds.
+    # (ann_quantize_int8 — scalar q8_csv projection; ds_quality_filter —
+    # single-row-stratum survival; dd_dup_clusters — integral-id
+    # validation), then (2) the 24 round-4 greens queued at last round's
+    # boundary (stalest greens in the registry), then (3) round-5 greens,
+    # freshest-last, to fill the 50.  The round-5 greens that don't fit sit
+    # directly after the boundary and lead the round-8 window, followed by
+    # the round-6 greens (freshest), so no entry's latest green ever ages
+    # past ~3 rounds.
     return {
-        # -- code changed in round 6 (IVF probe, PII pattern, asof math) ---
-        "ann_ivf_knn_join": q_ann_ivf_knn_join,
-        "tx_pii_scrub": q_tx_pii_scrub,
-        "asof_last_purchase": q_asof_last_purchase,
-        # -- new in round 6 (registered + oracled) -------------------------
-        "tx_repetition": q_tx_repetition,
-        "tx_chunk_windows": q_tx_chunk_windows,
-        "dd_dup_clusters": q_dd_dup_clusters,
-        "ds_quality_filter": q_ds_quality_filter,
+        # -- code changed in round 7 (q8 projection, n==1 stratum, id check)
         "ann_quantize_int8": q_ann_quantize_int8,
-        "tx_normalize": q_tx_normalize,
-        "e14_engine_dedup": q_e14_engine_dedup,
-        # -- oldest driver greens (round 3) — stalest first ----------------
-        "dd_simhash": q_dd_simhash,
-        "dd_lsh_pairs": q_dd_lsh_pairs,
-        "tx_token_stats": q_tx_token_stats,
-        "tx_quality": q_tx_quality,
-        "tx_langid": q_tx_langid,
-        "mm_decode_stub": q_mm_decode_stub,
-        "mm_blob_meta": q_mm_blob_meta,
-        "e1_engine_scan": q_e1_engine_scan,
-        "e2_engine_sql": q_e2_engine_sql,
-        "e4_engine_dml": q_e4_engine_dml,
-        "e9_engine_merge": q_e9_engine_merge,
-        "e10_sql_frontend": q_e10_sql_frontend,
-        "e13_engine_zorder": q_e13_engine_zorder,
-        "el1_sorted_point": q_el1_sorted_point,
-        "a1_tpch_q1": q_a1_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q6": q_tpch_q6,
-        "j1_star_join_revenue": q_j1_star_join_revenue,
-        "s1_scan_project": q_s1_scan_project,
-        # -- round-4 greens, first 28 (rest queued for round 7) ------------
-        "tpch_q2": q_tpch_q2,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        "ds_stratified_sample": q_ds_stratified_sample,
-        "ds_train_test_split": q_ds_train_test_split,
-        "tx_bigram_topk": q_tx_bigram_topk,
-        # ---- window boundary (driver gates the 50 entries above) --------
+        "ds_quality_filter": q_ds_quality_filter,
+        "dd_dup_clusters": q_dd_dup_clusters,
+        # -- round-4 greens (stalest) — queued at the r6 boundary ----------
         "a7_approx_distinct": q_a7_approx_distinct,
         "dd_lsh_pairs_fast": q_dd_lsh_pairs_fast,
         "j2_semi_join": q_j2_semi_join,
@@ -2694,7 +2649,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_outer_join_counts": q_j4_outer_join_counts,
         "a2_count_distinct": q_a2_count_distinct,
         "ann_ivf_topk": q_ann_ivf_topk,
-        # -- round-4 greens deferred to the round-7 window -----------------
         "a3_having": q_a3_having,
         "a4_rollup": q_a4_rollup,
         "a5_conditional_agg": q_a5_conditional_agg,
@@ -2712,7 +2666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "el5_sorted_isin": q_el5_sorted_isin,
         "p8_struct_field": q_p8_struct_field,
         "p10_literals": q_p10_literals,
-        # -- round-5 greens (freshest; re-enter the window in round 7+) ----
+        # -- round-5 greens (next-stalest) — first 23 fill the window ------
         "p2_comparisons": q_p2_comparisons,
         "p3_between": q_p3_between,
         "p4_isin": q_p4_isin,
@@ -2736,6 +2690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_approx_percentile": q_a10_approx_percentile,
         "w1_topk_per_group": q_w1_topk_per_group,
         "w2_running_sum": q_w2_running_sum,
+        # ---- window boundary (driver gates the 50 entries above) --------
+        # -- round-5 greens that didn't fit; these lead the round-8 window -
         "w3_lag_delta": q_w3_lag_delta,
         "w4_dense_rank": q_w4_dense_rank,
         "w5_first_last": q_w5_first_last,
@@ -2760,6 +2716,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_fingerprint": q_dd_fingerprint,
         "dd_minhash_sig": q_dd_minhash_sig,
         "dd_ngram_overlap": q_dd_ngram_overlap,
+        # -- round-6 greens (freshest; re-enter the window round 8/9) ------
+        "ann_ivf_knn_join": q_ann_ivf_knn_join,
+        "tx_pii_scrub": q_tx_pii_scrub,
+        "asof_last_purchase": q_asof_last_purchase,
+        "tx_repetition": q_tx_repetition,
+        "tx_chunk_windows": q_tx_chunk_windows,
+        "tx_normalize": q_tx_normalize,
+        "e14_engine_dedup": q_e14_engine_dedup,
+        "dd_simhash": q_dd_simhash,
+        "dd_lsh_pairs": q_dd_lsh_pairs,
+        "tx_token_stats": q_tx_token_stats,
+        "tx_quality": q_tx_quality,
+        "tx_langid": q_tx_langid,
+        "mm_decode_stub": q_mm_decode_stub,
+        "mm_blob_meta": q_mm_blob_meta,
+        "e1_engine_scan": q_e1_engine_scan,
+        "e2_engine_sql": q_e2_engine_sql,
+        "e4_engine_dml": q_e4_engine_dml,
+        "e9_engine_merge": q_e9_engine_merge,
+        "e10_sql_frontend": q_e10_sql_frontend,
+        "e13_engine_zorder": q_e13_engine_zorder,
+        "el1_sorted_point": q_el1_sorted_point,
+        "a1_tpch_q1": q_a1_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
+        "j1_star_join_revenue": q_j1_star_join_revenue,
+        "s1_scan_project": q_s1_scan_project,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        "ds_stratified_sample": q_ds_stratified_sample,
+        "ds_train_test_split": q_ds_train_test_split,
+        "tx_bigram_topk": q_tx_bigram_topk,
     }
 
 
@@ -2947,10 +2951,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT q.doc_id, d.source, q.quality,
                        PERCENT_RANK() OVER (
                            PARTITION BY d.source ORDER BY q.quality, q.doc_id
-                       ) AS pr
+                       ) AS pr,
+                       COUNT(*) OVER (PARTITION BY d.source) AS n
                 FROM q JOIN documents d ON q.doc_id = d.doc_id
             )
-            SELECT doc_id, source, quality FROM r WHERE pr >= 0.5
+            SELECT doc_id, source, quality FROM r WHERE pr >= 0.5 OR n = 1
         """,
         "tx_normalize": _tx_normalize_oracle_sql(),
         "e14_engine_dedup": """
@@ -2967,9 +2972,11 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             SELECT vec_id,
-                   list_transform(range(1, 65), i ->
-                       CAST(floor(127.0 * CAST(embedding[i] AS DOUBLE) / scale[i]
-                                  + 0.5) AS INT)) AS embedding_q8
+                   array_to_string(
+                       list_transform(range(1, 65), i ->
+                           CAST(floor(127.0 * CAST(embedding[i] AS DOUBLE)
+                                      / scale[i] + 0.5) AS INT)),
+                       ',') AS q8_csv
             FROM embeddings, s
         """,
         "dd_dup_clusters": """

@@ -244,3 +244,37 @@ def test_gate_registry_integrity():
     missing = [h for h in HEADLINE if h not in qs]
     assert not missing, missing
     assert len(HEADLINE) == len(set(HEADLINE))
+
+
+def test_gate_outputs_are_scalar(spark):
+    """The driver's canonicalizer sorts result frames in pandas, which
+    cannot sort array/map/struct cells ("unhashable type: 'list'" — the
+    sole red row of round 6, ann_quantize_int8 before its q8_csv
+    projection). Pin the invariant: every registered gate query emits
+    scalar-typed output columns only. Plans are built lazily at sf0.001 —
+    schema inspection, no execution — except the engine-DML queries
+    (e*_engine_*), whose builders run real imports; their outputs are
+    plain table projections, covered by their own suites, so they are
+    skipped here."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    offenders = {}
+    for name, fn in e.queries().items():
+        if name.startswith(("e1", "e2", "e3", "e4", "e5", "e6", "e7", "e8",
+                            "e9", "el")) or "engine" in name:
+            continue
+        df = fn(spark, "/root/testdata/sf0.001")
+        bad = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "gate queries must emit scalar output columns (driver canonicalizer "
+        f"cannot sort nested cells): {offenders}"
+    )

@@ -43,12 +43,23 @@ def _op(kind):
             # see test_noop_commit_does_not_conflict)
             t.insert(ROWS)
             t.dedup_rows()
+        elif kind == "near_dedup":
+            # plant two near-identical long texts, then in-place near-dup
+            # cleanup (DV-mask commit) — the dedup_near_rows conflict row
+            long = " ".join(f"w{i}" for i in range(40))
+            t.insert(
+                pa.table({"a": [10, 11], "s": [long, long + " w0"]})
+            )
+            t.dedup_near_rows("s", threshold=0.5)
         else:
             raise AssertionError(kind)
     return run
 
 
-OPS = ["insert", "delete", "update", "add_column", "rename_column", "dedup"]
+OPS = [
+    "insert", "delete", "update", "add_column", "rename_column", "dedup",
+    "near_dedup",
+]
 
 
 @pytest.mark.parametrize("op_a", OPS)

@@ -406,6 +406,82 @@ def test_dup_clusters_random_graphs_match_union_find(spark):
         assert got == want, (trial, n, m)
 
 
+def test_dup_clusters_rejects_non_integral_ids(spark):
+    """String doc ids would cast to NULL and silently keep every
+    duplicate (r6 advice); the operator must fail loudly instead."""
+    import pytest as _pytest
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark.operators.dedup import (
+        dedup_keep_representative,
+        dup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [("doc-1", "doc-2")], "id_a STRING, id_b STRING"
+    )
+    with _pytest.raises(vastdb.InvalidArgument, match="non-integral"):
+        dup_clusters(pairs)
+    # the one-call wrapper fails the same way instead of returning the
+    # corpus unchanged
+    corpus = spark.createDataFrame(
+        [("doc-1", "x"), ("doc-2", "x")], "doc_id STRING, text STRING"
+    )
+    with _pytest.raises(vastdb.InvalidArgument, match="non-integral"):
+        dedup_keep_representative(corpus, pairs).collect()
+    # missing pair column is also loud
+    with _pytest.raises(vastdb.InvalidArgument, match="not found"):
+        dup_clusters(pairs.withColumnRenamed("id_a", "left_id"))
+    # decimal(38,0) — the Elysium $row_id type — is accepted
+    dec = spark.createDataFrame([(1, 2)], "id_a LONG, id_b LONG").select(
+        F.col("id_a").cast("decimal(38,0)").alias("id_a"),
+        F.col("id_b").cast("decimal(38,0)").alias("id_b"),
+    )
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(dec).collect()}
+    assert got == {1: 1, 2: 1}
+
+
+def test_quality_percentile_filter_single_row_stratum(spark):
+    """A one-row stratum has percent_rank 0, below any keep threshold —
+    the n==1 escape keeps its row so small domains aren't wiped out
+    (r6 advice)."""
+    from vastdb_sdk_spark.operators.sampling import quality_percentile_filter
+
+    rows = [(i, "big", float(i)) for i in range(10)] + [(100, "tiny", 0.0)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, q DOUBLE")
+    kept = {
+        r.doc_id
+        for r in quality_percentile_filter(
+            df, "q", keep_fraction=0.5, stratum_col="source"
+        ).collect()
+    }
+    assert 100 in kept  # the singleton survives
+    assert kept == {5, 6, 7, 8, 9, 100}
+
+
+def test_minhash_dedup_pairs_managed_unpersists(spark):
+    """The managed variant must not leak CacheManager entries across
+    calls (r6 advice: per-table/batch loops accumulate persisted
+    candidate frames)."""
+    from vastdb_sdk_spark.operators.dedup import minhash_dedup_pairs_managed
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " + str(i % 3))
+         for i in range(30)],
+        "doc_id LONG, text STRING",
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    for _ in range(3):
+        with minhash_dedup_pairs_managed(docs, threshold=0.9) as verified:
+            inside = jsc.getPersistentRDDs().size()
+            assert verified.count() >= 0
+        assert jsc.getPersistentRDDs().size() <= before, (
+            "candidate cache leaked past the managed block"
+        )
+    assert inside >= before  # the persist was actually in effect inside
+
+
 def test_dup_clusters_raises_on_nonconvergence(spark):
     import pytest as _pytest
 

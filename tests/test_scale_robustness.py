@@ -655,6 +655,76 @@ def test_dedup_near_rows_in_place(clean_schema):
             t.dedup_near_rows("nope")
 
 
+def test_dedup_near_rows_simhash(clean_schema):
+    """method='simhash': planted fingerprint-near copies collapse to the
+    lowest $row_id; unrelated docs survive; idempotent. The base doc needs
+    a wide distinct vocabulary: with few distinct tokens, one edit swings
+    many tight per-bit vote margins and the hamming distance blows past
+    the budget (measured: 60 distinct tokens -> distance 2 for a one-token
+    edit; 10 distinct tokens repeated -> distance > 3)."""
+    base = " ".join(f"tok{i}" for i in range(60))
+    other = "one two three four five six seven eight nine ten " * 4
+    data = pa.table(
+        {
+            "doc": pa.array(
+                [
+                    base,               # 0 keeper
+                    base + " tok0",     # 1 one extra token: hamming 2 from 0
+                    other,              # 2 unrelated keeper (hamming ~31)
+                ]
+            )
+        }
+    )
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("nds", data.schema)
+        t.insert(data)
+        t.dedup_near_rows("doc", method="simhash", max_hamming=3)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("nds")
+        rows = t.select(internal_row_id=True).read_all()
+        assert sorted(rows.column("$row_id").to_pylist()) == [0, 2]
+        t.dedup_near_rows("doc", method="simhash", max_hamming=3)  # idempotent
+        assert t.count_rows() == 2
+        import pytest as _pytest
+
+        import vastdb_sdk_spark as vastdb
+
+        # a string column under method='embedding' (and vice versa) is loud
+        with _pytest.raises(vastdb.InvalidArgument, match="list column"):
+            t.dedup_near_rows("doc", method="embedding")
+        with _pytest.raises(vastdb.InvalidArgument, match="unknown dedup"):
+            t.dedup_near_rows("doc", method="fuzzy")
+
+
+def test_dedup_near_rows_embedding(clean_schema):
+    """method='embedding': cosine-near vectors collapse transitively;
+    orthogonal vectors survive; string-method on a vector column raises."""
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],          # 0 keeper
+        [0.999, 0.01, 0.0, 0.0],       # 1 cosine ~1.0 with 0
+        [0.998, 0.02, 0.001, 0.0],     # 2 cosine-near 0/1 (chain)
+        [0.0, 1.0, 0.0, 0.0],          # 3 orthogonal keeper
+    ]
+    data = pa.table({"emb": pa.array(vecs, pa.list_(pa.float64()))})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("nde", data.schema)
+        t.insert(data)
+        t.dedup_near_rows(
+            "emb", method="embedding", threshold=0.95, num_planes=8,
+            num_bands=4, dim=4,
+        )
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("nde")
+        rows = t.select(internal_row_id=True).read_all()
+        assert sorted(rows.column("$row_id").to_pylist()) == [0, 3]
+        import pytest as _pytest
+
+        import vastdb_sdk_spark as vastdb
+
+        with _pytest.raises(vastdb.InvalidArgument, match="string column"):
+            t.dedup_near_rows("emb", method="minhash")
+
+
 def test_dedup_rows_respects_snapshots_and_vacuum(clean_schema):
     """Time travel across an in-place dedup: a snapshot taken before
     dedup_rows still reads every duplicate; vacuum after the fold only

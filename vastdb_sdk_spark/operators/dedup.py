@@ -19,6 +19,8 @@ any source (engine tables via ``Table.df()`` or raw ``spark.read``).
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -271,12 +273,44 @@ def minhash_dedup_pairs(
     The candidate set is persisted before verification: it is tiny relative
     to the corpus and is consumed three times (two id projections + the
     verify join) — without the persist the whole signature pipeline would
-    re-run per consumer."""
+    re-run per consumer. The persisted frame lives until the Spark context
+    GCs it; loops calling this per table/batch should use
+    :func:`minhash_dedup_pairs_managed`, which unpersists it on exit
+    (Table.dedup_near_rows and the streaming path do)."""
     pairs = lsh_candidate_pairs(
         df, text_col, id_col, num_hashes, num_bands, shingle_k, hash_fn,
         max_bucket_size,
     ).persist()
     return jaccard_verify_pairs(df, pairs, text_col, id_col, threshold, shingle_k)
+
+
+@contextlib.contextmanager
+def minhash_dedup_pairs_managed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
+):
+    """:func:`minhash_dedup_pairs` with a bounded cache lifetime: yields
+    the verified-pairs frame and unpersists the internal candidate cache on
+    exit. Use in loops (per-table cleanup, batched corpora) where the
+    unmanaged variant would accumulate CacheManager entries. Consume (or
+    persist a derivative of) the yielded frame INSIDE the block — after
+    exit the candidate cache is gone and any action replays the full
+    signature pipeline."""
+    pairs = lsh_candidate_pairs(
+        df, text_col, id_col, num_hashes, num_bands, shingle_k, hash_fn,
+        max_bucket_size,
+    ).persist()
+    try:
+        yield jaccard_verify_pairs(df, pairs, text_col, id_col, threshold, shingle_k)
+    finally:
+        pairs.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -456,7 +490,34 @@ def dup_clusters(
 
     The convergence check is one tiny aggregate per round (count of
     changed labels) — the only driver-side values are that scalar count,
-    never node data."""
+    never node data.
+
+    Id columns must be integral (byte/short/int/long, or decimal of scale
+    0 — the $row_id type on Elysium tables): labels are min-propagated as
+    longs, and silently casting a string doc id would produce NULL — every
+    row one component of nulls, i.e. dedup silently keeping all
+    duplicates. Non-integral ids raise InvalidArgument instead; hash or
+    dense-rank string ids to longs first."""
+    from ..errors import InvalidArgument
+
+    schema_by_name = {f.name: f.dataType for f in pairs.schema.fields}
+    for c in (id_a, id_b):
+        dt = schema_by_name.get(c)
+        if dt is None:
+            raise InvalidArgument(
+                f"dup_clusters: pair column {c!r} not found in "
+                f"{list(schema_by_name)}"
+            )
+        ok = dt.typeName() in ("byte", "short", "integer", "long") or (
+            dt.typeName() == "decimal" and getattr(dt, "scale", 1) == 0
+        )
+        if not ok:
+            raise InvalidArgument(
+                f"dup_clusters: pair column {c!r} has non-integral type "
+                f"{dt.simpleString()}; casting would NULL non-numeric ids and "
+                "silently skip dedup — map ids to longs (hash/dense_rank) "
+                "before clustering"
+            )
     e = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )

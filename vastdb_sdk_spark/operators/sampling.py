@@ -151,20 +151,29 @@ def quality_percentile_filter(
     (the window); at 100 TB the stratum must bound partition size, same
     contract as pack_greedy. Rows with percent_rank >= 1-keep_fraction
     are kept, so exactly the top fraction survives (ceil-ish at small n:
-    the rank-1 row always survives)."""
+    the rank-1 row always survives — a single-row stratum keeps its row,
+    even though percent_rank degenerates to 0 there; without the n==1
+    escape a one-doc domain would be wiped out entirely, the exact
+    failure mode the per-stratum design exists to prevent)."""
     if not 0.0 < keep_fraction <= 1.0:
         raise ValueError(f"keep_fraction must be in (0, 1], got {keep_fraction}")
     score = F.col(score_col) if isinstance(score_col, str) else score_col
     parts = [stratum_col] if stratum_col else []
     w = W.partitionBy(*parts).orderBy(score.asc(), F.col(order_tiebreak).asc())
+    # same partition keys, no ordering: Spark evaluates both specs in one
+    # window stage over one exchange (plan-asserted in tests/test_plans.py)
+    w_n = W.partitionBy(*parts)
     # epsilon absorbs the representation error of 1-keep_fraction (e.g.
     # 1-0.7 = 0.30000000000000004 would drop the exact-boundary rank whose
     # percent_rank is k/(n-1) = 0.299999...); percent_rank spacing is
     # 1/(n-1), far above 1e-12 for any real stratum
     return (
         df.withColumn("__pr", F.percent_rank().over(w))
-        .filter(F.col("__pr") >= 1.0 - keep_fraction - 1e-12)
-        .drop("__pr")
+        .withColumn("__n", F.count(F.lit(1)).over(w_n))
+        .filter(
+            (F.col("__pr") >= 1.0 - keep_fraction - 1e-12) | (F.col("__n") == 1)
+        )
+        .drop("__pr", "__n")
     )
 
 

@@ -1290,47 +1290,116 @@ class Table:
         num_bands: int = 4,
         shingle_k: int = 3,
         max_bucket_size: int | None = None,
+        method: str = "minhash",
+        max_hamming: int = 3,
+        num_planes: int = 8,
+        dim: int | None = None,
     ) -> None:
-        """NEAR-duplicate table cleanup in place (engine extension): the
-        full batch near-dup pipeline — MinHash-LSH candidates, exact
-        Jaccard >= threshold, connected components — runs over the table
-        keyed by ``$row_id``, and every non-representative cluster member
-        (keeper = lowest ``$row_id``, transitively: a~b~c keeps only a) is
-        DV-masked via the distributed writer. No id collection, no file
-        rewrite below the fold threshold; idempotent (survivors have no
-        qualifying pairs left). Composition of operators/dedup.py
-        (minhash_dedup_pairs + dup_clusters) with the engine's DML tier —
-        the exact-dup fast path is :meth:`dedup_rows`."""
+        """NEAR-duplicate table cleanup in place (engine extension): a
+        candidate-pair generator + connected components runs over the
+        table keyed by ``$row_id``, and every non-representative cluster
+        member (keeper = lowest ``$row_id``, transitively: a~b~c keeps
+        only a) is DV-masked via the distributed writer. No id
+        collection, no file rewrite below the fold threshold; idempotent
+        (survivors have no qualifying pairs left). Composition of
+        operators/dedup.py + operators/similarity.py with the engine's
+        DML tier — the exact-dup fast path is :meth:`dedup_rows`.
+
+        ``method`` selects the candidate generator, matching the full
+        operators tier:
+
+        - ``"minhash"`` (default): MinHash-LSH candidates + exact
+          Jaccard >= ``threshold`` over ``text_column`` (a string
+          column). Dials: ``num_hashes``/``num_bands``/``shingle_k``/
+          ``max_bucket_size``.
+        - ``"simhash"``: 64-bit SimHash fingerprints, pigeonhole-block
+          pairs with hamming distance <= ``max_hamming`` over
+          ``text_column`` (a string column).
+        - ``"embedding"``: RHP-LSH-bucketed cosine >= ``threshold``
+          over ``text_column`` (an ``array<float/double>`` embedding
+          column). Dials: ``num_planes``/``num_bands``/``dim`` (pass
+          ``dim`` to skip the one-row width probe).
+
+        All three generators are equi-joins on hashed bucket keys —
+        never a cross product — so the in-place cleanup scales exactly
+        like the standalone pair operators."""
         if text_column not in self.arrow_schema.names:
             raise InvalidArgument(f"no column {text_column!r}")
+        if method not in ("minhash", "simhash", "embedding"):
+            raise InvalidArgument(
+                f"unknown dedup method {method!r}: expected 'minhash', "
+                "'simhash' or 'embedding'"
+            )
+        field_type = self.arrow_schema.field(text_column).type
+        import pyarrow as pa
+
+        is_list = pa.types.is_list(field_type) or pa.types.is_fixed_size_list(
+            field_type
+        )
+        if method == "embedding" and not is_list:
+            raise InvalidArgument(
+                f"method='embedding' needs a list column, got {text_column!r}: "
+                f"{field_type}"
+            )
+        if method != "embedding" and is_list:
+            raise InvalidArgument(
+                f"method={method!r} needs a string column, got {text_column!r}: "
+                f"{field_type} (use method='embedding' for vector columns)"
+            )
         entry = TableEntry.from_json(self.entry.to_json())
         if not entry.files:
             return
-        from .operators.dedup import dup_clusters, minhash_dedup_pairs
+        import contextlib
+
+        from .operators.dedup import (
+            dup_clusters,
+            minhash_dedup_pairs_managed,
+            simhash,
+            simhash_near_pairs,
+        )
+        from .operators.similarity import embedding_near_dup_pairs
 
         df = self.df(internal_row_id=True, files=entry.files, with_file_path=True)
         docs = df.select(
             F.col(INTERNAL_ROW_ID).alias("doc_id"), F.col(text_column).alias("text")
         )
-        pairs = minhash_dedup_pairs(
-            docs, "text", "doc_id", num_hashes, num_bands, threshold, shingle_k,
-            hash_fn="xxhash64", max_bucket_size=max_bucket_size,
-        ).persist()
-        try:
-            # TRUE no-op when no qualifying pairs exist (see dedup_rows)
-            if pairs.limit(1).isEmpty():
-                return
-            losers = (
-                dup_clusters(pairs)
-                .filter(F.col("doc_id") != F.col("cluster_id"))
-                .select(F.col("doc_id").alias(INTERNAL_ROW_ID))
+        if method == "minhash":
+            pairs_cm = minhash_dedup_pairs_managed(
+                docs, "text", "doc_id", num_hashes, num_bands, threshold,
+                shingle_k, hash_fn="xxhash64", max_bucket_size=max_bucket_size,
             )
-            dv_src = df.join(losers, INTERNAL_ROW_ID, "left_semi").select(
-                INTERNAL_ROW_ID, "__source_file"
+        elif method == "simhash":
+            pairs_cm = contextlib.nullcontext(
+                simhash_near_pairs(
+                    simhash(docs, "text", "doc_id", hash_fn="xxhash64"),
+                    "doc_id",
+                    max_hamming=max_hamming,
+                )
             )
-            self._write_dvs_distributed(entry.files, dv_src)
-        finally:
-            pairs.unpersist()
+        else:
+            pairs_cm = contextlib.nullcontext(
+                embedding_near_dup_pairs(
+                    docs, id_col="doc_id", vec_col="text", threshold=threshold,
+                    num_planes=num_planes, num_bands=num_bands, dim=dim,
+                )
+            )
+        with pairs_cm as verified:
+            pairs = verified.persist()
+            try:
+                # TRUE no-op when no qualifying pairs exist (see dedup_rows)
+                if pairs.limit(1).isEmpty():
+                    return
+                losers = (
+                    dup_clusters(pairs)
+                    .filter(F.col("doc_id") != F.col("cluster_id"))
+                    .select(F.col("doc_id").alias(INTERNAL_ROW_ID))
+                )
+                dv_src = df.join(losers, INTERNAL_ROW_ID, "left_semi").select(
+                    INTERNAL_ROW_ID, "__source_file"
+                )
+                self._write_dvs_distributed(entry.files, dv_src)
+            finally:
+                pairs.unpersist()
         self._fold_heavy_dvs(entry, entry.files)
         self._mark_unsorted(entry)
         self._mutate(entry, "dedup_near_rows")
