@@ -501,3 +501,70 @@ def test_wide_table_column_pagination(session):
         page, key, trunc = t.list_columns(next_key=2000, max_keys=1000)
         assert len(page) == 500 and not trunc
         assert t.retrieve_column_names(batch_size=999) == cols
+
+
+def test_manifest_scale_many_files(tmp_path):
+    """Manifest operations at a many-file table (SCALING.md's 200k-file
+    claim is measured by tools/manifest_scale_bench.py; this is the pinned
+    20k-file regression): serialize/parse/prune/commit all complete, a
+    SMALL commit against the big bucket works, and version_at's bisect
+    answers from the version-file HEAD without a full manifest parse."""
+    import json
+    import time
+
+    from vastdb_sdk_spark.catalog.manifest import (
+        ChangeSet,
+        Manifest,
+        ManifestStore,
+    )
+    from vastdb_sdk_spark.plans.pruning import prune_files
+
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.manifest_scale_bench import synth_entry
+
+    n = 20_000
+    entry = synth_entry(n)
+    m = Manifest(version=1)
+    m.schemas["s"] = {"properties": {}}
+    m.tables[("s", "big")] = entry
+
+    js = json.dumps(m.to_json())
+    m2 = Manifest(version=1, data=json.loads(js))
+    assert len(m2.tables[("s", "big")].files) == n
+
+    # manifest-level point prune hits exactly one file out of 20k
+    hit = prune_files(entry.files, "ts", D.ts == 4_000_000 * (n // 2) + 17)
+    assert [f.path for f in hit] == [f"data/part-{n // 2:08d}.parquet"]
+
+    store = ManifestStore(str(tmp_path))
+    store.init_bucket()
+    cs = ChangeSet()
+    cs.record("create_schema", "s", touched=[("schema", "s")])
+    cs.record("create_table", entry.to_json(), touched=[("table", "s", "big")])
+    committed = store.commit(store.load(), cs)
+    assert committed.version == 2
+
+    # small commit against the big bucket: bounded latency, correct result
+    cs2 = ChangeSet()
+    cs2.record("create_schema", "s2", touched=[("schema", "s2")])
+    t0 = time.time()
+    v3 = store.commit(store.load(), cs2)
+    small_commit = time.time() - t0
+    assert v3.version == 3 and "s2" in store.load().schemas
+    assert len(store.load().tables[("s", "big")].files) == n
+    # generous bound: at 20k files the whole cycle is sub-second measured;
+    # 10s trips only on a reintroduced O(files) deep copy or chunked write
+    assert small_commit < 10, small_commit
+
+    # version_at fast path: head-read commit times, no full parse
+    times = {v: store._commit_time(v) for v in store.available_versions()}
+    assert times[2] <= times[3]
+    assert store.version_at(times[2]) == 2
+    assert store.version_at(time.time() + 1) == 3
+    # the head regex actually matched (fast path, not the full-load
+    # fallback): committed_at is the second serialized key
+    with open(store._version_path(3)) as f:
+        head = f.read(64)
+    assert store._HEAD_RE.match(head), head

@@ -193,6 +193,47 @@ def test_frame_sample_plan(spark):
     assert got == {(1, 0), (1, 1000), (1, 2000), (1, 3000)}
 
 
+def test_resize_images_real_pillow_resizer(spark):
+    """Exercise the ``resizer=`` plug-in seam with a REAL codec when the
+    environment provides one (skipped where Pillow is absent — this
+    container has no image libs, so CI there covers only the deterministic
+    fake). Proves the contract: the seam receives raw bytes + target dims
+    and its returned bytes land in the output payload unchanged — i.e. a
+    user can swap in PIL without touching the Spark-side plumbing."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    def make_png(w, h, color):
+        buf = io.BytesIO()
+        PIL_Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    def pil_resize(b: bytes, w: int, h: int) -> bytes:
+        img = PIL_Image.open(io.BytesIO(b)).resize((w, h))
+        out = io.BytesIO()
+        img.save(out, format="PNG")
+        return out.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, make_png(8, 6, (255, 0, 0))), (2, make_png(3, 3, (0, 255, 0))),
+         (3, None)],
+        "media_id LONG, payload BINARY",
+    )
+    out = {
+        r.media_id: r
+        for r in multimodal.resize_images(
+            df, width=4, height=2, resizer=pil_resize
+        ).collect()
+    }
+    assert len(out) == 3
+    for mid in (1, 2):
+        img = PIL_Image.open(io.BytesIO(bytes(out[mid].payload)))
+        assert img.size == (4, 2)
+        assert (out[mid].width, out[mid].height) == (4, 2)
+    assert out[3].payload is None  # null passthrough, dims still stamped
+    assert (out[3].width, out[3].height) == (4, 2)
+
+
 # -- as-of join ------------------------------------------------------------
 
 

@@ -25,9 +25,9 @@ commit protocol and object model are unchanged.
 from __future__ import annotations
 
 import bisect
-import copy
 import json
 import os
+import re
 import tempfile
 import time
 import uuid
@@ -215,22 +215,18 @@ class Manifest:
             self.vacuum_horizon = data.get("vacuum_horizon", 0)
 
     def to_json(self) -> dict:
+        # version/committed_at lead the encoding ON PURPOSE: version_at's
+        # bisect reads ONLY the head of each version file (_commit_time),
+        # so TIMESTAMP AS OF stays O(log n) cheap reads even when each
+        # manifest is 50 MB (200k files, tools/manifest_scale_bench.py)
         return {
             "version": self.version,
+            "committed_at": self.committed_at,
             "schemas": self.schemas,
             "tables": [t.to_json() for t in self.tables.values()],
             "snapshots": self.snapshots,
-            "committed_at": self.committed_at,
             "vacuum_horizon": self.vacuum_horizon,
         }
-
-    def copy(self) -> "Manifest":
-        m = Manifest(self.version)
-        m.schemas = copy.deepcopy(self.schemas)
-        m.tables = {k: TableEntry.from_json(v.to_json()) for k, v in self.tables.items()}
-        m.snapshots = dict(self.snapshots)
-        m.vacuum_horizon = self.vacuum_horizon
-        return m
 
     # -- schema ops --------------------------------------------------------
     def create_schema(self, name: str) -> None:
@@ -317,7 +313,10 @@ class ManifestStore:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         try:
             with os.fdopen(fd, "w") as f:
-                json.dump(m.to_json(), f)
+                # dumps + one write, not json.dump: iterencode streams the
+                # 50 MB 200k-file manifest in tiny chunks (measured >10x
+                # slower, tools/manifest_scale_bench.py)
+                f.write(json.dumps(m.to_json()))
         except Exception:
             os.unlink(path)
             raise
@@ -360,11 +359,26 @@ class ManifestStore:
         out.sort()
         return out
 
+    _HEAD_RE = re.compile(
+        r'^\{"version":\s*\d+,\s*"committed_at":\s*([0-9.eE+-]+)'
+    )
+
     def _commit_time(self, version: int) -> float:
+        # fast path: committed_at is serialized as the second key (see
+        # Manifest.to_json), so one 256-byte read answers the bisect probe
+        # without parsing a potentially 50 MB manifest
+        try:
+            with open(self._version_path(version)) as f:
+                head = f.read(256)
+        except FileNotFoundError:
+            raise MissingSnapshot(f"manifest version {version}") from None
+        m_head = self._HEAD_RE.match(head)
+        if m_head:
+            return float(m_head.group(1))
+        # old layout / committed_at null: full parse, then file mtime
         m = self.load(version)
         if m.committed_at is not None:
             return m.committed_at
-        # versions written before committed_at existed: file mtime
         return os.path.getmtime(self._version_path(version))
 
     def version_at(self, ts: float) -> int:
@@ -395,9 +409,15 @@ class ManifestStore:
             latest = self.load()
             if latest.version != base.version:
                 changes.check_against(base, latest)
-            new = latest.copy()
+            # ``latest`` is a private object freshly parsed from disk and
+            # unused after this point, so the changes apply to it directly —
+            # a deep copy here costs O(total files) (measured 6+ s at a
+            # 200k-file table, tools/manifest_scale_bench.py) for zero
+            # isolation benefit. On CAS retry the loop reloads fresh.
+            new = latest
             changes.apply(new)
             new.version = latest.version + 1
+            new.committed_at = None  # stamped by _write_version
             try:
                 self._write_version(new)
             except FileExistsError:
