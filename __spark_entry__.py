@@ -2620,6 +2620,65 @@ def q_tx_normalize(spark, sf):
     )
 
 
+def q_tx_gopher_flags(spark, sf):
+    """Gopher-family document-quality rule flags (functions/text.
+    gopher_quality_flags; Rae et al. 2021 §A1.1): word-count bounds, mean
+    word length, alphabetic-word fraction, distinct-stop-word presence,
+    and the conjunction — all pure map-side Column expressions, zero
+    shuffle. Stop-word set overridden to corpus-frequent markers so the
+    rule exercises both outcomes on the synthetic vocabulary."""
+    from vastdb_sdk_spark.functions.text import gopher_quality_flags
+
+    d = _t(spark, sf, "documents")
+    flags = gopher_quality_flags(
+        F.col("text"), stop_words=["spark", "sort", "group", "value", "fast"]
+    )
+    return d.select(
+        "doc_id",
+        flags["n_words"].alias("n_words"),
+        flags["mean_word_len"].alias("mean_word_len"),
+        flags["alpha_word_frac"].alias("alpha_word_frac"),
+        flags["n_stop_words"].alias("n_stop_words"),
+        flags["gopher_ok"].alias("gopher_ok"),
+    )
+
+
+def q_tx_c4_filter(spark, sf):
+    """C4 line/document filter (functions/text.c4_kept_lines + c4_doc_ok;
+    Raffel et al. 2020 §2.2): keep lines ending in terminal punctuation
+    with >= 5 words and no 'javascript'; drop docs with braces, 'lorem
+    ipsum', or < 3 surviving lines. The corpus is single-line token soup,
+    so a 6-line document is assembled deterministically in-plan (same
+    construction in the oracle), with doc_id-dependent lines exercising
+    every rule both ways. Zero shuffle — the whole gate is one map."""
+    from vastdb_sdk_spark.functions.text import c4_doc_ok, c4_kept_lines
+
+    d = _t(spark, sf, "documents")
+    nl = F.lit("\n")
+    doc = F.concat(
+        F.substring(F.col("text"), 1, 40), F.lit(" ok line end."), nl,
+        F.lit("too short."), nl,
+        F.lit("no terminal punctuation here at all"), nl,
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("Enable javascript to view this page."))
+         .otherwise(F.lit("a perfectly fine sentence with enough words.")), nl,
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("lorem ipsum dolor sit amet."))
+         .otherwise(F.lit("closing thoughts wrap up the document nicely.")), nl,
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit("function f() { return 1; }"))
+         .otherwise(F.lit("the last line ends with a question?")),
+    )
+    staged = d.select("doc_id", doc.alias("__doc"))
+    kept = c4_kept_lines(F.col("__doc"))
+    return staged.select(
+        "doc_id",
+        F.size(kept).alias("n_kept_lines"),
+        c4_doc_ok(F.col("__doc"), kept=kept).alias("c4_ok"),
+        F.length(F.array_join(kept, "\n")).alias("clean_len"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2637,6 +2696,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the round-6 greens (freshest), so no entry's latest green ever ages
     # past ~3 rounds.
     return {
+        # -- new in round 7 (Gopher/C4 heuristic filter family) ------------
+        "tx_gopher_flags": q_tx_gopher_flags,
+        "tx_c4_filter": q_tx_c4_filter,
         # -- code changed in round 7 (q8 projection, n==1 stratum, id check)
         "ann_quantize_int8": q_ann_quantize_int8,
         "ds_quality_filter": q_ds_quality_filter,
@@ -2688,10 +2750,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_purchases": q_range_join_purchases,
         "sessionize_batch": q_sessionize_batch,
         "a10_approx_percentile": q_a10_approx_percentile,
-        "w1_topk_per_group": q_w1_topk_per_group,
-        "w2_running_sum": q_w2_running_sum,
         # ---- window boundary (driver gates the 50 entries above) --------
         # -- round-5 greens that didn't fit; these lead the round-8 window -
+        "w1_topk_per_group": q_w1_topk_per_group,
+        "w2_running_sum": q_w2_running_sum,
         "w3_lag_delta": q_w3_lag_delta,
         "w4_dense_rank": q_w4_dense_rank,
         "w5_first_last": q_w5_first_last,
@@ -2958,6 +3020,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, quality FROM r WHERE pr >= 0.5 OR n = 1
         """,
         "tx_normalize": _tx_normalize_oracle_sql(),
+        "tx_gopher_flags": f"""
+            WITH t AS (
+                SELECT doc_id, {tok} AS toks FROM documents
+            ), m AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       list_sum(list_transform(toks, x -> length(x)))
+                           / greatest(len(toks), 1) AS mean_len,
+                       len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                           / CAST(greatest(len(toks), 1) AS DOUBLE) AS alpha_frac,
+                       len(list_distinct(list_filter(toks, x ->
+                           x IN ('spark','sort','group','value','fast'))))
+                           AS n_stop
+                FROM t
+            )
+            SELECT doc_id,
+                   n AS n_words,
+                   ROUND(CAST(mean_len AS DOUBLE), 4) AS mean_word_len,
+                   ROUND(alpha_frac, 4) AS alpha_word_frac,
+                   n_stop AS n_stop_words,
+                   (n >= 50 AND n <= 100000
+                    AND mean_len >= 3.0 AND mean_len <= 10.0
+                    AND alpha_frac >= 0.80 AND n_stop >= 2) AS gopher_ok
+            FROM m
+        """,
+        "tx_c4_filter": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       substring(text, 1, 40) || ' ok line end.' || chr(10)
+                       || 'too short.' || chr(10)
+                       || 'no terminal punctuation here at all' || chr(10)
+                       || CASE WHEN doc_id % 3 = 0
+                            THEN 'Enable javascript to view this page.'
+                            ELSE 'a perfectly fine sentence with enough words.'
+                          END || chr(10)
+                       || CASE WHEN doc_id % 7 = 0
+                            THEN 'lorem ipsum dolor sit amet.'
+                            ELSE 'closing thoughts wrap up the document nicely.'
+                          END || chr(10)
+                       || CASE WHEN doc_id % 11 = 0
+                            THEN 'function f() {{ return 1; }}'
+                            ELSE 'the last line ends with a question?'
+                          END AS doc
+                FROM documents
+            ), k AS (
+                SELECT doc_id, doc,
+                       list_filter(
+                           list_transform(string_split(doc, chr(10)),
+                                          x -> trim(x)),
+                           ln -> right(ln, 1) IN ('.', '!', '?', '"')
+                                 AND len(string_split_regex(ln, ' +')) >= 5
+                                 AND NOT contains(lower(ln), 'javascript')
+                       ) AS kept
+                FROM d
+            )
+            SELECT doc_id,
+                   len(kept) AS n_kept_lines,
+                   (NOT contains(doc, '{{')
+                    AND NOT contains(lower(doc), 'lorem ipsum')
+                    AND len(kept) >= 3) AS c4_ok,
+                   length(array_to_string(kept, chr(10))) AS clean_len
+            FROM k
+        """,
         "e14_engine_dedup": """
             SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         """,

@@ -99,6 +99,8 @@ HEADLINE = [
     "ds_quality_filter",
     "ann_quantize_int8",
     "tx_normalize",
+    "tx_gopher_flags",
+    "tx_c4_filter",
 ]
 
 

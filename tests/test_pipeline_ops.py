@@ -598,3 +598,55 @@ def test_normalize_text(spark):
     assert got[1] == "hello world now"
     assert got[2] == "already clean"
     assert got[3] == ""
+
+
+def test_gopher_quality_flags(spark):
+    from vastdb_sdk_spark.functions.text import gopher_quality_flags
+
+    good = " ".join(
+        ["the quick brown fox jumps over and rests in the shade of it"] * 5
+    )  # 60 words, all alphabetic, stopwords present
+    short = "too few words here"
+    symbols = " ".join(["x1"] * 60)  # no alphabetic-only... x1 has alpha; use digits
+    digits = " ".join(["12345"] * 60)  # alpha_frac 0
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, digits), (4, None)],
+        "doc_id LONG, text STRING",
+    )
+    flags = gopher_quality_flags(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in df.select("doc_id", *[v.alias(k) for k, v in flags.items()])
+        .collect()
+    }
+    assert out[1].gopher_ok and out[1].words_ok and out[1].alpha_ok
+    assert not out[2].words_ok and not out[2].gopher_ok
+    assert out[3].alpha_word_frac == 0.0 and not out[3].alpha_ok
+    assert out[4].gopher_ok is None  # null doc propagates null, not a crash
+
+
+def test_c4_filter_rules(spark):
+    from vastdb_sdk_spark.functions.text import c4_doc_ok, c4_kept_lines
+
+    doc = "\n".join([
+        "a good first sentence with plenty of words.",  # kept
+        "short one.",                                   # dropped: < 5 words
+        "no terminal punctuation in this line at all",  # dropped
+        "please enable JavaScript to continue reading.",  # dropped: js
+        'he said "this ends with a quote"',              # kept: ends "
+        "and one more closing line to pass the bar!",    # kept: ends !
+    ])
+    df = spark.createDataFrame([(1, doc)], "doc_id LONG, text STRING")
+    kept = c4_kept_lines(F.col("text"))
+    row = df.select(
+        F.size(kept).alias("n"),
+        c4_doc_ok(F.col("text"), kept=kept).alias("ok"),
+    ).collect()[0]
+    assert row.n == 3 and row.ok
+    # brace / lorem ipsum / too-few-lines all reject
+    for bad in (doc + "\n{", doc + "\nLorem Ipsum filler.",
+                "just one keeper line here today."):
+        r = spark.createDataFrame([(1, bad)], "doc_id LONG, text STRING").select(
+            c4_doc_ok(F.col("text")).alias("ok")
+        ).collect()[0]
+        assert not r.ok, bad[:40]

@@ -276,3 +276,16 @@ def test_round6_operator_plan_shapes(spark):
     plan = pi.formatted_plan(probed)
     assert "MapInPandas" in plan
     assert len(plan) < 20_000  # plan size independent of num_centroids
+
+
+def test_round7_filter_plan_shapes(spark):
+    """Gopher/C4 heuristic filters are pure map-side gates: zero
+    exchanges, no Python stage — at 100 TB they run AT the scan before
+    any shuffle-bearing operator."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in ("tx_gopher_flags", "tx_c4_filter"):
+        df = qs[name](spark, SF)
+        assert pi.exchange_count(df) == 0, name
+        assert "Python" not in pi.formatted_plan(df), name

@@ -150,3 +150,84 @@ def fingerprint(col: Column) -> Column:
     available in both Spark and DuckDB, unlike xxhash64)."""
     normalized = F.concat_ws(" ", tokens(col))
     return F.substring(F.md5(normalized), 1, 16)
+
+
+# ---------------------------------------------------------------------------
+# Gopher / C4 heuristic document filters (Rae et al. 2021 "Scaling Language
+# Models" §A1.1; Raffel et al. 2020 "Exploring the Limits of Transfer
+# Learning" §2.2). Pure Column expressions with exact DuckDB SQL twins —
+# zero shuffle, whole-stage codegen, compose with scan pruning. At 100 TB
+# these are map-only gates that run AT the scan, before any shuffle-bearing
+# operator sees a byte.
+
+#: Lines are kept by the C4 rule only when they end in terminal punctuation.
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+
+
+def gopher_quality_flags(col: Column, stop_words: list[str] | None = None):
+    """Per-document Gopher quality-rule columns, returned as a dict of
+    named Columns (select them with ``**``): word count bounds, mean word
+    length bounds, alphabetic-word fraction, distinct-stop-word presence,
+    and the conjunction ``gopher_ok``. Thresholds follow the published
+    rules (50..100000 words, mean word length 3..10, >=80% words with an
+    alphabetic character, >=2 distinct stop words); pass ``stop_words``
+    to override the tiny built-in English marker set.
+
+    Every sub-flag rides along so a pipeline can report WHICH rule fired
+    (the paper's ablation practice) instead of a bare boolean."""
+    stops = stop_words or LANG_MARKERS["en"]
+    toks = tokens(col)
+    n = F.size(toks)
+    mean_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    ) / F.greatest(n, F.lit(1)).cast("double")
+    alpha_frac = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ) / F.greatest(n, F.lit(1)).cast("double")
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in stops]))
+    )
+    words_ok = (n >= 50) & (n <= 100_000)
+    mean_ok = (mean_len >= 3.0) & (mean_len <= 10.0)
+    alpha_ok = alpha_frac >= 0.80
+    stop_ok = n_stop >= 2
+    return {
+        "n_words": n,
+        "mean_word_len": F.round(mean_len, 4),
+        "alpha_word_frac": F.round(alpha_frac, 4),
+        "n_stop_words": n_stop,
+        "words_ok": words_ok,
+        "mean_len_ok": mean_ok,
+        "alpha_ok": alpha_ok,
+        "stop_ok": stop_ok,
+        "gopher_ok": words_ok & mean_ok & alpha_ok & stop_ok,
+    }
+
+
+def c4_kept_lines(col: Column, min_words: int = 5) -> Column:
+    """C4 line rule: split on newlines, trim, keep lines that end in
+    terminal punctuation, carry >= ``min_words`` whitespace words, and do
+    not mention 'javascript' (case-insensitive). Returns the kept-line
+    array; join with '\\n' for the cleaned document."""
+    lines = F.transform(F.split(col, "\n"), F.trim)
+    ends_ok = lambda ln: F.substring(ln, -1, 1).isin(*C4_TERMINAL_PUNCT)  # noqa: E731
+    words = lambda ln: F.size(F.split(ln, " +"))  # noqa: E731
+    return F.filter(
+        lines,
+        lambda ln: ends_ok(ln)
+        & (words(ln) >= min_words)
+        & (~F.lower(ln).contains("javascript")),
+    )
+
+
+def c4_doc_ok(col: Column, kept: Column | None = None, min_lines: int = 3) -> Column:
+    """C4 document rule: drop documents containing a curly brace (code),
+    the 'lorem ipsum' placeholder, or fewer than ``min_lines`` surviving
+    lines. Pass the precomputed ``c4_kept_lines`` column to stage the
+    line work once when both are selected."""
+    kept = kept if kept is not None else c4_kept_lines(col)
+    return (
+        (~col.contains("{"))
+        & (~F.lower(col).contains("lorem ipsum"))
+        & (F.size(kept) >= min_lines)
+    )
