@@ -2620,6 +2620,28 @@ def q_tx_normalize(spark, sf):
     )
 
 
+def q_ann_knn_join_blocked(spark, sf):
+    """EXACT corpus x corpus k-NN join via the distributed block-GEMM grid
+    (operators/similarity.knn_join_cosine_blocked): 100 probe rows against
+    the full embeddings corpus in a 4x4 block grid, k=3. Unlike the gated
+    ANN variants (recall-checked), this one is exact, so the oracle is the
+    full SQL cross-join + rank — every pair and every rounded cosine must
+    match. Shuffle ships each vector once per block replica; the quadratic
+    comparison volume exists only inside per-cell numpy GEMMs."""
+    from vastdb_sdk_spark.operators.similarity import knn_join_cosine_blocked
+
+    emb = _t(spark, sf, "embeddings")
+    left = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a")
+    )
+    right = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b")
+    )
+    return knn_join_cosine_blocked(
+        left, right, k=3, num_left_blocks=4, num_right_blocks=4
+    )
+
+
 def q_tx_gopher_flags(spark, sf):
     """Gopher-family document-quality rule flags (functions/text.
     gopher_quality_flags; Rae et al. 2021 §A1.1): word-count bounds, mean
@@ -2696,9 +2718,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the round-6 greens (freshest), so no entry's latest green ever ages
     # past ~3 rounds.
     return {
-        # -- new in round 7 (Gopher/C4 heuristic filter family) ------------
+        # -- new in round 7 (Gopher/C4 filters, blocked exact kNN join) ----
         "tx_gopher_flags": q_tx_gopher_flags,
         "tx_c4_filter": q_tx_c4_filter,
+        "ann_knn_join_blocked": q_ann_knn_join_blocked,
         # -- code changed in round 7 (q8 projection, n==1 stratum, id check)
         "ann_quantize_int8": q_ann_quantize_int8,
         "ds_quality_filter": q_ds_quality_filter,
@@ -2749,9 +2772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash_pairs": q_dd_simhash_pairs,
         "range_join_purchases": q_range_join_purchases,
         "sessionize_batch": q_sessionize_batch,
-        "a10_approx_percentile": q_a10_approx_percentile,
         # ---- window boundary (driver gates the 50 entries above) --------
         # -- round-5 greens that didn't fit; these lead the round-8 window -
+        "a10_approx_percentile": q_a10_approx_percentile,
         "w1_topk_per_group": q_w1_topk_per_group,
         "w2_running_sum": q_w2_running_sum,
         "w3_lag_delta": q_w3_lag_delta,
@@ -3020,6 +3043,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, quality FROM r WHERE pr >= 0.5 OR n = 1
         """,
         "tx_normalize": _tx_normalize_oracle_sql(),
+        "ann_knn_join_blocked": """
+            WITH l AS (
+                SELECT vec_id AS id_a, embedding::DOUBLE[] AS va
+                FROM embeddings WHERE vec_id < 100
+            ), r AS (
+                SELECT vec_id AS id_b, embedding::DOUBLE[] AS vb
+                FROM embeddings
+            ), p AS (
+                SELECT id_a, id_b,
+                       list_cosine_similarity(va, vb) AS cos,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY id_a
+                           ORDER BY list_cosine_similarity(va, vb) DESC, id_b
+                       ) AS rn
+                FROM l, r
+            )
+            SELECT id_a, id_b, ROUND(cos, 6) AS cos_sim FROM p WHERE rn <= 3
+        """,
         "tx_gopher_flags": f"""
             WITH t AS (
                 SELECT doc_id, {tok} AS toks FROM documents

@@ -101,6 +101,7 @@ HEADLINE = [
     "tx_normalize",
     "tx_gopher_flags",
     "tx_c4_filter",
+    "ann_knn_join_blocked",
 ]
 
 

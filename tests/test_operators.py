@@ -511,3 +511,44 @@ def test_asof_join_fuzz_matches_pandas(spark, case):
         for r in exp.itertuples()
     }
     assert got_m == exp_m
+
+
+def test_knn_join_blocked_matches_broadcast(spark):
+    """The blocked exact k-NN join must return exactly what the broadcast
+    reference returns — including tie-breaks (planted duplicate vectors)
+    and degenerate block counts (empty cells, blocks > rows)."""
+    import random
+
+    random.seed(7)
+    dim = 8
+    lrows = [(i, [random.uniform(-1, 1) for _ in range(dim)]) for i in range(23)]
+    rrows = [(j, [random.uniform(-1, 1) for _ in range(dim)]) for j in range(37)]
+    # duplicate right vectors -> exact cosine ties, broken by right id
+    rrows.append((100, list(rrows[0][1])))
+    rrows.append((101, list(rrows[0][1])))
+    ldf = spark.createDataFrame(lrows, "id_a LONG, vec_a ARRAY<DOUBLE>")
+    rdf = spark.createDataFrame(rrows, "id_b LONG, vec_b ARRAY<DOUBLE>")
+
+    ref = {
+        (r.id_a, r.id_b): round(r.cos_sim, 5)
+        for r in similarity.knn_join_cosine(ldf, rdf, k=5)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+        .collect()
+    }
+    for nl, nr in ((1, 1), (3, 4), (8, 50)):
+        got = {
+            (r.id_a, r.id_b): round(r.cos_sim, 5)
+            for r in similarity.knn_join_cosine_blocked(
+                ldf, rdf, k=5, num_left_blocks=nl, num_right_blocks=nr
+            ).collect()
+        }
+        assert got == ref, (nl, nr, set(got) ^ set(ref))
+
+    # gemm chunking smaller than the block must not change anything
+    got = {
+        (r.id_a, r.id_b): round(r.cos_sim, 5)
+        for r in similarity.knn_join_cosine_blocked(
+            ldf, rdf, k=5, num_left_blocks=2, num_right_blocks=2, gemm_chunk=4
+        ).collect()
+    }
+    assert got == ref
