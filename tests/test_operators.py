@@ -552,3 +552,14 @@ def test_knn_join_blocked_matches_broadcast(spark):
         ).collect()
     }
     assert got == ref
+
+
+def test_build_ivf_index_autosizes_centroids(emb):
+    """num_centroids=None sizes the quantizer ~sqrt(N) (clamped >= 16) so
+    cluster sizes stay O(sqrt(N)) as the corpus grows instead of linear
+    under a forever-fixed count."""
+    n = emb.count()
+    indexed, centroids = similarity.build_ivf_index(emb, num_centroids=None)
+    expected = int(min(65536, max(16, round(n ** 0.5))))
+    assert centroids.shape[0] == expected
+    assert indexed.select("centroid_id").distinct().count() <= expected

@@ -650,3 +650,51 @@ def test_c4_filter_rules(spark):
             c4_doc_ok(F.col("text")).alias("ok")
         ).collect()[0]
         assert not r.ok, bad[:40]
+
+
+def test_heuristic_filters_compose_with_streaming(spark, tmp_path):
+    """gopher_quality_flags / c4 rules are pure map expressions, so they
+    must run unchanged inside Structured Streaming (file source -> flags ->
+    memory sink) and agree with the batch run — the scan-time quality gate
+    of a streaming ingestion pipeline."""
+    from vastdb_sdk_spark.functions.text import (
+        c4_doc_ok,
+        gopher_quality_flags,
+    )
+
+    good = " ".join(["the quick brown fox jumps over and naps in the sun"] * 6)
+    docs = spark.createDataFrame(
+        [(1, good), (2, "too short"), (3, good + " {")],
+        "id LONG, t STRING",
+    )
+    src = str(tmp_path / "filters_in")
+    docs.repartition(2).write.parquet(src)
+
+    def shape(df):
+        flags = gopher_quality_flags(F.col("t"))
+        return df.select(
+            "id",
+            flags["gopher_ok"].alias("gok"),
+            c4_doc_ok(F.col("t")).alias("c4ok"),
+        )
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        shape(stream)
+        .writeStream.format("memory")
+        .queryName("filters_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_filters"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.id: (r.gok, r.c4ok)
+        for r in spark.sql("SELECT * FROM filters_stream").collect()
+    }
+    expected = {
+        r.id: (r.gok, r.c4ok)
+        for r in shape(spark.read.parquet(src)).collect()
+    }
+    assert got == expected and got[1][0] and not got[2][0]

@@ -246,7 +246,7 @@ def embedding_near_dup_pairs(
 def build_ivf_index(
     df: DataFrame,
     vec_col: str = "embedding",
-    num_centroids: int = 64,
+    num_centroids: int | None = 64,
     seed: int = 42,
     sample_fraction: float | None = None,
     sample_key: str | None = None,
@@ -255,6 +255,14 @@ def build_ivf_index(
     every row tagged with its nearest centroid id. Write the result
     partitioned by centroid_id and queries touch nprobe/num_centroids of the
     data.
+
+    ``num_centroids=None`` auto-sizes to ~sqrt(corpus rows) (clamped to
+    [16, 65536]) — the standard IVF sizing that balances probe cost
+    (nprobe/num_centroids of the corpus per query) against cluster size
+    (rows/num_centroids comparisons inside each probed cluster). A FIXED
+    centroid count lets clusters grow linearly with the corpus, which
+    turns ivf_knn_join's per-cluster work quadratic at scale; auto-sizing
+    keeps both sides O(sqrt(N)). Costs one count() at build time.
 
     ``sample_fraction``: fit k-means on a sample instead of the full
     corpus — the 100 TB path. Centroid quality converges long before the
@@ -271,6 +279,9 @@ def build_ivf_index(
             "sample_key given without sample_fraction — the fit would "
             "silently run over the FULL corpus; pass sample_fraction"
         )
+    if num_centroids is None:
+        n_rows = df.count()
+        num_centroids = int(min(65536, max(16, round(n_rows ** 0.5))))
     fit_df = df
     if sample_fraction is not None:
         if not 0.0 < sample_fraction <= 1.0:
