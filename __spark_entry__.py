@@ -2620,6 +2620,29 @@ def q_tx_normalize(spark, sf):
     )
 
 
+def q_tx_bpe_tokens(spark, sf):
+    """BPE-ish pretokenization (functions/text.bpe_pretokens — the GPT-2
+    pretokenizer shape in the Java/RE2-common regex subset): the
+    tokenizer-aware length estimate next to whitespace words. Dirt with
+    contractions/digits/punctuation is injected in-plan (the corpus is
+    alnum soup) and the EXACT token stream is pinned via md5 over a
+    0x1f-joined concatenation, so any alternation-order or class
+    divergence between engines fails the hash, not just the count."""
+    from vastdb_sdk_spark.functions.text import bpe_pretokens, tokens
+
+    d = _t(spark, sf, "documents")
+    dirty = F.concat(
+        F.col("text"), F.lit(" Don't stop; it's 2024... #tag9 'll end.")
+    )
+    toks = bpe_pretokens(dirty)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
+        F.md5(F.array_join(toks, "\x1f")).alias("token_stream_md5"),
+    )
+
+
 def q_ann_knn_join_blocked(spark, sf):
     """EXACT corpus x corpus k-NN join via the distributed block-GEMM grid
     (operators/similarity.knn_join_cosine_blocked): 100 probe rows against
@@ -2722,6 +2745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_gopher_flags": q_tx_gopher_flags,
         "tx_c4_filter": q_tx_c4_filter,
         "ann_knn_join_blocked": q_ann_knn_join_blocked,
+        "tx_bpe_tokens": q_tx_bpe_tokens,
         # -- code changed in round 7 (q8 projection, n==1 stratum, id check)
         "ann_quantize_int8": q_ann_quantize_int8,
         "ds_quality_filter": q_ds_quality_filter,
@@ -2771,9 +2795,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": q_mm_frame_sample,
         "dd_simhash_pairs": q_dd_simhash_pairs,
         "range_join_purchases": q_range_join_purchases,
-        "sessionize_batch": q_sessionize_batch,
         # ---- window boundary (driver gates the 50 entries above) --------
         # -- round-5 greens that didn't fit; these lead the round-8 window -
+        "sessionize_batch": q_sessionize_batch,
         "a10_approx_percentile": q_a10_approx_percentile,
         "w1_topk_per_group": q_w1_topk_per_group,
         "w2_running_sum": q_w2_running_sum,
@@ -3043,6 +3067,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, quality FROM r WHERE pr >= 0.5 OR n = 1
         """,
         "tx_normalize": _tx_normalize_oracle_sql(),
+        "tx_bpe_tokens": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(
+                           text || ' Don''t stop; it''s 2024... #tag9 ''ll end.',
+                           '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+'
+                           || '| ?[^a-zA-Z0-9 '']+|'''
+                       ) AS bt,
+                       {tok} AS wt
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(bt) AS n_bpe_tokens,
+                   len(wt) AS n_ws_tokens,
+                   md5(array_to_string(bt, chr(31))) AS token_stream_md5
+            FROM t
+        """,
         "ann_knn_join_blocked": """
             WITH l AS (
                 SELECT vec_id AS id_a, embedding::DOUBLE[] AS va

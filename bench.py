@@ -102,6 +102,7 @@ HEADLINE = [
     "tx_gopher_flags",
     "tx_c4_filter",
     "ann_knn_join_blocked",
+    "tx_bpe_tokens",
 ]
 
 

@@ -698,3 +698,26 @@ def test_heuristic_filters_compose_with_streaming(spark, tmp_path):
         for r in shape(spark.read.parquet(src)).collect()
     }
     assert got == expected and got[1][0] and not got[2][0]
+
+
+def test_bpe_pretokens(spark):
+    """GPT-2-shaped pretokenization: contractions split as suffix tokens,
+    letter/digit/punct runs separate, space rides the following token."""
+    from vastdb_sdk_spark.functions.text import bpe_pretokens, bpe_token_count
+
+    df = spark.createDataFrame(
+        [(1, "Don't say 2024 twice!!"), (2, ""), (3, None)],
+        "id LONG, t STRING",
+    )
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            bpe_pretokens(F.col("t")).alias("toks"),
+            bpe_token_count(F.col("t")).alias("n"),
+        ).collect()
+    }
+    assert list(rows[1].toks) == ["Don", "'t", " say", " 2024", " twice", "!!"]
+    assert rows[1].n == 6
+    assert list(rows[2].toks) == [] and rows[2].n == 0
+    assert rows[3].toks is None

@@ -231,3 +231,35 @@ def c4_doc_ok(col: Column, kept: Column | None = None, min_lines: int = 3) -> Co
         & (~F.lower(col).contains("lorem ipsum"))
         & (F.size(kept) >= min_lines)
     )
+
+
+#: GPT-2-style pretokenizer, restricted to the Java/RE2-common subset (no
+#: lookahead — RE2 has none; ASCII classes, ordered alternation which both
+#: engines apply leftmost-first in default mode): contraction suffixes,
+#: space-prefixed letter runs, space-prefixed digit runs, space-prefixed
+#: punctuation runs (apostrophe excluded so contractions win), bare
+#: apostrophe, whitespace runs.
+BPE_PRETOKEN_RE = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?[a-zA-Z]+"
+    "| ?[0-9]+"
+    "| ?[^a-zA-Z0-9 ']+"
+    "|'"
+)
+
+
+def bpe_pretokens(col: Column) -> Column:
+    """BPE-ish pretokenization (the GPT-2 pretokenizer shape): the text
+    split into contraction/letter/digit/punctuation pieces BEFORE any
+    merge table is applied. Real BPE vocabularies only split these pieces
+    further, so ``size(bpe_pretokens(x))`` is a LOWER bound on the real
+    token count and its distribution tracks tokenizer-true counts far
+    better than whitespace words (punctuation and digit runs count).
+    One regexp_extract_all — zero shuffle, codegen, exact DuckDB twin."""
+    return F.regexp_extract_all(col, F.lit(BPE_PRETOKEN_RE), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Pretoken count — the cheap tokenizer-aware length estimate for
+    context packing / pricing / length-bucket stats."""
+    return F.size(bpe_pretokens(col))
