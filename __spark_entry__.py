@@ -2570,6 +2570,44 @@ def q_ann_quantize_int8(spark, sf):
     )
 
 
+def q_ann_pq_topk(spark, sf):
+    """Product-quantization ANN with exact re-rank (operators/similarity.
+    build_pq_index + pq_topk): 16 subspaces x <=256 codes cut vector bytes
+    ~16x; search is ADC (per-subspace LUT rides a broadcast variable,
+    distances are m lookups per row in Arrow-batched mapInPandas, plan
+    size O(1) in codes/dim), shortlist of 50 re-ranked by exact L2 on the
+    un-quantized column. Gate shape follows ann_rhp_topk: exactly k=10
+    rows returned and recall@10 vs the in-plan exact top-10 >= 0.7
+    (measured 1.0 at sf0.001/0.01/0.1 with the seeded sampled fit —
+    deterministic, wide margin)."""
+    from vastdb_sdk_spark.operators.similarity import (
+        brute_force_topk,
+        build_pq_index,
+        pq_topk,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    vec = _query_vec(spark, sf, 0)
+    key = (sf, "__pq_index")
+    if key not in _ENGINE_WAREHOUSES:
+        enc, books = build_pq_index(emb, num_subspaces=16, num_codes=256, seed=42)
+        _ENGINE_WAREHOUSES[key] = (enc.persist(), books)
+    enc, books = _ENGINE_WAREHOUSES[key]
+    approx = pq_topk(
+        enc, books, vec, k=10, id_col="vec_id", rerank=50
+    ).select("vec_id")
+    exact = brute_force_topk(emb, vec, k=10, metric="l2sq", id_col="vec_id").select(
+        "vec_id"
+    )
+    hits = approx.join(F.broadcast(exact), "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    k_ret = approx.agg(F.count(F.lit(1)).alias("k_returned"))
+    return k_ret.crossJoin(hits).select(
+        "k_returned", (F.col("n_hits") >= 7).alias("recall_ok")
+    )
+
+
 def q_e14_engine_dedup(spark, sf):
     """Engine-tier exact dedup under the gate (table.dedup_rows): orders
     imported twice (a byte-identical copy, so every row is duplicated),
@@ -2746,6 +2784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_c4_filter": q_tx_c4_filter,
         "ann_knn_join_blocked": q_ann_knn_join_blocked,
         "tx_bpe_tokens": q_tx_bpe_tokens,
+        "ann_pq_topk": q_ann_pq_topk,
         # -- code changed in round 7 (q8 projection, n==1 stratum, id check)
         "ann_quantize_int8": q_ann_quantize_int8,
         "ds_quality_filter": q_ds_quality_filter,
@@ -2794,9 +2833,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": q_skew_salted_join,
         "mm_frame_sample": q_mm_frame_sample,
         "dd_simhash_pairs": q_dd_simhash_pairs,
-        "range_join_purchases": q_range_join_purchases,
         # ---- window boundary (driver gates the 50 entries above) --------
         # -- round-5 greens that didn't fit; these lead the round-8 window -
+        "range_join_purchases": q_range_join_purchases,
         "sessionize_batch": q_sessionize_batch,
         "a10_approx_percentile": q_a10_approx_percentile,
         "w1_topk_per_group": q_w1_topk_per_group,
@@ -3865,6 +3904,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ann_rhp_topk": """
+            SELECT CAST(10 AS BIGINT) AS k_returned, TRUE AS recall_ok
+        """,
+        "ann_pq_topk": """
             SELECT CAST(10 AS BIGINT) AS k_returned, TRUE AS recall_ok
         """,
         "ann_ivf_knn_join": """

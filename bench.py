@@ -103,6 +103,7 @@ HEADLINE = [
     "tx_c4_filter",
     "ann_knn_join_blocked",
     "tx_bpe_tokens",
+    "ann_pq_topk",
 ]
 
 

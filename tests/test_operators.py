@@ -127,6 +127,48 @@ def test_ivf_topk(emb):
     assert rows[3].vec_id == got_ids[0]  # own vector is distance 0
 
 
+def test_pq_codes_shape_and_determinism(emb):
+    enc, books = similarity.build_pq_index(
+        emb, num_subspaces=16, num_codes=32, seed=42
+    )
+    m, ksub, dsub = books.shape
+    assert (m, dsub) == (16, 4) and ksub <= 32
+    rows = enc.select("vec_id", "pq_codes").orderBy("vec_id").limit(20).collect()
+    for r in rows:
+        assert len(r.pq_codes) == m
+        assert all(0 <= c < ksub for c in r.pq_codes)
+    # same seed + corpus -> identical codebooks and codes
+    enc2, books2 = similarity.build_pq_index(
+        emb, num_subspaces=16, num_codes=32, seed=42
+    )
+    assert np.allclose(books, books2)
+    rows2 = enc2.select("vec_id", "pq_codes").orderBy("vec_id").limit(20).collect()
+    assert [r.pq_codes for r in rows] == [r.pq_codes for r in rows2]
+
+
+def test_pq_topk_rerank_recall(emb):
+    rows = emb.collect()
+    q = [float(x) for x in rows[3].embedding]
+    enc, books = similarity.build_pq_index(emb, num_subspaces=16, seed=42)
+    got = similarity.pq_topk(enc, books, q, k=5, id_col="vec_id", rerank=30)
+    got_ids = [r.vec_id for r in got.select("vec_id").collect()]
+    assert len(got_ids) == 5
+    assert got_ids[0] == rows[3].vec_id  # own vector: exact rerank puts it first
+    exact = set(_numpy_topk(rows, np.array(q), 5))
+    assert len(set(got_ids) & exact) >= 4
+
+
+def test_pq_validation_errors(emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.build_pq_index(emb, num_subspaces=7)
+    enc, books = similarity.build_pq_index(emb, num_subspaces=16, num_codes=8)
+    q = [0.0] * 64
+    with pytest.raises(ValueError, match="rerank"):
+        similarity.pq_topk(enc, books, q, k=10, rerank=5)
+    with pytest.raises(ValueError, match="query dim"):
+        similarity.pq_topk(enc, books, [0.0] * 32, k=2)
+
+
 def test_embedding_near_dup_pairs(spark):
     vecs = [[1.0, 0.0, 0.0, 0.0], [0.999, 0.01, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
     df = spark.createDataFrame(

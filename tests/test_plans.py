@@ -278,6 +278,25 @@ def test_round6_operator_plan_shapes(spark):
     assert len(plan) < 20_000  # plan size independent of num_centroids
 
 
+def test_pq_plan_size_independent_of_codebook(spark):
+    """PQ encode + ADC ride broadcast variables through mapInPandas, so
+    the plan stays O(1) no matter how many codes/subspaces the index has
+    (the same invariant assign_probe_centroids pins for IVF)."""
+    import numpy as np
+
+    from vastdb_sdk_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    enc = emb.withColumn(
+        "pq_codes", F.array(*[F.lit(0) for _ in range(16)])
+    )
+    books = np.zeros((16, 4096, 4))
+    scored = pq_topk(enc, books, [0.0] * 64, k=5, rerank=None)
+    plan = pi.formatted_plan(scored)
+    assert "MapInPandas" in plan
+    assert len(plan) < 20_000  # independent of num_codes
+
+
 def test_round7_filter_plan_shapes(spark):
     """Gopher/C4 heuristic filters are pure map-side gates: zero
     exchanges, no Python stage — at 100 TB they run AT the scan before
