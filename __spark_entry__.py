@@ -2681,6 +2681,26 @@ def q_tx_bpe_tokens(spark, sf):
     )
 
 
+def q_tx_unigram_logprob(spark, sf):
+    """Corpus-fit unigram-LM document scoring (operators/lm.
+    unigram_logprob_scores — the perplexity-filter quality signal without
+    an external KenLM artifact): mean ln p(token) per doc under the
+    corpus's own add-0.5-smoothed unigram distribution. Fit = one
+    explode + groupBy(token) (map-side partial agg); scoring joins the
+    token stream to the counts (broadcast vocab with top_n — the 100 TB
+    skew-free path; exact shuffle join here). Rounded to 6 so the avg's
+    partition-order FP noise (~1e-13) can't flip the hash."""
+    from vastdb_sdk_spark.operators.lm import unigram_logprob_scores
+
+    d = _t(spark, sf, "documents")
+    out = unigram_logprob_scores(d, "text", "doc_id", smoothing=0.5)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("unigram_logprob"), 6).alias("unigram_lp"),
+    )
+
+
 def q_ann_knn_join_blocked(spark, sf):
     """EXACT corpus x corpus k-NN join via the distributed block-GEMM grid
     (operators/similarity.knn_join_cosine_blocked): 100 probe rows against
@@ -2785,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_knn_join_blocked": q_ann_knn_join_blocked,
         "tx_bpe_tokens": q_tx_bpe_tokens,
         "ann_pq_topk": q_ann_pq_topk,
+        "tx_unigram_logprob": q_tx_unigram_logprob,
         # -- code changed in round 7 (q8 projection, n==1 stratum, id check)
         "ann_quantize_int8": q_ann_quantize_int8,
         "ds_quality_filter": q_ds_quality_filter,
@@ -2832,9 +2853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": q_skew_salted_agg,
         "skew_salted_join": q_skew_salted_join,
         "mm_frame_sample": q_mm_frame_sample,
-        "dd_simhash_pairs": q_dd_simhash_pairs,
         # ---- window boundary (driver gates the 50 entries above) --------
         # -- round-5 greens that didn't fit; these lead the round-8 window -
+        "dd_simhash_pairs": q_dd_simhash_pairs,
         "range_join_purchases": q_range_join_purchases,
         "sessionize_batch": q_sessionize_batch,
         "a10_approx_percentile": q_a10_approx_percentile,
@@ -3122,6 +3143,28 @@ def oracle_sql() -> dict[str, str]:
                    len(wt) AS n_ws_tokens,
                    md5(array_to_string(bt, chr(31))) AS token_stream_md5
             FROM t
+        """,
+        "tx_unigram_logprob": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({tok}) AS tok FROM documents
+            ), cnt AS (
+                SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+            ), tot AS (
+                SELECT SUM(c) AS total, COUNT(*) AS v FROM cnt
+            ), scored AS (
+                SELECT toks.doc_id,
+                       COUNT(*) AS n_tokens,
+                       ROUND(AVG(ln(
+                           (cnt.c + 0.5)
+                           / (tot.total + 0.5 * (tot.v + 1))
+                       )), 6) AS unigram_lp
+                FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+                GROUP BY toks.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(s.n_tokens, 0) AS n_tokens,
+                   s.unigram_lp
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
         """,
         "ann_knn_join_blocked": """
             WITH l AS (

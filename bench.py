@@ -104,6 +104,7 @@ HEADLINE = [
     "ann_knn_join_blocked",
     "tx_bpe_tokens",
     "ann_pq_topk",
+    "tx_unigram_logprob",
 ]
 
 

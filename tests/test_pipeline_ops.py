@@ -721,3 +721,70 @@ def test_bpe_pretokens(spark):
     assert rows[1].n == 6
     assert list(rows[2].toks) == [] and rows[2].n == 0
     assert rows[3].toks is None
+
+
+# -- unigram LM scoring ----------------------------------------------------
+
+
+def test_unigram_logprob_matches_hand_model(spark):
+    import math
+
+    from vastdb_sdk_spark.operators.lm import unigram_logprob_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the the dog"),
+            (3, ""),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in unigram_logprob_scores(df, "text", "doc_id").collect()}
+    # corpus counts: the=3, cat=1, sat=1, dog=1; total=6, V=4
+    p = lambda c: (c + 0.5) / (6 + 0.5 * 5)
+    lp1 = (math.log(p(3)) + math.log(p(1)) + math.log(p(1))) / 3
+    lp2 = (2 * math.log(p(3)) + math.log(p(1))) / 3
+    assert out[1].n_tokens == 3 and abs(out[1].unigram_logprob - lp1) < 1e-12
+    assert out[2].n_tokens == 3 and abs(out[2].unigram_logprob - lp2) < 1e-12
+    # common-word doc scores higher than rarer-word doc
+    assert out[2].unigram_logprob > out[1].unigram_logprob
+    # empty doc: zero tokens, NULL score
+    assert out[3].n_tokens == 0 and out[3].unigram_logprob is None
+
+
+def test_unigram_logprob_top_n_oov_bucket(spark):
+    import math
+
+    from vastdb_sdk_spark.operators.lm import unigram_logprob_scores
+
+    df = spark.createDataFrame(
+        [(1, "the cat"), (2, "the the")],
+        "doc_id LONG, text STRING",
+    )
+    # top_n=1 keeps only "the"; "cat" becomes OOV (c=0) but total/V stay
+    # fit on the FULL distribution (total=4, V=2)
+    out = {
+        r.doc_id: r
+        for r in unigram_logprob_scores(df, "text", "doc_id", top_n=1).collect()
+    }
+    p = lambda c: (c + 0.5) / (4 + 0.5 * 3)
+    lp1 = (math.log(p(3)) + math.log(p(0))) / 2
+    assert abs(out[1].unigram_logprob - lp1) < 1e-12
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="smoothing"):
+        unigram_logprob_scores(df, "text", "doc_id", smoothing=0.0)
+
+
+def test_unigram_logprob_top_n_broadcasts_vocab(spark):
+    """The top_n path must join the exploded token stream to a BROADCAST
+    vocabulary — the 100 TB skew-free shape (no shuffle keyed on the
+    Zipf-head token)."""
+    from vastdb_sdk_spark.operators.lm import unigram_logprob_scores
+    from vastdb_sdk_spark.plans import inspect as pi
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = unigram_logprob_scores(df, "text", "doc_id", top_n=100)
+    plan = pi.formatted_plan(out)
+    assert "BroadcastHashJoin" in plan

@@ -1,1 +1,1 @@
-from . import asof, dedup, multimodal, sampling, similarity, skew  # noqa: F401
+from . import asof, contamination, dedup, lm, multimodal, sampling, similarity, skew  # noqa: F401
