@@ -2681,6 +2681,31 @@ def q_tx_bpe_tokens(spark, sf):
     )
 
 
+def q_dd_passage_dups(spark, sf):
+    """Cross-document exact-substring duplication (operators/dedup.
+    passage_dup_stats, Lee et al. 2022): per-doc count/fraction of
+    distinct 8-token passages occurring in >=2 documents. The synthetic
+    corpus has no organic passage overlap, so 25 near-copies (original
+    text + a distinct tail) are planted in-plan — their shared passages
+    must be flagged on BOTH the copy and its source, everything else at
+    zero. Word-count-shaped: explode distinct md5'd shingles, doc-freq
+    groupBy, join back — no pairwise comparison anywhere."""
+    from vastdb_sdk_spark.operators.dedup import passage_dup_stats
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz copy tail marker")).alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    return passage_dup_stats(corpus, "text", "doc_id", k=8).select(
+        "doc_id",
+        "n_passages",
+        "n_dup_passages",
+        F.round("dup_passage_fraction", 6).alias("dup_frac"),
+    )
+
+
 def q_tx_unigram_logprob(spark, sf):
     """Corpus-fit unigram-LM document scoring (operators/lm.
     unigram_logprob_scores — the perplexity-filter quality signal without
@@ -2806,6 +2831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_bpe_tokens": q_tx_bpe_tokens,
         "ann_pq_topk": q_ann_pq_topk,
         "tx_unigram_logprob": q_tx_unigram_logprob,
+        "dd_passage_dups": q_dd_passage_dups,
         # -- code changed in round 7 (q8 projection, n==1 stratum, id check)
         "ann_quantize_int8": q_ann_quantize_int8,
         "ds_quality_filter": q_ds_quality_filter,
@@ -2852,9 +2878,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_contamination": q_dd_contamination,
         "skew_salted_agg": q_skew_salted_agg,
         "skew_salted_join": q_skew_salted_join,
-        "mm_frame_sample": q_mm_frame_sample,
         # ---- window boundary (driver gates the 50 entries above) --------
         # -- round-5 greens that didn't fit; these lead the round-8 window -
+        "mm_frame_sample": q_mm_frame_sample,
         "dd_simhash_pairs": q_dd_simhash_pairs,
         "range_join_purchases": q_range_join_purchases,
         "sessionize_batch": q_sessionize_batch,
@@ -3143,6 +3169,34 @@ def oracle_sql() -> dict[str, str]:
                    len(wt) AS n_ws_tokens,
                    md5(array_to_string(bt, chr(31))) AS token_stream_md5
             FROM t
+        """,
+        "dd_passage_dups": f"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id,
+                       text || ' zz copy tail marker' AS text
+                FROM documents WHERE doc_id < 25
+            ), t AS (
+                SELECT doc_id, {tok} AS toks FROM corpus
+            ), g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform({_grams(8)},
+                                                    x -> md5(x))) AS grams
+                FROM t
+            ), e AS (
+                SELECT doc_id, unnest(grams) AS gh FROM g
+            ), dfq AS (
+                SELECT gh, COUNT(*) AS dfc FROM e GROUP BY gh
+            )
+            SELECT e.doc_id,
+                   COUNT(*) AS n_passages,
+                   CAST(SUM(CASE WHEN dfq.dfc >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_passages,
+                   ROUND(SUM(CASE WHEN dfq.dfc >= 2 THEN 1 ELSE 0 END)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+            FROM e JOIN dfq USING (gh)
+            GROUP BY e.doc_id
         """,
         "tx_unigram_logprob": f"""
             WITH toks AS (

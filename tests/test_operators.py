@@ -605,3 +605,37 @@ def test_build_ivf_index_autosizes_centroids(emb):
     expected = int(min(65536, max(16, round(n ** 0.5))))
     assert centroids.shape[0] == expected
     assert indexed.select("centroid_id").distinct().count() <= expected
+
+
+# -- passage-level (exact-substring) duplication ---------------------------
+
+
+def test_passage_dup_stats_plants(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            # doc 2 shares doc 1's full 4-gram stream plus its own tail
+            (2, "alpha beta gamma delta epsilon zeta own tail here"),
+            (3, "totally different words in this one entirely"),
+            (4, "tiny"),  # shorter than k: whole stream is one passage
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.passage_dup_stats(df, "text", "doc_id", k=4).collect()
+    }
+    # docs 1+2 share doc 1's three 4-grams; flagged on BOTH sides
+    assert out[1].n_dup_passages == 3 and out[1].n_passages == 3
+    assert out[1].dup_passage_fraction == 1.0
+    assert out[2].n_dup_passages == 3 and out[2].n_passages == 6
+    assert out[3].n_dup_passages == 0
+    assert out[4].n_passages == 1 and out[4].n_dup_passages == 0
+
+    kept = dedup.filter_passage_dups(
+        df, "text", "doc_id", k=4, max_dup_fraction=0.5
+    )
+    assert {r.doc_id for r in kept.select("doc_id").collect()} == {2, 3, 4}
+
+    with pytest.raises(ValueError, match="k must be"):
+        dedup.passage_dup_stats(df, "text", "doc_id", k=1)

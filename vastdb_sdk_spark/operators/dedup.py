@@ -620,3 +620,79 @@ def dedup_keep_representative(
         F.col("doc_id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# passage-level (exact-substring) duplication
+
+
+def passage_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Cross-document EXACT-substring duplication signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": repeated
+    >=k-token passages are the dominant contamination mode that document-
+    level dedup misses — boilerplate, licenses, quoted spans). For every
+    document: how many of its distinct k-token passages also occur in at
+    least one OTHER document, as a count and a fraction.
+
+    Plan (word-count shape end to end, no pairwise anything):
+    tokenize -> per-doc DISTINCT k-shingles -> md5 the shingle (fixed
+    32-byte key: the shuffle carries digests, not passage text) ->
+    explode -> groupBy(gram_hash) counting documents (per-doc distinct
+    first, so count(*) IS document frequency) -> equi-join back ->
+    groupBy(doc). Two shuffles on uniformly distributed hash keys + one
+    on doc id; no skew (md5 uniformizes even a corpus-dominating
+    passage's KEY — its document LIST still concentrates, which the
+    aggregation absorbs as a count, never materializing the list).
+
+    Documents shorter than k tokens contribute their whole token stream
+    as one "passage" (shingles_from_tokens' short-row rule), so boiler-
+    plate stubs still participate. Returns
+    (id_col, n_passages, n_dup_passages, dup_passage_fraction)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2 tokens, got {k}")
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tk"))
+    grams = staged.select(
+        id_col,
+        F.array_distinct(
+            F.transform(
+                shingles_from_tokens(F.col("__tk"), k), lambda g: F.md5(g)
+            )
+        ).alias("__grams"),
+    )
+    exploded = grams.select(id_col, F.explode("__grams").alias("__gh"))
+    docfreq = exploded.groupBy("__gh").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        exploded.join(docfreq, "__gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum((F.col("__df") >= 2).cast("long")).alias("n_dup_passages"),
+        )
+    )
+    return per_doc.withColumn(
+        "dup_passage_fraction",
+        F.col("n_dup_passages") / F.col("n_passages").cast("double"),
+    )
+
+
+def filter_passage_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_dup_fraction: float = 0.5,
+) -> DataFrame:
+    """Drop documents whose duplicated-passage fraction exceeds the
+    threshold (the C4/Gopher-style use of the passage signal: kill
+    boilerplate-dominated pages, keep lightly-quoting ones). One extra
+    broadcast-free equi-join on the id column; original schema preserved."""
+    stats = passage_dup_stats(df, text_col, id_col, k)
+    keep = stats.filter(
+        F.col("dup_passage_fraction") <= F.lit(float(max_dup_fraction))
+    ).select(id_col)
+    return df.join(keep, id_col, "left_semi")
