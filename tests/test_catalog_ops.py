@@ -568,3 +568,78 @@ def test_manifest_scale_many_files(tmp_path):
     with open(store._version_path(3)) as f:
         head = f.read(64)
     assert store._HEAD_RE.match(head), head
+
+
+# -- JSONL / CSV ingestion (engine extension) -------------------------------
+
+
+def test_ingest_jsonl_round_trip(clean_schema, tmp_path, spark):
+    from vastdb_sdk_spark.sources import ingest_table_from_files
+
+    src = spark.read.parquet(f"{SF}/documents.parquet")
+    dump = str(tmp_path / "dump")
+    src.write.mode("overwrite").json(dump)
+    import glob
+
+    files = sorted(glob.glob(dump + "/*.json"))
+    with clean_schema.transaction() as tx:
+        s = tx.bucket("bkt").schema("s")
+        t = ingest_table_from_files(s, "docs", files, format="json")
+        assert t.count_rows() == src.count()
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("docs")
+        got = t.select_df(columns=["doc_id", "text", "lang"]).orderBy("doc_id")
+        want = src.select("doc_id", "text", "lang").orderBy("doc_id")
+        assert got.collect() == want.collect()
+        # predicate pushdown works on ingested data like native tables
+        assert (
+            t.select_df(columns=["doc_id"])
+            .filter("doc_id < 10")
+            .count()
+            == src.filter("doc_id < 10").count()
+        )
+
+
+def test_ingest_csv_with_explicit_schema_and_partitioning(
+    clean_schema, tmp_path, spark
+):
+    import pyarrow as _pa
+
+    from vastdb_sdk_spark.sources import ingest_table_from_files
+
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)],
+        "id LONG, grp STRING, val DOUBLE",
+    )
+    dump = str(tmp_path / "csvdump")
+    src.write.mode("overwrite").option("header", "true").csv(dump)
+    import glob
+
+    files = sorted(glob.glob(dump + "/*.csv"))
+    schema = _pa.schema(
+        [("id", _pa.int64()), ("grp", _pa.utf8()), ("val", _pa.float64())]
+    )
+    with clean_schema.transaction() as tx:
+        s = tx.bucket("bkt").schema("s")
+        t = ingest_table_from_files(
+            s, "c", files, format="csv", arrow_schema=schema, partition_by=["grp"]
+        )
+        assert t.count_rows() == 3
+        assert t.arrow_schema == schema
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("c")
+        rows = t.select_df().orderBy("id").collect()
+        assert [r.id for r in rows] == [1, 2, 3]
+        # partition pruning: the grp='a' scan reads only that partition
+        assert {r.grp for r in t.select_df().filter("grp = 'a'").collect()} == {"a"}
+
+
+def test_ingest_validation_errors(clean_schema):
+    from vastdb_sdk_spark.sources import ingest_table_from_files
+
+    with clean_schema.transaction() as tx:
+        s = tx.bucket("bkt").schema("s")
+        with pytest.raises(vastdb.InvalidArgument, match="format"):
+            ingest_table_from_files(s, "x", ["f.parquet"], format="parquet")
+        with pytest.raises(vastdb.InvalidArgument, match="no input files"):
+            ingest_table_from_files(s, "x", [], format="json")
