@@ -51,6 +51,12 @@ def _op(kind):
                 pa.table({"a": [10, 11], "s": [long, long + " w0"]})
             )
             t.dedup_near_rows("s", threshold=0.5)
+        elif kind == "passage_drop":
+            # two rows sharing all their 4-token passages, then in-place
+            # passage cleanup (DV-mask commit) — drop_passage_dup_rows row
+            long = " ".join(f"w{i}" for i in range(40))
+            t.insert(pa.table({"a": [10, 11], "s": [long, long]}))
+            t.drop_passage_dup_rows("s", k=4, max_dup_fraction=0.5)
         else:
             raise AssertionError(kind)
     return run
@@ -58,7 +64,7 @@ def _op(kind):
 
 OPS = [
     "insert", "delete", "update", "add_column", "rename_column", "dedup",
-    "near_dedup",
+    "near_dedup", "passage_drop",
 ]
 
 

@@ -886,3 +886,40 @@ def test_sequential_full_scans_stable(clean_schema):
     first5 = sum(times[:5]) / 5
     last5 = sum(times[-5:]) / 5
     assert last5 < 5 * first5 + 0.25, (first5, last5)
+
+
+def test_drop_passage_dup_rows_in_place(clean_schema):
+    """Passage-level in-place cleanup: rows dominated by cross-document
+    k-token passages are DV-masked (BOTH copies — it is a boilerplate
+    filter, not keep-one dedup); lightly-overlapping and unrelated rows
+    survive; second pass removes nothing more."""
+    boiler = "terms of service apply to all users of this site always " * 3
+    data = pa.table(
+        {
+            "doc": pa.array(
+                [
+                    boiler,                                        # 0: all dup
+                    boiler + " unique closing line here",          # 1: mostly dup
+                    "completely original prose with its own words "
+                    "and no shared passages at all in any window "
+                    "of eight tokens anywhere in this document",   # 2: clean
+                ]
+            )
+        }
+    )
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("pd", data.schema)
+        t.insert(data)
+        t.drop_passage_dup_rows("doc", k=8, max_dup_fraction=0.5)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("pd")
+        rows = t.select(internal_row_id=True).read_all()
+        assert sorted(rows.column("$row_id").to_pylist()) == [2]
+        t.drop_passage_dup_rows("doc", k=8, max_dup_fraction=0.5)  # no-op
+        assert t.count_rows() == 1
+        import pytest as _pytest
+
+        import vastdb_sdk_spark as vastdb
+
+        with _pytest.raises(vastdb.InvalidArgument):
+            t.drop_passage_dup_rows("nope")

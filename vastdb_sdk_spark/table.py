@@ -1404,6 +1404,58 @@ class Table:
         self._mark_unsorted(entry)
         self._mutate(entry, "dedup_near_rows")
 
+    def drop_passage_dup_rows(
+        self,
+        text_column: str,
+        k: int = 8,
+        max_dup_fraction: float = 0.5,
+    ) -> None:
+        """Passage-level cleanup in place (engine extension; completes the
+        in-place tier next to :meth:`dedup_rows` / :meth:`dedup_near_rows`
+        with the third duplication granularity): DV-mask every row whose
+        fraction of distinct ``k``-token passages shared with at least one
+        OTHER row exceeds ``max_dup_fraction`` (operators/dedup.
+        passage_dup_stats — word-count-shaped, no pairwise joins). This is
+        the boilerplate-page filter, not keep-one dedup: ALL rows above
+        the threshold go, including the "original" (a page that is mostly
+        duplicated passages is noise wherever it first appeared).
+        Idempotent only in the trivial sense — removing docs can lower
+        surviving docs' duplicate counts, so a second pass is a no-op;
+        it never removes more."""
+        if text_column not in self.arrow_schema.names:
+            raise InvalidArgument(f"no column {text_column!r}")
+        entry = TableEntry.from_json(self.entry.to_json())
+        if not entry.files:
+            return
+        from .operators.dedup import passage_dup_stats
+
+        df = self.df(internal_row_id=True, files=entry.files, with_file_path=True)
+        stats = passage_dup_stats(
+            df.select(
+                F.col(INTERNAL_ROW_ID).alias("doc_id"),
+                F.col(text_column).alias("text"),
+            ),
+            "text",
+            "doc_id",
+            k=k,
+        )
+        losers = stats.filter(
+            F.col("dup_passage_fraction") > F.lit(float(max_dup_fraction))
+        ).select(F.col("doc_id").alias(INTERNAL_ROW_ID)).persist()
+        try:
+            # TRUE no-op when nothing crosses the threshold (see dedup_rows)
+            if losers.limit(1).isEmpty():
+                return
+            dv_src = df.join(losers, INTERNAL_ROW_ID, "left_semi").select(
+                INTERNAL_ROW_ID, "__source_file"
+            )
+            self._write_dvs_distributed(entry.files, dv_src)
+        finally:
+            losers.unpersist()
+        self._fold_heavy_dvs(entry, entry.files)
+        self._mark_unsorted(entry)
+        self._mutate(entry, "drop_passage_dup_rows")
+
     def update_where(self, predicate: Any, assignments: dict) -> None:
         """Predicate UPDATE (engine extension): ``assignments`` maps column
         names to Spark Columns, engine expressions, or literals, applied to
