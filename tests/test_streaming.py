@@ -263,3 +263,58 @@ def test_stream_ingest_exactly_once_on_replay(session, stream_dir, tmp_path):
     run_stream()
     with session.transaction() as tx:
         assert tx.bucket("bkt").schema("s").table("events").count_rows() == n + 7
+
+
+def test_stream_ingest_jsonl_drop_folder(session, tmp_path):
+    """Drop-folder JSONL ingestion: files landing in a watched directory
+    are appended exactly once per availableNow drain; a second drain with
+    new files picks up ONLY the new files; a drain with nothing new is a
+    no-op (no duplicate rows, no spurious commits)."""
+    import json as _json
+    import os
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark.streaming.ingest import stream_ingest_files
+
+    spark = session.spark
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    ckpt = str(tmp_path / "ckpt_ingest")
+
+    def dump(name, rows):
+        with open(drop / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    dump("a.jsonl", [{"doc_id": 1, "text": "one"}, {"doc_id": 2, "text": "two"}])
+    with session.transaction() as tx:
+        tx.bucket("bkt").create_schema("s").create_table(
+            "docs", pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+        )
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("docs")
+        q = stream_ingest_files(t, str(drop), ckpt, format="json").start()
+        q.awaitTermination(120)
+    with session.transaction() as tx:
+        assert tx.bucket("bkt").schema("s").table("docs").count_rows() == 2
+
+    dump("b.jsonl", [{"doc_id": 3, "text": "three"}])
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("docs")
+        q = stream_ingest_files(t, str(drop), ckpt, format="json").start()
+        q.awaitTermination(120)
+        # third drain with no new files: nothing changes
+        q = stream_ingest_files(t, str(drop), ckpt, format="json").start()
+        q.awaitTermination(120)
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("docs")
+        assert t.count_rows() == 3
+        got = sorted(r.doc_id for r in t.select_df(columns=["doc_id"]).collect())
+        assert got == [1, 2, 3]
+
+    import pytest as _pytest
+
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("docs")
+        with _pytest.raises(vastdb.InvalidArgument, match="format"):
+            stream_ingest_files(t, str(drop), ckpt, format="parquet")

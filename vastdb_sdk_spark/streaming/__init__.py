@@ -1,1 +1,1 @@
-from . import events, join  # noqa: F401
+from . import dedup, events, ingest, join, stateful  # noqa: F401
