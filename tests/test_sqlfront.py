@@ -567,3 +567,51 @@ def test_optimize_dedup_statement(sql_session):
     # idempotent re-run removes nothing
     res = sql_session.execute_sql("OPTIMIZE bkt.s.t DEDUP")
     assert res["rows_removed"] == 0
+
+
+def test_copy_from_formats(sql_session, tmp_path):
+    """COPY t FROM 'path' — parquet registers zero-copy, JSON/CSV convert
+    through the distributed reader with the schema pinned to the table's."""
+    import json as _json
+
+    # JSONL
+    j = tmp_path / "in.jsonl"
+    j.write_text(
+        "\n".join(
+            _json.dumps({"a": i, "b": i + 0.5, "name": f"n{i}"})
+            for i in (10, 11)
+        )
+    )
+    res = sql_session.execute_sql(f"COPY bkt.s.t FROM '{j}' FORMAT JSON")
+    assert res == {"rows_inserted": 2}
+    # CSV (header row, table-pinned schema)
+    c = tmp_path / "in.csv"
+    c.write_text("a,b,name\n12,12.5,n12\n")
+    res = sql_session.execute_sql(f"COPY bkt.s.t FROM '{c}' FORMAT CSV")
+    assert res == {"rows_inserted": 1}
+    # parquet: zero-copy registration
+    with sql_session.transaction() as tx:
+        pdir = str(tmp_path / "in_parquet")
+        tx.spark.createDataFrame(
+            [(20, 20.5, "n20")], "a LONG, b DOUBLE, name STRING"
+        ).coalesce(1).write.parquet(pdir)
+    res = sql_session.execute_sql(
+        f"COPY bkt.s.t FROM '{pdir}/part-*.parquet' FORMAT PARQUET"
+    )
+    assert res == {"imported_files": 1}
+    rows = sql_session.execute_sql(
+        "SELECT a, b, name FROM bkt.s.t WHERE a >= 10 ORDER BY a"
+    ).collect()
+    assert [(r.a, r.b, r.name) for r in rows] == [
+        (10, 10.5, "n10"),
+        (11, 11.5, "n11"),
+        (12, 12.5, "n12"),
+        (20, 20.5, "n20"),
+    ]
+
+    import pytest as _pytest
+
+    import vastdb_sdk_spark as vastdb
+
+    with _pytest.raises(vastdb.InvalidArgument, match="format must be"):
+        sql_session.execute_sql(f"COPY bkt.s.t FROM '{j}' FORMAT AVRO")

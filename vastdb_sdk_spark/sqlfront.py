@@ -356,13 +356,46 @@ class SqlFrontend:
             m = re.match(
                 rf"(?is)COPY\s+({_DOTTED})\s+TO\s+'([^']+)'\s*$", stmt
             )
+            if m:
+                _, _, _, table = self._resolve_table(m.group(1))
+                table.export_parquet(m.group(2))
+                return {"exported": m.group(2)}
+            m = re.match(
+                rf"(?is)COPY\s+({_DOTTED})\s+FROM\s+'([^']+)'"
+                rf"(?:\s+FORMAT\s+(\w+))?\s*$",
+                stmt,
+            )
             if not m:
                 raise InvalidArgument(
-                    f"cannot parse (expected COPY b.s.t TO 'path'): {stmt!r}"
+                    "cannot parse (expected COPY b.s.t TO 'path' or "
+                    f"COPY b.s.t FROM 'path' [FORMAT JSON|CSV|PARQUET]): {stmt!r}"
                 )
             _, _, _, table = self._resolve_table(m.group(1))
-            table.export_parquet(m.group(2))
-            return {"exported": m.group(2)}
+            fmt = (m.group(3) or "parquet").lower()
+            import glob as _glob
+
+            paths = sorted(_glob.glob(m.group(2))) or [m.group(2)]
+            if fmt == "parquet":
+                # zero-copy registration, same path as Table.import_files
+                table.import_files(paths)
+                return {"imported_files": len(paths)}
+            if fmt not in ("json", "csv"):
+                raise InvalidArgument(
+                    f"COPY FROM format must be JSON, CSV or PARQUET, got {fmt!r}"
+                )
+            # text formats convert through the distributed reader with the
+            # schema pinned to the TABLE's (drift -> loud cast error, same
+            # contract as streaming.ingest.stream_ingest_files)
+            from .types import arrow_schema_to_spark
+
+            opts = {"header": "true"} if fmt == "csv" else {}
+            df = (
+                self._tx.spark.read.options(**opts)
+                .schema(arrow_schema_to_spark(table.arrow_schema))
+                .format(fmt)
+                .load(paths)
+            )
+            return {"rows_inserted": table.insert_df(df)}
         if kw == "SHOW":
             return self._show(stmt)
         if kw in ("DESCRIBE", "DESC"):
