@@ -297,6 +297,27 @@ def test_pq_plan_size_independent_of_codebook(spark):
     assert len(plan) < 20_000  # independent of num_codes
 
 
+def test_wordcount_shaped_ops_plan_shapes(spark):
+    """Passage-dup stats and unigram-LM scoring must stay word-count
+    shaped: bounded exchanges on hashed/id keys, no Python stage, no
+    cartesian product (the unigram normalizer crossJoin is a 1-row
+    BROADCAST nested loop — constant cost at any corpus size)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    pd_df = qs["dd_passage_dups"](spark, SF)
+    pd_plan = pi.formatted_plan(pd_df)
+    assert pi.exchange_count(pd_df) <= 4
+    assert "Python" not in pd_plan
+    assert "CartesianProduct" not in pd_plan
+
+    lm_df = qs["tx_unigram_logprob"](spark, SF)
+    lm_plan = pi.formatted_plan(lm_df)
+    assert pi.exchange_count(lm_df) <= 5
+    assert "Python" not in lm_plan
+    assert "CartesianProduct" not in lm_plan
+
+
 def test_round7_filter_plan_shapes(spark):
     """Gopher/C4 heuristic filters are pure map-side gates: zero
     exchanges, no Python stage — at 100 TB they run AT the scan before
