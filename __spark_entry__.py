@@ -2854,10 +2854,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window from the front of this dict.  Round-7 rotation policy: (1) the
     # 8 queries NEW this round (Gopher/C4 filters, blocked exact kNN, BPE
     # pretokens, PQ ANN, unigram-LM scoring, passage-level dups, JSONL
-    # ingest), then (2) the 3 whose implementation changed this round
+    # ingest), then (2) the 4 whose implementation changed this round
     # (ann_quantize_int8 — scalar q8_csv projection; ds_quality_filter —
     # single-row-stratum survival; dd_dup_clusters — integral-id
-    # validation), then (3) the 24 round-4 greens queued at last round's
+    # validation; tx_bigram_topk — positional bigram explode), then
+    # (3) the 24 round-4 greens queued at last round's
     # boundary (stalest greens in the registry), then (4) round-5 greens,
     # freshest-last, to fill the 50.  The round-5 greens that don't fit sit
     # directly after the boundary and lead the round-8 window, followed by
