@@ -3228,20 +3228,27 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        list_distinct(list_transform({_grams(8)},
                                                     x -> md5(x))) AS grams
-                FROM t
+                FROM t WHERE len(toks) > 0
             ), e AS (
                 SELECT doc_id, unnest(grams) AS gh FROM g
             ), dfq AS (
                 SELECT gh, COUNT(*) AS dfc FROM e GROUP BY gh
+            ), p AS (
+                SELECT e.doc_id,
+                       COUNT(*) AS n_passages,
+                       CAST(SUM(CASE WHEN dfq.dfc >= 2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_dup_passages,
+                       ROUND(SUM(CASE WHEN dfq.dfc >= 2 THEN 1 ELSE 0 END)
+                             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+                FROM e JOIN dfq USING (gh)
+                GROUP BY e.doc_id
             )
-            SELECT e.doc_id,
-                   COUNT(*) AS n_passages,
-                   CAST(SUM(CASE WHEN dfq.dfc >= 2 THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_dup_passages,
-                   ROUND(SUM(CASE WHEN dfq.dfc >= 2 THEN 1 ELSE 0 END)
-                         / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
-            FROM e JOIN dfq USING (gh)
-            GROUP BY e.doc_id
+            -- empty-token docs: no passages, nothing duplicated
+            SELECT t.doc_id,
+                   COALESCE(p.n_passages, 0) AS n_passages,
+                   COALESCE(p.n_dup_passages, 0) AS n_dup_passages,
+                   COALESCE(p.dup_frac, 0.0) AS dup_frac
+            FROM t LEFT JOIN p USING (doc_id)
         """,
         "tx_unigram_logprob": f"""
             WITH toks AS (

@@ -251,11 +251,13 @@ def test_gate_outputs_are_scalar(spark):
     cannot sort array/map/struct cells ("unhashable type: 'list'" — the
     sole red row of round 6, ann_quantize_int8 before its q8_csv
     projection). Pin the invariant: every registered gate query emits
-    scalar-typed output columns only. Plans are built lazily at sf0.001 —
-    schema inspection, no execution — except the engine-DML queries
-    (e*_engine_*), whose builders run real imports; their outputs are
-    plain table projections, covered by their own suites, so they are
-    skipped here."""
+    scalar-typed output columns only. Most plans are built lazily at
+    sf0.001 (schema inspection only), but index-building ANN queries
+    (ann_ivf_knn_join, ann_pq_topk) run their one-time index fit during
+    construction and cache it in _ENGINE_WAREHOUSES for the session;
+    the engine-DML queries (e*_engine_*), whose builders run real
+    imports, are skipped — their outputs are plain table projections,
+    covered by their own suites."""
     import sys
 
     sys.path.insert(0, "/root/repo")

@@ -639,3 +639,63 @@ def test_passage_dup_stats_plants(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         dedup.passage_dup_stats(df, "text", "doc_id", k=1)
+
+
+def test_passage_dup_stats_empty_docs_not_mutual_dups(spark):
+    """Empty-token docs (null / '' / punctuation-only) have NO passages —
+    they must not collapse onto a shared md5('') gram and count as 100%
+    mutual duplicates of each other (filter_passage_dups would otherwise
+    destroy every blank page in a web corpus)."""
+    df = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, ".,!?"),
+            (3, None),
+            (4, "real words live here in this document"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.passage_dup_stats(df, "text", "doc_id", k=4).collect()
+    }
+    assert len(out) == 4  # every input row comes back
+    for i in (1, 2, 3):
+        assert out[i].n_passages == 0
+        assert out[i].n_dup_passages == 0
+        assert out[i].dup_passage_fraction == 0.0
+    assert out[4].n_passages > 0
+    kept = dedup.filter_passage_dups(df, "text", "doc_id", k=4)
+    assert kept.count() == 4  # nothing dropped
+
+
+def test_knn_join_blocked_preserves_large_ids(spark):
+    """ids above 2^53 (e.g. xxhash64-derived) must survive the
+    applyInPandas round-trip exactly — an int64-with-nulls column becomes
+    float64 in pandas and silently rounds; the sentinel+flag union keeps
+    the id columns null-free."""
+    big = 9007199254740993  # 2^53 + 1: not representable as float64
+    vecs = [
+        (big, [1.0, 0.0]),
+        (big + 2, [0.9, 0.1]),
+        (big + 4, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vid LONG, v ARRAY<DOUBLE>")
+    left = df.select(F.col("vid").alias("id_a"), F.col("v").alias("vec_a"))
+    right = df.select(F.col("vid").alias("id_b"), F.col("v").alias("vec_b"))
+    out = similarity.knn_join_cosine_blocked(
+        left, right, k=1, num_left_blocks=2, num_right_blocks=2
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    # each vector's nearest neighbor is itself — exact ids, no rounding
+    assert got == {(big, big), (big + 2, big + 2), (big + 4, big + 4)}
+
+
+def test_build_pq_index_tiny_corpus(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0, -1.0]) for i in range(3)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    enc, books = similarity.build_pq_index(df, num_subspaces=2, num_codes=256)
+    assert books.shape[1] <= 3  # codes clamped to the training-set size
+    assert enc.count() == 3

@@ -62,6 +62,12 @@ QUERIES = [
     "asof_last_purchase",
     "range_join_purchases",
     "s1_scan_project",
+    # round-7 additions
+    "dd_passage_dups",
+    "tx_unigram_logprob",
+    "ann_pq_topk",
+    "ann_knn_join_blocked",
+    "tx_bpe_tokens",
 ]
 
 _RUNNER = r"""

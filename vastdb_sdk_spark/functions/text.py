@@ -237,8 +237,12 @@ def c4_doc_ok(col: Column, kept: Column | None = None, min_lines: int = 3) -> Co
 #: lookahead — RE2 has none; ASCII classes, ordered alternation which both
 #: engines apply leftmost-first in default mode): contraction suffixes,
 #: space-prefixed letter runs, space-prefixed digit runs, space-prefixed
-#: punctuation runs (apostrophe excluded so contractions win), bare
-#: apostrophe, whitespace runs.
+#: non-space punctuation runs (apostrophe excluded so contractions win),
+#: bare apostrophe. Deliberate deltas from real GPT-2 (it needs lookahead
+#: for its whitespace rules): a SPACE is consumed only as the optional
+#: prefix of the following run — a second consecutive space matches no
+#: alternative and is skipped — while non-space whitespace (\n, \t) falls
+#: into the punctuation class and IS counted as a run.
 BPE_PRETOKEN_RE = (
     "'(?:s|t|re|ve|m|ll|d)"
     "| ?[a-zA-Z]+"

@@ -277,11 +277,27 @@ def minhash_dedup_pairs(
     GCs it; loops calling this per table/batch should use
     :func:`minhash_dedup_pairs_managed`, which unpersists it on exit
     (Table.dedup_near_rows and the streaming path do)."""
+    verified, _pairs = _minhash_pipeline(
+        df, text_col, id_col, num_hashes, num_bands, threshold, shingle_k,
+        hash_fn, max_bucket_size,
+    )
+    return verified
+
+
+def _minhash_pipeline(
+    df, text_col, id_col, num_hashes, num_bands, threshold, shingle_k,
+    hash_fn, max_bucket_size,
+):
+    """Shared candidate-persist + verify body of the managed and unmanaged
+    variants (one implementation, two cache lifecycles)."""
     pairs = lsh_candidate_pairs(
         df, text_col, id_col, num_hashes, num_bands, shingle_k, hash_fn,
         max_bucket_size,
     ).persist()
-    return jaccard_verify_pairs(df, pairs, text_col, id_col, threshold, shingle_k)
+    return (
+        jaccard_verify_pairs(df, pairs, text_col, id_col, threshold, shingle_k),
+        pairs,
+    )
 
 
 @contextlib.contextmanager
@@ -303,12 +319,12 @@ def minhash_dedup_pairs_managed(
     persist a derivative of) the yielded frame INSIDE the block — after
     exit the candidate cache is gone and any action replays the full
     signature pipeline."""
-    pairs = lsh_candidate_pairs(
-        df, text_col, id_col, num_hashes, num_bands, shingle_k, hash_fn,
-        max_bucket_size,
-    ).persist()
+    verified, pairs = _minhash_pipeline(
+        df, text_col, id_col, num_hashes, num_bands, threshold, shingle_k,
+        hash_fn, max_bucket_size,
+    )
     try:
-        yield jaccard_verify_pairs(df, pairs, text_col, id_col, threshold, shingle_k)
+        yield verified
     finally:
         pairs.unpersist()
 
@@ -659,13 +675,19 @@ def passage_dup_stats(
 
     Documents shorter than k tokens contribute their whole token stream
     as one "passage" (same short-row rule as shingles_from_tokens), so
-    boilerplate stubs still participate. Returns
+    boilerplate stubs still participate. Documents with an EMPTY token
+    stream (null text, "", punctuation-only) have no passages at all:
+    they come back with n_passages = 0 and dup_passage_fraction 0.0 —
+    NOT as mutual duplicates of one another via a shared empty gram,
+    which would make filter_passage_dups destroy every blank page in a
+    web corpus. Returns
     (id_col, n_passages, n_dup_passages, dup_passage_fraction)."""
     if k < 2:
         raise ValueError(f"k must be >= 2 tokens, got {k}")
     staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tk"))
+    nonempty = staged.filter(F.size(F.col("__tk")) > 0)
     npos = F.greatest(F.size(F.col("__tk")) - k, F.lit(0))
-    pos = staged.select(
+    pos = nonempty.select(
         id_col, "__tk", F.explode(F.sequence(F.lit(0), npos)).alias("__p")
     )
     gram = F.when(
@@ -685,9 +707,19 @@ def passage_dup_stats(
             F.sum((F.col("__df") >= 2).cast("long")).alias("n_dup_passages"),
         )
     )
-    return per_doc.withColumn(
-        "dup_passage_fraction",
-        F.col("n_dup_passages") / F.col("n_passages").cast("double"),
+    # re-attach empty-token docs (no passages, nothing duplicated)
+    return (
+        staged.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_passages"), F.lit(0)).alias("n_passages"),
+            F.coalesce(F.col("n_dup_passages"), F.lit(0)).alias("n_dup_passages"),
+            F.coalesce(
+                F.col("n_dup_passages") / F.col("n_passages").cast("double"),
+                F.lit(0.0),
+            ).alias("dup_passage_fraction"),
+        )
     )
 
 

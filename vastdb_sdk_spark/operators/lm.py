@@ -26,6 +26,20 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens
 
 
+def fit_unigram_counts(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus token counts — the unigram model's sufficient statistic:
+    one explode + groupBy(token) with map-side partial aggregation.
+    Returns (tok, __c). At corpus scale, ``.persist()`` this frame (it is
+    vocabulary-sized, not corpus-sized) and pass it to
+    :func:`unigram_logprob_scores` as ``counts`` so the normalizer, the
+    vocabulary cap and the scoring join all read ONE materialization
+    instead of re-deriving the explode+groupBy lineage per use."""
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    return toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__c"))
+
+
 def unigram_logprob_scores(
     df: DataFrame,
     text_col: str = "text",
@@ -33,6 +47,7 @@ def unigram_logprob_scores(
     smoothing: float = 0.5,
     top_n: int | None = None,
     out_col: str = "unigram_logprob",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Mean token log-probability per document under the corpus's own
     add-``smoothing`` unigram model:
@@ -45,6 +60,12 @@ def unigram_logprob_scores(
     Returns one row per input row: (id_col, n_tokens, out_col); documents
     with zero tokens get a NULL score.
 
+    ``counts``: a precomputed (ideally persisted) frame from
+    :func:`fit_unigram_counts`. Without it, the returned plan re-derives
+    the explode+groupBy lineage for each of its three uses (normalizer,
+    vocabulary cap, scoring join) — fine at test scale, ~3x the scan cost
+    at corpus scale, where fit-once-score-many is the right shape anyway.
+
     Exact SQL twin (DuckDB): same counts via unnest(string_split_regex),
     same ln() expression — keep in sync with the ``tx_unigram_logprob``
     oracle in ``__spark_entry__.py``.
@@ -52,7 +73,7 @@ def unigram_logprob_scores(
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__c"))
+    cnt = counts if counts is not None else fit_unigram_counts(df, text_col)
     # total/V come from the FULL distribution even when the scoring vocab
     # is capped — the cap changes which tokens fall into the OOV bucket,
     # not the model's normalizer.

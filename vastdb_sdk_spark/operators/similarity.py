@@ -459,9 +459,16 @@ def knn_join_cosine_blocked(
     # quadratic blowup the block design exists to keep task-local. The
     # union ships each vector once per replica; pairs exist only inside
     # the GEMM.
+    #
+    # The absent side's id is a SENTINEL of the right type plus a __side
+    # flag, never NULL: an int64 column with nulls crosses the
+    # Arrow->pandas boundary inside applyInPandas as float64, which
+    # silently rounds ids above 2^53 (exactly the xxhash64-derived ids
+    # dup_clusters tells callers to use) before they are cast back.
     lrep = left.select(
         F.col(left_id).alias("__lid"),
-        F.lit(None).cast(rt).alias("__rid"),
+        F.lit(0).cast(rt).alias("__rid"),
+        F.lit(True).alias("__isleft"),
         F.col(left_vec).cast("array<double>").alias("__vec"),
         F.pmod(F.xxhash64(F.col(left_id)), F.lit(num_left_blocks)).alias("__lb"),
         F.explode(
@@ -469,8 +476,9 @@ def knn_join_cosine_blocked(
         ).alias("__rb"),
     )
     rrep = right.select(
-        F.lit(None).cast(lt).alias("__lid"),
+        F.lit(0).cast(lt).alias("__lid"),
         F.col(right_id).alias("__rid"),
+        F.lit(False).alias("__isleft"),
         F.col(right_vec).cast("array<double>").alias("__vec"),
         F.explode(
             F.sequence(F.lit(0), F.lit(num_left_blocks - 1))
@@ -480,8 +488,8 @@ def knn_join_cosine_blocked(
     cells = lrep.unionByName(rrep)
 
     def _cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        lsub = pdf[pdf["__lid"].notna()]
-        rsub = pdf[pdf["__rid"].notna()]
+        lsub = pdf[pdf["__isleft"]]
+        rsub = pdf[~pdf["__isleft"]]
         if lsub.empty or rsub.empty:
             return pd.DataFrame({"__lid": [], "__rid": [], "cos_sim": []})
         lids = lsub["__lid"].to_numpy()
@@ -699,7 +707,9 @@ def build_pq_index(
     train = np.asarray(
         [np.asarray(v, dtype=np.float64) for v in train_pdf.iloc[:, 0]]
     )
-    ksub = int(min(num_codes, max(4, len(train) // 4)))
+    # clamp: never more codes than training vectors (rng.choice without
+    # replacement needs ksub <= n), and ~4 samples per code above that
+    ksub = int(min(num_codes, len(train), max(4, len(train) // 4)))
     books = _fit_pq_codebooks(train, m, ksub, seed)
 
     from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
