@@ -643,3 +643,78 @@ def test_ingest_validation_errors(clean_schema):
             ingest_table_from_files(s, "x", ["f.parquet"], format="parquet")
         with pytest.raises(vastdb.InvalidArgument, match="no input files"):
             ingest_table_from_files(s, "x", [], format="json")
+
+
+# -- change feed (CDF-style incremental read) -------------------------------
+
+
+def test_read_changes_insert_delete_update(clean_schema):
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "cf", pa.schema([("a", pa.int64()), ("s", pa.string())])
+        )
+        t.insert(pa.table({"a": [1, 2, 3], "s": ["one", "two", "three"]}))
+    with clean_schema.transaction() as tx:
+        b = tx.bucket("bkt")
+        v1 = b.manifest.version
+        t = b.schema("s").table("cf")
+        t.delete_where(D.a == 2)
+        t.update_where(D.a == 3, {"s": "THREE"})
+        t.insert(pa.table({"a": [4], "s": ["four"]}))
+    with clean_schema.transaction() as tx:
+        b = tx.bucket("bkt")
+        v2 = b.manifest.version
+        t = b.schema("s").table("cf")
+        rows = t.read_changes(v1, v2).collect()
+        by_type = {}
+        for r in rows:
+            by_type.setdefault(r._change_type, []).append((r.a, r.s))
+        assert by_type["insert"] == [(4, "four")]
+        assert by_type["delete"] == [(2, "two")]
+        assert by_type["update_preimage"] == [(3, "three")]
+        assert by_type["update_postimage"] == [(3, "THREE")]
+        # row 1 is untouched: absent from the feed
+        assert all(r.a != 1 for r in rows)
+        # pre/post share the stable row id
+        pre = [r._row_id for r in rows if r._change_type == "update_preimage"]
+        post = [r._row_id for r in rows if r._change_type == "update_postimage"]
+        assert pre == post
+        # to_version defaults to current
+        assert len(t.read_changes(v1).collect()) == len(rows)
+
+
+def test_read_changes_rewrites_report_nothing(clean_schema):
+    """Compaction rewrites every file without logical change — the
+    row-identity diff must report ZERO rows (a file-level diff would
+    report the whole table as churn)."""
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "cmp", pa.schema([("a", pa.int64())])
+        )
+        for i in range(4):
+            t.insert(pa.table({"a": list(range(i * 10, i * 10 + 10))}))
+    with clean_schema.transaction() as tx:
+        b = tx.bucket("bkt")
+        v1 = b.manifest.version
+        t = b.schema("s").table("cmp")
+        assert t.compact(target_file_rows=100) > 0
+    with clean_schema.transaction() as tx:
+        b = tx.bucket("bkt")
+        t = b.schema("s").table("cmp")
+        assert t.read_changes(v1).count() == 0
+
+
+def test_read_changes_schema_evolution_raises(clean_schema):
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "ev", pa.schema([("a", pa.int64())])
+        )
+        t.insert(pa.table({"a": [1]}))
+    with clean_schema.transaction() as tx:
+        b = tx.bucket("bkt")
+        v1 = b.manifest.version
+        b.schema("s").table("ev").add_column(pa.field("b", pa.int64()))
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("ev")
+        with pytest.raises(vastdb.InvalidArgument, match="schema"):
+            t.read_changes(v1)
