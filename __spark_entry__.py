@@ -2690,6 +2690,43 @@ def q_tx_bpe_tokens(spark, sf):
     )
 
 
+def q_e16_change_feed(spark, sf):
+    """Row-level change feed (table.read_changes — the Delta-CDF shape an
+    incremental pipeline consumes): orders imported (v1), then DELETE
+    WHERE status='F', UPDATE WHERE priority='1-URGENT' SET totalprice=-1,
+    and the feed v1->current must be exactly the delete preimages, the
+    update pre/post pairs (update wins only on rows the delete left), and
+    nothing else — rewrite carry-overs hash-equal and vanish. The oracle
+    reconstructs the feed from the pristine table with CASE/UNION ALL.
+    Unchanged-file pruning means only mutated files were scanned."""
+    import tempfile
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark import _ as D
+    from vastdb_sdk_spark.sources import create_table_from_files
+
+    session = vastdb.connect(tempfile.mkdtemp(prefix="entry_cdf_"), spark=spark)
+    session.create_bucket("b")
+    with session.transaction() as tx:
+        sc = tx.bucket("b").create_schema("s")
+        create_table_from_files(sc, "orders", [f"{sf}/orders.parquet"])
+    with session.transaction() as tx:
+        b = tx.bucket("b")
+        v1 = b.manifest.version
+        t = b.schema("s").table("orders")
+        t.delete_where(D.o_orderstatus == "F")
+        t.update_where(D.o_orderpriority == "1-URGENT", {"o_totalprice": -1.0})
+    tx = session.transaction()
+    t = tx.bucket("b").schema("s").table("orders")
+    return t.read_changes(v1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("price"),
+        "_change_type",
+    )
+
+
 def q_e15_jsonl_ingest(spark, sf):
     """JSONL ingestion (sources/ingest.ingest_table_from_files — engine
     extension; the reference imports parquet only, vastdb/util.py:18-43,
@@ -2852,9 +2889,9 @@ def q_tx_c4_filter(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate reads a 50-query
     # window from the front of this dict.  Round-7 rotation policy: (1) the
-    # 8 queries NEW this round (Gopher/C4 filters, blocked exact kNN, BPE
+    # 9 queries NEW this round (Gopher/C4 filters, blocked exact kNN, BPE
     # pretokens, PQ ANN, unigram-LM scoring, passage-level dups, JSONL
-    # ingest), then (2) the 4 whose implementation changed this round
+    # ingest, change feed), then (2) the 4 whose implementation changed this round
     # (ann_quantize_int8 — scalar q8_csv projection; ds_quality_filter —
     # single-row-stratum survival; dd_dup_clusters — integral-id
     # validation; tx_bigram_topk — positional bigram explode), then
@@ -2874,6 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_unigram_logprob": q_tx_unigram_logprob,
         "dd_passage_dups": q_dd_passage_dups,
         "e15_jsonl_ingest": q_e15_jsonl_ingest,
+        "e16_change_feed": q_e16_change_feed,
         # -- code changed in round 7 (q8 projection, n==1 stratum, id check)
         "ann_quantize_int8": q_ann_quantize_int8,
         "ds_quality_filter": q_ds_quality_filter,
@@ -2918,8 +2956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_embed_neardup": q_dd_embed_neardup,
         "ann_rhp_topk": q_ann_rhp_topk,
         "ds_resample_mix": q_ds_resample_mix,
-        "dd_contamination": q_dd_contamination,
         # ---- window boundary (driver gates the 50 entries above) --------
+        "dd_contamination": q_dd_contamination,
         "skew_salted_agg": q_skew_salted_agg,
         "skew_salted_join": q_skew_salted_join,
         # -- round-5 greens that didn't fit; these lead the round-8 window -
@@ -3214,6 +3252,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "e15_jsonl_ingest": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "e16_change_feed": """
+            SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                   ROUND(o_totalprice, 2) AS price,
+                   'delete' AS _change_type
+            FROM orders WHERE o_orderstatus = 'F'
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                   ROUND(o_totalprice, 2) AS price,
+                   'update_preimage' AS _change_type
+            FROM orders
+            WHERE o_orderstatus <> 'F' AND o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                   -1.0 AS price,
+                   'update_postimage' AS _change_type
+            FROM orders
+            WHERE o_orderstatus <> 'F' AND o_orderpriority = '1-URGENT'
         """,
         "dd_passage_dups": f"""
             WITH corpus AS (
