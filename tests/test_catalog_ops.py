@@ -718,3 +718,34 @@ def test_read_changes_schema_evolution_raises(clean_schema):
         t = tx.bucket("bkt").schema("s").table("ev")
         with pytest.raises(vastdb.InvalidArgument, match="schema"):
             t.read_changes(v1)
+
+
+def test_consume_changes_exactly_once(clean_schema):
+    """Cursor-based feed consumption: first call bootstraps (empty feed,
+    cursor at current), each later call returns exactly the span since the
+    last COMMITTED consumption, and a rolled-back consumption replays."""
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "cc", pa.schema([("a", pa.int64())])
+        )
+        t.insert(pa.table({"a": [1, 2]}))
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("cc")
+        assert t.consume_changes("etl").count() == 0  # bootstrap
+    with clean_schema.transaction() as tx:
+        tx.bucket("bkt").schema("s").table("cc").insert(pa.table({"a": [3]}))
+    # rolled-back consumption must not advance the cursor
+    try:
+        with clean_schema.transaction() as tx:
+            t = tx.bucket("bkt").schema("s").table("cc")
+            assert t.consume_changes("etl").count() == 1
+            raise RuntimeError("abort")
+    except RuntimeError:
+        pass
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("cc")
+        feed = t.consume_changes("etl").collect()
+        assert [(r.a, r._change_type) for r in feed] == [(3, "insert")]
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("cc")
+        assert t.consume_changes("etl").count() == 0  # drained

@@ -2180,6 +2180,30 @@ class Table:
         entry.properties["stream_offsets"] = offsets
         self._mutate(entry, "set_stream_offset", stream=stream_id, batch=batch_id)
 
+    def consume_changes(self, stream_id: str) -> DataFrame:
+        """Exactly-once incremental consumption of the change feed: reads
+        :meth:`read_changes` from this consumer's last acknowledged
+        version to the bucket's current version, and records the new
+        watermark in the SAME transaction — commit applies data-derived
+        effects and the advanced cursor atomically; rollback replays the
+        span. The cursor rides the ``stream_offsets`` machinery the
+        streaming ingest tier already uses, keyed by ``stream_id``
+        (pick one id per downstream consumer).
+
+        First consumption (no recorded cursor) starts from the current
+        version and returns an empty feed — the standard CDC contract
+        (bootstrap with a full scan, then consume deltas). Feeds are
+        readable only within the vacuum horizon: VACUUM removes old
+        versions' files, so consumers lagging past it must re-bootstrap.
+        """
+        cur = self.bucket.manifest.version
+        prev = self.stream_offset(f"cdc:{stream_id}")
+        if prev < 0:
+            prev = cur
+        feed = self.read_changes(prev, cur)
+        self.set_stream_offset(f"cdc:{stream_id}", cur)
+        return feed
+
     # ------------------------------------------------------------------
     # stats / sorted tables
     def history(self) -> DataFrame:
