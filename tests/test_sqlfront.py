@@ -615,3 +615,11 @@ def test_copy_from_formats(sql_session, tmp_path):
 
     with _pytest.raises(vastdb.InvalidArgument, match="format must be"):
         sql_session.execute_sql(f"COPY bkt.s.t FROM '{j}' FORMAT AVRO")
+
+
+def test_show_changes(sql_session):
+    with sql_session.transaction() as tx:
+        v1 = tx.bucket("bkt").manifest.version
+    sql_session.execute_sql("DELETE FROM bkt.s.t WHERE a = 2")
+    rows = sql_session.execute_sql(f"SHOW CHANGES bkt.s.t FROM {v1}").collect()
+    assert [(r.a, r._change_type) for r in rows] == [(2, "delete")]

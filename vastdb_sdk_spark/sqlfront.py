@@ -397,6 +397,17 @@ class SqlFrontend:
             )
             return {"rows_inserted": table.insert_df(df)}
         if kw == "SHOW":
+            m = re.match(
+                rf"(?is)SHOW\s+CHANGES\s+({_DOTTED})\s+FROM\s+(\d+)"
+                rf"(?:\s+TO\s+(\d+))?\s*$",
+                stmt,
+            )
+            if m:
+                _, _, _, table = self._resolve_table(m.group(1))
+                return table.read_changes(
+                    int(m.group(2)),
+                    int(m.group(3)) if m.group(3) else None,
+                )
             return self._show(stmt)
         if kw in ("DESCRIBE", "DESC"):
             return self._describe(stmt)
