@@ -749,3 +749,68 @@ def test_consume_changes_exactly_once(clean_schema):
     with clean_schema.transaction() as tx:
         t = tx.bucket("bkt").schema("s").table("cc")
         assert t.consume_changes("etl").count() == 0  # drained
+
+
+def test_read_changes_reconciles_random_dml(clean_schema):
+    """Reconciliation property: for every committed version step,
+    state(v_prev) + feed(v_prev, v_cur) == state(v_cur) — applied by
+    _row_id (delete preimages and update pairs keyed on the stable id).
+    Runs a mixed DML sequence including an insert-heavy step and a
+    compaction (which must contribute nothing to the feed)."""
+
+    def table_state(t):
+        return {
+            r._1: r._2
+            for r in t.df(internal_row_id=True)
+            .selectExpr("`$row_id` as _1", "named_struct('a', a, 's', s) as _2")
+            .collect()
+        }
+
+    def apply_feed(state, feed_rows):
+        out = dict(state)
+        for r in feed_rows:
+            if r._change_type == "insert":
+                out[r._row_id] = {"a": r.a, "s": r.s}
+            elif r._change_type == "delete":
+                del out[r._row_id]
+            elif r._change_type == "update_postimage":
+                out[r._row_id] = {"a": r.a, "s": r.s}
+        return out
+
+    versions = []
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "rec", pa.schema([("a", pa.int64()), ("s", pa.string())])
+        )
+        t.insert(pa.table({"a": list(range(20)), "s": [f"v{i}" for i in range(20)]}))
+
+    ops = [
+        lambda t: t.delete_where(D.a % 3 == 0),
+        lambda t: t.update_where(D.a % 5 == 1, {"s": "UPD"}),
+        lambda t: t.insert(pa.table({"a": [100, 101], "s": ["x", "y"]})),
+        lambda t: t.compact(target_file_rows=1000),
+        lambda t: (t.delete_where(D.a == 100), t.update_where(D.a == 101, {"a": -1}))[0],
+    ]
+    for op in ops:
+        with clean_schema.transaction() as tx:
+            b = tx.bucket("bkt")
+            versions.append(b.manifest.version)
+            op(b.schema("s").table("rec"))
+    with clean_schema.transaction() as tx:
+        b = tx.bucket("bkt")
+        versions.append(b.manifest.version)
+        t = b.schema("s").table("rec")
+        for v_prev, v_cur in zip(versions, versions[1:]):
+            old_t = b.as_of(version=v_prev).schema("s").table("rec")
+            new_t = b.as_of(version=v_cur).schema("s").table("rec")
+            feed = t.read_changes(v_prev, v_cur).collect()
+            # update images come in matched pre/post pairs
+            pre = sorted(r._row_id for r in feed if r._change_type == "update_preimage")
+            post = sorted(r._row_id for r in feed if r._change_type == "update_postimage")
+            assert pre == post
+            got = apply_feed(
+                {k: dict(v.asDict()) for k, v in table_state(old_t).items()},
+                feed,
+            )
+            want = {k: dict(v.asDict()) for k, v in table_state(new_t).items()}
+            assert got == want, (v_prev, v_cur)
