@@ -104,6 +104,7 @@ HEADLINE = [
     "ann_knn_join_blocked",
     "tx_bpe_tokens",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "tx_unigram_logprob",
     "dd_passage_dups",
 ]

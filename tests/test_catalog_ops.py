@@ -814,3 +814,24 @@ def test_read_changes_reconciles_random_dml(clean_schema):
             )
             want = {k: dict(v.asDict()) for k, v in table_state(new_t).items()}
             assert got == want, (v_prev, v_cur)
+
+
+def test_read_changes_refused_past_vacuum_horizon(clean_schema):
+    """A feed span starting before the vacuum horizon binds as_of to a
+    version whose files may be gone — refused at bind time (the consumer
+    re-bootstraps), never a mid-scan file-not-found."""
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "vh", pa.schema([("a", pa.int64())])
+        )
+        t.insert(pa.table({"a": [1, 2, 3]}))
+    with clean_schema.transaction() as tx:
+        b = tx.bucket("bkt")
+        v1 = b.manifest.version
+        t = b.schema("s").table("vh")
+        t.update_where(D.a == 2, {"a": -2})  # rewrites a file
+    clean_schema.vacuum("bkt")
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("vh")
+        with pytest.raises(vastdb.MissingSnapshot):
+            t.read_changes(v1)

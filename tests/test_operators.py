@@ -699,3 +699,38 @@ def test_build_pq_index_tiny_corpus(spark):
     enc, books = similarity.build_pq_index(df, num_subspaces=2, num_codes=256)
     assert books.shape[1] <= 3  # codes clamped to the training-set size
     assert enc.count() == 3
+
+
+def test_ivfpq_topk_rerank_recall(emb):
+    rows = emb.collect()
+    q = [float(x) for x in rows[3].embedding]
+    enc, C, B = similarity.build_ivfpq_index(
+        emb, num_centroids=8, num_subspaces=16, seed=42
+    )
+    got = similarity.ivfpq_topk(
+        enc, C, B, q, k=5, nprobe=6, id_col="vec_id", rerank=30
+    )
+    got_ids = [r.vec_id for r in got.select("vec_id").collect()]
+    assert len(got_ids) == 5
+    assert got_ids[0] == rows[3].vec_id  # own vector survives pruning + rerank
+    exact = set(_numpy_topk(rows, np.array(q), 5))
+    assert len(set(got_ids) & exact) >= 3
+
+
+def test_ivfpq_validation_and_pruning(emb):
+    enc, C, B = similarity.build_ivfpq_index(
+        emb, num_centroids=8, num_subspaces=16, seed=42
+    )
+    with pytest.raises(ValueError, match="nprobe"):
+        similarity.ivfpq_topk(enc, C, B, [0.0] * 64, k=2, nprobe=99)
+    with pytest.raises(ValueError, match="query dim"):
+        similarity.ivfpq_topk(enc, C, B, [0.0] * 32, k=2)
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.build_ivfpq_index(emb, num_centroids=4, num_subspaces=7)
+    # nprobe=1 scans at most the biggest cluster, never the corpus
+    one = similarity.ivfpq_topk(enc, C, B, [0.0] * 64, k=500, nprobe=1)
+    sizes = {
+        r.centroid_id: r.n
+        for r in enc.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert one.count() <= max(sizes.values())

@@ -824,3 +824,181 @@ def pq_topk(
     if id_col:
         order2.append(F.col(id_col).asc())
     return rer.orderBy(*order2).limit(k)
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_centroids: int | None = 16,
+    num_subspaces: int = 8,
+    num_codes: int = 256,
+    seed: int = 42,
+    dim: int | None = None,
+    train_rows: int = 20000,
+    sample_fraction: float | None = None,
+    sample_key: str | None = None,
+) -> tuple[DataFrame, "np.ndarray", "np.ndarray"]:
+    """IVF-PQ — the standard billion-scale ANN layout (Jegou et al. 2011
+    "IVFADC"; what FAISS IndexIVFPQ builds): an IVF coarse quantizer
+    routes each vector to a cluster, and PQ encodes the RESIDUAL
+    (vector - centroid) — residuals concentrate near the origin, so the
+    same code budget quantizes them much more accurately than raw
+    vectors. Returns (encoded_df with centroid_id + pq_codes, centroids,
+    codebooks).
+
+    Per-vector state is ~(4 + m) bytes vs dim*4 raw (64-dim float32 ->
+    8-byte codes + cluster id = ~24x less memory/shuffle), and search
+    touches only nprobe/num_centroids of the corpus. Fit follows the
+    sampled-driver-fit design of build_ivf_index/build_pq_index (one
+    bounded toPandas at BUILD time); encode is broadcast variables +
+    Arrow-batched mapInPandas — O(1) plan size, zero shuffle."""
+    import pandas as pd
+
+    indexed, centroids = build_ivf_index(
+        df, vec_col, num_centroids, seed,
+        sample_fraction=sample_fraction, sample_key=sample_key,
+    )
+    if dim is None:
+        dim = centroids.shape[1]
+    m = int(num_subspaces)
+    if dim % m != 0:
+        raise ValueError(
+            f"dim={dim} not divisible by num_subspaces={m}; pick m dividing "
+            "the embedding width"
+        )
+    n_rows = df.count()
+    frac = min(1.0, (train_rows * 1.2) / max(n_rows, 1))
+    sample = indexed.select(vec_col, "centroid_id")
+    if frac < 1.0:
+        sample = sample.sample(fraction=frac, seed=seed)
+    pdf = sample.limit(train_rows).toPandas()
+    if len(pdf) == 0:
+        raise ValueError("cannot build an IVF-PQ index over an empty frame")
+    C = np.asarray(centroids, dtype=np.float64)
+    X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 0]])
+    resid = X - C[pdf.iloc[:, 1].to_numpy()]
+    ksub = int(min(num_codes, len(resid), max(4, len(resid) // 4)))
+    books = _fit_pq_codebooks(resid, m, ksub, seed)
+
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    sc = df.sparkSession.sparkContext
+    bc_books = sc.broadcast(books)
+    bc_cent = sc.broadcast(C)
+    out_schema = StructType(
+        list(indexed.schema.fields)
+        + [StructField("pq_codes", ArrayType(IntegerType()), False)]
+    )
+    cols = [f.name for f in indexed.schema.fields]
+    vpos = cols.index(vec_col)
+    cpos = cols.index("centroid_id")
+    dsub = dim // m
+
+    def encode_batches(batches):
+        B, cent = bc_books.value, bc_cent.value
+        c_sq = [(B[j] * B[j]).sum(axis=1) for j in range(m)]
+        for pdf_b in batches:
+            if len(pdf_b) == 0:
+                continue
+            Xb = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf_b.iloc[:, vpos]]
+            )
+            R = Xb - cent[pdf_b.iloc[:, cpos].to_numpy()]
+            codes = np.empty((len(R), m), dtype=np.int32)
+            for j in range(m):
+                Rj = R[:, j * dsub : (j + 1) * dsub]
+                d2 = c_sq[j][None, :] - 2.0 * (Rj @ B[j].T)
+                codes[:, j] = np.argmin(d2, axis=1)
+            out = pdf_b.copy()
+            out["pq_codes"] = [row.tolist() for row in codes]
+            yield out
+
+    return indexed.mapInPandas(encode_batches, schema=out_schema), C, books
+
+
+def ivfpq_topk(
+    encoded_df: DataFrame,
+    centroids: "np.ndarray",
+    codebooks: "np.ndarray",
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str | None = None,
+    codes_col: str = "pq_codes",
+    dist_col: str = "adc_dist",
+    rerank: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search (IVFADC): prune to the query's ``nprobe`` nearest
+    clusters (an isin filter — partition/file-prunable when the index is
+    written partitioned by centroid_id), then ADC over residual codes
+    with a PER-PROBED-CLUSTER lookup table (the residual's reference
+    point is that cluster's centroid, so LUT_c[j,code] =
+    ||(q - cent_c)_j - B[j,code]||^2). LUTs for the nprobe clusters ride
+    ONE broadcast; per row the distance is m lookups. Optional exact
+    re-rank of an r-row shortlist on the un-quantized column, as in
+    :func:`pq_topk`."""
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = B.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    if q.shape[0] != m * dsub:
+        raise ValueError(
+            f"query dim {q.shape[0]} != codebook dim {m * dsub}"
+        )
+    if nprobe > len(C):
+        raise ValueError(f"nprobe={nprobe} exceeds num_centroids={len(C)}")
+    d2c = ((C - q) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2c, kind="stable")[:nprobe]]
+    luts = {}
+    for cid in probes:
+        r = q - C[cid]
+        luts[cid] = np.stack(
+            [((B[j] - r[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)
+             for j in range(m)]
+        )
+    sc = encoded_df.sparkSession.sparkContext
+    bc = sc.broadcast(luts)
+
+    pruned = encoded_df.filter(F.col("centroid_id").isin(probes))
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        list(pruned.schema.fields) + [StructField(dist_col, DoubleType(), False)]
+    )
+    cols = [f.name for f in pruned.schema.fields]
+    codes_pos = cols.index(codes_col)
+    cid_pos = cols.index("centroid_id")
+    rows_j = np.arange(m)
+
+    def adc_batches(batches):
+        L = bc.value
+        for pdf_b in batches:
+            if len(pdf_b) == 0:
+                continue
+            codes = np.asarray(
+                [np.asarray(c, dtype=np.int64) for c in pdf_b.iloc[:, codes_pos]]
+            )
+            cids = pdf_b.iloc[:, cid_pos].to_numpy()
+            dist = np.empty(len(pdf_b))
+            for cid in np.unique(cids):
+                mask = cids == cid
+                dist[mask] = L[int(cid)][rows_j[None, :], codes[mask]].sum(axis=1)
+            out = pdf_b.copy()
+            out[dist_col] = dist
+            yield out
+
+    scored = pruned.mapInPandas(adc_batches, schema=out_schema)
+    order = [F.col(dist_col).asc()]
+    if id_col:
+        order.append(F.col(id_col).asc())
+    if rerank is None:
+        return scored.orderBy(*order).limit(k)
+    if rerank < k:
+        raise ValueError(f"rerank={rerank} must be >= k={k}")
+    shortlist = scored.orderBy(*order).limit(int(rerank))
+    exact = distance_column(F.col(vec_col), [float(x) for x in q], "l2sq")
+    rer = shortlist.withColumn(dist_col, exact)
+    return rer.orderBy(*order).limit(k)
