@@ -101,3 +101,55 @@ def test_full_pretraining_pipeline(spark):
         F.sum("n_tok").alias("tot")
     ).filter(F.col("tot") > 512 + 64)
     assert over.count() == 0
+
+
+def test_incremental_view_maintenance_via_change_feed(session):
+    """The CDC loop an incremental pipeline runs: a per-lang document
+    count is maintained from consume_changes deltas only (never
+    rescanning the corpus) and must equal a full recompute after every
+    commit — inserts, deletes and updates that MOVE a row between
+    groups."""
+    import pyarrow as pa
+
+    from collections import Counter
+
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").create_schema("inc").create_table(
+            "docs", pa.schema([("doc_id", pa.int64()), ("lang", pa.string())])
+        )
+        t.insert(pa.table({"doc_id": [1, 2, 3], "lang": ["en", "en", "de"]}))
+
+    view = Counter()
+
+    def drain():
+        with session.transaction() as tx:
+            t = tx.bucket("bkt").schema("inc").table("docs")
+            for r in t.consume_changes("lang_counts").collect():
+                if r._change_type in ("insert", "update_postimage"):
+                    view[r.lang] += 1
+                elif r._change_type in ("delete", "update_preimage"):
+                    view[r.lang] -= 1
+            truth = Counter(
+                {row.lang: row.n for row in t.df().groupBy("lang").count()
+                 .withColumnRenamed("count", "n").collect()}
+            )
+        return truth
+
+    # bootstrap: cursor starts at current; seed the view from a full scan
+    truth = drain()
+    view = Counter(truth)
+
+    from vastdb_sdk_spark import _ as D
+
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("inc").table("docs")
+        t.insert(pa.table({"doc_id": [4], "lang": ["fr"]}))
+        t.update_where(D.doc_id == 3, {"lang": "en"})  # de -> en
+    truth = drain()
+    assert +view == +truth
+
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("inc").table("docs")
+        t.delete_where(D.lang == "en")
+    truth = drain()
+    assert +view == +truth
