@@ -1546,8 +1546,9 @@ class Table:
         j = o.join(n, o["__rid_o"] == n["__rid_n"], "full_outer")
 
         def _emit(src, kind):
+            # getField, not "src.c" parsing: column names may contain dots
             return F.struct(
-                *[F.col(f"{src}.{c}").alias(c) for c in cols],
+                *[F.col(src).getField(c).alias(c) for c in cols],
                 F.lit(kind).alias("_change_type"),
             )
 
