@@ -2730,6 +2730,26 @@ def q_tx_bpe_tokens(spark, sf):
     )
 
 
+def q_tx_bm25_topk(spark, sf):
+    """Okapi BM25 keyword retrieval (operators/lm.bm25_scores — the
+    lexical complement to the ANN tier and the "find docs about X"
+    curation signal): top-20 documents for a 3-term query. No explode,
+    no per-token shuffle — per-row array HOF term frequencies + ONE
+    corpus-stats aggregate row broadcast back. The oracle computes the
+    identical formula with the terms summed in the same order; score
+    rounded to 6 (doc-length sums are exact integers in both engines, so
+    avgdl and every idf are bit-identical doubles)."""
+    from vastdb_sdk_spark.operators.lm import bm25_scores
+
+    d = _t(spark, sf, "documents")
+    out = bm25_scores(d, ["hash", "join", "filter"], "text", "doc_id")
+    return (
+        out.select("doc_id", F.round("bm25", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 def q_e16_change_feed(spark, sf):
     """Row-level change feed (table.read_changes — the Delta-CDF shape an
     incremental pipeline consumes): orders imported (v1), then DELETE
@@ -2929,9 +2949,9 @@ def q_tx_c4_filter(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate reads a 50-query
     # window from the front of this dict.  Round-7 rotation policy: (1) the
-    # 10 queries NEW this round (Gopher/C4 filters, blocked exact kNN, BPE
-    # pretokens, PQ and IVF-PQ ANN, unigram-LM scoring, passage-level
-    # dups, JSONL ingest, change feed), then (2) the 4 whose implementation changed this round
+    # 11 queries NEW this round (Gopher/C4 filters, blocked exact kNN, BPE
+    # pretokens, PQ and IVF-PQ ANN, unigram-LM scoring, BM25 retrieval,
+    # passage-level dups, JSONL ingest, change feed), then (2) the 4 whose implementation changed this round
     # (ann_quantize_int8 — scalar q8_csv projection; ds_quality_filter —
     # single-row-stratum survival; dd_dup_clusters — integral-id
     # validation; tx_bigram_topk — positional bigram explode), then
@@ -2953,6 +2973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e15_jsonl_ingest": q_e15_jsonl_ingest,
         "e16_change_feed": q_e16_change_feed,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "tx_bm25_topk": q_tx_bm25_topk,
         # -- code changed in round 7 (q8 projection, n==1 stratum, id check)
         "ann_quantize_int8": q_ann_quantize_int8,
         "ds_quality_filter": q_ds_quality_filter,
@@ -2995,8 +3016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_pack_greedy": q_tx_pack_greedy,
         "dd_simhash_fast": q_dd_simhash_fast,
         "dd_embed_neardup": q_dd_embed_neardup,
-        "ann_rhp_topk": q_ann_rhp_topk,
         # ---- window boundary (driver gates the 50 entries above) --------
+        "ann_rhp_topk": q_ann_rhp_topk,
         "ds_resample_mix": q_ds_resample_mix,
         "dd_contamination": q_dd_contamination,
         "skew_salted_agg": q_skew_salted_agg,
@@ -3293,6 +3314,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "e15_jsonl_ingest": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "tx_bm25_topk": f"""
+            WITH t AS (
+                SELECT doc_id, {tok} AS tk FROM documents
+            ), d AS (
+                SELECT doc_id, len(tk) AS dl,
+                       len(list_filter(tk, x -> x = 'hash'))   AS tf0,
+                       len(list_filter(tk, x -> x = 'join'))   AS tf1,
+                       len(list_filter(tk, x -> x = 'filter')) AS tf2
+                FROM t
+            ), s AS (
+                SELECT COUNT(*) AS n, AVG(dl) AS avgdl,
+                       SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                       SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                       SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+                FROM d
+            )
+            SELECT doc_id, ROUND(
+                0.0
+                + ln(1.0 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5))
+                  * tf0 * (1.2 + 1.0)
+                  / (tf0 + 1.2 * (0.25 + 0.75 * dl / s.avgdl))
+                + ln(1.0 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
+                  * tf1 * (1.2 + 1.0)
+                  / (tf1 + 1.2 * (0.25 + 0.75 * dl / s.avgdl))
+                + ln(1.0 + (s.n - s.df2 + 0.5) / (s.df2 + 0.5))
+                  * tf2 * (1.2 + 1.0)
+                  / (tf2 + 1.2 * (0.25 + 0.75 * dl / s.avgdl))
+            , 6) AS bm25
+            FROM d CROSS JOIN s
+            ORDER BY bm25 DESC, doc_id ASC
+            LIMIT 20
         """,
         "e16_change_feed": """
             SELECT o_orderkey, o_orderstatus, o_orderpriority,

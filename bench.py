@@ -105,6 +105,7 @@ HEADLINE = [
     "tx_bpe_tokens",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "tx_bm25_topk",
     "tx_unigram_logprob",
     "dd_passage_dups",
 ]

@@ -788,3 +788,50 @@ def test_unigram_logprob_top_n_broadcasts_vocab(spark):
     out = unigram_logprob_scores(df, "text", "doc_id", top_n=100)
     plan = pi.formatted_plan(out)
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_scores_match_hand_model(spark):
+    import math
+
+    from vastdb_sdk_spark.operators.lm import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "cat sat on the cat mat"),
+            (2, "dog sat on the log"),
+            (3, "cat cat cat everywhere"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r.bm25 for r in bm25_scores(df, ["cat"], "text", "doc_id").collect()}
+    # N=3, df=2, dl = [6,5,4], avgdl=5; tf = [2,0,3]
+    idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    k1, b = 1.2, 0.75
+
+    def s(tf, dl):
+        return idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / 5.0))
+
+    assert abs(out[1] - s(2, 6)) < 1e-12
+    assert out[2] == 0.0
+    assert abs(out[3] - s(3, 4)) < 1e-12
+    # longer doc with same tf scores lower; higher tf scores higher
+    assert out[3] > out[1] > out[2]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(df, [], "text", "doc_id")
+
+
+def test_bm25_plan_shape(spark):
+    """BM25 must stay explode-free: the only exchange is the 1-row corpus
+    stats aggregate, and the scoring side is pure map work."""
+    from vastdb_sdk_spark.operators.lm import bm25_scores
+    from vastdb_sdk_spark.plans import inspect as pi
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = bm25_scores(df, ["hash", "join"], "text", "doc_id")
+    plan = pi.formatted_plan(out)
+    assert "Generate" not in plan  # no explode
+    assert "Python" not in plan
+    assert pi.exchange_count(out) <= 2  # the single-row stats aggregate

@@ -103,3 +103,62 @@ def unigram_logprob_scores(
         .join(scored, id_col, "left")
         .withColumn("n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0)))
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    out_col: str = "bm25",
+) -> DataFrame:
+    """Okapi BM25 keyword relevance of every document to a small term
+    set — the lexical complement to the ANN tier (hybrid retrieval:
+    BM25 shortlist + embedding re-rank), and the standard targeted-
+    curation signal ("find docs about X" over a raw corpus).
+
+    score(d) = Σ_t idf_t · tf_dt·(k1+1) / (tf_dt + k1·(1-b+b·|d|/avgdl)),
+    idf_t = ln(1 + (N - df_t + 0.5)/(df_t + 0.5)).
+
+    Plan — NO explode, NO per-token shuffle: term frequencies are per-row
+    array HOFs (``size(filter(tokens, = term))``, one per query term —
+    fine for the ≤dozens of terms a query has), and the corpus statistics
+    (N, avgdl, per-term document frequencies) are ONE aggregate row
+    broadcast back. Two scans total (stats + scoring), zero shuffle
+    beyond the 1-row broadcast; at 100 TB the scoring pass is
+    filter-pushdown-friendly map work. Terms are matched under the same
+    tokenizer as everything else (lowercased alphanumeric runs)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [str(t).lower() for t in query_terms]
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__tk")
+    ).withColumn("__dl", F.size("__tk"))
+
+    def tf(t):
+        return F.size(F.filter(F.col("__tk"), lambda x: x == F.lit(t)))
+
+    stats = staged.groupBy().agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((tf(t) > 0).cast("long")).alias(f"__df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    scored = staged.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n") - F.col(f"__df_{i}") + F.lit(0.5))
+            / (F.col(f"__df_{i}") + F.lit(0.5))
+        )
+        tf_i = tf(t).cast("double")
+        denom = tf_i + F.lit(float(k1)) * (
+            F.lit(1.0 - b) + F.lit(float(b)) * F.col("__dl") / F.col("__avgdl")
+        )
+        score = score + idf * tf_i * F.lit(float(k1) + 1.0) / denom
+    return scored.select(id_col, score.alias(out_col))
