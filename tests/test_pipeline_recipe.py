@@ -153,3 +153,39 @@ def test_incremental_view_maintenance_via_change_feed(session):
         t.delete_where(D.lang == "en")
     truth = drain()
     assert +view == +truth
+
+
+def test_hybrid_retrieval_bm25_then_embedding_rerank(spark):
+    """Hybrid retrieval composition: BM25 keyword shortlist over the
+    documents table, embedding cosine re-rank of the shortlist (ids are
+    shared across the two tables in the testdata). The re-ranked top-k
+    is a subset of the shortlist and ordered by cosine."""
+    from pyspark.sql import functions as F
+
+    from vastdb_sdk_spark.functions.vector import cosine_similarity
+    from vastdb_sdk_spark.operators.lm import bm25_scores
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 7).select("embedding").head()[0]
+
+    shortlist = (
+        bm25_scores(docs, ["hash", "join", "filter"], "text", "doc_id")
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(100)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    reranked = (
+        shortlist.join(emb, shortlist.doc_id == emb.vec_id)
+        .withColumn("cos", cosine_similarity(F.col("embedding"), qlit))
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "bm25", "cos")
+    )
+    rows = reranked.collect()
+    assert len(rows) == 10
+    short_ids = {r.doc_id for r in shortlist.collect()}
+    assert all(r.doc_id in short_ids for r in rows)
+    cosines = [r.cos for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
