@@ -734,3 +734,50 @@ def test_ivfpq_validation_and_pruning(emb):
         for r in enc.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert one.count() <= max(sizes.values())
+
+
+# -- perceptual image hashing ----------------------------------------------
+
+
+def test_phash_images_and_near_pairs(spark):
+    """pHash: identical payloads hash identically; distinct payloads
+    differ; None payload -> null hash; and the 64-bit fingerprints plug
+    straight into the SimHash pigeonhole pair join for image near-dup."""
+    rows = [
+        (1, b"image-payload-alpha"),
+        (2, b"image-payload-alpha"),   # exact dup of 1
+        (3, b"image-payload-beta"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    out = {r.media_id: r.phash for r in multimodal.phash_images(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert out[4] is None
+    # determinism across runs
+    again = {r.media_id: r.phash for r in multimodal.phash_images(df).collect()}
+    assert out == again
+
+    fps = (
+        multimodal.phash_images(df)
+        .filter(F.col("phash").isNotNull())
+        .withColumnRenamed("phash", "simhash")
+    )
+    pairs = dedup.simhash_near_pairs(fps, "media_id", max_hamming=0).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_phash_custom_pixels_seam(spark):
+    """A real decoder plugs in through pixels= without touching the
+    plumbing: a constant-image pixel field yields an all-low-frequency
+    DCT whose fingerprint is stable."""
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [(1, b"x"), (2, b"completely different payload")],
+        "media_id LONG, payload BINARY",
+    )
+    const = lambda payload: np.full((32, 32), 0.5)
+    out = {r.media_id: r.phash for r in multimodal.phash_images(df, pixels=const).collect()}
+    # same pixel field regardless of payload -> same hash
+    assert out[1] == out[2]

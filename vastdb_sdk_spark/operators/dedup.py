@@ -443,12 +443,15 @@ def simhash_near_pairs(
     value, never a cross product."""
     nblocks = max_hamming + 1
     width = 64 // nblocks
+    # width=64 (max_hamming=0): (1<<64)-1 overflows a long literal; the
+    # all-ones mask is -1 in two's complement
+    mask = -1 if width == 64 else (1 << width) - 1
     blocks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("block_id"),
                 F.shiftright(F.col("simhash"), i * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
+                .bitwiseAND(F.lit(mask))
                 .alias("block_val"),
             )
             for i in range(nblocks)

@@ -218,3 +218,93 @@ def resize_images(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, RESIZE_RESULT_SCHEMA)
+
+
+def _fake_pixels(payload: bytes, size: int = 32) -> "object":
+    """Deterministic stand-in for decode-to-grayscale: a size x size
+    float array seeded from the payload md5. NEAR-duplicate-friendly on
+    purpose: the array is a smooth gradient field whose parameters come
+    from the digest, so payloads sharing a digest prefix produce close
+    pixel fields (lets tests plant near-dups without real codecs)."""
+    import numpy as np
+
+    if payload is None:
+        return None
+    h = hashlib.md5(payload).digest()
+    rng = np.arange(size, dtype=np.float64)
+    gx = (h[0] / 255.0) * rng[None, :] / size
+    gy = (h[1] / 255.0) * rng[:, None] / size
+    base = (h[2] / 255.0) + gx + gy
+    ripple = (h[3] / 255.0) * np.sin(
+        rng[None, :] * (1 + h[4] % 7) * np.pi / size
+    )
+    return base + ripple
+
+
+def phash_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    pixels: Callable[[bytes], "object"] | None = None,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Perceptual hash (pHash) per image: decode to grayscale (the
+    ``pixels=`` seam plugs a real ``PIL -> np.asarray`` path; default is
+    the deterministic stub), 2-D DCT via numpy, keep the top-left
+    hash_size x hash_size low-frequency block, threshold against its
+    median -> a 64-bit fingerprint robust to resizing/re-encoding.
+    Returns (id_col, phash long).
+
+    Near-duplicate IMAGE pairs then reuse the SimHash machinery verbatim:
+    ``dedup.simhash_near_pairs(phash_df.withColumnRenamed('phash',
+    'simhash'), id_col, max_hamming=...)`` — the pigeonhole block join
+    does not care which 64-bit perceptual fingerprint it banded.
+    Arrow-batched mapInPandas; one scan, zero shuffle."""
+    import numpy as np
+
+    fn = pixels or _fake_pixels
+    n = int(hash_size)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+    cols = [f.name for f in df.schema.fields]
+    ppos = cols.index(payload_col)
+    ipos = cols.index(id_col)
+
+    def _dct_mat(k: int) -> "np.ndarray":
+        i = np.arange(k)
+        return np.cos(np.pi * (2 * i[None, :] + 1) * i[:, None] / (2 * k))
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids, hashes = [], []
+            D = None
+            for mid, payload in zip(pdf.iloc[:, ipos], pdf.iloc[:, ppos]):
+                px = fn(bytes(payload)) if payload is not None else None
+                if px is None:
+                    ids.append(mid)
+                    hashes.append(None)
+                    continue
+                px = np.asarray(px, dtype=np.float64)
+                if D is None or D.shape[0] != px.shape[0]:
+                    D = _dct_mat(px.shape[0])
+                freq = D @ px @ D.T
+                block = freq[:n, :n].copy()
+                flat = block.flatten()
+                med = np.median(flat[1:])  # skip the DC coefficient
+                bits = (flat > med).astype(np.uint64)
+                bits[0] = 0  # DC excluded from the fingerprint
+                h = np.uint64(0)
+                for b in bits:
+                    h = np.uint64(h << np.uint64(1)) | b
+                ids.append(mid)
+                hashes.append(int(np.int64(h)))  # two's-complement into long
+            yield pd.DataFrame({id_col: ids, "phash": hashes})
+
+    return df.mapInPandas(batches, schema=out_schema)
