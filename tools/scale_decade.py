@@ -68,6 +68,8 @@ QUERIES = [
     "ann_pq_topk",
     "ann_knn_join_blocked",
     "tx_bpe_tokens",
+    "ann_ivfpq_topk",
+    "tx_bm25_topk",
 ]
 
 _RUNNER = r"""
