@@ -835,3 +835,17 @@ def test_read_changes_refused_past_vacuum_horizon(clean_schema):
         t = tx.bucket("bkt").schema("s").table("vh")
         with pytest.raises(vastdb.MissingSnapshot):
             t.read_changes(v1)
+
+
+def test_read_changes_inverted_span_raises(clean_schema):
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "inv", pa.schema([("a", pa.int64())])
+        )
+        t.insert(pa.table({"a": [1]}))
+    with clean_schema.transaction() as tx:
+        b = tx.bucket("bkt")
+        v = b.manifest.version
+        t = b.schema("s").table("inv")
+        with pytest.raises(vastdb.InvalidArgument, match="inverted"):
+            t.read_changes(v, v - 1)

@@ -781,3 +781,18 @@ def test_phash_custom_pixels_seam(spark):
     out = {r.media_id: r.phash for r in multimodal.phash_images(df, pixels=const).collect()}
     # same pixel field regardless of payload -> same hash
     assert out[1] == out[2]
+
+
+def test_phash_non_square_decoder(spark):
+    """A real decoder emits (h, w) arrays; the separable DCT must accept
+    them, and hash_size larger than the image must fail loudly."""
+    import numpy as np
+
+    df = spark.createDataFrame([(1, b"x")], "media_id LONG, payload BINARY")
+    rect = lambda p: np.arange(480 * 640, dtype=np.float64).reshape(480, 640) / 1e5
+    out = multimodal.phash_images(df, pixels=rect).collect()
+    assert out[0].phash is not None
+
+    tiny = lambda p: np.ones((4, 4))
+    with pytest.raises(Exception, match="hash_size"):
+        multimodal.phash_images(df, pixels=tiny).collect()

@@ -835,3 +835,17 @@ def test_bm25_plan_shape(spark):
     assert "Generate" not in plan  # no explode
     assert "Python" not in plan
     assert pi.exchange_count(out) <= 2  # the single-row stats aggregate
+
+
+def test_bm25_null_text_scores_zero(spark):
+    """NULL-text rows behave as empty documents: score 0.0, dl=0 — never
+    a poisoned avgdl (size(NULL) = -1) or a garbage non-null score."""
+    from vastdb_sdk_spark.operators.lm import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "cat sat"), (2, None), (3, "cat cat")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r.bm25 for r in bm25_scores(df, ["cat"], "text", "doc_id").collect()}
+    assert out[2] == 0.0
+    assert out[3] > out[1] > 0.0

@@ -133,8 +133,12 @@ def bm25_scores(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = [str(t).lower() for t in query_terms]
+    # NULL text behaves as an empty document (dl=0, every tf=0, score 0)
+    # — without the coalesce, size(NULL)=-1 would poison avgdl and emit
+    # garbage scores for the null rows
     staged = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__tk")
+        F.col(id_col),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__tk"),
     ).withColumn("__dl", F.size("__tk"))
 
     def tf(t):

@@ -280,11 +280,19 @@ def phash_images(
         return np.cos(np.pi * (2 * i[None, :] + 1) * i[:, None] / (2 * k))
 
     def batches(it):
+        dcts = {}  # per-dimension DCT matrices: real decoders emit
+        # arbitrary (h, w) arrays, so rows and columns each get their own
+        # transform (D_h @ px @ D_w.T) — no square-input precondition
+
+        def _dct(k):
+            if k not in dcts:
+                dcts[k] = _dct_mat(k)
+            return dcts[k]
+
         for pdf in it:
             if len(pdf) == 0:
                 continue
             ids, hashes = [], []
-            D = None
             for mid, payload in zip(pdf.iloc[:, ipos], pdf.iloc[:, ppos]):
                 px = fn(bytes(payload)) if payload is not None else None
                 if px is None:
@@ -292,9 +300,14 @@ def phash_images(
                     hashes.append(None)
                     continue
                 px = np.asarray(px, dtype=np.float64)
-                if D is None or D.shape[0] != px.shape[0]:
-                    D = _dct_mat(px.shape[0])
-                freq = D @ px @ D.T
+                h_dim, w_dim = px.shape
+                if n > min(h_dim, w_dim):
+                    raise ValueError(
+                        f"hash_size={n} exceeds decoded image dims "
+                        f"({h_dim}x{w_dim}); decode/resize to at least "
+                        f"{n}x{n} pixels"
+                    )
+                freq = _dct(h_dim) @ px @ _dct(w_dim).T
                 block = freq[:n, :n].copy()
                 flat = block.flatten()
                 med = np.median(flat[1:])  # skip the DC coefficient

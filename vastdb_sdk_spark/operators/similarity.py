@@ -680,8 +680,6 @@ def build_pq_index(
 
     ``num_codes`` auto-clamps to ``max(4, n_train // 4)`` so tiny corpora
     don't request more codes than distinct training points."""
-    import pandas as pd
-
     if dim is None:
         probe = df.select(vec_col).head()
         if probe is None or probe[0] is None:
@@ -771,8 +769,6 @@ def pq_topk(
 
     Ties break on ascending ``id_col`` when given, matching
     brute_force_topk."""
-    import pandas as pd
-
     B = np.asarray(codebooks, dtype=np.float64)
     m, ksub, dsub = B.shape
     q = np.asarray(query_vec, dtype=np.float64)
@@ -810,6 +806,14 @@ def pq_topk(
             yield out
 
     scored = encoded_df.mapInPandas(adc_batches, schema=out_schema)
+    return _topk_with_rerank(scored, q, k, rerank, id_col, dist_col, vec_col)
+
+
+def _topk_with_rerank(scored, q, k, rerank, id_col, dist_col, vec_col):
+    """Shared tail of pq_topk / ivfpq_topk: ADC top-k, or ADC shortlist of
+    ``rerank`` rows re-scored by exact squared-L2 on the un-quantized
+    column. One implementation so tie-breaking and rerank semantics can
+    never diverge between the flat-PQ and IVF-PQ paths."""
     order = [F.col(dist_col).asc()]
     if id_col:
         order.append(F.col(id_col).asc())
@@ -819,11 +823,7 @@ def pq_topk(
         raise ValueError(f"rerank={rerank} must be >= k={k}")
     shortlist = scored.orderBy(*order).limit(int(rerank))
     exact = distance_column(F.col(vec_col), [float(x) for x in q], "l2sq")
-    rer = shortlist.withColumn(dist_col, exact)
-    order2 = [F.col(dist_col).asc()]
-    if id_col:
-        order2.append(F.col(id_col).asc())
-    return rer.orderBy(*order2).limit(k)
+    return shortlist.withColumn(dist_col, exact).orderBy(*order).limit(k)
 
 
 def build_ivfpq_index(
@@ -852,8 +852,6 @@ def build_ivfpq_index(
     sampled-driver-fit design of build_ivf_index/build_pq_index (one
     bounded toPandas at BUILD time); encode is broadcast variables +
     Arrow-batched mapInPandas — O(1) plan size, zero shuffle."""
-    import pandas as pd
-
     indexed, centroids = build_ivf_index(
         df, vec_col, num_centroids, seed,
         sample_fraction=sample_fraction, sample_key=sample_key,
@@ -938,8 +936,6 @@ def ivfpq_topk(
     ONE broadcast; per row the distance is m lookups. Optional exact
     re-rank of an r-row shortlist on the un-quantized column, as in
     :func:`pq_topk`."""
-    import pandas as pd
-
     C = np.asarray(centroids, dtype=np.float64)
     B = np.asarray(codebooks, dtype=np.float64)
     m, ksub, dsub = B.shape
@@ -991,14 +987,4 @@ def ivfpq_topk(
             yield out
 
     scored = pruned.mapInPandas(adc_batches, schema=out_schema)
-    order = [F.col(dist_col).asc()]
-    if id_col:
-        order.append(F.col(id_col).asc())
-    if rerank is None:
-        return scored.orderBy(*order).limit(k)
-    if rerank < k:
-        raise ValueError(f"rerank={rerank} must be >= k={k}")
-    shortlist = scored.orderBy(*order).limit(int(rerank))
-    exact = distance_column(F.col(vec_col), [float(x) for x in q], "l2sq")
-    rer = shortlist.withColumn(dist_col, exact)
-    return rer.orderBy(*order).limit(k)
+    return _topk_with_rerank(scored, q, k, rerank, id_col, dist_col, vec_col)

@@ -1486,6 +1486,12 @@ class Table:
         bkt = self.bucket
         if to_version is None:
             to_version = bkt.manifest.version
+        if from_version > to_version:
+            raise InvalidArgument(
+                f"read_changes span is inverted: from_version={from_version} "
+                f"> to_version={to_version} — an inverted feed would report "
+                "inserts as deletes and swap update images"
+            )
 
         def _table_at(version: int):
             b = bkt.as_of(version=version)
@@ -1525,23 +1531,29 @@ class Table:
             INTERNAL_ROW_ID, T.LongType()
         )
 
+        # backtick-quote every reference: plain F.col("a.b") dot-parses, so
+        # a column literally named "a.b" (Arrow permits it) would resolve as
+        # struct access and fail — same reason _emit uses getField
+        def _c(name):
+            return F.col(f"`{name}`")
+
         def _side(t, files):
             if t is None or not files:
                 return self.spark.createDataFrame([], spark_schema)
             return t.df(internal_row_id=True, files=files).select(
-                *cols, INTERNAL_ROW_ID
+                *[_c(c) for c in cols], _c(INTERNAL_ROW_ID)
             )
 
-        chash = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
+        chash = F.md5(F.to_json(F.struct(*[_c(c) for c in cols])))
         o = _side(old_t, old_read).select(
-            F.col(INTERNAL_ROW_ID).alias("__rid_o"),
+            _c(INTERNAL_ROW_ID).alias("__rid_o"),
             chash.alias("__oh"),
-            F.struct(*cols).alias("__ov"),
+            F.struct(*[_c(c).alias(c) for c in cols]).alias("__ov"),
         )
         n = _side(new_t, new_read).select(
-            F.col(INTERNAL_ROW_ID).alias("__rid_n"),
+            _c(INTERNAL_ROW_ID).alias("__rid_n"),
             chash.alias("__nh"),
-            F.struct(*cols).alias("__nv"),
+            F.struct(*[_c(c).alias(c) for c in cols]).alias("__nv"),
         )
         j = o.join(n, o["__rid_o"] == n["__rid_n"], "full_outer")
 
