@@ -144,15 +144,32 @@ statement_junk = st.one_of(
 )
 
 
+@pytest.fixture(scope="module")
+def fz_sacrificial(spark, tmp_path_factory):
+    """Own warehouse for the junk-statement fuzz: statement_junk can emit
+    VALID mutating statements (e.g. 'TRUNCATE bkt.s.t' — the keyword and
+    the identifier are both in its alphabet), which once wiped the shared
+    ``fz`` table mid-module and broke the literal-roundtrip tests with
+    empty-result IndexErrors. Junk may create/trash anything here."""
+    import vastdb_sdk_spark as vastdb
+
+    session = vastdb.connect(
+        str(tmp_path_factory.mktemp("sqlfuzz_junk") / "wh"), spark=spark
+    )
+    session.create_bucket("bkt")
+    session.execute_sql("CREATE SCHEMA bkt.s")
+    return session
+
+
 @settings(
     max_examples=120,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(statement_junk)
-def test_fuzz_clean_reject(fz, stmt):
+def test_fuzz_clean_reject(fz_sacrificial, stmt):
     try:
-        fz.execute_sql(stmt)
+        fz_sacrificial.execute_sql(stmt)
     except BaseException as exc:  # noqa: BLE001 - the property under test
         assert _is_clean_reject(exc), (
             f"internal escape {type(exc).__name__}: {exc!r} for {stmt!r}"
