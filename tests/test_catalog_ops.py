@@ -849,3 +849,41 @@ def test_read_changes_inverted_span_raises(clean_schema):
         t = b.schema("s").table("inv")
         with pytest.raises(vastdb.InvalidArgument, match="inverted"):
             t.read_changes(v, v - 1)
+
+
+def test_ingest_orc_round_trip(clean_schema, tmp_path, spark):
+    from vastdb_sdk_spark.sources import ingest_table_from_files
+
+    src = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id LONG, s STRING"
+    )
+    dump = str(tmp_path / "orcdump")
+    src.write.mode("overwrite").orc(dump)
+    import glob
+
+    files = sorted(glob.glob(dump + "/*.orc"))
+    with clean_schema.transaction() as tx:
+        s = tx.bucket("bkt").schema("s")
+        t = ingest_table_from_files(s, "o", files, format="orc")
+        assert t.count_rows() == 2
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("o")
+        assert [r.s for r in t.select_df().orderBy("id").collect()] == ["a", "b"]
+
+
+def test_export_files_formats(clean_schema, tmp_path, spark):
+    import pyarrow as _pa
+
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "ex", _pa.schema([("a", _pa.int64()), ("s", _pa.string())])
+        )
+        t.insert(pa.table({"a": [1, 2], "s": ["x", "y"]}))
+        t.export_files(str(tmp_path / "j"), format="json")
+        t.export_files(str(tmp_path / "c"), format="csv")
+        t.export_files(str(tmp_path / "o"), format="orc", predicate=D.a == 2)
+        with pytest.raises(vastdb.InvalidArgument, match="export format"):
+            t.export_files(str(tmp_path / "bad"), format="avro")
+    assert spark.read.json(str(tmp_path / "j")).count() == 2
+    assert spark.read.option("header", "true").csv(str(tmp_path / "c")).count() == 2
+    assert [r.a for r in spark.read.orc(str(tmp_path / "o")).collect()] == [2]

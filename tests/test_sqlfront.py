@@ -623,3 +623,27 @@ def test_show_changes(sql_session):
     sql_session.execute_sql("DELETE FROM bkt.s.t WHERE a = 2")
     rows = sql_session.execute_sql(f"SHOW CHANGES bkt.s.t FROM {v1}").collect()
     assert [(r.a, r._change_type) for r in rows] == [(2, "delete")]
+
+
+def test_copy_to_from_format_symmetry(sql_session, tmp_path):
+    # own table: module-shared bkt.s.t is mutated by other tests
+    sql_session.execute_sql("CREATE TABLE bkt.s.sym (a BIGINT, name STRING)")
+    sql_session.execute_sql(
+        "INSERT INTO bkt.s.sym VALUES (1, 'one'), (2, 'two'), (3, 'three')"
+    )
+    out = str(tmp_path / "dump_json")
+    res = sql_session.execute_sql(f"COPY bkt.s.sym TO '{out}' FORMAT JSON")
+    assert res == {"exported": out, "format": "json"}
+    with sql_session.transaction() as tx:
+        assert tx.spark.read.json(out).count() == 3
+    # round-trip the JSONL dump back in
+    import glob
+
+    files = sorted(glob.glob(out + "/*.json"))
+    for f in files:
+        sql_session.execute_sql(f"COPY bkt.s.sym FROM '{f}' FORMAT JSON")
+    n = sql_session.execute_sql(
+        "SELECT count(*) AS n FROM bkt.s.sym"
+    ).collect()[0].n
+    assert n == 6
+    sql_session.execute_sql("DROP TABLE bkt.s.sym")

@@ -30,7 +30,7 @@ from ..errors import InvalidArgument
 from ..types import spark_type_to_arrow
 
 
-_FORMATS = ("json", "csv")
+_FORMATS = ("json", "csv", "orc")
 
 
 def ingest_table_from_files(
@@ -42,8 +42,10 @@ def ingest_table_from_files(
     options: dict | None = None,
     partition_by: list[str] | None = None,
 ):
-    """Create ``table_name`` in ``schema`` and load ``files`` (JSONL or
-    CSV) into it distributedly. Returns the Table.
+    """Create ``table_name`` in ``schema`` and load ``files`` (JSONL,
+    CSV, or ORC — ORC converts through the distributed reader too, since
+    the storage layout is parquet; its schema is self-describing) into it
+    distributedly. Returns the Table.
 
     ``options`` passes through to the Spark reader (e.g. ``{"header":
     "true"}`` for CSV with a header row — applied by default,

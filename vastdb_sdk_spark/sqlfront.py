@@ -354,12 +354,15 @@ class SqlFrontend:
             return {"truncated": True}
         if kw == "COPY":
             m = re.match(
-                rf"(?is)COPY\s+({_DOTTED})\s+TO\s+'([^']+)'\s*$", stmt
+                rf"(?is)COPY\s+({_DOTTED})\s+TO\s+'([^']+)'"
+                rf"(?:\s+FORMAT\s+(\w+))?\s*$",
+                stmt,
             )
             if m:
                 _, _, _, table = self._resolve_table(m.group(1))
-                table.export_parquet(m.group(2))
-                return {"exported": m.group(2)}
+                fmt = (m.group(3) or "parquet").lower()
+                table.export_files(m.group(2), format=fmt)
+                return {"exported": m.group(2), "format": fmt}
             m = re.match(
                 rf"(?is)COPY\s+({_DOTTED})\s+FROM\s+'([^']+)'"
                 rf"(?:\s+FORMAT\s+(\w+))?\s*$",
@@ -368,7 +371,7 @@ class SqlFrontend:
             if not m:
                 raise InvalidArgument(
                     "cannot parse (expected COPY b.s.t TO 'path' or "
-                    f"COPY b.s.t FROM 'path' [FORMAT JSON|CSV|PARQUET]): {stmt!r}"
+                    f"COPY b.s.t FROM 'path' [FORMAT JSON|CSV|ORC|PARQUET]): {stmt!r}"
                 )
             _, _, _, table = self._resolve_table(m.group(1))
             fmt = (m.group(3) or "parquet").lower()
@@ -379,9 +382,10 @@ class SqlFrontend:
                 # zero-copy registration, same path as Table.import_files
                 table.import_files(paths)
                 return {"imported_files": len(paths)}
-            if fmt not in ("json", "csv"):
+            if fmt not in ("json", "csv", "orc"):
                 raise InvalidArgument(
-                    f"COPY FROM format must be JSON, CSV or PARQUET, got {fmt!r}"
+                    f"COPY FROM format must be JSON, CSV, ORC or PARQUET, "
+                    f"got {fmt!r}"
                 )
             # text formats convert through the distributed reader with the
             # schema pinned to the TABLE's (drift -> loud cast error, same

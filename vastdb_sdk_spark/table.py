@@ -593,6 +593,34 @@ class Table:
         test_tables.py:632-663); here the write is distributed."""
         self.select_df(columns, predicate).write.mode("overwrite").parquet(path)
 
+    def export_files(
+        self,
+        path: str,
+        format: str = "parquet",
+        columns: list[str] | None = None,
+        predicate: Any = None,
+        options: dict | None = None,
+    ) -> None:
+        """Distributed export in any Spark-writable text/columnar format
+        (engine extension; the write-side twin of the JSONL/CSV ingest
+        tier): ``parquet``/``orc`` keep columnar types, ``json`` writes
+        JSONL, ``csv`` writes with a header by default. Filters/projection
+        push down into the scan like any select."""
+        fmts = ("parquet", "orc", "json", "csv")
+        if format not in fmts:
+            raise InvalidArgument(
+                f"export format must be one of {fmts}, got {format!r}"
+            )
+        opts = {"header": "true"} if format == "csv" else {}
+        opts.update(options or {})
+        (
+            self.select_df(columns, predicate)
+            .write.mode("overwrite")
+            .options(**opts)
+            .format(format)
+            .save(path)
+        )
+
     # -- manifest-level file pruning (plans/pruning.py) -------------------
     def _pruned_files(self, predicate: Any) -> list[FileEntry] | None:
         """Files that can possibly satisfy ``predicate`` given per-file
