@@ -326,7 +326,10 @@ def minhash_dedup_pairs_managed(
     try:
         yield verified
     finally:
-        pairs.unpersist()
+        # blocking: the managed variant's contract is deterministic cache
+        # accounting on exit — the default async unpersist leaves the entry
+        # listed for a while on a busy session
+        pairs.unpersist(blocking=True)
 
 
 # ---------------------------------------------------------------------------
