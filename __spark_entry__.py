@@ -2828,8 +2828,12 @@ def q_dd_passage_dups(spark, sf):
     from vastdb_sdk_spark.operators.dedup import passage_dup_stats
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
+    # planted copies get NEGATIVE ids (-(doc_id+1)): real doc_ids are
+    # non-negative at every sf, so no offset constant can ever collide
+    # with an organic row (an offset like +100000 would silently break
+    # the gate the day a scale factor's ids reach it)
     planted = d.filter(F.col("doc_id") < 25).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz copy tail marker")).alias("text"),
     )
     corpus = d.unionByName(planted)
@@ -3369,7 +3373,7 @@ def oracle_sql() -> dict[str, str]:
             WITH corpus AS (
                 SELECT doc_id, text FROM documents
                 UNION ALL
-                SELECT doc_id + 100000 AS doc_id,
+                SELECT -(doc_id + 1) AS doc_id,
                        text || ' zz copy tail marker' AS text
                 FROM documents WHERE doc_id < 25
             ), t AS (

@@ -796,3 +796,41 @@ def test_phash_non_square_decoder(spark):
     tiny = lambda p: np.ones((4, 4))
     with pytest.raises(Exception, match="hash_size"):
         multimodal.phash_images(df, pixels=tiny).collect()
+
+
+def test_phash_hash_size_over_8_rejected(spark):
+    """hash_size > 8 cannot fit n^2 bits in the 64-bit fingerprint; it
+    must raise instead of silently truncating to the last 64 bits."""
+    df = spark.createDataFrame([(1, b"x")], "media_id LONG, payload BINARY")
+    with pytest.raises(ValueError, match="64-bit"):
+        multimodal.phash_images(df, hash_size=9)
+    with pytest.raises(ValueError, match="hash_size"):
+        multimodal.phash_images(df, hash_size=0)
+
+
+def test_knn_join_blocked_non_integral_ids(spark):
+    """string/binary id columns take the NULL absent-side sentinel (an
+    integer-literal cast may not analyze for them); results must still be
+    exact. The float64-rounding hazard the 0-sentinel guards against is
+    integral-only."""
+    rows = [("alpha", [1.0, 0.0]), ("beta", [0.9, 0.1]), ("gamma", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vid STRING, v ARRAY<DOUBLE>")
+    left = df.select(F.col("vid").alias("id_a"), F.col("v").alias("vec_a"))
+    right = df.select(F.col("vid").alias("id_b"), F.col("v").alias("vec_b"))
+    out = similarity.knn_join_cosine_blocked(
+        left, right, k=1, num_left_blocks=2, num_right_blocks=2
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(v, v) for v, _ in rows}
+
+    bdf = spark.createDataFrame(
+        [(bytes([i]), v) for i, (_, v) in enumerate(rows)],
+        "vid BINARY, v ARRAY<DOUBLE>",
+    )
+    bl = bdf.select(F.col("vid").alias("id_a"), F.col("v").alias("vec_a"))
+    br = bdf.select(F.col("vid").alias("id_b"), F.col("v").alias("vec_b"))
+    bout = similarity.knn_join_cosine_blocked(
+        bl, br, k=1, num_left_blocks=2, num_right_blocks=2
+    ).collect()
+    assert {(bytes(r.id_a), bytes(r.id_b)) for r in bout} == {
+        (bytes([i]), bytes([i])) for i in range(3)
+    }

@@ -849,3 +849,35 @@ def test_bm25_null_text_scores_zero(spark):
     out = {r.doc_id: r.bm25 for r in bm25_scores(df, ["cat"], "text", "doc_id").collect()}
     assert out[2] == 0.0
     assert out[3] > out[1] > 0.0
+
+
+def test_bm25_duplicate_terms_count_once(spark):
+    """BM25 sums over DISTINCT query terms: passing a term twice must not
+    double its contribution."""
+    from vastdb_sdk_spark.operators.lm import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "cat sat on the cat mat"), (2, "dog sat")],
+        "doc_id LONG, text STRING",
+    )
+    once = {r.doc_id: r.bm25 for r in bm25_scores(df, ["cat"], "text", "doc_id").collect()}
+    twice = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(df, ["cat", "CAT", "cat"], "text", "doc_id").collect()
+    }
+    assert once == twice
+
+
+def test_bm25_all_empty_corpus_scores_zero(spark):
+    """avgdl=0 (every document empty/NULL) must yield 0.0 scores, never
+    NaN from the 0/0 length normalization."""
+    import math
+
+    from vastdb_sdk_spark.operators.lm import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "   ")], "doc_id LONG, text STRING"
+    )
+    out = {r.doc_id: r.bm25 for r in bm25_scores(df, ["cat"], "text", "doc_id").collect()}
+    assert out == {1: 0.0, 2: 0.0, 3: 0.0}
+    assert not any(math.isnan(v) for v in out.values())

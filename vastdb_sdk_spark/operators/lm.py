@@ -132,7 +132,9 @@ def bm25_scores(
     tokenizer as everything else (lowercased alphanumeric runs)."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    terms = [str(t).lower() for t in query_terms]
+    # dedupe (order-preserving): a term passed twice must not double its
+    # idf*tf contribution — BM25 sums over DISTINCT query terms
+    terms = list(dict.fromkeys(str(t).lower() for t in query_terms))
     # NULL text behaves as an empty document (dl=0, every tf=0, score 0)
     # — without the coalesce, size(NULL)=-1 would poison avgdl and emit
     # garbage scores for the null rows
@@ -161,8 +163,14 @@ def bm25_scores(
             / (F.col(f"__df_{i}") + F.lit(0.5))
         )
         tf_i = tf(t).cast("double")
+        # greatest(avgdl, tiny): an all-empty corpus has avgdl=0 and every
+        # dl=0, so dl/avgdl would be 0/0=NaN and poison every score; with
+        # the guard the ratio is 0 and tf=0 makes each term contribute 0.
         denom = tf_i + F.lit(float(k1)) * (
-            F.lit(1.0 - b) + F.lit(float(b)) * F.col("__dl") / F.col("__avgdl")
+            F.lit(1.0 - b)
+            + F.lit(float(b))
+            * F.col("__dl")
+            / F.greatest(F.col("__avgdl"), F.lit(1e-12))
         )
         score = score + idf * tf_i * F.lit(float(k1) + 1.0) / denom
     return scored.select(id_col, score.alias(out_col))

@@ -264,6 +264,14 @@ def phash_images(
 
     fn = pixels or _fake_pixels
     n = int(hash_size)
+    if n < 1 or n * n > 64:
+        # the fingerprint is one 64-bit long; hash_size > 8 would shift
+        # n^2 bits into a uint64 and silently keep only the last 64 —
+        # a truncated hash that LOOKS valid. Refuse instead.
+        raise ValueError(
+            f"hash_size={n} needs {n * n} bits but the phash fingerprint "
+            "is a single 64-bit long; use hash_size <= 8"
+        )
 
     out_schema = T.StructType(
         [

@@ -460,14 +460,24 @@ def knn_join_cosine_blocked(
     # union ships each vector once per replica; pairs exist only inside
     # the GEMM.
     #
-    # The absent side's id is a SENTINEL of the right type plus a __side
-    # flag, never NULL: an int64 column with nulls crosses the
+    # The absent side's id on an INTEGRAL column is a 0-SENTINEL plus the
+    # __side flag, never NULL: an int64 column with nulls crosses the
     # Arrow->pandas boundary inside applyInPandas as float64, which
     # silently rounds ids above 2^53 (exactly the xxhash64-derived ids
     # dup_clusters tells callers to use) before they are cast back.
+    # Non-integral id types (string, binary, date, decimal) cross as
+    # object/typed dtypes where NULL is lossless — and an integer-literal
+    # cast may not even analyze for them — so they keep a NULL sentinel.
+    def _absent(dt):
+        if isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            return F.lit(0).cast(dt)
+        return F.lit(None).cast(dt)
+
     lrep = left.select(
         F.col(left_id).alias("__lid"),
-        F.lit(0).cast(rt).alias("__rid"),
+        _absent(rt).alias("__rid"),
         F.lit(True).alias("__isleft"),
         F.col(left_vec).cast("array<double>").alias("__vec"),
         F.pmod(F.xxhash64(F.col(left_id)), F.lit(num_left_blocks)).alias("__lb"),
@@ -476,7 +486,7 @@ def knn_join_cosine_blocked(
         ).alias("__rb"),
     )
     rrep = right.select(
-        F.lit(0).cast(lt).alias("__lid"),
+        _absent(lt).alias("__lid"),
         F.col(right_id).alias("__rid"),
         F.lit(False).alias("__isleft"),
         F.col(right_vec).cast("array<double>").alias("__vec"),
