@@ -887,3 +887,68 @@ def test_export_files_formats(clean_schema, tmp_path, spark):
     assert spark.read.json(str(tmp_path / "j")).count() == 2
     assert spark.read.option("header", "true").csv(str(tmp_path / "c")).count() == 2
     assert [r.a for r in spark.read.orc(str(tmp_path / "o")).collect()] == [2]
+
+
+def test_read_changes_map_column_order_invariant(clean_schema):
+    """to_json emits map entries in PHYSICAL order, so the change feed's
+    content hash must canonicalize maps: a rewrite that re-materializes a
+    map with its entries reordered is NOT churn, while a genuine value
+    change still reports an update pre/post pair."""
+    from pyspark.sql import functions as F
+
+    schema = pa.schema(
+        [
+            ("a", pa.int64()),
+            ("m", pa.map_(pa.string(), pa.int64())),
+            ("nested", pa.struct([("inner", pa.map_(pa.string(), pa.int64()))])),
+        ]
+    )
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("mapcf", schema)
+        t.insert(
+            pa.table(
+                {
+                    "a": [1, 2],
+                    "m": pa.array(
+                        [[("x", 1), ("y", 2)], [("k", 9)]],
+                        type=pa.map_(pa.string(), pa.int64()),
+                    ),
+                    "nested": pa.array(
+                        [{"inner": [("p", 1), ("q", 2)]}, {"inner": [("r", 3)]}],
+                        type=schema.field("nested").type,
+                    ),
+                }
+            )
+        )
+
+    def _map_lit(pairs):
+        return F.map_from_entries(
+            F.array(*[F.struct(F.lit(k).alias("key"), F.lit(v).alias("value")) for k, v in pairs])
+        )
+
+    # rewrite row 1's map with entries REORDERED but logically identical
+    with clean_schema.transaction() as tx:
+        b = tx.bucket("bkt")
+        v1 = b.manifest.version
+        t = b.schema("s").table("mapcf")
+        t.update_where(D.a == 1, {"m": _map_lit([("y", 2), ("x", 1)])})
+    with clean_schema.transaction() as tx:
+        b = tx.bucket("bkt")
+        t = b.schema("s").table("mapcf")
+        assert t.read_changes(v1).count() == 0, (
+            "reordered-but-equal map misreported as churn"
+        )
+
+    # genuine value change is still reported
+    with clean_schema.transaction() as tx:
+        b = tx.bucket("bkt")
+        v2 = b.manifest.version
+        t = b.schema("s").table("mapcf")
+        t.update_where(D.a == 1, {"m": _map_lit([("x", 1), ("y", 99)])})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("mapcf")
+        rows = t.read_changes(v2).collect()
+        kinds = sorted(r._change_type for r in rows)
+        assert kinds == ["update_postimage", "update_preimage"]
+        post = [r for r in rows if r._change_type == "update_postimage"][0]
+        assert dict(post.m) == {"x": 1, "y": 99}

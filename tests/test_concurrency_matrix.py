@@ -151,3 +151,31 @@ def test_noop_commit_does_not_conflict(two_tables):
     tx2.commit()  # must NOT conflict
     with two_tables.transaction() as tx:
         assert tx.bucket("bkt").schema("s").table("t1").count_rows() == 6
+
+
+def test_consume_changes_concurrent_commit_conflicts_then_redelivers(two_tables):
+    """A commit landing on the same table between a consumer's feed read
+    and its cursor commit must CONFLICT the consumer (the cursor may
+    never advance past an undelivered delta); the replayed consumption
+    then delivers that delta exactly once."""
+    ses = two_tables
+    # bootstrap: first consumption is empty and records the cursor
+    with ses.transaction() as tx:
+        assert tx.bucket("bkt").schema("s").table("t1").consume_changes("c1").count() == 0
+
+    txc = ses.transaction()
+    feed = txc.bucket("bkt").schema("s").table("t1").consume_changes("c1")
+    assert feed.count() == 0  # span captured before the concurrent insert
+    txw = ses.transaction()
+    txw.bucket("bkt").schema("s").table("t1").insert(ROWS)
+    txw.commit()
+    with pytest.raises(vastdb.Conflict):
+        txc.commit()
+
+    # replay in a fresh transaction: the concurrent insert is in the span
+    with ses.transaction() as tx:
+        rows = tx.bucket("bkt").schema("s").table("t1").consume_changes("c1").collect()
+        assert sorted(r._change_type for r in rows) == ["insert"] * 3
+    # ...and exactly once — the next consumption is empty again
+    with ses.transaction() as tx:
+        assert tx.bucket("bkt").schema("s").table("t1").consume_changes("c1").count() == 0

@@ -1572,7 +1572,49 @@ class Table:
                 *[_c(c) for c in cols], _c(INTERNAL_ROW_ID)
             )
 
-        chash = F.md5(F.to_json(F.struct(*[_c(c) for c in cols])))
+        # Content hash must be PHYSICAL-LAYOUT-INVARIANT: to_json emits map
+        # entries in storage order, so a compaction that reorders a map's
+        # entries would hash differently and misreport an unchanged row as
+        # an update pre/post pair (false churn — never lost changes, but
+        # wrong). Canonicalize recursively: every map (top-level or nested
+        # in struct/array/map values) becomes its entry array sorted by
+        # key before hashing. Keys are unique so the key-only comparator
+        # is a total order, and it never compares values — which may
+        # themselves be non-orderable maps.
+        def _canon(col, dt):
+            if isinstance(dt, T.MapType):
+                entries = F.transform(
+                    F.map_entries(col),
+                    lambda e: F.struct(
+                        _canon(e["key"], dt.keyType).alias("key"),
+                        _canon(e["value"], dt.valueType).alias("value"),
+                    ),
+                )
+                return F.array_sort(
+                    entries,
+                    lambda a, b: F.when(a["key"] < b["key"], -1)
+                    .when(a["key"] > b["key"], 1)
+                    .otherwise(0),
+                )
+            if isinstance(dt, T.ArrayType):
+                return F.transform(col, lambda x: _canon(x, dt.elementType))
+            if isinstance(dt, T.StructType):
+                return F.struct(
+                    *[
+                        _canon(col.getField(f.name), f.dataType).alias(f.name)
+                        for f in dt.fields
+                    ]
+                )
+            return col
+
+        hash_fields = {f.name: f.dataType for f in spark_schema.fields}
+        chash = F.md5(
+            F.to_json(
+                F.struct(
+                    *[_canon(_c(c), hash_fields[c]).alias(c) for c in cols]
+                )
+            )
+        )
         o = _side(old_t, old_read).select(
             _c(INTERNAL_ROW_ID).alias("__rid_o"),
             chash.alias("__oh"),
