@@ -2657,6 +2657,80 @@ def q_ann_ivfpq_topk(spark, sf):
     )
 
 
+def q_ann_ivfpq_persisted(spark, sf):
+    """Persisted IVF-PQ as an ENGINE index variant (table.
+    build_vector_index(kind='ivfpq') + vector_search routed through ADC;
+    reference precedent: vector-index metadata rides table stats,
+    vastdb/_internal.py:809-826): coarse centroids live inline in the
+    manifest, PQ codebooks in a JSON sidecar next to the per-centroid
+    cluster files. The gate builds the index once, then REOPENS the
+    warehouse with a FRESH session object (new manifest read, sidecar
+    reload) and searches via vector_search(approximate=True, nprobe=8,
+    rerank=50). Gated: exactly k=10 rows; recall@10 vs the in-plan exact
+    top-10 >= 0.7; and the reopened session's (id, dist) result equals
+    the builder session's bit-for-bit — the cross-session persistence
+    hash-match."""
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark.operators.similarity import brute_force_topk
+
+    vec = _query_vec(spark, sf, 0)
+
+    def _search(ses):
+        with ses.transaction() as tx:
+            got = tx.bucket("b").schema("s").table("emb").vector_search(
+                vec,
+                columns=["vec_id"],
+                limit=10,
+                approximate=True,
+                nprobe=8,
+                rerank=50,
+            )
+        return list(
+            zip(got.column("vec_id").to_pylist(), got.column(1).to_pylist())
+        )
+
+    key = (sf, "__ivfpq_persist")
+    if key not in _ENGINE_WAREHOUSES:
+        wh = tempfile.mkdtemp(prefix="entry_ivfpqp_")
+        session = vastdb.connect(wh, spark=spark)
+        session.create_bucket("b")
+        src = f"{sf}/embeddings.parquet"
+        with session.transaction() as tx:
+            sc = tx.bucket("b").create_schema("s")
+            t = sc.create_table(
+                "emb",
+                _pq.ParquetFile(src).schema_arrow,
+                vector_index={"column": "embedding", "metric": "l2sq"},
+            )
+            t.import_files([src])
+        with session.transaction() as tx:
+            tx.bucket("b").schema("s").table("emb").build_vector_index(
+                kind="ivfpq", num_centroids=16, num_subspaces=16, seed=42
+            )
+        _ENGINE_WAREHOUSES[key] = (wh, _search(session))
+    wh, ref = _ENGINE_WAREHOUSES[key]
+
+    # fresh session object on the same warehouse: manifest + sidecar reload
+    pairs = _search(vastdb.connect(wh, spark=spark))
+    exact_ids = {
+        r.vec_id
+        for r in brute_force_topk(
+            _t(spark, sf, "embeddings"), vec, k=10, metric="l2sq", id_col="vec_id"
+        )
+        .select("vec_id")
+        .collect()
+    }
+    recall_ok = len({p[0] for p in pairs} & exact_ids) >= 7
+    return spark.createDataFrame(
+        [(len(pairs), recall_ok, pairs == ref)],
+        "k_returned LONG, recall_ok BOOLEAN, persisted_match BOOLEAN",
+    )
+
+
 def q_e14_engine_dedup(spark, sf):
     """Engine-tier exact dedup under the gate (table.dedup_rows): orders
     imported twice (a byte-identical copy, so every row is duplicated),
@@ -2966,6 +3040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the round-6 greens (freshest), so no entry's latest green ever ages
     # past ~3 rounds.
     return {
+        # -- new in round 8 (persisted ANN index variants, pHash gate, ...)
+        "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
         # -- new in round 7 (Gopher/C4 filters, blocked exact kNN join) ----
         "tx_gopher_flags": q_tx_gopher_flags,
         "tx_c4_filter": q_tx_c4_filter,
@@ -4214,6 +4290,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_ivfpq_topk": """
             SELECT CAST(10 AS BIGINT) AS k_returned, TRUE AS recall_ok
+        """,
+        "ann_ivfpq_persisted": """
+            SELECT CAST(10 AS BIGINT) AS k_returned, TRUE AS recall_ok,
+                   TRUE AS persisted_match
         """,
         "ann_ivf_knn_join": """
             SELECT CAST(10 AS BIGINT) AS n_left,

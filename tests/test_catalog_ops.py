@@ -952,3 +952,126 @@ def test_read_changes_map_column_order_invariant(clean_schema):
         assert kinds == ["update_postimage", "update_preimage"]
         post = [r for r in rows if r._change_type == "update_postimage"][0]
         assert dict(post.m) == {"x": 1, "y": 99}
+
+
+def _vec_table(n=300, dim=16, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    vecs = rng.random((n, dim)).astype("float32")
+    return vecs, pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "emb": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+
+
+def test_vector_index_ivfpq_persists_across_sessions(session, spark, tmp_path):
+    """build_vector_index(kind='ivfpq') stores centroids in the manifest
+    and PQ codebooks in a sidecar; a FRESH session object on the same
+    warehouse must return the bit-identical search result — the index
+    survives the session, not just the process."""
+    import numpy as np
+
+    import vastdb_sdk_spark as vastdb
+
+    vecs, data = _vec_table()
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").create_schema("s").create_table(
+            "v", data.schema, vector_index={"column": "emb", "metric": "l2sq"}
+        )
+        t.insert(data)
+        t.build_vector_index(
+            kind="ivfpq", num_centroids=4, num_subspaces=4, seed=42
+        )
+    q = vecs[5].tolist()
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("v")
+        got1 = t.vector_search(
+            q, columns=["id"], limit=5, approximate=True, nprobe=2, rerank=25
+        )
+        exact = t.vector_search(q, columns=["id"], limit=5)
+    assert got1.num_rows == 5
+    # reranked distances are TRUE squared-L2: ids shared with exact carry
+    # identical distances
+    e = dict(zip(exact.column("id").to_pylist(), exact.column(1).to_pylist()))
+    for i, d in zip(got1.column("id").to_pylist(), got1.column(1).to_pylist()):
+        if i in e:
+            assert abs(d - e[i]) < 1e-9
+    assert len(set(got1.column("id").to_pylist()) & set(e)) >= 3
+
+    # fresh session object, same warehouse -> identical result
+    s2 = vastdb.connect(str(tmp_path / "warehouse"), spark=spark)
+    with s2.transaction() as tx:
+        t2 = tx.bucket("bkt").schema("s").table("v")
+        assert t2.entry.vector_index.get("kind") == "ivfpq"
+        got2 = t2.vector_search(
+            q, columns=["id"], limit=5, approximate=True, nprobe=2, rerank=25
+        )
+        assert got2.column("id").to_pylist() == got1.column("id").to_pylist()
+        assert got2.column(1).to_pylist() == got1.column(1).to_pylist()
+
+        # DML marks it stale -> falls back to exact (still 5 rows)
+        t2.insert(pa.table({"id": pa.array([9999], pa.int64()),
+                            "emb": pa.array([[0.0] * 16], pa.list_(pa.float32()))}))
+        assert t2.entry.vector_index.get("stale") is True
+        fb = t2.vector_search(q, columns=["id"], limit=5, approximate=True)
+        assert fb.num_rows == 5
+
+
+def test_vector_index_flat_pq_and_validation(clean_schema):
+    vecs, data = _vec_table(n=120, dim=8, seed=3)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "vpq", data.schema, vector_index={"column": "emb", "metric": "l2sq"}
+        )
+        t.insert(data)
+        t.build_vector_index(kind="pq", num_subspaces=4, seed=42)
+    q = vecs[11].tolist()
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("vpq")
+        got = t.vector_search(
+            q, columns=["id"], limit=5, approximate=True, rerank=30
+        )
+        exact = t.vector_search(q, columns=["id"], limit=5)
+        assert got.num_rows == 5
+        assert got.column("id").to_pylist()[0] == 11  # own vector found
+        assert len(set(got.column("id").to_pylist())
+                   & set(exact.column("id").to_pylist())) >= 3
+        # predicate pushes into the ADC scan
+        flt = t.vector_search(
+            q, columns=["id"], limit=3, predicate=(D.id >= 50),
+            approximate=True, rerank=30,
+        )
+        assert all(i >= 50 for i in flt.column("id").to_pylist())
+
+    with clean_schema.transaction() as tx:
+        with pytest.raises(vastdb.InvalidArgument, match="kind"):
+            tx.bucket("bkt").schema("s").table("vpq").build_vector_index(kind="hnsw")
+        cos = tx.bucket("bkt").schema("s").create_table(
+            "vcos", data.schema, vector_index={"column": "emb", "metric": "cosine"}
+        )
+        cos.insert(data)
+        with pytest.raises(vastdb.NotSupportedCommand, match="ADC"):
+            cos.build_vector_index(kind="ivfpq")
+
+
+def test_vacuum_keeps_live_vector_index_files(clean_schema):
+    """VACUUM must treat the live index's cluster files as referenced —
+    deleting them would leave the manifest routing approximate searches
+    to missing paths."""
+    vecs, data = _vec_table(n=100, dim=8, seed=1)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "vv", data.schema, vector_index={"column": "emb", "metric": "l2sq"}
+        )
+        t.insert(data)
+        t.build_vector_index(num_centroids=4, seed=42)
+    clean_schema.vacuum("bkt")
+    q = vecs[0].tolist()
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("vv")
+        assert not t.entry.vector_index.get("stale")
+        got = t.vector_search(q, columns=["id"], limit=5, approximate=True, nprobe=2)
+        assert got.num_rows == 5

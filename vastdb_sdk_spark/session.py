@@ -120,6 +120,12 @@ class Session:
                 for proj in te.projections.values():
                     for fj in proj.get("files", []):
                         referenced.add(os.path.abspath(fj["path"]))
+                if te.vector_index:
+                    # index cluster files are .parquet under the data dir:
+                    # without this they'd be vacuumed away while the live
+                    # manifest still routes approximate searches to them
+                    for fj in te.vector_index.get("files", []):
+                        referenced.add(os.path.abspath(fj["path"]))
 
         collect(manifest)
         if keep_snapshots:

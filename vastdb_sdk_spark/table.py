@@ -2553,54 +2553,167 @@ class Table:
 
     # ------------------------------------------------------------------
     # vector search (reference: vastdb/table.py:889-906 + _adbc.py:133-159)
-    def build_vector_index(self, num_centroids: int = 64, seed: int = 42) -> None:
-        """Materialize an IVF index for the table's vector column: k-means
-        centroids stored in the manifest, the table's rows rewritten into
-        per-centroid cluster files (id columns + vector + physical row id).
-        ``vector_search(approximate=True)`` then probes only the nprobe
-        nearest clusters — the reference's index is ANN-capable the same way
-        (SURVEY.md §2.6 O5). DML marks the index stale like projections."""
+    def build_vector_index(
+        self,
+        num_centroids: int = 64,
+        seed: int = 42,
+        *,
+        kind: str = "ivf",
+        num_subspaces: int = 8,
+        num_codes: int = 256,
+        train_rows: int = 20000,
+    ) -> None:
+        """Materialize an ANN index for the table's vector column
+        (reference precedent: vector-index metadata rides table stats,
+        vastdb/_internal.py:809-826; SURVEY.md §2.6 O5). Three layouts:
+
+        - ``kind="ivf"`` (default): k-means centroids in the manifest,
+          rows rewritten into per-centroid cluster files; search probes
+          the nprobe nearest clusters.
+        - ``kind="pq"``: flat product quantization — every row carries an
+          m-byte ``pq_codes`` array; search is an ADC scan over codes
+          (column-pruned, no full-vector read) with optional exact
+          re-rank.
+        - ``kind="ivfpq"``: IVFADC (Jegou 2011) — IVF routing plus PQ
+          over residuals; search prunes to nprobe clusters AND scores
+          ~(4+m) bytes/vector. The layout for corpora where two full
+          vector copies don't fit.
+
+        Centroids live inline in the manifest (small); PQ codebooks go in
+        a JSON sidecar next to the cluster files (m*ksub*dsub floats
+        would bloat every subsequent manifest version if inline), whose
+        path the manifest records — both survive the session, so a fresh
+        session object on the same warehouse searches without a rebuild.
+        DML marks the index stale like projections; a stale index falls
+        back to exact search until rebuilt."""
         entry = TableEntry.from_json(self.entry.to_json())
         if not entry.vector_index:
             raise NotSupportedCommand(f"table {self.path} has no vector index")
+        if kind not in ("ivf", "pq", "ivfpq"):
+            raise InvalidArgument(
+                f"unknown vector index kind {kind!r}; use ivf | pq | ivfpq"
+            )
         vcol = entry.vector_index["column"]
-        from .operators.similarity import build_ivf_index
+        metric = entry.vector_index.get("metric", "l2sq")
+        if kind in ("pq", "ivfpq") and metric != "l2sq":
+            raise NotSupportedCommand(
+                f"{kind} indexes quantize squared-L2 residuals; metric "
+                f"{metric!r} is not ADC-scorable — use kind='ivf'"
+            )
 
         df = self.df(internal_row_id=True)
-        indexed, centroids = build_ivf_index(
-            df, vec_col=vcol, num_centroids=num_centroids, seed=seed
-        )
-        staging = os.path.join(
-            self._state.store.table_data_dir(self.schema.name, self.name),
-            f"vecidx-{time.time_ns()}",
-        )
-        (
-            indexed.withColumnRenamed(INTERNAL_ROW_ID, PHYSICAL_ROW_ID)
-            .repartition("centroid_id")
-            .write.mode("overwrite")
-            .partitionBy("centroid_id")
-            .parquet(staging)
-        )
+        data_dir = self._state.store.table_data_dir(self.schema.name, self.name)
+        staging = os.path.join(data_dir, f"vecidx-{time.time_ns()}")
+        vi = entry.vector_index
+        codebooks = None
+
+        if kind == "ivf":
+            from .operators.similarity import build_ivf_index
+
+            indexed, centroids = build_ivf_index(
+                df, vec_col=vcol, num_centroids=num_centroids, seed=seed
+            )
+        elif kind == "ivfpq":
+            from .operators.similarity import build_ivfpq_index
+
+            indexed, centroids, codebooks = build_ivfpq_index(
+                df,
+                vec_col=vcol,
+                num_centroids=num_centroids,
+                num_subspaces=num_subspaces,
+                num_codes=num_codes,
+                seed=seed,
+                train_rows=train_rows,
+            )
+        else:  # flat pq: no clustering — single partition dir
+            from .operators.similarity import build_pq_index
+
+            indexed, codebooks = build_pq_index(
+                df,
+                vec_col=vcol,
+                num_subspaces=num_subspaces,
+                num_codes=num_codes,
+                seed=seed,
+                train_rows=train_rows,
+            )
+            centroids = None
+
         files = []
-        for dirpath, _dirs, fnames in sorted(os.walk(staging)):
-            seg = os.path.basename(dirpath)
-            if not seg.startswith("centroid_id="):
-                continue
-            cid = int(seg.split("=", 1)[1])
-            for fn in sorted(fnames):
+        writer = indexed.withColumnRenamed(INTERNAL_ROW_ID, PHYSICAL_ROW_ID)
+        if kind == "pq":
+            writer.write.mode("overwrite").parquet(staging)
+            for fn in sorted(os.listdir(staging)):
                 if not fn.endswith(".parquet"):
                     continue
-                fpath = os.path.join(dirpath, fn)
+                fpath = os.path.join(staging, fn)
                 nrows = pq.ParquetFile(fpath).metadata.num_rows
                 if nrows:
-                    files.append({"path": fpath, "rows": nrows, "centroid_id": cid})
+                    files.append({"path": fpath, "rows": nrows})
                     self._state.staged_files.append(fpath)
-        entry.vector_index["centroids"] = [
-            [float(x) for x in c] for c in centroids
-        ]
-        entry.vector_index["files"] = files
-        entry.vector_index["stale"] = False
-        self._mutate(entry, "build_vector_index", centroids=num_centroids)
+        else:
+            (
+                writer.repartition("centroid_id")
+                .write.mode("overwrite")
+                .partitionBy("centroid_id")
+                .parquet(staging)
+            )
+            for dirpath, _dirs, fnames in sorted(os.walk(staging)):
+                seg = os.path.basename(dirpath)
+                if not seg.startswith("centroid_id="):
+                    continue
+                cid = int(seg.split("=", 1)[1])
+                for fn in sorted(fnames):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    fpath = os.path.join(dirpath, fn)
+                    nrows = pq.ParquetFile(fpath).metadata.num_rows
+                    if nrows:
+                        files.append(
+                            {"path": fpath, "rows": nrows, "centroid_id": cid}
+                        )
+                        self._state.staged_files.append(fpath)
+
+        vi["kind"] = kind
+        vi["base_dir"] = staging
+        vi["files"] = files
+        vi["centroids"] = (
+            [[float(x) for x in c] for c in centroids]
+            if centroids is not None
+            else None
+        )
+        if codebooks is not None:
+            import json as _json
+
+            cb_path = os.path.join(data_dir, f"pqbooks-{time.time_ns()}.json")
+            with open(cb_path, "w") as fh:
+                _json.dump(
+                    {
+                        "shape": list(codebooks.shape),
+                        "data": [float(x) for x in codebooks.reshape(-1)],
+                    },
+                    fh,
+                )
+            self._state.staged_files.append(cb_path)
+            vi["codebooks_path"] = cb_path
+        else:
+            vi.pop("codebooks_path", None)
+        vi["stale"] = False
+        self._mutate(entry, "build_vector_index", kind=kind, centroids=num_centroids)
+
+    def _load_codebooks(self):
+        import json as _json
+
+        import numpy as np
+
+        cb_path = self.entry.vector_index.get("codebooks_path")
+        if not cb_path:
+            raise NotSupportedCommand(
+                f"table {self.path} has no PQ codebooks — build with "
+                "kind='pq' or kind='ivfpq'"
+            )
+        with open(cb_path) as fh:
+            d = _json.load(fh)
+        return np.asarray(d["data"], dtype=np.float64).reshape(d["shape"])
 
     def vector_search(
         self,
@@ -2611,13 +2724,18 @@ class Table:
         *,
         approximate: bool = False,
         nprobe: int = 4,
+        rerank: int | None = None,
     ) -> pa.Table:
         """Top-k by the index's distance function. The reference emits
         ``SELECT cols, dist(col, vec) AS vast_pysdk_vector_dist ... ORDER BY
         ... LIMIT k`` through ADBC; we build the same plan in Spark. Default
         is exact brute-force (contract-compatible: the API promises top-k);
-        ``approximate=True`` probes the IVF index's nprobe nearest clusters
-        when one has been built (build_vector_index)."""
+        ``approximate=True`` routes through whatever index
+        ``build_vector_index`` persisted — IVF cluster probing, flat-PQ
+        ADC, or IVF-PQ (cluster pruning + residual ADC). ``rerank=r``
+        (PQ kinds) exact-rescores an r-row ADC shortlist so the returned
+        distances are true distances. A stale or absent index falls back
+        to exact."""
         entry = self.entry
         if not entry.vector_index:
             raise NotSupportedCommand(f"table {self.path} has no vector index")
@@ -2625,24 +2743,28 @@ class Table:
         metric = entry.vector_index.get("metric", "l2sq")
 
         df = None
-        if approximate:
-            vi = entry.vector_index
-            if vi.get("files") and not vi.get("stale"):
-                import numpy as np
+        vi = entry.vector_index
+        if approximate and vi.get("files") and not vi.get("stale"):
+            import numpy as np
 
-                cents = np.asarray(vi["centroids"], dtype=float)
-                q = np.asarray(vec, dtype=float)
-                d2 = ((cents - q) ** 2).sum(axis=1)
-                probe = {int(i) for i in np.argsort(d2)[:nprobe]}
-                paths = [
-                    f["path"] for f in vi["files"] if f["centroid_id"] in probe
-                ]
-                if paths:
-                    # cluster files are full row copies (clustered by
-                    # centroid): read the probed clusters directly — no join
-                    df = self.spark.read.parquet(*paths).drop(
-                        PHYSICAL_ROW_ID, "centroid_id"
-                    )
+            kind = vi.get("kind", "ivf")
+            if kind in ("pq", "ivfpq"):
+                return self._vector_search_adc(
+                    vi, kind, vec, columns, limit, predicate, nprobe, rerank
+                )
+            cents = np.asarray(vi["centroids"], dtype=float)
+            q = np.asarray(vec, dtype=float)
+            d2 = ((cents - q) ** 2).sum(axis=1)
+            probe = {int(i) for i in np.argsort(d2)[:nprobe]}
+            paths = [
+                f["path"] for f in vi["files"] if f["centroid_id"] in probe
+            ]
+            if paths:
+                # cluster files are full row copies (clustered by
+                # centroid): read the probed clusters directly — no join
+                df = self.spark.read.parquet(*paths).drop(
+                    PHYSICAL_ROW_ID, "centroid_id"
+                )
         if df is None:
             df = self.df()
 
@@ -2660,6 +2782,68 @@ class Table:
             .select(*out_cols, VECTOR_DIST_COL)
         )
         return df.toArrow()
+
+    def _vector_search_adc(
+        self, vi, kind, vec, columns, limit, predicate, nprobe, rerank
+    ) -> pa.Table:
+        """PQ/IVF-PQ arm of vector_search: read the persisted code files
+        (pruned to the probed clusters for ivfpq — manifest-level file
+        pruning, plus basePath partition recovery of centroid_id), apply
+        the predicate, then ADC-score via the operator tier so persisted
+        and operator-tier searches can never diverge. With ``rerank``
+        the shortlist is exact-rescored on the un-quantized column, so
+        the emitted vast_pysdk_vector_dist is a true squared-L2."""
+        import numpy as np
+
+        from .operators.similarity import ivfpq_topk, pq_topk
+
+        vcol = vi["column"]
+        books = self._load_codebooks()
+        q = [float(x) for x in vec]
+        if kind == "ivfpq":
+            cents = np.asarray(vi["centroids"], dtype=float)
+            nprobe = min(int(nprobe), len(cents))
+            d2 = ((cents - np.asarray(q)) ** 2).sum(axis=1)
+            probe = {int(i) for i in np.argsort(d2, kind="stable")[:nprobe]}
+            paths = [f["path"] for f in vi["files"] if f["centroid_id"] in probe]
+            if not paths:
+                return self.spark.createDataFrame(
+                    [], self.df().schema.add(VECTOR_DIST_COL, T.DoubleType())
+                ).toArrow()
+            df = self.spark.read.option("basePath", vi["base_dir"]).parquet(
+                *paths
+            )
+        else:
+            df = self.spark.read.parquet(*[f["path"] for f in vi["files"]])
+        df = df.drop(PHYSICAL_ROW_ID)
+        pred_col = to_spark_predicate(predicate, self.arrow_schema)
+        if pred_col is not None:
+            df = df.filter(pred_col)
+        if kind == "ivfpq":
+            out = ivfpq_topk(
+                df,
+                cents,
+                books,
+                q,
+                k=limit,
+                nprobe=nprobe,
+                dist_col=VECTOR_DIST_COL,
+                rerank=rerank,
+                vec_col=vcol,
+            )
+            out = out.drop("centroid_id")
+        else:
+            out = pq_topk(
+                df,
+                books,
+                q,
+                k=limit,
+                dist_col=VECTOR_DIST_COL,
+                rerank=rerank,
+                vec_col=vcol,
+            )
+        out_cols = columns or [f.name for f in self.arrow_schema]
+        return out.select(*out_cols, VECTOR_DIST_COL).toArrow()
 
     # ------------------------------------------------------------------
     # blob expansion (reference: vastdb/table.py:55-71, 1053-1074, 1173-1215)
