@@ -1075,3 +1075,146 @@ def test_vacuum_keeps_live_vector_index_files(clean_schema):
         assert not t.entry.vector_index.get("stale")
         got = t.vector_search(q, columns=["id"], limit=5, approximate=True, nprobe=2)
         assert got.num_rows == 5
+
+
+def test_refresh_vector_index_incremental_equals_rebuild(clean_schema):
+    """DML + incremental refresh must leave the SAME cluster contents a
+    frozen-centroid reassignment of the current table would produce, while
+    rewriting ONLY removal-touched clusters (untouched clusters keep
+    their file paths verbatim — the churn-bounded cost claim)."""
+    import numpy as np
+
+    from vastdb_sdk_spark.operators.similarity import assign_probe_centroids
+
+    vecs, data = _vec_table(n=240, dim=8, seed=11)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "vr", data.schema, vector_index={"column": "emb", "metric": "l2sq"}
+        )
+        t.insert(data)
+    with clean_schema.transaction() as tx:  # clean committed state
+        t = tx.bucket("bkt").schema("s").table("vr")
+        t.build_vector_index(num_centroids=6, seed=42)
+        assert t.entry.vector_index["built_version"] is not None
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("vr")
+        before = [dict(f) for f in t.entry.vector_index["files"]]
+        t.delete_where(D.id == 7)  # narrow churn: most clusters untouched
+        t.update_where(D.id == 100, {"emb": [0.5] * 8})
+        t.insert(pa.table({
+            "id": pa.array([1000, 1001], pa.int64()),
+            "emb": pa.array([[0.9] * 8, [0.1] * 8], pa.list_(pa.float32())),
+        }))
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("vr")
+        assert t.entry.vector_index["stale"] is True
+        res = t.refresh_vector_index(mode="incremental")
+        assert res["mode"] == "incremental"
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("vr")
+        vi = t.entry.vector_index
+        assert not vi["stale"]
+        # expected: frozen-centroid assignment of the CURRENT table
+        cents = np.asarray(vi["centroids"])
+        exp = {
+            (r["$row_id"], r.centroid_id)
+            for r in assign_probe_centroids(
+                t.select_df(internal_row_id=True).select("$row_id", "emb"),
+                cents, "emb", 1,
+            ).collect()
+        }
+        got = set()
+        for f in vi["files"]:
+            got |= {
+                (r.id_phys, f["centroid_id"])
+                for r in t.spark.read.parquet(f["path"])
+                .selectExpr("`_vastdb_row_id` AS id_phys")
+                .collect()
+            }
+        assert got == exp
+        # untouched clusters keep every pre-refresh file verbatim (additions
+        # append NEW files; only removal-touched clusters are rewritten)
+        touched = set(res["rewritten_clusters"])
+        assert touched and len(touched) < 6  # narrow churn by construction
+        after_paths = {f["path"] for f in vi["files"]}
+        untouched_old = [f for f in before if f["centroid_id"] not in touched]
+        assert untouched_old
+        assert all(f["path"] in after_paths for f in untouched_old)
+        # search still serves
+        q = vecs[50].tolist()
+        out = t.vector_search(q, columns=["id"], limit=5, approximate=True, nprobe=3)
+        assert out.num_rows == 5
+        # noop on a second refresh
+        assert t.refresh_vector_index()["mode"] == "noop"
+
+
+def test_refresh_vector_index_ivfpq_frozen_codebooks(clean_schema):
+    """IVF-PQ incremental refresh encodes the ADDED rows with the index's
+    ORIGINAL codebooks (never a refit), and final contents equal the
+    frozen-parameter encode of the current table."""
+    import numpy as np
+
+    from vastdb_sdk_spark.operators.similarity import (
+        assign_probe_centroids,
+        ivfpq_encode,
+    )
+
+    vecs, data = _vec_table(n=200, dim=8, seed=23)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "vq", data.schema, vector_index={"column": "emb", "metric": "l2sq"}
+        )
+        t.insert(data)
+    with clean_schema.transaction() as tx:
+        tx.bucket("bkt").schema("s").table("vq").build_vector_index(
+            kind="ivfpq", num_centroids=4, num_subspaces=4, seed=42
+        )
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("vq")
+        t.delete_where(D.id % 10 == 3)
+        t.insert(pa.table({
+            "id": pa.array([5000], pa.int64()),
+            "emb": pa.array([[0.7] * 8], pa.list_(pa.float32())),
+        }))
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("vq")
+        assert t.refresh_vector_index()["mode"] == "incremental"
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("vq")
+        vi = t.entry.vector_index
+        cents = np.asarray(vi["centroids"])
+        books = t._load_codebooks()
+        cur = assign_probe_centroids(
+            t.select_df(internal_row_id=True).select("$row_id", "emb"),
+            cents, "emb", 1,
+        )
+        exp = {
+            r["$row_id"]: (r.centroid_id, tuple(r.pq_codes))
+            for r in ivfpq_encode(cur, cents, books, vec_col="emb").collect()
+        }
+        got = {}
+        for f in vi["files"]:
+            for r in t.spark.read.parquet(f["path"]).selectExpr(
+                "`_vastdb_row_id` AS rid", "pq_codes"
+            ).collect():
+                got[r.rid] = (f["centroid_id"], tuple(r.pq_codes))
+        assert got == exp
+
+
+def test_refresh_vector_index_fallbacks(clean_schema):
+    """Index built alongside uncommitted DML has no refresh anchor:
+    mode='incremental' raises, mode='auto' falls back to a full rebuild."""
+    vecs, data = _vec_table(n=80, dim=8, seed=5)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "vf", data.schema, vector_index={"column": "emb", "metric": "l2sq"}
+        )
+        t.insert(data)
+        t.build_vector_index(num_centroids=4, seed=1)  # same-tx DML
+        assert t.entry.vector_index["built_version"] is None
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("vf")
+        with pytest.raises(vastdb.NotSupportedCommand, match="uncommitted"):
+            t.refresh_vector_index(mode="incremental")
+        assert t.refresh_vector_index(mode="auto")["mode"] == "full"
+        assert t.entry.vector_index["built_version"] is not None

@@ -719,21 +719,35 @@ def build_pq_index(
     # replacement needs ksub <= n), and ~4 samples per code above that
     ksub = int(min(num_codes, len(train), max(4, len(train) // 4)))
     books = _fit_pq_codebooks(train, m, ksub, seed)
+    return pq_encode(df, books, vec_col=vec_col, out_col=out_col), books
 
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: "np.ndarray",
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Encode vectors with FROZEN codebooks — the shared encode stage of
+    build_pq_index and the incremental-refresh path (new rows folded into
+    a persisted index must use the index's original books, not a refit).
+    Broadcast codebooks + Arrow-batched mapInPandas, one GEMM per
+    subspace per batch, zero shuffle, O(1) plan size."""
     from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, _ksub, dsub = B.shape
     sc = df.sparkSession.sparkContext
-    bc = sc.broadcast(books)
+    bc = sc.broadcast(B)
     out_schema = StructType(
         list(df.schema.fields) + [StructField(out_col, ArrayType(IntegerType()), False)]
     )
     cols = [f.name for f in df.schema.fields]
     vpos = cols.index(vec_col)
-    dsub = dim // m
 
     def encode_batches(batches):
-        B = bc.value
-        c_sq = [(B[j] * B[j]).sum(axis=1) for j in range(m)]
+        Bv = bc.value
+        c_sq = [(Bv[j] * Bv[j]).sum(axis=1) for j in range(m)]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -743,13 +757,13 @@ def build_pq_index(
             codes = np.empty((len(X), m), dtype=np.int32)
             for j in range(m):
                 Xj = X[:, j * dsub : (j + 1) * dsub]
-                d2 = c_sq[j][None, :] - 2.0 * (Xj @ B[j].T)
+                d2 = c_sq[j][None, :] - 2.0 * (Xj @ Bv[j].T)
                 codes[:, j] = np.argmin(d2, axis=1)
             out = pdf.copy()
             out[out_col] = [row.tolist() for row in codes]
             yield out
 
-    return df.mapInPandas(encode_batches, schema=out_schema), books
+    return df.mapInPandas(encode_batches, schema=out_schema)
 
 
 def pq_topk(
@@ -887,24 +901,40 @@ def build_ivfpq_index(
     resid = X - C[pdf.iloc[:, 1].to_numpy()]
     ksub = int(min(num_codes, len(resid), max(4, len(resid) // 4)))
     books = _fit_pq_codebooks(resid, m, ksub, seed)
+    return ivfpq_encode(indexed, C, books, vec_col=vec_col), C, books
 
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    codebooks: "np.ndarray",
+    vec_col: str = "embedding",
+    cid_col: str = "centroid_id",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Residual-PQ encode with FROZEN centroids + codebooks over rows that
+    already carry ``cid_col`` — shared by build_ivfpq_index and the
+    incremental-refresh path. Broadcast state + Arrow-batched
+    mapInPandas, zero shuffle."""
     from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
+    C = np.asarray(centroids, dtype=np.float64)
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, _ksub, dsub = B.shape
     sc = df.sparkSession.sparkContext
-    bc_books = sc.broadcast(books)
+    bc_books = sc.broadcast(B)
     bc_cent = sc.broadcast(C)
     out_schema = StructType(
-        list(indexed.schema.fields)
-        + [StructField("pq_codes", ArrayType(IntegerType()), False)]
+        list(df.schema.fields)
+        + [StructField(out_col, ArrayType(IntegerType()), False)]
     )
-    cols = [f.name for f in indexed.schema.fields]
+    cols = [f.name for f in df.schema.fields]
     vpos = cols.index(vec_col)
-    cpos = cols.index("centroid_id")
-    dsub = dim // m
+    cpos = cols.index(cid_col)
 
     def encode_batches(batches):
-        B, cent = bc_books.value, bc_cent.value
-        c_sq = [(B[j] * B[j]).sum(axis=1) for j in range(m)]
+        Bv, cent = bc_books.value, bc_cent.value
+        c_sq = [(Bv[j] * Bv[j]).sum(axis=1) for j in range(m)]
         for pdf_b in batches:
             if len(pdf_b) == 0:
                 continue
@@ -915,13 +945,13 @@ def build_ivfpq_index(
             codes = np.empty((len(R), m), dtype=np.int32)
             for j in range(m):
                 Rj = R[:, j * dsub : (j + 1) * dsub]
-                d2 = c_sq[j][None, :] - 2.0 * (Rj @ B[j].T)
+                d2 = c_sq[j][None, :] - 2.0 * (Rj @ Bv[j].T)
                 codes[:, j] = np.argmin(d2, axis=1)
             out = pdf_b.copy()
-            out["pq_codes"] = [row.tolist() for row in codes]
+            out[out_col] = [row.tolist() for row in codes]
             yield out
 
-    return indexed.mapInPandas(encode_batches, schema=out_schema), C, books
+    return df.mapInPandas(encode_batches, schema=out_schema)
 
 
 def ivfpq_topk(

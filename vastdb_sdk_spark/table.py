@@ -2676,6 +2676,26 @@ class Table:
         vi["kind"] = kind
         vi["base_dir"] = staging
         vi["files"] = files
+        # incremental-refresh anchor: the committed version whose table
+        # state this index reflects. Only recordable when the build ran on
+        # a clean committed state (no staged DML in this transaction) —
+        # otherwise the feed from any committed version would double-count
+        # the staged rows, so refresh falls back to a full rebuild.
+        committed = self._state.manifest_base().tables.get(
+            (self.schema.name, self.name)
+        )
+        clean = (
+            committed is not None
+            and committed.to_json().get("files") == self.entry.to_json().get("files")
+        )
+        vi["built_version"] = self._state.base_version if clean else None
+        vi["build_params"] = {
+            "num_centroids": num_centroids,
+            "seed": seed,
+            "num_subspaces": num_subspaces,
+            "num_codes": num_codes,
+            "train_rows": train_rows,
+        }
         vi["centroids"] = (
             [[float(x) for x in c] for c in centroids]
             if centroids is not None
@@ -2714,6 +2734,184 @@ class Table:
         with open(cb_path) as fh:
             d = _json.load(fh)
         return np.asarray(d["data"], dtype=np.float64).reshape(d["shape"])
+
+    def refresh_vector_index(self, mode: str = "auto") -> dict:
+        """Fold DML since the index build into the persisted cluster files
+        via the change feed, instead of rebuilding from scratch — the
+        incremental-view-maintenance path for indexes (centroids and PQ
+        codebooks stay FROZEN, standard ANN practice: the coarse
+        quantizer is retrained rarely, not per batch).
+
+        Cost tracks the CHURN, not the corpus: the feed scans only
+        changed table files (read_changes), removals rewrite only the
+        clusters the removed rows map to, and additions append new
+        cluster files without touching existing ones. A 0.1% DML day on
+        a 100 TB corpus re-clusters ~0.1% of the index; a full rebuild
+        re-encodes everything.
+
+        ``mode``: "auto" (incremental when possible, else full rebuild
+        with the original build params), "incremental" (raise
+        NotSupportedCommand when unavailable), "full". Incremental needs
+        ``built_version`` (the build ran on a clean committed state),
+        kind ivf/ivfpq (flat pq folds append-only feeds; removals force
+        full — codes aren't clustered, so removal targeting would scan
+        the whole index anyway), an unchanged schema, and should run
+        before other DML in its transaction. Returns a summary dict."""
+        entry = TableEntry.from_json(self.entry.to_json())
+        vi = entry.vector_index
+        if not vi or not vi.get("files"):
+            raise NotSupportedCommand(
+                f"table {self.path} has no materialized vector index"
+            )
+        if mode not in ("auto", "incremental", "full"):
+            raise InvalidArgument(f"unknown refresh mode {mode!r}")
+        params = vi.get("build_params") or {}
+        kind = vi.get("kind", "ivf")
+        built = vi.get("built_version")
+        cur = self._state.base_version
+
+        def _full():
+            self.build_vector_index(
+                params.get("num_centroids", 64),
+                params.get("seed", 42),
+                kind=kind,
+                num_subspaces=params.get("num_subspaces", 8),
+                num_codes=params.get("num_codes", 256),
+                train_rows=params.get("train_rows", 20000),
+            )
+            return {"mode": "full"}
+
+        def _unavailable(why):
+            if mode == "incremental":
+                raise NotSupportedCommand(
+                    f"incremental refresh unavailable for {self.path}: {why}"
+                )
+            return _full()
+
+        if mode == "full":
+            return _full()
+        if built is None:
+            return _unavailable("index was built alongside uncommitted DML")
+        # DML always marks the index stale, so a non-stale index is
+        # current even when unrelated commits moved the bucket version
+        if not vi.get("stale"):
+            return {"mode": "noop"}
+        try:
+            feed = self.read_changes(built, cur)
+        except InvalidArgument as e:
+            return _unavailable(f"feed span unreadable ({e})")
+
+        import numpy as np
+
+        from .operators.similarity import (
+            assign_probe_centroids,
+            ivfpq_encode,
+            pq_encode,
+        )
+
+        vcol = vi["column"]
+        cols = [f.name for f in self.arrow_schema]
+        data_dir = self._state.store.table_data_dir(self.schema.name, self.name)
+        staging = os.path.join(data_dir, f"vecidx-{time.time_ns()}")
+        feed = feed.persist()
+        try:
+            rem = feed.filter(
+                F.col("_change_type").isin("delete", "update_preimage")
+            )
+            add = feed.filter(
+                F.col("_change_type").isin("insert", "update_postimage")
+            ).select(*[F.col(c) for c in cols], F.col("_row_id").alias(PHYSICAL_ROW_ID))
+
+            if kind == "pq":
+                if rem.limit(1).count():
+                    return _unavailable("flat pq cannot fold removals")
+                enc = pq_encode(add, self._load_codebooks(), vec_col=vcol)
+                enc.write.mode("overwrite").parquet(staging)
+                new_files = list(vi["files"])
+                for fn in sorted(os.listdir(staging)):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    fpath = os.path.join(staging, fn)
+                    nrows = pq.ParquetFile(fpath).metadata.num_rows
+                    if nrows:
+                        new_files.append({"path": fpath, "rows": nrows})
+                        self._state.staged_files.append(fpath)
+                n_add = sum(
+                    f["rows"] for f in new_files[len(vi["files"]):]
+                )
+                touched = []
+            else:
+                cents = np.asarray(vi["centroids"], dtype=float)
+                rem_a = assign_probe_centroids(
+                    rem.select(F.col("_row_id"), F.col(vcol)), cents, vcol, 1
+                )
+                touched = sorted(
+                    r.centroid_id
+                    for r in rem_a.select("centroid_id").distinct().collect()
+                )
+                add_a = assign_probe_centroids(add, cents, vcol, 1)
+                if kind == "ivfpq":
+                    add_a = ivfpq_encode(
+                        add_a, cents, self._load_codebooks(), vec_col=vcol
+                    )
+                new_rows = add_a
+                cid_files: dict[int, list[str]] = {}
+                for f in vi["files"]:
+                    cid_files.setdefault(f["centroid_id"], []).append(f["path"])
+                rem_ids = rem_a.select(F.col("_row_id").alias(PHYSICAL_ROW_ID))
+                for cid in touched:
+                    paths = cid_files.get(cid)
+                    if not paths:
+                        continue
+                    part = (
+                        self.spark.read.parquet(*paths)
+                        .withColumn("centroid_id", F.lit(int(cid)).cast("int"))
+                        .join(rem_ids, PHYSICAL_ROW_ID, "left_anti")
+                    )
+                    new_rows = new_rows.unionByName(part)
+                (
+                    new_rows.repartition("centroid_id")
+                    .write.mode("overwrite")
+                    .partitionBy("centroid_id")
+                    .parquet(staging)
+                )
+                # untouched clusters keep their existing files verbatim —
+                # the rewrite set is exactly the removal-touched clusters
+                # plus fresh append files for clusters receiving additions
+                new_files = [
+                    f for f in vi["files"] if f["centroid_id"] not in set(touched)
+                ]
+                n_add = 0
+                for dirpath, _dirs, fnames in sorted(os.walk(staging)):
+                    seg = os.path.basename(dirpath)
+                    if not seg.startswith("centroid_id="):
+                        continue
+                    cid = int(seg.split("=", 1)[1])
+                    for fn in sorted(fnames):
+                        if not fn.endswith(".parquet"):
+                            continue
+                        fpath = os.path.join(dirpath, fn)
+                        nrows = pq.ParquetFile(fpath).metadata.num_rows
+                        if nrows:
+                            new_files.append(
+                                {"path": fpath, "rows": nrows, "centroid_id": cid}
+                            )
+                            self._state.staged_files.append(fpath)
+                            n_add += nrows
+        finally:
+            feed.unpersist()
+
+        vi["files"] = new_files
+        vi["built_version"] = cur
+        vi["stale"] = False
+        self._mutate(
+            entry, "refresh_vector_index", kind=kind, clusters=len(touched)
+        )
+        return {
+            "mode": "incremental",
+            "rewritten_clusters": list(touched),
+            "rows_written": int(n_add),
+        }
 
     def vector_search(
         self,
@@ -2805,14 +3003,23 @@ class Table:
             nprobe = min(int(nprobe), len(cents))
             d2 = ((cents - np.asarray(q)) ** 2).sum(axis=1)
             probe = {int(i) for i in np.argsort(d2, kind="stable")[:nprobe]}
-            paths = [f["path"] for f in vi["files"] if f["centroid_id"] in probe]
-            if not paths:
+            # per-cluster read + literal centroid_id (the partition column
+            # is directory-encoded, and after an incremental refresh the
+            # files span multiple staging dirs, so no single basePath)
+            parts = []
+            for cid in sorted(probe):
+                paths = [f["path"] for f in vi["files"] if f["centroid_id"] == cid]
+                if paths:
+                    parts.append(
+                        self.spark.read.parquet(*paths).withColumn(
+                            "centroid_id", F.lit(int(cid)).cast("int")
+                        )
+                    )
+            if not parts:
                 return self.spark.createDataFrame(
                     [], self.df().schema.add(VECTOR_DIST_COL, T.DoubleType())
                 ).toArrow()
-            df = self.spark.read.option("basePath", vi["base_dir"]).parquet(
-                *paths
-            )
+            df = reduce(DataFrame.unionByName, parts)
         else:
             df = self.spark.read.parquet(*[f["path"] for f in vi["files"]])
         df = df.drop(PHYSICAL_ROW_ID)
