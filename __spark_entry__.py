@@ -2731,6 +2731,65 @@ def q_ann_ivfpq_persisted(spark, sf):
     )
 
 
+def q_dd_phash_neardup(spark, sf):
+    """Perceptual-hash near-duplicate IMAGE pairs (operators/multimodal.
+    phash_images -> dedup.simhash_near_pairs pigeonhole hamming join) —
+    the ORACLE IS THE PLANTED PAIR LIST. Each doc_id < 25 gets a
+    "re-encoded" copy with a NEGATIVE id: same decoded pixel field up to
+    a small affine brightness/contrast shift plus a faint gradient — the
+    invariance class pHash exists for. pHash bits threshold DCT coeffs
+    against their median with the DC term excluded, so the affine part
+    flips NOTHING and the gradient flips a couple of low-frequency bits:
+    measured planted hamming <= 4 and organic minimum >= 10 at sf0.01
+    AND sf0.1, so radius 6 must recover EXACTLY the planted pairs —
+    full recall, zero false positives. The decoder is the pixels= seam
+    (payload-seeded RNG field; a re-encode marker triggers the
+    perturbation), the same plug real codecs use."""
+    from vastdb_sdk_spark.operators.dedup import simhash_near_pairs
+    from vastdb_sdk_spark.operators.multimodal import phash_images
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    base = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    planted = d.filter(F.col("doc_id") < 25).select(
+        (-(F.col("doc_id") + 1)).alias("media_id"),
+        F.encode(
+            F.concat(F.col("text"), F.lit("\x00REENC")), "utf-8"
+        ).alias("payload"),
+    )
+    corpus = base.unionByName(planted)
+
+    def pixels(payload):
+        import hashlib
+
+        import numpy as np
+
+        if payload is None:
+            return None
+        marker = b"\x00REENC"
+        reenc = payload.endswith(marker)
+        if reenc:
+            payload = payload[: -len(marker)]
+        h = hashlib.md5(payload).digest()
+        rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+        px = rng.random((32, 32))
+        if reenc:
+            i = np.arange(32) / 32.0
+            px = px * 0.97 + 0.015 + 0.02 * (i[None, :] + i[:, None]) / 2
+        return px
+
+    fps = phash_images(corpus, pixels=pixels).withColumnRenamed(
+        "phash", "simhash"
+    )
+    pairs = simhash_near_pairs(fps, "media_id", max_hamming=6)
+    # copies carry negative ids, so id_a (the smaller) is always the copy
+    return pairs.select(
+        F.col("id_a").alias("copy_id"), F.col("id_b").alias("orig_id")
+    )
+
+
 def q_e14_engine_dedup(spark, sf):
     """Engine-tier exact dedup under the gate (table.dedup_rows): orders
     imported twice (a byte-identical copy, so every row is duplicated),
@@ -2821,6 +2880,32 @@ def q_tx_bm25_topk(spark, sf):
         out.select("doc_id", F.round("bm25", 6).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
+    )
+
+
+def q_tx_hybrid_topk(spark, sf):
+    """Hybrid retrieval as an operator (operators/lm.hybrid_topk): Okapi
+    BM25 3-term shortlist of 100 over documents, exact embedding-cosine
+    re-rank against vec_id=7's vector, k=10 — the standard lexical +
+    semantic two-stage ranker, promoted from a test recipe to a contract.
+    Plan: zero-shuffle BM25 scan -> TakeOrdered(100) -> the tiny
+    shortlist BROADCASTS into the embeddings scan -> TakeOrdered(10)
+    (asserted in tests/test_pipeline_ops.py). The oracle replicates both
+    stages in SQL: the identical BM25 formula (term order preserved,
+    avgdl/idf bit-identical doubles), the same top-100 cut with doc_id
+    tie-break, then list_cosine_similarity re-rank."""
+    from vastdb_sdk_spark.operators.lm import hybrid_topk
+
+    d = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    vec = _query_vec(spark, sf, 7)
+    out = hybrid_topk(
+        d, emb, ["hash", "join", "filter"], vec, k=10, shortlist=100
+    )
+    return out.select(
+        "doc_id",
+        F.round("bm25", 6).alias("bm25"),
+        F.round("cosine", 4).alias("cosine"),
     )
 
 
@@ -3042,6 +3127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in round 8 (persisted ANN index variants, pHash gate, ...)
         "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
+        "dd_phash_neardup": q_dd_phash_neardup,
+        "tx_hybrid_topk": q_tx_hybrid_topk,
         # -- new in round 7 (Gopher/C4 filters, blocked exact kNN join) ----
         "tx_gopher_flags": q_tx_gopher_flags,
         "tx_c4_filter": q_tx_c4_filter,
@@ -4294,6 +4381,55 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_persisted": """
             SELECT CAST(10 AS BIGINT) AS k_returned, TRUE AS recall_ok,
                    TRUE AS persisted_match
+        """,
+        "dd_phash_neardup": """
+            -- ground truth: exactly the planted (copy, original) pairs —
+            -- the engine must find all of them and nothing else
+            SELECT -(doc_id + 1) AS copy_id, doc_id AS orig_id
+            FROM documents WHERE doc_id < 25
+        """,
+        "tx_hybrid_topk": f"""
+            WITH t AS (
+                SELECT doc_id, {tok} AS tk FROM documents
+            ), d AS (
+                SELECT doc_id, len(tk) AS dl,
+                       len(list_filter(tk, x -> x = 'hash'))   AS tf0,
+                       len(list_filter(tk, x -> x = 'join'))   AS tf1,
+                       len(list_filter(tk, x -> x = 'filter')) AS tf2
+                FROM t
+            ), s AS (
+                SELECT COUNT(*) AS n, AVG(dl) AS avgdl,
+                       SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                       SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                       SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+                FROM d
+            ), sl AS (
+                SELECT doc_id,
+                    0.0
+                    + ln(1.0 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5))
+                      * tf0 * (1.2 + 1.0)
+                      / (tf0 + 1.2 * (0.25 + 0.75 * dl / s.avgdl))
+                    + ln(1.0 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
+                      * tf1 * (1.2 + 1.0)
+                      / (tf1 + 1.2 * (0.25 + 0.75 * dl / s.avgdl))
+                    + ln(1.0 + (s.n - s.df2 + 0.5) / (s.df2 + 0.5))
+                      * tf2 * (1.2 + 1.0)
+                      / (tf2 + 1.2 * (0.25 + 0.75 * dl / s.avgdl))
+                    AS bm25_raw
+                FROM d CROSS JOIN s
+                ORDER BY bm25_raw DESC, doc_id ASC
+                LIMIT 100
+            ), q AS (
+                SELECT embedding AS qv FROM embeddings WHERE vec_id = 7
+            )
+            SELECT sl.doc_id, ROUND(sl.bm25_raw, 6) AS bm25,
+                   ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                q.qv::DOUBLE[]), 4) AS cosine
+            FROM sl JOIN embeddings e ON e.vec_id = sl.doc_id CROSS JOIN q
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.qv::DOUBLE[]) DESC,
+                     sl.doc_id ASC
+            LIMIT 10
         """,
         "ann_ivf_knn_join": """
             SELECT CAST(10 AS BIGINT) AS n_left,

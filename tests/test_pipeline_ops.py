@@ -881,3 +881,43 @@ def test_bm25_all_empty_corpus_scores_zero(spark):
     out = {r.doc_id: r.bm25 for r in bm25_scores(df, ["cat"], "text", "doc_id").collect()}
     assert out == {1: 0.0, 2: 0.0, 3: 0.0}
     assert not any(math.isnan(v) for v in out.values())
+
+
+def test_hybrid_topk_plan_and_contract(spark):
+    """hybrid_topk's scale shape: the BM25 shortlist is a TakeOrdered
+    (only `shortlist` rows cross the wire) that BROADCASTS into the
+    embedding scan — the big side never shuffles. Contract: k rows,
+    ordered by cosine desc, all members of the shortlist."""
+    from pyspark.sql import functions as F
+
+    from vastdb_sdk_spark.operators.lm import bm25_scores, hybrid_topk
+    from vastdb_sdk_spark.plans import inspect as pi
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).select("embedding").head()[0]]
+
+    out = hybrid_topk(docs, emb, ["hash", "join"], qvec, k=5, shortlist=50)
+    plan = pi.formatted_plan(out)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    rows = out.collect()
+    assert len(rows) == 5
+    cos = [r.cosine for r in rows]
+    assert cos == sorted(cos, reverse=True)
+    short_ids = {
+        r.doc_id
+        for r in bm25_scores(docs, ["hash", "join"], "text", "doc_id")
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(50)
+        .collect()
+    }
+    assert all(r.doc_id in short_ids for r in rows)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shortlist"):
+        hybrid_topk(docs, emb, ["hash"], qvec, k=10, shortlist=5)

@@ -174,3 +174,57 @@ def bm25_scores(
         )
         score = score + idf * tf_i * F.lit(float(k1) + 1.0) / denom
     return scored.select(id_col, score.alias(out_col))
+
+
+def hybrid_topk(
+    df: DataFrame,
+    emb_df: DataFrame,
+    query_terms: list[str],
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k1: float = 1.2,
+    b: float = 0.75,
+    out_col: str = "cosine",
+) -> DataFrame:
+    """Hybrid retrieval as a CONTRACT, not a recipe: Okapi BM25 keyword
+    shortlist over ``df``, exact embedding-cosine re-rank of the
+    shortlist against ``query_vec`` — the standard two-stage lexical +
+    semantic ranker (BM25 recalls keyword matches embeddings miss;
+    cosine orders them by meaning).
+
+    Plan shape at scale: the BM25 pass is bm25_scores' zero-shuffle map
+    scan, and the shortlist is a TakeOrdered — only ``shortlist`` rows
+    ever cross the wire. That tiny shortlist then BROADCASTS into the
+    embedding table's scan (the big side never shuffles, and id-pushdown
+    prunes its files where stats allow), so the whole second stage costs
+    one map-side join + a k-row TakeOrdered. Returns (id_col, bm25,
+    out_col) ordered by cosine desc, id asc.
+
+    Ties: shortlist breaks on ascending id (deterministic cut), re-rank
+    likewise."""
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    if shortlist < k:
+        raise ValueError(f"shortlist={shortlist} must be >= k={k}")
+    from ..functions.vector import cosine_similarity
+
+    sl = (
+        bm25_scores(df, query_terms, text_col, id_col, k1=k1, b=b)
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(int(shortlist))
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    joined = emb_df.join(
+        F.broadcast(sl), sl[id_col] == emb_df[emb_id_col], "inner"
+    )
+    return (
+        joined.withColumn(out_col, cosine_similarity(F.col(emb_col), qlit))
+        .orderBy(F.desc(out_col), F.asc(id_col))
+        .limit(int(k))
+        .select(id_col, "bm25", out_col)
+    )
