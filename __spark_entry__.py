@@ -3125,71 +3125,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the round-6 greens (freshest), so no entry's latest green ever ages
     # past ~3 rounds.
     return {
-        # -- new in round 8 (persisted ANN index variants, pHash gate, ...)
+        # -- new in round 8 (persisted IVF-PQ engine index, planted-pair
+        # -- pHash gate, hybrid BM25+embedding retrieval operator) -------
+        # Round-8 rotation policy (VERDICT r7 item 3): (1) the 3 queries
+        # NEW this round, (2) the 6 whose implementation changed this
+        # round (dd_passage_dups planted-id scheme; e16 change-feed map
+        # canonicalization; tx_bm25 term-dedupe/avgdl guard;
+        # ann_knn_join_blocked sentinel; ann_pq/ann_ivfpq encode
+        # extraction), (3) ALL 36 round-5-stale greens (the stalest in
+        # the registry), then (4) round-6 greens, stalest-first, to fill
+        # the 50. After the boundary: remaining round-6 greens (these
+        # lead the round-9 window), then round-7 greens, freshest last —
+        # no entry's latest green ever ages past ~3 rounds.
         "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
         "dd_phash_neardup": q_dd_phash_neardup,
         "tx_hybrid_topk": q_tx_hybrid_topk,
-        # -- new in round 7 (Gopher/C4 filters, blocked exact kNN join) ----
-        "tx_gopher_flags": q_tx_gopher_flags,
-        "tx_c4_filter": q_tx_c4_filter,
-        "ann_knn_join_blocked": q_ann_knn_join_blocked,
-        "tx_bpe_tokens": q_tx_bpe_tokens,
-        "ann_pq_topk": q_ann_pq_topk,
-        "tx_unigram_logprob": q_tx_unigram_logprob,
+        # -- code changed in round 8 ---------------------------------------
         "dd_passage_dups": q_dd_passage_dups,
-        "e15_jsonl_ingest": q_e15_jsonl_ingest,
         "e16_change_feed": q_e16_change_feed,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "tx_bm25_topk": q_tx_bm25_topk,
-        # -- code changed in round 7 (q8 projection, n==1 stratum, id check)
-        "ann_quantize_int8": q_ann_quantize_int8,
-        "ds_quality_filter": q_ds_quality_filter,
-        "dd_dup_clusters": q_dd_dup_clusters,
-        "tx_bigram_topk": q_tx_bigram_topk,
-        # -- round-4 greens (stalest) — queued at the r6 boundary ----------
-        "a7_approx_distinct": q_a7_approx_distinct,
-        "dd_lsh_pairs_fast": q_dd_lsh_pairs_fast,
-        "j2_semi_join": q_j2_semi_join,
-        "j3_anti_join": q_j3_anti_join,
-        "j4_outer_join_counts": q_j4_outer_join_counts,
-        "a2_count_distinct": q_a2_count_distinct,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "a3_having": q_a3_having,
-        "a4_rollup": q_a4_rollup,
-        "a5_conditional_agg": q_a5_conditional_agg,
-        "o1_limit_topk": q_o1_limit_topk,
-        "e3_engine_sorted_scan": q_e3_engine_sorted_scan,
-        "e5_engine_projection": q_e5_engine_projection,
-        "e6_engine_snapshot": q_e6_engine_snapshot,
-        "e7_engine_partitioned": q_e7_engine_partitioned,
-        "e8_engine_predicate_dml": q_e8_engine_predicate_dml,
-        "e11_merge_conditional": q_e11_merge_conditional,
-        "e12_engine_restore": q_e12_engine_restore,
-        "el2_sorted_ts_between": q_el2_sorted_ts_between,
-        "el3_sorted_conjunction": q_el3_sorted_conjunction,
-        "el4_sorted_or_ranges": q_el4_sorted_or_ranges,
-        "el5_sorted_isin": q_el5_sorted_isin,
-        "p8_struct_field": q_p8_struct_field,
-        "p10_literals": q_p10_literals,
-        # -- round-5 greens (next-stalest) — first 23 fill the window ------
-        "p2_comparisons": q_p2_comparisons,
-        "p3_between": q_p3_between,
-        "p4_isin": q_p4_isin,
-        "p5_isnull": q_p5_isnull,
-        "p6_startswith": q_p6_startswith,
-        "p7_contains": q_p7_contains,
-        "p11_false_predicate": q_p11_false_predicate,
-        "tpch_q12": q_tpch_q12,
-        "tx_pack_greedy": q_tx_pack_greedy,
-        "dd_simhash_fast": q_dd_simhash_fast,
-        "dd_embed_neardup": q_dd_embed_neardup,
-        # ---- window boundary (driver gates the 50 entries above) --------
+        "ann_knn_join_blocked": q_ann_knn_join_blocked,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        # -- round-5 greens (stalest in the registry; full 36-query rotation)
         "ann_rhp_topk": q_ann_rhp_topk,
         "ds_resample_mix": q_ds_resample_mix,
         "dd_contamination": q_dd_contamination,
         "skew_salted_agg": q_skew_salted_agg,
         "skew_salted_join": q_skew_salted_join,
-        # -- round-5 greens that didn't fit; these lead the round-8 window -
         "mm_frame_sample": q_mm_frame_sample,
         "dd_simhash_pairs": q_dd_simhash_pairs,
         "range_join_purchases": q_range_join_purchases,
@@ -3221,12 +3184,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_fingerprint": q_dd_fingerprint,
         "dd_minhash_sig": q_dd_minhash_sig,
         "dd_ngram_overlap": q_dd_ngram_overlap,
-        # -- round-6 greens (freshest; re-enter the window round 8/9) ------
+        # -- round-6 greens, stalest-first (fill the window to 50) ---------
         "ann_ivf_knn_join": q_ann_ivf_knn_join,
         "tx_pii_scrub": q_tx_pii_scrub,
         "asof_last_purchase": q_asof_last_purchase,
         "tx_repetition": q_tx_repetition,
         "tx_chunk_windows": q_tx_chunk_windows,
+        # ---- window boundary (driver gates the 50 entries above) --------
         "tx_normalize": q_tx_normalize,
         "e14_engine_dedup": q_e14_engine_dedup,
         "dd_simhash": q_dd_simhash,
@@ -3268,6 +3232,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "ds_stratified_sample": q_ds_stratified_sample,
         "ds_train_test_split": q_ds_train_test_split,
+        # -- round-7 greens (freshest; re-enter the window round 9/10) -----
+        "tx_gopher_flags": q_tx_gopher_flags,
+        "tx_c4_filter": q_tx_c4_filter,
+        "tx_bpe_tokens": q_tx_bpe_tokens,
+        "tx_unigram_logprob": q_tx_unigram_logprob,
+        "e15_jsonl_ingest": q_e15_jsonl_ingest,
+        "ann_quantize_int8": q_ann_quantize_int8,
+        "ds_quality_filter": q_ds_quality_filter,
+        "dd_dup_clusters": q_dd_dup_clusters,
+        "tx_bigram_topk": q_tx_bigram_topk,
+        "a7_approx_distinct": q_a7_approx_distinct,
+        "dd_lsh_pairs_fast": q_dd_lsh_pairs_fast,
+        "j2_semi_join": q_j2_semi_join,
+        "j3_anti_join": q_j3_anti_join,
+        "j4_outer_join_counts": q_j4_outer_join_counts,
+        "a2_count_distinct": q_a2_count_distinct,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "a3_having": q_a3_having,
+        "a4_rollup": q_a4_rollup,
+        "a5_conditional_agg": q_a5_conditional_agg,
+        "o1_limit_topk": q_o1_limit_topk,
+        "e3_engine_sorted_scan": q_e3_engine_sorted_scan,
+        "e5_engine_projection": q_e5_engine_projection,
+        "e6_engine_snapshot": q_e6_engine_snapshot,
+        "e7_engine_partitioned": q_e7_engine_partitioned,
+        "e8_engine_predicate_dml": q_e8_engine_predicate_dml,
+        "e11_merge_conditional": q_e11_merge_conditional,
+        "e12_engine_restore": q_e12_engine_restore,
+        "el2_sorted_ts_between": q_el2_sorted_ts_between,
+        "el3_sorted_conjunction": q_el3_sorted_conjunction,
+        "el4_sorted_or_ranges": q_el4_sorted_or_ranges,
+        "el5_sorted_isin": q_el5_sorted_isin,
+        "p8_struct_field": q_p8_struct_field,
+        "p10_literals": q_p10_literals,
+        "p2_comparisons": q_p2_comparisons,
+        "p3_between": q_p3_between,
+        "p4_isin": q_p4_isin,
+        "p5_isnull": q_p5_isnull,
+        "p6_startswith": q_p6_startswith,
+        "p7_contains": q_p7_contains,
+        "p11_false_predicate": q_p11_false_predicate,
+        "tpch_q12": q_tpch_q12,
+        "tx_pack_greedy": q_tx_pack_greedy,
+        "dd_simhash_fast": q_dd_simhash_fast,
+        "dd_embed_neardup": q_dd_embed_neardup,
     }
 
 

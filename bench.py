@@ -108,6 +108,9 @@ HEADLINE = [
     "tx_bm25_topk",
     "tx_unigram_logprob",
     "dd_passage_dups",
+    "tx_hybrid_topk",
+    "dd_phash_neardup",
+    "ann_ivfpq_persisted",
 ]
 
 

@@ -1218,3 +1218,58 @@ def test_refresh_vector_index_fallbacks(clean_schema):
             t.refresh_vector_index(mode="incremental")
         assert t.refresh_vector_index(mode="auto")["mode"] == "full"
         assert t.entry.vector_index["built_version"] is not None
+
+
+def test_projection_incremental_refresh_append_only(clean_schema):
+    """Append-only DML + Projection.refresh materializes ONLY the insert
+    delta as new projection files (old files kept verbatim); a span with
+    deletes/updates forces a full rebuild. Routed queries serve the
+    refreshed data identically to the base files."""
+    data = pa.table(
+        {
+            "k": pa.array(list(range(100)), pa.int64()),
+            "v": pa.array([i * 2 for i in range(100)], pa.int64()),
+        }
+    )
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("pr", data.schema)
+        t.insert(data)
+    with clean_schema.transaction() as tx:  # clean committed build
+        t = tx.bucket("bkt").schema("s").table("pr")
+        t.create_projection("by_k", ["k"], ["v"])
+        assert t.entry.projections["by_k"]["built_version"] is not None
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("pr")
+        before = [f["path"] for f in t.entry.projections["by_k"]["files"]]
+        t.insert(pa.table({"k": pa.array([500, 501], pa.int64()),
+                           "v": pa.array([1000, 1002], pa.int64())}))
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("pr")
+        p = t.projection("by_k")
+        assert p.stale
+        res = p.refresh(mode="incremental")
+        assert res["mode"] == "incremental" and res["appended_files"] >= 1
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("pr")
+        cfg = t.entry.projections["by_k"]
+        assert not cfg["stale"]
+        paths = [f["path"] for f in cfg["files"]]
+        assert paths[: len(before)] == before  # old files untouched
+        got = t.select(columns=["v"], predicate=(D.k == 501)).read_all()
+        assert got.column("v").to_pylist() == [1002]
+        assert t.projection("by_k").refresh()["mode"] == "noop"
+
+    # a delete in the span forces full rebuild (and incremental raises)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("pr")
+        t.delete_where(D.k == 0)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("pr")
+        p = t.projection("by_k")
+        with pytest.raises(vastdb.NotSupportedCommand, match="deletes"):
+            p.refresh(mode="incremental")
+        assert p.refresh(mode="auto")["mode"] == "full"
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("pr")
+        got = t.select(columns=["v"], predicate=(D.k == 0)).read_all()
+        assert got.num_rows == 0

@@ -2494,18 +2494,27 @@ class Table:
             "unsorted": list(unsorted_columns),
             "files": [f.to_json() for f in files],
             "stale": False,
+            "built_version": self._committed_state_version(),
         }
         self._mutate(entry, "create_projection", projection=name)
         return Projection(name, self)
 
     def _materialize_projection(
-        self, name: str, sorted_columns: list[str], unsorted_columns: list[str]
+        self,
+        name: str,
+        sorted_columns: list[str],
+        unsorted_columns: list[str],
+        source_df: DataFrame | None = None,
     ) -> list[FileEntry]:
+        """Write projection files for ``source_df`` (default: the whole
+        table) — shared by full (re)builds and the incremental refresh's
+        insert-delta append, so file layout/stats can never diverge."""
         pmap = self._physical_map()
         cols = [
             F.col(c).alias(pmap.get(c, c)) for c in sorted_columns + unsorted_columns
         ]
-        df = self.df().select(*[F.col(c) for c in sorted_columns + unsorted_columns])
+        base = source_df if source_df is not None else self.df()
+        df = base.select(*[F.col(c) for c in sorted_columns + unsorted_columns])
         n_parts = max(1, self.entry.num_rows // 4_000_000)
         out = (
             df.repartitionByRange(n_parts, *[F.col(c) for c in sorted_columns])
@@ -2681,14 +2690,7 @@ class Table:
         # a clean committed state (no staged DML in this transaction) —
         # otherwise the feed from any committed version would double-count
         # the staged rows, so refresh falls back to a full rebuild.
-        committed = self._state.manifest_base().tables.get(
-            (self.schema.name, self.name)
-        )
-        clean = (
-            committed is not None
-            and committed.to_json().get("files") == self.entry.to_json().get("files")
-        )
-        vi["built_version"] = self._state.base_version if clean else None
+        vi["built_version"] = self._committed_state_version()
         vi["build_params"] = {
             "num_centroids": num_centroids,
             "seed": seed,
@@ -2719,6 +2721,21 @@ class Table:
             vi.pop("codebooks_path", None)
         vi["stale"] = False
         self._mutate(entry, "build_vector_index", kind=kind, centroids=num_centroids)
+
+    def _committed_state_version(self) -> int | None:
+        """The pinned base version IF this table's staged file state equals
+        the committed one (no DML staged in this transaction) — the anchor
+        incremental index/projection refresh needs; None otherwise (a
+        build over staged rows has no committed version to diff from)."""
+        committed = self._state.manifest_base().tables.get(
+            (self.schema.name, self.name)
+        )
+        clean = (
+            committed is not None
+            and committed.to_json().get("files")
+            == self.entry.to_json().get("files")
+        )
+        return self._state.base_version if clean else None
 
     def _load_codebooks(self):
         import json as _json
@@ -3229,8 +3246,77 @@ class Projection:
             "unsorted": list(cfg["unsorted"]),
             "files": [f.to_json() for f in files],
             "stale": False,
+            "built_version": self.table._committed_state_version(),
         }
         self.table._mutate(entry, "rebuild_projection", projection=self.name)
+
+    def refresh(self, mode: str = "auto") -> dict:
+        """Incremental projection maintenance via the change feed: an
+        APPEND-ONLY span (the common corpus-growth case) materializes
+        only the inserted rows as new projection files — cost tracks the
+        insert delta, not the table. Any delete/update in the span forces
+        a full rebuild: projection files carry no row ids, so removal
+        targeting would read the whole projection anyway, at which point
+        the rebuild IS the cheap path. Per-file min/max stats still prune
+        (each appended file gets its own sorted-column stats; global
+        sortedness is not assumed by the scan router).
+
+        ``mode``: "auto" (incremental when the span is append-only and
+        the build anchor exists, else full), "incremental" (raise when
+        unavailable), "full". Returns a summary dict."""
+        t = self.table
+        if mode not in ("auto", "incremental", "full"):
+            raise InvalidArgument(f"unknown refresh mode {mode!r}")
+
+        def _full():
+            self.rebuild()
+            return {"mode": "full"}
+
+        def _unavailable(why):
+            if mode == "incremental":
+                raise NotSupportedCommand(
+                    f"incremental projection refresh unavailable for "
+                    f"{t.path}:{self.name}: {why}"
+                )
+            return _full()
+
+        if mode == "full":
+            return _full()
+        cfg = self._cfg
+        if not cfg.get("stale"):
+            return {"mode": "noop"}
+        built = cfg.get("built_version")
+        cur = t._state.base_version
+        if built is None:
+            return _unavailable("projection was built alongside uncommitted DML")
+        try:
+            feed = t.read_changes(built, cur)
+        except InvalidArgument as e:
+            return _unavailable(f"feed span unreadable ({e})")
+        feed = feed.persist()
+        try:
+            non_insert = feed.filter(
+                F.col("_change_type") != F.lit("insert")
+            ).limit(1).count()
+            if non_insert:
+                return _unavailable("span contains deletes/updates")
+            adds = feed.select(*[F.col(c) for c in self.columns()])
+            files = t._materialize_projection(
+                self.name, self.sorted_columns(), list(cfg["unsorted"]),
+                source_df=adds,
+            )
+        finally:
+            feed.unpersist()
+        entry = TableEntry.from_json(t.entry.to_json())
+        pcfg = entry.projections[self.name]
+        pcfg["files"] = list(pcfg["files"]) + [f.to_json() for f in files]
+        pcfg["stale"] = False
+        pcfg["built_version"] = cur
+        t._mutate(
+            entry, "refresh_projection", projection=self.name,
+            appended=len(files),
+        )
+        return {"mode": "incremental", "appended_files": len(files)}
 
     def get_stats(self) -> TableStats:
         files = [FileEntry.from_json(fj) for fj in self._cfg["files"]]
