@@ -111,6 +111,7 @@ HEADLINE = [
     "tx_hybrid_topk",
     "dd_phash_neardup",
     "ann_ivfpq_persisted",
+    "dd_semantic_dedup",
 ]
 
 

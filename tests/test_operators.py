@@ -834,3 +834,45 @@ def test_knn_join_blocked_non_integral_ids(spark):
     assert {(bytes(r.id_a), bytes(r.id_b)) for r in bout} == {
         (bytes([i]), bytes([i])) for i in range(3)
     }
+
+
+def test_semantic_dedup_marks_and_pairs(spark):
+    """SemDeDup composition: scaled copies normalize bit-identically
+    (same cluster, cos exactly 1), keep='min'/'max' pick deterministic
+    representatives, singletons keep, threshold bounds validated."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    # zero-centered: uniform(0,1) vectors all share the positive orthant
+    # and organically exceed cos 0.95 — gaussians concentrate near 0
+    vecs = rng.standard_normal((60, 8))
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    # scaled duplicates of ids 0..4 at negative ids
+    rows += [(-(i + 1), (2.0 * vecs[i]).tolist()) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    pairs = similarity.semantic_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.95, num_centroids=4, seed=42
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(-(i + 1), i) for i in range(5)}
+    assert all(r.cos_sim == 1.0 for r in pairs)
+
+    marks = similarity.semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.95, num_centroids=4, keep="max"
+    ).collect()
+    dropped = {r.vec_id for r in marks if not r.keep}
+    assert dropped == {-(i + 1) for i in range(5)}
+    assert len(marks) == 65
+    # keep='min' flips the representatives to the negative copies
+    marks_min = similarity.semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.95, num_centroids=4, keep="min"
+    ).collect()
+    assert {r.vec_id for r in marks_min if not r.keep} == set(range(5))
+    # singletons: sem_cluster NULL, keep True
+    single = [r for r in marks if r.vec_id == 50][0]
+    assert single.keep and single.sem_cluster is None
+
+    with pytest.raises(ValueError, match="threshold"):
+        similarity.semantic_dup_pairs(df, threshold=1.5)
+    with pytest.raises(ValueError, match="keep"):
+        similarity.semantic_dedup(df, keep="first")

@@ -647,3 +647,50 @@ def test_copy_to_from_format_symmetry(sql_session, tmp_path):
     ).collect()[0].n
     assert n == 6
     sql_session.execute_sql("DROP TABLE bkt.s.sym")
+
+
+def test_sql_projection_and_vector_index_lifecycle(session):
+    """Round-8 SQL verbs: CREATE/DROP PROJECTION, BUILD/REFRESH VECTOR
+    INDEX, REFRESH PROJECTION — thin dispatch onto the same engine
+    methods the Python API uses."""
+    import numpy as np
+
+    session.execute_sql("CREATE SCHEMA bkt.s")
+    rng = np.random.default_rng(3)
+    vecs = rng.random((120, 8)).astype("float32")
+    data = pa.table(
+        {
+            "id": pa.array(range(120), pa.int64()),
+            "emb": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "v", data.schema, vector_index={"column": "emb", "metric": "l2sq"}
+        )
+        t.insert(data)
+
+    session.execute_sql(
+        "BUILD VECTOR INDEX ON bkt.s.v KIND IVFPQ CENTROIDS 4 SUBSPACES 4 SEED 42"
+    )
+    with session.transaction() as tx:
+        vi = tx.bucket("bkt").schema("s").table("v").entry.vector_index
+        assert vi["kind"] == "ivfpq" and not vi["stale"]
+
+    session.execute_sql("INSERT INTO bkt.s.v VALUES (999, ARRAY(" + ",".join(["0.5"] * 8) + "))")
+    res = session.execute_sql("REFRESH VECTOR INDEX ON bkt.s.v MODE INCREMENTAL")
+    assert res["mode"] == "incremental"
+
+    session.execute_sql("CREATE PROJECTION by_id ON bkt.s.v (SORTED (id))")
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("v")
+        assert [p.name for p in t.projections()] == ["by_id"]
+    session.execute_sql("INSERT INTO bkt.s.v VALUES (1000, ARRAY(" + ",".join(["0.1"] * 8) + "))")
+    res = session.execute_sql("REFRESH PROJECTION by_id ON bkt.s.v")
+    assert res["mode"] == "incremental"
+    session.execute_sql("DROP PROJECTION by_id ON bkt.s.v")
+    with session.transaction() as tx:
+        assert tx.bucket("bkt").schema("s").table("v").projections() == []
+
+    with pytest.raises(InvalidArgument, match="cannot parse"):
+        session.execute_sql("BUILD VECTOR INDEX bkt.s.v")

@@ -1028,3 +1028,143 @@ def ivfpq_topk(
 
     scored = pruned.mapInPandas(adc_batches, schema=out_schema)
     return _topk_with_rerank(scored, q, k, rerank, id_col, dist_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+# Data-efficient learning at web-scale through semantic deduplication"):
+# k-means cluster the (normalized) embedding space, find high-cosine pairs
+# WITHIN each cluster only, connected-component the pairs, keep one
+# representative per component. The cross-cluster blindness is the paper's
+# own trade: semantic duplicates embed nearly identically, so they land in
+# the same cluster with overwhelming probability, and the within-cluster
+# restriction turns an O(N^2) pair search into sum-over-clusters |c|^2
+# with |c| ~ N/num_centroids.
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_centroids: int | None = None,
+    seed: int = 42,
+    gemm_chunk: int = 1024,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """High-cosine pairs within k-means clusters of the NORMALIZED
+    embedding space. Returns (id_a, id_b, cos_sim) with id_a < id_b.
+
+    Vectors are L2-normalized before clustering (spherical-k-means shape,
+    as in the paper) and before the GEMM, so cosine is a plain dot and a
+    positively-scaled duplicate (v vs 2v) is bit-identical after
+    normalization — same cluster, cosine exactly 1. Per-cluster work is
+    one applyInPandas cell: chunked float64 GEMM, only >=threshold pairs
+    leave the task. ``num_centroids=None`` auto-sizes to ~sqrt(corpus)
+    (build_ivf_index), keeping cluster size AND cluster count O(sqrt N);
+    a skew-hot cluster is handled by raising num_centroids, the paper's
+    own knob. ``sample_fraction`` bounds the k-means fit scan at corpus
+    scale."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    nvec = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: x
+        / F.greatest(
+            F.sqrt(
+                F.aggregate(
+                    F.col(vec_col).cast("array<double>"),
+                    F.lit(0.0),
+                    lambda a, y: a + y * y,
+                )
+            ),
+            F.lit(1e-30),
+        ),
+    )
+    normed = df.select(F.col(id_col), nvec.alias("__nvec"))
+    assigned, _cents = build_ivf_index(
+        normed,
+        vec_col="__nvec",
+        num_centroids=num_centroids,
+        seed=seed,
+        sample_fraction=sample_fraction,
+    )
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+    chunk = int(gemm_chunk)
+
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        X = np.stack(pdf["__nvec"].to_numpy()[order]).astype(np.float64)
+        out_a, out_b, out_s = [], [], []
+        n = len(ids)
+        for s in range(0, n, chunk):
+            S = X[s : s + chunk] @ X.T
+            for r in range(S.shape[0]):
+                i = s + r
+                hits = np.nonzero(S[r, i + 1 :] >= thr)[0]
+                if hits.size:
+                    out_a.extend([ids[i]] * hits.size)
+                    out_b.extend(ids[i + 1 + hits])
+                    out_s.extend(S[r, i + 1 + hits])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_s})
+
+    return (
+        assigned.groupBy("centroid_id")
+        .applyInPandas(_cell_pairs, out_schema)
+        .withColumn("cos_sim", F.round("cos_sim", 6))
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_centroids: int | None = None,
+    seed: int = 42,
+    keep: str = "min",
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """SemDeDup keep/drop marks: every input row tagged with its semantic
+    component (``sem_cluster``, NULL for singletons) and ``keep`` —
+    exactly one representative survives per component (``keep='min'`` or
+    ``'max'`` id, a deterministic choice; the paper keeps an arbitrary
+    member). Composition: semantic_dup_pairs -> dedup.dup_clusters
+    (min-label pointer jumping, O(log d) rounds) -> per-component keeper
+    aggregate (component-count sized, broadcastable) joined back. Ids
+    must be integral (dup_clusters contract)."""
+    from .dedup import dup_clusters
+
+    if keep not in ("min", "max"):
+        raise ValueError(f"keep must be 'min' or 'max', got {keep!r}")
+    pairs = semantic_dup_pairs(
+        df, id_col, vec_col, threshold, num_centroids, seed,
+        sample_fraction=sample_fraction,
+    )
+    comps = dup_clusters(pairs)  # (doc_id, cluster_id)
+    agg = F.min if keep == "min" else F.max
+    keepers = comps.groupBy("cluster_id").agg(agg("doc_id").alias("__keeper"))
+    marked = comps.join(F.broadcast(keepers), "cluster_id").select(
+        F.col("doc_id").alias(id_col),
+        F.col("cluster_id").alias("sem_cluster"),
+        (F.col("doc_id") == F.col("__keeper")).alias("keep"),
+    )
+    return (
+        df.select(id_col)
+        .join(marked, id_col, "left")
+        .withColumn("keep", F.coalesce(F.col("keep"), F.lit(True)))
+    )

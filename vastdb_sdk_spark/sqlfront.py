@@ -413,6 +413,89 @@ class SqlFrontend:
                     int(m.group(3)) if m.group(3) else None,
                 )
             return self._show(stmt)
+        if kw == "CREATE" and head[1].upper() == "PROJECTION":
+            m = re.match(
+                rf"(?is)CREATE\s+PROJECTION\s+({_IDENT})\s+ON\s+({_DOTTED})"
+                rf"\s*\(\s*SORTED\s*\(([^()]*)\)"
+                rf"(?:\s*,\s*UNSORTED\s*\(([^()]*)\))?\s*\)\s*$",
+                stmt,
+            )
+            if not m:
+                raise InvalidArgument(
+                    "cannot parse (expected CREATE PROJECTION p ON b.s.t "
+                    f"(SORTED (c1, ...) [, UNSORTED (c2, ...)])): {stmt!r}"
+                )
+            _, _, _, table = self._resolve_table(m.group(2))
+            sorted_cols = [_unquote(c) for c in _split_top(m.group(3))]
+            unsorted_cols = (
+                [_unquote(c) for c in _split_top(m.group(4))]
+                if m.group(4)
+                else []
+            )
+            table.create_projection(_unquote(m.group(1)), sorted_cols, unsorted_cols)
+            return {"created_projection": _unquote(m.group(1))}
+        if kw == "DROP" and head[1].upper() == "PROJECTION":
+            m = re.match(
+                rf"(?is)DROP\s+PROJECTION\s+({_IDENT})\s+ON\s+({_DOTTED})\s*$",
+                stmt,
+            )
+            if not m:
+                raise InvalidArgument(f"cannot parse: {stmt!r}")
+            _, _, _, table = self._resolve_table(m.group(2))
+            table.projection(_unquote(m.group(1))).drop()
+            return {"dropped_projection": _unquote(m.group(1))}
+        if kw == "BUILD":
+            m = re.match(
+                rf"(?is)BUILD\s+VECTOR\s+INDEX\s+ON\s+({_DOTTED})"
+                rf"(?:\s+KIND\s+(\w+))?"
+                rf"(?:\s+CENTROIDS\s+(\d+))?"
+                rf"(?:\s+SUBSPACES\s+(\d+))?"
+                rf"(?:\s+CODES\s+(\d+))?"
+                rf"(?:\s+SEED\s+(\d+))?\s*$",
+                stmt,
+            )
+            if not m:
+                raise InvalidArgument(
+                    "cannot parse (expected BUILD VECTOR INDEX ON b.s.t "
+                    "[KIND IVF|PQ|IVFPQ] [CENTROIDS n] [SUBSPACES m] "
+                    f"[CODES k] [SEED s]): {stmt!r}"
+                )
+            _, _, _, table = self._resolve_table(m.group(1))
+            kind = (m.group(2) or "ivf").lower()
+            table.build_vector_index(
+                int(m.group(3)) if m.group(3) else 64,
+                int(m.group(6)) if m.group(6) else 42,
+                kind=kind,
+                num_subspaces=int(m.group(4)) if m.group(4) else 8,
+                num_codes=int(m.group(5)) if m.group(5) else 256,
+            )
+            return {"built_vector_index": kind}
+        if kw == "REFRESH":
+            m = re.match(
+                rf"(?is)REFRESH\s+VECTOR\s+INDEX\s+ON\s+({_DOTTED})"
+                rf"(?:\s+MODE\s+(\w+))?\s*$",
+                stmt,
+            )
+            if m:
+                _, _, _, table = self._resolve_table(m.group(1))
+                return table.refresh_vector_index(
+                    (m.group(2) or "auto").lower()
+                )
+            m = re.match(
+                rf"(?is)REFRESH\s+PROJECTION\s+({_IDENT})\s+ON\s+({_DOTTED})"
+                rf"(?:\s+MODE\s+(\w+))?\s*$",
+                stmt,
+            )
+            if not m:
+                raise InvalidArgument(
+                    "cannot parse (expected REFRESH VECTOR INDEX ON b.s.t "
+                    "[MODE AUTO|INCREMENTAL|FULL] or REFRESH PROJECTION p "
+                    f"ON b.s.t [MODE ...]): {stmt!r}"
+                )
+            _, _, _, table = self._resolve_table(m.group(2))
+            return table.projection(_unquote(m.group(1))).refresh(
+                (m.group(3) or "auto").lower()
+            )
         if kw in ("DESCRIBE", "DESC"):
             return self._describe(stmt)
         if kw == "INSERT":
