@@ -407,3 +407,96 @@ def test_stream_dedup_near_incremental_restarts(session, tmp_path):
         ids = {r.doc_id for r in t.df().select("doc_id").collect()}
         assert 90_001 in ids and 90_000 not in ids
         assert t.count_rows() == n1 + 1
+
+
+def test_stream_dedup_semantic_against_table(session, tmp_path):
+    """Semantic-near-dup-free continuous ingestion: batch 2 carries
+    (a) scaled copies of batch-1 vectors (cosine exactly 1 — must drop
+    via the persisted band-key table), (b) an in-batch near-identical
+    pair (higher id dropped), (c) clean vectors (organic max cosine in
+    this corpus is ~0.6, far under 0.95 — must survive). Dedup state is
+    corpus + signature tables only."""
+    import time as _time
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from vastdb_sdk_spark.streaming.dedup import (
+        stream_dedup_semantic_against_table,
+    )
+
+    spark = session.spark
+    rows = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter("vec_id < 80")
+        .collect()
+    )
+    dim = len(rows[0].embedding)
+    b1 = [(r.vec_id, [float(x) for x in r.embedding]) for r in rows if r.vec_id < 50]
+    clean2 = [(r.vec_id, [float(x) for x in r.embedding]) for r in rows if r.vec_id >= 50]
+    copies = [(10_000 + i, [2.0 * x for x in v]) for i, (_, v) in enumerate(b1[:5])]
+    tw = [x * 0.5 for x in b1[6][1]]
+    twin_a, twin_b = (20_000, tw), (20_001, [x * 4.0 for x in tw])
+    b2 = clean2 + copies + [twin_a, twin_b]
+
+    src = tmp_path / "sem_src"
+    src.mkdir()
+    for i, part in enumerate((b1, b2)):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([d for d, _ in part], pa.int64()),
+                    "embedding": pa.array(
+                        [v for _, v in part], pa.list_(pa.float64())
+                    ),
+                }
+            ),
+            str(src / f"part-{i}.parquet"),
+        )
+        _time.sleep(0.05)
+
+    with session.transaction() as tx:
+        sc = tx.bucket("bkt").create_schema("s")
+        sc.create_table(
+            "vcorpus",
+            pa.schema(
+                [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float64()))]
+            ),
+        )
+        sc.create_table(
+            "vsigs",
+            pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("band_id", pa.int32()),
+                    ("band_key", pa.int64()),
+                ]
+            ),
+        )
+    with session.transaction() as tx:
+        ct = tx.bucket("bkt").schema("s").table("vcorpus")
+        st = tx.bucket("bkt").schema("s").table("vsigs")
+        stream = spark.readStream.schema(
+            "vec_id LONG, embedding ARRAY<DOUBLE>"
+        ).option("maxFilesPerTrigger", 1).parquet(str(src))
+        q = stream_dedup_semantic_against_table(
+            stream, ct, st, str(tmp_path / "ckpt_sem"),
+            threshold=0.95, dim=dim,
+        ).start()
+        q.awaitTermination(240)
+
+    with session.transaction() as tx:
+        ct = tx.bucket("bkt").schema("s").table("vcorpus")
+        st = tx.bucket("bkt").schema("s").table("vsigs")
+        got = {r.vec_id for r in ct.df().select("vec_id").collect()}
+        # scaled copies of batch-1 vectors dropped via the signature table
+        assert not got & {d for d, _ in copies}
+        # in-batch twin pair: higher id dropped, lower kept UNLESS it is
+        # itself a scaled copy of a batch-1 vector (it is: tw = 0.5*b1[6])
+        assert twin_b[0] not in got
+        assert twin_a[0] not in got  # cosine 1 vs b1[6] -> cross-dropped
+        # every original and every clean batch-2 vector survives
+        assert {d for d, _ in b1} <= got
+        assert {d for d, _ in clean2} <= got
+        assert st.count_rows() == len(got) * 4  # num_bands rows/survivor

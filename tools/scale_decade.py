@@ -70,6 +70,11 @@ QUERIES = [
     "tx_bpe_tokens",
     "ann_ivfpq_topk",
     "tx_bm25_topk",
+    # round-8 additions
+    "tx_hybrid_topk",
+    "dd_phash_neardup",
+    "dd_semantic_dedup",
+    "ann_ivfpq_persisted",
 ]
 
 _RUNNER = r"""

@@ -1168,3 +1168,43 @@ def semantic_dedup(
         .join(marked, id_col, "left")
         .withColumn("keep", F.coalesce(F.col("keep"), F.lit(True)))
     )
+
+
+def rhp_band_keys(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 16,
+    num_bands: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Banded random-hyperplane keys for an embedding column: each row
+    emits ``num_bands`` rows of (id_col, band_id, band_key) — the
+    persistable LSH state for cross-batch semantic dedup (two vectors
+    with cosine near 1 agree on all plane signs, so they share every
+    band key; a band equi-join is the candidate generator). Deterministic
+    for a fixed seed, so keys computed in different sessions/batches
+    join correctly."""
+    if num_planes % num_bands != 0:
+        raise ValueError("num_bands must divide num_planes evenly")
+    indexed, _ = build_rhp_index(df, vec_col, num_planes, seed, dim=dim)
+    r = num_planes // num_bands
+    mask = (1 << r) - 1
+    return indexed.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).cast("int").alias("band_id"),
+                        F.shiftright(F.col("lsh_bucket"), bi * r)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("long")
+                        .alias("band_key"),
+                    )
+                    for bi in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band_id", "bk.band_key")

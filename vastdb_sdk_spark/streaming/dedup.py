@@ -214,3 +214,136 @@ def stream_dedup_near_against_table(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def stream_dedup_semantic_against_table(
+    stream: DataFrame,
+    corpus_table,
+    sig_table,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    num_bands: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+):
+    """Continuous SEMANTIC-near-duplicate-free ingestion — the embedding
+    face of :func:`stream_dedup_near_against_table`: same engine-table
+    state discipline (corpus + banded-signature tables, stream state
+    store stays empty), but the similarity is embedding cosine and the
+    band keys are banded random-hyperplane signatures
+    (operators/similarity.rhp_band_keys — deterministic for a fixed
+    seed, so keys from different batches/sessions join correctly).
+
+    Per micro-batch (foreachBatch):
+
+    1. in-batch pass: LSH-banded candidate pairs + exact-cosine verify
+       within the batch (embedding_near_dup_pairs); the higher id of
+       every verified pair is dropped.
+    2. cross-batch pass: the batch's band keys equi-join the persisted
+       signature table; candidate (new, old) pairs are verified by exact
+       cosine against the corpus table's vectors — the corpus is
+       semi-joined down to the suspects first, so only suspect vectors
+       are re-read.
+    3. survivors + their band keys land in ONE engine transaction with
+       the micro-batch id recorded via set_stream_offset (exactly-once;
+       a replayed batch is detected and skipped).
+
+    Shuffle per batch: O(batch x num_bands) band rows against the
+    signature table — never batch x corpus. Pass ``dim`` to keep plan
+    construction free of per-batch head() probes. Caller contract: ids
+    globally unique and integral; ``sig_table`` columns
+    (id_col int64, band_id int32, band_key int64)."""
+    import os
+
+    from ..functions.vector import cosine_similarity
+    from ..operators.similarity import embedding_near_dup_pairs, rhp_band_keys
+
+    session = corpus_table.tx._session
+    bucket = corpus_table.bucket.name
+    schema_name = corpus_table.schema.name
+    corpus_name = corpus_table.name
+    sig_name = sig_table.name
+    cols = [f.name for f in corpus_table.arrow_schema]
+    stream_id = f"ckpt:{os.path.abspath(checkpoint_dir)}"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(*cols).dropDuplicates([id_col])
+        cached = []
+
+        def _persist(df):
+            cached.append(df.persist())
+            return cached[-1]
+
+        try:
+            in_pairs = embedding_near_dup_pairs(
+                batch, id_col, vec_col, threshold, num_planes, seed,
+                num_bands, dim=dim,
+            )
+            in_drop = in_pairs.select(F.col("id_b").alias(id_col)).distinct()
+            survivors = _persist(batch.join(in_drop, id_col, "left_anti"))
+            bands = _persist(
+                rhp_band_keys(
+                    survivors, vec_col, id_col, num_planes, num_bands,
+                    seed, dim=dim,
+                )
+            )
+            with session.transaction() as tx:
+                ct = tx.bucket(bucket).schema(schema_name).table(corpus_name)
+                st = tx.bucket(bucket).schema(schema_name).table(sig_name)
+                if batch_id <= ct.stream_offset(stream_id):
+                    return  # replayed micro-batch: already committed
+                old_bands = st.df().select(
+                    F.col(id_col).alias("__old_id"), "band_id", "band_key"
+                )
+                cand = (
+                    bands.join(old_bands, ["band_id", "band_key"])
+                    .select(
+                        F.col(id_col).alias("id_a"),
+                        F.col("__old_id").alias("id_b"),
+                    )
+                    .distinct()
+                )
+                va = survivors.select(
+                    F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+                )
+                old_ids = cand.select(F.col("id_b").alias(id_col)).distinct()
+                vb = (
+                    ct.df()
+                    .select(id_col, vec_col)
+                    .join(old_ids, id_col, "left_semi")
+                    .select(
+                        F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("__vb"),
+                    )
+                )
+                verified = (
+                    cand.join(va, "id_a")
+                    .join(vb, "id_b")
+                    .filter(
+                        cosine_similarity(F.col("__va"), F.col("__vb"))
+                        >= threshold
+                    )
+                )
+                cross_drop = _persist(
+                    verified.select(F.col("id_a").alias(id_col)).distinct()
+                )
+                fresh = survivors.join(cross_drop, id_col, "left_anti")
+                ct.insert_df(fresh)
+                st.insert_df(
+                    bands.join(cross_drop, id_col, "left_anti").select(
+                        id_col, "band_id", "band_key"
+                    )
+                )
+                ct.set_stream_offset(stream_id, batch_id)
+        finally:
+            for df in cached:
+                df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -2862,6 +2862,10 @@ class Table:
                 rem_a = assign_probe_centroids(
                     rem.select(F.col("_row_id"), F.col(vcol)), cents, vcol, 1
                 )
+                # bounded driver action: DISTINCT touched cluster ids,
+                # <= num_centroids ints (metadata-sized at any corpus —
+                # same class as build_ivf_index's count()); row data
+                # never crosses to the driver
                 touched = sorted(
                     r.centroid_id
                     for r in rem_a.select("centroid_id").distinct().collect()
@@ -3003,11 +3007,12 @@ class Table:
     ) -> pa.Table:
         """PQ/IVF-PQ arm of vector_search: read the persisted code files
         (pruned to the probed clusters for ivfpq — manifest-level file
-        pruning, plus basePath partition recovery of centroid_id), apply
-        the predicate, then ADC-score via the operator tier so persisted
-        and operator-tier searches can never diverge. With ``rerank``
-        the shortlist is exact-rescored on the un-quantized column, so
-        the emitted vast_pysdk_vector_dist is a true squared-L2."""
+        pruning, centroid_id re-attached per cluster read), apply the
+        predicate, project to the ADC-narrow column set, then score via
+        the operator tier so persisted and operator-tier searches can
+        never diverge. With ``rerank`` the shortlist is exact-rescored on
+        the un-quantized column, so the emitted vast_pysdk_vector_dist is
+        a true squared-L2."""
         import numpy as np
 
         from .operators.similarity import ivfpq_topk, pq_topk
@@ -3043,6 +3048,18 @@ class Table:
         pred_col = to_spark_predicate(predicate, self.arrow_schema)
         if pred_col is not None:
             df = df.filter(pred_col)
+        # ADC's scan width is the POINT of PQ: after the predicate, keep
+        # only output columns + codes (+ the un-quantized vector only when
+        # reranking, + centroid_id for per-cluster LUTs) — parquet column
+        # pruning then skips the wide vector column entirely on the
+        # no-rerank path instead of shipping it through every Arrow batch
+        out_cols = columns or [f.name for f in self.arrow_schema]
+        needed = list(dict.fromkeys(out_cols + ["pq_codes"]))
+        if rerank is not None and vcol not in needed:
+            needed.append(vcol)
+        if kind == "ivfpq":
+            needed.append("centroid_id")
+        df = df.select(*[F.col(f"`{c}`") for c in dict.fromkeys(needed)])
         if kind == "ivfpq":
             out = ivfpq_topk(
                 df,
@@ -3066,7 +3083,6 @@ class Table:
                 rerank=rerank,
                 vec_col=vcol,
             )
-        out_cols = columns or [f.name for f in self.arrow_schema]
         return out.select(*out_cols, VECTOR_DIST_COL).toArrow()
 
     # ------------------------------------------------------------------
