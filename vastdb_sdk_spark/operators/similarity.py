@@ -243,6 +243,36 @@ def embedding_near_dup_pairs(
     )
 
 
+def _lloyd_kmeans(
+    X: "np.ndarray", k: int, seed: int, iters: int = 25
+) -> "np.ndarray":
+    """Deterministic driver-side Lloyd's k-means over a training sample —
+    the full-vector sibling of the per-subspace fit in
+    :func:`_fit_pq_codebooks` (seeded init, stable argmin, dead clusters
+    re-seeded from the largest cluster's farthest point)."""
+    n = len(X)
+    k = int(min(k, n))
+    rng = np.random.default_rng(seed)
+    C = X[np.sort(rng.choice(n, size=k, replace=False))].copy()
+    for _ in range(iters):
+        d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        assign = np.argmin(d2, axis=1)
+        newC = C.copy()
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                newC[c] = X[mask].mean(axis=0)
+            else:
+                big = np.bincount(assign, minlength=k).argmax()
+                pts = X[assign == big]
+                far = ((pts - newC[big]) ** 2).sum(axis=1).argmax()
+                newC[c] = pts[far]
+        if np.allclose(newC, C):
+            return newC
+        C = newC
+    return C
+
+
 def build_ivf_index(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -250,6 +280,8 @@ def build_ivf_index(
     seed: int = 42,
     sample_fraction: float | None = None,
     sample_key: str | None = None,
+    fit: str = "ml",
+    train_rows: int = 20000,
 ) -> tuple[DataFrame, "np.ndarray"]:
     """IVF coarse quantizer: k-means centroids (pyspark.ml, distributed),
     every row tagged with its nearest centroid id. Write the result
@@ -263,6 +295,13 @@ def build_ivf_index(
     centroid count lets clusters grow linearly with the corpus, which
     turns ivf_knn_join's per-cluster work quadratic at scale; auto-sizing
     keeps both sides O(sqrt(N)). Costs one count() at build time.
+
+    ``fit="driver"`` replaces the pyspark.ml fit with a sampled
+    DRIVER-side Lloyd fit (<= ``train_rows`` vectors, numpy) and a
+    broadcast-GEMM assignment — same accuracy argument as the PQ
+    codebook fit, minus ~5 s of fixed ML-pipeline overhead; clamps
+    num_centroids to the training-sample size. Use it when fits are
+    frequent or latency-sensitive (semantic_dup_pairs does).
 
     ``sample_fraction``: fit k-means on a sample instead of the full
     corpus — the 100 TB path. Centroid quality converges long before the
@@ -299,6 +338,28 @@ def build_ivf_index(
                 f"{num_centroids}; raise sample_fraction or lower "
                 "num_centroids"
             )
+    if fit == "driver":
+        # sampled driver-side Lloyd fit + broadcast-GEMM assignment — the
+        # same shape as the PQ codebook fit (FAISS practice: centroids
+        # converge on a few hundred points per cluster, so fit cost is
+        # O(train_rows) at any corpus size) and it skips pyspark.ml's
+        # fixed per-fit overhead (~5 s of iteration jobs even on tiny
+        # data). Assignment stays distributed (assign_probe_centroids).
+        n_fit_rows = fit_df.count()
+        frac = min(1.0, (train_rows * 1.2) / max(n_fit_rows, 1))
+        sample = fit_df.select(vec_col)
+        if frac < 1.0:
+            sample = sample.sample(fraction=frac, seed=seed)
+        pdf = sample.limit(train_rows).toPandas()
+        if len(pdf) == 0:
+            raise ValueError("cannot fit k-means over an empty frame")
+        train = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 0]]
+        )
+        centroids = _lloyd_kmeans(train, num_centroids, seed)
+        return assign_probe_centroids(df, centroids, vec_col, 1), centroids
+    if fit != "ml":
+        raise ValueError(f"fit must be 'ml' or 'driver', got {fit!r}")
     to_vec = lambda c: array_to_vector(F.col(c).cast("array<double>"))
     km = KMeans(
         k=num_centroids, seed=seed, featuresCol="__features",
@@ -1091,6 +1152,7 @@ def semantic_dup_pairs(
         num_centroids=num_centroids,
         seed=seed,
         sample_fraction=sample_fraction,
+        fit="driver",
     )
     id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
