@@ -1273,3 +1273,46 @@ def test_projection_incremental_refresh_append_only(clean_schema):
         t = tx.bucket("bkt").schema("s").table("pr")
         got = t.select(columns=["v"], predicate=(D.k == 0)).read_all()
         assert got.num_rows == 0
+
+
+def test_refresh_flat_pq_append_only_and_removal_fallback(clean_schema):
+    """Flat PQ refresh: an append-only span encodes the delta with the
+    FROZEN codebooks and appends files; a span with removals falls back
+    to a full rebuild (codes aren't clustered, so removal targeting
+    would scan the whole index anyway) — and mode='incremental' raises."""
+    vecs, data = _vec_table(n=100, dim=8, seed=9)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "pqr", data.schema, vector_index={"column": "emb", "metric": "l2sq"}
+        )
+        t.insert(data)
+    with clean_schema.transaction() as tx:
+        tx.bucket("bkt").schema("s").table("pqr").build_vector_index(
+            kind="pq", num_subspaces=4, seed=42
+        )
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("pqr")
+        before = [f["path"] for f in t.entry.vector_index["files"]]
+        t.insert(pa.table({"id": pa.array([7000], pa.int64()),
+                           "emb": pa.array([[0.3] * 8], pa.list_(pa.float32()))}))
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("pqr")
+        assert t.refresh_vector_index(mode="incremental")["mode"] == "incremental"
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("pqr")
+        vi = t.entry.vector_index
+        paths = [f["path"] for f in vi["files"]]
+        assert paths[: len(before)] == before  # old files untouched
+        got = t.vector_search([0.3] * 8, columns=["id"], limit=3,
+                              approximate=True, rerank=20)
+        assert got.column("id").to_pylist()[0] == 7000  # new row searchable
+        # removal in the span -> incremental refuses, auto rebuilds
+        t.delete_where(D.id == 0)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("pqr")
+        with pytest.raises(vastdb.NotSupportedCommand, match="removals"):
+            t.refresh_vector_index(mode="incremental")
+        assert t.refresh_vector_index()["mode"] == "full"
+        got = t.vector_search(vecs[1].tolist(), columns=["id"], limit=3,
+                              approximate=True, rerank=20)
+        assert 0 not in got.column("id").to_pylist()
