@@ -2914,6 +2914,44 @@ def q_dd_semantic_dedup(spark, sf):
     )
 
 
+def q_tx_bpe_learned(spark, sf):
+    """BPE tokenizer TRAINING + application (operators/bpe.
+    learn_bpe_merges + bpe_segment; Sennrich 2016): distributed word
+    counts -> incremental driver merge loop (vocabulary-sized, never
+    corpus) -> broadcast-ranks greedy encode, zero shuffle. No DuckDB
+    oracle (the sequential merge loop is not SQL-expressible — the
+    driver records the weaker rows-only check; the trainer is pinned
+    against a naive reference implementation in pytest instead). The
+    query SELF-VALIDATES in-plan: recon_ok asserts the subword stream
+    reconstructs each document's pre-token characters exactly."""
+    from vastdb_sdk_spark.functions.text import tokens as _tok2
+    from vastdb_sdk_spark.operators.bpe import (
+        END_OF_WORD,
+        bpe_segment,
+        learn_bpe_merges,
+    )
+
+    d = _t(spark, sf, "documents")
+    key = (sf, "__bpe_merges")
+    if key not in _ENGINE_WAREHOUSES:
+        _ENGINE_WAREHOUSES[key] = learn_bpe_merges(d, num_merges=30)
+    merges = _ENGINE_WAREHOUSES[key]
+    seg = bpe_segment(d, merges, "text", "doc_id")
+    flat = F.array_join(
+        F.transform(F.col("bpe_tokens"), lambda p: F.replace(p, F.lit(END_OF_WORD), F.lit(""))),
+        "",
+    )
+    src = d.select("doc_id", F.array_join(_tok2(F.col("text")), "").alias("__chars"))
+    return (
+        seg.join(src, "doc_id")
+        .select(
+            "doc_id",
+            "n_bpe_tokens",
+            (flat == F.col("__chars")).alias("recon_ok"),
+        )
+    )
+
+
 def q_tx_hybrid_topk(spark, sf):
     """Hybrid retrieval as an operator (operators/lm.hybrid_topk): Okapi
     BM25 3-term shortlist of 100 over documents, exact embedding-cosine
@@ -3224,7 +3262,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- window boundary (driver gates the 50 entries above) --------
         # (tx_chunk_windows was displaced past the boundary when
         # dd_semantic_dedup joined the round-8 head; it is round-6 green
-        # and leads the round-9 window with the rest of the r6 cohort)
+        # and leads the round-9 window with the rest of the r6 cohort.
+        # tx_bpe_learned is rows-only — no SQL twin for the sequential
+        # merge loop — so it sits outside the hash-checked window.)
+        "tx_bpe_learned": q_tx_bpe_learned,
         "tx_chunk_windows": q_tx_chunk_windows,
         "tx_normalize": q_tx_normalize,
         "e14_engine_dedup": q_e14_engine_dedup,

@@ -112,6 +112,7 @@ HEADLINE = [
     "dd_phash_neardup",
     "ann_ivfpq_persisted",
     "dd_semantic_dedup",
+    "tx_bpe_learned",
 ]
 
 

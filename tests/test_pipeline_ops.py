@@ -921,3 +921,87 @@ def test_hybrid_topk_plan_and_contract(spark):
 
     with _pytest.raises(ValueError, match="shortlist"):
         hybrid_topk(docs, emb, ["hash"], qvec, k=10, shortlist=5)
+
+
+def test_bpe_learn_merges_matches_naive_trainer(spark):
+    """The incremental pair-count trainer must equal a naive
+    recount-every-iteration reference on the same word counts — and the
+    classic low/lower/newest corpus yields the textbook merges."""
+    from vastdb_sdk_spark.operators.bpe import (
+        END_OF_WORD,
+        _merge_word,
+        _pair_counts,
+        learn_bpe_merges,
+        word_counts,
+    )
+
+    rows = [(1, "low low low low low lower lower newest newest newest "
+                "newest newest newest widest widest widest")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    merges = learn_bpe_merges(df, num_merges=10)
+
+    # naive reference trainer over the same distributed word counts
+    vocab = {
+        tuple(r.word) + (END_OF_WORD,): r.n
+        for r in word_counts(df).collect()
+    }
+    base = dict(vocab)
+    expect = []
+    for _ in range(10):
+        pc = {p: c for p, c in _pair_counts(vocab).items() if c >= 2}
+        if not pc:
+            break
+        # tie-break: max count, lexicographically smallest pair
+        bc = max(pc.values())
+        expect.append(sorted(p for p, c in pc.items() if c == bc)[0])
+        # naive: replay ALL merges so far on the pristine vocab
+        vocab = dict(base)
+        for p in expect:
+            merged = {}
+            for s, n in vocab.items():
+                ns = _merge_word(s, p)
+                merged[ns] = merged.get(ns, 0) + n
+            vocab = merged
+    assert merges == expect
+    # textbook: 'est</w>' forms within the first few merges
+    joined = ["".join(p) for p in merges]
+    assert any(j.endswith("est" + END_OF_WORD) or j == "est" for j in joined)
+
+
+def test_bpe_segment_round_trip_and_plan(spark):
+    """Applying learned merges reconstructs each word's characters
+    exactly (merges never cross word boundaries), and the encode plan is
+    zero-shuffle mapInPandas."""
+    from vastdb_sdk_spark.operators.bpe import (
+        END_OF_WORD,
+        bpe_segment,
+        learn_bpe_merges,
+    )
+    from vastdb_sdk_spark.plans import inspect as pi
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        "doc_id < 50"
+    )
+    merges = learn_bpe_merges(df, num_merges=40)
+    assert len(merges) == 40
+    seg = bpe_segment(df, merges, "text", "doc_id")
+    assert pi.exchange_count(seg) == 0
+    rows = {r.doc_id: r for r in seg.collect()}
+    src = {r.doc_id: r.text for r in df.select("doc_id", "text").collect()}
+    from vastdb_sdk_spark.functions.text import tokens as _tok
+    ref = {
+        r.doc_id: r.tk
+        for r in df.select("doc_id", _tok(F.col("text")).alias("tk")).collect()
+    }
+    for did, r in rows.items():
+        # strip markers, rejoin: equals the concatenated pre-tokens
+        flat = "".join(p.replace(END_OF_WORD, "") for p in r.bpe_tokens)
+        assert flat == "".join(ref[did])
+        assert r.n_bpe_tokens == len(r.bpe_tokens)
+        # every word ends with an end-of-word-marked piece
+        assert sum(1 for p in r.bpe_tokens if p.endswith(END_OF_WORD)) == len(ref[did])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="num_merges"):
+        learn_bpe_merges(df, num_merges=0)
