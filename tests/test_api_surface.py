@@ -238,9 +238,14 @@ def test_gate_registry_integrity():
     qs = e.queries()
     oracles = e.oracle_sql()
     assert len(qs) >= 121
-    assert set(oracles) == set(qs), (
-        set(qs) - set(oracles), set(oracles) - set(qs)
+    # the EXPLICIT rows-only set: genuinely non-SQL-expressible ops (the
+    # driver records the weaker rows-only check for them). Additions must
+    # be listed here deliberately — a missing oracle is otherwise a bug.
+    rows_only = {"tx_bpe_learned"}  # sequential BPE merge loop
+    assert set(qs) - set(oracles) == rows_only, (
+        set(qs) - set(oracles) - rows_only
     )
+    assert not set(oracles) - set(qs), set(oracles) - set(qs)
     missing = [h for h in HEADLINE if h not in qs]
     assert not missing, missing
     assert len(HEADLINE) == len(set(HEADLINE))

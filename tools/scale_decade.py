@@ -75,6 +75,7 @@ QUERIES = [
     "dd_phash_neardup",
     "dd_semantic_dedup",
     "ann_ivfpq_persisted",
+    "tx_bpe_learned",
 ]
 
 _RUNNER = r"""
