@@ -2914,6 +2914,37 @@ def q_dd_semantic_dedup(spark, sf):
     )
 
 
+def q_tx_clf_quality(spark, sf):
+    """Trained linear quality-classifier APPLICATION (operators/lm.
+    linear_classifier_scores — the GPT-3/LLaMA-style curation step:
+    train offline, score the corpus in-engine): logistic score over
+    token counts with a 6-term weight vector. The engine side joins the
+    exploded token stream to a BROADCAST weight vocabulary (the
+    100k-term-classifier scale shape); the oracle uses per-term HOF
+    counts. Weights are DYADIC rationals (0.75, -0.625, ...), so every
+    product and partial sum is exact in binary floating point — any
+    summation order in either engine yields the bit-identical double,
+    and the sigmoid of identical inputs matches to the last ulp."""
+    from vastdb_sdk_spark.operators.lm import linear_classifier_scores
+
+    W = {
+        "hash": 0.75,
+        "join": 0.5,
+        "sort": -0.625,
+        "group": -1.25,
+        "fast": 0.25,
+        "value": 0.125,
+    }
+    out = linear_classifier_scores(
+        _t(spark, sf, "documents"), W, bias=-0.25
+    )
+    return out.select(
+        "doc_id",
+        F.round("clf_score", 6).alias("clf_score"),
+        F.round("clf_prob", 6).alias("clf_prob"),
+    )
+
+
 def q_tx_bpe_learned(spark, sf):
     """BPE tokenizer TRAINING + application (operators/bpe.
     learn_bpe_merges + bpe_segment; Sennrich 2016): distributed word
@@ -3210,6 +3241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_phash_neardup": q_dd_phash_neardup,
         "tx_hybrid_topk": q_tx_hybrid_topk,
         "dd_semantic_dedup": q_dd_semantic_dedup,
+        "tx_clf_quality": q_tx_clf_quality,
         # -- code changed in round 8 ---------------------------------------
         "dd_passage_dups": q_dd_passage_dups,
         "e16_change_feed": q_e16_change_feed,
@@ -3258,13 +3290,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_knn_join": q_ann_ivf_knn_join,
         "tx_pii_scrub": q_tx_pii_scrub,
         "asof_last_purchase": q_asof_last_purchase,
-        "tx_repetition": q_tx_repetition,
         # ---- window boundary (driver gates the 50 entries above) --------
-        # (tx_chunk_windows was displaced past the boundary when
-        # dd_semantic_dedup joined the round-8 head; it is round-6 green
-        # and leads the round-9 window with the rest of the r6 cohort.
-        # tx_bpe_learned is rows-only — no SQL twin for the sequential
-        # merge loop — so it sits outside the hash-checked window.)
+        # (tx_repetition and tx_chunk_windows were displaced past the
+        # boundary when dd_semantic_dedup + tx_clf_quality joined the
+        # round-8 head; both are round-6 green and lead the round-9
+        # window with the rest of the r6 cohort. tx_bpe_learned is
+        # rows-only — no SQL twin for the sequential merge loop — so it
+        # sits outside the hash-checked window.)
+        "tx_repetition": q_tx_repetition,
         "tx_bpe_learned": q_tx_bpe_learned,
         "tx_chunk_windows": q_tx_chunk_windows,
         "tx_normalize": q_tx_normalize,
@@ -4479,6 +4512,28 @@ def oracle_sql() -> dict[str, str]:
             -- cosine is ~0.6, far under the 0.95 threshold)
             SELECT -(vec_id + 1) AS dropped_id
             FROM embeddings WHERE vec_id < 25
+        """,
+        "tx_clf_quality": f"""
+            -- dyadic weights: every product/partial sum is exact binary
+            -- FP, so per-term counts here == the engine's broadcast-join
+            -- occurrence sum bit-for-bit
+            WITH t AS (
+                SELECT doc_id, {tok} AS tk FROM documents
+            ), d AS (
+                SELECT doc_id,
+                       -0.25::DOUBLE
+                       + 0.75::DOUBLE  * len(list_filter(tk, x -> x = 'hash'))
+                       + 0.5::DOUBLE   * len(list_filter(tk, x -> x = 'join'))
+                       - 0.625::DOUBLE * len(list_filter(tk, x -> x = 'sort'))
+                       - 1.25::DOUBLE  * len(list_filter(tk, x -> x = 'group'))
+                       + 0.25::DOUBLE  * len(list_filter(tk, x -> x = 'fast'))
+                       + 0.125::DOUBLE * len(list_filter(tk, x -> x = 'value'))
+                       AS s
+                FROM t
+            )
+            SELECT doc_id, ROUND(s, 6) AS clf_score,
+                   ROUND(1.0 / (1.0 + exp(-s)), 6) AS clf_prob
+            FROM d
         """,
         "tx_hybrid_topk": f"""
             WITH t AS (

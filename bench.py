@@ -113,6 +113,7 @@ HEADLINE = [
     "ann_ivfpq_persisted",
     "dd_semantic_dedup",
     "tx_bpe_learned",
+    "tx_clf_quality",
 ]
 
 

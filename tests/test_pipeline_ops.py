@@ -1005,3 +1005,42 @@ def test_bpe_segment_round_trip_and_plan(spark):
 
     with _pytest.raises(ValueError, match="num_merges"):
         learn_bpe_merges(df, num_merges=0)
+
+
+def test_linear_classifier_scores_hand_model(spark):
+    """Σ count·w + bias against a hand computation; NULL/empty text
+    scores exactly bias; normalize divides by doc length; the weight
+    join is a broadcast (the 100k-term-classifier shape)."""
+    import math
+
+    from vastdb_sdk_spark.operators.lm import linear_classifier_scores
+    from vastdb_sdk_spark.plans import inspect as pi
+
+    df = spark.createDataFrame(
+        [(1, "cat sat on the cat mat"), (2, None), (3, "dog dog dog")],
+        "doc_id LONG, text STRING",
+    )
+    W = {"cat": 0.5, "dog": -0.25, "mat": 1.0}
+    out = linear_classifier_scores(df, W, bias=0.125)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].clf_score == 0.125 + 2 * 0.5 + 1.0
+    assert rows[2].clf_score == 0.125
+    assert rows[3].clf_score == 0.125 - 3 * 0.25
+    for r in rows.values():
+        assert abs(r.clf_prob - 1.0 / (1.0 + math.exp(-r.clf_score))) < 1e-15
+
+    norm = {r.doc_id: r.clf_score for r in
+            linear_classifier_scores(df, W, bias=0.0, normalize=True).collect()}
+    assert norm[1] == (2 * 0.5 + 1.0) / 6
+    assert norm[2] == 0.0
+
+    # the WEIGHT join must broadcast (classifier-sized vocabulary, never
+    # shuffled); the doc-keyed re-attach of zero-token rows is a
+    # legitimate id-keyed shuffle join and is allowed to sort-merge
+    plan = pi.formatted_plan(out)
+    assert "BroadcastHashJoin" in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        linear_classifier_scores(df, {})

@@ -923,3 +923,31 @@ def test_drop_passage_dup_rows_in_place(clean_schema):
 
         with _pytest.raises(vastdb.InvalidArgument):
             t.drop_passage_dup_rows("nope")
+
+
+def test_dedup_near_rows_semantic(clean_schema):
+    """method='semantic' (SemDeDup candidates): scaled copies collapse to
+    the lowest $row_id within their k-means cluster; distinct vectors
+    survive; idempotent on re-run."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    base = rng.standard_normal((20, 8))
+    vecs = [v.tolist() for v in base]
+    vecs += [(2.0 * base[3]).tolist(), (4.0 * base[7]).tolist()]  # rows 20, 21
+    data = pa.table({"emb": pa.array(vecs, pa.list_(pa.float64()))})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("sde", data.schema)
+        t.insert(data)
+        t.dedup_near_rows(
+            "emb", method="semantic", threshold=0.95, num_centroids=4
+        )
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("sde")
+        rows = sorted(
+            t.select(internal_row_id=True).read_all().column("$row_id").to_pylist()
+        )
+        assert rows == list(range(20))  # the scaled copies are gone
+        # idempotent: no qualifying pairs remain -> true no-op commit
+        t.dedup_near_rows("emb", method="semantic", threshold=0.95, num_centroids=4)
+        assert t.count_rows() == 20

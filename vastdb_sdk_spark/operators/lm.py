@@ -228,3 +228,64 @@ def hybrid_topk(
         .limit(int(k))
         .select(id_col, "bm25", out_col)
     )
+
+
+def linear_classifier_scores(
+    df: DataFrame,
+    weights: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bias: float = 0.0,
+    out_col: str = "clf_score",
+    prob_col: str | None = "clf_prob",
+    normalize: bool = False,
+) -> DataFrame:
+    """Apply a TRAINED linear bag-of-words classifier (logistic
+    regression / fastText-style over token counts) — the
+    quality-classifier filter step of GPT-3/LLaMA-style curation
+    pipelines: training happens offline on labeled data; the engine's
+    job is applying it to the corpus.
+
+        score(d) = bias + Σ_t count_dt · w_t   (counts / |d| if
+        ``normalize``), p(d) = sigmoid(score)
+
+    Plan: the weight vocabulary (classifier-sized — thousands to a few
+    hundred thousand terms, never corpus-sized) rides a BROADCAST joined
+    to the exploded token stream, so the only shuffle is the per-doc
+    partial-aggregated sum keyed by ``id_col`` — no Zipf-head skew (the
+    join is map-side) and no per-row Python. Documents with no weighted
+    tokens score exactly ``bias``. Returns (id_col, out_col[, prob_col])
+    one row per input row."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(str(t).lower(), float(w)) for t, w in weights.items()],
+        "__tok STRING, __w DOUBLE",
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("__tok"),
+    )
+    dots = (
+        toks.join(F.broadcast(wdf), "__tok")
+        .groupBy(id_col)
+        .agg(F.sum("__w").alias("__dot"))
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("__dl"),
+    )
+    joined = base.join(dots, id_col, "left")
+    dot_val = F.coalesce(F.col("__dot"), F.lit(0.0))
+    if normalize:
+        dot_val = dot_val / F.greatest(F.col("__dl").cast("double"), F.lit(1.0))
+    score = (F.lit(float(bias)) + dot_val).alias(out_col)
+    out_cols = [F.col(id_col), score]
+    if prob_col:
+        out_cols.append(
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(float(bias)) + dot_val)))).alias(
+                prob_col
+            )
+        )
+    return joined.select(*out_cols)

@@ -1322,6 +1322,7 @@ class Table:
         max_hamming: int = 3,
         num_planes: int = 8,
         dim: int | None = None,
+        num_centroids: int | None = 16,
     ) -> None:
         """NEAR-duplicate table cleanup in place (engine extension): a
         candidate-pair generator + connected components runs over the
@@ -1347,16 +1348,20 @@ class Table:
           over ``text_column`` (an ``array<float/double>`` embedding
           column). Dials: ``num_planes``/``num_bands``/``dim`` (pass
           ``dim`` to skip the one-row width probe).
+        - ``"semantic"``: SemDeDup candidates (similarity.
+          semantic_dup_pairs) — k-means clusters over the NORMALIZED
+          vector column, exact cosine >= ``threshold`` within clusters.
+          Dial: ``num_centroids`` (None auto-sizes to ~sqrt(rows)).
 
-        All three generators are equi-joins on hashed bucket keys —
-        never a cross product — so the in-place cleanup scales exactly
-        like the standalone pair operators."""
+        Every generator bounds its comparisons (bucket equi-joins or
+        within-cluster cells) — never a cross product — so the in-place
+        cleanup scales exactly like the standalone pair operators."""
         if text_column not in self.arrow_schema.names:
             raise InvalidArgument(f"no column {text_column!r}")
-        if method not in ("minhash", "simhash", "embedding"):
+        if method not in ("minhash", "simhash", "embedding", "semantic"):
             raise InvalidArgument(
                 f"unknown dedup method {method!r}: expected 'minhash', "
-                "'simhash' or 'embedding'"
+                "'simhash', 'embedding' or 'semantic'"
             )
         field_type = self.arrow_schema.field(text_column).type
         import pyarrow as pa
@@ -1364,15 +1369,16 @@ class Table:
         is_list = pa.types.is_list(field_type) or pa.types.is_fixed_size_list(
             field_type
         )
-        if method == "embedding" and not is_list:
+        if method in ("embedding", "semantic") and not is_list:
             raise InvalidArgument(
-                f"method='embedding' needs a list column, got {text_column!r}: "
+                f"method={method!r} needs a list column, got {text_column!r}: "
                 f"{field_type}"
             )
-        if method != "embedding" and is_list:
+        if method not in ("embedding", "semantic") and is_list:
             raise InvalidArgument(
                 f"method={method!r} needs a string column, got {text_column!r}: "
-                f"{field_type} (use method='embedding' for vector columns)"
+                f"{field_type} (use method='embedding'/'semantic' for "
+                "vector columns)"
             )
         entry = TableEntry.from_json(self.entry.to_json())
         if not entry.files:
@@ -1404,11 +1410,20 @@ class Table:
                     max_hamming=max_hamming,
                 )
             )
-        else:
+        elif method == "embedding":
             pairs_cm = contextlib.nullcontext(
                 embedding_near_dup_pairs(
                     docs, id_col="doc_id", vec_col="text", threshold=threshold,
                     num_planes=num_planes, num_bands=num_bands, dim=dim,
+                )
+            )
+        else:  # semantic (SemDeDup candidates)
+            from .operators.similarity import semantic_dup_pairs
+
+            pairs_cm = contextlib.nullcontext(
+                semantic_dup_pairs(
+                    docs, id_col="doc_id", vec_col="text",
+                    threshold=threshold, num_centroids=num_centroids,
                 )
             )
         with pairs_cm as verified:
