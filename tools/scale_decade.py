@@ -76,6 +76,7 @@ QUERIES = [
     "dd_semantic_dedup",
     "ann_ivfpq_persisted",
     "tx_bpe_learned",
+    "tx_clf_quality",
 ]
 
 _RUNNER = r"""
