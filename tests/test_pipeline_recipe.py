@@ -189,3 +189,93 @@ def test_hybrid_retrieval_bm25_then_embedding_rerank(spark):
     assert all(r.doc_id in short_ids for r in rows)
     cosines = [r.cos for r in rows]
     assert cosines == sorted(cosines, reverse=True)
+
+
+def test_round8_curation_recipe(session):
+    """The round-8 surface composed end to end on ENGINE tables:
+    classifier-gated DML, in-place semantic dedup, append + INCREMENTAL
+    IVF-PQ refresh, then BPE learned on the surviving corpus — the
+    workflow a curation user actually runs, not isolated operators."""
+    import numpy as np
+    import pyarrow as pa
+
+    from vastdb_sdk_spark import _ as D
+    from vastdb_sdk_spark.operators.bpe import bpe_segment, learn_bpe_merges
+    from vastdb_sdk_spark.operators.lm import linear_classifier_scores
+
+    spark = session.spark
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+
+    with session.transaction() as tx:
+        sc = tx.bucket("bkt").create_schema("s")
+        t = sc.create_table(
+            "corpus", pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+        )
+        t.insert_df(docs)
+    # 1. classifier gate: drop the lowest-probability quartile (engine DML)
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("corpus")
+        scores = linear_classifier_scores(
+            t.select_df(), {"hash": 0.75, "group": -1.25, "sort": -0.5},
+            bias=0.0,
+        )
+        cut = scores.approxQuantile("clf_prob", [0.25], 0.0)[0]
+        drop_ids = [
+            r.doc_id for r in scores.filter(F.col("clf_prob") < cut).collect()
+        ]
+        n0 = t.count_rows()
+        if drop_ids:
+            t.delete_where(D.doc_id.isin(drop_ids))
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("corpus")
+        n1 = t.count_rows()
+        assert n1 == n0 - len(drop_ids) and n1 > 0
+
+    # 2. embeddings table with a planted scaled dup; in-place semantic dedup
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((40, 8))
+    data = pa.table(
+        {
+            "vec_id": pa.array(list(range(40)) + [999], pa.int64()),
+            "emb": pa.array(
+                [v.tolist() for v in vecs] + [(2.0 * vecs[5]).tolist()],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "vectors", data.schema,
+            vector_index={"column": "emb", "metric": "l2sq"},
+        )
+        t.insert(data)
+        t.dedup_near_rows("emb", method="semantic", threshold=0.95, num_centroids=4)
+        assert t.count_rows() == 40  # the scaled copy is gone
+    # 3. build IVF-PQ on the committed state, append, incremental refresh
+    with session.transaction() as tx:
+        tx.bucket("bkt").schema("s").table("vectors").build_vector_index(
+            kind="ivfpq", num_centroids=4, num_subspaces=4, seed=42
+        )
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("vectors")
+        t.insert(pa.table({
+            "vec_id": pa.array([5000], pa.int64()),
+            "emb": pa.array([[0.42] * 8], pa.list_(pa.float64())),
+        }))
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("vectors")
+        assert t.refresh_vector_index()["mode"] == "incremental"
+        got = t.vector_search(
+            [0.42] * 8, columns=["vec_id"], limit=3,
+            approximate=True, nprobe=2, rerank=20,
+        )
+        assert got.column("vec_id").to_pylist()[0] == 5000
+
+    # 4. BPE learned on the SURVIVING corpus; segmentation reconstructs
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("corpus")
+        surviving = t.select_df()
+        merges = learn_bpe_merges(surviving, num_merges=20)
+        seg = bpe_segment(surviving, merges, "text", "doc_id")
+        assert seg.count() == n1
+        assert seg.agg(F.min("n_bpe_tokens")).collect()[0][0] >= 0
