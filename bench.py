@@ -127,6 +127,30 @@ def main() -> int:
     # warm up the JVM + parquet footer caches on a trivial action
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # Machine-drift CANARY (VERDICT r8): round-8 burned a day adjudicating a
+    # 1.26x cross-round drift that turned out to be the machine, not the
+    # code. These fixed trivial scans never change across rounds, so the
+    # judge can normalize cross-round medians by the canary ratio. Measured
+    # FIRST (warm JVM, cold query) and recorded in BENCH_COLD.json.
+    canary: dict[str, float] = {}
+    for cname, thunk in (
+        ("lineitem_count", lambda: spark.read.parquet(
+            f"{sf_dir}/lineitem.parquet").count()),
+        ("lineitem_filter_agg", lambda: spark.read.parquet(
+            f"{sf_dir}/lineitem.parquet")
+            .filter("l_quantity > 25").groupBy("l_returnflag").count()
+            .write.mode("overwrite").format("noop").save()),
+        ("orders_scan_noop", lambda: spark.read.parquet(
+            f"{sf_dir}/orders.parquet")
+            .write.mode("overwrite").format("noop").save()),
+    ):
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            thunk()
+            runs.append(time.time() - t0)
+        canary[cname] = round(statistics.median(runs), 4)
+
     # Protocol: per query, one discarded cold run (codegen compile,
     # engine-warehouse build — the reference's own "first run discarded",
     # BASELINE.md scenario matrix), then N_WARM measured runs with the
@@ -155,9 +179,13 @@ def main() -> int:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    # Cold-run timings go to a side file, NOT stdout: the driver parses the
-    # last stdout line as JSON from a bounded tail buffer, and a line carrying
-    # two full per-query dicts overflows it (round-2 bench was unparseable).
+    # Cold-run timings AND the full per-query dict go to a side file, NOT
+    # stdout: the driver parses the last stdout line as JSON from a bounded
+    # ~2000-char tail buffer. Round 2 overflowed it with two per-query
+    # dicts; round 8 overflowed it again with ONE dict at 91 queries
+    # (BENCH_r08.json came back "parsed": null). The stdout line now
+    # carries per-query medians for the 50-query driver gate window only,
+    # with a hard length budget and a trim ladder below it.
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_COLD.json"),
@@ -165,23 +193,32 @@ def main() -> int:
         ) as f:
             json.dump(
                 {"cold_run": cold, "warm_min_max": spread, "n_warm": n_warm,
-                 "sf": sf},
+                 "sf": sf, "canary": canary, "all_queries": timings,
+                 "total_all_queries": total},
                 f,
             )
     except OSError:
         pass
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            },
-            separators=(",", ":"),
-        )
-    )
+
+    window = list(queries.keys())[:50]
+    line_queries = {q: timings[q] for q in window if q in timings}
+    payload = {
+        "metric": "headline_queries_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": line_queries,
+        "sf": sf,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) >= 1900:  # trim ladder: 2-decimal values, then drop queries
+        payload["queries"] = {q: round(v, 2) for q, v in line_queries.items()}
+        line = json.dumps(payload, separators=(",", ":"))
+    while len(line) >= 1900 and payload["queries"]:
+        payload["queries"].pop(next(reversed(payload["queries"])))
+        payload["queries_truncated"] = True
+        line = json.dumps(payload, separators=(",", ":"))
+    assert len(line) < 1900, f"bench stdout line {len(line)} chars"
+    print(line)
     return 0
 
 

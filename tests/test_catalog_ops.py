@@ -1220,6 +1220,71 @@ def test_refresh_vector_index_fallbacks(clean_schema):
         assert t.entry.vector_index["built_version"] is not None
 
 
+def test_refresh_with_staged_dml_forces_full(clean_schema):
+    """DML staged in the SAME transaction is invisible to the change feed
+    (it spans committed versions only), so an incremental refresh there
+    would clear `stale` while silently missing the staged rows. The
+    guard: mode='incremental' raises, mode='auto' routes to a full
+    rebuild — which scans the staged state and therefore indexes the
+    staged rows."""
+    vecs, data = _vec_table(n=80, dim=8, seed=9)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "vsg", data.schema, vector_index={"column": "emb", "metric": "l2sq"}
+        )
+        t.insert(data)
+    with clean_schema.transaction() as tx:  # clean committed build
+        t = tx.bucket("bkt").schema("s").table("vsg")
+        t.build_vector_index(num_centroids=4, seed=42)
+        assert t.entry.vector_index["built_version"] is not None
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("vsg")
+        # staged, uncommitted DML: the feed cannot see this row
+        t.insert(pa.table({
+            "id": pa.array([9000], pa.int64()),
+            "emb": pa.array([[0.42] * 8], pa.list_(pa.float32())),
+        }))
+        assert t.entry.vector_index["stale"] is True
+        with pytest.raises(vastdb.NotSupportedCommand, match="staged DML"):
+            t.refresh_vector_index(mode="incremental")
+        assert t.refresh_vector_index(mode="auto")["mode"] == "full"
+        # the full rebuild indexed the staged row: an approximate search
+        # at its exact vector must surface it
+        got = t.vector_search(
+            [0.42] * 8, columns=["id"], limit=1, approximate=True, nprobe=4
+        )
+        assert got.column("id").to_pylist() == [9000]
+
+
+def test_projection_refresh_with_staged_dml_forces_full(clean_schema):
+    """Projection twin of the staged-DML guard: a staged insert in this
+    transaction must not be silently dropped by an incremental refresh
+    that reads only the committed feed span."""
+    data = pa.table(
+        {
+            "k": pa.array(list(range(50)), pa.int64()),
+            "v": pa.array([i * 2 for i in range(50)], pa.int64()),
+        }
+    )
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("prs", data.schema)
+        t.insert(data)
+    with clean_schema.transaction() as tx:  # clean committed build
+        t = tx.bucket("bkt").schema("s").table("prs")
+        t.create_projection("by_k", ["k"], ["v"])
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("prs")
+        t.insert(pa.table({"k": pa.array([777], pa.int64()),
+                           "v": pa.array([1554], pa.int64())}))
+        p = t.projection("by_k")
+        assert p.stale
+        with pytest.raises(vastdb.NotSupportedCommand, match="staged DML"):
+            p.refresh(mode="incremental")
+        assert p.refresh(mode="auto")["mode"] == "full"
+        got = t.select(columns=["v"], predicate=(D.k == 777)).read_all()
+        assert got.column("v").to_pylist() == [1554]
+
+
 def test_projection_incremental_refresh_append_only(clean_schema):
     """Append-only DML + Projection.refresh materializes ONLY the insert
     delta as new projection files (old files kept verbatim); a span with

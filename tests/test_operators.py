@@ -876,3 +876,17 @@ def test_semantic_dedup_marks_and_pairs(spark):
         similarity.semantic_dup_pairs(df, threshold=1.5)
     with pytest.raises(ValueError, match="keep"):
         similarity.semantic_dedup(df, keep="first")
+    with pytest.raises(ValueError, match="target_cluster_rows"):
+        similarity.semantic_dup_pairs(df, target_cluster_rows=1)
+
+    # the UNTOUCHED default (num_centroids=None) sizes centroids for a
+    # FIXED cluster-row target — linear total pair work — and must still
+    # recover exactly the planted bit-identical duplicates (planted pairs
+    # share a cluster at any centroid count, so the green is sizing-
+    # independent by construction)
+    auto_pairs = similarity.semantic_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.95, seed=42
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in auto_pairs} == {
+        (-(i + 1), i) for i in range(5)
+    }

@@ -923,6 +923,36 @@ def test_hybrid_topk_plan_and_contract(spark):
         hybrid_topk(docs, emb, ["hash"], qvec, k=10, shortlist=5)
 
 
+def test_hybrid_topk_colliding_id_columns(spark):
+    """The embedding frame may legally carry a column NAMED id_col (e.g.
+    emb_id_col == id_col, or emb_df derived from df itself). The
+    shortlist's columns are aliased before the join, so this must not
+    raise AMBIGUOUS_REFERENCE and must return the same ranking as the
+    collision-free call."""
+    from pyspark.sql import functions as F
+
+    from vastdb_sdk_spark.operators.lm import hybrid_topk
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).select("embedding").head()[0]]
+
+    clean = hybrid_topk(docs, emb, ["hash", "join"], qvec, k=5, shortlist=50)
+    # collision 1: emb frame carries doc_id (same name as id_col)
+    emb_doc = emb.withColumn("doc_id", F.col("vec_id"))
+    a = hybrid_topk(
+        docs, emb_doc, ["hash", "join"], qvec, k=5, shortlist=50,
+        emb_id_col="doc_id",
+    )
+    # collision 2: emb frame also carries a bm25 column
+    emb_bm = emb.withColumn("bm25", F.lit(-1.0))
+    b = hybrid_topk(docs, emb_bm, ["hash", "join"], qvec, k=5, shortlist=50)
+    want = [(r.doc_id, round(r.bm25, 9), round(r.cosine, 9)) for r in clean.collect()]
+    assert [(r.doc_id, round(r.bm25, 9), round(r.cosine, 9)) for r in a.collect()] == want
+    assert [(r.doc_id, round(r.bm25, 9), round(r.cosine, 9)) for r in b.collect()] == want
+
+
 def test_bpe_learn_merges_matches_naive_trainer(spark):
     """The incremental pair-count trainer must equal a naive
     recount-every-iteration reference on the same word counts — and the

@@ -213,20 +213,29 @@ def hybrid_topk(
         raise ValueError(f"shortlist={shortlist} must be >= k={k}")
     from ..functions.vector import cosine_similarity
 
+    # the shortlist's columns are ALIASED before the join: if emb_df also
+    # carries a column named id_col or "bm25" (e.g. emb_df IS df, or
+    # emb_id_col == id_col), bare-name orderBy/select would raise
+    # AMBIGUOUS_REFERENCE despite valid inputs
     sl = (
         bm25_scores(df, query_terms, text_col, id_col, k1=k1, b=b)
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(int(shortlist))
+        .select(F.col(id_col).alias("__sl_id"), F.col("bm25").alias("__sl_bm25"))
     )
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     joined = emb_df.join(
-        F.broadcast(sl), sl[id_col] == emb_df[emb_id_col], "inner"
+        F.broadcast(sl), sl["__sl_id"] == emb_df[emb_id_col], "inner"
     )
     return (
         joined.withColumn(out_col, cosine_similarity(F.col(emb_col), qlit))
-        .orderBy(F.desc(out_col), F.asc(id_col))
+        .orderBy(F.desc(out_col), F.asc("__sl_id"))
         .limit(int(k))
-        .select(id_col, "bm25", out_col)
+        .select(
+            F.col("__sl_id").alias(id_col),
+            F.col("__sl_bm25").alias("bm25"),
+            out_col,
+        )
     )
 
 

@@ -1112,6 +1112,7 @@ def semantic_dup_pairs(
     seed: int = 42,
     gemm_chunk: int = 1024,
     sample_fraction: float | None = None,
+    target_cluster_rows: int = 4096,
 ) -> DataFrame:
     """High-cosine pairs within k-means clusters of the NORMALIZED
     embedding space. Returns (id_a, id_b, cos_sim) with id_a < id_b.
@@ -1121,9 +1122,13 @@ def semantic_dup_pairs(
     positively-scaled duplicate (v vs 2v) is bit-identical after
     normalization — same cluster, cosine exactly 1. Per-cluster work is
     one applyInPandas cell: chunked float64 GEMM, only >=threshold pairs
-    leave the task. ``num_centroids=None`` auto-sizes to ~sqrt(corpus)
-    (build_ivf_index), keeping cluster size AND cluster count O(sqrt N);
-    a skew-hot cluster is handled by raising num_centroids, the paper's
+    leave the task. ``num_centroids=None`` auto-sizes to a FIXED cluster
+    size (``rows / target_cluster_rows`` centroids, clamped to
+    [16, 65536]): per-cluster pair work stays |c|^2 ~ target^2 = O(1)
+    and total work N·target = O(N) — an untouched default stays linear
+    at 100 TB. (The earlier ~sqrt(N) sizing made total work O(N^1.5):
+    right for IVF probe/recall balance, wrong for a pair search.) A
+    skew-hot cluster is handled by raising num_centroids, the paper's
     own knob. ``sample_fraction`` bounds the k-means fit scan at corpus
     scale."""
     import pandas as pd
@@ -1131,6 +1136,15 @@ def semantic_dup_pairs(
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if target_cluster_rows < 2:
+        raise ValueError(
+            f"target_cluster_rows must be >= 2, got {target_cluster_rows}"
+        )
+    if num_centroids is None:
+        n_rows = df.count()
+        num_centroids = int(
+            min(65536, max(16, -(-n_rows // int(target_cluster_rows))))
+        )
     nvec = F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda x: x
@@ -1200,6 +1214,7 @@ def semantic_dedup(
     seed: int = 42,
     keep: str = "min",
     sample_fraction: float | None = None,
+    target_cluster_rows: int = 4096,
 ) -> DataFrame:
     """SemDeDup keep/drop marks: every input row tagged with its semantic
     component (``sem_cluster``, NULL for singletons) and ``keep`` —
@@ -1216,6 +1231,7 @@ def semantic_dedup(
     pairs = semantic_dup_pairs(
         df, id_col, vec_col, threshold, num_centroids, seed,
         sample_fraction=sample_fraction,
+        target_cluster_rows=target_cluster_rows,
     )
     comps = dup_clusters(pairs)  # (doc_id, cluster_id)
     agg = F.min if keep == "min" else F.max

@@ -1322,7 +1322,7 @@ class Table:
         max_hamming: int = 3,
         num_planes: int = 8,
         dim: int | None = None,
-        num_centroids: int | None = 16,
+        num_centroids: int | None = None,
     ) -> None:
         """NEAR-duplicate table cleanup in place (engine extension): a
         candidate-pair generator + connected components runs over the
@@ -1351,11 +1351,16 @@ class Table:
         - ``"semantic"``: SemDeDup candidates (similarity.
           semantic_dup_pairs) — k-means clusters over the NORMALIZED
           vector column, exact cosine >= ``threshold`` within clusters.
-          Dial: ``num_centroids`` (None auto-sizes to ~sqrt(rows)).
+          Dial: ``num_centroids`` (default None auto-sizes to a fixed
+          ~4096-row cluster target, so within-cluster pair work totals
+          O(rows) — a fixed centroid COUNT would go quadratic as the
+          table grows; pass an explicit value only for small tables or
+          recall experiments).
 
         Every generator bounds its comparisons (bucket equi-joins or
-        within-cluster cells) — never a cross product — so the in-place
-        cleanup scales exactly like the standalone pair operators."""
+        within-cluster cells) — never a cross product — and the default
+        dials keep total candidate work linear in the table, matching
+        the standalone pair operators' defaults."""
         if text_column not in self.arrow_schema.names:
             raise InvalidArgument(f"no column {text_column!r}")
         if method not in ("minhash", "simhash", "embedding", "semantic"):
@@ -2828,6 +2833,15 @@ class Table:
         # current even when unrelated commits moved the bucket version
         if not vi.get("stale"):
             return {"mode": "noop"}
+        # the feed only covers the COMMITTED span [built, cur]; DML staged
+        # earlier in THIS transaction is invisible to it, so folding the
+        # feed and clearing `stale` would silently drop those rows from
+        # the index. Route to full rebuild (which scans the staged state)
+        if self._committed_state_version() is None:
+            return _unavailable(
+                "staged DML in this transaction (feed only covers "
+                "committed spans)"
+            )
         try:
             feed = self.read_changes(built, cur)
         except InvalidArgument as e:
@@ -3320,6 +3334,15 @@ class Projection:
         cur = t._state.base_version
         if built is None:
             return _unavailable("projection was built alongside uncommitted DML")
+        # same staged-DML hazard as refresh_vector_index: the feed spans
+        # committed versions only, so staged rows in this transaction
+        # would be missing from the refreshed projection while `stale`
+        # gets cleared — force the full path, which reads staged state
+        if t._committed_state_version() is None:
+            return _unavailable(
+                "staged DML in this transaction (feed only covers "
+                "committed spans)"
+            )
         try:
             feed = t.read_changes(built, cur)
         except InvalidArgument as e:
