@@ -2254,56 +2254,48 @@ def q_ann_ivf_knn_join(spark, sf):
     """Corpus x corpus approximate k-NN join (operators/similarity.
     ivf_knn_join): both sides large, so no broadcast of vectors — each left
     row probes its nprobe nearest centroids and the join is an equi-join on
-    centroid_id, O(rows * nprobe) shuffle. Gate shape follows ann_rhp_topk:
-    assignments are engine-specific, so the oracle asserts the
-    deterministic properties — 10 probe rows each return exactly k=5
-    neighbors, and avg recall@5 vs the in-plan exact cosine k-NN join is
-    >= 0.55 (measured 0.68-0.78 at sf0.01/0.1 with seeded k-means;
-    deterministic, healthy margin)."""
+    centroid_id, O(rows * nprobe) shuffle. THE ORACLE IS THE PLANTED
+    NEIGHBOR LIST (round-9 planted conversion; the earlier SELECT TRUE
+    booleans were self-certifying): each left row a < 10 gets FOUR
+    bit-identical duplicate rows at ids -(4a+j+1) planted into the
+    indexed corpus. A duplicate's cosine is exactly the self-pair's
+    (same float bits, same arithmetic) ~1.0, measured organic maximum
+    0.49 at sf0.01 / 0.45 at sf0.1 — so the true top-5 per left row is
+    precisely {4 duplicates, self}, the probe MUST find them (identical
+    vectors assign to the identical centroid, and nprobe=4 always
+    includes the left vector's own argmin centroid), and the
+    cos-desc/id-asc tie-break pins the exact output rows."""
     from vastdb_sdk_spark.operators.similarity import (
         build_ivf_index,
         ivf_knn_join,
-        knn_join_cosine,
     )
 
-    key = (sf, "__ivf_index")
+    key = (sf, "__ivf_index_dup")
     if key not in _ENGINE_WAREHOUSES:
-        emb0 = _t(spark, sf, "embeddings")
-        indexed, centroids = build_ivf_index(emb0, num_centroids=16, seed=42)
+        emb0 = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+        dup = (
+            emb0.filter(F.col("vec_id") < 10)
+            .crossJoin(spark.range(4).select(F.col("id").alias("__j")))
+            .select(
+                (-(F.col("vec_id") * 4 + F.col("__j") + 1)).alias("vec_id"),
+                "embedding",
+            )
+        )
+        corpus = emb0.unionByName(dup)
+        indexed, centroids = build_ivf_index(corpus, num_centroids=16, seed=42)
         _ENGINE_WAREHOUSES[key] = (indexed.persist(), centroids)
     indexed, centroids = _ENGINE_WAREHOUSES[key]
-    emb = _t(spark, sf, "embeddings")
-    left = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a")
+    left = (
+        _t(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
     )
     right = indexed.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"),
         "centroid_id",
     )
-    rplain = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b")
-    )
-    approx = ivf_knn_join(left, right, centroids, k=5, nprobe=4).select(
+    return ivf_knn_join(left, right, centroids, k=5, nprobe=4).select(
         "id_a", "id_b"
-    )
-    exact = knn_join_cosine(left, rplain, k=5).select("id_a", "id_b")
-    per_left = (
-        approx.groupBy("id_a")
-        .agg(F.count(F.lit(1)).alias("__k"))
-        .join(
-            approx.join(exact, ["id_a", "id_b"], "left_semi")
-            .groupBy("id_a")
-            .agg(F.count(F.lit(1)).alias("__hits")),
-            "id_a",
-            "left",
-        )
-    )
-    return per_left.agg(
-        F.count(F.lit(1)).alias("n_left"),
-        F.min(F.col("__k") == 5).alias("all_k_returned"),
-        (F.avg(F.coalesce(F.col("__hits"), F.lit(0)) / F.lit(5.0)) >= 0.55).alias(
-            "avg_recall_ok"
-        ),
     )
 
 
@@ -2663,21 +2655,29 @@ def q_ann_ivfpq_persisted(spark, sf):
     reference precedent: vector-index metadata rides table stats,
     vastdb/_internal.py:809-826): coarse centroids live inline in the
     manifest, PQ codebooks in a JSON sidecar next to the per-centroid
-    cluster files. The gate builds the index once, then REOPENS the
-    warehouse with a FRESH session object (new manifest read, sidecar
-    reload) and searches via vector_search(approximate=True, nprobe=8,
-    rerank=50). Gated: exactly k=10 rows; recall@10 vs the in-plan exact
-    top-10 >= 0.7; and the reopened session's (id, dist) result equals
-    the builder session's bit-for-bit — the cross-session persistence
-    hash-match."""
+    cluster files. THE ORACLE IS THE PLANTED ID LIST (round-9 planted
+    conversion; the earlier SELECT TRUE booleans were self-certifying):
+    the query vector is vec 0 shifted +0.5 on coordinate 0, and ten
+    rows with NEGATIVE ids -(i+1) are inserted at distance
+    (0.01*(i+1))^2 from it — max planted l2sq 0.01 vs measured organic
+    minimum 0.25 at sf0.01 AND sf0.1 (25x margin), so the true top-10
+    is exactly -1..-10 in rank order and the approximate search
+    (nprobe=8 probes the planted cluster; rerank=50 exact-rescores the
+    ADC shortlist) must reproduce it. The warehouse is then REOPENED
+    with a fresh session object (new manifest read, sidecar reload);
+    a builder-vs-reopened (id, dist) mismatch appends a sentinel row
+    that fails the row-count gate — the cross-session persistence
+    check, now falsifiable instead of a constant."""
     import tempfile
 
+    import pyarrow as _pa
     import pyarrow.parquet as _pq
 
     import vastdb_sdk_spark as vastdb
-    from vastdb_sdk_spark.operators.similarity import brute_force_topk
 
-    vec = _query_vec(spark, sf, 0)
+    base = _query_vec(spark, sf, 0)
+    vec = list(base)
+    vec[0] += 0.5
 
     def _search(ses):
         with ses.transaction() as tx:
@@ -2699,14 +2699,31 @@ def q_ann_ivfpq_persisted(spark, sf):
         session = vastdb.connect(wh, spark=spark)
         session.create_bucket("b")
         src = f"{sf}/embeddings.parquet"
+        schema = _pq.ParquetFile(src).schema_arrow
+        planted = _pa.table(
+            {
+                "vec_id": _pa.array(
+                    [-(i + 1) for i in range(10)], _pa.int64()
+                ),
+                "embedding": _pa.array(
+                    [
+                        [vec[0] + 0.01 * (i + 1)] + vec[1:]
+                        for i in range(10)
+                    ],
+                    _pa.list_(_pa.float32()),
+                ),
+                "label": _pa.array([0] * 10, _pa.int32()),
+            }
+        )
         with session.transaction() as tx:
             sc = tx.bucket("b").create_schema("s")
             t = sc.create_table(
                 "emb",
-                _pq.ParquetFile(src).schema_arrow,
+                schema,
                 vector_index={"column": "embedding", "metric": "l2sq"},
             )
             t.import_files([src])
+            t.insert(planted.cast(schema))
         with session.transaction() as tx:
             tx.bucket("b").schema("s").table("emb").build_vector_index(
                 kind="ivfpq", num_centroids=16, num_subspaces=16, seed=42
@@ -2716,19 +2733,10 @@ def q_ann_ivfpq_persisted(spark, sf):
 
     # fresh session object on the same warehouse: manifest + sidecar reload
     pairs = _search(vastdb.connect(wh, spark=spark))
-    exact_ids = {
-        r.vec_id
-        for r in brute_force_topk(
-            _t(spark, sf, "embeddings"), vec, k=10, metric="l2sq", id_col="vec_id"
-        )
-        .select("vec_id")
-        .collect()
-    }
-    recall_ok = len({p[0] for p in pairs} & exact_ids) >= 7
-    return spark.createDataFrame(
-        [(len(pairs), recall_ok, pairs == ref)],
-        "k_returned LONG, recall_ok BOOLEAN, persisted_match BOOLEAN",
-    )
+    rows = [(i + 1, int(vid)) for i, (vid, _dist) in enumerate(pairs)]
+    if pairs != ref:  # cross-session bit-mismatch -> fail the gate
+        rows.append((-999, -999))
+    return spark.createDataFrame(rows, "rank INT, vec_id LONG")
 
 
 def q_dd_phash_neardup(spark, sf):
@@ -4497,8 +4505,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(10 AS BIGINT) AS k_returned, TRUE AS recall_ok
         """,
         "ann_ivfpq_persisted": """
-            SELECT CAST(10 AS BIGINT) AS k_returned, TRUE AS recall_ok,
-                   TRUE AS persisted_match
+            -- ground truth: the ten planted vectors at l2sq distance
+            -- (0.01*(i+1))^2 from the query ARE the true top-10 in rank
+            -- order (organic minimum 0.25, a 25x margin) — the engine's
+            -- approximate search must return exactly them, exactly there
+            SELECT CAST(r + 1 AS INTEGER) AS rank,
+                   -CAST(r + 1 AS BIGINT) AS vec_id
+            FROM range(10) t(r)
         """,
         "dd_phash_neardup": """
             -- ground truth: exactly the planted (copy, original) pairs —
@@ -4579,9 +4592,16 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "ann_ivf_knn_join": """
-            SELECT CAST(10 AS BIGINT) AS n_left,
-                   TRUE AS all_k_returned,
-                   TRUE AS avg_recall_ok
+            -- ground truth: each left row's true top-5 is its four
+            -- planted bit-identical duplicates plus itself (cosine
+            -- exactly the self-pair value vs organic max ~0.49)
+            SELECT e.vec_id AS id_a, -(4 * e.vec_id + t.j + 1) AS id_b
+            FROM embeddings e, range(4) t(j)
+            WHERE e.vec_id < 10
+            UNION ALL
+            SELECT vec_id AS id_a, vec_id AS id_b
+            FROM embeddings
+            WHERE vec_id < 10
         """,
         "mm_frame_sample": """
             SELECT doc_id AS media_id,
