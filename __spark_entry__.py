@@ -2922,6 +2922,48 @@ def q_dd_semantic_dedup(spark, sf):
     )
 
 
+def q_e17_semantic_dedup_inplace(spark, sf):
+    """IN-PLACE SemDeDup on a managed table (table.dedup_near_rows(
+    method='semantic') — the engine/batch twin of streaming/dedup's
+    semantic stream dedup, completing the e14 pattern at the semantic
+    granularity): embeddings imported as a table, then x2.0-SCALED
+    copies of every vec_id < 25 inserted at negative ids. 2x is an
+    exact binary scaling, so after L2 normalization each copy is
+    BIT-IDENTICAL to its original (same k-means cluster by
+    construction, cosine exactly 1.0; organic max cosine measured
+    ~0.51/0.60); the cleanup DV-masks the cluster non-keepers, keeper =
+    lowest $row_id = the imported original. Runs the UNTOUCHED
+    num_centroids default (round 9: auto-sizing targets a fixed cluster
+    size — linear total pair work). The surviving table must be exactly
+    the pristine import: the oracle is the original id list."""
+    import tempfile
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark.sources import create_table_from_files
+
+    session = vastdb.connect(tempfile.mkdtemp(prefix="entry_semdd_"), spark=spark)
+    session.create_bucket("b")
+    with session.transaction() as tx:
+        sc = tx.bucket("b").create_schema("s")
+        t = create_table_from_files(sc, "emb", [f"{sf}/embeddings.parquet"])
+        planted = (
+            _t(spark, sf, "embeddings")
+            .filter(F.col("vec_id") < 25)
+            .select(
+                (-(F.col("vec_id") + 1)).alias("vec_id"),
+                F.transform(
+                    F.col("embedding"), lambda x: x * F.lit(2.0).cast("float")
+                ).alias("embedding"),
+                "label",
+            )
+        )
+        t.insert_df(planted)
+        t.dedup_near_rows("embedding", method="semantic", threshold=0.95)
+    tx = session.transaction()
+    t = tx.bucket("b").schema("s").table("emb")
+    return t.select_df(columns=["vec_id", "label"])
+
+
 def q_tx_clf_quality(spark, sf):
     """Trained linear quality-classifier APPLICATION (operators/lm.
     linear_classifier_scores — the GPT-3/LLaMA-style curation step:
@@ -3219,94 +3261,29 @@ def q_tx_c4_filter(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate reads a 50-query
-    # window from the front of this dict.  Round-7 rotation policy: (1) the
-    # 11 queries NEW this round (Gopher/C4 filters, blocked exact kNN, BPE
-    # pretokens, PQ and IVF-PQ ANN, unigram-LM scoring, BM25 retrieval,
-    # passage-level dups, JSONL ingest, change feed), then (2) the 4 whose implementation changed this round
-    # (ann_quantize_int8 — scalar q8_csv projection; ds_quality_filter —
-    # single-row-stratum survival; dd_dup_clusters — integral-id
-    # validation; tx_bigram_topk — positional bigram explode), then
-    # (3) the 24 round-4 greens queued at last round's
-    # boundary (stalest greens in the registry), then (4) round-5 greens,
-    # freshest-last, to fill the 50.  The round-5 greens that don't fit sit
-    # directly after the boundary and lead the round-8 window, followed by
-    # the round-6 greens (freshest), so no entry's latest green ever ages
-    # past ~3 rounds.
+    # window from the front of this dict. Round-9 rotation (VERDICT r8
+    # item 2): (1) e17_semantic_dedup_inplace, NEW this round (the
+    # engine/batch twin of streaming semantic dedup, running the new
+    # linear auto-centroid default); (2) the 4 whose implementation or
+    # oracle changed this round (ann_ivfpq_persisted + ann_ivf_knn_join
+    # converted from self-certifying booleans to planted-id oracles;
+    # dd_semantic_dedup rides the re-defaulted semantic_dup_pairs;
+    # tx_hybrid_topk's shortlist aliasing); (3) tx_bpe_learned — the
+    # only registered query with no driver-green row ever (rows-only:
+    # the sequential merge loop has no SQL twin); (4) the full 43-query
+    # round-6-stale cohort (the stalest greens in the registry); (5)
+    # tx_gopher_flags, the lead round-7 green, to fill the 50. After
+    # the boundary: the remaining round-7 greens (these lead the
+    # round-10 window), then round-8 greens, freshest last — no entry's
+    # latest green ever ages past ~3 rounds.
     return {
-        # -- new in round 8 (persisted IVF-PQ engine index, planted-pair
-        # -- pHash gate, hybrid BM25+embedding retrieval operator) -------
-        # Round-8 rotation policy (VERDICT r7 item 3): (1) the 3 queries
-        # NEW this round, (2) the 6 whose implementation changed this
-        # round (dd_passage_dups planted-id scheme; e16 change-feed map
-        # canonicalization; tx_bm25 term-dedupe/avgdl guard;
-        # ann_knn_join_blocked sentinel; ann_pq/ann_ivfpq encode
-        # extraction), (3) ALL 36 round-5-stale greens (the stalest in
-        # the registry), then (4) round-6 greens, stalest-first, to fill
-        # the 50. After the boundary: remaining round-6 greens (these
-        # lead the round-9 window), then round-7 greens, freshest last —
-        # no entry's latest green ever ages past ~3 rounds.
+        "e17_semantic_dedup_inplace": q_e17_semantic_dedup_inplace,
         "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
-        "dd_phash_neardup": q_dd_phash_neardup,
-        "tx_hybrid_topk": q_tx_hybrid_topk,
-        "dd_semantic_dedup": q_dd_semantic_dedup,
-        "tx_clf_quality": q_tx_clf_quality,
-        # -- code changed in round 8 ---------------------------------------
-        "dd_passage_dups": q_dd_passage_dups,
-        "e16_change_feed": q_e16_change_feed,
-        "tx_bm25_topk": q_tx_bm25_topk,
-        "ann_knn_join_blocked": q_ann_knn_join_blocked,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        # -- round-5 greens (stalest in the registry; full 36-query rotation)
-        "ann_rhp_topk": q_ann_rhp_topk,
-        "ds_resample_mix": q_ds_resample_mix,
-        "dd_contamination": q_dd_contamination,
-        "skew_salted_agg": q_skew_salted_agg,
-        "skew_salted_join": q_skew_salted_join,
-        "mm_frame_sample": q_mm_frame_sample,
-        "dd_simhash_pairs": q_dd_simhash_pairs,
-        "range_join_purchases": q_range_join_purchases,
-        "sessionize_batch": q_sessionize_batch,
-        "a10_approx_percentile": q_a10_approx_percentile,
-        "w1_topk_per_group": q_w1_topk_per_group,
-        "w2_running_sum": q_w2_running_sum,
-        "w3_lag_delta": q_w3_lag_delta,
-        "w4_dense_rank": q_w4_dense_rank,
-        "w5_first_last": q_w5_first_last,
-        "w6_ntile": q_w6_ntile,
-        "w7_event_time_window": q_w7_event_time_window,
-        "w8_attribution_join": q_w8_attribution_join,
-        "set1_union": q_set1_union,
-        "set2_intersect": q_set2_intersect,
-        "set3_except": q_set3_except,
-        "f1_json_expansion": q_f1_json_expansion,
-        "f2_string_funcs": q_f2_string_funcs,
-        "f3_date_funcs": q_f3_date_funcs,
-        "f4_conditional": q_f4_conditional,
-        "f5_array_agg": q_f5_array_agg,
-        "f6_levenshtein": q_f6_levenshtein,
-        "a6_cube": q_a6_cube,
-        "a8_grouping_sets": q_a8_grouping_sets,
-        "a9_percentiles": q_a9_percentiles,
-        "o5_vector_topk_l2": q_o5_vector_topk_l2,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "dd_exact": q_dd_exact,
-        "dd_fingerprint": q_dd_fingerprint,
-        "dd_minhash_sig": q_dd_minhash_sig,
-        "dd_ngram_overlap": q_dd_ngram_overlap,
-        # -- round-6 greens, stalest-first (fill the window to 50) ---------
         "ann_ivf_knn_join": q_ann_ivf_knn_join,
-        "tx_pii_scrub": q_tx_pii_scrub,
-        "asof_last_purchase": q_asof_last_purchase,
-        # ---- window boundary (driver gates the 50 entries above) --------
-        # (tx_repetition and tx_chunk_windows were displaced past the
-        # boundary when dd_semantic_dedup + tx_clf_quality joined the
-        # round-8 head; both are round-6 green and lead the round-9
-        # window with the rest of the r6 cohort. tx_bpe_learned is
-        # rows-only — no SQL twin for the sequential merge loop — so it
-        # sits outside the hash-checked window.)
-        "tx_repetition": q_tx_repetition,
+        "dd_semantic_dedup": q_dd_semantic_dedup,
+        "tx_hybrid_topk": q_tx_hybrid_topk,
         "tx_bpe_learned": q_tx_bpe_learned,
+        "tx_repetition": q_tx_repetition,
         "tx_chunk_windows": q_tx_chunk_windows,
         "tx_normalize": q_tx_normalize,
         "e14_engine_dedup": q_e14_engine_dedup,
@@ -3349,8 +3326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "ds_stratified_sample": q_ds_stratified_sample,
         "ds_train_test_split": q_ds_train_test_split,
-        # -- round-7 greens (freshest; re-enter the window round 9/10) -----
         "tx_gopher_flags": q_tx_gopher_flags,
+        # ---- window boundary (driver gates the 50 entries above) --------
         "tx_c4_filter": q_tx_c4_filter,
         "tx_bpe_tokens": q_tx_bpe_tokens,
         "tx_unigram_logprob": q_tx_unigram_logprob,
@@ -3394,6 +3371,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_pack_greedy": q_tx_pack_greedy,
         "dd_simhash_fast": q_dd_simhash_fast,
         "dd_embed_neardup": q_dd_embed_neardup,
+        "dd_phash_neardup": q_dd_phash_neardup,
+        "tx_clf_quality": q_tx_clf_quality,
+        "dd_passage_dups": q_dd_passage_dups,
+        "e16_change_feed": q_e16_change_feed,
+        "tx_bm25_topk": q_tx_bm25_topk,
+        "ann_knn_join_blocked": q_ann_knn_join_blocked,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_rhp_topk": q_ann_rhp_topk,
+        "ds_resample_mix": q_ds_resample_mix,
+        "dd_contamination": q_dd_contamination,
+        "skew_salted_agg": q_skew_salted_agg,
+        "skew_salted_join": q_skew_salted_join,
+        "mm_frame_sample": q_mm_frame_sample,
+        "dd_simhash_pairs": q_dd_simhash_pairs,
+        "range_join_purchases": q_range_join_purchases,
+        "sessionize_batch": q_sessionize_batch,
+        "a10_approx_percentile": q_a10_approx_percentile,
+        "w1_topk_per_group": q_w1_topk_per_group,
+        "w2_running_sum": q_w2_running_sum,
+        "w3_lag_delta": q_w3_lag_delta,
+        "w4_dense_rank": q_w4_dense_rank,
+        "w5_first_last": q_w5_first_last,
+        "w6_ntile": q_w6_ntile,
+        "w7_event_time_window": q_w7_event_time_window,
+        "w8_attribution_join": q_w8_attribution_join,
+        "set1_union": q_set1_union,
+        "set2_intersect": q_set2_intersect,
+        "set3_except": q_set3_except,
+        "f1_json_expansion": q_f1_json_expansion,
+        "f2_string_funcs": q_f2_string_funcs,
+        "f3_date_funcs": q_f3_date_funcs,
+        "f4_conditional": q_f4_conditional,
+        "f5_array_agg": q_f5_array_agg,
+        "f6_levenshtein": q_f6_levenshtein,
+        "a6_cube": q_a6_cube,
+        "a8_grouping_sets": q_a8_grouping_sets,
+        "a9_percentiles": q_a9_percentiles,
+        "o5_vector_topk_l2": q_o5_vector_topk_l2,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "dd_exact": q_dd_exact,
+        "dd_fingerprint": q_dd_fingerprint,
+        "dd_minhash_sig": q_dd_minhash_sig,
+        "dd_ngram_overlap": q_dd_ngram_overlap,
+        "tx_pii_scrub": q_tx_pii_scrub,
+        "asof_last_purchase": q_asof_last_purchase,
     }
 
 
@@ -4525,6 +4548,12 @@ def oracle_sql() -> dict[str, str]:
             -- cosine is ~0.6, far under the 0.95 threshold)
             SELECT -(vec_id + 1) AS dropped_id
             FROM embeddings WHERE vec_id < 25
+        """,
+        "e17_semantic_dedup_inplace": """
+            -- ground truth: the in-place SemDeDup cleanup drops exactly
+            -- the planted x2-scaled copies (keeper = lowest $row_id =
+            -- the imported original), leaving the pristine import
+            SELECT vec_id, label FROM embeddings
         """,
         "tx_clf_quality": f"""
             -- dyadic weights: every product/partial sum is exact binary

@@ -114,6 +114,7 @@ HEADLINE = [
     "dd_semantic_dedup",
     "tx_bpe_learned",
     "tx_clf_quality",
+    "e17_semantic_dedup_inplace",
 ]
 
 
