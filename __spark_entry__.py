@@ -1194,6 +1194,45 @@ def _query_vec(spark, sf, vec_id: int = 0) -> list[float]:
     return [float(x) for x in row[0]]
 
 
+def _planted_ann_corpus(spark, sf):
+    """Shared planted-oracle fixture for the approximate-NN gates
+    (round-9 conversion from self-certifying recall booleans): the query
+    is vec 0 shifted +0.5 on coordinate 0, and the corpus is embeddings
+    UNION ten rows at ids -(i+1) whose only difference from the query is
+    a further +0.01*(i+1) on coordinate 0. Measured margins at sf0.01
+    AND sf0.1: planted l2sq <= 0.01 vs organic minimum 0.25 (25x);
+    planted cosine >= 0.9971 vs organic maximum 0.899. So for BOTH
+    metrics the true top-10 is exactly -1..-10 in that rank order, and
+    any indexed search at healthy probe settings must reproduce it.
+    Returns (corpus_df, query_vec)."""
+    base = _query_vec(spark, sf, 0)
+    vec = list(base)
+    vec[0] += 0.5
+    rows = [
+        (-(i + 1), [float(vec[0] + 0.01 * (i + 1))] + [float(x) for x in vec[1:]])
+        for i in range(10)
+    ]
+    planted = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    corpus = (
+        _t(spark, sf, "embeddings")
+        .select("vec_id", "embedding")
+        .unionByName(planted)
+    )
+    return corpus, vec
+
+
+def _ranked_planted_ids(topk_df, dist_col: str):
+    """(rank, vec_id) rows from a top-k result, ranked by ascending
+    distance (ties on id — matching every topk operator's own order).
+    The window spans k=10 rows, so the single-partition sort is free."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col(dist_col).asc(), F.col("vec_id").asc())
+    return topk_df.select(
+        F.row_number().over(w).alias("rank"), "vec_id"
+    )
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -2184,70 +2223,42 @@ def q_e7_engine_partitioned(spark, sf):
 
 def q_ann_rhp_topk(spark, sf):
     """Approximate NN via random-hyperplane LSH (deterministic seed): the
-    scale path for similarity search. ANN results are approximate by
-    definition, so the gate emits the property the oracle CAN assert
-    deterministically: the probe returns exactly k rows and its
-    recall@10 against the in-plan exact top-10 (brute_force_topk — itself
-    value-gated by ann_cosine_topk) is >= 0.7. Seeded hyperplanes on a
-    fixed corpus make the flag stable; a recall regression in the bucket
-    probe flips it and fails the hash."""
-    from vastdb_sdk_spark.operators.similarity import (
-        brute_force_topk,
-        build_rhp_index,
-        rhp_topk,
-    )
+    scale path for similarity search. THE ORACLE IS THE PLANTED ID LIST
+    (round-9 conversion from the recall-boolean gate; see
+    _planted_ann_corpus): planted cosine >= 0.9971 vs organic max 0.899,
+    so the true top-10 is -1..-10 in rank order. The planted vectors sit
+    within 0.1 of the query on one coordinate, so they share its bucket
+    up to a couple of knife-edge plane flips — well inside the
+    multiprobe_hamming=2 probe set; a recall regression in the bucket
+    probe loses a planted row and fails the hash."""
+    from vastdb_sdk_spark.operators.similarity import build_rhp_index, rhp_topk
 
-    emb = _t(spark, sf, "embeddings")
-    vec = _query_vec(spark, sf, 0)
-    indexed, planes = build_rhp_index(emb, num_planes=6, seed=42, dim=64)
+    corpus, vec = _planted_ann_corpus(spark, sf)
+    indexed, planes = build_rhp_index(corpus, num_planes=6, seed=42, dim=64)
     approx = rhp_topk(
         indexed, planes, vec, k=10, metric="cosine", multiprobe_hamming=2,
         id_col="vec_id",
-    ).select("vec_id")
-    exact = brute_force_topk(emb, vec, k=10, metric="cosine", id_col="vec_id").select(
-        "vec_id"
     )
-    hits = approx.join(F.broadcast(exact), "vec_id", "left_semi").agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
-    k_ret = approx.agg(F.count(F.lit(1)).alias("k_returned"))
-    return k_ret.crossJoin(hits).select(
-        "k_returned", (F.col("n_hits") >= 7).alias("recall_ok")
-    )
+    return _ranked_planted_ids(approx, "distance")
 
 
 def q_ann_ivf_topk(spark, sf):
     """Approximate NN via IVF (k-means coarse quantizer, seeded): probe the
-    3 nearest centroids only. Same verified-recall gate shape as
-    ann_rhp_topk (k-means assignments are engine-specific, recall@10 vs the
-    in-plan exact top-10 is not): k rows out, recall >= 0.6."""
-    from vastdb_sdk_spark.operators.similarity import (
-        brute_force_topk,
-        build_ivf_index,
-        ivf_topk,
-    )
+    3 nearest centroids only. THE ORACLE IS THE PLANTED ID LIST (round-9
+    conversion; see _planted_ann_corpus): planted l2sq <= 0.01 vs organic
+    minimum 0.25, the planted rows sit essentially AT the query so they
+    assign to its nearest centroid — always probed at any nprobe >= 1 —
+    and the true top-10 is -1..-10 in rank order."""
+    from vastdb_sdk_spark.operators.similarity import build_ivf_index, ivf_topk
 
-    key = (sf, "__ivf_index")
+    key = (sf, "__ivf_index_planted")
     if key not in _ENGINE_WAREHOUSES:
-        emb = _t(spark, sf, "embeddings")
-        indexed, centroids = build_ivf_index(emb, num_centroids=16, seed=42)
-        _ENGINE_WAREHOUSES[key] = (indexed.persist(), centroids)
-    indexed, centroids = _ENGINE_WAREHOUSES[key]
-    vec = _query_vec(spark, sf, 0)
-    approx = ivf_topk(indexed, centroids, vec, k=10, nprobe=3, id_col="vec_id").select(
-        "vec_id"
-    )
-    emb = _t(spark, sf, "embeddings")
-    exact = brute_force_topk(emb, vec, k=10, metric="l2sq", id_col="vec_id").select(
-        "vec_id"
-    )
-    hits = approx.join(F.broadcast(exact), "vec_id", "left_semi").agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
-    k_ret = approx.agg(F.count(F.lit(1)).alias("k_returned"))
-    return k_ret.crossJoin(hits).select(
-        "k_returned", (F.col("n_hits") >= 6).alias("recall_ok")
-    )
+        corpus, vec = _planted_ann_corpus(spark, sf)
+        indexed, centroids = build_ivf_index(corpus, num_centroids=16, seed=42)
+        _ENGINE_WAREHOUSES[key] = (indexed.persist(), centroids, vec)
+    indexed, centroids, vec = _ENGINE_WAREHOUSES[key]
+    approx = ivf_topk(indexed, centroids, vec, k=10, nprobe=3, id_col="vec_id")
+    return _ranked_planted_ids(approx, "distance")
 
 
 def q_ann_ivf_knn_join(spark, sf):
@@ -2577,36 +2588,22 @@ def q_ann_pq_topk(spark, sf):
     ~16x; search is ADC (per-subspace LUT rides a broadcast variable,
     distances are m lookups per row in Arrow-batched mapInPandas, plan
     size O(1) in codes/dim), shortlist of 50 re-ranked by exact L2 on the
-    un-quantized column. Gate shape follows ann_rhp_topk: exactly k=10
-    rows returned and recall@10 vs the in-plan exact top-10 >= 0.7
-    (measured 1.0 at sf0.001/0.01/0.1 with the seeded sampled fit —
-    deterministic, wide margin)."""
-    from vastdb_sdk_spark.operators.similarity import (
-        brute_force_topk,
-        build_pq_index,
-        pq_topk,
-    )
+    un-quantized column. THE ORACLE IS THE PLANTED ID LIST (round-9
+    conversion; see _planted_ann_corpus): planted l2sq <= 0.01 vs
+    organic minimum 0.25, so with the exact re-rank of the 50-row ADC
+    shortlist the result must be -1..-10 in rank order — a shortlist
+    miss or re-rank regression loses a planted row and fails the
+    hash."""
+    from vastdb_sdk_spark.operators.similarity import build_pq_index, pq_topk
 
-    emb = _t(spark, sf, "embeddings")
-    vec = _query_vec(spark, sf, 0)
-    key = (sf, "__pq_index")
+    key = (sf, "__pq_index_planted")
     if key not in _ENGINE_WAREHOUSES:
-        enc, books = build_pq_index(emb, num_subspaces=16, num_codes=256, seed=42)
-        _ENGINE_WAREHOUSES[key] = (enc.persist(), books)
-    enc, books = _ENGINE_WAREHOUSES[key]
-    approx = pq_topk(
-        enc, books, vec, k=10, id_col="vec_id", rerank=50
-    ).select("vec_id")
-    exact = brute_force_topk(emb, vec, k=10, metric="l2sq", id_col="vec_id").select(
-        "vec_id"
-    )
-    hits = approx.join(F.broadcast(exact), "vec_id", "left_semi").agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
-    k_ret = approx.agg(F.count(F.lit(1)).alias("k_returned"))
-    return k_ret.crossJoin(hits).select(
-        "k_returned", (F.col("n_hits") >= 7).alias("recall_ok")
-    )
+        corpus, vec = _planted_ann_corpus(spark, sf)
+        enc, books = build_pq_index(corpus, num_subspaces=16, num_codes=256, seed=42)
+        _ENGINE_WAREHOUSES[key] = (enc.persist(), books, vec)
+    enc, books, vec = _ENGINE_WAREHOUSES[key]
+    approx = pq_topk(enc, books, vec, k=10, id_col="vec_id", rerank=50)
+    return _ranked_planted_ids(approx, "adc_dist")
 
 
 def q_ann_ivfpq_topk(spark, sf):
@@ -2615,38 +2612,28 @@ def q_ann_ivfpq_topk(spark, sf):
     vectors to clusters, PQ encodes the residuals (~24x less state than
     raw float32), search prunes to nprobe clusters and ADCs with
     per-cluster LUTs on one broadcast, then exact-reranks a 50-row
-    shortlist. Gate shape follows ann_rhp_topk: exactly k=10 rows and
-    recall@10 vs the in-plan exact top-10 >= 0.7 (measured 1.0 at sf0.01
-    with the seeded fit; pruning — not quantization — is the recall
-    limiter, hence nprobe=8)."""
+    shortlist. THE ORACLE IS THE PLANTED ID LIST (round-9 conversion;
+    see _planted_ann_corpus): the planted rows sit essentially AT the
+    query, so they assign to its nearest coarse centroid (probed at any
+    nprobe >= 1), survive the ADC shortlist by a 25x distance margin,
+    and the exact re-rank must emit -1..-10 in rank order."""
     from vastdb_sdk_spark.operators.similarity import (
-        brute_force_topk,
         build_ivfpq_index,
         ivfpq_topk,
     )
 
-    emb = _t(spark, sf, "embeddings")
-    vec = _query_vec(spark, sf, 0)
-    key = (sf, "__ivfpq_index")
+    key = (sf, "__ivfpq_index_planted")
     if key not in _ENGINE_WAREHOUSES:
+        corpus, vec = _planted_ann_corpus(spark, sf)
         enc, C, B = build_ivfpq_index(
-            emb, num_centroids=16, num_subspaces=16, seed=42
+            corpus, num_centroids=16, num_subspaces=16, seed=42
         )
-        _ENGINE_WAREHOUSES[key] = (enc.persist(), C, B)
-    enc, C, B = _ENGINE_WAREHOUSES[key]
+        _ENGINE_WAREHOUSES[key] = (enc.persist(), C, B, vec)
+    enc, C, B, vec = _ENGINE_WAREHOUSES[key]
     approx = ivfpq_topk(
         enc, C, B, vec, k=10, nprobe=8, id_col="vec_id", rerank=50
-    ).select("vec_id")
-    exact = brute_force_topk(emb, vec, k=10, metric="l2sq", id_col="vec_id").select(
-        "vec_id"
     )
-    hits = approx.join(F.broadcast(exact), "vec_id", "left_semi").agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
-    k_ret = approx.agg(F.count(F.lit(1)).alias("k_returned"))
-    return k_ret.crossJoin(hits).select(
-        "k_returned", (F.col("n_hits") >= 7).alias("recall_ok")
-    )
+    return _ranked_planted_ids(approx, "adc_dist")
 
 
 def q_ann_ivfpq_persisted(spark, sf):
@@ -3272,10 +3259,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only registered query with no driver-green row ever (rows-only:
     # the sequential merge loop has no SQL twin); (4) the full 43-query
     # round-6-stale cohort (the stalest greens in the registry); (5)
-    # tx_gopher_flags, the lead round-7 green, to fill the 50. After
-    # the boundary: the remaining round-7 greens (these lead the
-    # round-10 window), then round-8 greens, freshest last — no entry's
-    # latest green ever ages past ~3 rounds.
+    # ann_ivfpq_topk — its oracle was ALSO converted to planted-id form
+    # this round — fills the 50. After the boundary: the three remaining
+    # planted-converted ANN gates (locally verified at sf0.01+sf0.1 this
+    # round) and the round-7 greens lead the round-10 window, then
+    # round-8 greens, freshest last — no entry's latest green ever ages
+    # past ~3 rounds.
     return {
         "e17_semantic_dedup_inplace": q_e17_semantic_dedup_inplace,
         "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
@@ -3326,8 +3315,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "ds_stratified_sample": q_ds_stratified_sample,
         "ds_train_test_split": q_ds_train_test_split,
-        "tx_gopher_flags": q_tx_gopher_flags,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         # ---- window boundary (driver gates the 50 entries above) --------
+        # Directly below: the other three ANN gates whose oracles were
+        # ALSO converted to planted-id form this round (ann_rhp_topk,
+        # ann_pq_topk, ann_ivf_topk — verified green at sf0.01 AND sf0.1
+        # via tools/check_correctness.py this round); they lead the
+        # round-10 window together with tx_gopher_flags and the rest of
+        # the round-7-green cohort.
+        "ann_rhp_topk": q_ann_rhp_topk,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "tx_gopher_flags": q_tx_gopher_flags,
         "tx_c4_filter": q_tx_c4_filter,
         "tx_bpe_tokens": q_tx_bpe_tokens,
         "tx_unigram_logprob": q_tx_unigram_logprob,
@@ -3342,7 +3341,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_anti_join": q_j3_anti_join,
         "j4_outer_join_counts": q_j4_outer_join_counts,
         "a2_count_distinct": q_a2_count_distinct,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "a3_having": q_a3_having,
         "a4_rollup": q_a4_rollup,
         "a5_conditional_agg": q_a5_conditional_agg,
@@ -3377,9 +3375,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e16_change_feed": q_e16_change_feed,
         "tx_bm25_topk": q_tx_bm25_topk,
         "ann_knn_join_blocked": q_ann_knn_join_blocked,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "ann_rhp_topk": q_ann_rhp_topk,
         "ds_resample_mix": q_ds_resample_mix,
         "dd_contamination": q_dd_contamination,
         "skew_salted_agg": q_skew_salted_agg,
@@ -4519,13 +4514,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ann_rhp_topk": """
-            SELECT CAST(10 AS BIGINT) AS k_returned, TRUE AS recall_ok
+            -- ground truth: the planted rows (cosine >= 0.9971 to the
+            -- query vs organic max 0.899) ARE the top-10 in rank order
+            SELECT CAST(r + 1 AS INTEGER) AS rank,
+                   -CAST(r + 1 AS BIGINT) AS vec_id
+            FROM range(10) t(r)
         """,
         "ann_pq_topk": """
-            SELECT CAST(10 AS BIGINT) AS k_returned, TRUE AS recall_ok
+            -- ground truth: planted l2sq <= 0.01 vs organic min 0.25;
+            -- exact re-rank of the ADC shortlist must emit -1..-10
+            SELECT CAST(r + 1 AS INTEGER) AS rank,
+                   -CAST(r + 1 AS BIGINT) AS vec_id
+            FROM range(10) t(r)
         """,
         "ann_ivfpq_topk": """
-            SELECT CAST(10 AS BIGINT) AS k_returned, TRUE AS recall_ok
+            -- ground truth: planted rows assign to the query's coarse
+            -- centroid, survive ADC by a 25x margin, re-rank exactly
+            SELECT CAST(r + 1 AS INTEGER) AS rank,
+                   -CAST(r + 1 AS BIGINT) AS vec_id
+            FROM range(10) t(r)
         """,
         "ann_ivfpq_persisted": """
             -- ground truth: the ten planted vectors at l2sq distance
@@ -4683,7 +4690,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY view_id
         """,
         "ann_ivf_topk": """
-            SELECT CAST(10 AS BIGINT) AS k_returned, TRUE AS recall_ok
+            -- ground truth: planted rows sit AT the query, land in its
+            -- nearest centroid (always probed), true top-10 = -1..-10
+            SELECT CAST(r + 1 AS INTEGER) AS rank,
+                   -CAST(r + 1 AS BIGINT) AS vec_id
+            FROM range(10) t(r)
         """,
         "tx_token_stats": f"""
             SELECT doc_id,

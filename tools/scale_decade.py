@@ -77,6 +77,8 @@ QUERIES = [
     "ann_ivfpq_persisted",
     "tx_bpe_learned",
     "tx_clf_quality",
+    # round-9 additions (e17 runs the linear auto-centroid default)
+    "e17_semantic_dedup_inplace",
 ]
 
 _RUNNER = r"""
