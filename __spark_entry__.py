@@ -2951,6 +2951,92 @@ def q_e17_semantic_dedup_inplace(spark, sf):
     return t.select_df(columns=["vec_id", "label"])
 
 
+def q_e18_refresh_incremental(spark, sf):
+    """Feed-driven INCREMENTAL vector-index refresh under the gate
+    (table.refresh_vector_index — previously engine-tested only): the
+    planted-ANN corpus is imported and IVF-PQ-indexed on a clean
+    committed state; a later transaction then deletes the five NEAREST
+    planted rows (-1..-5) and inserts five NEARER ones (-11..-15 at
+    l2sq (0.001*j)^2, three orders of magnitude under the survivors'
+    (0.01*(i+1))^2 >= 0.0036). refresh_vector_index must take the
+    incremental path (a 'full' or 'noop' return appends a sentinel row
+    that breaks the gate), rewrite only the removal-touched clusters,
+    encode the additions with the FROZEN centroids/codebooks, and the
+    approximate search must then return -11..-15 then -6..-10 in that
+    exact rank order: a refresh that misses removals resurfaces a
+    deleted id; one that misses additions loses the new top-5; either
+    fails the hash."""
+    import tempfile
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark import _ as D
+
+    base = _query_vec(spark, sf, 0)
+    vec = list(base)
+    vec[0] += 0.5
+
+    def _planted_tbl(ids, eps):
+        return _pa.table(
+            {
+                "vec_id": _pa.array(ids, _pa.int64()),
+                "embedding": _pa.array(
+                    [
+                        [vec[0] + eps * (j + 1)] + vec[1:]
+                        for j in range(len(ids))
+                    ],
+                    _pa.list_(_pa.float32()),
+                ),
+                "label": _pa.array([0] * len(ids), _pa.int32()),
+            }
+        )
+
+    key = (sf, "__refresh_incr")
+    if key not in _ENGINE_WAREHOUSES:
+        wh = tempfile.mkdtemp(prefix="entry_refr_")
+        session = vastdb.connect(wh, spark=spark)
+        session.create_bucket("b")
+        src = f"{sf}/embeddings.parquet"
+        schema = _pq.ParquetFile(src).schema_arrow
+        with session.transaction() as tx:
+            sc = tx.bucket("b").create_schema("s")
+            t = sc.create_table(
+                "emb",
+                schema,
+                vector_index={"column": "embedding", "metric": "l2sq"},
+            )
+            t.import_files([src])
+            t.insert(_planted_tbl([-(i + 1) for i in range(10)], 0.01).cast(schema))
+        with session.transaction() as tx:  # clean committed build
+            tx.bucket("b").schema("s").table("emb").build_vector_index(
+                kind="ivfpq", num_centroids=16, num_subspaces=16, seed=42
+            )
+        with session.transaction() as tx:  # committed churn
+            t = tx.bucket("b").schema("s").table("emb")
+            t.delete_where(D.vec_id.isin([-1, -2, -3, -4, -5]))
+            t.insert(
+                _planted_tbl([-(j + 11) for j in range(5)], 0.001).cast(schema)
+            )
+        with session.transaction() as tx:
+            res = tx.bucket("b").schema("s").table("emb").refresh_vector_index(
+                mode="auto"
+            )
+        _ENGINE_WAREHOUSES[key] = (wh, res)
+    wh, res = _ENGINE_WAREHOUSES[key]
+
+    with vastdb.connect(wh, spark=spark).transaction() as tx:
+        got = tx.bucket("b").schema("s").table("emb").vector_search(
+            vec, columns=["vec_id"], limit=10,
+            approximate=True, nprobe=8, rerank=50,
+        )
+    rows = [(i + 1, int(v)) for i, v in enumerate(got.column("vec_id").to_pylist())]
+    if res.get("mode") != "incremental":  # refresh fell back -> fail gate
+        rows.append((-999, -999))
+    return spark.createDataFrame(rows, "rank INT, vec_id LONG")
+
+
 def q_tx_clf_quality(spark, sf):
     """Trained linear quality-classifier APPLICATION (operators/lm.
     linear_classifier_scores — the GPT-3/LLaMA-style curation step:
@@ -3259,12 +3345,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only registered query with no driver-green row ever (rows-only:
     # the sequential merge loop has no SQL twin); (4) the full 43-query
     # round-6-stale cohort (the stalest greens in the registry); (5)
-    # ann_ivfpq_topk — its oracle was ALSO converted to planted-id form
-    # this round — fills the 50. After the boundary: the three remaining
-    # planted-converted ANN gates (locally verified at sf0.01+sf0.1 this
-    # round) and the round-7 greens lead the round-10 window, then
-    # round-8 greens, freshest last — no entry's latest green ever ages
-    # past ~3 rounds.
+    # e18_refresh_incremental — ALSO new this round (the feed-driven
+    # incremental index refresh, previously engine-tested only) — fills
+    # the 50. After the boundary: the four planted-converted ANN gates
+    # (locally verified at sf0.01+sf0.1 this round) and the round-7
+    # greens lead the round-10 window, then round-8 greens, freshest
+    # last — no entry's latest green ever ages past ~3 rounds.
     return {
         "e17_semantic_dedup_inplace": q_e17_semantic_dedup_inplace,
         "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
@@ -3315,17 +3401,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "ds_stratified_sample": q_ds_stratified_sample,
         "ds_train_test_split": q_ds_train_test_split,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "e18_refresh_incremental": q_e18_refresh_incremental,
         # ---- window boundary (driver gates the 50 entries above) --------
-        # Directly below: the other three ANN gates whose oracles were
-        # ALSO converted to planted-id form this round (ann_rhp_topk,
-        # ann_pq_topk, ann_ivf_topk — verified green at sf0.01 AND sf0.1
-        # via tools/check_correctness.py this round); they lead the
-        # round-10 window together with tx_gopher_flags and the rest of
-        # the round-7-green cohort.
+        # Directly below: the four ANN gates whose oracles were ALSO
+        # converted to planted-id form this round (ann_rhp_topk,
+        # ann_pq_topk, ann_ivf_topk, ann_ivfpq_topk — all verified green
+        # at sf0.01 AND sf0.1 via tools/check_correctness.py this
+        # round); they lead the round-10 window together with
+        # tx_gopher_flags and the rest of the round-7-green cohort.
         "ann_rhp_topk": q_ann_rhp_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "tx_gopher_flags": q_tx_gopher_flags,
         "tx_c4_filter": q_tx_c4_filter,
         "tx_bpe_tokens": q_tx_bpe_tokens,
@@ -4561,6 +4648,15 @@ def oracle_sql() -> dict[str, str]:
             -- the planted x2-scaled copies (keeper = lowest $row_id =
             -- the imported original), leaving the pristine import
             SELECT vec_id, label FROM embeddings
+        """,
+        "e18_refresh_incremental": """
+            -- ground truth after the churn fold: the five inserted rows
+            -- at l2sq (0.001*j)^2 rank first, then the five surviving
+            -- originals at (0.01*(i+1))^2, i=5..9 — deleted ids -1..-5
+            -- must be gone, inserted ids -11..-15 must be found
+            SELECT CAST(r + 1 AS INTEGER) AS rank,
+                   CASE WHEN r < 5 THEN -(r + 11) ELSE -(r + 1) END AS vec_id
+            FROM range(10) t(r)
         """,
         "tx_clf_quality": f"""
             -- dyadic weights: every product/partial sum is exact binary

@@ -115,6 +115,7 @@ HEADLINE = [
     "tx_bpe_learned",
     "tx_clf_quality",
     "e17_semantic_dedup_inplace",
+    "e18_refresh_incremental",
 ]
 
 
