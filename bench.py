@@ -116,6 +116,17 @@ HEADLINE = [
     "tx_clf_quality",
     "e17_semantic_dedup_inplace",
     "e18_refresh_incremental",
+    # round-9: the rest of the gate-window cohort, so the driver's
+    # parsed BENCH record covers all 50 window queries
+    "e14_engine_dedup",
+    "tx_langid",
+    "mm_blob_meta",
+    "e2_engine_sql",
+    "e4_engine_dml",
+    "e9_engine_merge",
+    "e10_sql_frontend",
+    "e13_engine_zorder",
+    "ds_stratified_sample",
 ]
 
 
