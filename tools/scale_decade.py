@@ -77,8 +77,10 @@ QUERIES = [
     "ann_ivfpq_persisted",
     "tx_bpe_learned",
     "tx_clf_quality",
-    # round-9 additions (e17 runs the linear auto-centroid default)
+    # round-9 additions (e17 runs the linear auto-centroid default;
+    # e18's refresh cost tracks churn, so its decade should be ~flat)
     "e17_semantic_dedup_inplace",
+    "e18_refresh_incremental",
 ]
 
 _RUNNER = r"""

@@ -1113,6 +1113,7 @@ def semantic_dup_pairs(
     gemm_chunk: int = 1024,
     sample_fraction: float | None = None,
     target_cluster_rows: int = 4096,
+    fit: str = "driver",
 ) -> DataFrame:
     """High-cosine pairs within k-means clusters of the NORMALIZED
     embedding space. Returns (id_a, id_b, cos_sim) with id_a < id_b.
@@ -1130,7 +1131,15 @@ def semantic_dup_pairs(
     right for IVF probe/recall balance, wrong for a pair search.) A
     skew-hot cluster is handled by raising num_centroids, the paper's
     own knob. ``sample_fraction`` bounds the k-means fit scan at corpus
-    scale."""
+    scale.
+
+    Past the 65536-centroid clamp (~270M rows at the default target)
+    clusters grow linearly again; there, pass num_centroids=rows//4096
+    explicitly with fit='ml' (the distributed fit has no
+    sample-size-bound centroid cap) or shard the corpus and dedup
+    shards independently — semantic duplicates embed near-identically,
+    so a hash-shard by coarse cluster id preserves the paper's
+    same-cluster guarantee."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -1166,7 +1175,7 @@ def semantic_dup_pairs(
         num_centroids=num_centroids,
         seed=seed,
         sample_fraction=sample_fraction,
-        fit="driver",
+        fit=fit,
     )
     id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
@@ -1215,6 +1224,7 @@ def semantic_dedup(
     keep: str = "min",
     sample_fraction: float | None = None,
     target_cluster_rows: int = 4096,
+    fit: str = "driver",
 ) -> DataFrame:
     """SemDeDup keep/drop marks: every input row tagged with its semantic
     component (``sem_cluster``, NULL for singletons) and ``keep`` —
@@ -1232,6 +1242,7 @@ def semantic_dedup(
         df, id_col, vec_col, threshold, num_centroids, seed,
         sample_fraction=sample_fraction,
         target_cluster_rows=target_cluster_rows,
+        fit=fit,
     )
     comps = dup_clusters(pairs)  # (doc_id, cluster_id)
     agg = F.min if keep == "min" else F.max
