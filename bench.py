@@ -214,6 +214,19 @@ def main() -> int:
         pass
 
     window = list(queries.keys())[:50]
+    print(stdout_line(timings, window, total, sf))
+    return 0
+
+
+def stdout_line(
+    timings: dict, window: list, total: float, sf: float, budget: int = 1900
+) -> str:
+    """The ONE stdout JSON line the driver parses from its ~2000-char tail
+    buffer. Guaranteed under ``budget`` chars: per-query medians for the
+    gate window only, then a trim ladder (2-decimal values, then drop
+    trailing queries with a queries_truncated marker). Unit-tested so a
+    growing registry can never silently lose the round's bench record
+    again (rounds 2 and 8 both did)."""
     line_queries = {q: timings[q] for q in window if q in timings}
     payload = {
         "metric": "headline_queries_total_wall_sec",
@@ -223,16 +236,15 @@ def main() -> int:
         "sf": sf,
     }
     line = json.dumps(payload, separators=(",", ":"))
-    if len(line) >= 1900:  # trim ladder: 2-decimal values, then drop queries
+    if len(line) >= budget:
         payload["queries"] = {q: round(v, 2) for q, v in line_queries.items()}
         line = json.dumps(payload, separators=(",", ":"))
-    while len(line) >= 1900 and payload["queries"]:
+    while len(line) >= budget and payload["queries"]:
         payload["queries"].pop(next(reversed(payload["queries"])))
         payload["queries_truncated"] = True
         line = json.dumps(payload, separators=(",", ":"))
-    assert len(line) < 1900, f"bench stdout line {len(line)} chars"
-    print(line)
-    return 0
+    assert len(line) < budget, f"bench stdout line {len(line)} chars"
+    return line
 
 
 if __name__ == "__main__":

@@ -249,6 +249,40 @@ def test_gate_registry_integrity():
     missing = [h for h in HEADLINE if h not in qs]
     assert not missing, missing
     assert len(HEADLINE) == len(set(HEADLINE))
+    # the gate window must be fully bench-covered, so the driver's parsed
+    # BENCH record carries a median for every gated query
+    window = list(qs)[:50]
+    assert not [q for q in window if q not in HEADLINE]
+
+
+def test_bench_stdout_line_fits_driver_buffer():
+    """Rounds 2 and 8 both lost the driver's parsed bench record to a
+    stdout line that outgrew the ~2000-char tail buffer. Pin the
+    contract: at the CURRENT window (worst-case long names, generous
+    timings) the line fits; and the trim ladder keeps any window under
+    budget while preserving metric/value/sf."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from bench import stdout_line
+
+    window = list(e.queries())[:50]
+    timings = {q: 123.456 for q in window}
+    line = stdout_line(timings, window, 999.999, 0.1)
+    assert len(line) < 1900
+    d = json.loads(line)
+    assert len(d["queries"]) == 50 and d["value"] == 999.999
+
+    # pathological: 200 very long names still yields a parseable line
+    big_window = [f"query_with_a_very_long_name_{i:03d}_padding_padding" for i in range(200)]
+    big = {q: 1.234567 for q in big_window}
+    line2 = stdout_line(big, big_window, 246.9, 1.0)
+    assert len(line2) < 1900
+    d2 = json.loads(line2)
+    assert d2.get("queries_truncated") is True
+    assert d2["metric"] == "headline_queries_total_wall_sec"
 
 
 def test_gate_outputs_are_scalar(spark):
