@@ -2953,7 +2953,10 @@ def q_e17_semantic_dedup_inplace(spark, sf):
 
 def q_e18_refresh_incremental(spark, sf):
     """Feed-driven INCREMENTAL vector-index refresh under the gate
-    (table.refresh_vector_index — previously engine-tested only): the
+    (table.refresh_vector_index — previously engine-tested only;
+    reference precedent for persisted vector-index metadata:
+    vastdb/_internal.py:809-826, maintenance here is the engine
+    extension): the
     planted-ANN corpus is imported and IVF-PQ-indexed on a clean
     committed state; a later transaction then deletes the five NEAREST
     planted rows (-1..-5) and inserts five NEARER ones (-11..-15 at
