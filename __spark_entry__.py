@@ -3250,6 +3250,27 @@ def q_tx_unigram_logprob(spark, sf):
     )
 
 
+def q_tx_bigram_logprob(spark, sf):
+    """Corpus-fit BIGRAM-LM document scoring (operators/lm.
+    bigram_logprob_scores — the next-order perplexity-filter signal
+    after tx_unigram_logprob; CCNet/KenLM-style quality filtering
+    without the external artifact): mean ln p(w|v) per doc under the
+    corpus's own add-0.5-smoothed conditional bigram model. Fit = one
+    positional explode + groupBy(v, w) (map-side combined); scoring
+    joins the per-doc bigram stream to the counts (broadcast with top_n
+    — the 100 TB skew-free path; exact shuffle join here). Rounded to 6
+    so the avg's partition-order FP noise can't flip the hash."""
+    from vastdb_sdk_spark.operators.lm import bigram_logprob_scores
+
+    d = _t(spark, sf, "documents")
+    out = bigram_logprob_scores(d, "text", "doc_id", smoothing=0.5)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("bigram_logprob"), 6).alias("bigram_lp"),
+    )
+
+
 def q_ann_knn_join_blocked(spark, sf):
     """EXACT corpus x corpus k-NN join via the distributed block-GEMM grid
     (operators/similarity.knn_join_cosine_blocked): 100 probe rows against
@@ -3356,6 +3377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # last — no entry's latest green ever ages past ~3 rounds.
     return {
         "e17_semantic_dedup_inplace": q_e17_semantic_dedup_inplace,
+        "tx_bigram_logprob": q_tx_bigram_logprob,
         "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
         "ann_ivf_knn_join": q_ann_ivf_knn_join,
         "dd_semantic_dedup": q_dd_semantic_dedup,
@@ -3403,9 +3425,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
         "ds_stratified_sample": q_ds_stratified_sample,
-        "ds_train_test_split": q_ds_train_test_split,
         "e18_refresh_incremental": q_e18_refresh_incremental,
         # ---- window boundary (driver gates the 50 entries above) --------
+        # (ds_train_test_split was displaced past the boundary when
+        # tx_bigram_logprob joined the round-9 head; round-6 green, it
+        # leads the round-10 window with the four planted-converted ANN
+        # gates below.)
+        "ds_train_test_split": q_ds_train_test_split,
         # Directly below: the four ANN gates whose oracles were ALSO
         # converted to planted-id form this round (ann_rhp_topk,
         # ann_pq_topk, ann_ivf_topk, ann_ivfpq_topk — all verified green
@@ -3821,6 +3847,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    COALESCE(s.n_tokens, 0) AS n_tokens,
                    s.unigram_lp
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        "tx_bigram_logprob": f"""
+            WITH toks AS (
+                SELECT doc_id, {tok} AS tk FROM documents
+            ), idx AS (
+                SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+                FROM toks WHERE len(tk) >= 2
+            ), pos AS (
+                SELECT doc_id, tk[i] AS v, tk[i + 1] AS w FROM idx
+            ), cnt AS (
+                SELECT v, w, COUNT(*) AS c FROM pos GROUP BY v, w
+            ), pfx AS (
+                SELECT v, SUM(c) AS cv FROM cnt GROUP BY v
+            ), vv AS (
+                SELECT COUNT(DISTINCT w) AS vcount FROM cnt
+            ), scored AS (
+                SELECT pos.doc_id,
+                       COUNT(*) AS n_bigrams,
+                       ROUND(AVG(ln(
+                           (cnt.c + 0.5)
+                           / (pfx.cv + 0.5 * (vv.vcount + 1))
+                       )), 6) AS bigram_lp
+                FROM pos JOIN cnt USING (v, w) JOIN pfx USING (v)
+                CROSS JOIN vv
+                GROUP BY pos.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(s.n_bigrams, 0) AS n_bigrams,
+                   s.bigram_lp
             FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
         """,
         "ann_knn_join_blocked": """

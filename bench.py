@@ -116,6 +116,7 @@ HEADLINE = [
     "tx_clf_quality",
     "e17_semantic_dedup_inplace",
     "e18_refresh_incremental",
+    "tx_bigram_logprob",
     # round-9: the rest of the gate-window cohort, so the driver's
     # parsed BENCH record covers all 50 window queries
     "e14_engine_dedup",

@@ -790,6 +790,71 @@ def test_unigram_logprob_top_n_broadcasts_vocab(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bigram_logprob_matches_hand_model(spark):
+    import math
+
+    from vastdb_sdk_spark.operators.lm import bigram_logprob_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the cat ran"),
+            (3, "the"),
+            (4, ""),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in bigram_logprob_scores(df, "text", "doc_id").collect()}
+    # bigram counts: (the,cat)=2, (cat,sat)=1, (cat,ran)=1
+    # prefix counts: c(the)=2, c(cat)=2; continuation vocab V = {cat,sat,ran} = 3
+    p = lambda cvw, cv: (cvw + 0.5) / (cv + 0.5 * 4)
+    lp1 = (math.log(p(2, 2)) + math.log(p(1, 2))) / 2
+    assert out[1].n_bigrams == 2 and abs(out[1].bigram_logprob - lp1) < 1e-12
+    # doc 2 has the same structure -> identical score
+    assert abs(out[2].bigram_logprob - lp1) < 1e-12
+    # the common bigram scores higher than the rare one
+    assert math.log(p(2, 2)) > math.log(p(1, 2))
+    # docs with < 2 tokens: zero bigrams, NULL score
+    assert out[3].n_bigrams == 0 and out[3].bigram_logprob is None
+    assert out[4].n_bigrams == 0 and out[4].bigram_logprob is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="smoothing"):
+        bigram_logprob_scores(df, "text", "doc_id", smoothing=-1.0)
+
+
+def test_bigram_logprob_top_n_oov_and_plan(spark):
+    """top_n caps the scoring vocabulary to the most frequent bigrams:
+    OOV bigrams take c=0 while prefix counts and the continuation
+    vocabulary stay fit on the FULL distribution — and both stats
+    frames ride broadcasts (the skew-free 100 TB shape)."""
+    import math
+
+    from vastdb_sdk_spark.operators.lm import bigram_logprob_scores
+    from vastdb_sdk_spark.plans import inspect as pi
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran")],
+        "doc_id LONG, text STRING",
+    )
+    # top_n=1 keeps only (the,cat); (cat,sat)/(cat,ran) become OOV, but
+    # c(cat)=2 and V=3 still normalize
+    out = {
+        r.doc_id: r
+        for r in bigram_logprob_scores(df, "text", "doc_id", top_n=1).collect()
+    }
+    p = lambda cvw, cv: (cvw + 0.5) / (cv + 0.5 * 4)
+    lp1 = (math.log(p(2, 2)) + math.log(p(0, 2))) / 2
+    assert abs(out[1].bigram_logprob - lp1) < 1e-12
+
+    big = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = pi.formatted_plan(
+        bigram_logprob_scores(big, "text", "doc_id", top_n=100)
+    )
+    assert "BroadcastHashJoin" in plan
+
+
 def test_bm25_scores_match_hand_model(spark):
     import math
 

@@ -81,6 +81,7 @@ QUERIES = [
     # e18's refresh cost tracks churn, so its decade should be ~flat)
     "e17_semantic_dedup_inplace",
     "e18_refresh_incremental",
+    "tx_bigram_logprob",
 ]
 
 _RUNNER = r"""

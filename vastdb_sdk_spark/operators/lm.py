@@ -105,6 +105,123 @@ def unigram_logprob_scores(
     )
 
 
+def fit_bigram_counts(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus bigram counts — the bigram model's sufficient statistic:
+    POSITIONS are exploded (a cheap integer sequence) and each (v, w)
+    pair is built per row post-explode, the same shape as the corpus
+    bigram miner (exploding a pre-built pair array would cost
+    O(n_tokens^2) expression re-evaluation per doc — Generate
+    re-evaluates its child per output row). One shuffle on the pair key
+    with map-side partial aggregation. Returns (v, w, __c) —
+    vocabulary-squared-bounded but Zipf-concentrated, i.e. far smaller
+    than the corpus; persist it for fit-once-score-many."""
+    tk = tokens(F.col(text_col))
+    staged = df.select(tk.alias("__tk")).filter(F.size("__tk") >= 2)
+    pos = staged.select(
+        "__tk",
+        F.explode(F.sequence(F.lit(1), F.size("__tk") - 1)).alias("__p"),
+    )
+    return (
+        pos.select(
+            F.element_at(F.col("__tk"), F.col("__p")).alias("v"),
+            F.element_at(F.col("__tk"), F.col("__p") + 1).alias("w"),
+        )
+        .groupBy("v", "w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+    top_n: int | None = None,
+    out_col: str = "bigram_logprob",
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Mean bigram log-probability per document under the corpus's own
+    add-``smoothing`` conditional bigram model — the next-order
+    perplexity-filter signal after :func:`unigram_logprob_scores`
+    (CCNet/KenLM-style quality filtering without the external artifact;
+    a bigram model penalizes scrambled or boilerplate-stitched text that
+    a unigram model scores as perfectly normal):
+
+        p(w | v) = (c(v, w) + a) / (c(v) + a * (V + 1))
+
+    with ``c(v, w)`` the corpus bigram count, ``c(v) = sum_w c(v, w)``
+    the prefix count, and ``V`` the continuation vocabulary (distinct
+    ``w`` over the bigram table); the "+1" reserves mass for unseen
+    continuations. Returns one row per input row: (id_col, n_bigrams,
+    out_col); documents with fewer than two tokens get n_bigrams=0 and a
+    NULL score.
+
+    Scale shape mirrors the unigram scorer: fitting is one positional
+    explode + groupBy (map-side combined); scoring joins the per-doc
+    bigram stream back to the counts. With ``top_n`` the scoring
+    vocabulary is capped to the most frequent top_n bigrams and
+    BROADCAST together with the (vocabulary-sized) prefix counts, so the
+    join is map-side — no shuffle of the exploded stream, no Zipf-head
+    skew; out-of-vocabulary bigrams take c=0 and keep the exact
+    normalizer (the cap changes which pairs hit the OOV floor, not the
+    model). ``counts``: a precomputed persisted frame from
+    :func:`fit_bigram_counts`.
+
+    Exact SQL twin (DuckDB): same pair construction via
+    range(1, len(tk)), same ln() expression — keep in sync with the
+    ``tx_bigram_logprob`` oracle in ``__spark_entry__.py``."""
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    tk = tokens(F.col(text_col))
+    staged = df.select(F.col(id_col), tk.alias("__tk")).filter(
+        F.size("__tk") >= 2
+    )
+    pos = staged.select(
+        id_col,
+        "__tk",
+        F.explode(F.sequence(F.lit(1), F.size("__tk") - 1)).alias("__p"),
+    )
+    pairs = pos.select(
+        id_col,
+        F.element_at(F.col("__tk"), F.col("__p")).alias("v"),
+        F.element_at(F.col("__tk"), F.col("__p") + 1).alias("w"),
+    )
+    cnt = counts if counts is not None else fit_bigram_counts(df, text_col)
+    # prefix counts and the continuation vocabulary come from the FULL
+    # distribution even when the scoring vocab is capped
+    pfx = cnt.groupBy("v").agg(F.sum("__c").alias("__cv"))
+    vv = cnt.agg(F.count_distinct("w").alias("__v"))
+    if top_n is not None:
+        vocab = cnt.orderBy(
+            F.col("__c").desc(), F.col("v").asc(), F.col("w").asc()
+        ).limit(int(top_n))
+        joined = pairs.join(F.broadcast(vocab), ["v", "w"], "left").join(
+            F.broadcast(pfx), "v", "left"
+        )
+    else:
+        joined = pairs.join(cnt, ["v", "w"]).join(pfx, "v")
+    a = float(smoothing)
+    lp = F.log(
+        (F.coalesce(F.col("__c"), F.lit(0)).cast("double") + F.lit(a))
+        / (
+            F.coalesce(F.col("__cv"), F.lit(0)).cast("double")
+            + F.lit(a) * (F.col("__v").cast("double") + F.lit(1.0))
+        )
+    )
+    scored = (
+        joined.crossJoin(F.broadcast(vv))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.avg(lp).alias(out_col))
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .withColumn("n_bigrams", F.coalesce(F.col("n_bigrams"), F.lit(0)))
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     query_terms: list[str],
