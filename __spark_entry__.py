@@ -3352,6 +3352,83 @@ def q_tx_c4_filter(spark, sf):
     )
 
 
+def q_tx_tfidf_topterms(spark, sf):
+    """Per-document top-3 TF-IDF terms (operators/lm.tfidf_top_terms —
+    the lexical topic-signature used for corpus exploration and cluster
+    labeling): tf is the word-count shape, the vocabulary-sized df table
+    BROADCASTS into the scoring join (no Zipf-head shuffle), the per-doc
+    top-k is a row_number window on doc_id. Corpus statistics (N, df)
+    come from the FULL table; the doc_id < 200 output filter pushes
+    below the window (same partition key). tf/df/N are exact integers,
+    so every w = tf * (ln((1+N)/(1+df)) + 1) is the same IEEE double in
+    both engines; ties (equal tf and df) break on ascending term."""
+    from vastdb_sdk_spark.operators.lm import tfidf_top_terms
+
+    d = _t(spark, sf, "documents")
+    return (
+        tfidf_top_terms(d, k=3)
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rk")
+    )
+
+
+def q_ds_domain_caps(spark, sf):
+    """Per-domain document cap (operators/sampling.cap_per_group — the
+    RefinedWeb/C4 "no single site dominates" quota): keep at most 10
+    docs per source, chosen by md5(doc_id) so the kept subset is a
+    deterministic pseudo-random sample, stable under unrelated inserts.
+    The rank-filter window compiles to WindowGroupLimit (pytest-pinned):
+    map tasks trim each group to the cap BEFORE the shuffle, so a hot
+    domain ships ~cap rows per task, never the whole group. The oracle
+    is the identical md5-ordered row_number in DuckDB."""
+    from vastdb_sdk_spark.operators.sampling import cap_per_group
+
+    d = _t(spark, sf, "documents")
+    return cap_per_group(d, "source", 10).select("source", "doc_id")
+
+
+def q_ds_cluster_assign(spark, sf):
+    """Nearest-centroid topic-bucket assignment (operators/similarity.
+    assign_probe_centroids with nprobe=1 — the routing step of IVF and
+    the cluster-sampling step of embedding curation) over DETERMINISTIC
+    centroids (the vec_id < 8 embedding vectors, a bounded 8-row
+    collect): centroids ride a broadcast variable into a mapInPandas
+    GEMM — O(1) plan size, zero shuffle. The emitted distance is an
+    expression-side sequential zip_with/aggregate fold in double:
+    measured BIT-IDENTICAL to DuckDB's list_distance (same left-to-right
+    summation), so ROUND(.,6) cross-checks exactly and the oracle's
+    argmin (row_number over dist, centroid id) must agree."""
+    import numpy as np
+
+    from vastdb_sdk_spark.operators.similarity import assign_probe_centroids
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    crows = sorted(
+        emb.filter(F.col("vec_id") < 8).collect(), key=lambda r: r.vec_id
+    )
+    C = np.asarray([r.embedding for r in crows], dtype=np.float64)
+    cdf = spark.createDataFrame(
+        [(int(r.vec_id), [float(x) for x in r.embedding]) for r in crows],
+        "centroid_id int, __cvec array<double>",
+    )
+    assigned = assign_probe_centroids(emb, C, "embedding", nprobe=1)
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                "__cvec",
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        assigned.join(F.broadcast(cdf), "centroid_id")
+        .select("vec_id", "centroid_id", F.round(dist, 6).alias("dist"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3427,10 +3504,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_stratified_sample": q_ds_stratified_sample,
         "e18_refresh_incremental": q_e18_refresh_incremental,
         # ---- window boundary (driver gates the 50 entries above) --------
-        # (ds_train_test_split was displaced past the boundary when
-        # tx_bigram_logprob joined the round-9 head; round-6 green, it
-        # leads the round-10 window with the four planted-converted ANN
-        # gates below.)
+        # Directly below: the three queries ADDED LATE in round 9 (never
+        # driver-gated — each locally verified green at sf0.01 AND sf0.1
+        # via tools/check_correctness.py) lead the round-10 window,
+        # followed by ds_train_test_split (displaced past the boundary
+        # when tx_bigram_logprob joined the round-9 head; round-6 green).
+        "tx_tfidf_topterms": q_tx_tfidf_topterms,
+        "ds_domain_caps": q_ds_domain_caps,
+        "ds_cluster_assign": q_ds_cluster_assign,
         "ds_train_test_split": q_ds_train_test_split,
         # Directly below: the four ANN gates whose oracles were ALSO
         # converted to planted-id form this round (ann_rhp_topk,
@@ -5075,6 +5156,60 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE ((doc_id % 3037000493) * 2654435761) % 10000 <
                   CASE WHEN lang = 'en' THEN 3000 ELSE 6000 END
+        """,
+        "tx_tfidf_topterms": f"""
+            WITH t AS (
+                SELECT doc_id, {tok} AS tk FROM documents
+            ), e AS (
+                SELECT doc_id, unnest(tk) AS term FROM t
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM e GROUP BY 1, 2
+            ), dfc AS (
+                SELECT term, COUNT(*) AS dfr FROM tf GROUP BY 1
+            ), n AS (
+                SELECT COUNT(*) AS n FROM documents
+            ), s AS (
+                SELECT tf.doc_id, tf.term,
+                       tf.tf * (ln((1.0 + n.n) / (1.0 + dfc.dfr)) + 1.0) AS w
+                FROM tf JOIN dfc USING (term) CROSS JOIN n
+            ), r AS (
+                SELECT doc_id, term, w,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY w DESC, term) AS rk
+                FROM s
+            )
+            SELECT doc_id, term, ROUND(w, 6) AS tfidf, rk
+            FROM r WHERE rk <= 3 AND doc_id < 200
+        """,
+        "ds_domain_caps": """
+            WITH r AS (
+                SELECT source, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rk
+                FROM documents
+            )
+            SELECT source, doc_id FROM r WHERE rk <= 10
+        """,
+        "ds_cluster_assign": """
+            WITH c AS (
+                SELECT vec_id AS centroid_id,
+                       CAST(embedding AS DOUBLE[]) AS cvec
+                FROM embeddings WHERE vec_id < 8
+            ), d AS (
+                SELECT e.vec_id, c.centroid_id,
+                       list_distance(CAST(e.embedding AS DOUBLE[]),
+                                     c.cvec) AS dist
+                FROM embeddings e CROSS JOIN c
+            ), r AS (
+                SELECT vec_id, centroid_id, dist,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, centroid_id) AS rk
+                FROM d
+            )
+            SELECT vec_id, centroid_id, ROUND(dist, 6) AS dist
+            FROM r WHERE rk = 1
         """,
         "ds_train_test_split": """
             SELECT CASE WHEN ((doc_id % 3037000493) * 2654435761) % 10000 < 1000

@@ -128,6 +128,10 @@ HEADLINE = [
     "e10_sql_frontend",
     "e13_engine_zorder",
     "ds_stratified_sample",
+    # round-9 late additions (lead the round-10 gate window)
+    "tx_tfidf_topterms",
+    "ds_domain_caps",
+    "ds_cluster_assign",
 ]
 
 

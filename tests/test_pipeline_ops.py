@@ -470,12 +470,22 @@ def test_minhash_dedup_pairs_managed_unpersists(spark):
          for i in range(30)],
         "doc_id LONG, text STRING",
     )
+    import time as _time
+
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getPersistentRDDs().size()
     for _ in range(3):
         with minhash_dedup_pairs_managed(docs, threshold=0.9) as verified:
             inside = jsc.getPersistentRDDs().size()
             assert verified.count() >= 0
+        # the unpersist is blocking, but on a loaded machine the listing's
+        # entry removal has been observed to trail by a beat — poll briefly
+        # (a genuine leak never drains, so the contract still fails)
+        deadline = _time.time() + 5.0
+        while (
+            jsc.getPersistentRDDs().size() > before and _time.time() < deadline
+        ):
+            _time.sleep(0.1)
         assert jsc.getPersistentRDDs().size() <= before, (
             "candidate cache leaked past the managed block"
         )
@@ -1139,3 +1149,107 @@ def test_linear_classifier_scores_hand_model(spark):
 
     with _pytest.raises(ValueError, match="non-empty"):
         linear_classifier_scores(df, {})
+
+
+def test_tfidf_top_terms_formula_and_ranks(spark):
+    """w(d,t) = tf * (ln((1+N)/(1+df)) + 1) with smooth idf; per-doc
+    top-k; ties break on ascending term; empty docs count toward N but
+    emit nothing."""
+    import math
+
+    from vastdb_sdk_spark.operators.lm import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, ""),  # counts toward N, emits no rows
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, k=2)
+    rows = {(r.doc_id, r.rk): (r.term, r.tfidf) for r in out.collect()}
+    n = 3
+    idf = lambda d: math.log((1.0 + n) / (1.0 + d)) + 1.0
+    # doc 1: apple tf=2 df=1 -> 2*idf(1); banana tf=1 df=2 -> idf(2)
+    assert rows[(1, 1)] == ("apple", 2 * idf(1))
+    assert rows[(1, 2)] == ("banana", idf(2))
+    # doc 2: cherry (df=1) outranks banana (df=2), both tf=1
+    assert rows[(2, 1)] == ("cherry", idf(1))
+    assert rows[(2, 2)] == ("banana", idf(2))
+    assert not any(d == 3 for d, _ in rows)
+
+
+def test_tfidf_top_terms_tie_breaks_on_term(spark):
+    from vastdb_sdk_spark.operators.lm import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "zebra apple"), (2, "zebra apple")], "doc_id long, text string"
+    )
+    out = tfidf_top_terms(df, k=2).collect()
+    by_rank = {(r.doc_id, r.rk): r.term for r in out}
+    # identical tf and df for both terms -> ascending term order
+    assert by_rank[(1, 1)] == "apple" and by_rank[(1, 2)] == "zebra"
+    assert by_rank[(2, 1)] == "apple" and by_rank[(2, 2)] == "zebra"
+
+
+def test_tfidf_top_terms_k_validation(spark):
+    import pytest as _pytest
+
+    from vastdb_sdk_spark.operators.lm import tfidf_top_terms
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="k=0"):
+        tfidf_top_terms(df, k=0)
+
+
+def test_cap_per_group_deterministic_and_stable(spark):
+    """Cap keeps exactly n rows per group, identical across runs, and
+    the kept set is hash-stable: adding rows to OTHER groups never
+    changes a group's survivors."""
+    from vastdb_sdk_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(60)], "doc_id long, source string"
+    )
+    kept = cap_per_group(df, "source", 5)
+    got = sorted((r.source, r.doc_id) for r in kept.collect())
+    assert len(got) == 15
+    assert got == sorted((r.source, r.doc_id) for r in kept.collect())
+    # enlarge group g0 only; g1/g2 survivors must not move
+    extra = spark.createDataFrame(
+        [(1000 + i, "g0") for i in range(30)], "doc_id long, source string"
+    )
+    got2 = {
+        (r.source, r.doc_id)
+        for r in cap_per_group(df.unionByName(extra), "source", 5).collect()
+    }
+    assert {x for x in got if x[0] != "g0"} == {x for x in got2 if x[0] != "g0"}
+
+
+def test_cap_per_group_keep_col_and_small_groups(spark):
+    from vastdb_sdk_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string"
+    )
+    marked = cap_per_group(df, "source", 10, keep_col="keep")
+    assert all(r.keep for r in marked.collect())  # groups under the cap
+    assert marked.count() == 3
+
+
+def test_cap_per_group_uses_window_group_limit(spark):
+    """The scale claim in the docstring: a rank-filter window compiles to
+    WindowGroupLimit (map-side per-group trim before the shuffle)."""
+    from vastdb_sdk_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(30)], "doc_id long, source string"
+    )
+    plan = (
+        cap_per_group(df, "source", 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan

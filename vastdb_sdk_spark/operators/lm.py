@@ -415,3 +415,71 @@ def linear_classifier_scores(
             )
         )
     return joined.select(*out_cols)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    broadcast_vocab: bool = True,
+    rank_col: str = "rk",
+    out_col: str = "tfidf",
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the classic keyword/topic
+    signature used for corpus exploration, per-topic sampling and
+    cluster labeling in curation pipelines (the lexical analogue of the
+    embedding tier's cluster assignment):
+
+        w(d, t) = tf(d, t) * (ln((1 + N) / (1 + df(t))) + 1)
+
+    with raw term counts, smoothed idf (the "+1"s keep every observed
+    term finite and positive, sklearn's ``smooth_idf`` convention) and
+    N the TOTAL document count of ``df`` (empty documents count toward
+    N; they simply emit no rows).
+
+    Plan shape at scale: tf is one explode + groupBy(id, term) — the
+    word-count shape with map-side partial aggregation; df(t) reuses the
+    tf frame (one extra vocabulary-sized groupBy, never a second corpus
+    scan). With ``broadcast_vocab`` (default) the vocabulary-sized
+    df-count frame BROADCASTS into the tf stream, so the scoring join is
+    map-side — no shuffle of per-doc term rows by term and no Zipf-head
+    skew (the "the" bucket never lands on one reducer); set it False
+    only when the distinct-term count genuinely cannot fit an executor
+    (then the join shuffles by term — exact, skew-exposed). The final
+    per-doc top-k is a row_number window partitioned by ``id_col``:
+    documents are bounded, so no partition outgrows memory, and a
+    predicate on ``id_col`` above this operator pushes below the window.
+
+    Determinism: tf and df are exact integers and N is exact, so w is
+    the same IEEE double in any engine evaluating the formula in this
+    shape; ranking ties (equal tf AND equal df) break on ascending term.
+    Returns (id_col, term, out_col, rank_col) with rank_col in 1..k.
+    Exact SQL twin: the ``tx_tfidf_topterms`` oracle in
+    ``__spark_entry__.py``.
+    """
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("__tf"))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    n = df.agg(F.count(F.lit(1)).alias("__n"))
+    vocab = F.broadcast(dfc) if broadcast_vocab else dfc
+    idf = F.log(
+        (F.lit(1.0) + F.col("__n").cast("double"))
+        / (F.lit(1.0) + F.col("__df").cast("double"))
+    ) + F.lit(1.0)
+    scored = (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(n))
+        .select(F.col(id_col), "term", (F.col("__tf").cast("double") * idf).alias(out_col))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc(out_col), F.asc("term"))
+    return scored.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= F.lit(int(k))
+    )

@@ -251,3 +251,44 @@ def pack_greedy(
     )
     prefix_before = F.sum(F.col(size_col)).over(w) - F.col(size_col)
     return df.withColumn(bin_col, F.floor(prefix_before / F.lit(budget)))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen by a DETERMINISTIC
+    per-row hash — the per-domain cap of web-curation pipelines
+    (RefinedWeb/C4 cap documents per registered domain so no single
+    site dominates the corpus; same shape caps per-language, per-date
+    or per-source quotas). Hash order makes the kept subset a stable
+    pseudo-random sample: re-running on the same rows keeps the same
+    rows, and inserting unrelated rows only displaces by hash order,
+    never by input order.
+
+    Plan shape at scale: one row_number window partitioned by
+    ``group_col`` ordered by md5(id). Because the window function is a
+    rank filtered by a constant, Spark rewrites it to WindowGroupLimit:
+    each map task pre-trims its partition-local groups to ``n`` rows
+    BEFORE the shuffle, so a hot domain with 10^9 rows ships ~n rows per
+    map task, not the whole group — the skew a naive groupBy-collect
+    cap would hit never materializes.
+
+    Returns the kept rows with original columns (``keep_col=None``), or
+    all rows with a boolean ``keep_col`` marking survivors.
+    """
+    if n < 1:
+        raise ValueError(f"n={n} must be >= 1")
+    h = F.md5(F.col(id_col).cast("string"))
+    w = W.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    rk = F.row_number().over(w)
+    if keep_col is not None:
+        return df.withColumn(keep_col, rk <= F.lit(int(n)))
+    return (
+        df.withColumn("__cap_rk", rk)
+        .filter(F.col("__cap_rk") <= F.lit(int(n)))
+        .drop("__cap_rk")
+    )
