@@ -3429,6 +3429,23 @@ def q_ds_cluster_assign(spark, sf):
     )
 
 
+def q_tx_length_percentiles(spark, sf):
+    """Exact per-language length distribution (operators/sampling.
+    exact_group_percentiles — nearest-rank/type-1 percentiles where
+    percentile_approx's error bars are unacceptable): the p-th
+    percentile is the value at sorted rank ceil(p*n) computed with
+    INTEGER arithmetic ((num*n + den-1) div den), so there is no
+    floating-point ceil boundary for the engines to disagree on (0.9*30
+    = 27.000000000000004 in a double). One window sort per language
+    partition + a conditional aggregate — a single shuffle."""
+    from vastdb_sdk_spark.operators.sampling import exact_group_percentiles
+
+    d = _t(spark, sf, "documents")
+    return exact_group_percentiles(
+        d, "n_chars", "lang", percentiles=(0.5, 0.9, 0.99), id_col="doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3512,6 +3529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_tfidf_topterms": q_tx_tfidf_topterms,
         "ds_domain_caps": q_ds_domain_caps,
         "ds_cluster_assign": q_ds_cluster_assign,
+        "tx_length_percentiles": q_tx_length_percentiles,
         "ds_train_test_split": q_ds_train_test_split,
         # Directly below: the four ANN gates whose oracles were ALSO
         # converted to planted-id form this round (ann_rhp_topk,
@@ -5180,6 +5198,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, ROUND(w, 6) AS tfidf, rk
             FROM r WHERE rk <= 3 AND doc_id < 200
+        """,
+        "tx_length_percentiles": """
+            WITH s AS (
+                SELECT lang, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                                          ORDER BY n_chars, doc_id) AS rk,
+                       COUNT(*) OVER (PARTITION BY lang) AS n
+                FROM documents
+            )
+            SELECT lang, MAX(n) AS n,
+                   MAX(CASE WHEN rk = (n * 1 + 1) // 2
+                            THEN n_chars END) AS p50,
+                   MAX(CASE WHEN rk = (n * 9 + 9) // 10
+                            THEN n_chars END) AS p90,
+                   MAX(CASE WHEN rk = (n * 99 + 99) // 100
+                            THEN n_chars END) AS p99
+            FROM s GROUP BY lang
         """,
         "ds_domain_caps": """
             WITH r AS (

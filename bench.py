@@ -132,6 +132,7 @@ HEADLINE = [
     "tx_tfidf_topterms",
     "ds_domain_caps",
     "ds_cluster_assign",
+    "tx_length_percentiles",
 ]
 
 

@@ -279,3 +279,54 @@ def test_round8_curation_recipe(session):
         seg = bpe_segment(surviving, merges, "text", "doc_id")
         assert seg.count() == n1
         assert seg.agg(F.min("n_bpe_tokens")).collect()[0][0] >= 0
+
+
+def test_diverse_sampling_recipe_cluster_then_cap(spark):
+    """Round-9 curation recipe: topic-bucket the embedding corpus
+    (nearest-centroid assignment), then draw a per-cluster quota
+    (cap_per_group) — the "diverse subset" selection step of embedding
+    curation (cluster-balanced sampling), plus an exact length report
+    per language for the budget decision. Composes three round-9
+    operators end-to-end."""
+    import numpy as np
+
+    from vastdb_sdk_spark.operators.sampling import (
+        cap_per_group,
+        exact_group_percentiles,
+    )
+    from vastdb_sdk_spark.operators.similarity import assign_probe_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    crows = sorted(
+        emb.filter(F.col("vec_id") < 4).collect(), key=lambda r: r.vec_id
+    )
+    C = np.asarray([r.embedding for r in crows], dtype=np.float64)
+    assigned = assign_probe_centroids(
+        emb.select("vec_id", "embedding"), C, "embedding", nprobe=1
+    )
+    quota = 5
+    sample = cap_per_group(assigned, "centroid_id", quota, id_col="vec_id")
+    per_cluster = {
+        r.centroid_id: r.n
+        for r in sample.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_cluster, "no clusters assigned"
+    assert all(n <= quota for n in per_cluster.values())
+    # the sample is deterministic
+    again = {
+        (r.centroid_id, r.vec_id) for r in
+        cap_per_group(assigned, "centroid_id", quota, id_col="vec_id")
+        .select("centroid_id", "vec_id").collect()
+    }
+    assert again == {
+        (r.centroid_id, r.vec_id)
+        for r in sample.select("centroid_id", "vec_id").collect()
+    }
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    report = exact_group_percentiles(
+        docs, "n_chars", "lang", percentiles=(0.5, 0.9), id_col="doc_id"
+    ).collect()
+    assert report and all(r.p50 <= r.p90 for r in report)

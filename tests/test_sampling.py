@@ -99,3 +99,45 @@ def test_oversized_doc_gets_own_bin(spark):
     assert packed[0] == 0
     assert packed[1] is not None and packed[2] is not None
     assert packed[2] > packed[1] >= 0
+
+
+def test_exact_group_percentiles_nearest_rank(spark):
+    """Type-1 percentile: value at sorted rank ceil(p*n), integer-exact."""
+    from vastdb_sdk_spark.operators.sampling import exact_group_percentiles
+
+    # group a: values 1..10 -> p50 = rank ceil(5)=5 -> 5; p90 -> rank 9 -> 9
+    # group b: values [7] -> every percentile is 7
+    rows = [("a", i) for i in range(1, 11)] + [("b", 7)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        r.g: r
+        for r in exact_group_percentiles(
+            df, "v", "g", percentiles=(0.5, 0.9)
+        ).collect()
+    }
+    assert (out["a"].n, out["a"].p50, out["a"].p90) == (10, 5, 9)
+    assert (out["b"].n, out["b"].p50, out["b"].p90) == (1, 7, 7)
+
+
+def test_exact_group_percentiles_no_float_boundary(spark):
+    """n=30, p=0.9: double 0.9*30 = 27.000000000000004 would ceil to 28 —
+    the integer formula must pick rank 27."""
+    from vastdb_sdk_spark.operators.sampling import exact_group_percentiles
+
+    df = spark.createDataFrame(
+        [("g", i) for i in range(1, 31)], "g string, v long"
+    )
+    out = exact_group_percentiles(df, "v", "g", percentiles=(0.9,)).collect()
+    assert out[0].p90 == 27
+
+
+def test_exact_group_percentiles_validation(spark):
+    import pytest as _pytest
+
+    from vastdb_sdk_spark.operators.sampling import exact_group_percentiles
+
+    df = spark.createDataFrame([("g", 1)], "g string, v long")
+    with _pytest.raises(ValueError, match="non-empty"):
+        exact_group_percentiles(df, "v", "g", percentiles=())
+    with _pytest.raises(ValueError, match="must be in"):
+        exact_group_percentiles(df, "v", "g", percentiles=(1.5,))

@@ -292,3 +292,62 @@ def cap_per_group(
         .filter(F.col("__cap_rk") <= F.lit(int(n)))
         .drop("__cap_rk")
     )
+
+
+def exact_group_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | str,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    id_col: str | None = None,
+) -> DataFrame:
+    """EXACT nearest-rank percentiles per group — the length/score
+    distribution report of a curation pipeline (sequence-length budgets,
+    quality-score cut points) where ``percentile_approx``'s error bars
+    are unacceptable and, unlike approx sketches, the result is
+    reproducible bit-for-bit in any engine: the type-1 (nearest-rank)
+    percentile is the value at sorted rank ceil(p*n), computed with
+    INTEGER arithmetic (p as an exact fraction; ``ceil(num*n/den)`` =
+    ``(num*n + den - 1) div den``) so there is no floating-point
+    boundary to disagree on.
+
+    Plan shape at scale: ONE window sort per group partition (rank +
+    count ride the same partitioning) and a per-group conditional
+    aggregate — a single shuffle by the group key. Groups must fit a
+    partition's sort (percentiles of a 10^12-row single group want a
+    sketch instead; per-language/per-source groups are fine). Returns
+    one row per group: (group_cols..., n, p<pct> per requested
+    percentile), e.g. p50, p90, p99.
+    """
+    from fractions import Fraction
+
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    if not percentiles:
+        raise ValueError("percentiles must be non-empty")
+    fracs = []
+    for p in percentiles:
+        if not 0 < p <= 1:
+            raise ValueError(f"percentile {p} must be in (0, 1]")
+        fr = Fraction(str(p))
+        label = ("p%g" % (p * 100)).replace(".", "_")
+        fracs.append((label, fr.numerator, fr.denominator))
+    order = [F.col(value_col).asc()]
+    if id_col is not None:
+        order.append(F.col(id_col).asc())
+    wp = W.partitionBy(*group_cols)
+    rk = F.row_number().over(wp.orderBy(*order))
+    cnt = F.count(F.lit(1)).over(wp)
+    staged = df.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        rk.alias("__rk"),
+        cnt.alias("__n"),
+    )
+    aggs = [F.max("__n").alias("n")]
+    for label, num, den in fracs:
+        target = F.expr(f"(__n * {num} + {den - 1}) div {den}")
+        aggs.append(
+            F.max(F.when(F.col("__rk") == target, F.col("__v"))).alias(label)
+        )
+    return staged.groupBy(*group_cols).agg(*aggs)
