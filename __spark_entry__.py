@@ -3429,6 +3429,32 @@ def q_ds_cluster_assign(spark, sf):
     )
 
 
+def q_e19_engine_domain_cap(spark, sf):
+    """Engine-tier per-domain quota under the gate (table.
+    cap_rows_per_group — in-place twin of operators/sampling.
+    cap_per_group): documents imported as a managed table, then capped
+    to 10 rows per source; losers are DV-masked by the distributed
+    writer, no file rewrite. The zero-copy import assigns ``$row_id``
+    0..N-1 in file order and documents.parquet carries doc_id 0..N-1 in
+    that same order, so md5($row_id) IS md5(doc_id) and the surviving
+    (source, doc_id) set is fully SQL-expressible — the oracle is the
+    identical md5-ordered row_number quota."""
+    import tempfile
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark.sources import create_table_from_files
+
+    session = vastdb.connect(tempfile.mkdtemp(prefix="entry_cap_"), spark=spark)
+    session.create_bucket("b")
+    with session.transaction() as tx:
+        sc = tx.bucket("b").create_schema("s")
+        t = create_table_from_files(sc, "docs", [f"{sf}/documents.parquet"])
+        t.cap_rows_per_group(["source"], 10)
+    tx = session.transaction()
+    t = tx.bucket("b").schema("s").table("docs")
+    return t.select_df(columns=["source", "doc_id"])
+
+
 def q_tx_length_percentiles(spark, sf):
     """Exact per-language length distribution (operators/sampling.
     exact_group_percentiles — nearest-rank/type-1 percentiles where
@@ -3530,6 +3556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_domain_caps": q_ds_domain_caps,
         "ds_cluster_assign": q_ds_cluster_assign,
         "tx_length_percentiles": q_tx_length_percentiles,
+        "e19_engine_domain_cap": q_e19_engine_domain_cap,
         "ds_train_test_split": q_ds_train_test_split,
         # Directly below: the four ANN gates whose oracles were ALSO
         # converted to planted-id form this round (ann_rhp_topk,
@@ -5217,6 +5244,17 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY lang
         """,
         "ds_domain_caps": """
+            WITH r AS (
+                SELECT source, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rk
+                FROM documents
+            )
+            SELECT source, doc_id FROM r WHERE rk <= 10
+        """,
+        "e19_engine_domain_cap": """
             WITH r AS (
                 SELECT source, doc_id,
                        ROW_NUMBER() OVER (

@@ -133,6 +133,7 @@ HEADLINE = [
     "ds_domain_caps",
     "ds_cluster_assign",
     "tx_length_percentiles",
+    "e19_engine_domain_cap",
 ]
 
 

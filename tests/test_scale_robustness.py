@@ -951,3 +951,51 @@ def test_dedup_near_rows_semantic(clean_schema):
         # idempotent: no qualifying pairs remain -> true no-op commit
         t.dedup_near_rows("emb", method="semantic", threshold=0.95, num_centroids=4)
         assert t.count_rows() == 20
+
+
+def test_cap_rows_per_group_in_place(clean_schema):
+    """Engine-tier per-group quota (cap_rows_per_group): losers beyond
+    the md5($row_id)-first n per group are DV-masked in place; the
+    survivor set matches the hash order exactly, a re-run is a TRUE
+    no-op (no second audit event), and validation rejects bad args."""
+    import hashlib
+
+    import vastdb_sdk_spark as vastdb
+
+    data = pa.table(
+        {
+            "g": pa.array(["a"] * 20 + ["b"] * 5 + ["c"], pa.string()),
+            "v": pa.array(list(range(26)), pa.int64()),
+        }
+    )
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("cap", data.schema)
+        t.insert(data)
+        t.cap_rows_per_group(["g"], 4)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("cap")
+        assert t.count_rows() == 4 + 4 + 1
+        rows = t.select(internal_row_id=True).read_all()
+        got = sorted(rows.column("$row_id").to_pylist())
+        # survivors = md5(str(row_id))-first 4 ids of each group; insert
+        # order gave group a ids 0..19, b 20..24, c 25
+        expected = []
+        for ids, cap in ((range(20), 4), (range(20, 25), 4), ([25], 4)):
+            ranked = sorted(ids, key=lambda i: (hashlib.md5(
+                str(i).encode()).hexdigest(), i))
+            expected += ranked[:cap]
+        assert got == sorted(expected)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("cap")
+        t.cap_rows_per_group(["g"], 4)  # already at quota -> true no-op
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("cap")
+        assert t.count_rows() == 9
+        ops = [r.op for r in t.history().collect()]
+        assert ops.count("cap_rows_per_group") == 1
+        with pytest.raises(vastdb.InvalidArgument, match="unknown columns"):
+            t.cap_rows_per_group(["nope"], 4)
+        with pytest.raises(vastdb.InvalidArgument, match="must be >= 1"):
+            t.cap_rows_per_group(["g"], 0)
+        with pytest.raises(vastdb.InvalidArgument, match="non-empty"):
+            t.cap_rows_per_group([], 4)

@@ -569,6 +569,32 @@ def test_optimize_dedup_statement(sql_session):
     assert res["rows_removed"] == 0
 
 
+def test_optimize_cap_statement(sql_session):
+    """OPTIMIZE t CAP n PER (cols) — the SQL verb for the per-group
+    quota DML; idempotent re-run removes nothing."""
+    sql_session.execute_sql(
+        "INSERT INTO bkt.s.t VALUES (10, 1.0, 'one'), (11, 2.0, 'one'), "
+        "(12, 3.0, 'one'), (13, 4.0, 'two')"
+    )
+    before = (
+        sql_session.execute_sql("SELECT count(*) AS n FROM bkt.s.t")
+        .collect()[0]
+        .n
+    )
+    res = sql_session.execute_sql("OPTIMIZE bkt.s.t CAP 1 PER (name)")
+    assert res["optimized"] == "cap" and res["rows_removed"] >= 2
+    per_name = {
+        r.name: r.n
+        for r in sql_session.execute_sql(
+            "SELECT name, count(*) AS n FROM bkt.s.t GROUP BY name"
+        ).collect()
+    }
+    assert all(n == 1 for n in per_name.values())
+    res2 = sql_session.execute_sql("OPTIMIZE bkt.s.t CAP 1 PER (name)")
+    assert res2 == {"optimized": "cap", "rows_removed": 0}
+    assert before - res["rows_removed"] == sum(per_name.values())
+
+
 def test_copy_from_formats(sql_session, tmp_path):
     """COPY t FROM 'path' — parquet registers zero-copy, JSON/CSV convert
     through the distributed reader with the schema pinned to the table's."""

@@ -293,6 +293,20 @@ class SqlFrontend:
                     "rows_removed": before - table.count_rows(),
                 }
             m = re.match(
+                rf"(?is)OPTIMIZE\s+({_DOTTED})\s+CAP\s+(\d+)\s+PER"
+                rf"\s*\(([^()]*)\)\s*$",
+                stmt,
+            )
+            if m:
+                _, _, _, table = self._resolve_table(m.group(1))
+                cols = [_unquote(c) for c in _split_top(m.group(3))]
+                before = table.count_rows()
+                table.cap_rows_per_group(cols, int(m.group(2)))
+                return {
+                    "optimized": "cap",
+                    "rows_removed": before - table.count_rows(),
+                }
+            m = re.match(
                 rf"(?is)OPTIMIZE\s+({_DOTTED})"
                 rf"(?:\s+ZORDER\s+BY\s*\(([^()]*)\))?"
                 rf"(?:\s+TARGET\s+FILE\s+ROWS\s+(\d+))?\s*$",

@@ -1310,6 +1310,66 @@ class Table:
         self._mark_unsorted(entry)
         self._mutate(entry, "dedup_rows")
 
+    def cap_rows_per_group(self, group_columns: list[str], n: int) -> None:
+        """Per-group row quota in place (engine extension; batch-tier twin
+        operators/sampling.cap_per_group): keep at most ``n`` rows per
+        distinct ``group_columns`` value — the RefinedWeb/C4 per-domain
+        cap applied to a managed table. Survivors are chosen by
+        ``md5($row_id)`` order (ties on ``$row_id``), so the kept subset
+        is a deterministic pseudo-random sample and the operation is
+        IDEMPOTENT: survivors of a capped group are exactly its md5-first
+        ``n`` rows, so a re-run finds every group already at quota and
+        no-ops (true no-op — no manifest mutation, no index staling).
+
+        Fully distributed, same machinery as :meth:`dedup_rows`: one
+        rank-filtered window per group (compiles to WindowGroupLimit —
+        map tasks trim hot groups to ~n rows before the shuffle) finds
+        the losers, which are written straight to per-file
+        deletion-vector sidecars; no data file is rewritten and no row
+        ids cross the driver."""
+        entry = TableEntry.from_json(self.entry.to_json())
+        if n < 1:
+            raise InvalidArgument(f"n={n} must be >= 1")
+        bad = [c for c in group_columns if c not in self.arrow_schema.names]
+        if bad:
+            raise InvalidArgument(f"unknown columns: {bad}")
+        if not group_columns:
+            raise InvalidArgument("group_columns must be non-empty")
+        unkeyable = [
+            c
+            for c in group_columns
+            if pa.types.is_map(self.arrow_schema.field(c).type)
+        ]
+        if unkeyable:
+            raise InvalidArgument(
+                f"map-typed columns cannot be group keys (Spark cannot "
+                f"group/partition on maps): {unkeyable}"
+            )
+        if not entry.files:
+            return
+        from pyspark.sql import Window as W
+
+        df = self.df(internal_row_id=True, files=entry.files, with_file_path=True)
+        rid = F.col(INTERNAL_ROW_ID)
+        w = W.partitionBy(*group_columns).orderBy(
+            F.md5(rid.cast("string")).asc(), rid.asc()
+        )
+        losers = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > F.lit(int(n)))
+            .select(INTERNAL_ROW_ID, "__source_file")
+            .persist()
+        )
+        try:
+            if losers.limit(1).isEmpty():
+                return
+            self._write_dvs_distributed(entry.files, losers)
+        finally:
+            losers.unpersist()
+        self._fold_heavy_dvs(entry, entry.files)
+        self._mark_unsorted(entry)
+        self._mutate(entry, "cap_rows_per_group")
+
     def dedup_near_rows(
         self,
         text_column: str,
