@@ -3455,6 +3455,50 @@ def q_e19_engine_domain_cap(spark, sf):
     return t.select_df(columns=["source", "doc_id"])
 
 
+def q_w9_hopping_window(spark, sf):
+    """Hopping (sliding) event-time window aggregation — 1 h windows
+    every 15 min, the batch twin of streaming `F.window(size, slide)`:
+    each event belongs to exactly size/hop = 4 windows, made explicit as
+    an explode over the 4 hop offsets with window starts in EXACT
+    integer micros (ts is read as epoch-micros int64; no timezone, no
+    float). The explode is a 4x map-side fan-out feeding one
+    partial-aggregated groupBy — the same shape Spark's own sliding
+    window generates, with the window-start arithmetic shared verbatim
+    with the oracle."""
+    ev = _t(spark, sf, "events")
+    hop = 900_000_000  # 15 min in us; size = 4 hops = 1 h
+    return (
+        ev.withColumn("__k", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .groupBy(
+            F.expr(f"((ts div {hop}) - __k) * {hop}").alias("window_start_us"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q_a11_grouping_sets(spark, sf):
+    """GROUPING SETS aggregation (§2.4 breadth beyond a4's ROLLUP): a
+    non-hierarchical set list — (flag, status), (status), () — that
+    ROLLUP/CUBE cannot express. Spark expands it to a single Expand +
+    partial-aggregated groupBy: one shuffle for all three grouping
+    levels, not one job per set."""
+    li = _t(spark, sf, "lineitem")
+    li.createOrReplaceTempView("__a11_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM __a11_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_linestatus), ())
+        """
+    )
+
+
 def q_tx_length_percentiles(spark, sf):
     """Exact per-language length distribution (operators/sampling.
     exact_group_percentiles — nearest-rank/type-1 percentiles where
@@ -3557,6 +3601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_cluster_assign": q_ds_cluster_assign,
         "tx_length_percentiles": q_tx_length_percentiles,
         "e19_engine_domain_cap": q_e19_engine_domain_cap,
+        "w9_hopping_window": q_w9_hopping_window,
+        "a11_grouping_sets": q_a11_grouping_sets,
         "ds_train_test_split": q_ds_train_test_split,
         # Directly below: the four ANN gates whose oracles were ALSO
         # converted to planted-id form this round (ann_rhp_topk,
@@ -5253,6 +5299,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT source, doc_id FROM r WHERE rk <= 10
+        """,
+        "w9_hopping_window": """
+            SELECT ((epoch_us(ts) // 900000000) - u.k) * 900000000
+                       AS window_start_us,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events
+            CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) u
+            GROUP BY 1, 2
+        """,
+        "a11_grouping_sets": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_linestatus), ())
         """,
         "e19_engine_domain_cap": """
             WITH r AS (

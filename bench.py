@@ -134,6 +134,8 @@ HEADLINE = [
     "ds_cluster_assign",
     "tx_length_percentiles",
     "e19_engine_domain_cap",
+    "w9_hopping_window",
+    "a11_grouping_sets",
 ]
 
 
