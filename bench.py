@@ -136,6 +136,12 @@ HEADLINE = [
     "e19_engine_domain_cap",
     "w9_hopping_window",
     "a11_grouping_sets",
+    "tx_pmi_topk",
+    "dd_tfidf_pairs",
+    "a12_pivot",
+    "tx_token_entropy",
+    "ds_source_overlap",
+    "dd_keep_best",
 ]
 
 

@@ -1253,3 +1253,133 @@ def test_cap_per_group_uses_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_pmi_top_pairs_hand_model(spark):
+    """PMI from the bigram table's own marginals; min_count floor;
+    deterministic tie order."""
+    import math
+
+    from vastdb_sdk_spark.operators.lm import pmi_top_pairs
+
+    # corpus: "a b" x3, "a c" x1 -> bigrams: (a,b):3, (a,c):1
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c")],
+        "doc_id long, text string",
+    )
+    out = pmi_top_pairs(df, k=5, min_count=1).collect()
+    # T=4, cl(a)=4, cr(b)=3, cr(c)=1
+    exp = {
+        ("a", "b"): math.log(3 * 4 / (4 * 3)),
+        ("a", "c"): math.log(1 * 4 / (4 * 1)),
+    }
+    assert {(r.v, r.w): r.pmi for r in out} == exp
+    # min_count drops the singleton pair
+    out2 = pmi_top_pairs(df, k=5, min_count=2).collect()
+    assert [(r.v, r.w, r.n) for r in out2] == [("a", "b", 3)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k=0"):
+        pmi_top_pairs(df, k=0)
+
+
+def test_tfidf_cosine_pairs_exact_dup_and_cut(spark):
+    """Identical bag-of-words -> cosine 1.0; disjoint docs never pair;
+    the df-cut drops ubiquitous terms from the vectors."""
+    from vastdb_sdk_spark.operators.dedup import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "gamma beta alpha"),   # same bag, reordered
+            (3, "delta epsilon zeta"),  # disjoint
+            (4, "alpha beta gamma stop stop"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.a, r.b): round(r.cosine, 6)
+        for r in tfidf_cosine_pairs(df, threshold=0.1, max_df=3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert not any(3 in p for p in pairs)
+    assert (1, 4) in pairs and pairs[(1, 4)] < 1.0
+    # df-cut: with max_df=1 no term is shared by 2+ docs -> zero pairs
+    assert (
+        tfidf_cosine_pairs(df, threshold=0.1, max_df=1).count() == 0
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="threshold"):
+        tfidf_cosine_pairs(df, threshold=0.0)
+    with _pytest.raises(ValueError, match="max_df"):
+        tfidf_cosine_pairs(df, threshold=0.5, max_df=None, max_df_fraction=None)
+
+
+def test_keep_best_in_cluster_argmax_and_singletons(spark):
+    """Argmax-quality survivor per cluster (tie -> min id); singletons
+    and unclustered docs pass through; bad quality column raises."""
+    import pytest as _pytest
+
+    from vastdb_sdk_spark.errors import InvalidArgument
+    from vastdb_sdk_spark.operators.dedup import keep_best_in_cluster
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 1), (10, 7)],
+        "doc_id long, quality long",
+    )
+    # cluster {1,2,3}: quality 9 tie between 2 and 3 -> keep 2;
+    # cluster {4}: trivial; 10 never clustered -> survives
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "doc_id long, cluster_id long"
+    )
+    kept = sorted(
+        r.doc_id for r in keep_best_in_cluster(df, clusters, "quality").collect()
+    )
+    assert kept == [2, 4, 10]
+    with _pytest.raises(InvalidArgument, match="quality"):
+        keep_best_in_cluster(df, clusters, "nope")
+
+
+def test_token_entropy_hand_model(spark):
+    """H = ln n - (1/n) sum c ln c against a hand computation; empty and
+    NULL docs kept with n_tokens=0 / NULL entropy."""
+    import math
+
+    from vastdb_sdk_spark.operators.lm import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "x"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in token_entropy(df).collect()}
+    assert rows[1].n_tokens == 3
+    assert math.isclose(
+        rows[1].entropy, math.log(3) - (2 * math.log(2)) / 3, rel_tol=1e-12
+    )
+    assert rows[2].n_tokens == 1 and rows[2].entropy == 0.0
+    assert rows[3].n_tokens == 0 and rows[3].entropy is None
+    assert rows[4].n_tokens == 0 and rows[4].entropy is None
+
+
+def test_source_vocab_overlap_jaccard_and_zero_pairs(spark):
+    """Jaccard over distinct vocabularies; zero-overlap pairs appear
+    with jaccard 0.0 instead of vanishing."""
+    from vastdb_sdk_spark.operators.lm import source_vocab_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),
+            (2, "b c d", "s2"),   # vocab {b,c,d}: inter {b,c}, union 4
+            (3, "x y", "s3"),      # disjoint from both
+            (4, "a a b", "s1"),    # no new s1 terms (distinct vocab)
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r.a, r.b): r for r in source_vocab_overlap(df).collect()}
+    assert set(rows) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    r12 = rows[("s1", "s2")]
+    assert (r12.n_a, r12.n_b, r12.n_common) == (3, 3, 2)
+    assert r12.jaccard == 2 / 4
+    assert rows[("s1", "s3")].n_common == 0
+    assert rows[("s1", "s3")].jaccard == 0.0

@@ -644,6 +644,54 @@ def dedup_keep_representative(
     return df.join(losers, id_col, "left_anti")
 
 
+def keep_best_in_cluster(
+    df: DataFrame,
+    clusters: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware keep-one dedup: given a corpus and a cluster
+    assignment (:func:`dup_clusters` output — ``(doc_id, cluster_id)``
+    for every CLUSTERED doc), keep the HIGHEST-``quality_col`` member of
+    each duplicate cluster (ties broken by minimum id, so the choice is
+    deterministic) plus every singleton. This is the production
+    refinement of :func:`dedup_keep_representative`: min-id keep-one
+    discards a high-quality original whenever a low-quality copy happens
+    to carry a smaller id; real pipelines (RefinedWeb §3.3, Dolma) rank
+    cluster members by a quality signal and keep the argmax.
+
+    Plan: the cluster table is |pairs|-bounded (tiny next to the
+    corpus); one inner join attaches quality to clustered docs, a
+    per-cluster ``row_number`` window (partition = cluster_id — copy
+    cliques are small, so no skew) picks the winner, and one left_anti
+    of the loser id set against the corpus produces the survivors. The
+    corpus is scanned once; nothing corpus-sized shuffles.
+
+    Returns the surviving ``df`` rows (all original columns)."""
+    from pyspark.sql import Window as W
+
+    from ..errors import InvalidArgument
+
+    if quality_col not in df.columns:
+        raise InvalidArgument(
+            f"keep_best_in_cluster: quality column {quality_col!r} not in "
+            f"{df.columns}"
+        )
+    member_q = clusters.select("doc_id", "cluster_id").join(
+        df.select(F.col(id_col).alias("doc_id"), F.col(quality_col).alias("__q")),
+        "doc_id",
+    )
+    rank = F.row_number().over(
+        W.partitionBy("cluster_id").orderBy(F.desc("__q"), F.asc("doc_id"))
+    )
+    losers = (
+        member_q.withColumn("__r", rank)
+        .filter(F.col("__r") > 1)
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # passage-level (exact-substring) duplication
 
@@ -745,3 +793,87 @@ def filter_passage_dups(
         F.col("dup_passage_fraction") <= F.lit(float(max_dup_fraction))
     ).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    max_df_fraction: float | None = 0.2,
+) -> DataFrame:
+    """Lexical near-duplicate pairs by TF-IDF cosine over an INVERTED
+    INDEX — the sparse-vector similarity join (SpamAssassin/AllPairs
+    family) that catches reworded-but-same-vocabulary documents where
+    shingle MinHash misses (shingles break under word reordering) and
+    embedding cosine needs a model. Each document's distinct terms get
+    weight tf * (ln((1+N)/(1+df)) + 1), the vector is L2-normalized,
+    and the pairwise dot product is computed by joining the term-weight
+    table WITH ITSELF on term and summing u1*u2 per (a, b) pair — the
+    inverted-index formulation: only pairs that SHARE a term are ever
+    materialized.
+
+    The scale dial is the document-frequency cut (``max_df`` absolute,
+    or ``max_df_fraction`` of N, default 20%): a term in f documents
+    contributes f^2/2 candidate rows, so ultra-common terms (stopwords —
+    which carry near-zero idf weight anyway) are dropped from the
+    vectors BEFORE the join, the same df-cut every production sparse
+    similarity system applies. Weights and the normalizer are computed
+    over the post-cut term space, so cosine stays a true cosine there.
+
+    Returns (a, b, cosine) with a < b, cosine >= threshold. Exact SQL
+    twin: the ``dd_tfidf_pairs`` oracle in ``__spark_entry__.py``."""
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold={threshold} must be in (0, 1]")
+    if max_df is None and max_df_fraction is None:
+        raise ValueError("one of max_df / max_df_fraction is required")
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("__t"),
+    )
+    tf = toks.groupBy("__id", "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    dfc = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    cut = F.col("__df") <= (
+        F.lit(int(max_df))
+        if max_df is not None
+        else F.floor(F.col("__n") * F.lit(float(max_df_fraction)))
+    )
+    w = F.col("__tf").cast("double") * (
+        F.log(
+            (F.lit(1.0) + F.col("__n").cast("double"))
+            / (F.lit(1.0) + F.col("__df").cast("double"))
+        )
+        + F.lit(1.0)
+    )
+    weighted = (
+        tf.join(F.broadcast(dfc), "__t")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(cut)
+        .select("__id", "__t", w.alias("__w"))
+    )
+    norm = weighted.groupBy("__id").agg(
+        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__norm")
+    )
+    unit = (
+        weighted.join(norm, "__id")
+        .select("__id", "__t", (F.col("__w") / F.col("__norm")).alias("__u"))
+    )
+    left = unit.select(
+        F.col("__t"),
+        F.col("__id").alias("a"),
+        F.col("__u").alias("__ua"),
+    )
+    right = unit.select(
+        F.col("__t"),
+        F.col("__id").alias("b"),
+        F.col("__u").alias("__ub"),
+    )
+    return (
+        left.join(right, "__t")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("__ua") * F.col("__ub")).alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )

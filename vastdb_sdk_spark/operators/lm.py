@@ -483,3 +483,172 @@ def tfidf_top_terms(
     return scored.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) <= F.lit(int(k))
     )
+
+
+def pmi_top_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 5,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Top-``k`` adjacent token pairs by pointwise mutual information —
+    the collocation miner (multi-word expressions, "new york"-style
+    units) used for tokenizer-vocabulary curation and corpus
+    exploration:
+
+        pmi(v, w) = ln( c(v,w) * T / (c_l(v) * c_r(w)) )
+
+    with all marginals taken from the bigram table itself (c_l/c_r =
+    occurrences of v as left / w as right element, T = total bigrams) —
+    one table, exactly mirrorable in SQL, and every input to the ln is
+    an exact integer so the score is the same IEEE double in any
+    engine. ``min_count`` drops the unstable singleton tail (a pair
+    seen once with rare margins otherwise tops any list).
+
+    Plan shape: the bigram table is vocabulary-squared-bounded and
+    Zipf-concentrated (far smaller than the corpus); its two marginal
+    aggregates BROADCAST back onto it, the 1-row total rides a
+    broadcast too, and the top-k is a TakeOrdered — after the one
+    fit_bigram_counts shuffle, nothing corpus-sized moves. Ties break
+    on (v, w) ascending. Returns (v, w, n, pmi)."""
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    if min_count < 1:
+        raise ValueError(f"min_count={min_count} must be >= 1")
+    bc = counts if counts is not None else fit_bigram_counts(df, text_col)
+    left = bc.groupBy("v").agg(F.sum("__c").alias("__cl"))
+    right = bc.groupBy("w").agg(F.sum("__c").alias("__cr"))
+    tot = bc.agg(F.sum("__c").alias("__t"))
+    pmi = F.log(
+        F.col("__c").cast("double")
+        * F.col("__t").cast("double")
+        / (F.col("__cl").cast("double") * F.col("__cr").cast("double"))
+    )
+    return (
+        bc.filter(F.col("__c") >= F.lit(int(min_count)))
+        .join(F.broadcast(left), "v")
+        .join(F.broadcast(right), "w")
+        .crossJoin(F.broadcast(tot))
+        .select("v", "w", F.col("__c").alias("n"), pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("v"), F.asc("w"))
+        .limit(int(k))
+    )
+
+
+def token_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token Shannon entropy — the repetitiveness /
+    gibberish quality signal (low entropy = a few tokens dominate:
+    keyword-stuffed spam, boilerplate, degenerate generations; the
+    standard filter column alongside Gopher's repetition ratios).
+    Computed in the cross-engine-stable form
+
+        H = ln(n) - (1/n) * sum_i c_i * ln(c_i)
+
+    (algebraically -sum p_i ln p_i) so that EVERY ln() input is an
+    exact integer count — ln of the non-integer ratio c/n is where
+    engines' libm implementations can drift a ulp; ln of the same
+    integer cannot.
+
+    Plan shape: one word-count groupBy (tokenize -> explode ->
+    groupBy(doc, token)) then one per-doc aggregate — two shuffles on
+    uniform keys, no skew, no driver-side anything. Docs with zero
+    tokens are kept with ``n_tokens = 0`` and NULL entropy (dropping
+    them would silently shrink the corpus).
+
+    Returns (id_col, n_tokens, entropy)."""
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("__t"),
+        )
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    agg = tf.groupBy(id_col).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.sum(F.col("__c").cast("double") * F.log(F.col("__c").cast("double"))).alias(
+            "__s"
+        ),
+    )
+    scored = agg.select(
+        id_col,
+        "n_tokens",
+        (
+            F.log(F.col("n_tokens").cast("double"))
+            - F.col("__s") / F.col("n_tokens").cast("double")
+        ).alias("entropy"),
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        "entropy",
+    )
+
+
+def source_vocab_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus groups (sources /
+    domains / dumps) — the mixture-diversity diagnostic: two sources
+    with near-1 vocabulary overlap are redundant in a pretraining mix,
+    near-0 means a domain contributes unique coverage. For every
+    unordered group pair: distinct-term counts, the intersection size,
+    and Jaccard |A∩B| / |A∪B|.
+
+    Plan: one distinct over (group, term) builds the per-group
+    vocabulary (word-count shape); the intersection is an equi-join of
+    that table WITH ITSELF on term — a term in g groups contributes
+    g²/2 candidate rows, bounded by the GROUP count squared (domains
+    number in the thousands, never corpus-sized), not by corpus size.
+    Group sizes broadcast; the all-pairs frame is the tiny sizes table
+    non-equi-joined with itself (groups² rows), so pairs with ZERO
+    shared terms still appear with jaccard 0 rather than silently
+    vanishing. Jaccard is a single IEEE division of two exact integers
+    — correctly rounded, hence identical in any engine.
+
+    Returns (a, b, n_a, n_b, n_common, jaccard) with a < b."""
+    vocab = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("__t"),
+    ).distinct()
+    sizes = vocab.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    inter = (
+        vocab.select(F.col("__g").alias("a"), "__t")
+        .join(vocab.select(F.col("__g").alias("b"), "__t"), "__t")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    all_pairs = (
+        F.broadcast(sizes.select(F.col("__g").alias("a"), F.col("__n").alias("n_a")))
+        .join(
+            F.broadcast(
+                sizes.select(F.col("__g").alias("b"), F.col("__n").alias("n_b"))
+            ),
+            F.col("a") < F.col("b"),
+        )
+    )
+    return (
+        all_pairs.join(inter, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            "n_a",
+            "n_b",
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+            (
+                F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+                / (
+                    F.col("n_a") + F.col("n_b")
+                    - F.coalesce(F.col("n_common"), F.lit(0))
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
