@@ -3578,6 +3578,23 @@ def q_dd_keep_best(spark, sf):
     return out.select("doc_id", "quality")
 
 
+def q_dd_winnow(spark, sf):
+    """MOSS winnowing fingerprints (operators/dedup.winnow_fingerprints
+    — Schleimer et al. 2003): every k=5-token gram is hashed, a w=4-gram
+    sliding window selects the rightmost-minimal hash, and only those
+    ~2/(w+1) selections are kept — the guaranteed-recall sub-sample
+    (any shared run of >= w+k-1 tokens shares a fingerprint) that makes
+    exact-substring dedup indexes affordable at corpus scale. The
+    rightmost-min selection is ONE string window-MIN per document over
+    ``md5 || '#' || zeropad(1e9 - pos)`` — no UDF, and DuckDB evaluates
+    the identical expression, so the oracle reproduces every selected
+    (doc, pos, hash) triple exactly."""
+    from vastdb_sdk_spark.operators.dedup import winnow_fingerprints
+
+    d = _t(spark, sf, "documents")
+    return winnow_fingerprints(d, k=5, w=4)
+
+
 def q_w9_hopping_window(spark, sf):
     """Hopping (sliding) event-time window aggregation — 1 h windows
     every 15 min, the batch twin of streaming `F.window(size, slide)`:
@@ -3714,7 +3731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_stratified_sample": q_ds_stratified_sample,
         "e18_refresh_incremental": q_e18_refresh_incremental,
         # ---- window boundary (driver gates the 50 entries above) --------
-        # Directly below: the thirteen queries ADDED LATE in round 9 (never
+        # Directly below: the fourteen queries ADDED LATE in round 9 (never
         # driver-gated — each locally verified green at sf0.01 AND sf0.1
         # via tools/check_correctness.py) lead the round-10 window,
         # followed by ds_train_test_split (displaced past the boundary
@@ -3732,6 +3749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_token_entropy": q_tx_token_entropy,
         "ds_source_overlap": q_ds_source_overlap,
         "dd_keep_best": q_dd_keep_best,
+        "dd_winnow": q_dd_winnow,
         "ds_train_test_split": q_ds_train_test_split,
         # Directly below: the four ANN gates whose oracles were ALSO
         # converted to planted-id form this round (ann_rhp_topk,
@@ -5563,6 +5581,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT q.doc_id, q.quality FROM q
             WHERE q.doc_id NOT IN (SELECT doc_id FROM r WHERE rk > 1)
+        """,
+        "dd_winnow": f"""
+            WITH t AS (
+                SELECT doc_id, {tok} AS tk FROM documents
+            ), ne AS (
+                SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0
+            ), pos AS (
+                SELECT doc_id, tk, n,
+                       unnest(generate_series(0, greatest(n - 5, 0))) AS p
+                FROM ne
+            ), keyed AS (
+                SELECT doc_id, p, greatest(n - 5, 0) AS npos,
+                       md5(CASE WHEN n < 5 THEN array_to_string(tk, ' ')
+                                ELSE array_to_string(tk[p+1:p+5], ' ')
+                           END)
+                       || '#'
+                       || lpad(CAST(1000000000 - p AS VARCHAR), 10, '0')
+                           AS key
+                FROM pos
+            ), sel AS (
+                SELECT doc_id, p, npos,
+                       MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                                      ROWS BETWEEN CURRENT ROW
+                                      AND 3 FOLLOWING) AS mk
+                FROM keyed
+            )
+            SELECT DISTINCT doc_id,
+                   1000000000 - CAST(split_part(mk, '#', 2) AS BIGINT) AS pos,
+                   split_part(mk, '#', 1) AS fp
+            FROM sel WHERE p <= greatest(npos - 3, 0)
         """,
         "w9_hopping_window": """
             SELECT ((epoch_us(ts) // 900000000) - u.k) * 900000000

@@ -142,6 +142,7 @@ HEADLINE = [
     "tx_token_entropy",
     "ds_source_overlap",
     "dd_keep_best",
+    "dd_winnow",
 ]
 
 

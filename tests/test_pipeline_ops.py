@@ -1383,3 +1383,62 @@ def test_source_vocab_overlap_jaccard_and_zero_pairs(spark):
     assert r12.jaccard == 2 / 4
     assert rows[("s1", "s3")].n_common == 0
     assert rows[("s1", "s3")].jaccard == 0.0
+
+
+def test_winnow_fingerprints_hand_model(spark):
+    """Winnowing selections replicated against a literal Python
+    implementation of the published algorithm (min per window, ties to
+    the rightmost), plus the guarantee: docs sharing a >= w+k-1 token
+    run share a fingerprint; short and empty docs behave."""
+    import hashlib
+
+    from vastdb_sdk_spark.functions.text import tokens as _  # noqa: F401
+    from vastdb_sdk_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 3, 2
+    docs = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "xx yy the quick brown fox jumps zz",  # shares a 7-token run w/ 1? (w+k-1=4 needed)
+        3: "one two",    # shorter than k -> single whole-stream gram
+        4: "",            # zero tokens -> no fingerprints
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        (r.doc_id, r.pos, r.fp)
+        for r in winnow_fingerprints(df, k=k, w=w).collect()
+    }
+
+    def ref_winnow(text):
+        tk = [t for t in text.lower().split() if t]
+        if not tk:
+            return set()
+        if len(tk) < k:
+            grams = [" ".join(tk)]
+        else:
+            grams = [" ".join(tk[p:p + k]) for p in range(len(tk) - k + 1)]
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        out = set()
+        for i in range(max(len(hs) - w, 0) + 1):
+            win = hs[i:i + w]
+            m = min(win)
+            # rightmost occurrence of the min
+            j = max(idx for idx, h in enumerate(win) if h == m)
+            out.add((i + j, m))
+        return out
+
+    exp = {
+        (d, p, h) for d, text in docs.items() for (p, h) in ref_winnow(text)
+    }
+    assert got == exp
+    # shared >= w+k-1 = 4 token run ("the quick brown fox jumps" = 5) ->
+    # at least one common fingerprint hash between docs 1 and 2
+    fp1 = {h for (d, p, h) in got if d == 1}
+    fp2 = {h for (d, p, h) in got if d == 2}
+    assert fp1 & fp2
+    assert not {h for (d, p, h) in got if d == 4}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must"):
+        winnow_fingerprints(df, k=1)
+    with _pytest.raises(ValueError, match="w must"):
+        winnow_fingerprints(df, w=0)

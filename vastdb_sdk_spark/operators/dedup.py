@@ -692,6 +692,89 @@ def keep_best_in_cluster(
     return df.join(losers, id_col, "left_anti")
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer, Wilkerson, Aiken
+    2003, "Winnowing: Local Algorithms for Document Fingerprinting"):
+    hash every k-token gram, slide a w-gram window over the hash
+    sequence, and select the RIGHTMOST MINIMAL hash of each window
+    (deduplicating adjacent windows that select the same position).
+    Guarantees: every shared substring of >= w+k-1 tokens produces at
+    least one shared fingerprint, while storing only ~2/(w+1) of the
+    gram hashes — the sub-sampling that makes exact-substring dedup
+    indexes fit at corpus scale (passage_dup_stats keeps EVERY gram;
+    winnowing keeps a guaranteed-recall sample, the dial between them
+    is w).
+
+    Cross-engine argmin trick: "minimal hash, ties to the RIGHT" is
+    encoded as the plain string MIN of ``md5hex || '#' || zeropad(1e9 -
+    pos)`` — md5 hex is fixed-width so the hash compares first, and the
+    reversed zero-padded position makes the larger position win ties.
+    One window MIN per document (partition = doc, order = gram
+    position) is the whole selection: no UDF, no per-row Python, and
+    the identical expression runs in DuckDB (the ``dd_winnow`` oracle).
+
+    Same positional-explode discipline as passage_dup_stats (explode
+    integer positions, build one gram per output row — pre-built gram
+    arrays cost O(grams²) expression work under Generate). Documents
+    shorter than k tokens contribute their whole stream as one gram;
+    zero-token documents have no fingerprints.
+
+    Returns (id_col, pos, fp): the selected gram position (0-based) and
+    the 32-hex-char gram hash."""
+    from pyspark.sql import Window as W
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2 tokens, got {k}")
+    if w < 1:
+        raise ValueError(f"w must be >= 1 grams, got {w}")
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tk"))
+    nonempty = staged.filter(F.size(F.col("__tk")) > 0)
+    npos = F.greatest(F.size(F.col("__tk")) - k, F.lit(0))
+    pos = nonempty.select(
+        id_col,
+        "__tk",
+        npos.alias("__npos"),
+        F.explode(F.sequence(F.lit(0), npos)).alias("__p"),
+    )
+    gram = F.when(
+        F.size(F.col("__tk")) < k, F.concat_ws(" ", F.col("__tk"))
+    ).otherwise(F.concat_ws(" ", F.slice(F.col("__tk"), F.col("__p") + 1, k)))
+    key = F.concat(
+        F.md5(gram),
+        F.lit("#"),
+        F.lpad((F.lit(1_000_000_000) - F.col("__p")).cast("string"), 10, "0"),
+    )
+    keyed = pos.select(
+        id_col, "__p", "__npos", key.alias("__key")
+    )
+    frame = (
+        W.partitionBy(id_col).orderBy("__p").rowsBetween(W.currentRow, w - 1)
+    )
+    sel = keyed.select(
+        id_col,
+        "__p",
+        "__npos",
+        F.min("__key").over(frame).alias("__mk"),
+    ).filter(F.col("__p") <= F.greatest(F.col("__npos") - (w - 1), F.lit(0)))
+    return (
+        sel.select(
+            id_col,
+            (
+                F.lit(1_000_000_000)
+                - F.split(F.col("__mk"), "#").getItem(1).cast("long")
+            ).alias("pos"),
+            F.split(F.col("__mk"), "#").getItem(0).alias("fp"),
+        )
+        .dropDuplicates([id_col, "pos"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # passage-level (exact-substring) duplication
 
