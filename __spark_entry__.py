@@ -3476,17 +3476,21 @@ def q_dd_tfidf_pairs(spark, sf):
     """Lexical near-dup pairs by TF-IDF cosine over an inverted index
     (operators/dedup.tfidf_cosine_pairs — the sparse-vector similarity
     join catching reworded same-vocabulary docs that shingle MinHash
-    misses): per-doc unit tf-idf vectors over the df-cut term space
-    (terms in >20% of docs dropped BEFORE the join — the f² candidate
-    blow-up of stopwords never materializes), self-join on term, one
-    groupBy(a, b) sum = the full cosine. Threshold 0.5 keeps the
-    exact-duplicate clusters the corpus plants (cosine 1.0; organic
-    non-dup pairs sit far below). The oracle re-derives the identical
-    weighted join in SQL."""
+    misses), in the PRODUCTION configuration: an ABSOLUTE df cap
+    (sum(df²) candidate work bounded by vocab·cap² at any corpus size —
+    a fractional cut lets per-term df, hence df², grow with N; the
+    round-9 decade measured that as 207× for 10× data) plus
+    AllPairs/PPJoin prefix filtering (Bayardo et al. 2007): only each
+    doc's rarest-first prefix carrying >= threshold² of norm mass is
+    indexed, the candidate join runs prefix-vs-prefix, and the full
+    dot product is recomputed for candidates only. The pruning is
+    LOSSLESS — the oracle is the NAIVE quadratic join in SQL, so any
+    over-pruning (a missed result pair) fails the hash, not just the
+    row count."""
     from vastdb_sdk_spark.operators.dedup import tfidf_cosine_pairs
 
     d = _t(spark, sf, "documents")
-    out = tfidf_cosine_pairs(d, threshold=0.5, max_df_fraction=0.2)
+    out = tfidf_cosine_pairs(d, threshold=0.8, max_df=1200)
     return out.select("a", "b", F.round("cosine", 4).alias("cosine"))
 
 
@@ -5487,7 +5491,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT tf.id, tf.term,
                        tf.tf * (ln((1.0 + n.n) / (1.0 + dfc.dfr)) + 1.0) AS w
                 FROM tf JOIN dfc USING (term) CROSS JOIN n
-                WHERE dfc.dfr <= floor(n.n * 0.2)
+                WHERE dfc.dfr <= 1200
             ), nr AS (
                 SELECT id, sqrt(SUM(w * w)) AS nrm FROM wt GROUP BY 1
             ), u AS (
@@ -5498,7 +5502,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM u l JOIN u r ON l.term = r.term AND l.id < r.id
                 GROUP BY 1, 2
             )
-            SELECT a, b, ROUND(cos, 4) AS cosine FROM p WHERE cos >= 0.5
+            SELECT a, b, ROUND(cos, 4) AS cosine FROM p WHERE cos >= 0.8
         """,
         "a12_pivot": """
             SELECT source,

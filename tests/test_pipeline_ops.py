@@ -1442,3 +1442,35 @@ def test_winnow_fingerprints_hand_model(spark):
         winnow_fingerprints(df, k=1)
     with _pytest.raises(ValueError, match="w must"):
         winnow_fingerprints(df, w=0)
+
+
+def test_tfidf_prefix_filter_lossless(spark):
+    """AllPairs prefix filtering must be LOSSLESS: identical (a, b,
+    cosine) set with prefix_filter on and off, across thresholds, on a
+    corpus with shared-vocab structure."""
+    from vastdb_sdk_spark.operators.dedup import tfidf_cosine_pairs
+
+    rows = []
+    words = ["w%d" % i for i in range(12)]
+    for d in range(40):
+        # overlapping sliding vocab windows + a few exact dups
+        base = [words[(d + j) % 12] for j in range(6)]
+        if d % 7 == 0:
+            base = [words[0], words[1], words[2], words[3]]
+        rows.append((d, " ".join(base * (1 + d % 3))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.6, 0.9):
+        fast = {
+            (r.a, r.b, round(r.cosine, 9))
+            for r in tfidf_cosine_pairs(
+                df, threshold=t, max_df=40, prefix_filter=True
+            ).collect()
+        }
+        naive = {
+            (r.a, r.b, round(r.cosine, 9))
+            for r in tfidf_cosine_pairs(
+                df, threshold=t, max_df=40, prefix_filter=False
+            ).collect()
+        }
+        assert fast == naive, f"threshold {t}: prefix filter changed results"
+    assert len(naive) > 0

@@ -885,25 +885,45 @@ def tfidf_cosine_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
     max_df_fraction: float | None = 0.2,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Lexical near-duplicate pairs by TF-IDF cosine over an INVERTED
-    INDEX — the sparse-vector similarity join (SpamAssassin/AllPairs
-    family) that catches reworded-but-same-vocabulary documents where
-    shingle MinHash misses (shingles break under word reordering) and
-    embedding cosine needs a model. Each document's distinct terms get
-    weight tf * (ln((1+N)/(1+df)) + 1), the vector is L2-normalized,
-    and the pairwise dot product is computed by joining the term-weight
-    table WITH ITSELF on term and summing u1*u2 per (a, b) pair — the
-    inverted-index formulation: only pairs that SHARE a term are ever
-    materialized.
+    INDEX — the sparse-vector similarity join that catches
+    reworded-but-same-vocabulary documents where shingle MinHash misses
+    (shingles break under word reordering) and embedding cosine needs a
+    model. Each document's distinct terms get weight
+    tf * (ln((1+N)/(1+df)) + 1), the vector is L2-normalized, and the
+    pairwise dot product is computed by joining the term-weight table
+    with itself on term and summing u1*u2 per (a, b) pair — only pairs
+    that SHARE a term are ever materialized.
 
-    The scale dial is the document-frequency cut (``max_df`` absolute,
-    or ``max_df_fraction`` of N, default 20%): a term in f documents
-    contributes f^2/2 candidate rows, so ultra-common terms (stopwords —
-    which carry near-zero idf weight anyway) are dropped from the
-    vectors BEFORE the join, the same df-cut every production sparse
-    similarity system applies. Weights and the normalizer are computed
-    over the post-cut term space, so cosine stays a true cosine there.
+    Two candidate bounds, both standard:
+
+    - **df cut** (``max_df`` absolute, or ``max_df_fraction`` of N,
+      default 20%): a term in f documents contributes f²/2 candidate
+      rows, so ultra-common terms (stopwords — near-zero idf anyway)
+      are dropped from the vectors before anything joins. At scale the
+      ABSOLUTE cap is the one that bounds work: sum(df²) over kept
+      terms is <= vocab·max_df², independent of corpus size, while a
+      fractional cut lets every term's df (hence df²) grow with N.
+      Weights and the normalizer are computed over the post-cut term
+      space, so cosine stays a true cosine there.
+
+    - **prefix filtering** (AllPairs/PPJoin — Bayardo, Ma, Srikant
+      2007, "Scaling Up All Pairs Similarity Search"; relational form
+      per Vernica, Carey, Li 2010): order every document's terms
+      rarest-first by a GLOBAL (df, term) order and index only the
+      minimal PREFIX whose remaining tail has L2 norm < threshold. For
+      unit vectors, a pair whose shared terms all fall in one side's
+      tail has cosine <= that tail's norm < threshold (Cauchy-Schwarz),
+      and with a shared global order the globally-rarest shared term of
+      any RESULT pair provably lies in BOTH prefixes — so the
+      candidate join runs prefix-against-prefix only, then the FULL
+      dot product is recomputed for the (far smaller) candidate set.
+      LOSSLESS: the output is bit-for-bit the naive join's (the
+      ``dd_tfidf_pairs`` gate proves this against a naive SQL oracle
+      every round). The tail norm is sqrt(1 - cumsum(u²)) — one
+      cumulative window per document, no second pass.
 
     Returns (a, b, cosine) with a < b, cosine >= threshold. Exact SQL
     twin: the ``dd_tfidf_pairs`` oracle in ``__spark_entry__.py``."""
@@ -934,28 +954,62 @@ def tfidf_cosine_pairs(
         tf.join(F.broadcast(dfc), "__t")
         .crossJoin(F.broadcast(n_docs))
         .filter(cut)
-        .select("__id", "__t", w.alias("__w"))
+        .select("__id", "__t", "__df", w.alias("__w"))
     )
     norm = weighted.groupBy("__id").agg(
         F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__norm")
     )
-    unit = (
-        weighted.join(norm, "__id")
-        .select("__id", "__t", (F.col("__w") / F.col("__norm")).alias("__u"))
+    unit = weighted.join(norm, "__id").select(
+        "__id", "__t", "__df", (F.col("__w") / F.col("__norm")).alias("__u")
     )
     left = unit.select(
-        F.col("__t"),
-        F.col("__id").alias("a"),
-        F.col("__u").alias("__ua"),
+        F.col("__t"), F.col("__id").alias("a"), F.col("__u").alias("__ua")
     )
     right = unit.select(
-        F.col("__t"),
-        F.col("__id").alias("b"),
-        F.col("__u").alias("__ub"),
+        F.col("__t"), F.col("__id").alias("b"), F.col("__u").alias("__ub")
     )
-    return (
-        left.join(right, "__t")
+    if not prefix_filter:
+        return (
+            left.join(right, "__t")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum(F.col("__ua") * F.col("__ub")).alias("cosine"))
+            .filter(F.col("cosine") >= F.lit(float(threshold)))
+        )
+    from pyspark.sql import Window as W
+
+    # per-doc cumulative norm mass in the global rarest-first order; term
+    # i is in the prefix iff the tail INCLUDING i still carries >=
+    # threshold² of squared norm (1 - cumsum-before-i >= t²). The window
+    # accumulates in frame order, so the prefix is one sort per doc.
+    order = W.partitionBy("__id").orderBy(F.asc("__df"), F.asc("__t"))
+    cum = F.sum(F.col("__u") * F.col("__u")).over(order)
+    prefix = unit.withColumn("__cum", cum).filter(
+        F.lit(1.0) - (F.col("__cum") - F.col("__u") * F.col("__u"))
+        >= F.lit(float(threshold)) ** 2
+    )
+    cand = (
+        prefix.select(F.col("__t"), F.col("__id").alias("a"))
+        .join(prefix.select(F.col("__t"), F.col("__id").alias("b")), "__t")
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # full dot product, candidates only: every term of a, matched to b's
+    # weight for the same term — candidate-bounded, never sum(df²)
+    return (
+        cand.join(
+            unit.select(
+                F.col("__id").alias("a"), "__t", F.col("__u").alias("__ua")
+            ),
+            "a",
+        )
+        .join(
+            unit.select(
+                F.col("__id").alias("b"), "__t", F.col("__u").alias("__ub")
+            ),
+            ["b", "__t"],
+        )
         .groupBy("a", "b")
         .agg(F.sum(F.col("__ua") * F.col("__ub")).alias("cosine"))
         .filter(F.col("cosine") >= F.lit(float(threshold)))
