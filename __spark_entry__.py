@@ -3582,6 +3582,44 @@ def q_dd_keep_best(spark, sf):
     return out.select("doc_id", "quality")
 
 
+def q_tx_zipf_slope(spark, sf):
+    """Zipf rank-frequency diagnostic (operators/lm.zipf_slope): OLS
+    slope of ln(count) vs ln(rank) over the top-100 vocabulary head —
+    the one-number corpus-health check (natural text ≈ -1; templated or
+    over-deduplicated corpora drift flat). Every ln() input is an exact
+    integer, the OLS sums cover only 100 rows, and nothing corpus-sized
+    moves after the word-count shuffle."""
+    from vastdb_sdk_spark.operators.lm import zipf_slope
+
+    d = _t(spark, sf, "documents")
+    out = zipf_slope(d, top_n=100)
+    return out.select(
+        "n_terms",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+    )
+
+
+def q_ds_borda_quality(spark, sf):
+    """Multi-signal Borda rank fusion (operators/sampling.borda_topk):
+    blend n_chars and token count into one quality ordering without
+    inventing a weighting — rank per signal (competition ranking),
+    average, keep the best 100. The Spark side derives each rank from
+    the per-VALUE count table (cumulative window over distinct values +
+    broadcast join back — no corpus-sized single-partition window); the
+    oracle is the plain corpus-wide RANK() window, so the gate proves
+    the decomposition identical to the textbook definition."""
+    from vastdb_sdk_spark.operators.sampling import borda_topk
+
+    d = _t(spark, sf, "documents")
+    sig = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(_tokens(F.col("text"))).alias("n_tokens"),
+    )
+    return borda_topk(sig, ["n_chars", "n_tokens"], k=100)
+
+
 def q_dd_winnow(spark, sf):
     """MOSS winnowing fingerprints (operators/dedup.winnow_fingerprints
     — Schleimer et al. 2003): every k=5-token gram is hashed, a w=4-gram
@@ -3735,7 +3773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_stratified_sample": q_ds_stratified_sample,
         "e18_refresh_incremental": q_e18_refresh_incremental,
         # ---- window boundary (driver gates the 50 entries above) --------
-        # Directly below: the fourteen queries ADDED LATE in round 9 (never
+        # Directly below: the sixteen queries ADDED LATE in round 9 (never
         # driver-gated — each locally verified green at sf0.01 AND sf0.1
         # via tools/check_correctness.py) lead the round-10 window,
         # followed by ds_train_test_split (displaced past the boundary
@@ -3754,6 +3792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_source_overlap": q_ds_source_overlap,
         "dd_keep_best": q_dd_keep_best,
         "dd_winnow": q_dd_winnow,
+        "tx_zipf_slope": q_tx_zipf_slope,
+        "ds_borda_quality": q_ds_borda_quality,
         "ds_train_test_split": q_ds_train_test_split,
         # Directly below: the four ANN gates whose oracles were ALSO
         # converted to planted-id form this round (ann_rhp_topk,
@@ -5615,6 +5655,46 @@ def oracle_sql() -> dict[str, str]:
                    1000000000 - CAST(split_part(mk, '#', 2) AS BIGINT) AS pos,
                    split_part(mk, '#', 1) AS fp
             FROM sel WHERE p <= greatest(npos - 3, 0)
+        """,
+        "tx_zipf_slope": f"""
+            WITH t AS (
+                SELECT {tok} AS tk FROM documents
+            ), e AS (
+                SELECT unnest(tk) AS term FROM t
+            ), c AS (
+                SELECT term, COUNT(*) AS c FROM e
+                GROUP BY 1 ORDER BY c DESC, term LIMIT 100
+            ), r AS (
+                SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, term)
+                               AS DOUBLE)) AS x,
+                       ln(CAST(c AS DOUBLE)) AS y
+                FROM c
+            ), a AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x * y) AS sxy, SUM(x * x) AS sxx
+                FROM r
+            )
+            SELECT n AS n_terms,
+                   ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                       AS slope,
+                   ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                          * sx) / n, 6) AS intercept
+            FROM a
+        """,
+        "ds_borda_quality": f"""
+            WITH t AS (
+                SELECT doc_id, n_chars, len({tok}) AS n_tokens FROM documents
+            ), r AS (
+                SELECT doc_id, n_chars, n_tokens,
+                       RANK() OVER (ORDER BY n_chars DESC) AS rank_n_chars,
+                       RANK() OVER (ORDER BY n_tokens DESC) AS rank_n_tokens
+                FROM t
+            )
+            SELECT doc_id, rank_n_chars, rank_n_tokens,
+                   (rank_n_chars + rank_n_tokens) / 2.0 AS borda
+            FROM r
+            ORDER BY borda, doc_id LIMIT 100
         """,
         "w9_hopping_window": """
             SELECT ((epoch_us(ts) // 900000000) - u.k) * 900000000

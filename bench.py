@@ -143,6 +143,8 @@ HEADLINE = [
     "ds_source_overlap",
     "dd_keep_best",
     "dd_winnow",
+    "tx_zipf_slope",
+    "ds_borda_quality",
 ]
 
 

@@ -1474,3 +1474,61 @@ def test_tfidf_prefix_filter_lossless(spark):
         }
         assert fast == naive, f"threshold {t}: prefix filter changed results"
     assert len(naive) > 0
+
+
+def test_zipf_slope_hand_model(spark):
+    """OLS slope/intercept against a closed-form check on a 3-term
+    corpus; validation."""
+    import math
+
+    import pytest as _pytest
+
+    from vastdb_sdk_spark.operators.lm import zipf_slope
+
+    # counts: a=4, b=2, c=1 -> ranks 1,2,3
+    df = spark.createDataFrame(
+        [(1, "a a a a b b c")], "doc_id long, text string"
+    )
+    row = zipf_slope(df, top_n=3).collect()[0]
+    xs = [math.log(r) for r in (1, 2, 3)]
+    ys = [math.log(c) for c in (4, 2, 1)]
+    n = 3
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert row.n_terms == 3
+    assert math.isclose(row.slope, slope, rel_tol=1e-12)
+    assert math.isclose(row.intercept, (sy - slope * sx) / n, rel_tol=1e-12)
+    with _pytest.raises(ValueError, match="top_n"):
+        zipf_slope(df, top_n=2)
+
+
+def test_borda_topk_competition_ranks_and_ties(spark):
+    """Rank fusion equals the textbook RANK()-based Borda: competition
+    ranking on ties, mean of ranks, (borda, id) tie-break at the cut."""
+    import pytest as _pytest
+
+    from vastdb_sdk_spark.operators.sampling import borda_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, 5),
+            (2, 10, 7),   # ties with 1 on s1 (both rank 1), beats on s2
+            (3, 8, 7),    # ties with 2 on s2
+            (4, 1, 1),
+        ],
+        "doc_id long, s1 long, s2 long",
+    )
+    rows = borda_topk(df, ["s1", "s2"], k=3).collect()
+    got = [(r.doc_id, r.rank_s1, r.rank_s2, r.borda) for r in rows]
+    # competition ranks: s1 -> {10:1, 8:3, 1:4}; s2 -> {7:1, 5:3, 1:4}
+    assert got == [
+        (2, 1, 1, 1.0),
+        (1, 1, 3, 2.0),
+        (3, 3, 1, 2.0),   # borda tie with doc 1 -> id ascending
+    ]
+    with _pytest.raises(ValueError, match="signal_cols"):
+        borda_topk(df, [], k=1)
+    with _pytest.raises(ValueError, match="k="):
+        borda_topk(df, ["s1"], k=0)

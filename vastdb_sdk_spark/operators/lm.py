@@ -652,3 +652,58 @@ def source_vocab_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary head: OLS
+    slope of ln(count) against ln(rank) for the ``top_n`` most frequent
+    tokens (rank ties broken by token asc, so ranks are a deterministic
+    permutation). Natural corpora fit slope ≈ -1 (Zipf's law);
+    template-generated or deduplicated-to-death corpora drift toward 0
+    (flat head) — the one-number corpus-health diagnostic next to
+    token_entropy's per-doc signal.
+
+    Every ln() input is an exact integer (rank from row_number, count
+    from the word count), so x/y are identical doubles in any engine;
+    the OLS sums run over only ``top_n`` rows. Plan: one word-count
+    shuffle, a TakeOrdered head, one tiny (top_n-row) window + aggregate
+    — nothing corpus-sized past the word count. Returns one row:
+    (n_terms, slope, intercept)."""
+    from pyspark.sql import Window
+
+    if top_n < 3:
+        raise ValueError(f"top_n={top_n} must be >= 3")
+    counts = (
+        df.select(
+            F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("__t")
+        )
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("__t"))
+        .limit(int(top_n))
+    )
+    w = Window.orderBy(F.desc("__c"), F.asc("__t"))
+    xy = counts.select(
+        F.log(F.row_number().over(w).cast("double")).alias("__x"),
+        F.log(F.col("__c").cast("double")).alias("__y"),
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    n = F.col("__n").cast("double")
+    slope = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / (
+        n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    )
+    return agg.select(
+        F.col("__n").alias("n_terms"),
+        slope.alias("slope"),
+        ((F.col("__sy") - slope * F.col("__sx")) / n).alias("intercept"),
+    )

@@ -351,3 +351,55 @@ def exact_group_percentiles(
             F.max(F.when(F.col("__rk") == target, F.col("__v"))).alias(label)
         )
     return staged.groupBy(*group_cols).agg(*aggs)
+
+
+def borda_topk(
+    df: DataFrame,
+    signal_cols: list[str],
+    k: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-signal rank fusion (Borda count): rank the corpus by each
+    quality signal independently (DESCENDING — higher is better;
+    competition/min ranking for ties) and keep the ``k`` documents with
+    the best AVERAGE rank. The standard way to blend incommensurable
+    quality signals (length, entropy, classifier score, ...) without
+    inventing a weighting: rank space is scale-free, and rank fusion is
+    robust to one signal's outliers.
+
+    Scale shape — no corpus-sized global window: the competition rank
+    of a row equals (count of rows with a strictly greater value) + 1,
+    computed from the per-VALUE count table (bounded by the signal's
+    cardinality, not the corpus): one groupBy per signal, a cumulative
+    window over the distinct-value table, and a broadcast-sized join
+    back. A naive ``rank() OVER (ORDER BY sig)`` would funnel the whole
+    corpus through one partition; the oracle uses exactly that RANK()
+    (identical semantics by definition of competition ranking), so the
+    gate also proves the decomposition correct. Final top-k is a
+    TakeOrdered on (fused, id) — never a full sort.
+
+    Returns (id_col, rank_<sig>... , borda) with borda = mean rank,
+    the k best (ties broken by ascending id)."""
+    if not signal_cols:
+        raise ValueError("signal_cols must be non-empty")
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    out = df.select(id_col, *signal_cols)
+    rank_cols = []
+    for c in signal_cols:
+        vals = df.groupBy(c).agg(F.count(F.lit(1)).alias("__c"))
+        w = W.orderBy(F.desc(c)).rowsBetween(W.unboundedPreceding, W.currentRow)
+        ranks = vals.select(
+            c,
+            (F.sum("__c").over(w) - F.col("__c") + F.lit(1)).alias(f"rank_{c}"),
+        )
+        out = out.join(F.broadcast(ranks), c)
+        rank_cols.append(f"rank_{c}")
+    fused = sum((F.col(rc) for rc in rank_cols), F.lit(0)) / F.lit(
+        float(len(rank_cols))
+    )
+    return (
+        out.select(id_col, *rank_cols, fused.alias("borda"))
+        .orderBy(F.asc("borda"), F.asc(id_col))
+        .limit(int(k))
+    )
