@@ -3582,6 +3582,46 @@ def q_dd_keep_best(spark, sf):
     return out.select("doc_id", "quality")
 
 
+def q_e21_pipeline_recipe(spark, sf):
+    """END-TO-END curation recipe as ONE declarative plan — the
+    composition a reference user actually runs, stitched from the
+    library's own stages with zero materialization between them:
+    Gopher-style quality gate (functions/text.gopher_quality_flags,
+    corpus-tuned stop set, relaxed 30-word floor) → exact dedup keeping
+    the min-id copy (the dd_exact rule as a groupBy+semi-join, no
+    window) → deterministic hash split (operators/sampling.
+    train_test_split — the engine-independent Knuth-fold bucket) →
+    per-(split, lang) corpus accounting. Catalyst fuses the whole
+    pipeline into one scan + two shuffles (dedup groupBy, final agg);
+    the filter and the md5 run map-side at the scan. The oracle re-runs
+    all four stages in SQL."""
+    from vastdb_sdk_spark.functions.text import gopher_quality_flags
+    from vastdb_sdk_spark.operators.sampling import train_test_split
+
+    d = _t(spark, sf, "documents")
+    flags = gopher_quality_flags(
+        F.col("text"), stop_words=["spark", "sort", "group", "value", "fast"]
+    )
+    quality = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        "n_chars",
+        flags["n_words"].alias("__nw"),
+        (flags["mean_len_ok"] & flags["alpha_ok"] & flags["stop_ok"]).alias(
+            "__ok"
+        ),
+    ).filter((F.col("__nw") >= 30) & F.col("__ok"))
+    hashed = quality.withColumn("__h", F.md5("text"))
+    winners = hashed.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
+    survivors = hashed.join(winners, ["__h", "doc_id"], "left_semi")
+    split = train_test_split(survivors, "doc_id", test_fraction=0.1)
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 def q_tx_zipf_slope(spark, sf):
     """Zipf rank-frequency diagnostic (operators/lm.zipf_slope): OLS
     slope of ln(count) vs ln(rank) over the top-100 vocabulary head —
@@ -3773,7 +3813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_stratified_sample": q_ds_stratified_sample,
         "e18_refresh_incremental": q_e18_refresh_incremental,
         # ---- window boundary (driver gates the 50 entries above) --------
-        # Directly below: the sixteen queries ADDED LATE in round 9 (never
+        # Directly below: the seventeen queries ADDED LATE in round 9 (never
         # driver-gated — each locally verified green at sf0.01 AND sf0.1
         # via tools/check_correctness.py) lead the round-10 window,
         # followed by ds_train_test_split (displaced past the boundary
@@ -3794,6 +3834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_winnow": q_dd_winnow,
         "tx_zipf_slope": q_tx_zipf_slope,
         "ds_borda_quality": q_ds_borda_quality,
+        "e21_pipeline_recipe": q_e21_pipeline_recipe,
         "ds_train_test_split": q_ds_train_test_split,
         # Directly below: the four ANN gates whose oracles were ALSO
         # converted to planted-id form this round (ann_rhp_topk,
@@ -5695,6 +5736,41 @@ def oracle_sql() -> dict[str, str]:
                    (rank_n_chars + rank_n_tokens) / 2.0 AS borda
             FROM r
             ORDER BY borda, doc_id LIMIT 100
+        """,
+        "e21_pipeline_recipe": f"""
+            WITH t AS (
+                SELECT doc_id, text, lang, n_chars, {tok} AS toks
+                FROM documents
+            ), m AS (
+                SELECT doc_id, text, lang, n_chars, len(toks) AS n,
+                       list_sum(list_transform(toks, x -> length(x)))
+                           / greatest(len(toks), 1) AS mean_len,
+                       len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                           / CAST(greatest(len(toks), 1) AS DOUBLE)
+                           AS alpha_frac,
+                       len(list_distinct(list_filter(toks, x ->
+                           x IN ('spark','sort','group','value','fast'))))
+                           AS n_stop
+                FROM t
+            ), q AS (
+                SELECT doc_id, text, lang, n_chars FROM m
+                WHERE n >= 30
+                  AND mean_len >= 3.0 AND mean_len <= 10.0
+                  AND alpha_frac >= 0.80 AND n_stop >= 2
+            ), k AS (
+                SELECT doc_id, lang, n_chars, md5(text) AS h FROM q
+            ), wn AS (
+                SELECT h, MIN(doc_id) AS doc_id FROM k GROUP BY h
+            ), s AS (
+                SELECT k.doc_id, k.lang, k.n_chars
+                FROM k JOIN wn ON k.h = wn.h AND k.doc_id = wn.doc_id
+            )
+            SELECT CASE WHEN ((doc_id % 3037000493) * 2654435761) % 10000
+                            < 1000
+                        THEN 'test' ELSE 'train' END AS split,
+                   lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM s GROUP BY 1, 2
         """,
         "w9_hopping_window": """
             SELECT ((epoch_us(ts) // 900000000) - u.k) * 900000000

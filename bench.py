@@ -145,6 +145,7 @@ HEADLINE = [
     "dd_winnow",
     "tx_zipf_slope",
     "ds_borda_quality",
+    "e21_pipeline_recipe",
 ]
 
 
