@@ -3582,6 +3582,76 @@ def q_dd_keep_best(spark, sf):
     return out.select("doc_id", "quality")
 
 
+def q_w10_funnel(spark, sf):
+    """Ordered conversion funnel (view → click → purchase, strictly
+    increasing event time) — the product-analytics staple: per user,
+    the first view, the first click AFTER that view, and the first
+    purchase AFTER that click, as three nullable timestamps (NULL =
+    stage never reached; downstream stage counts are just COUNT(t)),
+    in raw epoch-micros int64 (the events.ts engine convention — the
+    oracle compares epoch_us()).
+    Sequential-dependency aggregation WITHOUT per-user sorted windows:
+    each stage is a filtered min-aggregate joined to the previous
+    stage's result — three shuffles on the same user_id key (co-
+    partitioned by AQE), each stage's frame only users-sized. A
+    sessionized window version would sort every user's full history;
+    this shape touches each event row once per stage filter."""
+    ev = _t(spark, sf, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase")
+    )
+
+
+def q_w11_retention_cohorts(spark, sf):
+    """Weekly retention cohorts — the other product-analytics staple:
+    users grouped by the Monday-aligned week of their FIRST event,
+    distinct-user activity counted per (cohort week, whole-week
+    offset). First-seen is one min-aggregate; activity weeks are one
+    distinct over (user, week) — both shuffles on user-ish keys, the
+    output bounded by weeks², never event-sized. The week index is
+    PURE INTEGER arithmetic on the epoch-micros ts ((days + 3) div 7
+    — epoch day 0 is a Thursday, +3 aligns to Monday), so there is no
+    timezone or calendar library for the engines to disagree on."""
+    ev = _t(spark, sf, "events")
+    day_us = 86_400_000_000
+    week_of = f"((ts div {day_us}) + 3) div 7"
+    first = ev.groupBy("user_id").agg(
+        F.expr(f"min({week_of})").alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.expr(week_of).alias("__w")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("__w") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 def q_e21_pipeline_recipe(spark, sf):
     """END-TO-END curation recipe as ONE declarative plan — the
     composition a reference user actually runs, stitched from the
@@ -3813,7 +3883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_stratified_sample": q_ds_stratified_sample,
         "e18_refresh_incremental": q_e18_refresh_incremental,
         # ---- window boundary (driver gates the 50 entries above) --------
-        # Directly below: the seventeen queries ADDED LATE in round 9 (never
+        # Directly below: the nineteen queries ADDED LATE in round 9 (never
         # driver-gated — each locally verified green at sf0.01 AND sf0.1
         # via tools/check_correctness.py) lead the round-10 window,
         # followed by ds_train_test_split (displaced past the boundary
@@ -3835,6 +3905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_zipf_slope": q_tx_zipf_slope,
         "ds_borda_quality": q_ds_borda_quality,
         "e21_pipeline_recipe": q_e21_pipeline_recipe,
+        "w10_funnel": q_w10_funnel,
+        "w11_retention_cohorts": q_w11_retention_cohorts,
         "ds_train_test_split": q_ds_train_test_split,
         # Directly below: the four ANN gates whose oracles were ALSO
         # converted to planted-id form this round (ann_rhp_topk,
@@ -5771,6 +5843,41 @@ def oracle_sql() -> dict[str, str]:
                    lang, COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM s GROUP BY 1, 2
+        """,
+        "w10_funnel": """
+            WITH v AS (
+                SELECT user_id, MIN(epoch_us(ts)) AS t_view FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+                SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+                GROUP BY e.user_id
+            ), p AS (
+                SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+                GROUP BY e.user_id
+            )
+            SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+            FROM v LEFT JOIN c ON v.user_id = c.user_id
+                   LEFT JOIN p ON v.user_id = p.user_id
+        """,
+        "w11_retention_cohorts": """
+            WITH w AS (
+                SELECT user_id,
+                       ((epoch_us(ts) // 86400000000) + 3) // 7 AS wk
+                FROM events
+            ), f AS (
+                SELECT user_id, MIN(wk) AS cohort_week FROM w GROUP BY user_id
+            ), a AS (
+                SELECT DISTINCT user_id, wk FROM w
+            )
+            SELECT f.cohort_week,
+                   a.wk - f.cohort_week AS week_offset,
+                   COUNT(DISTINCT a.user_id) AS n_users
+            FROM a JOIN f ON a.user_id = f.user_id
+            GROUP BY 1, 2
         """,
         "w9_hopping_window": """
             SELECT ((epoch_us(ts) // 900000000) - u.k) * 900000000

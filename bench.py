@@ -146,6 +146,8 @@ HEADLINE = [
     "tx_zipf_slope",
     "ds_borda_quality",
     "e21_pipeline_recipe",
+    "w10_funnel",
+    "w11_retention_cohorts",
 ]
 
 
