@@ -203,3 +203,71 @@ def test_catalog_as_table(clean_schema):
         ).read_all()
         assert got.column("table_name").to_pylist() == ["t"]
         assert cat.count_rows(predicate=(D.object_type == "schema")) == 1
+
+def _batch_funnel_completed(ev):
+    """Batch min-after-previous funnel; completed rows only."""
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = v.join(c, "user_id").join(p, "user_id").collect()
+    return {(r.user_id, r.t1, r.t2, r.t3) for r in rows}
+
+
+def test_funnel_stateful_matches_batch_twin(spark, tmp_path):
+    """Streaming N-stage funnel == the batch w10 plan's completed rows,
+    over a chronological 3-file replay (state crosses micro-batches)."""
+    from vastdb_sdk_spark.streaming.events import read_event_stream
+    from vastdb_sdk_spark.streaming.stateful import funnel_stateful
+
+    ev = _events(spark)
+    # 3 chronological files so funnel state genuinely spans batches
+    n = ev.count()
+    ordered = ev.orderBy("ts").collect()
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "fsrc"
+    src.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for i, lo in enumerate(range(0, n, (n + 2) // 3)):
+        chunk = ordered[lo : lo + (n + 2) // 3]
+        pq.write_table(
+            pa.table({c: [getattr(r, c) for r in chunk] for c in cols}),
+            str(src / f"part-{i:03d}.parquet"),
+        )
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    out = funnel_stateful(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel1")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "fckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, *r.stage_ts)
+        for r in spark.sql("SELECT * FROM funnel1").collect()
+    }
+    exp = _batch_funnel_completed(ev)
+    assert got == exp and len(exp) > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stages"):
+        funnel_stateful(ev, stages=("view",))

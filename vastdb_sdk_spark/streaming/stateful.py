@@ -182,3 +182,93 @@ def sessionize_stateful(events: DataFrame, gap_us: int) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+FUNNEL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("stage_ts", T.ArrayType(T.LongType())),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("stage_ts", T.ArrayType(T.LongType())),
+        T.StructField("emitted", T.BooleanType()),
+    ]
+)
+
+
+def funnel_stateful(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """N-stage ordered conversion funnel as a per-user streaming state
+    machine (applyInPandasWithState) — the streaming twin of the
+    ``w10_funnel`` batch gate: per user, the first stage-1 event, the
+    first stage-2 event STRICTLY AFTER it, ... ; one row is emitted the
+    moment the final stage completes (append mode — the row is
+    immutable once emitted, so no update-mode contortions), carrying
+    every stage's epoch-micros ts as an array.
+
+    Greedy-sequential processing in ts order is EXACTLY the batch
+    min-after-previous semantics (first qualifying event in order = the
+    minimum qualifying ts), which the batch-equivalence test pins
+    against the same three-stage aggregate plan the gate runs.
+
+    State is O(#stages) per user and stops changing once emitted —
+    completed or abandoned funnels cost one tuple each; use a
+    processing-time timeout upstream if key cardinality is unbounded.
+    Same in-order-arrival contract as :func:`sessionize_stateful`
+    (per-key ts-ordered across micro-batches; in-batch rows are
+    sorted here)."""
+    if len(stages) < 2:
+        raise ValueError("funnel needs >= 2 stages")
+    stage_idx = {s: i for i, s in enumerate(stages)}
+    n = len(stages)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout below
+            state.remove()
+            return
+        if state.exists:
+            ts_list, emitted = state.get
+            ts_list = list(ts_list)
+        else:
+            ts_list, emitted = [0] * n, False
+        rows = sorted(
+            (int(t), str(e))
+            for pdf in pdfs
+            for t, e in zip(pdf["ts"], pdf["event_type"])
+            if e in stage_idx
+        )
+        for ts, etype in rows:
+            if emitted:
+                break
+            i = stage_idx[etype]
+            if ts_list[i] != 0:
+                continue
+            if i == 0 or (ts_list[i - 1] != 0 and ts > ts_list[i - 1]):
+                ts_list[i] = ts
+                if i == n - 1:
+                    emitted = True
+                    yield pd.DataFrame(
+                        {"user_id": [user_id], "stage_ts": [list(ts_list)]}
+                    )
+        state.update((ts_list, emitted))
+
+    return (
+        events.select("user_id", "ts", "event_type")
+        .filter(events.event_type.isin(*stages))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
