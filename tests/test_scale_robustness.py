@@ -999,3 +999,30 @@ def test_cap_rows_per_group_in_place(clean_schema):
             t.cap_rows_per_group(["g"], 0)
         with pytest.raises(vastdb.InvalidArgument, match="non-empty"):
             t.cap_rows_per_group([], 4)
+
+
+def test_dedup_near_rows_tfidf(clean_schema):
+    """method='tfidf': reworded same-bag rows (the case shingle MinHash
+    misses) collapse to the lowest $row_id; disjoint-vocabulary rows
+    survive; idempotent; invalid method rejected."""
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    bag = " ".join(words * 3)
+    reordered = " ".join(list(reversed(words)) * 3)  # same bag -> cosine 1.0
+    other = "one two three four five six seven eight " * 3
+    data = pa.table({"doc": pa.array([bag, reordered, other])})
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("ndt", data.schema)
+        t.insert(data)
+        t.dedup_near_rows("doc", method="tfidf", threshold=0.9, max_df=3)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("ndt")
+        rows = t.select(internal_row_id=True).read_all()
+        assert sorted(rows.column("$row_id").to_pylist()) == [0, 2]
+        t.dedup_near_rows("doc", method="tfidf", threshold=0.9, max_df=3)
+        assert t.count_rows() == 2
+        import pytest as _pytest
+
+        import vastdb_sdk_spark as vastdb
+
+        with _pytest.raises(vastdb.InvalidArgument, match="unknown dedup"):
+            t.dedup_near_rows("doc", method="nope")

@@ -1383,6 +1383,7 @@ class Table:
         num_planes: int = 8,
         dim: int | None = None,
         num_centroids: int | None = None,
+        max_df: int | None = None,
     ) -> None:
         """NEAR-duplicate table cleanup in place (engine extension): a
         candidate-pair generator + connected components runs over the
@@ -1416,6 +1417,14 @@ class Table:
           O(rows) — a fixed centroid COUNT would go quadratic as the
           table grows; pass an explicit value only for small tables or
           recall experiments).
+        - ``"tfidf"``: lexical TF-IDF cosine >= ``threshold`` over
+          ``text_column`` (a string column) via the prefix-filtered
+          inverted-index join (operators/dedup.tfidf_cosine_pairs) —
+          catches reworded same-vocabulary rows that shingle MinHash
+          misses. Dial: ``max_df`` (ABSOLUTE document-frequency cap;
+          default None falls back to the 20%-of-rows fractional cut —
+          at large table sizes pass an absolute cap, which is what
+          bounds candidate work).
 
         Every generator bounds its comparisons (bucket equi-joins or
         within-cluster cells) — never a cross product — and the default
@@ -1423,10 +1432,10 @@ class Table:
         the standalone pair operators' defaults."""
         if text_column not in self.arrow_schema.names:
             raise InvalidArgument(f"no column {text_column!r}")
-        if method not in ("minhash", "simhash", "embedding", "semantic"):
+        if method not in ("minhash", "simhash", "embedding", "semantic", "tfidf"):
             raise InvalidArgument(
                 f"unknown dedup method {method!r}: expected 'minhash', "
-                "'simhash', 'embedding' or 'semantic'"
+                "'simhash', 'embedding', 'semantic' or 'tfidf'"
             )
         field_type = self.arrow_schema.field(text_column).type
         import pyarrow as pa
@@ -1480,6 +1489,18 @@ class Table:
                 embedding_near_dup_pairs(
                     docs, id_col="doc_id", vec_col="text", threshold=threshold,
                     num_planes=num_planes, num_bands=num_bands, dim=dim,
+                )
+            )
+        elif method == "tfidf":
+            from .operators.dedup import tfidf_cosine_pairs
+
+            pairs_cm = contextlib.nullcontext(
+                tfidf_cosine_pairs(
+                    docs, "text", "doc_id", threshold=threshold,
+                    max_df=max_df,
+                    max_df_fraction=(0.2 if max_df is None else None),
+                ).select(
+                    F.col("a").alias("id_a"), F.col("b").alias("id_b")
                 )
             )
         else:  # semantic (SemDeDup candidates)
