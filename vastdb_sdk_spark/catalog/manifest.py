@@ -138,6 +138,7 @@ class TableEntry:
     use_external_row_ids: bool = False
     vector_index: dict | None = None
     projections: dict[str, dict] = field(default_factory=dict)
+    matviews: dict[str, dict] = field(default_factory=dict)
     blob_expansions: dict[str, dict] = field(default_factory=dict)
     properties: dict[str, Any] = field(default_factory=dict)
 
@@ -164,6 +165,7 @@ class TableEntry:
             "use_external_row_ids": self.use_external_row_ids,
             "vector_index": self.vector_index,
             "projections": self.projections,
+            "matviews": self.matviews,
             "blob_expansions": self.blob_expansions,
             "properties": self.properties,
         }
@@ -182,6 +184,7 @@ class TableEntry:
             use_external_row_ids=d.get("use_external_row_ids", False),
             vector_index=d.get("vector_index"),
             projections=dict(d.get("projections", {})),
+            matviews=dict(d.get("matviews", {})),
             blob_expansions=dict(d.get("blob_expansions", {})),
             properties=dict(d.get("properties", {})),
         )

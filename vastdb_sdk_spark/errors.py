@@ -33,6 +33,10 @@ class MissingProjection(NotFoundError):
     pass
 
 
+class MissingMatView(NotFoundError):
+    pass
+
+
 class MissingSnapshot(NotFoundError):
     pass
 
@@ -50,6 +54,10 @@ class TableExists(ExistsError):
 
 
 class ProjectionExists(ExistsError):
+    pass
+
+
+class MatViewExists(ExistsError):
     pass
 
 

@@ -120,6 +120,11 @@ class Session:
                 for proj in te.projections.values():
                     for fj in proj.get("files", []):
                         referenced.add(os.path.abspath(fj["path"]))
+                for mv in te.matviews.values():
+                    # matview state buckets are .parquet under the data
+                    # dir, same liveness rule as projection/index files
+                    for fj in mv.get("files", []):
+                        referenced.add(os.path.abspath(fj["path"]))
                 if te.vector_index:
                     # index cluster files are .parquet under the data dir:
                     # without this they'd be vacuumed away while the live

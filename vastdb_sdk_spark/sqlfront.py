@@ -448,6 +448,58 @@ class SqlFrontend:
             )
             table.create_projection(_unquote(m.group(1)), sorted_cols, unsorted_cols)
             return {"created_projection": _unquote(m.group(1))}
+        if kw == "CREATE" and head[1].upper() == "MATERIALIZED":
+            m = re.match(
+                rf"(?is)CREATE\s+MATERIALIZED\s+VIEW\s+({_IDENT})\s+ON\s+"
+                rf"({_DOTTED})\s+GROUP\s+BY\s*\(([^()]*)\)"
+                rf"\s+AGG\s*\((.*)\)(?:\s+BUCKETS\s+(\d+))?\s*$",
+                stmt,
+            )
+            if not m:
+                raise InvalidArgument(
+                    "cannot parse (expected CREATE MATERIALIZED VIEW v ON "
+                    "b.s.t GROUP BY (c1, ...) AGG (out=fn(col), n=count) "
+                    f"[BUCKETS k]): {stmt!r}"
+                )
+            _, _, _, table = self._resolve_table(m.group(2))
+            group_by = [_unquote(c) for c in _split_top(m.group(3))]
+            aggs: dict = {}
+            for item in _split_top(m.group(4)):
+                am = re.match(
+                    rf"(?is)\s*({_IDENT})\s*=\s*(?:(count)|(\w+)\s*\(\s*"
+                    rf"({_IDENT})\s*\))\s*$",
+                    item,
+                )
+                if not am:
+                    raise InvalidArgument(
+                        f"cannot parse AGG item (expected out=count or "
+                        f"out=fn(col)): {item!r}"
+                    )
+                if am.group(2):
+                    aggs[_unquote(am.group(1))] = "count"
+                else:
+                    aggs[_unquote(am.group(1))] = (
+                        am.group(3).lower(),
+                        _unquote(am.group(4)),
+                    )
+            table.create_materialized_view(
+                _unquote(m.group(1)),
+                group_by,
+                aggs,
+                num_buckets=int(m.group(5)) if m.group(5) else 16,
+            )
+            return {"created_matview": _unquote(m.group(1))}
+        if kw == "DROP" and head[1].upper() == "MATERIALIZED":
+            m = re.match(
+                rf"(?is)DROP\s+MATERIALIZED\s+VIEW\s+({_IDENT})\s+ON\s+"
+                rf"({_DOTTED})\s*$",
+                stmt,
+            )
+            if not m:
+                raise InvalidArgument(f"cannot parse: {stmt!r}")
+            _, _, _, table = self._resolve_table(m.group(2))
+            table.materialized_view(_unquote(m.group(1))).drop()
+            return {"dropped_matview": _unquote(m.group(1))}
         if kw == "DROP" and head[1].upper() == "PROJECTION":
             m = re.match(
                 rf"(?is)DROP\s+PROJECTION\s+({_IDENT})\s+ON\s+({_DOTTED})\s*$",
@@ -496,6 +548,16 @@ class SqlFrontend:
                     (m.group(2) or "auto").lower()
                 )
             m = re.match(
+                rf"(?is)REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})\s+ON\s+"
+                rf"({_DOTTED})(?:\s+MODE\s+(\w+))?\s*$",
+                stmt,
+            )
+            if m:
+                _, _, _, table = self._resolve_table(m.group(2))
+                return table.materialized_view(_unquote(m.group(1))).refresh(
+                    (m.group(3) or "auto").lower()
+                )
+            m = re.match(
                 rf"(?is)REFRESH\s+PROJECTION\s+({_IDENT})\s+ON\s+({_DOTTED})"
                 rf"(?:\s+MODE\s+(\w+))?\s*$",
                 stmt,
@@ -503,7 +565,8 @@ class SqlFrontend:
             if not m:
                 raise InvalidArgument(
                     "cannot parse (expected REFRESH VECTOR INDEX ON b.s.t "
-                    "[MODE AUTO|INCREMENTAL|FULL] or REFRESH PROJECTION p "
+                    "[MODE AUTO|INCREMENTAL|FULL], REFRESH PROJECTION p "
+                    "ON b.s.t [MODE ...], or REFRESH MATERIALIZED VIEW v "
                     f"ON b.s.t [MODE ...]): {stmt!r}"
                 )
             _, _, _, table = self._resolve_table(m.group(2))

@@ -52,6 +52,7 @@ from .catalog.manifest import IMPORTED_OBJECTS_TABLE_NAME, FileEntry, TableEntry
 from .config import QueryConfig
 from .errors import (
     InvalidArgument,
+    MissingMatView,
     MissingProjection,
     MissingTable,
     NotSupportedCommand,
@@ -810,6 +811,8 @@ class Table:
             entry.sorting_score = int(100 * sorted_rows / total)
         for proj in entry.projections.values():
             proj["stale"] = True
+        for mv in entry.matviews.values():
+            mv["stale"] = True
         if entry.vector_index and entry.vector_index.get("files"):
             entry.vector_index["stale"] = True
 
@@ -2660,6 +2663,50 @@ class Table:
             for n in sorted(self.entry.projections)
             if projection_name is None or n == projection_name
         ]
+
+    # ------------------------------------------------------------------
+    # materialized aggregate views (engine extension; lifecycle mirrors
+    # projections — create / stale-on-DML / feed-driven refresh; see
+    # matview.py for the scale design)
+
+    def create_materialized_view(
+        self,
+        name: str,
+        group_by: list[str],
+        aggs: dict,
+        num_buckets: int = 16,
+    ):
+        """Create an aggregate view: ``group_by`` key columns, ``aggs``
+        mapping output name -> ``"count"`` | ``(fn, column)`` with fn in
+        count/sum/avg/min/max. State is bucketed by group-key hash so the
+        incremental refresh rewrites only churn-touched buckets."""
+        from .matview import create_materialized_view as _create
+
+        return _create(self, name, group_by, aggs, num_buckets)
+
+    def materialized_view(self, name: str):
+        from .matview import MaterializedView
+
+        if name not in self.entry.matviews:
+            raise MissingMatView(name)
+        return MaterializedView(name, self)
+
+    def materialized_views(self) -> list:
+        from .matview import MaterializedView
+
+        return [MaterializedView(n, self) for n in sorted(self.entry.matviews)]
+
+    def _materialize_matview(self, name, keys, aggs, n_buckets):
+        from .matview import materialize_matview
+
+        return materialize_matview(self, name, keys, aggs, n_buckets)
+
+    def _write_matview_buckets(self, name, state, keys, n_buckets, restrict_to=None):
+        from .matview import write_matview_buckets
+
+        return write_matview_buckets(
+            self, name, state, keys, n_buckets, restrict_to=restrict_to
+        )
 
     # ------------------------------------------------------------------
     # vector search (reference: vastdb/table.py:889-906 + _adbc.py:133-159)
