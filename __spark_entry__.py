@@ -3692,6 +3692,91 @@ def q_e21_pipeline_recipe(spark, sf):
     )
 
 
+def q_e22_matview_incremental(spark, sf):
+    """Materialized aggregate view with FEED-DRIVEN incremental
+    maintenance under the gate (table.create_materialized_view /
+    MaterializedView.refresh, matview.py; lifecycle parity model: the
+    reference's stale-on-DML projection objects, vastdb/table.py:
+    1040-1138): a (lang, source)-grouped count/sum/avg view is built on
+    a committed corpus, a later transaction deletes every 7th doc,
+    rewrites every remaining 5th doc's n_chars to 1, and inserts two
+    'zz' docs (one NULL n_chars — the non-null-count state must track
+    it). The refresh must take the incremental path WITHOUT reading the
+    base table (additive-only view: signed feed deltas null-safe-merged
+    into the bucketed state) — a 'full' fallback or a base scan appends
+    a sentinel row that breaks the hash. The oracle recomputes the
+    final state's aggregation directly in SQL, so a delta merge that
+    miscounts any group (or fails to drop an emptied one) mismatches."""
+    import tempfile
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark import _ as D
+    from vastdb_sdk_spark.sources import create_table_from_files
+
+    key = (sf, "__matview_incr")
+    if key not in _ENGINE_WAREHOUSES:
+        wh = tempfile.mkdtemp(prefix="entry_mv_")
+        session = vastdb.connect(wh, spark=spark)
+        session.create_bucket("b")
+        schema = _pq.ParquetFile(f"{sf}/documents.parquet").schema_arrow
+        with session.transaction() as tx:
+            sc = tx.bucket("b").create_schema("s")
+            create_table_from_files(sc, "docs", [f"{sf}/documents.parquet"])
+        with session.transaction() as tx:  # clean committed build
+            tx.bucket("b").schema("s").table("docs").create_materialized_view(
+                "by_src",
+                ["lang", "source"],
+                {
+                    "n": "count",
+                    "chars": ("sum", "n_chars"),
+                    "avg_chars": ("avg", "n_chars"),
+                },
+                num_buckets=8,
+            )
+        with session.transaction() as tx:  # committed churn
+            t = tx.bucket("b").schema("s").table("docs")
+            t.delete_where(D.doc_id % 7 == 0)
+            t.update_where(D.doc_id % 5 == 0, {"n_chars": 1})
+            t.insert(
+                _pa.table(
+                    {
+                        "doc_id": _pa.array([900001, 900002], _pa.int64()),
+                        "text": _pa.array(["mv a", "mv b"]),
+                        "lang": _pa.array(["zz", "zz"]),
+                        "source": _pa.array(["mv_new", "mv_new"]),
+                        "n_chars": _pa.array([10, None], _pa.int64()),
+                    }
+                ).cast(schema)
+            )
+        with session.transaction() as tx:
+            res = tx.bucket("b").schema("s").table("docs").materialized_view(
+                "by_src"
+            ).refresh(mode="auto")
+        _ENGINE_WAREHOUSES[key] = (wh, res)
+    wh, res = _ENGINE_WAREHOUSES[key]
+
+    with vastdb.connect(wh, spark=spark).transaction() as tx:
+        mv = tx.bucket("b").schema("s").table("docs").materialized_view("by_src")
+        out = mv.df().select(
+            "lang",
+            "source",
+            "n",
+            "chars",
+            F.round("avg_chars", 4).alias("avg_chars"),
+        )
+    if res.get("mode") != "incremental" or res.get("base_scanned"):
+        out = out.unionByName(
+            out.sparkSession.createDataFrame(
+                [("__refresh_fell_back__", "x", -1, -1, -1.0)],
+                out.schema,
+            )
+        )
+    return out
+
+
 def q_tx_zipf_slope(spark, sf):
     """Zipf rank-frequency diagnostic (operators/lm.zipf_slope): OLS
     slope of ln(count) vs ln(rank) over the top-100 vocabulary head —
@@ -3883,7 +3968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_stratified_sample": q_ds_stratified_sample,
         "e18_refresh_incremental": q_e18_refresh_incremental,
         # ---- window boundary (driver gates the 50 entries above) --------
-        # Directly below: the nineteen queries ADDED LATE in round 9 (never
+        # Directly below: the twenty queries ADDED LATE in round 9 (never
         # driver-gated — each locally verified green at sf0.01 AND sf0.1
         # via tools/check_correctness.py) lead the round-10 window,
         # followed by ds_train_test_split (displaced past the boundary
@@ -3905,6 +3990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_zipf_slope": q_tx_zipf_slope,
         "ds_borda_quality": q_ds_borda_quality,
         "e21_pipeline_recipe": q_e21_pipeline_recipe,
+        "e22_matview_incremental": q_e22_matview_incremental,
         "w10_funnel": q_w10_funnel,
         "w11_retention_cohorts": q_w11_retention_cohorts,
         "ds_train_test_split": q_ds_train_test_split,
@@ -5843,6 +5929,25 @@ def oracle_sql() -> dict[str, str]:
                    lang, COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM s GROUP BY 1, 2
+        """,
+        "e22_matview_incremental": """
+            WITH final AS (
+                SELECT lang, source,
+                       CASE WHEN doc_id % 5 = 0 THEN 1 ELSE n_chars END
+                           AS n_chars
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT lang, source, n_chars FROM (VALUES
+                    ('zz', 'mv_new', 10),
+                    ('zz', 'mv_new', NULL)
+                ) AS ins(lang, source, n_chars)
+            )
+            SELECT lang, source,
+                   COUNT(*) AS n,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars,
+                   ROUND(CAST(SUM(n_chars) AS DOUBLE)
+                         / COUNT(n_chars), 4) AS avg_chars
+            FROM final GROUP BY lang, source
         """,
         "w10_funnel": """
             WITH v AS (

@@ -148,6 +148,7 @@ HEADLINE = [
     "e21_pipeline_recipe",
     "w10_funnel",
     "w11_retention_cohorts",
+    "e22_matview_incremental",
 ]
 
 
