@@ -149,6 +149,8 @@ HEADLINE = [
     "w10_funnel",
     "w11_retention_cohorts",
     "e22_matview_incremental",
+    "tx_nb_train",
+    "tx_nb_classify",
 ]
 
 

@@ -1532,3 +1532,97 @@ def test_borda_topk_competition_ranks_and_ties(spark):
         borda_topk(df, [], k=1)
     with _pytest.raises(ValueError, match="k="):
         borda_topk(df, ["s1"], k=0)
+
+
+# ---------------------------------------------------------------------------
+# naive Bayes train/classify (operators/lm.py)
+
+
+def _nb_corpus(spark):
+    rows = [
+        (1, "spam", "buy cheap pills buy now"),
+        (2, "spam", "cheap pills cheap deal"),
+        (3, "spam", "win money now buy"),
+        (4, "ham", "meeting notes for tuesday"),
+        (5, "ham", "notes about the quarterly meeting"),
+        (6, "ham", "lunch tuesday with the team"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, cls STRING, text STRING")
+
+
+def test_naive_bayes_train_matches_hand_computation(spark):
+    import math
+
+    import pytest
+
+    from vastdb_sdk_spark.operators.lm import naive_bayes_train
+
+    d = _nb_corpus(spark)
+    weights, priors = naive_bayes_train(d, "cls", "text")
+    w = {(r["label"], r["tok"]): r["__ll"] for r in weights.collect()}
+    p = {r["label"]: r for r in priors.collect()}
+    # hand stats: spam tokens=14, ham tokens=16, vocab = distinct across both
+    toks_spam = "buy cheap pills buy now cheap pills cheap deal win money now buy".split()
+    toks_ham = ("meeting notes for tuesday notes about the quarterly meeting "
+                "lunch tuesday with the team").split()
+    vocab = len(set(toks_spam) | set(toks_ham))
+    assert w[("spam", "buy")] == pytest.approx(
+        math.log((toks_spam.count("buy") + 1) / (len(toks_spam) + vocab))
+    )
+    assert w[("ham", "meeting")] == pytest.approx(
+        math.log((toks_ham.count("meeting") + 1) / (len(toks_ham) + vocab))
+    )
+    assert p["spam"]["__prior"] == pytest.approx(math.log(3 / 6))
+    assert p["spam"]["__unseen_ll"] == pytest.approx(
+        math.log(1 / (len(toks_spam) + vocab))
+    )
+    assert p["ham"]["__n_docs"] == 3
+
+
+def test_naive_bayes_classify_recovers_labels_and_handles_unseen(spark):
+    from vastdb_sdk_spark.operators.lm import (
+        naive_bayes_classify,
+        naive_bayes_train,
+    )
+
+    d = _nb_corpus(spark)
+    weights, priors = naive_bayes_train(d, "cls", "text")
+    probe = spark.createDataFrame(
+        [
+            (10, "cheap pills deal unseenword"),   # spam-ish + OOV token
+            (11, "quarterly meeting notes zzz"),   # ham-ish + OOV token
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r["predicted"]
+           for r in naive_bayes_classify(probe, weights, priors).collect()}
+    assert got == {10: "spam", 11: "ham"}
+    # self-classification recovers every training label confidently
+    self_got = {r["doc_id"]: r["predicted"]
+                for r in naive_bayes_classify(d, weights, priors).collect()}
+    want = {r["doc_id"]: r["cls"] for r in d.collect()}
+    assert self_got == want
+
+
+def test_naive_bayes_classify_min_margin_and_min_count(spark):
+    from vastdb_sdk_spark.operators.lm import (
+        naive_bayes_classify,
+        naive_bayes_train,
+    )
+
+    d = _nb_corpus(spark)
+    weights, priors = naive_bayes_train(d, "cls", "text", min_count=2)
+    # min_count prunes singleton tokens from the emitted weights
+    assert weights.filter("__count < 2").count() == 0
+    # a doc of only OOV tokens scores prior + n*unseen_ll per class: equal
+    # priors (3 vs 3 docs) leave only the unseen-mass gap — the class with
+    # fewer training tokens (spam: 14 vs ham: 16) smooths to MORE per-token
+    # mass and wins by a small margin
+    probe = spark.createDataFrame([(20, "zzz qqq")], "doc_id LONG, text STRING")
+    rows = naive_bayes_classify(probe, weights, priors, min_margin=1e-9).collect()
+    assert [r["predicted"] for r in rows] == ["spam"]
+    assert 0 < rows[0]["__margin"] < 1
+    # ...and a min_margin above that tiny gap filters the unconfident row
+    assert naive_bayes_classify(
+        probe, weights, priors, min_margin=1.0
+    ).count() == 0

@@ -707,3 +707,152 @@ def zipf_slope(
         slope.alias("slope"),
         ((F.col("__sy") - slope * F.col("__sx")) / n).alias("intercept"),
     )
+
+
+def naive_bayes_train(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Train a multinomial Naive Bayes text classifier IN the engine —
+    the classic labeled-quality / domain / language classifier a curation
+    pipeline fits on its own corpus (complement of
+    :func:`linear_classifier_scores`, which only APPLIES an offline
+    model). Add-one (Laplace) smoothing:
+
+        ll(t, c)  = ln( (count(t, c) + 1) / (tokens(c) + V) )
+        prior(c)  = ln( docs(c) / docs )
+
+    where V is the corpus-wide distinct-token count. Returns
+    ``(weights, priors)``: weights = (label, tok, __ll, __count),
+    priors = (label, __prior, __unseen_ll, __n_docs) with ``__unseen_ll``
+    the smoothed log-likelihood of a token never seen with that label —
+    everything a scorer needs, including out-of-vocabulary handling.
+
+    Scale design: ONE explode + groupBy(label, tok) word-count (map-side
+    partial agg, no skew hazard beyond the word-count shape itself);
+    per-class totals and V are CLASS-COUNT-sized and vocabulary-sized
+    aggregates attached via 1-row/broadcast joins — nothing corpus-sized
+    moves after the count shuffle. ``min_count`` prunes the long tail
+    from the emitted weights (the smoothing denominators still count the
+    full vocabulary, so pruning only drops rows a scorer would treat as
+    unseen anyway at negligible mass)."""
+    toks = df.select(
+        F.col(label_col).alias("label"),
+        F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok"),
+    )
+    pair = toks.groupBy("label", "tok").agg(F.count(F.lit(1)).alias("__count"))
+    class_tok = pair.groupBy("label").agg(F.sum("__count").alias("__ctok"))
+    vocab = pair.select(F.countDistinct("tok").alias("__v"))
+    doc_counts = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("__n_docs")
+    )
+    total_docs = df.agg(F.count(F.lit(1)).alias("__n_total"))
+
+    weights = (
+        pair.join(F.broadcast(class_tok), "label")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "label",
+            "tok",
+            F.log(
+                (F.col("__count") + 1).cast("double")
+                / (F.col("__ctok") + F.col("__v")).cast("double")
+            ).alias("__ll"),
+            "__count",
+        )
+    )
+    if min_count > 1:
+        weights = weights.filter(F.col("__count") >= min_count)
+    priors = (
+        doc_counts.join(F.broadcast(class_tok), "label")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(total_docs))
+        .select(
+            "label",
+            F.log(
+                F.col("__n_docs").cast("double") / F.col("__n_total").cast("double")
+            ).alias("__prior"),
+            F.log(
+                F.lit(1.0) / (F.col("__ctok") + F.col("__v")).cast("double")
+            ).alias("__unseen_ll"),
+            "__n_docs",
+        )
+    )
+    return weights, priors
+
+
+def naive_bayes_classify(
+    df: DataFrame,
+    weights: DataFrame,
+    priors: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_margin: float = 0.0,
+    out_col: str = "predicted",
+) -> DataFrame:
+    """Classify documents with a model from :func:`naive_bayes_train`:
+
+        score(d, c) = prior(c) + Σ_t [ ll(t, c)  if (t, c) seen
+                                       else unseen_ll(c) ]
+
+    argmax over classes, ties broken by label order. ``min_margin``
+    drops documents whose best-vs-runner-up score gap is below the
+    threshold (also the float-safety knob: engines that sum in different
+    orders can flip a near-tie, so gates compare only confident rows).
+    Returns (id_col, out_col, __margin).
+
+    Scale design: the token stream fans out x(#classes) against the
+    BROADCAST priors frame (classes are few), left-joins the BROADCAST
+    weights vocabulary (classifier-sized, never corpus-sized) map-side,
+    and partial-aggregates the per-(doc, class) sums — the only shuffle
+    is keyed by (id_col, label), then one tiny per-doc top-1 reduce. No
+    per-row Python, no Zipf-head reducer (the vocab join is map-side)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok"),
+    )
+    fan = toks.crossJoin(F.broadcast(priors.select("label", "__unseen_ll")))
+    scored = fan.join(F.broadcast(weights.select("label", "tok", "__ll")),
+                      ["label", "tok"], "left")
+    per_class = (
+        scored.groupBy(id_col, "label")
+        .agg(
+            F.sum(F.coalesce(F.col("__ll"), F.col("__unseen_ll"))).alias("__s"),
+        )
+        .join(F.broadcast(priors.select("label", "__prior")), "label")
+        .select(id_col, "label", (F.col("__s") + F.col("__prior")).alias("__score"))
+    )
+    # top-1 + runner-up via one sort-based struct max pair (no window):
+    # max of (score, label) picks the argmax with deterministic label
+    # tiebreak; the margin needs the second-best score, so aggregate the
+    # top-2 with a 2-element sorted slice.
+    agg = per_class.groupBy(id_col).agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("__score")).alias("neg"),
+                        F.col("label").alias("lbl"),
+                    )
+                ),
+                asc=True,
+            ),
+            1,
+            2,
+        ).alias("__top2")
+    )
+    best = F.col("__top2")[0]
+    second = F.when(F.size("__top2") > 1, -F.col("__top2")[1]["neg"])
+    margin = F.when(
+        second.isNotNull(), (-best["neg"]) - second
+    ).otherwise(F.lit(float("inf")))
+    out = agg.select(
+        F.col(id_col),
+        best["lbl"].alias(out_col),
+        margin.alias("__margin"),
+    )
+    if min_margin > 0.0:
+        out = out.filter(F.col("__margin") >= min_margin)
+    return out
