@@ -3777,6 +3777,38 @@ def q_e22_matview_incremental(spark, sf):
     return out
 
 
+def q_ts_gapfill(spark, sf):
+    """Time-series regularization with linear gap interpolation
+    (operators/timeseries.resample — dense per-user daily series from
+    the irregular events stream, the feature-window prerequisite for
+    sequence models): observations collapse to one MAX per (user, day)
+    bucket (order-free, so no intra-bucket row-order hazard), the grid
+    is a per-group sequence explode bounded by each user's own span,
+    and empty buckets lerp between the nearest non-empty neighbors —
+    ``prev + (next - prev) * k / n`` in exact integer k, n, the same
+    left-associated expression the oracle evaluates. No UDFs, no
+    collects; the only shuffles are the bucket groupBy and the
+    per-user fill windows."""
+    from vastdb_sdk_spark.operators.timeseries import resample
+
+    ev = _t(spark, sf, "events")
+    out = resample(
+        ev,
+        "ts",
+        ["user_id"],
+        86_400_000_000,
+        "value",
+        how="interp",
+        bucket_agg="max",
+    )
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        "observed",
+        F.round("filled", 6).alias("filled"),
+    )
+
+
 def q_tx_nb_train(spark, sf):
     """Multinomial Naive Bayes TRAINING in-engine (operators/lm.
     naive_bayes_train — the labeled-classifier complement of
@@ -4041,6 +4073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e22_matview_incremental": q_e22_matview_incremental,
         "tx_nb_train": q_tx_nb_train,
         "tx_nb_classify": q_tx_nb_classify,
+        "ts_gapfill": q_ts_gapfill,
         "w10_funnel": q_w10_funnel,
         "w11_retention_cohorts": q_w11_retention_cohorts,
         "ds_train_test_split": q_ds_train_test_split,
@@ -4490,6 +4523,43 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(s.n_bigrams, 0) AS n_bigrams,
                    s.bigram_lp
             FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        "ts_gapfill": """
+            WITH obs AS (
+                SELECT user_id, epoch_us(ts) // 86400000000 AS b,
+                       MAX(value) AS observed
+                FROM events GROUP BY 1, 2
+            ), span AS (
+                SELECT user_id, MIN(b) AS b0, MAX(b) AS b1
+                FROM obs GROUP BY 1
+            ), grid AS (
+                SELECT user_id, unnest(range(b0, b1 + 1)) AS b FROM span
+            ), dense AS (
+                SELECT g.user_id, g.b, o.observed
+                FROM grid g LEFT JOIN obs o USING (user_id, b)
+            ), fl AS (
+                SELECT user_id, b, observed,
+                    last_value(CASE WHEN observed IS NOT NULL
+                               THEN struct_pack(b := b, v := observed)
+                               END IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY b
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS prev,
+                    first_value(CASE WHEN observed IS NOT NULL
+                                THEN struct_pack(b := b, v := observed)
+                                END IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY b
+                              ROWS BETWEEN CURRENT ROW
+                              AND UNBOUNDED FOLLOWING) AS nxt
+                FROM dense
+            )
+            SELECT user_id, b * 86400000000 AS bucket_ts, observed,
+                   ROUND(CASE WHEN observed IS NOT NULL THEN observed
+                         WHEN prev IS NOT NULL AND nxt IS NOT NULL
+                         THEN prev.v + (nxt.v - prev.v) * (b - prev.b)
+                              / CAST(nxt.b - prev.b AS DOUBLE)
+                         END, 6) AS filled
+            FROM fl
         """,
         "tx_nb_train": f"""
             WITH toks AS (

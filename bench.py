@@ -151,6 +151,7 @@ HEADLINE = [
     "e22_matview_incremental",
     "tx_nb_train",
     "tx_nb_classify",
+    "ts_gapfill",
 ]
 
 
