@@ -3777,6 +3777,27 @@ def q_e22_matview_incremental(spark, sf):
     return out
 
 
+def q_ds_weighted_sample(spark, sf):
+    """Weighted sampling WITHOUT replacement (operators/sampling.
+    weighted_sample — the importance-weighted corpus subsample step:
+    pick k docs per language with probability proportional to length):
+    Efraimidis-Spirakis A-ES keys ln(u)/w over a DETERMINISTIC
+    md5-derived uniform, top-25 per lang. The rank-filter window
+    compiles to WindowGroupLimit (map-side pre-trim: a hot group ships
+    ~k rows per task, never the corpus). The oracle re-derives the
+    exact 48-bit hash, the uniform, the key and the ranking in SQL —
+    the winner SET must match id-for-id, so any drift in the hash
+    arithmetic or tie-break is a hash mismatch, not a statistical
+    wobble."""
+    from vastdb_sdk_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf, "documents")
+    out = weighted_sample(
+        d, "n_chars", k=25, id_col="doc_id", group_cols=["lang"], seed=42
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
 def q_ts_gapfill(spark, sf):
     """Time-series regularization with linear gap interpolation
     (operators/timeseries.resample — dense per-user daily series from
@@ -4074,6 +4095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_nb_train": q_tx_nb_train,
         "tx_nb_classify": q_tx_nb_classify,
         "ts_gapfill": q_ts_gapfill,
+        "ds_weighted_sample": q_ds_weighted_sample,
         "w10_funnel": q_w10_funnel,
         "w11_retention_cohorts": q_w11_retention_cohorts,
         "ds_train_test_split": q_ds_train_test_split,
@@ -4298,6 +4320,14 @@ def _tx_normalize_oracle_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     tok = _SQL_TOKENS.format(c="text")
+    # 48-bit integer from the first 12 hex nibbles of an md5 — the
+    # deterministic-uniform source weighted_sample uses (no modulus;
+    # DuckDB twin of Spark's conv(substring(md5(x), 1, 12), 16, 10))
+    h48 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({{v}}), {p}, 1)) - 1)"
+        f" * {16 ** (12 - p)}"
+        for p in range(1, 13)
+    )
     # DuckDB twin of shingles_from_tokens(tk, n): when len < n the gram list
     # is the single space-joined token string; 1-based, range() end-exclusive
     def _grams(n: int) -> str:
@@ -4523,6 +4553,23 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(s.n_bigrams, 0) AS n_bigrams,
                    s.bigram_lp
             FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        "ds_weighted_sample": f"""
+            WITH keyed AS (
+                SELECT doc_id, lang, n_chars,
+                       ln(({h48.format(v="'42:' || CAST(doc_id AS VARCHAR)")}
+                           + 1) / 281474976710656.0)
+                       / CAST(n_chars AS DOUBLE) AS k
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0
+            ), ranked AS (
+                SELECT doc_id, lang, n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang ORDER BY k DESC, doc_id ASC
+                       ) AS rk
+                FROM keyed
+            )
+            SELECT doc_id, lang, n_chars FROM ranked WHERE rk <= 25
         """,
         "ts_gapfill": """
             WITH obs AS (

@@ -152,6 +152,7 @@ HEADLINE = [
     "tx_nb_train",
     "tx_nb_classify",
     "ts_gapfill",
+    "ds_weighted_sample",
 ]
 
 

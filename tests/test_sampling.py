@@ -141,3 +141,82 @@ def test_exact_group_percentiles_validation(spark):
         exact_group_percentiles(df, "v", "g", percentiles=())
     with _pytest.raises(ValueError, match="must be in"):
         exact_group_percentiles(df, "v", "g", percentiles=(1.5,))
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis, deterministic)
+
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    from vastdb_sdk_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 100.0 if i < 10 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id LONG, w DOUBLE")
+    # the 10 rows with 100x weight should dominate a k=20 sample across
+    # independent seeds (each heavy row beats each light row w.p. ~100/101)
+    heavy_hits = 0
+    for seed in (1, 2, 3):
+        got = {r["doc_id"] for r in weighted_sample(df, "w", 20, seed=seed).collect()}
+        assert len(got) == 20
+        heavy_hits += len([i for i in got if i < 10])
+        # deterministic: the same seed reproduces the identical set
+        again = {r["doc_id"] for r in weighted_sample(df, "w", 20, seed=seed).collect()}
+        assert got == again
+    assert heavy_hits >= 24  # >= 8 of 10 heavy rows per seed on average
+
+
+def test_weighted_sample_groups_and_eligibility(spark):
+    from vastdb_sdk_spark.operators.sampling import weighted_sample
+
+    rows = [("a", 1, 5.0), ("a", 2, 5.0), ("a", 3, -1.0), ("a", 4, None),
+            ("b", 5, 2.0)]
+    df = spark.createDataFrame(rows, "g STRING, doc_id LONG, w DOUBLE")
+    got = weighted_sample(df, "w", 2, group_cols=["g"]).collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["g"], set()).add(r["doc_id"])
+    # negative/null weights are never sampled, even when k exceeds the
+    # eligible count
+    assert by_g == {"a": {1, 2}, "b": {5}}
+    # keep_col marks the same survivors without dropping rows
+    flagged = weighted_sample(df, "w", 2, group_cols=["g"], keep_col="keep")
+    kept = {r["doc_id"] for r in flagged.collect() if r["keep"]}
+    assert kept == {1, 2, 5}
+    assert flagged.count() == 5
+
+
+def test_weighted_sample_plan_uses_window_group_limit(spark):
+    from vastdb_sdk_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i + 1)) for i in range(30)],
+        "doc_id LONG, g STRING, w DOUBLE",
+    )
+    # grouped: rank-filter-by-constant compiles to WindowGroupLimit
+    # (map-side per-group pre-trim before the shuffle)
+    grouped = (
+        weighted_sample(df, "w", 5, group_cols=["g"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in grouped
+    # global: the constant partition collapses further, to a top-k
+    # TakeOrdered — each task ships at most k rows to the driver-side heap
+    top = (
+        weighted_sample(df, "w", 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in top
+
+
+def test_weighted_sample_k_validation(spark):
+    import pytest as _pytest
+
+    from vastdb_sdk_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(1, 1.0)], "doc_id LONG, w DOUBLE")
+    with _pytest.raises(ValueError, match="k=0"):
+        weighted_sample(df, "w", 0)

@@ -403,3 +403,68 @@ def borda_topk(
         .orderBy(F.asc("borda"), F.asc(id_col))
         .limit(int(k))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    group_cols: list[str] | None = None,
+    seed: int = 42,
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows (per group if
+    ``group_cols``), via the Efraimidis-Spirakis A-ES scheme with a
+    DETERMINISTIC hash-derived uniform: each row draws
+
+        u   = (h48 + 1) / 2^48,  h48 = first 12 hex nibbles of
+                                       md5(seed || ':' || id)
+        key = ln(u) / w
+
+    and the k LARGEST keys win — provably equivalent to sequential
+    weighted draws without replacement (Efraimidis & Spirakis 2006,
+    via the u^(1/w) -> ln(u)/w monotone transform). Rows with NULL or
+    non-positive weight are excluded (zero-weight rows are unsampleable
+    by definition). Determinism makes the sample reproducible across
+    runs, engines, and partitionings — the md5 arithmetic is
+    SQL-expressible, so an oracle can re-derive the exact winner set.
+
+    Plan shape at scale: one row_number window (partitioned by
+    ``group_cols`` or a single constant) ordered by the key — the
+    rank-filter-by-constant form Spark rewrites to WindowGroupLimit, so
+    each map task pre-trims to k rows before the shuffle; the global
+    (ungrouped) case ships ~k rows per task, never the corpus. No
+    collects, no UDFs.
+
+    Returns kept rows (``keep_col=None``) or all rows with a boolean
+    ``keep_col``."""
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    h48 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h48 + F.lit(1)).cast("double") / F.lit(float(2**48))
+    eligible = F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    # ineligible rows get a NULL key (desc orders nulls last) so a
+    # negative weight can never flip the sign and steal a top-k slot
+    key = F.when(eligible, F.log(u) / F.col(weight_col).cast("double"))
+    parts = (
+        [F.col(c) for c in group_cols] if group_cols else [F.lit(0)]
+    )
+    w = W.partitionBy(*parts).orderBy(key.desc(), F.col(id_col).asc())
+    rk = F.row_number().over(w)
+    if keep_col is not None:
+        return df.withColumn(keep_col, eligible & (rk <= F.lit(int(k))))
+    return (
+        df.filter(eligible)
+        .withColumn("__ws_rk", rk)
+        .filter(F.col("__ws_rk") <= F.lit(int(k)))
+        .drop("__ws_rk")
+    )
