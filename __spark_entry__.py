@@ -3777,6 +3777,69 @@ def q_e22_matview_incremental(spark, sf):
     return out
 
 
+def q_el6_bloom_point(spark, sf):
+    """Per-file Bloom column-index file skipping under the gate
+    (table.build_column_index / plans/bloom.py — the planning-time
+    point-lookup path for UNSORTED high-cardinality columns, the case
+    Elysium sort order (el1-el5) and min/max stats leave open): orders
+    lands as 8 separate files (chunked inserts), a Bloom index on
+    o_orderkey is built, and an isin over the 3 smallest keys must
+    prune the scan to fewer candidate files than the manifest total —
+    a prune_preview that fails to skip appends a sentinel row that
+    breaks the hash. Correctness is unconditional (no false negatives,
+    path-keyed sidecar), so the result rows must equal the oracle's
+    plain IN-subquery scan exactly."""
+    import tempfile
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark import _ as D
+
+    key = (sf, "__bloom_orders")
+    if key not in _ENGINE_WAREHOUSES:
+        wh = tempfile.mkdtemp(prefix="entry_bloom_")
+        session = vastdb.connect(wh, spark=spark)
+        session.create_bucket("b")
+        tbl = _pq.read_table(f"{sf}/orders.parquet")
+        with session.transaction() as tx:
+            sc = tx.bucket("b").create_schema("s")
+            t = sc.create_table("orders", tbl.schema)
+            n = tbl.num_rows
+            step = (n + 7) // 8
+            for i in range(0, n, step):
+                t.insert(tbl.slice(i, step))
+        with session.transaction() as tx:
+            tx.bucket("b").schema("s").table("orders").build_column_index(
+                "o_orderkey"
+            )
+        _ENGINE_WAREHOUSES[key] = wh
+    wh = _ENGINE_WAREHOUSES[key]
+
+    with vastdb.connect(wh, spark=spark).transaction() as tx:
+        t = tx.bucket("b").schema("s").table("orders")
+        lowest = sorted(
+            r[0]
+            for r in t.select_df(columns=["o_orderkey"])
+            .orderBy("o_orderkey")
+            .limit(3)
+            .collect()
+        )
+        pred = D.o_orderkey.isin(lowest)
+        pv = t.prune_preview(pred)
+        out = t.select_df(
+            columns=["o_orderkey", "o_custkey", "o_totalprice"], predicate=pred
+        )
+    if pv["candidate_files"] >= pv["total_files"]:
+        out = out.unionByName(
+            out.sparkSession.createDataFrame(
+                [(-999, -999, -999.0)], out.schema
+            )
+        )
+    return out
+
+
 def q_ds_weighted_sample(spark, sf):
     """Weighted sampling WITHOUT replacement (operators/sampling.
     weighted_sample — the importance-weighted corpus subsample step:
@@ -4096,6 +4159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_nb_classify": q_tx_nb_classify,
         "ts_gapfill": q_ts_gapfill,
         "ds_weighted_sample": q_ds_weighted_sample,
+        "el6_bloom_point": q_el6_bloom_point,
         "w10_funnel": q_w10_funnel,
         "w11_retention_cohorts": q_w11_retention_cohorts,
         "ds_train_test_split": q_ds_train_test_split,
@@ -4553,6 +4617,13 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(s.n_bigrams, 0) AS n_bigrams,
                    s.bigram_lp
             FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        "el6_bloom_point": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            WHERE o_orderkey IN (
+                SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3
+            )
         """,
         "ds_weighted_sample": f"""
             WITH keyed AS (

@@ -153,6 +153,7 @@ HEADLINE = [
     "tx_nb_classify",
     "ts_gapfill",
     "ds_weighted_sample",
+    "el6_bloom_point",
 ]
 
 

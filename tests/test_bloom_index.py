@@ -1,0 +1,151 @@
+"""Per-file Bloom column indexes (plans/bloom.py + Table.build_column_index):
+pruning soundness, incremental refresh, SQL verbs, and the pure-Python
+bitmap math itself."""
+
+import pyarrow as pa
+import pytest
+
+from vastdb_sdk_spark import _ as D
+from vastdb_sdk_spark.errors import InvalidArgument, MissingProjection
+from vastdb_sdk_spark.plans import bloom as B
+
+
+def test_bitmap_membership_and_fpp_shape():
+    vals = [f"v{i}" for i in range(1000)]
+    e = B.build_bitmap(vals, fpp=0.01, seed=42)
+    assert all(B.might_contain(e, v, 42) for v in vals)  # no false negatives
+    fp = sum(B.might_contain(e, f"absent{i}", 42) for i in range(2000))
+    assert fp / 2000 < 0.05  # target 0.01, generous margin
+    m, k = B.sizing(1000, 0.01)
+    assert e["m"] == m and e["k"] == k and m % 8 == 0 and k >= 1
+
+
+def test_extract_points():
+    pts = B.extract_points(D.x == 5, "x")
+    assert pts == [5]
+    assert sorted(B.extract_points(D.x.isin([1, 2, 3]), "x")) == [1, 2, 3]
+    assert B.extract_points(D.x > 5, "x") is None
+    assert B.extract_points((D.x == 5) | (D.x > 9), "x") is None
+    assert B.extract_points((D.x == 5) & (D.y == "a"), "x") == [5]
+    assert B.extract_points(D.y == "a", "x") is None
+
+
+def _multi_file_table(clean_schema, n_files=6, rows_per=500):
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "t", pa.schema([("id", pa.int64()), ("v", pa.string())])
+        )
+        for f in range(n_files):
+            base = f * rows_per
+            t.insert(
+                pa.table(
+                    {
+                        "id": list(range(base, base + rows_per)),
+                        "v": [f"s{base + i}" for i in range(rows_per)],
+                    }
+                )
+            )
+    return clean_schema
+
+
+def test_point_lookup_prunes_to_one_file(clean_schema):
+    session = _multi_file_table(clean_schema)
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        assert t.prune_preview(D.id == 1234)["candidate_files"] == 6
+        t.build_column_index("id")
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        pv = t.prune_preview(D.id == 1234)
+        assert pv == {"total_files": 6, "candidate_files": 1}
+        # isin across two files -> two candidates
+        assert t.prune_preview(D.id.isin([10, 2900]))["candidate_files"] == 2
+        # ranges don't use the bloom (not a point set)
+        assert t.prune_preview(D.id > 4)["candidate_files"] == 6
+        # results stay correct through the pruned scan
+        got = t.select(columns=["v"], predicate=(D.id == 1234)).read_all()
+        assert got.column("v").to_pylist() == ["s1234"]
+        # a value present nowhere prunes everything
+        assert t.prune_preview(D.id == 10**9)["candidate_files"] == 0
+        assert t.count_rows(D.id == 10**9) == 0
+
+
+def test_new_files_conservative_then_incremental_refresh(clean_schema):
+    session = _multi_file_table(clean_schema)
+    with session.transaction() as tx:
+        tx.bucket("bkt").schema("s").table("t").build_column_index("id")
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        t.insert(pa.table({"id": [1234], "v": ["dup"]}))
+        # the unindexed new file is always a candidate (no false negatives)
+        assert t.prune_preview(D.id == 1234)["candidate_files"] == 2
+        got = t.select(columns=["v"], predicate=(D.id == 1234)).read_all()
+        assert sorted(got.column("v").to_pylist()) == ["dup", "s1234"]
+        # even for values only in the new file
+        assert t.prune_preview(D.id == 10**9)["candidate_files"] == 1
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        res = t.refresh_column_index("id")
+        assert res == {"added_files": 1, "dropped_files": 0}
+        assert t.prune_preview(D.id == 10**9)["candidate_files"] == 0
+
+
+def test_update_appends_then_compact_drops_dead_entries(clean_schema):
+    session = _multi_file_table(clean_schema)
+    with session.transaction() as tx:
+        tx.bucket("bkt").schema("s").table("t").build_column_index("id")
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        # predicate update is DV-based: the original file stays live
+        # (masked) and the postimage appends as a NEW, unindexed file —
+        # so the lookup stays correct via the conservative-keep rule
+        t.update_where(D.id == 10, {"v": "rewritten"})
+        got = t.select(columns=["v"], predicate=(D.id == 10)).read_all()
+        assert got.column("v").to_pylist() == ["rewritten"]
+        res = t.refresh_column_index("id")
+        assert res["added_files"] >= 1 and res["dropped_files"] == 0
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        # compaction DOES rewrite paths: every old entry dies, the merged
+        # file gets indexed fresh
+        t.compact(min_files=2)
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        res = t.refresh_column_index("id")
+        assert res["dropped_files"] >= 2 and res["added_files"] >= 1
+        got = t.select(columns=["v"], predicate=(D.id == 10)).read_all()
+        assert got.column("v").to_pylist() == ["rewritten"]
+        assert t.prune_preview(D.id == 10)["candidate_files"] >= 1
+
+
+def test_string_column_and_validation(clean_schema):
+    session = _multi_file_table(clean_schema)
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        t.build_column_index("v")
+        assert t.prune_preview(D.v == "s42")["candidate_files"] == 1
+        with pytest.raises(InvalidArgument):
+            t.build_column_index("nope")
+        with pytest.raises(InvalidArgument):
+            t.build_column_index("id", kind="btree")
+        with pytest.raises(InvalidArgument):
+            t.build_column_index("id", fpp=0.9)
+        with pytest.raises(MissingProjection):
+            t.refresh_column_index("id")
+        assert set(t.column_indexes()) == {"v"}
+        t.drop_column_index("v")
+        assert t.column_indexes() == {}
+
+
+def test_sql_verbs(clean_schema):
+    session = _multi_file_table(clean_schema)
+    r = session.execute_sql("BUILD COLUMN INDEX ON bkt.s.t (id) FPP 0.02 SEED 7")
+    assert r["indexed_files"] == 6
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        assert t.prune_preview(D.id == 42)["candidate_files"] == 1
+        t.insert(pa.table({"id": [9_999_999], "v": ["late"]}))
+    r = session.execute_sql("REFRESH COLUMN INDEX ON bkt.s.t (id)")
+    assert r == {"added_files": 1, "dropped_files": 0}
+    r = session.execute_sql("DROP COLUMN INDEX ON bkt.s.t (id)")
+    assert r == {"dropped_column_index": "id"}

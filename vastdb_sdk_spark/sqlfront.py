@@ -512,6 +512,19 @@ class SqlFrontend:
             return {"dropped_projection": _unquote(m.group(1))}
         if kw == "BUILD":
             m = re.match(
+                rf"(?is)BUILD\s+COLUMN\s+INDEX\s+ON\s+({_DOTTED})"
+                rf"\s*\(\s*({_IDENT})\s*\)"
+                rf"(?:\s+FPP\s+([0-9.]+))?(?:\s+SEED\s+(\d+))?\s*$",
+                stmt,
+            )
+            if m:
+                _, _, _, table = self._resolve_table(m.group(1))
+                return table.build_column_index(
+                    _unquote(m.group(2)),
+                    fpp=float(m.group(3)) if m.group(3) else 0.01,
+                    seed=int(m.group(4)) if m.group(4) else 42,
+                )
+            m = re.match(
                 rf"(?is)BUILD\s+VECTOR\s+INDEX\s+ON\s+({_DOTTED})"
                 rf"(?:\s+KIND\s+(\w+))?"
                 rf"(?:\s+CENTROIDS\s+(\d+))?"
@@ -536,7 +549,26 @@ class SqlFrontend:
                 num_codes=int(m.group(5)) if m.group(5) else 256,
             )
             return {"built_vector_index": kind}
+        if kw == "DROP" and head[1].upper() == "COLUMN":
+            m = re.match(
+                rf"(?is)DROP\s+COLUMN\s+INDEX\s+ON\s+({_DOTTED})"
+                rf"\s*\(\s*({_IDENT})\s*\)\s*$",
+                stmt,
+            )
+            if not m:
+                raise InvalidArgument(f"cannot parse: {stmt!r}")
+            _, _, _, table = self._resolve_table(m.group(1))
+            table.drop_column_index(_unquote(m.group(2)))
+            return {"dropped_column_index": _unquote(m.group(2))}
         if kw == "REFRESH":
+            m = re.match(
+                rf"(?is)REFRESH\s+COLUMN\s+INDEX\s+ON\s+({_DOTTED})"
+                rf"\s*\(\s*({_IDENT})\s*\)\s*$",
+                stmt,
+            )
+            if m:
+                _, _, _, table = self._resolve_table(m.group(1))
+                return table.refresh_column_index(_unquote(m.group(2)))
             m = re.match(
                 rf"(?is)REFRESH\s+VECTOR\s+INDEX\s+ON\s+({_DOTTED})"
                 rf"(?:\s+MODE\s+(\w+))?\s*$",

@@ -37,6 +37,7 @@ file metadata. Inserts via Arrow batches write one parquet file per call
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 import time
 from functools import reduce
@@ -634,6 +635,12 @@ class Table:
         files = prune_files_by_partition(entry.files, predicate)
         for col in self._stat_columns(entry):
             files = prune_files(files, col, predicate)
+        cidx = entry.properties.get("column_indexes", {})
+        if cidx:
+            from .plans.bloom import prune_files_by_bloom
+
+            for col, cfg in cidx.items():
+                files = prune_files_by_bloom(files, col, predicate, cfg)
         return files if len(files) < len(entry.files) else None
 
     # -- projection routing (SURVEY.md §4: NOT built into Catalyst) -------
@@ -2707,6 +2714,145 @@ class Table:
         return write_matview_buckets(
             self, name, state, keys, n_buckets, restrict_to=restrict_to
         )
+
+    # ------------------------------------------------------------------
+    # per-file Bloom column indexes (plans/bloom.py — planning-time file
+    # skipping for point lookups on UNSORTED high-cardinality columns,
+    # the case min/max stats and Elysium sort order leave open)
+
+    def build_column_index(
+        self, column: str, kind: str = "bloom", fpp: float = 0.01,
+        seed: int = 42,
+    ) -> dict:
+        """Build (or rebuild from scratch) a per-file Bloom index on an
+        integer or string column. Bitmaps live in an immutable JSON
+        sidecar keyed by data-file path; correctness is unconditional
+        (see plans/bloom.py) — files added or rewritten later are simply
+        not pruned until :meth:`refresh_column_index`."""
+        if kind != "bloom":
+            raise InvalidArgument(f"unsupported column index kind {kind!r}")
+        if column not in self.arrow_schema.names:
+            raise InvalidArgument(f"unknown column {column!r}")
+        if not (0.0 < fpp < 0.5):
+            raise InvalidArgument("fpp must be in (0, 0.5)")
+        dt = self.arrow_schema.field(column).type
+        if not (pa.types.is_integer(dt) or pa.types.is_string(dt)
+                or pa.types.is_large_string(dt)):
+            raise InvalidArgument(
+                f"bloom index needs an integer or string column, got {dt}"
+            )
+        side = self._build_bloom_entries(
+            column, [fe.path for fe in self.entry.files], fpp, seed
+        )
+        sidecar = os.path.join(
+            self._state.store.table_data_dir(self.schema.name, self.name),
+            f"bloomidx-{self._physical_of(column)}-{time.time_ns()}.json",
+        )
+        os.makedirs(os.path.dirname(sidecar), exist_ok=True)
+        with open(sidecar, "w") as fh:
+            json.dump(side, fh)
+        entry = TableEntry.from_json(self.entry.to_json())
+        entry.properties.setdefault("column_indexes", {})[column] = {
+            "kind": "bloom",
+            "fpp": fpp,
+            "seed": seed,
+            "sidecar": sidecar,
+        }
+        self._mutate(entry, "build_column_index", column=column, kind=kind)
+        return {"indexed_files": len(side)}
+
+    def _build_bloom_entries(
+        self, column: str, paths: list[str], fpp: float, seed: int
+    ) -> dict:
+        """Per-file Bloom bitmaps for ``paths`` — distributed: per-file
+        DISTINCT values (one shuffle keyed by (file, value)) feed an
+        Arrow-batched applyInPandas that builds each file's bitmap in its
+        task; only the finished (path, bitmap) rows — one per file, the
+        same cardinality the manifest itself holds — reach the driver."""
+        from .plans import bloom as B
+
+        want = {os.path.abspath(p) for p in paths}
+        if not want:
+            return {}
+        keep = [fe for fe in self.entry.files if os.path.abspath(fe.path) in want]
+        df = self.df(files=keep, with_file_path=True).select(
+            F.col("__source_file").alias("__f"),
+            F.col(column).alias("__v"),
+        ).filter(F.col("__v").isNotNull()).distinct()
+
+        def _one(pdf):
+            import pandas as pd
+
+            entry = B.build_bitmap(pdf["__v"].tolist(), fpp, seed)
+            return pd.DataFrame(
+                {"__f": [pdf["__f"].iloc[0]], "__e": [json.dumps(entry)]}
+            )
+
+        rows = (
+            df.groupBy("__f")
+            .applyInPandas(_one, "__f STRING, __e STRING")
+            .collect()
+        )
+        # _metadata.file_path is Hadoop's "file:/abs" form — key the
+        # sidecar by plain absolute path, the form the pruner probes with
+        return {
+            os.path.abspath(r["__f"].removeprefix("file:")): json.loads(r["__e"])
+            for r in rows
+        }
+
+    def refresh_column_index(self, column: str) -> dict:
+        """Incremental maintenance: index files not yet in the sidecar,
+        drop entries for files no longer live. Cost tracks the NEW-file
+        delta, never the table."""
+        from .plans import bloom as B
+
+        cfg = self.entry.properties.get("column_indexes", {}).get(column)
+        if cfg is None:
+            raise MissingProjection(f"column index on {column!r}")
+        side = dict(B.load_sidecar(cfg["sidecar"]))
+        live = {os.path.abspath(fe.path) for fe in self.entry.files}
+        dropped = [p for p in side if p not in live]
+        for p in dropped:
+            del side[p]
+        missing = [p for p in live if p not in side]
+        if missing:
+            side.update(
+                self._build_bloom_entries(
+                    column, missing, cfg["fpp"], cfg["seed"]
+                )
+            )
+        sidecar = os.path.join(
+            self._state.store.table_data_dir(self.schema.name, self.name),
+            f"bloomidx-{self._physical_of(column)}-{time.time_ns()}.json",
+        )
+        with open(sidecar, "w") as fh:
+            json.dump(side, fh)
+        entry = TableEntry.from_json(self.entry.to_json())
+        entry.properties["column_indexes"][column] = {**cfg, "sidecar": sidecar}
+        self._mutate(entry, "refresh_column_index", column=column)
+        return {"added_files": len(missing), "dropped_files": len(dropped)}
+
+    def drop_column_index(self, column: str) -> None:
+        entry = TableEntry.from_json(self.entry.to_json())
+        cidx = entry.properties.get("column_indexes", {})
+        if column not in cidx:
+            raise MissingProjection(f"column index on {column!r}")
+        del cidx[column]
+        self._mutate(entry, "drop_column_index", column=column)
+
+    def column_indexes(self) -> dict[str, dict]:
+        return dict(self.entry.properties.get("column_indexes", {}))
+
+    def prune_preview(self, predicate: Any) -> dict:
+        """Planning-time skipping summary for ``predicate``: how many
+        manifest files survive min/max + partition + Bloom pruning. The
+        observability hook for 'did my index actually help?'."""
+        total = len(self.entry.files)
+        pruned = self._pruned_files(predicate)
+        return {
+            "total_files": total,
+            "candidate_files": total if pruned is None else len(pruned),
+        }
 
     # ------------------------------------------------------------------
     # vector search (reference: vastdb/table.py:889-906 + _adbc.py:133-159)
