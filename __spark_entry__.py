@@ -3777,6 +3777,29 @@ def q_e22_matview_incremental(spark, sf):
     return out
 
 
+def q_ds_dsir_weights(spark, sf):
+    """DSIR importance weights (operators/sampling.dsir_logratio_weights
+    — Data Selection via Importance Resampling, Xie et al. 2023: score
+    every raw document by how target-like its hashed-n-gram profile is;
+    here target = the English subcorpus): w(d) = Σ_f ln p_tgt(b(f)) -
+    ln p_raw(b(f)) over md5-hashed unigram+bigram buckets (B=10000)
+    with add-one smoothing. Both distributions are B-sized aggregates;
+    the log-ratio table broadcasts into the feature stream, so the only
+    corpus-sized shuffle is the per-doc sum. The oracle re-derives the
+    bucketing, both distributions, and the sum in SQL; rounded to 6 so
+    partition-order FP noise can't flip the hash."""
+    from vastdb_sdk_spark.operators.sampling import dsir_logratio_weights
+
+    d = _t(spark, sf, "documents")
+    out = dsir_logratio_weights(
+        d, d.filter(F.col("lang") == "en"), "text", "doc_id",
+        num_buckets=10_000, seed=42,
+    )
+    return out.select(
+        "doc_id", F.round("dsir_weight", 6).alias("dsir_weight")
+    )
+
+
 def q_el6_bloom_point(spark, sf):
     """Per-file Bloom column-index file skipping under the gate
     (table.build_column_index / plans/bloom.py — the planning-time
@@ -4160,6 +4183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_gapfill": q_ts_gapfill,
         "ds_weighted_sample": q_ds_weighted_sample,
         "el6_bloom_point": q_el6_bloom_point,
+        "ds_dsir_weights": q_ds_dsir_weights,
         "w10_funnel": q_w10_funnel,
         "w11_retention_cohorts": q_w11_retention_cohorts,
         "ds_train_test_split": q_ds_train_test_split,
@@ -4617,6 +4641,48 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(s.n_bigrams, 0) AS n_bigrams,
                    s.bigram_lp
             FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        "ds_dsir_weights": f"""
+            WITH tk AS (
+                SELECT doc_id, lang, {tok} AS toks FROM documents
+            ), uni AS (
+                SELECT doc_id, lang, unnest(toks) AS f FROM tk
+            ), bidx AS (
+                SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i
+                FROM tk WHERE len(toks) >= 2
+            ), bi AS (
+                SELECT doc_id, lang, toks[i] || ' ' || toks[i + 1] AS f
+                FROM bidx
+            ), feats AS (
+                SELECT doc_id, lang,
+                       ({h48.format(v="'42:' || f")}) % 10000 AS fb
+                FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+            ), rawc AS (
+                SELECT fb, COUNT(*) AS c FROM feats GROUP BY fb
+            ), rawt AS (SELECT SUM(c) AS t FROM rawc),
+            tgtc AS (
+                SELECT fb, COUNT(*) AS c FROM feats
+                WHERE lang = 'en' GROUP BY fb
+            ), tgtt AS (SELECT SUM(c) AS t FROM tgtc),
+            lr AS (
+                SELECT COALESCE(rawc.fb, tgtc.fb) AS fb,
+                       COALESCE(ln((tgtc.c + 1) / CAST(tgtt.t + 10000
+                                                       AS DOUBLE)),
+                                ln(1.0 / CAST(tgtt.t + 10000 AS DOUBLE)))
+                       - COALESCE(ln((rawc.c + 1) / CAST(rawt.t + 10000
+                                                         AS DOUBLE)),
+                                  ln(1.0 / CAST(rawt.t + 10000 AS DOUBLE)))
+                           AS lrv
+                FROM rawc FULL OUTER JOIN tgtc ON rawc.fb = tgtc.fb
+                CROSS JOIN rawt CROSS JOIN tgtt
+            ), sums AS (
+                SELECT feats.doc_id, SUM(lr.lrv) AS w
+                FROM feats JOIN lr ON feats.fb = lr.fb
+                GROUP BY feats.doc_id
+            )
+            SELECT d.doc_id,
+                   ROUND(COALESCE(s.w, 0.0), 6) AS dsir_weight
+            FROM documents d LEFT JOIN sums s ON d.doc_id = s.doc_id
         """,
         "el6_bloom_point": """
             SELECT o_orderkey, o_custkey, o_totalprice

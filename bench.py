@@ -154,6 +154,7 @@ HEADLINE = [
     "ts_gapfill",
     "ds_weighted_sample",
     "el6_bloom_point",
+    "ds_dsir_weights",
 ]
 
 

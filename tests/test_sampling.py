@@ -220,3 +220,67 @@ def test_weighted_sample_k_validation(spark):
     df = spark.createDataFrame([(1, 1.0)], "doc_id LONG, w DOUBLE")
     with _pytest.raises(ValueError, match="k=0"):
         weighted_sample(df, "w", 0)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting + Gumbel-top-k resampling
+
+
+def _dsir_corpus(spark):
+    # target-like docs talk about spark; off-target docs about cooking
+    rows = []
+    for i in range(40):
+        rows.append((i, "on" if i % 2 == 0 else "off",
+                     "spark shuffle join partition broadcast stage"
+                     if i % 2 == 0 else
+                     "bake flour sugar butter oven whisk"))
+    return spark.createDataFrame(rows, "doc_id LONG, grp STRING, text STRING")
+
+
+def test_dsir_weights_separate_target_like_docs(spark):
+    from vastdb_sdk_spark.operators.sampling import dsir_logratio_weights
+
+    d = _dsir_corpus(spark)
+    target = d.filter("grp = 'on'")
+    w = dsir_logratio_weights(d, target, num_buckets=1000)
+    rows = {r["doc_id"]: r["dsir_weight"] for r in w.collect()}
+    assert len(rows) == 40
+    on = [rows[i] for i in range(0, 40, 2)]
+    off = [rows[i] for i in range(1, 40, 2)]
+    # every target-like doc outweighs every off-target doc
+    assert min(on) > max(off)
+    # deterministic across runs
+    again = {r["doc_id"]: r["dsir_weight"]
+             for r in dsir_logratio_weights(d, target, num_buckets=1000).collect()}
+    assert rows == again
+
+
+def test_dsir_weights_empty_text_is_zero(spark):
+    from vastdb_sdk_spark.operators.sampling import dsir_logratio_weights
+
+    d = spark.createDataFrame(
+        [(1, "spark join"), (2, ""), (3, None)], "doc_id LONG, text STRING"
+    )
+    w = {r["doc_id"]: r["dsir_weight"]
+         for r in dsir_logratio_weights(d, d.limit(1)).collect()}
+    assert w[2] == 0.0 and w[3] == 0.0
+
+
+def test_dsir_select_prefers_high_weight_and_is_deterministic(spark):
+    from vastdb_sdk_spark.operators.sampling import dsir_select
+
+    d = _dsir_corpus(spark)
+    target = d.filter("grp = 'on'")
+    sel = dsir_select(d, target, k=10, num_buckets=1000)
+    got = sorted(r["doc_id"] for r in sel.collect())
+    assert len(got) == 10
+    # weight gap between the two clusters dwarfs Gumbel noise here, so
+    # the selection is all target-like docs
+    assert all(i % 2 == 0 for i in got)
+    again = sorted(r["doc_id"] for r in
+                   dsir_select(d, target, k=10, num_buckets=1000).collect())
+    assert got == again
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k=0"):
+        dsir_select(d, target, k=0)

@@ -468,3 +468,165 @@ def weighted_sample(
         .filter(F.col("__ws_rk") <= F.lit(int(k)))
         .drop("__ws_rk")
     )
+
+
+def _feature_bucket(col: Column, num_buckets: int, seed: int) -> Column:
+    """Hashed-n-gram feature bucket: first 12 hex nibbles of
+    md5(seed || ':' || feature) as a 48-bit int, mod num_buckets — the
+    same SQL-expressible arithmetic the weighted-sample uniform uses."""
+    h48 = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), col)), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h48, F.lit(int(num_buckets)))
+
+
+def _doc_feature_buckets(
+    df: DataFrame, text_col: str, id_col: str, num_buckets: int, seed: int
+) -> DataFrame:
+    """(id, bucket) rows: one per unigram AND one per bigram occurrence
+    (DSIR's hashed n-gram featurization, Xie et al. 2023 §3)."""
+    from ..functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col), tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__tk")
+    )
+    uni = toks.select(F.col(id_col), F.explode("__tk").alias("__f"))
+    bi = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("__tk") >= 2,
+                F.zip_with(
+                    F.slice("__tk", 1, F.size("__tk") - 1),
+                    F.slice("__tk", 2, F.size("__tk") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.array())
+        ).alias("__f"),
+    )
+    feats = uni.unionByName(bi)
+    return feats.select(
+        F.col(id_col),
+        _feature_bucket(F.col("__f"), num_buckets, seed).alias("__fb"),
+    )
+
+
+def dsir_logratio_weights(
+    df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 10_000,
+    seed: int = 42,
+    out_col: str = "dsir_weight",
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance Resampling,
+    Xie et al. 2023): per document,
+
+        w(d) = Σ_f ln p_target(bucket(f)) - ln p_raw(bucket(f))
+
+    over hashed unigram+bigram features, with add-one-smoothed bucket
+    distributions fit on ``target_df`` (the domain you WANT more of) and
+    ``df`` (the raw corpus) respectively. High weight = looks like the
+    target. Feed the result to :func:`dsir_select` (Gumbel-top-k) for
+    the resampling step, or threshold it directly.
+
+    Scale design: both distributions are ``num_buckets``-sized aggregates
+    (map-side combined explode + groupBy); the per-bucket log-ratio table
+    BROADCASTS into the document feature stream, so the only
+    corpus-sized shuffle is the final per-doc sum keyed by ``id_col``.
+    Documents with no features get weight 0. No UDFs, no collects."""
+    raw_feats = _doc_feature_buckets(df, text_col, id_col, num_buckets, seed)
+    tgt_feats = _doc_feature_buckets(
+        target_df, text_col, id_col, num_buckets, seed
+    )
+
+    def _dist(feats, name):
+        counts = feats.groupBy("__fb").agg(F.count(F.lit(1)).alias("__c"))
+        total = counts.agg(F.sum("__c").alias("__t"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "__fb",
+            F.log(
+                (F.col("__c") + 1).cast("double")
+                / (F.col("__t") + F.lit(int(num_buckets))).cast("double")
+            ).alias(name),
+        ), total
+
+    tgt_lp, tgt_total = _dist(tgt_feats, "__lp_t")
+    raw_lp, raw_total = _dist(raw_feats, "__lp_r")
+    # unseen-bucket smoothing mass: ln(1 / (T + B)) per distribution
+    unseen_t = tgt_total.select(
+        F.log(
+            F.lit(1.0) / (F.col("__t") + F.lit(int(num_buckets))).cast("double")
+        ).alias("__u_t")
+    )
+    unseen_r = raw_total.select(
+        F.log(
+            F.lit(1.0) / (F.col("__t") + F.lit(int(num_buckets))).cast("double")
+        ).alias("__u_r")
+    )
+    lr = (
+        tgt_lp.join(raw_lp, "__fb", "full_outer")
+        .crossJoin(F.broadcast(unseen_t))
+        .crossJoin(F.broadcast(unseen_r))
+        .select(
+            "__fb",
+            (
+                F.coalesce(F.col("__lp_t"), F.col("__u_t"))
+                - F.coalesce(F.col("__lp_r"), F.col("__u_r"))
+            ).alias("__lr"),
+        )
+    )
+    sums = (
+        raw_feats.join(F.broadcast(lr), "__fb")
+        .groupBy(id_col)
+        .agg(F.sum("__lr").alias(out_col))
+    )
+    return df.select(id_col).join(sums, id_col, "left").select(
+        F.col(id_col), F.coalesce(F.col(out_col), F.lit(0.0)).alias(out_col)
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target_df: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 10_000,
+    seed: int = 42,
+) -> DataFrame:
+    """DSIR's resampling step: Gumbel-top-k over the importance weights —
+    key = w(d) + g(d) with deterministic Gumbel noise
+    g = -ln(-ln u) from the md5-derived uniform (so selection is
+    reproducible across runs and engines). Equivalent to sampling k docs
+    without replacement with probability ∝ exp(w). Returns the selected
+    (id_col, dsir_weight) rows; the top-k compiles to TakeOrdered."""
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    w = dsir_logratio_weights(
+        df, target_df, text_col, id_col, num_buckets, seed
+    )
+    h48 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(f"gumbel{seed}"), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h48 + F.lit(1)).cast("double") / F.lit(float(2**48))
+    key = F.col("dsir_weight") + -F.log(-F.log(u))
+    return (
+        w.withColumn("__gk", key)
+        .orderBy(F.col("__gk").desc(), F.col(id_col).asc())
+        .limit(int(k))
+        .drop("__gk")
+    )
