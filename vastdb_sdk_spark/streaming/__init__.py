@@ -1,1 +1,1 @@
-from . import dedup, events, ingest, join, stateful  # noqa: F401
+from . import dedup, events, ingest, join, matview, stateful  # noqa: F401
