@@ -386,3 +386,65 @@ def test_snapshot_restore_rolls_back_matview_state(clean_schema):
             for r in t.materialized_view("mv").df().collect()
         }
     assert got == before
+
+
+def test_approx_distinct_hll_state_merges_incrementally(clean_schema):
+    """approx_distinct persists a Datasketches HLL sketch per group:
+    append-only churn UNIONS sketches (no base read) and the merged
+    sketch must estimate exactly what a full rebuild estimates; a
+    removal span forces the affected-group recompute."""
+    session = _docs(clean_schema)
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("docs")
+        t.create_materialized_view(
+            "mv", ["lang"],
+            {"n": "count", "u_src": ("approx_distinct", "source")},
+            num_buckets=4,
+        )
+        baseline = {r["lang"]: r["u_src"] for r in
+                    t.materialized_view("mv").df().collect()}
+        exact = {r["lang"]: r["u"] for r in
+                 t.df().groupBy("lang").agg(
+                     F.countDistinct("source").alias("u")).collect()}
+        # few distinct sources per lang -> HLL is exact at this cardinality
+        assert baseline == exact
+    # append-only churn: new sources in one lang
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("docs")
+        t.insert(
+            pa.table(
+                {
+                    "doc_id": pa.array([700001, 700002], pa.int64()),
+                    "text": pa.array(["a", "b"]),
+                    "lang": pa.array(["en", "en"]),
+                    "source": pa.array(["brand_new_1", "brand_new_2"]),
+                    "n_chars": pa.array([5, 6], pa.int64()),
+                }
+            )
+        )
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("docs")
+        res = t.materialized_view("mv").refresh("incremental")
+        assert res["base_scanned"] is False  # hll_union, no base read
+        got = {r["lang"]: r["u_src"] for r in
+               t.materialized_view("mv").df().collect()}
+        # union must equal the full-rebuild estimate
+        t.materialized_view("mv").refresh("full")
+        full = {r["lang"]: r["u_src"] for r in
+                t.materialized_view("mv").df().collect()}
+        assert got == full
+        assert got["en"] == exact["en"] + 2
+    # removal span: sketches can't subtract -> affected-group recompute
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("docs")
+        t.delete_where(D.source == "brand_new_1")
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("docs")
+        res = t.materialized_view("mv").refresh("incremental")
+        assert res["base_scanned"] is True
+        got = {r["lang"]: r["u_src"] for r in
+               t.materialized_view("mv").df().collect()}
+        want = {r["lang"]: r["u"] for r in
+                t.df().groupBy("lang").agg(
+                    F.countDistinct("source").alias("u")).collect()}
+        assert got == want

@@ -82,6 +82,15 @@ QUERIES = [
     "e17_semantic_dedup_inplace",
     "e18_refresh_incremental",
     "tx_bigram_logprob",
+    # round-9 session-2 additions (e22/el6 warm runs measure the
+    # maintained-view read / bloom-pruned lookup — index-bound, ~flat)
+    "e22_matview_incremental",
+    "tx_nb_train",
+    "tx_nb_classify",
+    "ts_gapfill",
+    "ds_weighted_sample",
+    "el6_bloom_point",
+    "ds_dsir_weights",
 ]
 
 _RUNNER = r"""

@@ -56,8 +56,12 @@ from .errors import (
     NotSupportedCommand,
 )
 
-AGG_FNS = ("count", "sum", "avg", "min", "max")
+AGG_FNS = ("count", "sum", "avg", "min", "max", "approx_distinct")
 ADDITIVE_FNS = ("count", "sum", "avg")
+# insert-mergeable but NOT delete-mergeable: min/max (a removed extremum
+# is unrecoverable from state) and approx_distinct (an HLL sketch is a
+# monotone set summary — elements cannot be unioned OUT)
+NONSUBTRACTIVE_FNS = ("min", "max", "approx_distinct")
 
 
 def _phys_df(table) -> DataFrame:
@@ -108,6 +112,11 @@ def _state_aggs(aggs: dict[str, list]) -> list:
             exprs.append(F.count(c).alias(f"_mv_nn_{out}"))
         elif fn == "min":
             exprs.append(F.min(c).alias(f"_mv_min_{out}"))
+        elif fn == "approx_distinct":
+            # Datasketches HLL: order-independent, mergeable monotone set
+            # summary — incremental unions produce the BIT-IDENTICAL
+            # sketch a full rebuild would (pytest-pinned)
+            exprs.append(F.hll_sketch_agg(c).alias(f"_mv_hll_{out}"))
         else:
             exprs.append(F.max(c).alias(f"_mv_max_{out}"))
     return exprs
@@ -122,6 +131,8 @@ def _state_cols(aggs: dict[str, list]) -> list[str]:
             cols.append(f"_mv_min_{out}")
         elif fn == "max":
             cols.append(f"_mv_max_{out}")
+        elif fn == "approx_distinct":
+            cols.append(f"_mv_hll_{out}")
     return cols
 
 
@@ -204,6 +215,15 @@ class MaterializedView:
                 )
             elif fn == "min":
                 outs.append(F.col(f"_mv_min_{out}").alias(out))
+            elif fn == "approx_distinct":
+                outs.append(
+                    F.when(
+                        F.col(f"_mv_hll_{out}").isNotNull(),
+                        F.hll_sketch_estimate(F.col(f"_mv_hll_{out}")),
+                    )
+                    .otherwise(F.lit(0))
+                    .alias(out)
+                )
             else:
                 outs.append(F.col(f"_mv_max_{out}").alias(out))
         return st.select(*outs)
@@ -292,7 +312,9 @@ class MaterializedView:
         sign = F.when(
             F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
         ).otherwise(F.lit(-1))
-        has_minmax = any(fn in ("min", "max") for fn, _ in aggs.values())
+        has_nonsub = any(
+            fn in NONSUBTRACTIVE_FNS for fn, _ in aggs.values()
+        )
         base_scanned = False
         delta_keys = phys_feed.select(*[F.col(k) for k in keys]).distinct()
         delta_keys = delta_keys.persist()
@@ -302,11 +324,12 @@ class MaterializedView:
                 r[0]
                 for r in delta_keys.select(bucket_of.alias("b")).distinct().collect()
             )
-            # min/max ARE insert-mergeable (least/greatest); only removals
-            # force the base recompute. An append-only span — the
-            # streaming-ingest case — stays a pure delta merge regardless
-            # of the aggregate mix. (limit-1 probe: one tiny job.)
-            has_removals = has_minmax and bool(
+            # min/max/approx_distinct ARE insert-mergeable (least/
+            # greatest/hll_union); only removals force the base
+            # recompute. An append-only span — the streaming-ingest case
+            # — stays a pure delta merge regardless of the aggregate
+            # mix. (limit-1 probe: one tiny job.)
+            has_removals = has_nonsub and bool(
                 phys_feed.filter(
                     F.col("_change_type").isin("delete", "update_preimage")
                 )
@@ -315,10 +338,10 @@ class MaterializedView:
             )
             if not affected:
                 merged = None  # feed span empty -> state already current
-            elif has_minmax and has_removals:
-                # min/max are not delete-mergeable: recompute the affected
-                # GROUPS from the base (broadcast semi/anti on the affected
-                # keys — churn-bounded group count).
+            elif has_nonsub and has_removals:
+                # non-subtractive states cannot fold a removal: recompute
+                # the affected GROUPS from the base (broadcast semi/anti
+                # on the affected keys — churn-bounded group count).
                 old = self._state_df(buckets=affected)
                 base = _phys_df(t)
                 recomputed = (
@@ -391,6 +414,8 @@ class MaterializedView:
                 dexprs.append(F.min(c).alias(f"_d_min_{out}"))
             elif fn == "max":
                 dexprs.append(F.max(c).alias(f"_d_max_{out}"))
+            elif fn == "approx_distinct":
+                dexprs.append(F.hll_sketch_agg(c).alias(f"_d_hll_{out}"))
             else:
                 dexprs.append(
                     F.sum(F.when(c.isNotNull(), sign * c)).alias(f"_d_sum_{out}")
@@ -427,6 +452,15 @@ class MaterializedView:
                     F.greatest(
                         old[f"_mv_max_{out}"], delta[f"_d_max_{out}"]
                     ).alias(f"_mv_max_{out}")
+                )
+                continue
+            if fn == "approx_distinct":
+                o, d = old[f"_mv_hll_{out}"], delta[f"_d_hll_{out}"]
+                sel.append(
+                    F.when(o.isNull(), d)
+                    .when(d.isNull(), o)
+                    .otherwise(F.hll_union(o, d))
+                    .alias(f"_mv_hll_{out}")
                 )
                 continue
             nn = F.coalesce(old[f"_mv_nn_{out}"], zero) + F.coalesce(

@@ -2685,8 +2685,9 @@ class Table:
     ):
         """Create an aggregate view: ``group_by`` key columns, ``aggs``
         mapping output name -> ``"count"`` | ``(fn, column)`` with fn in
-        count/sum/avg/min/max. State is bucketed by group-key hash so the
-        incremental refresh rewrites only churn-touched buckets."""
+        count/sum/avg/min/max/approx_distinct (mergeable HLL sketch
+        state). State is bucketed by group-key hash so the incremental
+        refresh rewrites only churn-touched buckets."""
         from .matview import create_materialized_view as _create
 
         return _create(self, name, group_by, aggs, num_buckets)
