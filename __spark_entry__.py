@@ -3863,6 +3863,81 @@ def q_el6_bloom_point(spark, sf):
     return out
 
 
+def q_e23_matview_rollup(spark, sf):
+    """Rollup SERVING from materialized-view state under the gate
+    (table.aggregate_df / matview.rollup_from_state — the OLAP payoff
+    of the MV tier: a GROUP BY lang query answered by folding the
+    (lang, source) view's state — counts and sums add, HLL sketches
+    union — reading kilobytes of state instead of scanning the base):
+    the corpus is imported, a (lang, source) view with count/sum/
+    approx_distinct state is built, a later transaction deletes every
+    3rd doc, the view refreshes INCREMENTALLY, and the rollup must be
+    routed to the view (a base-scan routing or a non-incremental
+    refresh appends a sentinel row). The oracle aggregates the
+    reproduced final state directly — including COUNT(DISTINCT
+    source), which the HLL sketch must match exactly at this
+    cardinality (sparse mode; far below promotion)."""
+    import tempfile
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark import _ as D
+    from vastdb_sdk_spark.sources import create_table_from_files
+
+    key = (sf, "__mv_rollup")
+    if key not in _ENGINE_WAREHOUSES:
+        wh = tempfile.mkdtemp(prefix="entry_mvr_")
+        session = vastdb.connect(wh, spark=spark)
+        session.create_bucket("b")
+        with session.transaction() as tx:
+            sc = tx.bucket("b").create_schema("s")
+            create_table_from_files(sc, "docs", [f"{sf}/documents.parquet"])
+        with session.transaction() as tx:
+            tx.bucket("b").schema("s").table("docs").create_materialized_view(
+                "by_ls",
+                ["lang", "source"],
+                {
+                    "n": "count",
+                    "chars": ("sum", "n_chars"),
+                    "u": ("approx_distinct", "source"),
+                },
+                num_buckets=8,
+            )
+        with session.transaction() as tx:
+            tx.bucket("b").schema("s").table("docs").delete_where(
+                D.doc_id % 3 == 0
+            )
+        with session.transaction() as tx:
+            res = tx.bucket("b").schema("s").table("docs").materialized_view(
+                "by_ls"
+            ).refresh(mode="auto")
+        _ENGINE_WAREHOUSES[key] = (wh, res)
+    wh, res = _ENGINE_WAREHOUSES[key]
+
+    spec = {
+        "n": "count",
+        "chars": ("sum", "n_chars"),
+        "avg_chars": ("avg", "n_chars"),
+        "u_src": ("approx_distinct", "source"),
+    }
+    with vastdb.connect(wh, spark=spark).transaction() as tx:
+        t = tx.bucket("b").schema("s").table("docs")
+        route = t.explain_aggregate(["lang"], spec)
+        out = t.aggregate_df(["lang"], spec).select(
+            "lang",
+            "n",
+            "chars",
+            F.round("avg_chars", 4).alias("avg_chars"),
+            "u_src",
+        )
+    if route != {"served_by": "matview:by_ls"} or res.get("mode") != "incremental":
+        out = out.unionByName(
+            out.sparkSession.createDataFrame(
+                [("__not_served_by_view__", -1, -1, -1.0, -1)], out.schema
+            )
+        )
+    return out
+
+
 def q_ds_weighted_sample(spark, sf):
     """Weighted sampling WITHOUT replacement (operators/sampling.
     weighted_sample — the importance-weighted corpus subsample step:
@@ -4184,6 +4259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_weighted_sample": q_ds_weighted_sample,
         "el6_bloom_point": q_el6_bloom_point,
         "ds_dsir_weights": q_ds_dsir_weights,
+        "e23_matview_rollup": q_e23_matview_rollup,
         "w10_funnel": q_w10_funnel,
         "w11_retention_cohorts": q_w11_retention_cohorts,
         "ds_train_test_split": q_ds_train_test_split,
@@ -4641,6 +4717,16 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(s.n_bigrams, 0) AS n_bigrams,
                    s.bigram_lp
             FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        "e23_matview_rollup": """
+            SELECT lang,
+                   COUNT(*) AS n,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars,
+                   ROUND(CAST(SUM(n_chars) AS DOUBLE)
+                         / COUNT(n_chars), 4) AS avg_chars,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS u_src
+            FROM documents WHERE doc_id % 3 <> 0
+            GROUP BY lang
         """,
         "ds_dsir_weights": f"""
             WITH tk AS (

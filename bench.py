@@ -155,6 +155,7 @@ HEADLINE = [
     "ds_weighted_sample",
     "el6_bloom_point",
     "ds_dsir_weights",
+    "e23_matview_rollup",
 ]
 
 

@@ -448,3 +448,81 @@ def test_approx_distinct_hll_state_merges_incrementally(clean_schema):
                 t.df().groupBy("lang").agg(
                     F.countDistinct("source").alias("u")).collect()}
         assert got == want
+
+
+def test_aggregate_df_routes_to_covering_rollup(clean_schema):
+    """aggregate_df over a key SUBSET folds the view's state (count of
+    counts, sum of sums, min/max of min/max, HLL union) — results equal
+    the direct base aggregation, and the routing is observable."""
+    session = _docs(clean_schema)
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("docs")
+        t.create_materialized_view(
+            "by_ls", ["lang", "source"],
+            {
+                "n": "count",
+                "chars": ("sum", "n_chars"),
+                "mx": ("max", "n_chars"),
+                "u": ("approx_distinct", "source"),
+            },
+            num_buckets=8,
+        )
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("docs")
+        spec = {
+            "n": "count",
+            "chars": ("sum", "n_chars"),
+            "avg_chars": ("avg", "n_chars"),  # served from sum+nn state
+            "mx": ("max", "n_chars"),
+            "u_src": ("approx_distinct", "source"),
+        }
+        assert t.explain_aggregate(["lang"], spec) == {
+            "served_by": "matview:by_ls"
+        }
+        got = {r["lang"]: tuple(r[1:]) for r in
+               t.aggregate_df(["lang"], spec).collect()}
+        want = {r["lang"]: tuple(r[1:]) for r in
+                t.df().groupBy("lang").agg(
+                    F.count("*"), F.sum("n_chars"), F.avg("n_chars"),
+                    F.max("n_chars"),
+                    F.hll_sketch_estimate(F.hll_sketch_agg("source")),
+                ).collect()}
+        assert got == want
+        # exact key match routes too; empty group_by folds to one row
+        assert t.explain_aggregate(["lang", "source"], {"n": "count"}) == {
+            "served_by": "matview:by_ls"
+        }
+        total = t.aggregate_df([], {"n": "count"}).collect()[0]["n"]
+        assert total == t.df().count()
+
+
+def test_aggregate_df_falls_back_to_base(clean_schema):
+    session = _docs(clean_schema)
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("docs")
+        t.create_materialized_view(
+            "mv", ["lang"], {"n": "count", "chars": ("sum", "n_chars")},
+        )
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("docs")
+        # key not covered (source not in view keys)
+        assert t.explain_aggregate(["source"], {"n": "count"}) == {
+            "served_by": "base"
+        }
+        # agg not covered (no min state)
+        assert t.explain_aggregate(["lang"], {"m": ("min", "n_chars")}) == {
+            "served_by": "base"
+        }
+        got = {r["source"]: r["n"] for r in
+               t.aggregate_df(["source"], {"n": "count"}).collect()}
+        want = {r["source"]: r["cnt"] for r in
+                t.df().groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+        assert got == want
+        # stale view never serves
+        t.delete_where(D.doc_id % 2 == 0)
+        assert t.explain_aggregate(["lang"], {"n": "count"}) == {
+            "served_by": "base"
+        }
+        # ...and the base fallback sees the staged deletes immediately
+        n = t.aggregate_df(["lang"], {"n": "count"}, use_matviews=False)
+        assert sum(r["n"] for r in n.collect()) == t.df().count()

@@ -577,3 +577,82 @@ def create_materialized_view(
     }
     table._mutate(entry, "create_matview", matview=name)
     return MaterializedView(name, table)
+
+
+# ----------------------------------------------------------------------
+# rollup serving: answer aggregate queries FROM materialized-view state
+
+
+def state_covers(cfg: dict, keys_phys: list[str], aggs: dict[str, list]) -> bool:
+    """Can this view's state answer a (group_by=keys, aggs) request?
+    Keys must be a SUBSET of the view's keys (folding state rolls the
+    extra dimensions up), and every requested aggregate needs a matching
+    state column: count is always present; sum/avg need a sum or avg
+    state on the same source column; min/max/approx_distinct need the
+    same fn on the same source."""
+    if not set(keys_phys) <= set(cfg["group_by"]):
+        return False
+    for _out, (fn, src) in aggs.items():
+        if fn == "count":
+            continue
+        ok = any(
+            (mfn in ("sum", "avg") and fn in ("sum", "avg") and msrc == src)
+            or (mfn == fn and msrc == src)
+            for mfn, msrc in cfg["aggs"].values()
+        )
+        if not ok:
+            return False
+    return True
+
+
+def _state_col_for(cfg: dict, fn: str, src: str) -> str:
+    """The state-column name in ``cfg`` that serves (fn, src)."""
+    for mout, (mfn, msrc) in cfg["aggs"].items():
+        if msrc != src:
+            continue
+        if fn in ("sum", "avg") and mfn in ("sum", "avg"):
+            return mout
+        if mfn == fn:
+            return mout
+    raise KeyError((fn, src))
+
+
+def rollup_from_state(mv, keys_phys: list[str], aggs: dict[str, list]) -> DataFrame:
+    """Fold the view's per-group state down to the requested key subset:
+    counts and sums ADD, min/max fold with min/max, HLL sketches union —
+    cost is proportional to the VIEW's group count, never the base table.
+    Output columns: requested keys (current logical names) + agg outs."""
+    cfg = mv._cfg
+    st = mv._state_df()
+    exprs = []
+    for out, (fn, src) in aggs.items():
+        if fn == "count":
+            exprs.append(F.sum("_mv_count").alias(out))
+            continue
+        mout = _state_col_for(cfg, fn, src)
+        if fn == "sum":
+            nn = F.sum(F.col(f"_mv_nn_{mout}"))
+            exprs.append(
+                F.when(nn > 0, F.sum(F.col(f"_mv_sum_{mout}"))).alias(out)
+            )
+        elif fn == "avg":
+            nn = F.sum(F.col(f"_mv_nn_{mout}"))
+            exprs.append(
+                F.when(nn > 0, F.sum(F.col(f"_mv_sum_{mout}")) / nn).alias(out)
+            )
+        elif fn == "min":
+            exprs.append(F.min(F.col(f"_mv_min_{mout}")).alias(out))
+        elif fn == "max":
+            exprs.append(F.max(F.col(f"_mv_max_{mout}")).alias(out))
+        elif fn == "approx_distinct":
+            exprs.append(
+                F.hll_sketch_estimate(
+                    F.hll_union_agg(F.col(f"_mv_hll_{mout}"))
+                ).alias(out)
+            )
+    inv = {p: l for l, p in mv.table._physical_map().items()}
+    folded = st.groupBy(*[F.col(k) for k in keys_phys]).agg(*exprs)
+    return folded.select(
+        *[F.col(k).alias(inv.get(k, k)) for k in keys_phys],
+        *[F.col(out) for out in aggs],
+    )

@@ -2716,6 +2716,75 @@ class Table:
             self, name, state, keys, n_buckets, restrict_to=restrict_to
         )
 
+    def _route_aggregate(self, group_by: list[str], norm_aggs: dict):
+        """The best fresh materialized view whose state covers the
+        request, or None. 'Best' = fewest key columns (the coarsest
+        covering rollup has the fewest groups to fold)."""
+        from .matview import MaterializedView, state_covers
+
+        keys_phys = [self._physical_of(c) for c in group_by]
+        best = None
+        for name in sorted(self.entry.matviews):
+            cfg = self.entry.matviews[name]
+            if cfg.get("stale"):
+                continue
+            if not state_covers(cfg, keys_phys, norm_aggs):
+                continue
+            if best is None or len(cfg["group_by"]) < len(
+                self.entry.matviews[best]["group_by"]
+            ):
+                best = name
+        return MaterializedView(best, self) if best else None
+
+    def aggregate_df(
+        self, group_by: list[str], aggs: dict, use_matviews: bool = True
+    ) -> DataFrame:
+        """Aggregate the table — served FROM a covering materialized
+        view's state when one is fresh (rollup: counts and sums add,
+        min/max fold, HLL sketches union — cost is the VIEW's group
+        count, never the base scan), else computed from the base. The
+        OLAP serve path that makes the MV tier pay off: a dashboard
+        query over a 100 TB table reads kilobytes of folded state.
+        ``aggs`` uses the create_materialized_view spec shape. Use
+        :meth:`explain_aggregate` to see the routing decision."""
+        from .matview import normalize_aggs, rollup_from_state
+
+        norm = normalize_aggs(self, aggs)
+        missing = [c for c in group_by if c not in self.arrow_schema.names]
+        if missing:
+            raise InvalidArgument(f"unknown group columns: {missing}")
+        if use_matviews:
+            mv = self._route_aggregate(group_by, norm)
+            if mv is not None:
+                return rollup_from_state(
+                    mv, [self._physical_of(c) for c in group_by], norm
+                )
+        exprs = []
+        for out, (fn, src) in norm.items():
+            inv = {p: l for l, p in self._physical_map().items()}
+            col = F.col(inv.get(src, src)) if src else None
+            if fn == "count":
+                exprs.append(F.count(F.lit(1)).alias(out))
+            elif fn == "approx_distinct":
+                exprs.append(
+                    F.hll_sketch_estimate(F.hll_sketch_agg(col)).alias(out)
+                )
+            else:
+                exprs.append(getattr(F, fn)(col).alias(out))
+        return self.df().groupBy(*[F.col(c) for c in group_by]).agg(*exprs)
+
+    def explain_aggregate(self, group_by: list[str], aggs: dict) -> dict:
+        """Routing decision for :meth:`aggregate_df`: which materialized
+        view (if any) would serve it, and why the base would be scanned
+        otherwise."""
+        from .matview import normalize_aggs
+
+        norm = normalize_aggs(self, aggs)
+        mv = self._route_aggregate(group_by, norm)
+        if mv is not None:
+            return {"served_by": f"matview:{mv.name}"}
+        return {"served_by": "base"}
+
     # ------------------------------------------------------------------
     # per-file Bloom column indexes (plans/bloom.py — planning-time file
     # skipping for point lookups on UNSORTED high-cardinality columns,
