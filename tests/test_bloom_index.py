@@ -149,3 +149,12 @@ def test_sql_verbs(clean_schema):
     assert r == {"added_files": 1, "dropped_files": 0}
     r = session.execute_sql("DROP COLUMN INDEX ON bkt.s.t (id)")
     assert r == {"dropped_column_index": "id"}
+
+
+def test_show_column_indexes_sql(clean_schema):
+    session = _multi_file_table(clean_schema)
+    session.execute_sql("BUILD COLUMN INDEX ON bkt.s.t (id) FPP 0.02")
+    rows = session.execute_sql("SHOW COLUMN INDEXES ON bkt.s.t").collect()
+    assert [(r["column"], r["kind"], r["fpp"]) for r in rows] == [
+        ("id", "bloom", 0.02)
+    ]

@@ -526,3 +526,20 @@ def test_aggregate_df_falls_back_to_base(clean_schema):
         # ...and the base fallback sees the staged deletes immediately
         n = t.aggregate_df(["lang"], {"n": "count"}, use_matviews=False)
         assert sum(r["n"] for r in n.collect()) == t.df().count()
+
+
+def test_show_materialized_views_sql(clean_schema):
+    session = _docs(clean_schema)
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("docs")
+        t.create_materialized_view(
+            "mv", ["lang"], {"n": "count", "c": ("sum", "n_chars")},
+        )
+    rows = session.execute_sql(
+        "SHOW MATERIALIZED VIEWS ON bkt.s.docs"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["view_name"] == "mv" and r["group_by"] == "lang"
+    assert "c=sum(n_chars)" in r["aggs"] and r["stale"] is False
+    assert r["num_groups"] > 0

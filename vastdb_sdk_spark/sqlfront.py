@@ -822,6 +822,40 @@ class SqlFrontend:
             return spark.createDataFrame(
                 [(n,) for n in table.retrieve_column_names()], "col_name STRING"
             )
+        if m := re.match(
+            rf"(?is)SHOW\s+MATERIALIZED\s+VIEWS\s+ON\s+({_DOTTED})\s*$", stmt
+        ):
+            _, _, _, table = self._resolve_table(m.group(1))
+            rows = [
+                (
+                    mv.name,
+                    ", ".join(mv.group_by),
+                    ", ".join(
+                        f"{o}={fn}({src})" if src else f"{o}={fn}"
+                        for o, (fn, src) in mv.aggs.items()
+                    ),
+                    mv.stale,
+                    mv.get_stats().num_rows,
+                )
+                for mv in table.materialized_views()
+            ]
+            return spark.createDataFrame(
+                rows,
+                "view_name STRING, group_by STRING, aggs STRING, "
+                "stale BOOLEAN, num_groups LONG",
+            )
+        if m := re.match(
+            rf"(?is)SHOW\s+COLUMN\s+INDEXES\s+ON\s+({_DOTTED})\s*$", stmt
+        ):
+            _, _, _, table = self._resolve_table(m.group(1))
+            rows = [
+                (col, cfg["kind"], float(cfg["fpp"]), cfg["sidecar"])
+                for col, cfg in sorted(table.column_indexes().items())
+            ]
+            return spark.createDataFrame(
+                rows,
+                "column STRING, kind STRING, fpp DOUBLE, sidecar STRING",
+            )
         raise InvalidArgument(f"unsupported SHOW statement: {stmt[:60]!r}")
 
     def _describe(self, stmt: str):
