@@ -3777,6 +3777,52 @@ def q_e22_matview_incremental(spark, sf):
     return out
 
 
+def q_tx_sentences(spark, sf):
+    """Sentence segmentation statistics (functions/text.sentences —
+    RE2-common boundary shared verbatim with the oracle, the scrub.py
+    single-source discipline): per doc, sentence count, mean tokens per
+    sentence, and the md5 of the first sentence (pins the exact split
+    AND the boundary-terminator stripping). Pure codegen'd Column
+    expressions — zero shuffles, zero Python."""
+    from vastdb_sdk_spark.functions.text import sentences
+
+    d = _t(spark, sf, "documents")
+    sent = sentences(F.col("text"))
+    ntoks = F.transform(sent, lambda s: F.size(_tokens(s)))
+    return d.select(
+        "doc_id",
+        F.size(sent).alias("n_sentences"),
+        F.round(
+            F.when(
+                F.size(sent) > 0,
+                F.aggregate(ntoks, F.lit(0), lambda a, x: a + x).cast("double")
+                / F.size(sent),
+            ),
+            4,
+        ).alias("mean_sent_tokens"),
+        F.md5(F.element_at(sent, 1)).alias("first_sent_md5"),
+    )
+
+
+def q_tx_chunk_sentences(spark, sf):
+    """Sentence-boundary-aligned context-window chunking (operators/
+    sampling.chunk_by_sentences — the RAG/pretraining chunker that never
+    cuts mid-sentence): positional sentence explode + per-document
+    greedy budget packing (pack_greedy strata'd by doc: ONE window per
+    doc ordered by sentence position), chunks reassembled with ordered
+    aggregation. The oracle replays the identical split, prefix-sum bin
+    assignment, and ordered string_agg in SQL — every chunk boundary
+    and byte of chunk text must match."""
+    from vastdb_sdk_spark.operators.sampling import chunk_by_sentences
+
+    d = _t(spark, sf, "documents")
+    out = chunk_by_sentences(d, budget=64)
+    return out.select(
+        "doc_id", "chunk_id", F.md5("chunk_text").alias("chunk_md5"),
+        "n_sentences", "n_tokens",
+    )
+
+
 def q_ds_dsir_weights(spark, sf):
     """DSIR importance weights (operators/sampling.dsir_logratio_weights
     — Data Selection via Importance Resampling, Xie et al. 2023: score
@@ -4260,6 +4306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "el6_bloom_point": q_el6_bloom_point,
         "ds_dsir_weights": q_ds_dsir_weights,
         "e23_matview_rollup": q_e23_matview_rollup,
+        "tx_sentences": q_tx_sentences,
+        "tx_chunk_sentences": q_tx_chunk_sentences,
         "w10_funnel": q_w10_funnel,
         "w11_retention_cohorts": q_w11_retention_cohorts,
         "ds_train_test_split": q_ds_train_test_split,
@@ -4479,6 +4527,61 @@ def _tx_normalize_oracle_sql() -> str:
     return f"""
         SELECT doc_id, {clean} AS clean, length({clean}) AS n_clean_chars
         FROM documents
+    """
+
+
+def _sql_sentences(var: str) -> str:
+    """DuckDB twin of functions/text.sentences, generated from the SAME
+    SENTENCE_SPLIT_RE constant the Spark expression uses (the scrub.py
+    single-source discipline)."""
+    from vastdb_sdk_spark.functions.text import SENTENCE_SPLIT_RE
+
+    return (
+        f"list_filter(list_transform(string_split_regex({var}, "
+        f"'{SENTENCE_SPLIT_RE}'), x -> regexp_replace(trim(x), "
+        f"'[.!?]+$', '')), x -> x <> '')"
+    )
+
+
+def _sentence_oracle_sql() -> str:
+    tok = _SQL_TOKENS.format(c="s")
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {_sql_sentences('text')} AS sents FROM documents
+        )
+        SELECT doc_id, len(sents) AS n_sentences,
+               ROUND(CASE WHEN len(sents) > 0 THEN
+                   CAST(list_sum(list_transform(sents,
+                        s -> len({tok}))) AS DOUBLE) / len(sents)
+               END, 4) AS mean_sent_tokens,
+               md5(sents[1]) AS first_sent_md5
+        FROM t
+    """
+
+
+def _chunk_sentences_oracle_sql(budget: int = 64) -> str:
+    tok = _SQL_TOKENS.format(c="sent")
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {_sql_sentences('text')} AS sents FROM documents
+        ), s AS (
+            SELECT doc_id, unnest(sents) AS sent,
+                   generate_subscripts(sents, 1) AS pos
+            FROM t
+        ), tk AS (
+            SELECT doc_id, pos, sent, len({tok}) AS ntok FROM s
+        ), p AS (
+            SELECT doc_id, pos, sent, ntok,
+                   SUM(ntok) OVER (PARTITION BY doc_id ORDER BY pos)
+                   - ntok AS pre
+            FROM tk
+        )
+        SELECT doc_id,
+               CAST(pre // {budget} AS BIGINT) AS chunk_id,
+               md5(string_agg(sent, '. ' ORDER BY pos)) AS chunk_md5,
+               COUNT(*) AS n_sentences,
+               CAST(SUM(ntok) AS BIGINT) AS n_tokens
+        FROM p GROUP BY doc_id, pre // {budget}
     """
 
 
@@ -4718,6 +4821,8 @@ def oracle_sql() -> dict[str, str]:
                    s.bigram_lp
             FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
         """,
+        "tx_sentences": _sentence_oracle_sql(),
+        "tx_chunk_sentences": _chunk_sentences_oracle_sql(),
         "e23_matview_rollup": """
             SELECT lang,
                    COUNT(*) AS n,

@@ -156,6 +156,8 @@ HEADLINE = [
     "el6_bloom_point",
     "ds_dsir_weights",
     "e23_matview_rollup",
+    "tx_sentences",
+    "tx_chunk_sentences",
 ]
 
 

@@ -1626,3 +1626,59 @@ def test_naive_bayes_classify_min_margin_and_min_count(spark):
     assert naive_bayes_classify(
         probe, weights, priors, min_margin=1.0
     ).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# sentence segmentation + sentence-aligned chunking
+
+
+def test_sentences_split_and_strip(spark):
+    from vastdb_sdk_spark.functions.text import sentence_count, sentences
+
+    rows = [
+        (1, "First one. Second here! Third?? Yes"),
+        (2, "no terminators at all"),
+        (3, "Trailing dot."),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r["s"] for r in
+           df.select("doc_id", sentences(F.col("text")).alias("s")).collect()}
+    # "Third?? Yes" splits at "?? " — any terminator run + whitespace is
+    # a boundary, and the run is stripped from the left piece
+    assert got[1] == ["First one", "Second here", "Third", "Yes"]
+    assert got[2] == ["no terminators at all"]
+    assert got[3] == ["Trailing dot"]  # trailing terminator stripped
+    assert got[4] == []
+    n = {r["doc_id"]: r["n"] for r in
+         df.select("doc_id", sentence_count(F.col("text")).alias("n")).collect()}
+    assert n == {1: 4, 2: 1, 3: 1, 4: 0}
+
+
+def test_chunk_by_sentences_boundaries(spark):
+    from vastdb_sdk_spark.operators.sampling import chunk_by_sentences
+
+    # pack_greedy bins by PREFIX-BEFORE: a sentence STARTING inside the
+    # budget window joins the chunk even if it overflows it (same
+    # contract as token packing; oracle replays the identical rule)
+    text = "a b c. d e f. g h i. j k l."
+    df = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
+    got = sorted(
+        (r["chunk_id"], r["chunk_text"], r["n_sentences"], r["n_tokens"])
+        for r in chunk_by_sentences(df, budget=7).collect()
+    )
+    assert got == [
+        (0, "a b c. d e f. g h i", 3, 9),
+        (1, "j k l", 1, 3),
+    ]
+    # a sentence longer than the budget still gets its own chunk
+    df2 = spark.createDataFrame(
+        [(2, "one two three four five six. tail")], "doc_id LONG, text STRING"
+    )
+    got2 = sorted((r["chunk_id"], r["n_sentences"])
+                  for r in chunk_by_sentences(df2, budget=3).collect())
+    assert got2 == [(0, 1), (2, 1)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget"):
+        chunk_by_sentences(df, budget=0)

@@ -267,3 +267,29 @@ def bpe_token_count(col: Column) -> Column:
     """Pretoken count — the cheap tokenizer-aware length estimate for
     context packing / pricing / length-bucket stats."""
     return F.size(bpe_pretokens(col))
+
+
+# sentence boundary: one-or-more terminators followed by whitespace.
+# Deliberately RE2-common (no lookbehind — DuckDB's regexp_split_to_array
+# is RE2), same single-source discipline as the scrub patterns: the
+# terminator run is CONSUMED by the split, so both engines produce the
+# identical sentence list. A trailing terminator leaves no empty tail
+# (filtered), and abbreviation dots ("e.g. x") split — acceptable for
+# corpus statistics, documented.
+SENTENCE_SPLIT_RE = "[.!?]+[ \\t\\n\\r]+"
+
+
+def sentences(col: Column) -> Column:
+    """Sentence strings (terminators stripped at boundaries, trimmed,
+    empties removed). Pure codegen'd Column expression."""
+    return F.filter(
+        F.transform(
+            F.split(col, SENTENCE_SPLIT_RE),
+            lambda s: F.regexp_replace(F.trim(s), "[.!?]+$", ""),
+        ),
+        lambda s: s != F.lit(""),
+    )
+
+
+def sentence_count(col: Column) -> Column:
+    return F.size(sentences(col))

@@ -630,3 +630,49 @@ def dsir_select(
         .limit(int(k))
         .drop("__gk")
     )
+
+
+def chunk_by_sentences(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-boundary-aligned context-window chunking: split each
+    document into sentences (functions/text.sentences — RE2-common
+    boundary), then greedily pack CONSECUTIVE sentences into
+    fixed-token-budget chunks per document — the RAG/pretraining chunker
+    that never cuts mid-sentence (a sentence longer than the budget
+    still gets its own chunk rather than being dropped). A pure
+    composition: positional sentence explode + :func:`pack_greedy`
+    strata'd by document, so the only shuffle is one window per doc
+    ordered by sentence position. Returns (id_col, chunk_id, chunk_text,
+    n_sentences, n_tokens)."""
+    from ..functions.text import sentences, tokens
+
+    if budget < 1:
+        raise ValueError(f"budget={budget} must be >= 1")
+    sent = df.select(
+        F.col(id_col),
+        F.posexplode(sentences(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "__pos", "__sent"
+        ),
+    ).withColumn("__ntok", F.size(tokens(F.col("__sent"))))
+    packed = pack_greedy(
+        sent, "__ntok", budget, stratum_col=id_col, order_col="__pos",
+        bin_col="__chunk",
+    )
+    return (
+        packed.groupBy(id_col, "__chunk")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__sent")))
+                ).getField("__sent"),
+                ". ",
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum("__ntok").alias("n_tokens"),
+        )
+        .withColumnRenamed("__chunk", "chunk_id")
+    )
