@@ -3823,6 +3823,28 @@ def q_tx_chunk_sentences(spark, sf):
     )
 
 
+def q_ts_anomaly(spark, sf):
+    """Rolling z-score anomaly detection on the daily grid (operators/
+    timeseries.rolling_anomaly_flags): per (user, day), the day's mean
+    value scored against the TRAILING 7 days' frame statistics
+    (current bucket excluded so an anomaly can't suppress itself);
+    std = sqrt(max(E[x^2] - E[x]^2, 0)) from frame sums. < 3 observed
+    history days, zero variance, or an empty bucket -> NULL score. The
+    flag derives from the ROUNDED score on BOTH engines, so float noise
+    cannot flip it. One bucket groupBy + two window passes per user."""
+    from vastdb_sdk_spark.operators.timeseries import rolling_anomaly_flags
+
+    ev = _t(spark, sf, "events")
+    return rolling_anomaly_flags(
+        ev, "ts", ["user_id"], 86_400_000_000, "value",
+        window=7, min_periods=3, z_threshold=2.0,
+    ).select(
+        "user_id", "bucket_ts",
+        F.round("observed", 6).alias("observed"),
+        "zscore", "is_anomaly",
+    )
+
+
 def q_ds_dsir_weights(spark, sf):
     """DSIR importance weights (operators/sampling.dsir_logratio_weights
     — Data Selection via Importance Resampling, Xie et al. 2023: score
@@ -4308,6 +4330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e23_matview_rollup": q_e23_matview_rollup,
         "tx_sentences": q_tx_sentences,
         "tx_chunk_sentences": q_tx_chunk_sentences,
+        "ts_anomaly": q_ts_anomaly,
         "w10_funnel": q_w10_funnel,
         "w11_retention_cohorts": q_w11_retention_cohorts,
         "ds_train_test_split": q_ds_train_test_split,
@@ -4898,6 +4921,43 @@ def oracle_sql() -> dict[str, str]:
                 FROM keyed
             )
             SELECT doc_id, lang, n_chars FROM ranked WHERE rk <= 25
+        """,
+        "ts_anomaly": """
+            WITH obs AS (
+                SELECT user_id, epoch_us(ts) // 86400000000 AS b,
+                       AVG(value) AS observed
+                FROM events GROUP BY 1, 2
+            ), span AS (
+                SELECT user_id, MIN(b) AS b0, MAX(b) AS b1
+                FROM obs GROUP BY 1
+            ), grid AS (
+                SELECT user_id, unnest(range(b0, b1 + 1)) AS b FROM span
+            ), dense AS (
+                SELECT g.user_id, g.b, o.observed
+                FROM grid g LEFT JOIN obs o USING (user_id, b)
+            ), stat AS (
+                SELECT user_id, b, observed,
+                    COUNT(observed) OVER w AS n,
+                    SUM(observed) OVER w AS s,
+                    SUM(observed * observed) OVER w AS sq
+                FROM dense
+                WINDOW w AS (PARTITION BY user_id ORDER BY b
+                             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            ), z AS (
+                SELECT user_id, b, observed,
+                    ROUND(CASE WHEN observed IS NOT NULL AND n >= 3
+                               AND sqrt(greatest(sq / n - (s / n) * (s / n),
+                                                 0.0)) > 0
+                          THEN (observed - s / n)
+                               / sqrt(greatest(sq / n - (s / n) * (s / n),
+                                               0.0))
+                          END, 4) AS zscore
+                FROM stat
+            )
+            SELECT user_id, b * 86400000000 AS bucket_ts,
+                   ROUND(observed, 6) AS observed, zscore,
+                   abs(zscore) >= 2.0 AS is_anomaly
+            FROM z
         """,
         "ts_gapfill": """
             WITH obs AS (

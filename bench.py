@@ -158,6 +158,7 @@ HEADLINE = [
     "e23_matview_rollup",
     "tx_sentences",
     "tx_chunk_sentences",
+    "ts_anomaly",
 ]
 
 

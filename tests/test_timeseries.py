@@ -86,3 +86,41 @@ def test_max_buckets_guard_fails_runtime(spark):
     out = resample(d, "ts", ["uid"], DAY, "v", max_buckets_per_group=3)
     with pytest.raises(Exception, match="max_buckets_per_group"):
         out.collect()  # user 1 spans 5 buckets > 3
+
+
+def test_rolling_anomaly_flags_planted_spike(spark):
+    from vastdb_sdk_spark.operators.timeseries import rolling_anomaly_flags
+
+    # stable history 10 +/- 1 for 8 days, then a day-9 spike of 100
+    rows = []
+    for d in range(8):
+        rows.append((1, d * DAY + 1, 10.0 + (d % 2) * 2.0 - 1.0))
+    rows.append((1, 8 * DAY + 1, 100.0))
+    df = spark.createDataFrame(rows, "uid LONG, ts LONG, v DOUBLE")
+    out = {r["bucket_ts"] // DAY: (r["zscore"], r["is_anomaly"])
+           for r in rolling_anomaly_flags(
+               df, "ts", ["uid"], DAY, "v",
+               window=7, min_periods=3, z_threshold=3.0).collect()}
+    # first buckets lack history -> NULL score
+    assert out[0] == (None, None) and out[2] == (None, None)
+    # the spike is flagged; the stable days are not
+    z, flag = out[8]
+    assert flag is True and z > 10
+    for d in range(3, 8):
+        assert out[d][1] is False
+
+
+def test_rolling_anomaly_zero_variance_and_validation(spark):
+    import pytest
+
+    from vastdb_sdk_spark.operators.timeseries import rolling_anomaly_flags
+    from vastdb_sdk_spark.errors import InvalidArgument
+
+    rows = [(1, d * DAY, 5.0) for d in range(6)]  # constant series
+    df = spark.createDataFrame(rows, "uid LONG, ts LONG, v DOUBLE")
+    out = rolling_anomaly_flags(df, "ts", ["uid"], DAY, "v",
+                                window=4, min_periods=2).collect()
+    # zero history variance -> NULL score everywhere, never a div-by-zero
+    assert all(r["zscore"] is None for r in out)
+    with pytest.raises(InvalidArgument):
+        rolling_anomaly_flags(df, "ts", ["uid"], DAY, "v", window=0)

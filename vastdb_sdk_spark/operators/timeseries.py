@@ -151,3 +151,60 @@ def resample(
         F.col("observed"),
         filled.alias("filled"),
     )
+
+
+def rolling_anomaly_flags(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    step_us: int,
+    value_col: str,
+    window: int = 24,
+    min_periods: int = 8,
+    z_threshold: float = 3.0,
+    bucket_agg: str = "avg",
+) -> DataFrame:
+    """Rolling z-score anomaly detection on the regular grid: each
+    bucket's value is compared against the TRAILING ``window`` buckets
+    (current excluded — the score tests new data against history, so an
+    anomaly cannot suppress itself), with mean/std derived from frame
+    sums (std = sqrt(max(E[x^2] - E[x]^2, 0))). Buckets with fewer than
+    ``min_periods`` observed history points, zero variance, or no
+    observation get a NULL score. ``is_anomaly`` is derived from the
+    ROUNDED (4 dp) score so an engine pair computing z within float
+    noise of each other cannot disagree on the flag.
+
+    Scale shape: :func:`resample` (bucket groupBy + per-group grid) plus
+    ONE additional window pass per group — no extra shuffle beyond the
+    fill window's partitioning. Returns (group_cols..., bucket_ts,
+    observed, zscore, is_anomaly)."""
+    if window < 1 or min_periods < 1:
+        raise InvalidArgument("window and min_periods must be >= 1")
+    grid = resample(
+        df, ts_col, group_cols, step_us, value_col,
+        how="none", bucket_agg=bucket_agg,
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy("bucket_ts")
+        .rowsBetween(-window, -1)
+    )
+    obs = F.col("observed")
+    n = F.count(obs).over(w)
+    mean = F.sum(obs).over(w) / n
+    msq = F.sum(obs * obs).over(w) / n
+    std = F.sqrt(F.greatest(msq - mean * mean, F.lit(0.0)))
+    z = F.round(
+        F.when(
+            obs.isNotNull() & (n >= F.lit(int(min_periods))) & (std > 0),
+            (obs - mean) / std,
+        ),
+        4,
+    )
+    return grid.select(
+        *group_cols,
+        "bucket_ts",
+        "observed",
+        z.alias("zscore"),
+        (F.abs(z) >= F.lit(float(z_threshold))).alias("is_anomaly"),
+    )
