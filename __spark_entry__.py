@@ -3823,6 +3823,64 @@ def q_tx_chunk_sentences(spark, sf):
     )
 
 
+def q_e24_matview_timebucket(spark, sf):
+    """Time-bucketed CONTINUOUS AGGREGATE under the gate (matview
+    key_specs + aggregate_df routing — the Timescale/Druid rollup
+    shape): a (day, event_type) view over the events stream with
+    count/sum state, a later transaction deletes every 5th event, the
+    view refreshes INCREMENTALLY (bucket keys re-derive from the feed's
+    ts column), and the day-grouped query must be SERVED by folding the
+    view's state (count-of-counts, sum-of-sums) — base-routed serving
+    or a non-incremental refresh appends a sentinel. The oracle
+    aggregates the reproduced final state on the identical
+    floor(epoch_us/day)*day lattice."""
+    import tempfile
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark import _ as D
+    from vastdb_sdk_spark.sources import create_table_from_files
+
+    DAY = 86_400_000_000
+    key = (sf, "__mv_timebucket")
+    if key not in _ENGINE_WAREHOUSES:
+        wh = tempfile.mkdtemp(prefix="entry_mvt_")
+        session = vastdb.connect(wh, spark=spark)
+        session.create_bucket("b")
+        with session.transaction() as tx:
+            sc = tx.bucket("b").create_schema("s")
+            create_table_from_files(sc, "events", [f"{sf}/events.parquet"])
+        with session.transaction() as tx:
+            tx.bucket("b").schema("s").table("events").create_materialized_view(
+                "daily",
+                [("day", "ts", DAY), "event_type"],
+                {"n": "count", "total": ("sum", "value")},
+                num_buckets=8,
+            )
+        with session.transaction() as tx:
+            tx.bucket("b").schema("s").table("events").delete_where(
+                D.event_id % 5 == 0
+            )
+        with session.transaction() as tx:
+            res = tx.bucket("b").schema("s").table("events").materialized_view(
+                "daily"
+            ).refresh(mode="auto")
+        _ENGINE_WAREHOUSES[key] = (wh, res)
+    wh, res = _ENGINE_WAREHOUSES[key]
+
+    spec = {"n": "count", "total": ("sum", "value")}
+    with vastdb.connect(wh, spark=spark).transaction() as tx:
+        t = tx.bucket("b").schema("s").table("events")
+        route = t.explain_aggregate([("day", "ts", DAY)], spec)
+        out = t.aggregate_df([("day", "ts", DAY)], spec).select(
+            "day", "n", F.round("total", 6).alias("total")
+        )
+    if route != {"served_by": "matview:daily"} or res.get("mode") != "incremental":
+        out = out.unionByName(
+            out.sparkSession.createDataFrame([(-1, -1, -1.0)], out.schema)
+        )
+    return out
+
+
 def q_ts_anomaly(spark, sf):
     """Rolling z-score anomaly detection on the daily grid (operators/
     timeseries.rolling_anomaly_flags): per (user, day), the day's mean
@@ -4331,6 +4389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_sentences": q_tx_sentences,
         "tx_chunk_sentences": q_tx_chunk_sentences,
         "ts_anomaly": q_ts_anomaly,
+        "e24_matview_timebucket": q_e24_matview_timebucket,
         "w10_funnel": q_w10_funnel,
         "w11_retention_cohorts": q_w11_retention_cohorts,
         "ds_train_test_split": q_ds_train_test_split,
@@ -4921,6 +4980,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM keyed
             )
             SELECT doc_id, lang, n_chars FROM ranked WHERE rk <= 25
+        """,
+        "e24_matview_timebucket": """
+            SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value), 6) AS total
+            FROM events WHERE event_id % 5 <> 0
+            GROUP BY 1
         """,
         "ts_anomaly": """
             WITH obs AS (

@@ -159,6 +159,7 @@ HEADLINE = [
     "tx_sentences",
     "tx_chunk_sentences",
     "ts_anomaly",
+    "e24_matview_timebucket",
 ]
 
 

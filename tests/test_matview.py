@@ -543,3 +543,99 @@ def test_show_materialized_views_sql(clean_schema):
     assert r["view_name"] == "mv" and r["group_by"] == "lang"
     assert "c=sum(n_chars)" in r["aggs"] and r["stale"] is False
     assert r["num_groups"] > 0
+
+
+def test_time_bucket_keys_continuous_aggregate(clean_schema):
+    """Time-bucketed MV keys (the hypertable/continuous-aggregate shape):
+    a daily (day, event_type) view over the events stream maintains
+    incrementally, and aggregate_df with the same bucket spec routes to
+    it — including a coarser rollup to just the day."""
+    session = clean_schema
+    DAY = 86_400_000_000
+    with session.transaction() as tx:
+        create_table_from_files(
+            tx.bucket("bkt").schema("s"), "events", [f"{SF}/events.parquet"]
+        )
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("events")
+        t.create_materialized_view(
+            "daily",
+            [("day", "ts", DAY), "event_type"],
+            {"n": "count", "total": ("sum", "value")},
+            num_buckets=8,
+        )
+        mv = t.materialized_view("daily")
+        got = {(r["day"], r["event_type"]): (r["n"], round(r["total"], 6))
+               for r in mv.df().collect()}
+        want = {(r["d"], r["event_type"]): (r["n"], round(r["s"], 6))
+                for r in t.df().groupBy(
+                    (F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                             / DAY) * DAY).alias("d"),
+                    "event_type",
+                ).agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+                .collect()}
+        assert got == want and len(got) > 5
+    # churn + incremental refresh keeps bucketed groups correct
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("events")
+        t.delete_where(D.event_id % 5 == 0)
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("events")
+        res = t.materialized_view("daily").refresh("incremental")
+        assert res["mode"] == "incremental" and res["base_scanned"] is False
+        got = {(r["day"], r["event_type"]): (r["n"], round(r["total"], 6))
+               for r in t.materialized_view("daily").df().collect()}
+        want = {(r["d"], r["event_type"]): (r["n"], round(r["s"], 6))
+                for r in t.df().groupBy(
+                    (F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                             / DAY) * DAY).alias("d"),
+                    "event_type",
+                ).agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+                .collect()}
+        assert got == want
+        # routing: same bucket spec routes; coarser day-only rollup too
+        spec = {"n": "count", "total": ("sum", "value")}
+        assert t.explain_aggregate(
+            [("d", "ts", DAY), "event_type"], spec
+        ) == {"served_by": "matview:daily"}
+        assert t.explain_aggregate([("d", "ts", DAY)], spec) == {
+            "served_by": "matview:daily"
+        }
+        # different step does NOT route
+        assert t.explain_aggregate([("h", "ts", DAY // 24)], spec) == {
+            "served_by": "base"
+        }
+        by_day = {r["d"]: r["n"] for r in
+                  t.aggregate_df([("d", "ts", DAY)], spec).collect()}
+        base_by_day = {r["d"]: r["n"] for r in
+                       t.aggregate_df([("d", "ts", DAY)], spec,
+                                      use_matviews=False).collect()}
+        assert by_day == base_by_day
+    # validation
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("events")
+        with pytest.raises(InvalidArgument):
+            t.create_materialized_view("bad", [("value", "ts", DAY)], {"n": "count"})
+        with pytest.raises(InvalidArgument):
+            t.create_materialized_view("bad", [("d", "ts", 0)], {"n": "count"})
+        with pytest.raises(InvalidArgument):
+            t.create_materialized_view("bad", [("_mv_x", "ts", DAY)], {"n": "count"})
+
+
+def test_time_bucket_sql_verb(clean_schema):
+    session = clean_schema
+    with session.transaction() as tx:
+        create_table_from_files(
+            tx.bucket("bkt").schema("s"), "events", [f"{SF}/events.parquet"]
+        )
+    r = session.execute_sql(
+        "CREATE MATERIALIZED VIEW daily ON bkt.s.events "
+        "GROUP BY (day=bucket(ts, 86400000000), event_type) "
+        "AGG (n=count, total=sum(value)) BUCKETS 4"
+    )
+    assert r == {"created_matview": "daily"}
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("events")
+        mv = t.materialized_view("daily")
+        assert mv.df().columns[:2] == ["day", "event_type"]
+        assert mv.df().count() > 5

@@ -73,6 +73,88 @@ def _phys_df(table) -> DataFrame:
     )
 
 
+def normalize_keys(table, group_by: list) -> list[dict]:
+    """Parse group keys to specs. Each entry is either a column name
+    (plain key, stored under its physical name) or a time-bucket tuple
+    ``(alias, src_col, step_us)`` — the continuous-aggregate key
+    ``floor(src / step) * step`` over an epoch-micros (or any integer)
+    column. Bucket aliases must not collide with table columns."""
+    specs: list[dict] = []
+    seen: set[str] = set()
+    for entry in group_by:
+        if isinstance(entry, str):
+            if entry not in table.arrow_schema.names:
+                raise InvalidArgument(f"unknown group column {entry!r}")
+            name = table._physical_of(entry)
+            specs.append({"name": name, "src": name, "step_us": None})
+        elif isinstance(entry, (tuple, list)) and len(entry) == 3:
+            alias, src, step = entry
+            if src not in table.arrow_schema.names:
+                raise InvalidArgument(f"unknown bucket source column {src!r}")
+            if not isinstance(step, int) or step <= 0:
+                raise InvalidArgument(
+                    f"bucket step for {alias!r} must be a positive int"
+                )
+            if alias in table.arrow_schema.names:
+                raise InvalidArgument(
+                    f"bucket alias {alias!r} collides with a table column"
+                )
+            if alias.startswith(("_mv_", "_d_")):
+                raise InvalidArgument(
+                    f"bucket alias {alias!r} uses a reserved prefix"
+                )
+            specs.append(
+                {
+                    "name": alias,
+                    "src": table._physical_of(src),
+                    "step_us": int(step),
+                }
+            )
+        else:
+            raise InvalidArgument(
+                f"group key must be a column name or (alias, src, step_us), "
+                f"got {entry!r}"
+            )
+        if specs[-1]["name"] in seen:
+            raise InvalidArgument(f"duplicate group key {specs[-1]['name']!r}")
+        seen.add(specs[-1]["name"])
+    return specs
+
+
+def key_specs(cfg: dict) -> list[dict]:
+    """Key specs for a view config (older configs store plain names)."""
+    return cfg.get("key_specs") or [
+        {"name": k, "src": k, "step_us": None} for k in cfg["group_by"]
+    ]
+
+
+def _as_micros(frame: DataFrame, src: str):
+    """Epoch-micros long from a bucket source column: timestamps via
+    unix_micros (session tz is pinned UTC, session.py:34), integers
+    pass through — so int64-epoch and timestamp-typed sources bucket
+    identically."""
+    dt = frame.schema[src].dataType.typeName()
+    c = F.col(src)
+    if dt.startswith("timestamp"):
+        return F.unix_micros(c.cast("timestamp"))
+    return c.cast("long")
+
+
+def with_keys(frame: DataFrame, specs: list[dict]) -> DataFrame:
+    """Attach the key columns (plain or time-bucketed) to a
+    physical-named row frame."""
+    for ks in specs:
+        if ks["step_us"]:
+            step = F.lit(int(ks["step_us"]))
+            frame = frame.withColumn(
+                ks["name"],
+                F.floor(_as_micros(frame, ks["src"]) / step) * step,
+            )
+        elif ks["name"] != ks["src"]:
+            frame = frame.withColumn(ks["name"], F.col(ks["src"]))
+    return frame
+
+
 def normalize_aggs(table, aggs: dict) -> dict[str, list]:
     """Validate and normalize ``{out: "count" | (fn, src)}`` to
     ``{out: [fn, physical_src_or_None]}``."""
@@ -183,8 +265,7 @@ class MaterializedView:
         if not paths:
             keys = cfg["group_by"]
             return (
-                _phys_df(self.table)
-                .limit(0)
+                with_keys(_phys_df(self.table).limit(0), key_specs(cfg))
                 .groupBy(*[F.col(k) for k in keys])
                 .agg(*_state_aggs(cfg["aggs"]))
             )
@@ -240,7 +321,8 @@ class MaterializedView:
         """Full rebuild from the current table state."""
         cfg = self._cfg
         files = self.table._materialize_matview(
-            self.name, cfg["group_by"], cfg["aggs"], cfg["num_buckets"]
+            self.name, cfg["group_by"], cfg["aggs"], cfg["num_buckets"],
+            specs=key_specs(cfg),
         )
         entry = TableEntry.from_json(self.table.entry.to_json())
         entry.matviews[self.name] = {
@@ -305,9 +387,12 @@ class MaterializedView:
         n_buckets = cfg["num_buckets"]
         bucket_of = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
         pmap = t._physical_map()
-        phys_feed = feed.select(
-            F.col("_change_type"),
-            *[F.col(c).alias(pmap.get(c, c)) for c in t.arrow_schema.names],
+        phys_feed = with_keys(
+            feed.select(
+                F.col("_change_type"),
+                *[F.col(c).alias(pmap.get(c, c)) for c in t.arrow_schema.names],
+            ),
+            key_specs(cfg),
         )
         sign = F.when(
             F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
@@ -343,7 +428,7 @@ class MaterializedView:
                 # the affected GROUPS from the base (broadcast semi/anti
                 # on the affected keys — churn-bounded group count).
                 old = self._state_df(buckets=affected)
-                base = _phys_df(t)
+                base = with_keys(_phys_df(t), key_specs(cfg))
                 recomputed = (
                     base.join(
                         F.broadcast(delta_keys),
@@ -492,11 +577,15 @@ class MaterializedView:
 
 
 def materialize_matview(
-    table, name: str, keys: list[str], aggs: dict[str, list], n_buckets: int
+    table, name: str, keys: list[str], aggs: dict[str, list], n_buckets: int,
+    specs: list[dict] | None = None,
 ) -> list[dict]:
     """Aggregate the whole table into bucketed state files."""
+    base = _phys_df(table)
+    if specs:
+        base = with_keys(base, specs)
     state = (
-        _phys_df(table)
+        base
         .groupBy(*[F.col(k) for k in keys])
         .agg(*_state_aggs(aggs))
     )
@@ -559,16 +648,15 @@ def create_materialized_view(
         raise MatViewExists(name)
     if not group_by:
         raise InvalidArgument("materialized view needs at least one group key")
-    missing = [c for c in group_by if c not in table.arrow_schema.names]
-    if missing:
-        raise InvalidArgument(f"unknown group columns: {missing}")
     if num_buckets < 1:
         raise InvalidArgument("num_buckets must be >= 1")
     norm = normalize_aggs(table, aggs)
-    keys = [table._physical_of(c) for c in group_by]
-    files = materialize_matview(table, name, keys, norm, num_buckets)
+    specs = normalize_keys(table, group_by)
+    keys = [ks["name"] for ks in specs]
+    files = materialize_matview(table, name, keys, norm, num_buckets, specs)
     entry.matviews[name] = {
         "group_by": keys,
+        "key_specs": specs,
         "aggs": norm,
         "files": files,
         "num_buckets": num_buckets,
@@ -583,14 +671,24 @@ def create_materialized_view(
 # rollup serving: answer aggregate queries FROM materialized-view state
 
 
-def state_covers(cfg: dict, keys_phys: list[str], aggs: dict[str, list]) -> bool:
-    """Can this view's state answer a (group_by=keys, aggs) request?
-    Keys must be a SUBSET of the view's keys (folding state rolls the
-    extra dimensions up), and every requested aggregate needs a matching
-    state column: count is always present; sum/avg need a sum or avg
-    state on the same source column; min/max/approx_distinct need the
-    same fn on the same source."""
-    if not set(keys_phys) <= set(cfg["group_by"]):
+def _match_key(cfg: dict, spec: dict) -> str | None:
+    """The view key NAME serving a requested key spec: same source
+    column and same bucket step (plain keys: step None)."""
+    for ks in key_specs(cfg):
+        if ks["src"] == spec["src"] and ks["step_us"] == spec["step_us"]:
+            return ks["name"]
+    return None
+
+
+def state_covers(cfg: dict, req_specs: list[dict], aggs: dict[str, list]) -> bool:
+    """Can this view's state answer a (group_by=specs, aggs) request?
+    Every requested key (plain column or time bucket, matched on
+    source + step) must be one of the view's keys — folding rolls the
+    extra dimensions up — and every requested aggregate needs a
+    matching state column: count is always present; sum/avg need a sum
+    or avg state on the same source column; min/max/approx_distinct
+    need the same fn on the same source."""
+    if any(_match_key(cfg, s) is None for s in req_specs):
         return False
     for _out, (fn, src) in aggs.items():
         if fn == "count":
@@ -617,11 +715,12 @@ def _state_col_for(cfg: dict, fn: str, src: str) -> str:
     raise KeyError((fn, src))
 
 
-def rollup_from_state(mv, keys_phys: list[str], aggs: dict[str, list]) -> DataFrame:
+def rollup_from_state(mv, req_specs: list[dict], aggs: dict[str, list]) -> DataFrame:
     """Fold the view's per-group state down to the requested key subset:
     counts and sums ADD, min/max fold with min/max, HLL sketches union —
     cost is proportional to the VIEW's group count, never the base table.
-    Output columns: requested keys (current logical names) + agg outs."""
+    Output columns: requested keys (current logical names; bucket keys
+    under the requested alias) + agg outs."""
     cfg = mv._cfg
     st = mv._state_df()
     exprs = []
@@ -651,8 +750,13 @@ def rollup_from_state(mv, keys_phys: list[str], aggs: dict[str, list]) -> DataFr
                 ).alias(out)
             )
     inv = {p: l for l, p in mv.table._physical_map().items()}
-    folded = st.groupBy(*[F.col(k) for k in keys_phys]).agg(*exprs)
+    mv_keys = [_match_key(cfg, s) for s in req_specs]
+    folded = st.groupBy(*[F.col(k) for k in mv_keys]).agg(*exprs)
+    out_names = [
+        s["name"] if s["step_us"] else inv.get(s["name"], s["name"])
+        for s in req_specs
+    ]
     return folded.select(
-        *[F.col(k).alias(inv.get(k, k)) for k in keys_phys],
+        *[F.col(k).alias(n) for k, n in zip(mv_keys, out_names)],
         *[F.col(out) for out in aggs],
     )

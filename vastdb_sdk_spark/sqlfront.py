@@ -451,7 +451,7 @@ class SqlFrontend:
         if kw == "CREATE" and head[1].upper() == "MATERIALIZED":
             m = re.match(
                 rf"(?is)CREATE\s+MATERIALIZED\s+VIEW\s+({_IDENT})\s+ON\s+"
-                rf"({_DOTTED})\s+GROUP\s+BY\s*\(([^()]*)\)"
+                rf"({_DOTTED})\s+GROUP\s+BY\s*\((.*?)\)"
                 rf"\s+AGG\s*\((.*)\)(?:\s+BUCKETS\s+(\d+))?\s*$",
                 stmt,
             )
@@ -462,7 +462,20 @@ class SqlFrontend:
                     f"[BUCKETS k]): {stmt!r}"
                 )
             _, _, _, table = self._resolve_table(m.group(2))
-            group_by = [_unquote(c) for c in _split_top(m.group(3))]
+            group_by: list = []
+            for item in _split_top(m.group(3)):
+                bm = re.match(
+                    rf"(?is)\s*({_IDENT})\s*=\s*bucket\(\s*({_IDENT})\s*,"
+                    rf"\s*(\d+)\s*\)\s*$",
+                    item,
+                )
+                if bm:  # time-bucket key: alias=bucket(col, step_us)
+                    group_by.append(
+                        (_unquote(bm.group(1)), _unquote(bm.group(2)),
+                         int(bm.group(3)))
+                    )
+                else:
+                    group_by.append(_unquote(item))
             aggs: dict = {}
             for item in _split_top(m.group(4)):
                 am = re.match(

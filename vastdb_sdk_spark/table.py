@@ -2704,10 +2704,10 @@ class Table:
 
         return [MaterializedView(n, self) for n in sorted(self.entry.matviews)]
 
-    def _materialize_matview(self, name, keys, aggs, n_buckets):
+    def _materialize_matview(self, name, keys, aggs, n_buckets, specs=None):
         from .matview import materialize_matview
 
-        return materialize_matview(self, name, keys, aggs, n_buckets)
+        return materialize_matview(self, name, keys, aggs, n_buckets, specs)
 
     def _write_matview_buckets(self, name, state, keys, n_buckets, restrict_to=None):
         from .matview import write_matview_buckets
@@ -2716,19 +2716,18 @@ class Table:
             self, name, state, keys, n_buckets, restrict_to=restrict_to
         )
 
-    def _route_aggregate(self, group_by: list[str], norm_aggs: dict):
+    def _route_aggregate(self, req_specs: list, norm_aggs: dict):
         """The best fresh materialized view whose state covers the
         request, or None. 'Best' = fewest key columns (the coarsest
         covering rollup has the fewest groups to fold)."""
         from .matview import MaterializedView, state_covers
 
-        keys_phys = [self._physical_of(c) for c in group_by]
         best = None
         for name in sorted(self.entry.matviews):
             cfg = self.entry.matviews[name]
             if cfg.get("stale"):
                 continue
-            if not state_covers(cfg, keys_phys, norm_aggs):
+            if not state_covers(cfg, req_specs, norm_aggs):
                 continue
             if best is None or len(cfg["group_by"]) < len(
                 self.entry.matviews[best]["group_by"]
@@ -2737,7 +2736,7 @@ class Table:
         return MaterializedView(best, self) if best else None
 
     def aggregate_df(
-        self, group_by: list[str], aggs: dict, use_matviews: bool = True
+        self, group_by: list, aggs: dict, use_matviews: bool = True
     ) -> DataFrame:
         """Aggregate the table — served FROM a covering materialized
         view's state when one is fresh (rollup: counts and sums add,
@@ -2745,23 +2744,21 @@ class Table:
         count, never the base scan), else computed from the base. The
         OLAP serve path that makes the MV tier pay off: a dashboard
         query over a 100 TB table reads kilobytes of folded state.
-        ``aggs`` uses the create_materialized_view spec shape. Use
-        :meth:`explain_aggregate` to see the routing decision."""
-        from .matview import normalize_aggs, rollup_from_state
+        ``group_by`` entries are column names or time-bucket tuples
+        ``(alias, src_col, step_us)`` (matched to view keys on source +
+        step); ``aggs`` uses the create_materialized_view spec shape.
+        Use :meth:`explain_aggregate` to see the routing decision."""
+        from .matview import normalize_aggs, normalize_keys, rollup_from_state
 
         norm = normalize_aggs(self, aggs)
-        missing = [c for c in group_by if c not in self.arrow_schema.names]
-        if missing:
-            raise InvalidArgument(f"unknown group columns: {missing}")
+        specs = normalize_keys(self, group_by) if group_by else []
         if use_matviews:
-            mv = self._route_aggregate(group_by, norm)
+            mv = self._route_aggregate(specs, norm)
             if mv is not None:
-                return rollup_from_state(
-                    mv, [self._physical_of(c) for c in group_by], norm
-                )
+                return rollup_from_state(mv, specs, norm)
+        inv = {p: l for l, p in self._physical_map().items()}
         exprs = []
         for out, (fn, src) in norm.items():
-            inv = {p: l for l, p in self._physical_map().items()}
             col = F.col(inv.get(src, src)) if src else None
             if fn == "count":
                 exprs.append(F.count(F.lit(1)).alias(out))
@@ -2771,16 +2768,33 @@ class Table:
                 )
             else:
                 exprs.append(getattr(F, fn)(col).alias(out))
-        return self.df().groupBy(*[F.col(c) for c in group_by]).agg(*exprs)
+        from .matview import _as_micros
 
-    def explain_aggregate(self, group_by: list[str], aggs: dict) -> dict:
+        base_df = self.df()
+        key_exprs = []
+        for s in specs:
+            src_logical = inv.get(s["src"], s["src"])
+            if s["step_us"]:
+                step = F.lit(int(s["step_us"]))
+                key_exprs.append(
+                    (F.floor(_as_micros(base_df, src_logical) / step) * step)
+                    .alias(s["name"])
+                )
+            else:
+                # plain keys surface under their CURRENT logical name,
+                # same as the rollup path
+                key_exprs.append(F.col(src_logical).alias(src_logical))
+        return base_df.groupBy(*key_exprs).agg(*exprs)
+
+    def explain_aggregate(self, group_by: list, aggs: dict) -> dict:
         """Routing decision for :meth:`aggregate_df`: which materialized
         view (if any) would serve it, and why the base would be scanned
         otherwise."""
-        from .matview import normalize_aggs
+        from .matview import normalize_aggs, normalize_keys
 
         norm = normalize_aggs(self, aggs)
-        mv = self._route_aggregate(group_by, norm)
+        specs = normalize_keys(self, group_by) if group_by else []
+        mv = self._route_aggregate(specs, norm)
         if mv is not None:
             return {"served_by": f"matview:{mv.name}"}
         return {"served_by": "base"}
