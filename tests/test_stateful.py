@@ -271,3 +271,67 @@ def test_funnel_stateful_matches_batch_twin(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="stages"):
         funnel_stateful(ev, stages=("view",))
+
+
+def test_anomaly_stateful_matches_batch_twin(spark, tmp_path):
+    """Streaming rolling-anomaly == the batch operator's rows for every
+    CLOSED observed bucket, over a chronological 3-file replay (bucket
+    state and frame history genuinely cross micro-batches). The final
+    observed bucket per user never closes, so it is excluded from the
+    batch side."""
+    import pyarrow.parquet as pq
+
+    from vastdb_sdk_spark.operators.timeseries import rolling_anomaly_flags
+    from vastdb_sdk_spark.streaming.events import read_event_stream
+    from vastdb_sdk_spark.streaming.stateful import anomaly_stateful
+
+    DAY = 86_400_000_000
+    ev = _events(spark)
+    n = ev.count()
+    ordered = ev.orderBy("ts").collect()
+    src = tmp_path / "asrc"
+    src.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for i, lo in enumerate(range(0, n, (n + 2) // 3)):
+        chunk = ordered[lo : lo + (n + 2) // 3]
+        pq.write_table(
+            pa.table({c: [getattr(r, c) for r in chunk] for c in cols}),
+            str(src / f"part-{i:03d}.parquet"),
+        )
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    out = anomaly_stateful(
+        stream, step_us=DAY, window=7, min_periods=3, z_threshold=2.0
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("anom1")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ackpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.bucket_ts): (round(r.observed, 6), r.zscore, r.is_anomaly)
+        for r in spark.sql("SELECT * FROM anom1").collect()
+    }
+    batch = rolling_anomaly_flags(
+        ev, "ts", ["user_id"], DAY, "value",
+        window=7, min_periods=3, z_threshold=2.0,
+    ).collect()
+    last_bucket = {}
+    for r in batch:
+        if r.observed is not None:
+            last_bucket[r.user_id] = max(
+                last_bucket.get(r.user_id, -1), r.bucket_ts
+            )
+    exp = {
+        (r.user_id, r.bucket_ts): (round(r.observed, 6), r.zscore, r.is_anomaly)
+        for r in batch
+        if r.observed is not None and r.bucket_ts != last_bucket[r.user_id]
+    }
+    assert got == exp and len(exp) > 50
+    # at least one flagged anomaly and one insufficient-history NULL in
+    # the compared set, so the equivalence isn't vacuous
+    assert any(v[2] for v in exp.values() if v[2] is not None)
+    assert any(v[1] is None for v in exp.values())

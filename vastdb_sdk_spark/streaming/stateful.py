@@ -272,3 +272,129 @@ def funnel_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+ANOMALY_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("bucket_ts", T.LongType()),
+        T.StructField("observed", T.DoubleType()),
+        T.StructField("zscore", T.DoubleType()),
+        T.StructField("is_anomaly", T.BooleanType()),
+    ]
+)
+
+ANOMALY_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("buckets", T.ArrayType(T.LongType())),
+        T.StructField("sums", T.ArrayType(T.DoubleType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("max_bucket", T.LongType()),
+        T.StructField("emitted_up_to", T.LongType()),
+    ]
+)
+
+
+def anomaly_stateful(
+    events: DataFrame,
+    step_us: int = 86_400_000_000,
+    window: int = 7,
+    min_periods: int = 3,
+    z_threshold: float = 2.0,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of operators/timeseries.rolling_anomaly_flags: per
+    key, per ``step_us`` bucket, score the bucket's mean value against
+    the trailing ``window`` buckets' statistics the moment the bucket
+    CLOSES (a strictly later bucket's event arrives) — alerts fire one
+    bucket-step behind real time, never on half-filled buckets.
+
+    State per key is the trailing window+1 bucket aggregates (sum,
+    count) — O(window), independent of event volume. Late events folding
+    into a still-retained closed bucket update future frames but never
+    re-emit; events older than ``max_bucket - window`` steps are dropped
+    (the state-pruning horizon, the stateful analog of a watermark). The
+    per-key FINAL bucket never closes, so a drained availableNow run
+    emits exactly the batch operator's rows minus each key's last
+    observed bucket (pytest-pinned equivalence)."""
+
+    def _score(hist: dict, bc: int) -> tuple:
+        frame = [
+            hist[bh][0] / hist[bh][1]
+            for bh in hist
+            if bc - window <= bh <= bc - 1
+        ]
+        obs = hist[bc][0] / hist[bc][1]
+        n = len(frame)
+        z = None
+        if n >= min_periods:
+            mean = sum(frame) / n
+            msq = sum(v * v for v in frame) / n
+            var = max(msq - mean * mean, 0.0)
+            if var > 0:
+                z = round((obs - mean) / (var ** 0.5), 4)
+        return (
+            int(bc * step_us),
+            round(obs, 6),
+            z,
+            None if z is None else abs(z) >= z_threshold,
+        )
+
+    def fn(key, pdfs, state: GroupState):
+        (uid,) = key
+        if state.exists:
+            bs, ss, cs, max_b, emitted = state.get
+            hist = {int(b): [float(s), int(c)] for b, s, c in zip(bs, ss, cs)}
+        else:
+            hist, max_b, emitted = {}, None, None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                b = int(ts) // step_us
+                if max_b is not None and b < max_b - window:
+                    continue  # past the pruning horizon: dropped
+                if max_b is None or b > max_b:
+                    for bc in sorted(hist):
+                        if bc < b and (emitted is None or bc > emitted):
+                            out.append((uid,) + _score(hist, bc))
+                            emitted = bc
+                    max_b = b if max_b is None else max(max_b, b)
+                    # prune buckets no future frame can reference
+                    hist = {
+                        bh: sc for bh, sc in hist.items()
+                        if bh >= max_b - window
+                    }
+                cur = hist.setdefault(b, [0.0, 0])
+                cur[0] += float(v)
+                cur[1] += 1
+        bs = sorted(hist)
+        state.update(
+            (
+                bs,
+                [hist[b][0] for b in bs],
+                [hist[b][1] for b in bs],
+                max_b,
+                emitted,
+            )
+        )
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "bucket_ts", "observed", "zscore",
+                         "is_anomaly"],
+            )
+
+    return (
+        events.select(key_col, ts_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=ANOMALY_OUT_SCHEMA,
+            stateStructType=ANOMALY_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
