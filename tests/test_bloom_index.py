@@ -158,3 +158,35 @@ def test_show_column_indexes_sql(clean_schema):
     assert [(r["column"], r["kind"], r["fpp"]) for r in rows] == [
         ("id", "bloom", 0.02)
     ]
+
+
+def test_rename_keeps_index_attached_and_drop_guard(clean_schema):
+    """Configs are keyed by physical name: a metadata-only rename keeps
+    the index pruning under the NEW name, and dropping an indexed (or
+    view-referenced) column is refused instead of silently orphaning."""
+    session = _multi_file_table(clean_schema)
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        t.build_column_index("id")
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        t.rename_column("id", "ident")
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        assert set(t.column_indexes()) == {"ident"}
+        # pruned under the NEW name (false positives allowed: <= a
+        # couple of files, never the whole manifest)
+        assert t.prune_preview(D.ident == 42)["candidate_files"] <= 2
+        got = t.select(columns=["v"], predicate=(D.ident == 42)).read_all()
+        assert got.column("v").to_pylist() == ["s42"]
+        # refresh and drop address the index under the new name
+        assert t.refresh_column_index("ident")["added_files"] == 0
+        with pytest.raises(InvalidArgument, match="column index"):
+            t.drop_column("ident")
+        t.create_materialized_view("mv", ["v"], {"m": ("max", "ident")})
+        t.drop_column_index("ident")
+        with pytest.raises(InvalidArgument, match="materialized view"):
+            t.drop_column("ident")
+        t.materialized_view("mv").drop()
+        t.drop_column("ident")  # now allowed
+        assert "ident" not in t.arrow_schema.names

@@ -639,8 +639,13 @@ class Table:
         if cidx:
             from .plans.bloom import prune_files_by_bloom
 
+            # cfg keys are PHYSICAL names (rename-stable); predicates
+            # reference current logical names
+            inv = {p: l for l, p in self._physical_map().items()}
             for col, cfg in cidx.items():
-                files = prune_files_by_bloom(files, col, predicate, cfg)
+                files = prune_files_by_bloom(
+                    files, inv.get(col, col), predicate, cfg
+                )
         return files if len(files) < len(entry.files) else None
 
     # -- projection routing (SURVEY.md §4: NOT built into Catalyst) -------
@@ -2329,6 +2334,25 @@ class Table:
             idx = arrow.get_field_index(n)
             if idx < 0:
                 raise InvalidArgument(f"no column {n!r}")
+            # refuse to orphan derived objects: a matview key/agg or a
+            # column index referencing the dropped column would silently
+            # break at its next refresh/lookup
+            phys = pmap.get(n, n)
+            for mv_name, mcfg in entry.matviews.items():
+                from .matview import key_specs as _ks
+
+                used = {ks["src"] for ks in _ks(mcfg)} | {
+                    src for _fn, src in mcfg["aggs"].values() if src
+                }
+                if phys in used:
+                    raise InvalidArgument(
+                        f"column {n!r} is used by materialized view "
+                        f"{mv_name!r}; drop the view first"
+                    )
+            if phys in entry.properties.get("column_indexes", {}):
+                raise InvalidArgument(
+                    f"column {n!r} has a column index; drop it first"
+                )
             arrow = arrow.remove(idx)
             pmap.pop(n, None)
         entry.arrow_schema_b64 = schema_to_b64(arrow)
@@ -2836,7 +2860,10 @@ class Table:
         with open(sidecar, "w") as fh:
             json.dump(side, fh)
         entry = TableEntry.from_json(self.entry.to_json())
-        entry.properties.setdefault("column_indexes", {})[column] = {
+        # keyed by PHYSICAL name so rename_column never detaches the index
+        entry.properties.setdefault("column_indexes", {})[
+            self._physical_of(column)
+        ] = {
             "kind": "bloom",
             "fpp": fpp,
             "seed": seed,
@@ -2890,7 +2917,9 @@ class Table:
         delta, never the table."""
         from .plans import bloom as B
 
-        cfg = self.entry.properties.get("column_indexes", {}).get(column)
+        cfg = self.entry.properties.get("column_indexes", {}).get(
+            self._physical_of(column)
+        )
         if cfg is None:
             raise MissingProjection(f"column index on {column!r}")
         side = dict(B.load_sidecar(cfg["sidecar"]))
@@ -2912,20 +2941,30 @@ class Table:
         with open(sidecar, "w") as fh:
             json.dump(side, fh)
         entry = TableEntry.from_json(self.entry.to_json())
-        entry.properties["column_indexes"][column] = {**cfg, "sidecar": sidecar}
+        entry.properties["column_indexes"][self._physical_of(column)] = {
+            **cfg, "sidecar": sidecar,
+        }
         self._mutate(entry, "refresh_column_index", column=column)
         return {"added_files": len(missing), "dropped_files": len(dropped)}
 
     def drop_column_index(self, column: str) -> None:
         entry = TableEntry.from_json(self.entry.to_json())
         cidx = entry.properties.get("column_indexes", {})
-        if column not in cidx:
+        phys = self._physical_of(column)
+        if phys not in cidx:
             raise MissingProjection(f"column index on {column!r}")
-        del cidx[column]
+        del cidx[phys]
         self._mutate(entry, "drop_column_index", column=column)
 
     def column_indexes(self) -> dict[str, dict]:
-        return dict(self.entry.properties.get("column_indexes", {}))
+        """Indexes keyed by the column's CURRENT logical name."""
+        inv = {p: l for l, p in self._physical_map().items()}
+        return {
+            inv.get(col, col): cfg
+            for col, cfg in self.entry.properties.get(
+                "column_indexes", {}
+            ).items()
+        }
 
     def prune_preview(self, predicate: Any) -> dict:
         """Planning-time skipping summary for ``predicate``: how many
