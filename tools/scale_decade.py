@@ -91,6 +91,11 @@ QUERIES = [
     "ds_weighted_sample",
     "el6_bloom_point",
     "ds_dsir_weights",
+    "e23_matview_rollup",
+    "e24_matview_timebucket",
+    "tx_sentences",
+    "tx_chunk_sentences",
+    "ts_anomaly",
 ]
 
 _RUNNER = r"""
