@@ -1284,6 +1284,27 @@ def q_ann_cosine_topk(spark, sf):
 # DD: deduplication (beyond-parity, BASELINE.json north star)
 
 
+def q_ann_matryoshka_topk(spark, sf):
+    """Matryoshka truncated-dimension search funnel (operators/
+    similarity.matryoshka_topk — Kusupati et al. 2022: the first d'
+    dims of an MRL embedding are themselves an embedding, so the
+    shortlist scan reads d'/d of the vector bytes): cosine over the
+    first 16 of 64 dims -> TakeOrdered(100) -> exact full-dim re-rank
+    -> top-10. No joins, no Python, no index build; the oracle replays
+    both stages with DuckDB list slicing and must match id-for-id AND
+    on both rounded cosines."""
+    from vastdb_sdk_spark.operators.similarity import matryoshka_topk
+
+    vec = _query_vec(spark, sf, 3)
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 3)
+    out = matryoshka_topk(emb, vec, k=10, dims=16, shortlist=100)
+    return out.select(
+        "vec_id",
+        F.round("cos_trunc", 4).alias("cos_trunc"),
+        F.round("cos_full", 4).alias("cos_full"),
+    )
+
+
 def q_dd_exact(spark, sf):
     d = _t(spark, sf, "documents")
     return d.groupBy(F.md5(F.col("text")).alias("text_hash")).agg(
@@ -4390,6 +4411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_chunk_sentences": q_tx_chunk_sentences,
         "ts_anomaly": q_ts_anomaly,
         "e24_matview_timebucket": q_e24_matview_timebucket,
+        "ann_matryoshka_topk": q_ann_matryoshka_topk,
         "w10_funnel": q_w10_funnel,
         "w11_retention_cohorts": q_w11_retention_cohorts,
         "ds_train_test_split": q_ds_train_test_split,
@@ -5674,6 +5696,26 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             WHERE vec_id <> 0
             ORDER BY list_distance(embedding::DOUBLE[], qv::DOUBLE[]) ASC, vec_id ASC
+            LIMIT 10
+        """,
+        "ann_matryoshka_topk": """
+            WITH q AS (
+                SELECT embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id = 3
+            ), s1 AS (
+                SELECT vec_id, embedding,
+                       list_cosine_similarity(
+                           embedding[1:16]::DOUBLE[], qv[1:16]) AS ct
+                FROM embeddings, q WHERE vec_id <> 3
+                ORDER BY ct DESC, vec_id ASC
+                LIMIT 100
+            )
+            SELECT vec_id, ROUND(ct, 4) AS cos_trunc,
+                   ROUND(list_cosine_similarity(
+                       s1.embedding::DOUBLE[], q.qv), 4) AS cos_full
+            FROM s1, q
+            ORDER BY list_cosine_similarity(s1.embedding::DOUBLE[], q.qv)
+                     DESC, vec_id ASC
             LIMIT 10
         """,
         "ann_cosine_topk": """

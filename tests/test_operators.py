@@ -890,3 +890,40 @@ def test_semantic_dedup_marks_and_pairs(spark):
     assert {(r.id_a, r.id_b) for r in auto_pairs} == {
         (-(i + 1), i) for i in range(5)
     }
+
+
+def test_truncate_embeddings_and_matryoshka_funnel(spark):
+    import math
+
+    import pytest as _pytest
+
+    from vastdb_sdk_spark.operators.similarity import (
+        matryoshka_topk,
+        truncate_embeddings,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    t = {r["vec_id"]: r["embedding_trunc"]
+         for r in truncate_embeddings(df, 2).collect()}
+    # renormalized: [0.9, 0.1] -> unit length
+    n = math.hypot(0.9, 0.1)
+    assert t[2] == _pytest.approx([0.9 / n, 0.1 / n])
+    assert t[1] == _pytest.approx([1.0, 0.0])
+    raw = {r["vec_id"]: r["embedding_trunc"]
+           for r in truncate_embeddings(df, 2, renormalize=False).collect()}
+    assert raw[2] == _pytest.approx([0.9, 0.1])
+
+    # funnel: query along dim 0; shortlist by 2-dim cosine, re-rank full
+    got = matryoshka_topk(df, [1.0, 0.0, 0.0, 0.0], k=3, dims=2, shortlist=4)
+    ids = [r["vec_id"] for r in got.collect()]
+    assert ids == [1, 2, 4]  # full-dim cosine order
+    with _pytest.raises(ValueError, match="shortlist"):
+        matryoshka_topk(df, [1.0, 0.0], k=5, dims=2, shortlist=3)
+    with _pytest.raises(ValueError, match="dims"):
+        truncate_embeddings(df, 0)

@@ -85,6 +85,31 @@ def measure(session, spark, name, src_df, runs, file_rows):
             _agg(t.select_df())
             if i:
                 full_times.append(time.time() - t0)
+    # materialized-view maintenance under the SAME fixed churn: an
+    # additive (count/sum) view refreshes per churn cycle — the delta
+    # merge reads only the feed span + affected state buckets, so the
+    # refresh median must stay ~flat as the base grows
+    with session.transaction() as tx:
+        tx.bucket("b").schema("s").table(name).create_materialized_view(
+            "mv", ["o_orderstatus"],
+            {"n": "count", "total": ("sum", "o_totalprice")},
+            num_buckets=8,
+        )
+    mv_times = []
+    for i in range(runs + 1):
+        with session.transaction() as tx:
+            t = tx.bucket("b").schema("s").table(name)
+            t.update_where(
+                D.o_orderkey.between(1, CHURN_ROWS),
+                {"o_totalprice": float(-(i + 2))},
+            )
+        with session.transaction() as tx:
+            t = tx.bucket("b").schema("s").table(name)
+            t0 = time.time()
+            res = t.materialized_view("mv").refresh(mode="incremental")
+            if i:
+                mv_times.append(time.time() - t0)
+        assert res["mode"] == "incremental" and not res["base_scanned"]
     return {
         "table_rows": int(n_rows),
         "total_files": int(total_files),
@@ -92,6 +117,7 @@ def measure(session, spark, name, src_df, runs, file_rows):
         "feed_rows": int(fr.n),
         "feed_sec_median": round(statistics.median(feed_times), 4),
         "full_scan_sec_median": round(statistics.median(full_times), 4),
+        "mv_refresh_sec_median": round(statistics.median(mv_times), 4),
     }
 
 
@@ -152,6 +178,7 @@ def main() -> int:
         "feed_over_full_at_100x": round(
             sizes[2]["feed_sec_median"] / sizes[2]["full_scan_sec_median"], 3
         ),
+        "mv_refresh_growth_1x_to_100x": ratio("mv_refresh_sec_median", 0, 2),
         "runs": args.runs,
     }
     line = json.dumps(out)

@@ -1297,3 +1297,93 @@ def rhp_band_keys(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band_id", "bk.band_key")
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (MRL) truncated-dimension search — the coarse-to-fine funnel
+# for embeddings trained with Matryoshka Representation Learning
+# (Kusupati et al. 2022): the first d' dimensions of an MRL embedding are
+# themselves a usable embedding, so a shortlist scan can read d'/d of the
+# vector bytes and a tiny exact re-rank restores full-dimension order.
+
+
+def truncate_embeddings(
+    df: DataFrame,
+    dims: int,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_trunc",
+    renormalize: bool = True,
+) -> DataFrame:
+    """Keep the first ``dims`` dimensions (optionally re-normalized to
+    unit length — the MRL convention, so cosine stays calibrated). Pure
+    JVM expressions; at rest this is the column you'd persist for the
+    memory-bound shortlist tier (dims/d of the bytes)."""
+    if dims < 1:
+        raise ValueError(f"dims={dims} must be >= 1")
+    t = F.slice(F.col(vec_col), 1, int(dims))
+    if renormalize:
+        norm = F.sqrt(
+            F.aggregate(
+                t, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+            )
+        )
+        t = F.transform(t, lambda x: x.cast("double") / F.greatest(norm, F.lit(1e-30)))
+    return df.withColumn(out_col, t)
+
+
+def matryoshka_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    dims: int = 16,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage MRL funnel: shortlist by cosine over the FIRST ``dims``
+    dimensions (the cheap scan — at rest it reads dims/d of the vector
+    bytes), then exact full-dimension cosine re-rank of the shortlist.
+
+    Plan shape: one scan with the truncated dot as a codegen'd
+    expression -> TakeOrdered(shortlist) -> full-dim re-rank over
+    ``shortlist`` driver-sized rows -> TakeOrdered(k). No joins, no
+    Python, no index build. Returns (id_col, cos_trunc, cos_full), k
+    rows ordered by full-dimension cosine with id tie-break."""
+    if not 1 <= k <= shortlist:
+        raise ValueError(f"need 1 <= k={k} <= shortlist={shortlist}")
+    qt = [float(v) for v in query_vec[:dims]]
+    qf = [float(v) for v in query_vec]
+    if len(query_vec) < dims:
+        raise ValueError(f"query shorter than dims={dims}")
+
+    def _cos(vec, q):
+        qcol = F.array(*[F.lit(v) for v in q])
+        dot = F.aggregate(
+            F.zip_with(vec, qcol, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        n1 = F.sqrt(
+            F.aggregate(
+                vec, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+            )
+        )
+        n2 = F.lit(sum(v * v for v in q) ** 0.5)
+        return dot / (F.greatest(n1, F.lit(1e-30)) * F.greatest(n2, F.lit(1e-30)))
+
+    trunc = F.slice(F.col(vec_col), 1, int(dims))
+    stage1 = (
+        df.withColumn("__cos_t", _cos(trunc, qt))
+        .orderBy(F.col("__cos_t").desc(), F.col(id_col).asc())
+        .limit(int(shortlist))
+    )
+    return (
+        stage1.withColumn("__cos_f", _cos(F.col(vec_col), qf))
+        .orderBy(F.col("__cos_f").desc(), F.col(id_col).asc())
+        .limit(int(k))
+        .select(
+            id_col,
+            F.col("__cos_t").alias("cos_trunc"),
+            F.col("__cos_f").alias("cos_full"),
+        )
+    )
