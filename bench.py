@@ -160,6 +160,7 @@ HEADLINE = [
     "tx_chunk_sentences",
     "ts_anomaly",
     "e24_matview_timebucket",
+    "ann_matryoshka_topk",
 ]
 
 

@@ -639,3 +639,20 @@ def test_time_bucket_sql_verb(clean_schema):
         mv = t.materialized_view("daily")
         assert mv.df().columns[:2] == ["day", "event_type"]
         assert mv.df().count() > 5
+
+
+def test_matview_binds_into_tx_sql(clean_schema):
+    session = _docs(clean_schema)
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("docs")
+        t.create_materialized_view("mv", ["lang"], {"n": "count"})
+        got = {
+            r["lang"]: r["n"]
+            for r in tx.sql(
+                "SELECT lang, n FROM mv ORDER BY lang",
+                mv=t.materialized_view("mv"),
+            ).collect()
+        }
+        want = {r["lang"]: r["cnt"] for r in
+                t.df().groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+        assert got == want

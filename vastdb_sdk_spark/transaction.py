@@ -182,10 +182,14 @@ class Transaction:
     #    DuckDB/ADBC — README.md:230-246; here it's Spark SQL natively) -----
     def sql(self, query: str, tables: dict | None = None, **kw_tables):
         """Run Spark SQL over engine tables. ``tables`` maps view names to
-        Table objects; each is registered as a temp view bound to THIS
-        transaction's snapshot, so SQL sees transaction-consistent data.
+        Table objects (or anything with a ``.df()`` — a MaterializedView
+        binds its folded state, a Projection its routed scan); each is
+        registered as a temp view bound to THIS transaction's snapshot,
+        so SQL sees transaction-consistent data.
 
             tx.sql("SELECT count(*) FROM t WHERE a > 2", t=some_table)
+            tx.sql("SELECT * FROM daily WHERE n > 5",
+                   daily=some_table.materialized_view("daily"))
         """
         for name, t in {**(tables or {}), **kw_tables}.items():
             t.df().createOrReplaceTempView(name)
