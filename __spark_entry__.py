@@ -1284,6 +1284,40 @@ def q_ann_cosine_topk(spark, sf):
 # DD: deduplication (beyond-parity, BASELINE.json north star)
 
 
+def q_tx_url_canon(spark, sf):
+    """URL canonicalization (functions/text.canonical_url — the URL-dedup
+    key of CommonCrawl-style pipelines; patterns RE2-common and
+    single-sourced into the oracle, the scrub.py discipline): docs are
+    augmented with DETERMINISTIC messy URL variants — scheme/case/www/
+    default-port/tracking-param/fragment noise by doc_id % 4, plus a
+    non-URL — and the canonical form must collapse variants 0 and 1 to
+    the same key, strip :80 and the trailing slash on variant 2, and
+    map the non-URL to NULL. Pure codegen'd regexps, zero shuffle."""
+    from vastdb_sdk_spark.functions.text import canonical_url
+
+    d = _t(spark, sf, "documents")
+    i = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Example.COM:443/Docs/"), i,
+                F.lit("/?utm_source=x&id="), i, F.lit("&utm_campaign=y#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("http://example.com/Docs/"), i, F.lit("?id="), i),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://Example.com:80/Docs/"), i, F.lit("/")),
+        )
+        .otherwise(F.concat(F.lit("not a url "), i))
+    )
+    return d.select("doc_id", canonical_url(url).alias("canonical"))
+
+
 def q_ann_matryoshka_topk(spark, sf):
     """Matryoshka truncated-dimension search funnel (operators/
     similarity.matryoshka_topk — Kusupati et al. 2022: the first d'
@@ -4412,6 +4446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_anomaly": q_ts_anomaly,
         "e24_matview_timebucket": q_e24_matview_timebucket,
         "ann_matryoshka_topk": q_ann_matryoshka_topk,
+        "tx_url_canon": q_tx_url_canon,
         "w10_funnel": q_w10_funnel,
         "w11_retention_cohorts": q_w11_retention_cohorts,
         "ds_train_test_split": q_ds_train_test_split,
@@ -4686,6 +4721,47 @@ def _chunk_sentences_oracle_sql(budget: int = 64) -> str:
                COUNT(*) AS n_sentences,
                CAST(SUM(ntok) AS BIGINT) AS n_tokens
         FROM p GROUP BY doc_id, pre // {budget}
+    """
+
+
+def _url_canon_oracle_sql() -> str:
+    """DuckDB twin of q_tx_url_canon, generated from the SAME pattern
+    constants as functions/text.canonical_url."""
+    from vastdb_sdk_spark.functions.text import (
+        URL_DEFAULT_PORT_RE,
+        URL_SPLIT_RE,
+        URL_TRACKING_PARAM_RE,
+        URL_WWW_RE,
+    )
+
+    i = "CAST(doc_id AS VARCHAR)"
+    url = f"""CASE doc_id % 4
+        WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/Docs/' || {i}
+                    || '/?utm_source=x&id=' || {i} || '&utm_campaign=y#frag'
+        WHEN 1 THEN 'http://example.com/Docs/' || {i} || '?id=' || {i}
+        WHEN 2 THEN 'https://Example.com:80/Docs/' || {i} || '/'
+        ELSE 'not a url ' || {i} END"""
+    host = f"regexp_extract(u, '{URL_SPLIT_RE}', 1)"
+    path = f"regexp_extract(u, '{URL_SPLIT_RE}', 2)"
+    query = f"regexp_extract(u, '{URL_SPLIT_RE}', 3)"
+    host_c = (
+        f"regexp_replace(regexp_replace(lower({host}), '{URL_WWW_RE}', ''),"
+        f" '{URL_DEFAULT_PORT_RE}', '')"
+    )
+    path_c = f"regexp_replace({path}, '/+$', '')"
+    query_c = (
+        f"regexp_replace(regexp_replace({query},"
+        f" '{URL_TRACKING_PARAM_RE}', '', 'g'), '^&', '')"
+    )
+    return f"""
+        WITH staged AS (SELECT doc_id, {url} AS u FROM documents)
+        SELECT doc_id,
+               CASE WHEN {host} <> '' THEN
+                   {host_c} || {path_c}
+                   || CASE WHEN {query_c} <> ''
+                           THEN '?' || {query_c} ELSE '' END
+               END AS canonical
+        FROM staged
     """
 
 
@@ -5698,6 +5774,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_distance(embedding::DOUBLE[], qv::DOUBLE[]) ASC, vec_id ASC
             LIMIT 10
         """,
+        "tx_url_canon": _url_canon_oracle_sql(),
         "ann_matryoshka_topk": """
             WITH q AS (
                 SELECT embedding::DOUBLE[] AS qv

@@ -161,6 +161,7 @@ HEADLINE = [
     "ts_anomaly",
     "e24_matview_timebucket",
     "ann_matryoshka_topk",
+    "tx_url_canon",
 ]
 
 

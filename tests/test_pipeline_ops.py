@@ -1682,3 +1682,27 @@ def test_chunk_by_sentences_boundaries(spark):
 
     with _pytest.raises(ValueError, match="budget"):
         chunk_by_sentences(df, budget=0)
+
+
+def test_canonical_url_variants(spark):
+    from vastdb_sdk_spark.functions.text import canonical_url
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/A/b/?utm_source=x&q=1#frag"),
+        (2, "http://example.com/A/b?q=1"),
+        (3, "https://example.com:80/A/b/"),
+        (4, "https://example.com/A/b?utm_a=1&utm_b=2"),
+        (5, "not a url"),
+        (6, "ftp://Host.net/File.TXT"),
+        (7, "https://example.com/?ref=x&keep=1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, u STRING")
+    got = {r["doc_id"]: r["c"] for r in
+           df.select("doc_id", canonical_url(F.col("u")).alias("c")).collect()}
+    # scheme/case/www/port/tracking/fragment variants collapse
+    assert got[1] == got[2] == "example.com/A/b?q=1"
+    assert got[3] == "example.com/A/b"
+    assert got[4] == "example.com/A/b"       # all-tracking query dropped
+    assert got[5] is None                     # non-URL -> NULL
+    assert got[6] == "host.net/File.TXT"      # path case preserved
+    assert got[7] == "example.com?keep=1"     # ref stripped, keep kept

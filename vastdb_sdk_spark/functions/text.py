@@ -293,3 +293,49 @@ def sentences(col: Column) -> Column:
 
 def sentence_count(col: Column) -> Column:
     return F.size(sentences(col))
+
+
+# URL canonicalization — the URL-dedup key of web-curation pipelines
+# (CommonCrawl-style: the same page arrives under scheme/case/tracking-
+# param/fragment variants; dedup must key on a canonical form). All
+# patterns are RE2-common and single-sourced into the SQL oracle.
+URL_SPLIT_RE = "^(?i)[a-z][a-z0-9+.-]*://([^/?#]+)([^?#]*)(?:\\?([^#]*))?.*$"
+URL_TRACKING_PARAM_RE = "(?:^|&)(?:utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&]*"
+URL_DEFAULT_PORT_RE = ":(?:80|443)$"
+URL_WWW_RE = "^www\\."
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical dedup key for a URL column:
+
+    - host lowercased, leading ``www.`` and default ``:80``/``:443``
+      ports stripped (scheme dropped entirely — http/https duplicates
+      collapse);
+    - path kept case-SENSITIVE, trailing ``/`` stripped;
+    - tracking params (utm_*, fbclid, gclid, msclkid, ref) removed, the
+      query otherwise kept in original order, ``?`` dropped when empty;
+    - fragment always dropped.
+
+    Non-URL strings (no ``scheme://``) canonicalize to NULL — the
+    caller's signal to fall back to another key. Pure codegen'd
+    regexp expressions, zero shuffle."""
+    host = F.regexp_extract(col, URL_SPLIT_RE, 1)
+    path = F.regexp_extract(col, URL_SPLIT_RE, 2)
+    query = F.regexp_extract(col, URL_SPLIT_RE, 3)
+    host_c = F.regexp_replace(
+        F.regexp_replace(F.lower(host), URL_WWW_RE, ""),
+        URL_DEFAULT_PORT_RE,
+        "",
+    )
+    path_c = F.regexp_replace(path, "/+$", "")
+    query_c = F.regexp_replace(
+        F.regexp_replace(query, URL_TRACKING_PARAM_RE, ""), "^&", ""
+    )
+    out = F.concat(
+        host_c,
+        path_c,
+        F.when(query_c != "", F.concat(F.lit("?"), query_c)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(host != "", out)
