@@ -1284,6 +1284,32 @@ def q_ann_cosine_topk(spark, sf):
 # DD: deduplication (beyond-parity, BASELINE.json north star)
 
 
+def q_tx_html_strip(spark, sf):
+    """HTML-to-text extraction (functions/text.strip_html — the markup
+    removal stage of web curation; RE2-common regexp chain single-
+    sourced into the oracle): docs are wrapped in DETERMINISTIC markup —
+    tags, attributes, a comment, a script block whose body must vanish
+    WHOLE, and entity escapes — and the stripped text plus its length
+    must match the oracle byte-for-byte. Zero shuffle, zero Python."""
+    from vastdb_sdk_spark.functions.text import strip_html
+
+    d = _t(spark, sf, "documents")
+    i = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<!-- header --><div class="a"><h1>Doc &amp; '),
+        i,
+        F.lit("</h1><script>var x = 1 < 2;</script><p>"),
+        F.col("text"),
+        F.lit("</p><style>p { color: red }</style>&nbsp;tail&lt;"),
+        i,
+        F.lit("&gt;</div>"),
+    )
+    clean = strip_html(html)
+    return d.select(
+        "doc_id", clean.alias("clean"), F.length(clean).alias("n_chars")
+    )
+
+
 def q_tx_url_canon(spark, sf):
     """URL canonicalization (functions/text.canonical_url — the URL-dedup
     key of CommonCrawl-style pipelines; patterns RE2-common and
@@ -4447,6 +4473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e24_matview_timebucket": q_e24_matview_timebucket,
         "ann_matryoshka_topk": q_ann_matryoshka_topk,
         "tx_url_canon": q_tx_url_canon,
+        "tx_html_strip": q_tx_html_strip,
         "w10_funnel": q_w10_funnel,
         "w11_retention_cohorts": q_w11_retention_cohorts,
         "ds_train_test_split": q_ds_train_test_split,
@@ -4721,6 +4748,37 @@ def _chunk_sentences_oracle_sql(budget: int = 64) -> str:
                COUNT(*) AS n_sentences,
                CAST(SUM(ntok) AS BIGINT) AS n_tokens
         FROM p GROUP BY doc_id, pre // {budget}
+    """
+
+
+def _html_strip_oracle_sql() -> str:
+    """DuckDB twin of q_tx_html_strip, generated from the SAME pattern
+    constants as functions/text.strip_html."""
+    from vastdb_sdk_spark.functions.text import (
+        HTML_BLOCK_RE,
+        HTML_COMMENT_RE,
+        HTML_ENTITIES,
+        HTML_TAG_RE,
+        WS_RUN_RE,
+    )
+
+    i = "CAST(doc_id AS VARCHAR)"
+    html = (
+        "'<!-- header --><div class=\"a\"><h1>Doc &amp; ' || " + i +
+        " || '</h1><script>var x = 1 < 2;</script><p>' || text"
+        " || '</p><style>p { color: red }</style>&nbsp;tail&lt;' || " + i +
+        " || '&gt;</div>'"
+    )
+    c = f"regexp_replace({html}, '{HTML_COMMENT_RE}', ' ', 'g')"
+    c = f"regexp_replace({c}, '{HTML_BLOCK_RE}', ' ', 'g')"
+    c = f"regexp_replace({c}, '{HTML_TAG_RE}', ' ', 'g')"
+    for ent, rep in HTML_ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        c = f"replace({c}, '{ent}', '{rep_sql}')"
+    c = f"trim(regexp_replace({c}, '{WS_RUN_RE}', ' ', 'g'))"
+    return f"""
+        SELECT doc_id, {c} AS clean, length({c}) AS n_chars
+        FROM documents
     """
 
 
@@ -5775,6 +5833,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "tx_url_canon": _url_canon_oracle_sql(),
+        "tx_html_strip": _html_strip_oracle_sql(),
         "ann_matryoshka_topk": """
             WITH q AS (
                 SELECT embedding::DOUBLE[] AS qv

@@ -162,6 +162,7 @@ HEADLINE = [
     "e24_matview_timebucket",
     "ann_matryoshka_topk",
     "tx_url_canon",
+    "tx_html_strip",
 ]
 
 

@@ -1706,3 +1706,25 @@ def test_canonical_url_variants(spark):
     assert got[5] is None                     # non-URL -> NULL
     assert got[6] == "host.net/File.TXT"      # path case preserved
     assert got[7] == "example.com?keep=1"     # ref stripped, keep kept
+
+
+def test_strip_html_blocks_tags_entities(spark):
+    from vastdb_sdk_spark.functions.text import strip_html
+
+    rows = [
+        (1, '<div><p>Hello <b>world</b></p></div>'),
+        (2, '<script>ignore < all; this</script>kept'),
+        (3, '<style>p{x:1}</style>before<!-- note -->after'),
+        (4, 'a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;c'),
+        (5, 'plain text, no markup'),
+        (6, '&amp;lt;'),  # double-escaped: must end as the LITERAL "&lt;"
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, h STRING")
+    got = {r["doc_id"]: r["c"] for r in
+           df.select("doc_id", strip_html(F.col("h")).alias("c")).collect()}
+    assert got[1] == "Hello world"
+    assert got[2] == "kept"                       # script body vanishes whole
+    assert got[3] == "before after"
+    assert got[4] == 'a & b <tag> "q" \'s\' c'
+    assert got[5] == "plain text, no markup"
+    assert got[6] == "&lt;"

@@ -339,3 +339,34 @@ def canonical_url(col: Column) -> Column:
         ),
     )
     return F.when(host != "", out)
+
+
+# HTML stripping — the extract-text-from-markup stage of web curation.
+# RE2-common (no backreferences/lookarounds), single-sourced into the SQL
+# oracle. Deliberately a TAG stripper, not a parser: malformed markup
+# degrades to leftover text, never to an error.
+HTML_BLOCK_RE = "(?is)<(?:script|style)\\b[^>]*>.*?</(?:script|style)>"
+HTML_TAG_RE = "(?s)<[^>]*>"
+HTML_COMMENT_RE = "(?s)<!--.*?-->"
+# (entity, replacement) applied in order; amp LAST so '&amp;lt;' ends as
+# '&lt;' (the double-escaped literal), not '<'
+HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def strip_html(col: Column) -> Column:
+    """Markup-to-text: drop comments and whole script/style blocks, strip
+    remaining tags, decode the common entities, collapse whitespace runs,
+    trim. Pure codegen'd regexp chain, zero shuffle."""
+    c = F.regexp_replace(col, HTML_COMMENT_RE, " ")
+    c = F.regexp_replace(c, HTML_BLOCK_RE, " ")
+    c = F.regexp_replace(c, HTML_TAG_RE, " ")
+    for ent, rep in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, WS_RUN_RE, " "))
