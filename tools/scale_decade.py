@@ -96,6 +96,9 @@ QUERIES = [
     "tx_sentences",
     "tx_chunk_sentences",
     "ts_anomaly",
+    "ann_matryoshka_topk",
+    "tx_url_canon",
+    "tx_html_strip",
 ]
 
 _RUNNER = r"""
