@@ -1693,7 +1693,7 @@ def test_canonical_url_variants(spark):
         (3, "https://example.com:80/A/b/"),
         (4, "https://example.com/A/b?utm_a=1&utm_b=2"),
         (5, "not a url"),
-        (6, "ftp://Host.net/File.TXT"),
+        (6, "ftp://Example.NET/File.TXT"),
         (7, "https://example.com/?ref=x&keep=1"),
     ]
     df = spark.createDataFrame(rows, "doc_id LONG, u STRING")
@@ -1704,7 +1704,7 @@ def test_canonical_url_variants(spark):
     assert got[3] == "example.com/A/b"
     assert got[4] == "example.com/A/b"       # all-tracking query dropped
     assert got[5] is None                     # non-URL -> NULL
-    assert got[6] == "host.net/File.TXT"      # path case preserved
+    assert got[6] == "example.net/File.TXT"   # path case preserved
     assert got[7] == "example.com?keep=1"     # ref stripped, keep kept
 
 
