@@ -1,0 +1,151 @@
+"""CDC replication (sources/replicate.sync_table): feed-driven mirror
+maintenance — initial full sync, churn-bounded incremental sync,
+net-effect key semantics, cursor idempotence, cross-bucket targets."""
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from vastdb_sdk_spark import _ as D
+from vastdb_sdk_spark.errors import InvalidArgument
+from vastdb_sdk_spark.sources import create_table_from_files
+from vastdb_sdk_spark.sources.replicate import sync_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pair(clean_schema, dst_schema_name="s"):
+    with clean_schema.transaction() as tx:
+        sc = tx.bucket("bkt").schema("s")
+        create_table_from_files(sc, "src", [f"{SF}/documents.parquet"])
+        dsc = (
+            sc
+            if dst_schema_name == "s"
+            else tx.bucket("bkt").create_schema(dst_schema_name)
+        )
+        dsc.create_table("dst", sc.table("src").arrow_schema)
+    return clean_schema
+
+
+def _tables(tx, dst_schema="s"):
+    return (
+        tx.bucket("bkt").schema("s").table("src"),
+        tx.bucket("bkt").schema(dst_schema).table("dst"),
+    )
+
+
+def _rows(t):
+    return sorted(tuple(r) for r in t.select_df().collect())
+
+
+def test_initial_then_incremental_sync_row_identical(clean_schema):
+    session = _pair(clean_schema)
+    with session.transaction() as tx:
+        src, dst = _tables(tx)
+        r = sync_table(src, dst, ["doc_id"])
+        assert r["upserts"] == 500 and r["deletes"] == 0
+    with session.transaction() as tx:
+        src, dst = _tables(tx)
+        assert _rows(src) == _rows(dst)
+    with session.transaction() as tx:
+        src, _ = _tables(tx)
+        schema = src.arrow_schema
+        src.delete_where(D.doc_id % 7 == 0)
+        src.update_where(D.doc_id % 5 == 0, {"n_chars": -1})
+        src.insert(
+            pa.table(
+                {
+                    "doc_id": pa.array([9001], pa.int64()),
+                    "text": pa.array(["x"]),
+                    "lang": pa.array(["zz"]),
+                    "source": pa.array(["n"]),
+                    "n_chars": pa.array([1], pa.int64()),
+                }
+            ).cast(schema)
+        )
+    with session.transaction() as tx:
+        src, dst = _tables(tx)
+        r = sync_table(src, dst, ["doc_id"])
+        assert r["deletes"] > 0 and r["upserts"] > 0
+    with session.transaction() as tx:
+        src, dst = _tables(tx)
+        assert _rows(src) == _rows(dst)
+        # cursor advanced: replay applies nothing
+        r = sync_table(src, dst, ["doc_id"])
+        assert r["upserts"] == 0 and r["deletes"] == 0
+
+
+def test_delete_and_reinsert_same_key_is_one_upsert(clean_schema):
+    """A key removed under one $row_id and re-materialized under another
+    inside the span must land as ONE upsert, not a delete."""
+    session = _pair(clean_schema)
+    with session.transaction() as tx:
+        src, dst = _tables(tx)
+        sync_table(src, dst, ["doc_id"])
+    with session.transaction() as tx:
+        src, _ = _tables(tx)
+        schema = src.arrow_schema
+        src.delete_where(D.doc_id == 10)
+        src.insert(
+            pa.table(
+                {
+                    "doc_id": pa.array([10], pa.int64()),
+                    "text": pa.array(["reborn"]),
+                    "lang": pa.array(["en"]),
+                    "source": pa.array(["n"]),
+                    "n_chars": pa.array([6], pa.int64()),
+                }
+            ).cast(schema)
+        )
+    with session.transaction() as tx:
+        src, dst = _tables(tx)
+        r = sync_table(src, dst, ["doc_id"])
+        assert r["deletes"] == 0  # net effect: the key survives
+    with session.transaction() as tx:
+        src, dst = _tables(tx)
+        got = dst.select_df(predicate=(D.doc_id == 10)).collect()
+        assert len(got) == 1 and got[0]["text"] == "reborn"
+        assert _rows(src) == _rows(dst)
+
+
+def test_cross_schema_replica_and_validation(clean_schema):
+    session = _pair(clean_schema, dst_schema_name="mirror")
+    with session.transaction() as tx:
+        src, dst = _tables(tx, dst_schema="mirror")
+        sync_table(src, dst, ["doc_id"])
+    with session.transaction() as tx:
+        src, _ = _tables(tx, dst_schema="mirror")
+        src.delete_where(D.doc_id % 2 == 0)
+    with session.transaction() as tx:
+        src, dst = _tables(tx, dst_schema="mirror")
+        sync_table(src, dst, ["doc_id"])
+        assert _rows(src) == _rows(dst)
+        with pytest.raises(InvalidArgument, match="key column"):
+            sync_table(src, dst, [])
+        with pytest.raises(InvalidArgument, match="lacks key"):
+            sync_table(src, dst, ["nope"])
+
+
+def test_explicit_from_version_resyncs_span(clean_schema):
+    """An explicit from_version replays that span; because the apply is
+    an upsert/delete merge, replaying an ALREADY-applied span leaves the
+    replica unchanged (crash-recovery semantics)."""
+    session = _pair(clean_schema)
+    with session.transaction() as tx:
+        src, dst = _tables(tx)
+        sync_table(src, dst, ["doc_id"])
+    with session.transaction() as tx:
+        src, _ = _tables(tx)
+        src.update_where(D.doc_id < 50, {"n_chars": 0})
+    with session.transaction() as tx:
+        v_before = tx.bucket("bkt").manifest.version
+        src, dst = _tables(tx)
+        sync_table(src, dst, ["doc_id"])
+        before = _rows(dst)
+    with session.transaction() as tx:
+        src, dst = _tables(tx)
+        r = sync_table(src, dst, ["doc_id"], from_version=v_before - 1)
+        assert r["upserts"] > 0  # span re-applied...
+    with session.transaction() as tx:
+        src, dst = _tables(tx)
+        assert _rows(dst) == before  # ...with identical results
