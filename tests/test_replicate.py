@@ -149,3 +149,18 @@ def test_explicit_from_version_resyncs_span(clean_schema):
     with session.transaction() as tx:
         src, dst = _tables(tx)
         assert _rows(dst) == before  # ...with identical results
+
+
+def test_sync_sql_verb(clean_schema):
+    session = _pair(clean_schema)
+    r = session.execute_sql("SYNC TABLE bkt.s.dst FROM bkt.s.src ON (doc_id)")
+    assert r["upserts"] == 500
+    with clean_schema.transaction() as tx:
+        tx.bucket("bkt").schema("s").table("src").delete_where(
+            D.doc_id % 3 == 0
+        )
+    r = session.execute_sql("SYNC TABLE bkt.s.dst FROM bkt.s.src ON (doc_id)")
+    assert r["deletes"] > 0
+    with session.transaction() as tx:
+        src, dst = _tables(tx)
+        assert _rows(src) == _rows(dst)

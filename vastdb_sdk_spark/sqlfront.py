@@ -618,6 +618,23 @@ class SqlFrontend:
             return table.projection(_unquote(m.group(1))).refresh(
                 (m.group(3) or "auto").lower()
             )
+        if kw == "SYNC":
+            m = re.match(
+                rf"(?is)SYNC\s+TABLE\s+({_DOTTED})\s+FROM\s+({_DOTTED})"
+                rf"\s+ON\s*\(([^()]*)\)\s*$",
+                stmt,
+            )
+            if not m:
+                raise InvalidArgument(
+                    "cannot parse (expected SYNC TABLE b.s.dst FROM "
+                    f"b.s.src ON (key1, ...)): {stmt!r}"
+                )
+            from .sources.replicate import sync_table
+
+            _, _, _, dst = self._resolve_table(m.group(1))
+            _, _, _, src = self._resolve_table(m.group(2))
+            keys = [_unquote(c) for c in _split_top(m.group(3))]
+            return sync_table(src, dst, keys)
         if kw in ("DESCRIBE", "DESC"):
             return self._describe(stmt)
         if kw == "INSERT":
