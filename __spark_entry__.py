@@ -4362,6 +4362,116 @@ def q_tx_length_percentiles(spark, sf):
     )
 
 
+def q_dd_line_dedup(spark, sf):
+    """Line-level corpus dedup (operators/dedup.remove_duplicate_lines —
+    the RefinedWeb/C4 boilerplate-removal stage: navbars, cookie banners
+    and license footers survive DOCUMENT-level dedup because each host
+    document is unique, so they are dropped line-by-line when a line
+    appears verbatim in >= min_docs distinct documents). Docs get
+    DETERMINISTIC multi-line structure: a corpus-wide notice line, a
+    blank line (blank lines are structure — always kept), a unique
+    per-doc header, the body, and a footer shared by the even half. The
+    cleaned text must match the oracle byte-for-byte (md5 + length +
+    kept/dropped counts). Plan: explode -> md5-keyed dup table
+    (distinct-lines-sized) -> left_anti -> one per-doc reassembly; two
+    uniform-hash shuffles, no collect, no Python."""
+    from vastdb_sdk_spark.operators.dedup import remove_duplicate_lines
+
+    d = _t(spark, sf, "documents")
+    i = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.lit("NOTICE: provided as-is with no warranty\n\ndoc "),
+        i,
+        F.lit(" begins\n"),
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("\nSHARED FOOTER ALPHA")
+        ).otherwise(F.concat(F.lit("\ntail "), i)),
+    )
+    out = remove_duplicate_lines(
+        d.select("doc_id", aug.alias("text")), min_docs=2
+    )
+    return out.select(
+        "doc_id",
+        F.md5("text_clean").alias("clean_md5"),
+        F.length("text_clean").alias("n_chars"),
+        "n_lines_kept",
+        "n_lines_dropped",
+    )
+
+
+def q_dd_minhash_join(spark, sf):
+    """Two-table MinHash fuzzy join (operators/dedup.minhash_join —
+    record linkage / cross-corpus contamination: link an incoming batch
+    to the corpus by shingle-set similarity without |L|x|R| work). The
+    right side is every 11th document with a short deterministic suffix
+    (shingle-set Jaccard ~0.9 to its origin, length-dependent); both
+    sides run the SAME md5 MinHash permutations and band split, and the
+    oracle replays the ENTIRE algorithm in SQL — signatures, band keys,
+    the cross-table candidate join, and the exact-Jaccard verify — so
+    precision AND recall (including any banding miss) must reproduce
+    id-for-id. Plan: per-band hash-key equi-join across the tables,
+    |bucket_L| x |bucket_R| per bucket, exact verify on candidates only."""
+    from vastdb_sdk_spark.operators.dedup import minhash_join
+
+    d = _t(spark, sf, "documents")
+    right = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("rid"),
+        F.concat(F.col("text"), F.lit(" linkage probe variant")).alias("body"),
+    )
+    return minhash_join(
+        d,
+        right,
+        left_text="text",
+        right_text="body",
+        left_id="doc_id",
+        right_id="rid",
+        threshold=0.8,
+        num_hashes=16,
+        num_bands=4,
+        shingle_k=3,
+        hash_fn="md5",
+    )
+
+
+def q_tx_rrf_fusion(spark, sf):
+    """Reciprocal Rank Fusion (operators/lm.rrf_fuse — Cormack et al.
+    2009, the training-free hybrid-search fusion): BM25 top-50 for
+    ["hash","join","filter"] fused with the exact-cosine top-50 against
+    vec 7 at k=60, final cut 20. Only RANKS enter the fused score —
+    each term is 1/(60+r) with integer r summed left-to-right, so the
+    doubles are bit-identical cross-engine (the cosine RANKING itself
+    is safe because the sequential zip_with fold is bit-identical to
+    DuckDB's list_cosine_similarity, measured at ds_cluster_assign).
+    Plan: two zero-shuffle scans + two TakeOrdered(50) shortlists, one
+    tiny full-outer join — shortlist-sized regardless of corpus."""
+    from vastdb_sdk_spark.functions.vector import cosine_similarity
+    from vastdb_sdk_spark.operators.lm import bm25_scores, rrf_fuse
+
+    d = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    vec = _query_vec(spark, sf, 7)
+    lex = (
+        bm25_scores(d, ["hash", "join", "filter"])
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(50)
+        .select("doc_id", F.col("bm25").alias("score"))
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in vec])
+    sem = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity(F.col("embedding"), qlit).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+    )
+    out = rrf_fuse([lex, sem], k=60, top_k=20)
+    return out.select(
+        "doc_id", "rank_1", "rank_2", F.round("rrf", 9).alias("rrf")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4481,6 +4591,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_html_strip": q_tx_html_strip,
         "w10_funnel": q_w10_funnel,
         "w11_retention_cohorts": q_w11_retention_cohorts,
+        # session-3 round-9 additions (locally verified at sf0.01 AND
+        # sf0.1 via tools/check_correctness.py; never driver-gated —
+        # part of the round-10 window lead cohort):
+        "dd_line_dedup": q_dd_line_dedup,
+        "dd_minhash_join": q_dd_minhash_join,
+        "tx_rrf_fusion": q_tx_rrf_fusion,
         "ds_train_test_split": q_ds_train_test_split,
         # Directly below: the four ANN gates whose oracles were ALSO
         # converted to planted-id form this round (ann_rhp_topk,
@@ -4588,6 +4704,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # DuckDB oracles
+
+
+def _mh_lsh_chain_sql(tag: str, src: str, id_expr: str, text_expr: str) -> str:
+    """CTE chain replaying operators.dedup's md5 MinHash machinery for one
+    table: tokens -> 3-shingles -> base hashes -> 16-hash signature ->
+    4 band keys (+ the distinct shingle sets for exact verify). Shared by
+    the single-table (dd_lsh_pairs) and cross-table (dd_minhash_join)
+    oracles so the arithmetic is single-sourced."""
+    tok = _SQL_TOKENS.format(c=text_expr)
+    return f"""
+            t_{tag} AS (
+                SELECT {id_expr} AS id, {tok} AS toks FROM {src}
+            ), sh_{tag} AS (
+                SELECT id,
+                       CASE WHEN len(toks) < 3
+                            THEN [array_to_string(toks, ' ')]
+                            ELSE list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                       END AS sh
+                FROM t_{tag}
+            ), hb_{tag} AS (
+                SELECT id, sh, list_transform(sh, s -> {_mh_base_sql('s')}) AS hb
+                FROM sh_{tag}
+            ), sigs_{tag} AS (
+                SELECT id,
+                       list_transform(range(0, 16),
+                           s -> list_min(list_transform(hb,
+                                b -> ((2*s+3) * b + (7919*s+1)) % 2147483647))) AS sig
+                FROM hb_{tag}
+            ), bands_{tag} AS (
+                SELECT id, b AS band_id,
+                       md5(b || '|' || array_to_string(
+                           list_transform(sig[4*b+1:4*b+4], v -> CAST(v AS VARCHAR)), '|'))
+                           AS band_key
+                FROM sigs_{tag}, (SELECT unnest(range(0, 4)) AS b)
+            ), shs_{tag} AS (
+                SELECT id, list_distinct(sh) AS shd FROM sh_{tag}
+            )"""
 
 
 def _mh_base_sql(var: str) -> str:
@@ -5839,6 +5993,131 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tx_url_canon": _url_canon_oracle_sql(),
         "tx_html_strip": _html_strip_oracle_sql(),
+        "dd_line_dedup": """
+            WITH aug AS (
+                SELECT doc_id,
+                       'NOTICE: provided as-is with no warranty' || chr(10)
+                       || chr(10) || 'doc ' || CAST(doc_id AS VARCHAR)
+                       || ' begins' || chr(10) || text
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN chr(10) || 'SHARED FOOTER ALPHA'
+                               ELSE chr(10) || 'tail ' || CAST(doc_id AS VARCHAR)
+                          END AS text
+                FROM documents
+            ), lines AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+                FROM aug
+            ), dup AS (
+                SELECT md5(line) AS k
+                FROM lines
+                WHERE trim(line) <> ''
+                GROUP BY 1
+                HAVING COUNT(DISTINCT doc_id) >= 2
+            ), kept AS (
+                SELECT doc_id, line, pos
+                FROM lines
+                WHERE md5(line) NOT IN (SELECT k FROM dup)
+            ), re AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean,
+                       COUNT(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT a.doc_id,
+                   md5(COALESCE(re.clean, '')) AS clean_md5,
+                   length(COALESCE(re.clean, '')) AS n_chars,
+                   COALESCE(re.n_kept, 0) AS n_lines_kept,
+                   len(string_split(a.text, chr(10))) - COALESCE(re.n_kept, 0)
+                       AS n_lines_dropped
+            FROM aug a LEFT JOIN re ON a.doc_id = re.doc_id
+        """,
+        "dd_minhash_join": f"""
+            WITH right_src AS (
+                SELECT doc_id + 1000000 AS rid,
+                       text || ' linkage probe variant' AS body
+                FROM documents WHERE doc_id % 11 = 0
+            ), {_mh_lsh_chain_sql('l', 'documents', 'doc_id', 'text')},
+            {_mh_lsh_chain_sql('r', 'right_src', 'rid', 'body')},
+            cand AS (
+                SELECT DISTINCT l.id AS left_id, r.id AS right_id
+                FROM bands_l l JOIN bands_r r
+                  ON l.band_id = r.band_id AND l.band_key = r.band_key
+            )
+            SELECT left_id, right_id,
+                   ROUND(len(list_intersect(sa.shd, sb.shd))
+                         / greatest(len(sa.shd) + len(sb.shd)
+                                    - len(list_intersect(sa.shd, sb.shd)), 1), 6)
+                       AS jaccard
+            FROM cand
+            JOIN shs_l sa ON cand.left_id = sa.id
+            JOIN shs_r sb ON cand.right_id = sb.id
+            WHERE len(list_intersect(sa.shd, sb.shd))
+                  / greatest(len(sa.shd) + len(sb.shd)
+                             - len(list_intersect(sa.shd, sb.shd)), 1) >= 0.8
+        """,
+        "tx_rrf_fusion": f"""
+            WITH t AS (
+                SELECT doc_id, {tok} AS tk FROM documents
+            ), d AS (
+                SELECT doc_id, len(tk) AS dl,
+                       len(list_filter(tk, x -> x = 'hash'))   AS tf0,
+                       len(list_filter(tk, x -> x = 'join'))   AS tf1,
+                       len(list_filter(tk, x -> x = 'filter')) AS tf2
+                FROM t
+            ), s AS (
+                SELECT COUNT(*) AS n, AVG(dl) AS avgdl,
+                       SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                       SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                       SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+                FROM d
+            ), lex_cut AS (
+                SELECT doc_id,
+                    0.0
+                    + ln(1.0 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5))
+                      * tf0 * (1.2 + 1.0)
+                      / (tf0 + 1.2 * (0.25 + 0.75 * dl / s.avgdl))
+                    + ln(1.0 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
+                      * tf1 * (1.2 + 1.0)
+                      / (tf1 + 1.2 * (0.25 + 0.75 * dl / s.avgdl))
+                    + ln(1.0 + (s.n - s.df2 + 0.5) / (s.df2 + 0.5))
+                      * tf2 * (1.2 + 1.0)
+                      / (tf2 + 1.2 * (0.25 + 0.75 * dl / s.avgdl))
+                    AS bm25_raw
+                FROM d CROSS JOIN s
+                ORDER BY bm25_raw DESC, doc_id ASC
+                LIMIT 50
+            ), lex AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY bm25_raw DESC, doc_id ASC)
+                           AS rank_1
+                FROM lex_cut
+            ), q AS (
+                SELECT embedding AS qv FROM embeddings WHERE vec_id = 7
+            ), sem_cut AS (
+                SELECT vec_id AS doc_id,
+                       list_cosine_similarity(embedding::DOUBLE[],
+                                              q.qv::DOUBLE[]) AS c
+                FROM embeddings CROSS JOIN q
+                ORDER BY c DESC, vec_id ASC
+                LIMIT 50
+            ), sem AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY c DESC, doc_id ASC) AS rank_2
+                FROM sem_cut
+            )
+            SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+                   rank_1, rank_2,
+                   ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + rank_1), 0)
+                         + COALESCE(CAST(1 AS DOUBLE) / (60 + rank_2), 0), 9)
+                       AS rrf
+            FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+            ORDER BY COALESCE(CAST(1 AS DOUBLE) / (60 + rank_1), 0)
+                     + COALESCE(CAST(1 AS DOUBLE) / (60 + rank_2), 0) DESC,
+                     COALESCE(lex.doc_id, sem.doc_id) ASC
+            LIMIT 20
+        """,
         "ann_matryoshka_topk": """
             WITH q AS (
                 SELECT embedding::DOUBLE[] AS qv

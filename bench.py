@@ -163,6 +163,9 @@ HEADLINE = [
     "ann_matryoshka_topk",
     "tx_url_canon",
     "tx_html_strip",
+    "dd_line_dedup",
+    "dd_minhash_join",
+    "tx_rrf_fusion",
 ]
 
 

@@ -927,3 +927,61 @@ def test_truncate_embeddings_and_matryoshka_funnel(spark):
         matryoshka_topk(df, [1.0, 0.0], k=5, dims=2, shortlist=3)
     with _pytest.raises(ValueError, match="dims"):
         truncate_embeddings(df, 0)
+
+
+def test_minhash_join_links_edited_copies(spark):
+    from vastdb_sdk_spark.operators.dedup import minhash_join
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    left = spark.createDataFrame(
+        [(i, (base + f"doc {i} ") * 3) for i in range(12)],
+        "doc_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [(100 + i, (base + f"doc {i} ") * 3) for i in range(0, 12, 2)]
+        + [(900, "totally different words nothing shared at all here")],
+        "rid long, body string",
+    )
+    out = minhash_join(
+        left,
+        right,
+        left_text="text",
+        right_text="body",
+        left_id="doc_id",
+        right_id="rid",
+        threshold=0.9,
+        num_hashes=16,
+        num_bands=4,
+        shingle_k=3,
+        hash_fn="md5",
+    ).collect()
+    got = {(r["left_id"], r["right_id"]) for r in out}
+    # verbatim copies have identical signatures -> recall is guaranteed
+    assert got == {(i, 100 + i) for i in range(0, 12, 2)}
+    assert all(abs(r["jaccard"] - 1.0) < 1e-9 for r in out)
+
+
+def test_minhash_join_bucket_cap_and_validation(spark):
+    from vastdb_sdk_spark.operators.dedup import minhash_join
+    import pytest as _pt
+
+    boiler = [(i, "same boilerplate text everywhere repeated") for i in range(6)]
+    left = spark.createDataFrame(boiler, "doc_id long, text string")
+    right = spark.createDataFrame(
+        [(100 + i, t) for i, t in boiler], "rid long, body string"
+    )
+    full = minhash_join(
+        left, right, right_text="body", right_id="rid", threshold=0.9
+    )
+    assert full.count() == 36
+    capped = minhash_join(
+        left,
+        right,
+        right_text="body",
+        right_id="rid",
+        threshold=0.9,
+        max_bucket_size=3,
+    )
+    assert capped.count() == 0  # every bucket oversized -> dropped
+    with _pt.raises(ValueError):
+        minhash_join(left, right, threshold=0.0)

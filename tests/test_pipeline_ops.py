@@ -1728,3 +1728,88 @@ def test_strip_html_blocks_tags_entities(spark):
     assert got[4] == 'a & b <tag> "q" \'s\' c'
     assert got[5] == "plain text, no markup"
     assert got[6] == "&lt;"
+
+
+def test_remove_duplicate_lines_semantics(spark):
+    from vastdb_sdk_spark.operators.dedup import line_dup_stats, remove_duplicate_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\n\nunique one\nSHARED FOOT"),
+            (2, "COOKIE BANNER\nunique two\nSHARED FOOT"),
+            (3, "COOKIE BANNER\nunique three"),
+            (4, "all unique\nhere"),
+            (5, "   \nCOOKIE BANNER"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_lines(df, min_docs=2).collect()
+    }
+    # banner (4 docs) and footer (2 docs) dropped; blank lines always kept
+    assert out[1]["text_clean"] == "\nunique one"
+    assert (out[1]["n_lines_kept"], out[1]["n_lines_dropped"]) == (2, 2)
+    assert out[2]["text_clean"] == "unique two"
+    assert out[3]["text_clean"] == "unique three"
+    # untouched doc comes back verbatim with zero drops
+    assert out[4]["text_clean"] == "all unique\nhere"
+    assert out[4]["n_lines_dropped"] == 0
+    # doc reduced to its blank skeleton — never NULL
+    assert out[5]["text_clean"] == "   "
+    assert out[5]["n_lines_dropped"] == 1
+    # stats table: exactly the two boilerplate lines
+    stats = line_dup_stats(df, min_docs=2).collect()
+    assert sorted(r["n_docs"] for r in stats) == [2, 4]
+    # min_docs=1 counts every distinct non-blank line
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        line_dup_stats(df, min_docs=0)
+
+
+def test_remove_duplicate_lines_within_doc_repeat_kept(spark):
+    """A line repeated only WITHIN one document is not corpus boilerplate:
+    distinct-doc count is 1, both copies survive."""
+    from vastdb_sdk_spark.operators.dedup import remove_duplicate_lines
+
+    df = spark.createDataFrame(
+        [(1, "same\nmiddle\nsame"), (2, "other")],
+        "doc_id long, text string",
+    )
+    row = remove_duplicate_lines(df, min_docs=2).filter("doc_id = 1").first()
+    assert row["text_clean"] == "same\nmiddle\nsame"
+    assert row["n_lines_dropped"] == 0
+
+
+def test_rrf_fuse_hand_model(spark):
+    from vastdb_sdk_spark.operators.lm import rrf_fuse
+
+    l1 = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 5.0), (4, 1.0)], "doc_id long, score double"
+    )
+    l2 = spark.createDataFrame(
+        [(3, 0.9), (5, 0.8), (1, 0.7)], "doc_id long, score double"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([l1, l2], k=60).collect()}
+    # l1 ranks: 1->1, 2->2 (tie with 3 broken by id), 3->3, 4->4
+    # l2 ranks: 3->1, 5->2, 1->3
+    assert out[1]["rank_1"] == 1 and out[1]["rank_2"] == 3
+    assert out[2]["rank_1"] == 2 and out[2]["rank_2"] is None
+    assert out[3]["rank_1"] == 3 and out[3]["rank_2"] == 1
+    assert out[5]["rank_1"] is None and out[5]["rank_2"] == 2
+    assert abs(out[1]["rrf"] - (1 / 61 + 1 / 63)) < 1e-15
+    assert abs(out[3]["rrf"] - (1 / 63 + 1 / 61)) < 1e-15
+    assert abs(out[5]["rrf"] - 1 / 62) < 1e-15
+    # fusion order: 1 and 3 tie exactly (same term multiset) -> id breaks
+    ordered = [
+        r["doc_id"] for r in rrf_fuse([l1, l2], k=60, top_k=4).collect()
+    ]
+    # 1 and 3 tie exactly, id breaks; then 2 and 5 tie at 1/62, id breaks
+    assert ordered == [1, 3, 2, 5]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rrf_fuse([], k=60)
+    with _pt.raises(ValueError):
+        rrf_fuse([l1], k=0)

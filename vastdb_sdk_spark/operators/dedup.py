@@ -1014,3 +1014,204 @@ def tfidf_cosine_pairs(
         .agg(F.sum(F.col("__ua") * F.col("__ub")).alias("cosine"))
         .filter(F.col("cosine") >= F.lit(float(threshold)))
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level corpus dedup (RefinedWeb / C4 boilerplate removal)
+
+
+def line_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-frequency table of duplicated lines.
+
+    Splits every document on ``\\n`` and counts, per distinct line, how many
+    DISTINCT documents contain it. Lines that are blank after trimming never
+    participate (they are formatting, not boilerplate). Returns
+    ``(line_key, n_docs)`` for lines appearing in >= ``min_docs`` documents,
+    where ``line_key`` is the md5 of the exact line content.
+
+    Scale shape: one explode + one groupBy keyed by the md5 digest — a
+    uniformly distributed shuffle key, so the navbar/cookie-banner line that
+    appears in a billion documents is ONE group with a big count, not a hot
+    shuffle partition of a billion rows (count_distinct partial-aggregates
+    map-side on the (key, doc) pairs).
+    """
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("__pos", "__line"),
+    )
+    return (
+        lines.filter(F.trim(F.col("__line")) != "")
+        .groupBy(F.md5(F.col("__line")).alias("line_key"))
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= F.lit(int(min_docs)))
+    )
+
+
+def remove_duplicate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """RefinedWeb/C4-style line-level corpus dedup: drop every line that
+    appears (byte-identical) in >= ``min_docs`` distinct documents — the
+    navigation bars, cookie banners, and license footers that survive
+    document-level dedup because each HOST document is unique.
+
+    Semantics:
+    - documents split on ``\\n`` exactly; line content is compared verbatim
+      (no normalization — compose with ``normalize_text`` first if wanted);
+    - blank (whitespace-only) lines are always kept: they are structure,
+      and dropping them would reflow every paragraph;
+    - surviving lines are reassembled in original order with ``\\n``;
+    - a document whose every non-blank line was boilerplate comes back with
+      the blank skeleton (possibly the empty string), never a NULL row.
+
+    Returns the input frame plus ``out_col``, ``n_lines_kept`` and
+    ``n_lines_dropped``.
+
+    Plan: explode -> md5-keyed aggregate (the dup-line table is
+    distinct-lines-sized, NOT corpus-sized) -> left_anti join back on the
+    digest -> one groupBy(id) reassembly ordered by line position. Two
+    shuffles total, both on uniform hash keys; nothing is ever collected.
+    """
+    dup = line_dup_stats(df, text_col, id_col, min_docs).select("line_key")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("__pos", "__line"),
+    )
+    kept = lines.join(
+        dup, F.md5(F.col("__line")) == dup.line_key, "left_anti"
+    )
+    # array_sort on (pos, line) structs orders by the unique int pos; the
+    # per-doc reassembly is one shuffle keyed by the document id.
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__line")))
+                ),
+                lambda s: s["__line"],
+            ),
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    n_total = F.size(F.split(F.col(text_col), "\n", -1))
+    return (
+        df.join(reassembled, id_col, "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+        .withColumn("n_lines_kept", F.coalesce(F.col("n_lines_kept"), F.lit(0)))
+        .withColumn("n_lines_dropped", n_total - F.col("n_lines_kept"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# two-table MinHash fuzzy join (record linkage)
+
+
+def minhash_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_text: str = "text",
+    right_text: str = "text",
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Fuzzy JOIN between two tables on text similarity (record linkage /
+    cross-corpus contamination): emit ``(left_id, right_id, jaccard)`` for
+    every cross-table pair whose exact shingle-set Jaccard >= ``threshold``.
+
+    This is the two-table generalization of ``minhash_dedup_pairs``: both
+    sides get the SAME MinHash permutations and band split, candidates come
+    from an equi-join on (band_id, band_key) ACROSS the tables — |bucket_L|
+    x |bucket_R| per bucket, never |L| x |R| — and exact Jaccard is
+    recomputed for candidates only. Recall follows the usual banded-LSH
+    S-curve: a pair at Jaccard j survives with 1-(1-j^(h/b))^b; size
+    num_hashes/num_bands for the threshold you care about.
+
+    ``max_bucket_size`` caps PER-SIDE bucket membership (a boilerplate key
+    present a million times on each side is a 10^12-pair bomb); oversized
+    buckets are dropped from candidate generation, same contract as
+    ``lsh_candidate_pairs``.
+    """
+    if threshold <= 0 or threshold > 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sig_l = minhash_signatures(left, left_text, left_id, num_hashes, shingle_k, hash_fn)
+    sig_r = minhash_signatures(right, right_text, right_id, num_hashes, shingle_k, hash_fn)
+    bands_l = lsh_band_keys(sig_l, num_bands, left_id, hash_fn)
+    bands_r = lsh_band_keys(sig_r, num_bands, right_id, hash_fn)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window as W
+
+        wb = W.partitionBy("band_id", "band_key")
+        bands_l = (
+            bands_l.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+        bands_r = (
+            bands_r.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    cand = (
+        bands_l.alias("l")
+        .join(
+            bands_r.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key")),
+        )
+        .select(
+            F.col(f"l.{left_id}").alias("left_id"),
+            F.col(f"r.{right_id}").alias("right_id"),
+        )
+        .distinct()
+    )
+    # exact verify on candidates only; each side re-tokenizes just the
+    # documents that appear in a candidate (left-semi prune).
+    sh_l = (
+        left.join(
+            F.broadcast(cand.select(F.col("left_id").alias(left_id)).distinct()),
+            left_id,
+            "left_semi",
+        )
+        .select(F.col(left_id), tokens(F.col(left_text)).alias("__tk"))
+        .select(
+            F.col(left_id).alias("left_id"),
+            F.array_distinct(shingles_from_tokens(F.col("__tk"), shingle_k)).alias("__shl"),
+        )
+    )
+    sh_r = (
+        right.join(
+            F.broadcast(cand.select(F.col("right_id").alias(right_id)).distinct()),
+            right_id,
+            "left_semi",
+        )
+        .select(F.col(right_id), tokens(F.col(right_text)).alias("__tk"))
+        .select(
+            F.col(right_id).alias("right_id"),
+            F.array_distinct(shingles_from_tokens(F.col("__tk"), shingle_k)).alias("__shr"),
+        )
+    )
+    joined = cand.join(sh_l, "left_id").join(sh_r, "right_id")
+    inter = F.size(F.array_intersect("__shl", "__shr"))
+    union = F.size(F.array_union("__shl", "__shr"))
+    jac = inter / F.greatest(union, F.lit(1))
+    return joined.select(
+        "left_id", "right_id", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= F.lit(float(threshold)))

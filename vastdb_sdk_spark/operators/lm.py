@@ -856,3 +856,59 @@ def naive_bayes_classify(
     if min_margin > 0.0:
         out = out.filter(F.col("__margin") >= min_margin)
     return out
+
+
+def rrf_fuse(
+    lists: "list[DataFrame]",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k: int = 60,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) of N
+    ranked retrieval lists: rrf(d) = Σ_i 1/(k + rank_i(d)), summed over
+    the lists that contain d. The standard training-free fusion for
+    hybrid search (BM25 list + ANN list) — unlike score interpolation it
+    needs no per-signal normalization, because only RANKS enter.
+
+    Each input frame carries (id_col, score_col); rank within a list is
+    dense 1-based by score DESC with ascending-id tie-break, so the
+    fusion is fully deterministic. Ids absent from a list contribute
+    nothing for it (the usual convention).
+
+    Inputs are RETRIEVAL LISTS — top-N shortlists, not corpora — so each
+    per-list ranking is a single-partition window over ≤ N rows and the
+    fusion is a chain of tiny full-outer joins: the whole plan is
+    shortlist-sized regardless of corpus size (produce the lists with
+    TakeOrdered shapes like ``hybrid_topk`` does). The fused score is the
+    same left-to-right float sum on any engine: every term is 1/(k+r)
+    with integer r, so cross-engine doubles are bit-identical.
+
+    Returns (id_col, rank_1..rank_N nullable, rrf) ordered by rrf DESC,
+    id ASC; ``top_k`` truncates to the final cut.
+    """
+    from pyspark.sql import Window as W
+
+    if not lists:
+        raise ValueError("lists must be non-empty")
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    ranked = []
+    for i, df in enumerate(lists):
+        w = W.orderBy(F.desc(score_col), F.asc(id_col))
+        ranked.append(
+            df.select(
+                F.col(id_col),
+                F.row_number().over(w).alias(f"rank_{i + 1}"),
+            )
+        )
+    fused = ranked[0]
+    for nxt in ranked[1:]:
+        fused = fused.join(nxt, id_col, "full_outer")
+    score = F.lit(0.0)
+    for i in range(len(lists)):
+        score = score + F.coalesce(
+            F.lit(1.0) / (F.lit(int(k)) + F.col(f"rank_{i + 1}")), F.lit(0.0)
+        )
+    out = fused.withColumn("rrf", score).orderBy(F.desc("rrf"), F.asc(id_col))
+    return out.limit(int(top_k)) if top_k is not None else out
