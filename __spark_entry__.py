@@ -4472,6 +4472,43 @@ def q_tx_rrf_fusion(spark, sf):
     )
 
 
+def q_ann_pca_project(spark, sf):
+    """PCA embedding projection (operators/similarity.pca_fit +
+    pca_project — linear dimension reduction for the embedding tier;
+    distributed moment accumulation, d^2+d-double collect, driver eigh,
+    broadcast GEMM projection). The corpus is DETERMINISTIC exact-rank-3
+    data in coordinates 2/5/9 of the 64-dim space — a=(id*7)%13,
+    b=(id*11)%17, c=(id*3)%19 — plus a CONSTANT 4.0 on coordinate 0
+    that centering must annihilate. Because the centered data lies
+    exactly in the recovered top-3 subspace, the projected squared
+    distance of every row to row 0 is EXACTLY a^2+b^2+c^2 — an integer
+    the oracle computes with pure modular arithmetic (float noise ~1e-9
+    vs a 0.5 rounding margin: no knife edge). A broken mean removal,
+    basis recovery, or projection GEMM all shift the integers."""
+    from vastdb_sdk_spark.operators.similarity import pca_fit, pca_project
+
+    emb = _t(spark, sf, "embeddings")
+    a = (F.col("vec_id") * 7 % 13).cast("double")
+    b = (F.col("vec_id") * 11 % 17).cast("double")
+    c = (F.col("vec_id") * 3 % 19).cast("double")
+    coords = {0: F.lit(4.0), 2: a, 5: b, 9: c}
+    vec = F.array(*[coords.get(i, F.lit(0.0)) for i in range(64)])
+    df = emb.select("vec_id", vec.alias("embedding"))
+    model = pca_fit(df, k=3)
+    proj = pca_project(df, model)
+    p0 = proj.filter(F.col("vec_id") == 0).select(
+        F.col("pca").alias("__p0")
+    )
+    d2 = F.aggregate(
+        F.zip_with("pca", "__p0", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return proj.crossJoin(F.broadcast(p0)).select(
+        "vec_id", F.round(d2, 0).cast("long").alias("d2")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4597,6 +4634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_line_dedup": q_dd_line_dedup,
         "dd_minhash_join": q_dd_minhash_join,
         "tx_rrf_fusion": q_tx_rrf_fusion,
+        "ann_pca_project": q_ann_pca_project,
         "ds_train_test_split": q_ds_train_test_split,
         # Directly below: the four ANN gates whose oracles were ALSO
         # converted to planted-id form this round (ann_rhp_topk,
@@ -6056,6 +6094,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(sa.shd, sb.shd))
                   / greatest(len(sa.shd) + len(sb.shd)
                              - len(list_intersect(sa.shd, sb.shd)), 1) >= 0.8
+        """,
+        "ann_pca_project": """
+            -- exact planted ground truth: the centered corpus is rank 3,
+            -- so projected squared distance to row 0 is the integer
+            -- a^2+b^2+c^2 of the modular construction
+            SELECT vec_id,
+                   ((vec_id*7)%13)*((vec_id*7)%13)
+                   + ((vec_id*11)%17)*((vec_id*11)%17)
+                   + ((vec_id*3)%19)*((vec_id*3)%19) AS d2
+            FROM embeddings
         """,
         "tx_rrf_fusion": f"""
             WITH t AS (

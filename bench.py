@@ -166,6 +166,7 @@ HEADLINE = [
     "dd_line_dedup",
     "dd_minhash_join",
     "tx_rrf_fusion",
+    "ann_pca_project",
 ]
 
 

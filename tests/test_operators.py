@@ -985,3 +985,62 @@ def test_minhash_join_bucket_cap_and_validation(spark):
     assert capped.count() == 0  # every bucket oversized -> dropped
     with _pt.raises(ValueError):
         minhash_join(left, right, threshold=0.0)
+
+
+def test_pca_recovers_planted_subspace(spark):
+    import numpy as np
+    from vastdb_sdk_spark.operators.similarity import pca_fit, pca_project
+
+    # exact rank-2 corpus in coordinates 1 and 4 of an 8-dim space, plus a
+    # constant offset on coordinate 0 that centering must remove
+    rows = []
+    for i in range(40):
+        a, b = float((i * 7) % 13), float((i * 11) % 17)
+        v = [3.0, a, 0.0, 0.0, b, 0.0, 0.0, 0.0]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    model = pca_fit(df, k=2)
+    assert model["n"] == 40 and model["dim"] == 8
+    ev = model["explained_variance"]
+    assert ev[0] >= ev[1] > 1.0
+    # rank 2 exactly: the top-2 eigenvalues carry the whole trace
+    assert abs(sum(ev) - model["total_variance"]) < 1e-9
+    # components live in span(e1, e4): all other coords ~0
+    C = np.asarray(model["components"])
+    mask = np.ones(8, dtype=bool)
+    mask[[1, 4]] = False
+    assert np.abs(C[:, mask]).max() < 1e-9
+    # orthonormal, sign-fixed
+    assert np.allclose(C @ C.T, np.eye(2), atol=1e-12)
+    assert all(C[i, np.argmax(np.abs(C[i]))] > 0 for i in range(2))
+    # projection preserves pairwise distances exactly (data in-span)
+    proj = {
+        r["vec_id"]: np.asarray(r["pca"])
+        for r in pca_project(df, model).collect()
+    }
+    for i in (1, 7, 23):
+        a, b = float((i * 7) % 13), float((i * 11) % 17)
+        true_d2 = a * a + b * b  # distance to row 0 (a=b=0)
+        got_d2 = float(((proj[i] - proj[0]) ** 2).sum())
+        assert abs(got_d2 - true_d2) < 1e-8
+
+
+def test_pca_validation_and_model_shape(spark):
+    import pytest as _pt
+    from vastdb_sdk_spark.operators.similarity import pca_fit, pca_project
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    with _pt.raises(ValueError):
+        pca_fit(df, k=0)
+    with _pt.raises(ValueError):
+        pca_fit(df, k=3)  # k > dim
+    with _pt.raises(ValueError):
+        pca_fit(df.filter("vec_id < 0"), k=1)  # empty input
+    model = pca_fit(df, k=2)
+    with _pt.raises(ValueError):
+        pca_project(df, {"mean": model["mean"], "components": [[1.0]]})
+    out = pca_project(df, model)
+    assert out.columns == ["vec_id", "embedding", "pca"]
+    assert len(out.first()["pca"]) == 2

@@ -1387,3 +1387,157 @@ def matryoshka_topk(
             F.col("__cos_f").alias("cos_full"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA projection (linear dimension reduction for the embedding tier)
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> dict:
+    """Fit a PCA model over an embedding column — the classic linear
+    dimension reduction before clustering / visualization / cheap ANN
+    (complementary to ``truncate_embeddings``: Matryoshka needs a model
+    TRAINED for prefix truncation; PCA builds the optimal linear basis
+    for any fixed embedding).
+
+    Distributed moment accumulation, driver-side eigendecomposition:
+
+    1. one ``mapInPandas`` pass emits PER-PARTITION partial moments
+       ``(n, sum, gram)`` — a single float64 GEMM per Arrow batch;
+    2. the partials reduce DISTRIBUTEDLY (posexplode + groupBy(pos) sum),
+       so the driver collects exactly ``d^2 + d`` doubles no matter how
+       many partitions the corpus has — never one row per partition;
+    3. the d x d covariance ``gram/n - mean mean^T`` is eigendecomposed
+       on the driver (d is embedding width, <= a few thousand; the
+       eigh of a 1024^2 matrix is milliseconds).
+
+    Returns a plain-dict model: ``mean`` (d), ``components`` (k x d rows =
+    top eigenvectors, each sign-fixed so its largest-|.| entry is
+    positive), ``explained_variance`` (k, descending), ``total_variance``
+    (trace), ``n``, ``dim``. Population covariance (divisor n) — the
+    basis and all projections are divisor-invariant.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    part_schema = StructType(
+        [
+            StructField("n", LongType(), False),
+            StructField("m", ArrayType(DoubleType()), False),
+        ]
+    )
+
+    def partial_batches(batches):
+        import pandas as pd
+
+        n = 0
+        s = None
+        g = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 0]]
+            )
+            n += len(X)
+            s = X.sum(axis=0) if s is None else s + X.sum(axis=0)
+            g = X.T @ X if g is None else g + X.T @ X
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "m": [np.concatenate([s, g.ravel()]).tolist()]}
+            )
+
+    partials = df.select(vec_col).mapInPandas(partial_batches, schema=part_schema)
+    reduced = (
+        partials.select(
+            "n", F.posexplode("m").alias("pos", "v")
+        )
+        .groupBy("pos")
+        .agg(F.sum("v").alias("v"), F.sum(F.when(F.col("pos") == 0, F.col("n"))).alias("n"))
+        .collect()
+    )
+    if not reduced:
+        raise ValueError("pca_fit: input has no rows")
+    moments = np.empty(len(reduced), dtype=np.float64)
+    n_rows = 0
+    for r in reduced:
+        moments[r["pos"]] = r["v"]
+        if r["pos"] == 0:
+            n_rows = int(r["n"])
+    d = int((-1 + (1 + 4 * len(moments)) ** 0.5) / 2)
+    if d * (d + 1) != len(moments):
+        raise ValueError(f"pca_fit: inconsistent moment length {len(moments)}")
+    if k > d:
+        raise ValueError(f"k={k} exceeds embedding dim {d}")
+    s = moments[:d]
+    g = moments[d:].reshape(d, d)
+    mean = s / n_rows
+    cov = g / n_rows - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # k x d
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "explained_variance": [float(evals[o]) for o in order],
+        "total_variance": float(np.trace(cov)),
+        "n": n_rows,
+        "dim": d,
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project an embedding column onto a fitted PCA basis: appends
+    ``out_col`` = (x - mean) @ components^T as ``array<double>`` (length
+    k), all other columns preserved. Broadcast-variable model +
+    Arrow-batched ``mapInPandas`` — one GEMM per batch, zero shuffle,
+    O(1) plan size (the ``pq_encode`` discipline)."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    comps = np.asarray(model["components"], dtype=np.float64)
+    if comps.ndim != 2 or comps.shape[1] != mean.shape[0]:
+        raise ValueError("pca_project: malformed model")
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((mean, comps))
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, ArrayType(DoubleType()), False)]
+    )
+    cols = [f.name for f in df.schema.fields]
+    vpos = cols.index(vec_col)
+
+    def project_batches(batches):
+        mu, C = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, vpos]]
+            )
+            P = (X - mu[None, :]) @ C.T
+            out = pdf.copy()
+            out[out_col] = [row.tolist() for row in P]
+            yield out
+
+    return df.mapInPandas(project_batches, schema=out_schema)
