@@ -4509,6 +4509,61 @@ def q_ann_pca_project(spark, sf):
     )
 
 
+def q_ds_token_budget(spark, sf):
+    """Token-budget mix construction (operators/sampling.
+    sample_to_token_budget — the "take N tokens of web, M of code" step
+    every pretraining recipe ends with): six sources get budgets
+    spanning the regimes (tiny=1 token keeps exactly one doc, 0 drops
+    the source, huge keeps everything, mid-range cuts at the crossing
+    doc); unbudgeted sources are dropped. Selection is the md5(id)-order
+    prefix with cumulative-before < budget (the crosser is kept), so
+    the survivor set is a pure integer/hash computation the oracle
+    replays with the identical window. One cumsum window per source —
+    a single shuffle keyed by source."""
+    from vastdb_sdk_spark.operators.sampling import sample_to_token_budget
+
+    d = _t(spark, sf, "documents")
+    d = d.select(
+        "doc_id", "source", F.size(_tokens(F.col("text"))).alias("n_tokens")
+    )
+    budgets = {
+        "src0": 800,
+        "src3": 400,
+        "src5": 1,
+        "src7": 10_000_000,
+        "src12": 0,
+        "src19": 500,
+    }
+    return sample_to_token_budget(d, budgets).select(
+        "doc_id", "source", "n_tokens"
+    )
+
+
+def q_tx_kl_drift(spark, sf):
+    """Corpus-drift diagnostic (operators/lm.kl_drift_terms): even-id
+    docs (with a deterministic ' driftmarker xq' suffix) vs odd-id docs;
+    the top-40 terms by KL contribution p_A ln(p_A/p_B) over the
+    add-one-smoothed union vocabulary. Every ln() input is a ratio of
+    exact integers (the nb_train discipline) so per-term doubles are
+    bit-identical cross-engine; the planted driftmarker/xq terms must
+    surface at the top. One word-count shuffle per side + a
+    vocabulary-sized full-outer join + TakeOrdered(40)."""
+    from vastdb_sdk_spark.operators.lm import kl_drift_terms
+
+    d = _t(spark, sf, "documents")
+    a = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.concat(F.col("text"), F.lit(" driftmarker xq")).alias("text")
+    )
+    b = d.filter(F.col("doc_id") % 2 == 1).select("text")
+    out = kl_drift_terms(a, b, top_k=40)
+    return out.select(
+        "term",
+        "count_a",
+        "count_b",
+        F.round("contribution", 12).alias("contribution"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4635,6 +4690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_join": q_dd_minhash_join,
         "tx_rrf_fusion": q_tx_rrf_fusion,
         "ann_pca_project": q_ann_pca_project,
+        "ds_token_budget": q_ds_token_budget,
+        "tx_kl_drift": q_tx_kl_drift,
         "ds_train_test_split": q_ds_train_test_split,
         # Directly below: the four ANN gates whose oracles were ALSO
         # converted to planted-id form this round (ann_rhp_topk,
@@ -6104,6 +6161,64 @@ def oracle_sql() -> dict[str, str]:
                    + ((vec_id*11)%17)*((vec_id*11)%17)
                    + ((vec_id*3)%19)*((vec_id*3)%19) AS d2
             FROM embeddings
+        """,
+        "ds_token_budget": f"""
+            WITH d AS (
+                SELECT doc_id, source,
+                       len({_SQL_TOKENS.format(c="text")}) AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, source, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS before
+                FROM d
+            )
+            SELECT doc_id, source, n_tokens
+            FROM c
+            WHERE CASE source
+                    WHEN 'src0'  THEN before < 800
+                    WHEN 'src3'  THEN before < 400
+                    WHEN 'src5'  THEN before < 1
+                    WHEN 'src7'  THEN before < 10000000
+                    WHEN 'src12' THEN before < 0
+                    WHEN 'src19' THEN before < 500
+                    ELSE FALSE
+                  END
+        """,
+        "tx_kl_drift": f"""
+            WITH a_terms AS (
+                SELECT unnest({_SQL_TOKENS.format(c="text || ' driftmarker xq'")}) AS term
+                FROM documents WHERE doc_id % 2 = 0
+            ), b_terms AS (
+                SELECT unnest({_SQL_TOKENS.format(c="text")}) AS term
+                FROM documents WHERE doc_id % 2 = 1
+            ), ca AS (
+                SELECT term, COUNT(*) AS count_a FROM a_terms GROUP BY term
+            ), cb AS (
+                SELECT term, COUNT(*) AS count_b FROM b_terms GROUP BY term
+            ), vocab AS (
+                SELECT COALESCE(ca.term, cb.term) AS term,
+                       COALESCE(count_a, 0) AS count_a,
+                       COALESCE(count_b, 0) AS count_b
+                FROM ca FULL OUTER JOIN cb ON ca.term = cb.term
+            ), s AS (
+                SELECT SUM(count_a) AS na, SUM(count_b) AS nb, COUNT(*) AS v
+                FROM vocab
+            )
+            SELECT term, count_a, count_b,
+                   ROUND(((count_a + 1) / (s.na + s.v))
+                         * ln(((count_a + 1) / (s.na + s.v))
+                              / ((count_b + 1) / (s.nb + s.v))), 12)
+                       AS contribution
+            FROM vocab CROSS JOIN s
+            ORDER BY ((count_a + 1) / (s.na + s.v))
+                     * ln(((count_a + 1) / (s.na + s.v))
+                          / ((count_b + 1) / (s.nb + s.v))) DESC,
+                     term ASC
+            LIMIT 40
         """,
         "tx_rrf_fusion": f"""
             WITH t AS (

@@ -167,6 +167,8 @@ HEADLINE = [
     "dd_minhash_join",
     "tx_rrf_fusion",
     "ann_pca_project",
+    "ds_token_budget",
+    "tx_kl_drift",
 ]
 
 

@@ -1813,3 +1813,33 @@ def test_rrf_fuse_hand_model(spark):
         rrf_fuse([], k=60)
     with _pt.raises(ValueError):
         rrf_fuse([l1], k=0)
+
+
+def test_kl_drift_terms_hand_model(spark):
+    import math
+    from vastdb_sdk_spark.operators.lm import kl_drift_terms
+
+    a = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "cat fish")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(3, "dog dog fish"), (4, "dog bird")], "doc_id long, text string"
+    )
+    out = kl_drift_terms(a, b, top_k=10).collect()
+    rows = {r["term"]: r for r in out}
+    # union vocab {cat,dog,fish,bird}: V=4, Na=5, Nb=5
+    def contrib(ca, cb):
+        pa, pb = (ca + 1) / 9, (cb + 1) / 9
+        return pa * math.log(pa / pb)
+
+    assert (rows["cat"]["count_a"], rows["cat"]["count_b"]) == (3, 0)
+    assert abs(rows["cat"]["contribution"] - contrib(3, 0)) < 1e-15
+    assert (rows["bird"]["count_a"], rows["bird"]["count_b"]) == (0, 1)
+    assert abs(rows["dog"]["contribution"] - contrib(1, 3)) < 1e-15
+    # ordering: cat (overrepresented in A) first, dog (under) last of the 4
+    assert [r["term"] for r in out][0] == "cat"
+    assert [r["term"] for r in out][-1] == "dog"
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        kl_drift_terms(a, b, top_k=0)

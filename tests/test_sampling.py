@@ -284,3 +284,40 @@ def test_dsir_select_prefers_high_weight_and_is_deterministic(spark):
 
     with _pytest.raises(ValueError, match="k=0"):
         dsir_select(d, target, k=0)
+
+
+def test_sample_to_token_budget_floor_semantics(spark):
+    from vastdb_sdk_spark.operators.sampling import sample_to_token_budget
+    import hashlib
+
+    rows = [(i, "web" if i < 8 else "code", 10) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = sample_to_token_budget(
+        df, {"web": 25, "code": 40}, tokens_col="n_tokens"
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # floor semantics: cumulative-before < budget keeps the crosser ->
+    # web keeps 3 docs (0,10,20 before-values), code keeps all 4 (40 > 30 total)
+    assert len(by_src["web"]) == 3
+    assert sorted(by_src["code"]) == [8, 9, 10, 11]
+    # the web selection is the md5-order prefix, reproducible by hand
+    web_order = sorted(range(8), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    assert sorted(by_src["web"]) == sorted(web_order[:3])
+    # determinism + keep_col variant agree
+    marked = sample_to_token_budget(
+        df, {"web": 25, "code": 40}, tokens_col="n_tokens", keep_col="keep"
+    ).collect()
+    assert {r["doc_id"] for r in marked if r["keep"]} == {r["doc_id"] for r in out}
+    # absent group dropped; zero budget drops the group
+    none_code = sample_to_token_budget(df, {"web": 25}).collect()
+    assert {r["source"] for r in none_code} == {"web"}
+    zero = sample_to_token_budget(df, {"web": 0, "code": 1}).collect()
+    assert {r["source"] for r in zero} == {"code"} and len(zero) == 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sample_to_token_budget(df, {})
+    with _pt.raises(ValueError):
+        sample_to_token_budget(df, {"web": -1})

@@ -912,3 +912,67 @@ def rrf_fuse(
         )
     out = fused.withColumn("rrf", score).orderBy(F.desc("rrf"), F.asc(id_col))
     return out.limit(int(top_k)) if top_k is not None else out
+
+
+def kl_drift_terms(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    alpha_smooth: bool = True,
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus-drift diagnostic: the terms contributing most to
+    KL(P_A || P_B), where P_A / P_B are add-one-smoothed unigram
+    distributions over the UNION vocabulary — the standard check that a
+    new crawl snapshot / filtered mix still looks like the reference
+    corpus, and WHICH terms moved when it doesn't.
+
+    contribution(t) = p_A(t) * ln(p_A(t) / p_B(t)),
+    p(t) = (count_t + 1) / (N + V)  (V = union vocabulary size).
+
+    Every ln() input is a ratio of exact integers, so per-term doubles
+    are bit-identical cross-engine (the nb_train discipline). The TOTAL
+    KL is deliberately NOT emitted: a vocabulary-sized float sum has no
+    deterministic addition order on any distributed engine — and the
+    per-term view is the actionable artifact anyway (rank by what
+    drifted). Returns top_k rows (term, count_a, count_b, contribution)
+    by contribution DESC (terms overrepresented in A first), term ASC
+    tie-break.
+
+    Plan: one word-count shuffle per side, a full-outer join on the
+    term (vocabulary-sized, uniform key), 1-row totals broadcast, then
+    TakeOrdered(top_k). No corpus-sized intermediate beyond the two
+    counts."""
+    if top_k < 1:
+        raise ValueError(f"top_k={top_k} must be >= 1")
+    if not alpha_smooth:
+        raise ValueError("only add-one smoothing is supported (alpha_smooth=True)")
+
+    def counts(df):
+        return (
+            df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    ca = counts(df_a).withColumnRenamed("c", "count_a")
+    cb = counts(df_b).withColumnRenamed("c", "count_b")
+    vocab = ca.join(cb, "term", "full_outer").select(
+        "term",
+        F.coalesce("count_a", F.lit(0)).alias("count_a"),
+        F.coalesce("count_b", F.lit(0)).alias("count_b"),
+    )
+    totals = vocab.groupBy().agg(
+        F.sum("count_a").alias("__na"),
+        F.sum("count_b").alias("__nb"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    j = vocab.crossJoin(F.broadcast(totals))
+    pa = (F.col("count_a") + F.lit(1)) / (F.col("__na") + F.col("__v"))
+    pb = (F.col("count_b") + F.lit(1)) / (F.col("__nb") + F.col("__v"))
+    contrib = pa * F.log(pa / pb)
+    return (
+        j.select("term", "count_a", "count_b", contrib.alias("contribution"))
+        .orderBy(F.desc("contribution"), F.asc("term"))
+        .limit(int(top_k))
+    )

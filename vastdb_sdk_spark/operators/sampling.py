@@ -676,3 +676,62 @@ def chunk_by_sentences(
         )
         .withColumnRenamed("__chunk", "chunk_id")
     )
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    budgets: dict,
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Build a pretraining mix by PER-SOURCE TOKEN budgets: for each group,
+    keep documents in deterministic md5(id) order until the group's
+    cumulative token count reaches its budget — the "sample N billion
+    tokens of web, M billion of code" step every LLM data recipe ends
+    with. Budgets are counted in ``tokens_col`` units (precompute with
+    ``functions.text.tokens`` size or a tokenizer pass).
+
+    Keep rule: a document survives iff the cumulative tokens of all
+    hash-earlier documents in its group is STRICTLY below the budget —
+    so the document that crosses the line is included (budgets are
+    floors of the "at least this many tokens" kind, the usual mix
+    convention) and every later one is cut. Groups absent from
+    ``budgets`` are dropped entirely; a budget of 0 drops the group.
+
+    Determinism: same corpus -> same sample, and inserting unrelated
+    documents displaces the selection only by hash order. Plan: one
+    cumulative-sum window per group (single shuffle on group_col); the
+    running sum is computed map-side per partition after the sort, and
+    group cardinality bounds nothing — a group is one ordered pass.
+    """
+    if not budgets:
+        raise ValueError("budgets must be non-empty")
+    for g, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {g!r} must be >= 0, got {b}")
+    h = F.md5(F.col(id_col).cast("string"))
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    before = F.coalesce(
+        F.sum(F.col(tokens_col)).over(w).cast("long"), F.lit(0)
+    )
+    budget = None
+    for g, b in budgets.items():
+        cond = F.lit(int(b))
+        budget = (
+            F.when(F.col(group_col) == F.lit(g), cond)
+            if budget is None
+            else budget.when(F.col(group_col) == F.lit(g), cond)
+        )
+    budget = budget.otherwise(F.lit(-1))
+    keep = (budget >= 0) & (before < budget)
+    if keep_col is not None:
+        return df.withColumn(keep_col, keep)
+    return (
+        df.withColumn("__keep", keep).filter(F.col("__keep")).drop("__keep")
+    )
