@@ -4564,6 +4564,20 @@ def q_tx_kl_drift(spark, sf):
     )
 
 
+def q_ds_shard_assign(spark, sf):
+    """Deterministic training-export sharding (operators/sampling.
+    assign_shards): shard = Knuth-fold bucket of the id (sources
+    interleave), pos = md5-rank within the shard — the reproducible
+    well-mixed order every pretraining export needs (resume from step k,
+    bisect a data bug). Both columns are pure functions of the id, so
+    the oracle replays them with the identical integer arithmetic and
+    window. One uniform-key shuffle."""
+    from vastdb_sdk_spark.operators.sampling import assign_shards
+
+    d = _t(spark, sf, "documents")
+    return assign_shards(d.select("doc_id"), 8)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4692,6 +4706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pca_project": q_ann_pca_project,
         "ds_token_budget": q_ds_token_budget,
         "tx_kl_drift": q_tx_kl_drift,
+        "ds_shard_assign": q_ds_shard_assign,
         "ds_train_test_split": q_ds_train_test_split,
         # Directly below: the four ANN gates whose oracles were ALSO
         # converted to planted-id form this round (ann_rhp_topk,
@@ -6219,6 +6234,16 @@ def oracle_sql() -> dict[str, str]:
                           / ((count_b + 1) / (s.nb + s.v))) DESC,
                      term ASC
             LIMIT 40
+        """,
+        "ds_shard_assign": """
+            SELECT doc_id,
+                   CAST(((doc_id % 3037000493) * 2654435761) % 8 AS INTEGER)
+                       AS shard,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY ((doc_id % 3037000493) * 2654435761) % 8
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                   ) - 1 AS BIGINT) AS pos
+            FROM documents
         """,
         "tx_rrf_fusion": f"""
             WITH t AS (

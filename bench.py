@@ -169,6 +169,7 @@ HEADLINE = [
     "ann_pca_project",
     "ds_token_budget",
     "tx_kl_drift",
+    "ds_shard_assign",
 ]
 
 

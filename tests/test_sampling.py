@@ -321,3 +321,39 @@ def test_sample_to_token_budget_floor_semantics(spark):
         sample_to_token_budget(df, {})
     with _pt.raises(ValueError):
         sample_to_token_budget(df, {"web": -1})
+
+
+def test_assign_shards_deterministic_order(spark):
+    import hashlib
+    from vastdb_sdk_spark.operators.sampling import assign_shards
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(40)], "doc_id long, text string"
+    )
+    out = assign_shards(df, 4).collect()
+    # shard is the Knuth fold, pos is the md5 rank within the shard —
+    # replay both by hand
+    def shard_of(i):
+        return ((i % 3037000493) * 2654435761) % 4
+
+    by_shard = {}
+    for r in out:
+        assert r["shard"] == shard_of(r["doc_id"])
+        by_shard.setdefault(r["shard"], []).append(r)
+    for sh, rows in by_shard.items():
+        rows.sort(key=lambda r: r["pos"])
+        expect = sorted(
+            (r["doc_id"] for r in rows),
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )
+        assert [r["doc_id"] for r in rows] == expect
+        assert [r["pos"] for r in rows] == list(range(len(rows)))
+    # re-run identical; repartitioning does not change the assignment
+    again = assign_shards(df.repartition(7), 4).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in again} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in out
+    }
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        assign_shards(df, 0)

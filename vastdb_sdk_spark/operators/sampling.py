@@ -735,3 +735,38 @@ def sample_to_token_budget(
     return (
         df.withColumn("__keep", keep).filter(F.col("__keep")).drop("__keep")
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    num_shards: int,
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic shard assignment + within-shard order for a training
+    export: every pretraining run shards the corpus into N files and needs
+    the SAME well-mixed document order on every re-export (resume from
+    step k, reproduce a loss curve, bisect a data bug). ``shard`` is the
+    Knuth-fold hash bucket of the id (so sources/domains interleave
+    rather than cluster), ``pos`` is the 0-based rank of md5(id) within
+    the shard — two INDEPENDENT hashes, so within-shard order does not
+    correlate with shard choice.
+
+    Determinism: both columns are pure functions of the id — same corpus,
+    same layout, any partitioning, any engine. Adding documents never
+    reorders existing (shard, pos) pairs relative to each other.
+
+    Plan: one row_number window per shard partition — a single shuffle on
+    the shard key, which is uniform by construction (no skew); writers
+    then ``repartition(shard).sortWithinPartitions(pos)`` for the export.
+    """
+    if num_shards < 1:
+        raise ValueError(f"num_shards={num_shards} must be >= 1")
+    shard = hash_bucket(F.col(id_col), num_shards)
+    w = W.partitionBy(shard).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return df.withColumn(shard_col, shard.cast("int")).withColumn(
+        pos_col, (F.row_number().over(w) - 1).cast("long")
+    )
