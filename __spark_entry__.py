@@ -4653,16 +4653,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_stratified_sample": q_ds_stratified_sample,
         "e18_refresh_incremental": q_e18_refresh_incremental,
         # ---- window boundary (driver gates the 50 entries above) --------
-        # Directly below: the 34 queries ADDED LATE in round 9 (never
+        # Directly below: the 41 queries ADDED LATE in round 9 (never
         # driver-gated — each locally verified green at sf0.01 AND sf0.1
         # via tools/check_correctness.py) lead the round-10 window. They
-        # comprise two cohorts in registry order: the mid-round additions
-        # (tx_tfidf_topterms .. w11_retention_cohorts) and the session-2
-        # tier (e22-e24 matviews, NB train/classify, ts gapfill/anomaly,
-        # weighted sample, el6 bloom, DSIR, sentences x2, matryoshka,
-        # url canon, html strip). ds_train_test_split (round-6 green)
-        # follows, then the four planted-converted ANN gates and the
-        # round-7 greens fill whatever window room round 10 has left.
+        # comprise three cohorts in registry order: the mid-round
+        # additions (tx_tfidf_topterms .. w11_retention_cohorts), the
+        # session-3 tier (dd_line_dedup, dd_minhash_join, tx_rrf_fusion,
+        # ann_pca_project, ds_token_budget, tx_kl_drift, ds_shard_assign
+        # — inserted just below), and the session-2 tier (e22-e24
+        # matviews, NB train/classify, ts gapfill/anomaly, weighted
+        # sample, el6 bloom, DSIR, sentences x2, matryoshka, url canon,
+        # html strip). ds_train_test_split (round-6 green) follows, then
+        # the four planted-converted ANN gates and the round-7 greens
+        # fill whatever window room round 10 has left.
         "tx_tfidf_topterms": q_tx_tfidf_topterms,
         "ds_domain_caps": q_ds_domain_caps,
         "ds_cluster_assign": q_ds_cluster_assign,
