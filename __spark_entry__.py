@@ -4578,6 +4578,84 @@ def q_ds_shard_assign(spark, sf):
     return assign_shards(d.select("doc_id"), 8)
 
 
+def q_e25_sig_sync(spark, sf):
+    """Batch dedup-index lifecycle (sources/replicate.
+    sync_minhash_signatures over sync_derived_rows): documents imported,
+    the banded MinHash signature table fully built, then churn —
+    DELETE WHERE doc_id%7=0, UPDATE doc 3's text, INSERT doc 9001 —
+    folded by a second sync that must run INCREMENTALLY (churn-bounded:
+    one matched-delete MERGE on affected keys + re-derive of final
+    images; a full-rebuild fallback appends a gate-breaking sentinel).
+    The md5 hash path makes the whole index SQL-reproducible: the
+    oracle rebuilds the post-churn corpus and replays signatures and
+    band keys via the shared _mh_lsh_chain_sql — a maintained index
+    that drifted from the from-scratch derivation fails id-for-id."""
+    import tempfile
+
+    import pyarrow as pa
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark import _ as D
+    from vastdb_sdk_spark.sources import create_table_from_files
+    from vastdb_sdk_spark.sources.replicate import sync_minhash_signatures
+
+    session = vastdb.connect(tempfile.mkdtemp(prefix="entry_sig_"), spark=spark)
+    session.create_bucket("b")
+    with session.transaction() as tx:
+        sc = tx.bucket("b").create_schema("s")
+        create_table_from_files(sc, "docs", [f"{sf}/documents.parquet"])
+        sc.create_table(
+            "sig",
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("band_id", pa.int32()),
+                    ("band_key", pa.string()),
+                ]
+            ),
+        )
+
+    def _tables(tx):
+        return tx.bucket("b").schema("s").table("docs"), tx.bucket(
+            "b"
+        ).schema("s").table("sig")
+
+    with session.transaction() as tx:
+        docs, sig = _tables(tx)
+        sync_minhash_signatures(docs, sig, hash_fn="md5")
+    with session.transaction() as tx:
+        docs, _ = _tables(tx)
+        docs.delete_where(D.doc_id % 7 == 0)
+        docs.update_where(
+            D.doc_id == 3, {"text": "entirely new rewritten body"}
+        )
+        docs.insert(
+            pa.table(
+                {
+                    "doc_id": pa.array([9001], pa.int64()),
+                    "text": pa.array(["fresh document appended after sync"]),
+                    "lang": pa.array(["en"]),
+                    "source": pa.array(["srcX"]),
+                    "n_chars": pa.array([34], pa.int64()),
+                }
+            )
+        )
+    with session.transaction() as tx:
+        docs, sig = _tables(tx)
+        r = sync_minhash_signatures(docs, sig, hash_fn="md5")
+    tx = session.transaction()
+    _, sig = _tables(tx)
+    out = sig.select_df(columns=["doc_id", "band_id", "band_key"])
+    if r["mode"] != "incremental":
+        out = out.unionByName(
+            spark.createDataFrame(
+                [(-999999, -1, "SENTINEL: sync was not incremental")],
+                "doc_id long, band_id int, band_key string",
+            )
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4710,6 +4788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_token_budget": q_ds_token_budget,
         "tx_kl_drift": q_tx_kl_drift,
         "ds_shard_assign": q_ds_shard_assign,
+        "e25_sig_sync": q_e25_sig_sync,
         "ds_train_test_split": q_ds_train_test_split,
         # Directly below: the four ANN gates whose oracles were ALSO
         # converted to planted-id form this round (ann_rhp_topk,
@@ -6247,6 +6326,19 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
                    ) - 1 AS BIGINT) AS pos
             FROM documents
+        """,
+        "e25_sig_sync": f"""
+            WITH corpus AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id = 3
+                            THEN 'entirely new rewritten body'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT 9001 AS doc_id,
+                       'fresh document appended after sync' AS text
+            ), {_mh_lsh_chain_sql('x', 'corpus', 'doc_id', 'text')}
+            SELECT id AS doc_id, band_id, band_key FROM bands_x
         """,
         "tx_rrf_fusion": f"""
             WITH t AS (

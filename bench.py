@@ -170,6 +170,7 @@ HEADLINE = [
     "ds_token_budget",
     "tx_kl_drift",
     "ds_shard_assign",
+    "e25_sig_sync",
 ]
 
 

@@ -164,3 +164,109 @@ def test_sync_sql_verb(clean_schema):
     with session.transaction() as tx:
         src, dst = _tables(tx)
         assert _rows(src) == _rows(dst)
+
+
+# ---------------------------------------------------------------------------
+# sync_derived_rows / sync_minhash_signatures (batch dedup-index lifecycle)
+
+
+def _sig_pair(clean_schema):
+    with clean_schema.transaction() as tx:
+        sc = tx.bucket("bkt").schema("s")
+        create_table_from_files(sc, "src", [f"{SF}/documents.parquet"])
+        sc.create_table(
+            "sig",
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("band_id", pa.int32()),
+                    ("band_key", pa.int64()),
+                ]
+            ),
+        )
+    return clean_schema
+
+
+def _sig_tables(tx):
+    return (
+        tx.bucket("bkt").schema("s").table("src"),
+        tx.bucket("bkt").schema("s").table("sig"),
+    )
+
+
+def _expected_bands(spark_df):
+    from vastdb_sdk_spark.operators.dedup import lsh_band_keys, minhash_signatures
+
+    return lsh_band_keys(
+        minhash_signatures(spark_df, "text", "doc_id", 16, 3, "xxhash64"),
+        4,
+        "doc_id",
+        "xxhash64",
+    )
+
+
+def test_sync_minhash_signatures_full_then_churn(clean_schema):
+    from vastdb_sdk_spark.sources.replicate import sync_minhash_signatures
+
+    session = _sig_pair(clean_schema)
+    with session.transaction() as tx:
+        src, sig = _sig_tables(tx)
+        r = sync_minhash_signatures(src, sig)
+        assert r["mode"] == "full" and r["inserted_rows"] == 4 * 500
+    with session.transaction() as tx:
+        src, sig = _sig_tables(tx)
+        assert _rows(sig) == sorted(
+            tuple(x) for x in _expected_bands(src.select_df()).collect()
+        )
+        v_synced = r["to_version"]
+    # churn: delete some docs, rewrite one text, insert a new doc
+    with session.transaction() as tx:
+        src, _ = _sig_tables(tx)
+        src.delete_where(D.doc_id % 7 == 0)
+        src.update_where(D.doc_id == 3, {"text": "entirely new rewritten body"})
+        src.insert(
+            pa.table(
+                {
+                    "doc_id": pa.array([9001], pa.int64()),
+                    "text": pa.array(["fresh document appended after sync"]),
+                    "lang": pa.array(["en"]),
+                    "source": pa.array(["srcX"]),
+                    "n_chars": pa.array([34], pa.int64()),
+                }
+            )
+        )
+    with session.transaction() as tx:
+        src, sig = _sig_tables(tx)
+        r2 = sync_minhash_signatures(src, sig)
+        assert r2["mode"] == "incremental"
+        assert r2["from_version"] == v_synced
+        assert r2["deleted_keys"] > 0 and r2["recomputed_keys"] >= 2
+    with session.transaction() as tx:
+        src, sig = _sig_tables(tx)
+        # the maintained index equals a from-scratch derivation
+        assert _rows(sig) == sorted(
+            tuple(x) for x in _expected_bands(src.select_df()).collect()
+        )
+    # replaying the already-applied span is a no-op state-wise
+    with session.transaction() as tx:
+        src, sig = _sig_tables(tx)
+        before = _rows(sig)
+        r3 = sync_minhash_signatures(src, sig, from_version=r2["from_version"])
+        assert r3["mode"] == "incremental"
+        assert _rows(sig) == before
+    # cursor makes the default call a no-op
+    with session.transaction() as tx:
+        src, sig = _sig_tables(tx)
+        assert sync_minhash_signatures(src, sig)["mode"] == "noop"
+
+
+def test_sync_derived_rows_validation(clean_schema):
+    from vastdb_sdk_spark.sources.replicate import sync_derived_rows
+
+    session = _sig_pair(clean_schema)
+    with session.transaction() as tx:
+        src, sig = _sig_tables(tx)
+        with pytest.raises(InvalidArgument):
+            sync_derived_rows(src, sig, [], lambda d: d)
+        with pytest.raises(InvalidArgument):
+            sync_derived_rows(src, sig, ["nope"], lambda d: d)

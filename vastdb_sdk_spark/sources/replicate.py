@@ -115,3 +115,146 @@ def sync_table(
         "upserts": res.get("updated", 0) + res.get("inserted", 0),
         "deletes": res.get("deleted", 0),
     }
+
+
+def sync_derived_rows(
+    src,
+    dst,
+    key_cols: list[str],
+    derive,
+    from_version: int | None = None,
+) -> dict:
+    """Feed-driven maintenance of a DERIVED table: keep ``dst`` equal to
+    ``derive(src rows)`` where ``derive`` is a per-row (possibly
+    row-multiplying) transform that preserves ``key_cols`` — MinHash/LSH
+    band signatures, per-document features, chunk expansions. The dedup
+    index lifecycle in batch form: after DML on the corpus, the
+    signature table catches up at CHURN cost, never corpus cost.
+
+    Per-key net effect over the span ``from_version -> now``: keys with a
+    final image get their derived rows RECOMPUTED (all old rows for the
+    key deleted, ``derive`` of the post-image inserted — updates can
+    change the derived row COUNT, so recompute-not-merge is the only
+    correct shape); keys gone from the source lose their derived rows.
+    Replaying an already-applied span recomputes identical rows —
+    idempotent, same discipline as ``sync_table``.
+
+    ``from_version=None`` resumes from the recorded cursor; ``0`` forces
+    a full rebuild (dst cleared, every source row re-derived). The
+    cursor rides the stream-offset mechanism, atomic with the data.
+
+    Returns ``{"from_version", "to_version", "recomputed_keys",
+    "deleted_keys", "inserted_rows", "mode"}``.
+    """
+    if not key_cols:
+        raise InvalidArgument("sync_derived_rows needs at least one key column")
+    for side, t in (("source", src), ("derived", dst)):
+        missing = [c for c in key_cols if c not in t.arrow_schema.names]
+        if missing:
+            raise InvalidArgument(f"{side} table lacks key columns {missing}")
+
+    cursor_id = f"derive:{src.path}"
+    if from_version is None:
+        from_version = max(dst.stream_offset(cursor_id), 0)
+    to_version = src.bucket.manifest.version
+    if to_version <= from_version:
+        return {
+            "from_version": from_version,
+            "to_version": from_version,
+            "recomputed_keys": 0,
+            "deleted_keys": 0,
+            "inserted_rows": 0,
+            "mode": "noop",
+        }
+    src_cols = list(src.arrow_schema.names)
+    if from_version <= 0:
+        dst.delete_where(F.lit(True))
+        derived = derive(src.select_df(columns=src_cols))
+        n = dst.insert_df(derived)
+        dst.set_stream_offset(cursor_id, to_version)
+        return {
+            "from_version": 0,
+            "to_version": to_version,
+            "recomputed_keys": -1,
+            "deleted_keys": 0,
+            "inserted_rows": n,
+            "mode": "full",
+        }
+    feed = src.read_changes(from_version, to_version)
+    finals = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(*src_cols)
+    removed = (
+        feed.filter(F.col("_change_type").isin("delete", "update_preimage"))
+        .select(*key_cols)
+        .distinct()
+    )
+    final_keys = finals.select(*key_cols).distinct()
+    affected = removed.unionByName(final_keys).distinct()
+    n_recomputed = final_keys.count()
+    n_gone = removed.join(final_keys, key_cols, "left_anti").count()
+    if n_recomputed == 0 and n_gone == 0:
+        # the span touched other tables in the bucket, not the source:
+        # do NOT advance the cursor (a cursor write commits a version of
+        # its own and would ratchet forever); re-reading an empty span
+        # is file-diff-pruned and costs nothing
+        return {
+            "from_version": from_version,
+            "to_version": from_version,
+            "recomputed_keys": 0,
+            "deleted_keys": 0,
+            "inserted_rows": 0,
+            "mode": "noop",
+        }
+    # one MERGE deletes every derived row of an affected key (a source
+    # key may own MANY derived rows — matched-delete handles the fan-out)
+    res = dst.merge(
+        affected.withColumn("__aff", F.lit(1)),
+        on=list(key_cols),
+        matched_clauses=[("delete", None, None)],
+        when_not_matched=None,
+        target_alias="t",
+        source_alias="s",
+    )
+    derived = derive(finals)
+    n = dst.insert_df(derived)
+    dst.set_stream_offset(cursor_id, to_version)
+    return {
+        "from_version": from_version,
+        "to_version": to_version,
+        "recomputed_keys": n_recomputed,
+        "deleted_keys": n_gone,
+        "inserted_rows": n,
+        "mode": "incremental",
+    }
+
+
+def sync_minhash_signatures(
+    src,
+    sig_table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
+    from_version: int | None = None,
+) -> dict:
+    """Keep a banded MinHash signature table — the persisted dedup index
+    the streaming tier joins new batches against (streaming/dedup.
+    stream_dedup_near_against_table; columns ``(id_col, band_id,
+    band_key)``) — in sync with its corpus table after batch DML, at
+    churn cost. The batch half of the dedup-index lifecycle: streaming
+    ingest appends signatures per micro-batch; THIS folds deletes,
+    updates and bulk imports the stream never saw."""
+    from ..operators.dedup import lsh_band_keys, minhash_signatures
+
+    def derive(rows):
+        sigs = minhash_signatures(
+            rows, text_col, id_col, num_hashes, shingle_k, hash_fn
+        )
+        return lsh_band_keys(sigs, num_bands, id_col, hash_fn)
+
+    return sync_derived_rows(
+        src, sig_table, [id_col], derive, from_version=from_version
+    )
