@@ -4656,6 +4656,44 @@ def q_e25_sig_sync(spark, sf):
     return out
 
 
+def q_e26_sql_views(spark, sf):
+    """Logical SQL views (schema.create_view + sqlfront CREATE/DROP VIEW,
+    SHOW VIEWS — catalog objects stored in the schema's manifest entry,
+    transactional, bound FRESH at every read against the reading
+    transaction's snapshot; views nest, and cycles are a clean bind-time
+    error). Documents imported, a per-(lang, source) aggregate view
+    created, then a view-on-view filtering it; the final SELECT runs
+    through BOTH layers plus a join back to the base table. The oracle
+    is the composed query written directly against documents."""
+    import tempfile
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark.sources import create_table_from_files
+
+    session = vastdb.connect(tempfile.mkdtemp(prefix="entry_vw_"), spark=spark)
+    session.create_bucket("b")
+    with session.transaction() as tx:
+        sc = tx.bucket("b").create_schema("s")
+        create_table_from_files(sc, "docs", [f"{sf}/documents.parquet"])
+    session.execute_sql(
+        "CREATE VIEW b.s.lang_stats AS"
+        " SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS chars"
+        " FROM b.s.docs GROUP BY lang, source"
+    )
+    session.execute_sql(
+        "CREATE VIEW b.s.big_sources AS"
+        " SELECT lang, source, n_docs, chars FROM b.s.lang_stats"
+        " WHERE n_docs >= 5"
+    )
+    return session.execute_sql(
+        "SELECT v.lang, v.source, v.n_docs, v.chars,"
+        " COUNT(*) AS n_join_rows"
+        " FROM b.s.big_sources v JOIN b.s.docs d"
+        " ON v.lang = d.lang AND v.source = d.source"
+        " GROUP BY v.lang, v.source, v.n_docs, v.chars"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4789,6 +4827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_kl_drift": q_tx_kl_drift,
         "ds_shard_assign": q_ds_shard_assign,
         "e25_sig_sync": q_e25_sig_sync,
+        "e26_sql_views": q_e26_sql_views,
         "ds_train_test_split": q_ds_train_test_split,
         # Directly below: the four ANN gates whose oracles were ALSO
         # converted to planted-id form this round (ann_rhp_topk,
@@ -6339,6 +6378,20 @@ def oracle_sql() -> dict[str, str]:
                        'fresh document appended after sync' AS text
             ), {_mh_lsh_chain_sql('x', 'corpus', 'doc_id', 'text')}
             SELECT id AS doc_id, band_id, band_key FROM bands_x
+        """,
+        "e26_sql_views": """
+            WITH lang_stats AS (
+                SELECT lang, source, COUNT(*) AS n_docs,
+                       CAST(SUM(n_chars) AS BIGINT) AS chars
+                FROM documents GROUP BY lang, source
+            ), big AS (
+                SELECT * FROM lang_stats WHERE n_docs >= 5
+            )
+            SELECT v.lang, v.source, v.n_docs, v.chars,
+                   COUNT(*) AS n_join_rows
+            FROM big v JOIN documents d
+              ON v.lang = d.lang AND v.source = d.source
+            GROUP BY v.lang, v.source, v.n_docs, v.chars
         """,
         "tx_rrf_fusion": f"""
             WITH t AS (

@@ -171,6 +171,7 @@ HEADLINE = [
     "tx_kl_drift",
     "ds_shard_assign",
     "e25_sig_sync",
+    "e26_sql_views",
 ]
 
 

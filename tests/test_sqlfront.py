@@ -720,3 +720,109 @@ def test_sql_projection_and_vector_index_lifecycle(session):
 
     with pytest.raises(InvalidArgument, match="cannot parse"):
         session.execute_sql("BUILD VECTOR INDEX bkt.s.v")
+
+
+# ---------------------------------------------------------------------------
+# logical SQL views (CREATE/DROP VIEW, SHOW VIEWS — catalog objects bound
+# fresh at every read against the reading transaction's snapshot)
+
+
+def test_views_create_select_nest_replace_drop(sql_session):
+    s = sql_session
+    s.execute_sql(
+        "CREATE VIEW bkt.s.v1 AS SELECT name, SUM(a) AS total"
+        " FROM bkt.s.t GROUP BY name"
+    )
+    rows = s.execute_sql(
+        "SELECT * FROM bkt.s.v1 ORDER BY name"
+    ).collect()
+    assert [(r["name"], r["total"]) for r in rows] == [
+        ("one", 1), ("three", 3), ("two", 2)
+    ]
+    # view-on-view + mixing a view and a table in one statement
+    s.execute_sql(
+        "CREATE VIEW bkt.s.v2 AS SELECT name FROM bkt.s.v1 WHERE total >= 2"
+    )
+    joined = s.execute_sql(
+        "SELECT v.name, t.a FROM bkt.s.v2 v JOIN bkt.s.t t"
+        " ON v.name = t.name ORDER BY t.a"
+    ).collect()
+    assert [(r["name"], r["a"]) for r in joined] == [("two", 2), ("three", 3)]
+    # a view reflects LATER table churn (bound fresh, never materialized)
+    s.execute_sql("INSERT INTO bkt.s.t VALUES (10, 9.9, 'two')")
+    assert (
+        s.execute_sql("SELECT total FROM bkt.s.v1 WHERE name = 'two'")
+        .first()["total"] == 12
+    )
+    # OR REPLACE swaps the definition
+    s.execute_sql(
+        "CREATE OR REPLACE VIEW bkt.s.v1 AS SELECT COUNT(*) AS n FROM bkt.s.t"
+    )
+    assert s.execute_sql("SELECT n FROM bkt.s.v1").first()["n"] == 4
+    shown = s.execute_sql("SHOW VIEWS IN bkt.s").collect()
+    assert sorted(r["view_name"] for r in shown) == ["v1", "v2"]
+    s.execute_sql("DROP VIEW bkt.s.v2")
+    assert [
+        r["view_name"]
+        for r in s.execute_sql("SHOW VIEWS IN bkt.s").collect()
+    ] == ["v1"]
+
+
+def test_views_errors_and_namespace(sql_session):
+    from vastdb_sdk_spark.errors import MissingView, TableExists, ViewExists
+
+    s = sql_session
+    s.execute_sql("CREATE VIEW bkt.s.v AS SELECT a FROM bkt.s.t")
+    with pytest.raises(ViewExists):
+        s.execute_sql("CREATE VIEW bkt.s.v AS SELECT 1")
+    with pytest.raises(TableExists):
+        s.execute_sql("CREATE VIEW bkt.s.t AS SELECT 1")
+    with pytest.raises(MissingView):
+        s.execute_sql("DROP VIEW bkt.s.nope")
+    with pytest.raises(InvalidArgument):
+        with s.transaction() as tx:
+            tx.bucket("bkt").schema("s").create_view("w", "DROP TABLE x")
+    # bad SQL fails the CREATE (bind-validated), not the first read
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        s.execute_sql("CREATE VIEW bkt.s.bad AS SELECT nope FROM bkt.s.t")
+    with s.transaction() as tx:
+        assert "bad" not in tx.bucket("bkt").schema("s").views()
+
+
+def test_views_cycle_detected_at_read(sql_session):
+    s = sql_session
+    s.execute_sql("CREATE VIEW bkt.s.a1 AS SELECT a FROM bkt.s.t")
+    s.execute_sql("CREATE VIEW bkt.s.a2 AS SELECT a FROM bkt.s.a1")
+    # CREATE-time validation binds a2's CURRENT (acyclic) definition, so
+    # the replace goes through — the cycle must surface as a clean error
+    # on the next read, not a recursion crash
+    s.execute_sql("CREATE OR REPLACE VIEW bkt.s.a1 AS SELECT a FROM bkt.s.a2")
+    with pytest.raises(InvalidArgument, match="circular view"):
+        s.execute_sql("SELECT * FROM bkt.s.a1")
+
+
+def test_views_transactional(sql_session):
+    s = sql_session
+    # rollback discards the view
+    try:
+        with s.transaction() as tx:
+            tx.bucket("bkt").schema("s").create_view(
+                "ghost", "SELECT a FROM bkt.s.t"
+            )
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    with s.transaction() as tx:
+        assert "ghost" not in tx.bucket("bkt").schema("s").views()
+    # concurrent view DDL on the same schema conflicts (schema-level CAS)
+    from vastdb_sdk_spark.errors import Conflict
+
+    t1 = s.transaction()
+    t2 = s.transaction()
+    t1.bucket("bkt").schema("s").create_view("c1", "SELECT 1 AS x")
+    t2.bucket("bkt").schema("s").create_view("c2", "SELECT 2 AS x")
+    t1.commit()
+    with pytest.raises(Conflict):
+        t2.commit()

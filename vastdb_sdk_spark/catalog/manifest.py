@@ -519,6 +519,20 @@ class ChangeSet:
         m.vacuum_horizon = max(m.vacuum_horizon, version)
 
     @staticmethod
+    def _apply_set_view(m: Manifest, schema: str, name: str, cfg: dict) -> None:
+        sd = m.schemas.get(schema)
+        if sd is None:
+            raise MissingSchema(schema)
+        sd.setdefault("properties", {}).setdefault("views", {})[name] = cfg
+
+    @staticmethod
+    def _apply_drop_view(m: Manifest, schema: str, name: str) -> None:
+        sd = m.schemas.get(schema)
+        if sd is None:
+            raise MissingSchema(schema)
+        sd.get("properties", {}).get("views", {}).pop(name, None)
+
+    @staticmethod
     def _apply_set_snapshot(m: Manifest, name: str, version: int) -> None:
         m.snapshots[name] = version
 

@@ -37,6 +37,10 @@ class MissingMatView(NotFoundError):
     pass
 
 
+class MissingView(NotFoundError):
+    pass
+
+
 class MissingSnapshot(NotFoundError):
     pass
 
@@ -54,6 +58,10 @@ class TableExists(ExistsError):
 
 
 class ProjectionExists(ExistsError):
+    pass
+
+
+class ViewExists(ExistsError):
     pass
 
 

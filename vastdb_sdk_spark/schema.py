@@ -10,7 +10,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from .catalog.manifest import IMPORTED_OBJECTS_TABLE_NAME, TableEntry
-from .errors import MissingTable, TableExists
+from .errors import InvalidArgument, MissingTable, MissingView, TableExists, ViewExists
 from .types import schema_to_b64, validate_supported_schema
 
 # Arrow schema of the per-table imports side table
@@ -266,3 +266,65 @@ class Schema:
         )
         self.tx._audit_event(st, "rename_schema", f"{self.name} -> {new_name}")
         self.name = new_name
+
+    # -- logical SQL views ---------------------------------------------------
+    # (engine extension; the reference reaches SQL via DuckDB where views are
+    #  DuckDB-session-local — here they are catalog objects: stored in the
+    #  schema's manifest entry, transactional, snapshot/restore-consistent,
+    #  and bound by the SQL tier at query time against the reading
+    #  transaction's snapshot.)
+
+    def _views_state(self) -> dict:
+        sd = self.bucket.manifest.schemas[self.name]
+        return sd.setdefault("properties", {}).setdefault("views", {})
+
+    def create_view(self, name: str, sql: str, or_replace: bool = False):
+        """Store a logical (non-materialized) view: ``sql`` must be a
+        SELECT/WITH statement; it is bound fresh at every use, so the view
+        always reflects the reading transaction's snapshot (unlike a
+        materialized view there is no state to refresh, and unlike a temp
+        view it persists in the catalog and travels with snapshots/restore).
+        The view shares the table namespace of its schema."""
+        import re as _re
+
+        if not _re.match(r"(?is)\s*(SELECT|WITH)\b", sql or ""):
+            raise InvalidArgument(
+                "view definition must be a SELECT or WITH statement"
+            )
+        if name in self._table_names():
+            raise TableExists(f"{self.name}.{name} (a table has this name)")
+        views = self._views_state()
+        if name in views and not or_replace:
+            raise ViewExists(f"{self.name}.{name}")
+        st = self._state
+        cfg = {"sql": sql, "created_version": self.bucket.manifest.version}
+        views[name] = cfg
+        st.changes.record(
+            "set_view", self.name, name, cfg, touched=[("schema", self.name)]
+        )
+        self.tx._audit_event(
+            st, "create_view", f"{self.bucket.name}/{self.name}/{name}"
+        )
+
+    def drop_view(self, name: str) -> None:
+        views = self._views_state()
+        if name not in views:
+            raise MissingView(f"{self.name}.{name}")
+        del views[name]
+        st = self._state
+        st.changes.record(
+            "drop_view", self.name, name, touched=[("schema", self.name)]
+        )
+        self.tx._audit_event(
+            st, "drop_view", f"{self.bucket.name}/{self.name}/{name}"
+        )
+
+    def views(self) -> dict:
+        """Name -> {"sql", "created_version"} (a copy)."""
+        return {k: dict(v) for k, v in self._views_state().items()}
+
+    def view_sql(self, name: str) -> str:
+        views = self._views_state()
+        if name not in views:
+            raise MissingView(f"{self.name}.{name}")
+        return views[name]["sql"]

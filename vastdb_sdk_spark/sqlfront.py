@@ -176,13 +176,38 @@ class SqlFrontend:
                 continue
         return None
 
+    def _try_resolve_view(self, dotted: str):
+        """Best-effort LOGICAL VIEW resolution: returns (bucket, schema,
+        view_name, view_sql) or None. Tables win over views (create_view
+        enforces the shared namespace, so a collision cannot exist)."""
+        parts = _parts(dotted)
+        candidates = []
+        if len(parts) == 3:
+            candidates.append(tuple(parts))
+        elif len(parts) == 2:
+            if self._default_bucket:
+                candidates.append((self._default_bucket, *parts))
+            else:
+                candidates.extend((b, *parts) for b in self._bucket_names())
+        for b, s, v in candidates:
+            try:
+                views = self._tx.bucket(b).schema(s).views()
+            except (MissingBucket, MissingSchema):
+                continue
+            if v in views:
+                return (b, s, v, views[v]["sql"])
+        return None
+
     # -- SELECT tier -------------------------------------------------------
 
-    def _bind_views(self, text: str) -> str:
+    def _bind_views(self, text: str, _guard: tuple = ()) -> str:
         """Replace every dotted identifier in ``text`` that resolves to an
         engine table with a temp view pinned to this transaction's
-        snapshot. Quoted strings are masked first so literals like
-        'a.b.c' are never rewritten."""
+        snapshot — and every identifier that resolves to a LOGICAL VIEW
+        with its recursively-bound definition (so views can reference
+        tables and other views; ``_guard`` carries the in-flight view
+        chain and turns a cycle into a clean error). Quoted strings are
+        masked first so literals like 'a.b.c' are never rewritten."""
         masked = re.sub(r"'(?:[^']|'')*'", lambda m: "\0" * len(m.group()), text)
         rewrites = {}
         for m in re.finditer(_DOTTED, masked):
@@ -191,6 +216,20 @@ class SqlFrontend:
                 continue
             hit = self._try_resolve(dotted)
             if hit is None:
+                vhit = self._try_resolve_view(dotted)
+                if vhit is None:
+                    continue
+                b, s, v, vsql = vhit
+                key = (b, s, v)
+                if key in _guard:
+                    chain = " -> ".join(".".join(k) for k in (*_guard, key))
+                    raise InvalidArgument(f"circular view reference: {chain}")
+                view = f"vastdb_lview_{b}_{s}_{v}_{self._tx.txid & 0xFFFF:04x}"
+                bound = self._bind_views(
+                    self._bind_time_travel(vsql), (*_guard, key)
+                )
+                self._tx.spark.sql(bound).createOrReplaceTempView(view)
+                rewrites[dotted] = view
                 continue
             b, s, t, table = hit
             view = f"vastdb_sql_{b}_{s}_{t}_{self._tx.txid & 0xFFFF:04x}"
@@ -263,6 +302,37 @@ class SqlFrontend:
         kw = head[0].upper() if head else ""
         if kw in ("SELECT", "WITH", "VALUES", "TABLE"):
             return self._select(stmt)
+        if kw == "CREATE" and head[1].upper() in ("VIEW", "OR"):
+            m = re.match(
+                rf"(?is)CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+({_DOTTED})"
+                rf"\s+AS\s+(.+)$",
+                stmt,
+            )
+            if not m:
+                raise InvalidArgument(
+                    f"cannot parse (expected CREATE [OR REPLACE] VIEW "
+                    f"b.s.v AS SELECT ...): {stmt!r}"
+                )
+            b, sname, v, _ = self._resolve_table(m.group(2), must_exist=False)
+            body = m.group(3).strip().rstrip(";")
+            # bind-validate NOW: analysis (not execution) — bad SQL, missing
+            # tables, or a self-reference fail the CREATE, not the first read
+            self._tx.spark.sql(
+                self._bind_views(self._bind_time_travel(body))
+            )
+            self._tx.bucket(b).schema(sname).create_view(
+                v, body, or_replace=bool(m.group(1))
+            )
+            return None
+        if kw == "DROP" and head[1].upper() == "VIEW" and not re.match(
+            r"(?is)DROP\s+MATERIALIZED", stmt
+        ):
+            m = re.match(rf"(?is)DROP\s+VIEW\s+({_DOTTED})\s*$", stmt)
+            if not m:
+                raise InvalidArgument(f"cannot parse: {stmt!r}")
+            b, sname, v, _ = self._resolve_table(m.group(1), must_exist=False)
+            self._tx.bucket(b).schema(sname).drop_view(v)
+            return None
         if kw == "CREATE" and head[1].upper() == "SCHEMA":
             return self._create_schema(stmt)
         if kw == "DROP" and head[1].upper() == "SCHEMA":
@@ -851,6 +921,22 @@ class SqlFrontend:
             _, _, _, table = self._resolve_table(m.group(1))
             return spark.createDataFrame(
                 [(n,) for n in table.retrieve_column_names()], "col_name STRING"
+            )
+        if m := re.match(rf"(?is)SHOW\s+VIEWS\s+IN\s+({_DOTTED})\s*$", stmt):
+            parts = _parts(m.group(1))
+            if len(parts) == 2:
+                b, sname = parts
+            elif len(parts) == 1 and self._default_bucket:
+                b, sname = self._default_bucket, parts[0]
+            else:
+                raise InvalidArgument(
+                    f"SHOW VIEWS IN expects bucket.schema: {stmt!r}"
+                )
+            views = self._tx.bucket(b).schema(sname).views()
+            return spark.createDataFrame(
+                [(n, cfg["sql"]) for n, cfg in sorted(views.items())]
+                or [],
+                "view_name STRING, sql STRING",
             )
         if m := re.match(
             rf"(?is)SHOW\s+MATERIALIZED\s+VIEWS\s+ON\s+({_DOTTED})\s*$", stmt
