@@ -270,3 +270,21 @@ def test_sync_derived_rows_validation(clean_schema):
             sync_derived_rows(src, sig, [], lambda d: d)
         with pytest.raises(InvalidArgument):
             sync_derived_rows(src, sig, ["nope"], lambda d: d)
+
+
+def test_sync_signatures_sql_verb(clean_schema):
+    session = _sig_pair(clean_schema)
+    r = session.execute_sql("SYNC SIGNATURES bkt.s.sig FROM bkt.s.src")
+    assert r["mode"] == "full" and r["inserted_rows"] == 2000
+    with session.transaction() as tx:
+        src, _ = _sig_tables(tx)
+        src.delete_where(D.doc_id < 10)
+    r2 = session.execute_sql(
+        "SYNC SIGNATURES bkt.s.sig FROM bkt.s.src ON (doc_id, text)"
+    )
+    assert r2["mode"] == "incremental" and r2["deleted_keys"] == 10
+    with session.transaction() as tx:
+        src, sig = _sig_tables(tx)
+        assert _rows(sig) == sorted(
+            tuple(x) for x in _expected_bands(src.select_df()).collect()
+        )

@@ -690,6 +690,22 @@ class SqlFrontend:
             )
         if kw == "SYNC":
             m = re.match(
+                rf"(?is)SYNC\s+SIGNATURES\s+({_DOTTED})\s+FROM\s+({_DOTTED})"
+                rf"(?:\s+ON\s*\(\s*({_IDENT})\s*,\s*({_IDENT})\s*\))?\s*$",
+                stmt,
+            )
+            if m:
+                from .sources.replicate import sync_minhash_signatures
+
+                _, _, _, sig = self._resolve_table(m.group(1))
+                _, _, _, src = self._resolve_table(m.group(2))
+                return sync_minhash_signatures(
+                    src,
+                    sig,
+                    id_col=_unquote(m.group(3)) if m.group(3) else "doc_id",
+                    text_col=_unquote(m.group(4)) if m.group(4) else "text",
+                )
+            m = re.match(
                 rf"(?is)SYNC\s+TABLE\s+({_DOTTED})\s+FROM\s+({_DOTTED})"
                 rf"\s+ON\s*\(([^()]*)\)\s*$",
                 stmt,
@@ -697,7 +713,8 @@ class SqlFrontend:
             if not m:
                 raise InvalidArgument(
                     "cannot parse (expected SYNC TABLE b.s.dst FROM "
-                    f"b.s.src ON (key1, ...)): {stmt!r}"
+                    "b.s.src ON (key1, ...), or SYNC SIGNATURES b.s.sig "
+                    f"FROM b.s.src [ON (id_col, text_col)]): {stmt!r}"
                 )
             from .sources.replicate import sync_table
 
