@@ -4694,6 +4694,28 @@ def q_e26_sql_views(spark, sf):
     )
 
 
+def q_tx_kn_logprob(spark, sf):
+    """Interpolated Kneser-Ney bigram scoring (operators/lm.
+    kn_bigram_logprob_scores — the KenLM-style smoothing: absolute
+    discounting redistributes d*N1+(v,.) of each prefix's mass to the
+    continuation model N1+(.,w)/D, so words frequent only in one
+    context stop inflating stitched boilerplate). Fit on the corpus
+    itself; every arithmetic input is an exact integer and d=0.75 is
+    dyadic, so per-bigram doubles are bit-identical cross-engine; the
+    per-doc mean is rounded to 6 (the tx_bigram_logprob discipline).
+    Model tables are vocabulary-sized broadcasts — the exploded stream
+    never shuffles."""
+    from vastdb_sdk_spark.operators.lm import kn_bigram_logprob_scores
+
+    d = _t(spark, sf, "documents")
+    out = kn_bigram_logprob_scores(d, "text", "doc_id", discount=0.75)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("kn_logprob"), 6).alias("kn_lp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4828,6 +4850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_shard_assign": q_ds_shard_assign,
         "e25_sig_sync": q_e25_sig_sync,
         "e26_sql_views": q_e26_sql_views,
+        "tx_kn_logprob": q_tx_kn_logprob,
         "ds_train_test_split": q_ds_train_test_split,
         # Directly below: the four ANN gates whose oracles were ALSO
         # converted to planted-id form this round (ann_rhp_topk,
@@ -6392,6 +6415,44 @@ def oracle_sql() -> dict[str, str]:
             FROM big v JOIN documents d
               ON v.lang = d.lang AND v.source = d.source
             GROUP BY v.lang, v.source, v.n_docs, v.chars
+        """,
+        "tx_kn_logprob": f"""
+            WITH toks AS (
+                SELECT doc_id, {tok} AS tk FROM documents
+            ), idx AS (
+                SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+                FROM toks WHERE len(tk) >= 2
+            ), pos AS (
+                SELECT doc_id, tk[i] AS v, tk[i + 1] AS w FROM idx
+            ), cnt AS (
+                SELECT v, w, COUNT(*) AS c FROM pos GROUP BY v, w
+            ), pfx AS (
+                SELECT v, SUM(c) AS cv, COUNT(*) AS n1f FROM cnt GROUP BY v
+            ), wst AS (
+                SELECT w, COUNT(*) AS n1b FROM cnt GROUP BY w
+            ), tot AS (
+                SELECT COUNT(*) AS dt, COUNT(DISTINCT w) AS vvt FROM cnt
+            ), scored AS (
+                SELECT pos.doc_id,
+                       COUNT(*) AS n_bigrams,
+                       ROUND(AVG(ln(
+                           (GREATEST(CAST(cnt.c AS DOUBLE) - 0.75, 0.0)
+                            + (0.75 * pfx.n1f)
+                              * ((COALESCE(wst.n1b, 0) + 1)
+                                 / (tot.dt + tot.vvt + 1)))
+                           / CAST(pfx.cv AS DOUBLE)
+                       )), 6) AS kn_lp
+                FROM pos
+                JOIN cnt USING (v, w)
+                JOIN pfx USING (v)
+                JOIN wst USING (w)
+                CROSS JOIN tot
+                GROUP BY pos.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(s.n_bigrams, 0) AS n_bigrams,
+                   s.kn_lp
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
         """,
         "tx_rrf_fusion": f"""
             WITH t AS (

@@ -172,6 +172,7 @@ HEADLINE = [
     "ds_shard_assign",
     "e25_sig_sync",
     "e26_sql_views",
+    "tx_kn_logprob",
 ]
 
 

@@ -1843,3 +1843,59 @@ def test_kl_drift_terms_hand_model(spark):
 
     with _pt.raises(ValueError):
         kl_drift_terms(a, b, top_k=0)
+
+
+def test_kn_bigram_logprob_hand_model(spark):
+    import math
+    from vastdb_sdk_spark.operators.lm import kn_bigram_logprob_scores
+
+    # corpus: doc1 "a b a b", doc2 "a c". bigram types: (a,b)x2? ->
+    # counts: (a,b)=2, (b,a)=1, (a,c)=1; D=3 types, V={a,b,c} -> 3
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "z")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in kn_bigram_logprob_scores(df).collect()}
+    d = 0.75
+    D, V = 3, 3
+    # continuation: N1+(.,a)=1, N1+(.,b)=1, N1+(.,c)=1
+    pc = {t: (1 + 1) / (D + V + 1) for t in "abc"}
+    pc["z"] = 1 / (D + V + 1)
+    # prefixes: c(a)=3, N1+(a,.)=2; c(b)=1, N1+(b,.)=1
+    def p(v, w, cvw, cv, n1f):
+        return (max(cvw - d, 0) + d * n1f * pc[w]) / cv
+
+    lp1 = (
+        math.log(p("a", "b", 2, 3, 2))
+        + math.log(p("b", "a", 1, 1, 1))
+        + math.log(p("a", "b", 2, 3, 2))
+    ) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["kn_logprob"] - lp1) < 1e-12
+    lp2 = math.log(p("a", "c", 1, 3, 2))
+    assert abs(out[2]["kn_logprob"] - lp2) < 1e-12
+    # single-token doc: no bigrams, NULL score
+    assert out[3]["n_bigrams"] == 0 and out[3]["kn_logprob"] is None
+    # OOV prefix backs off to continuation prob (score via a held-out doc)
+    from vastdb_sdk_spark.operators.lm import fit_bigram_counts
+
+    cnt = fit_bigram_counts(df)
+    held = spark.createDataFrame([(9, "q a")], "doc_id long, text string")
+    r = kn_bigram_logprob_scores(held, counts=cnt).first()
+    assert abs(r["kn_logprob"] - math.log(pc["a"])) < 1e-12
+    # top_n cap keeps the exact backoff for dropped pairs
+    capped = {
+        r["doc_id"]: r
+        for r in kn_bigram_logprob_scores(df, top_n=1).collect()
+    }
+    # only (a,b) stays in vocab; (b,a) and (a,c) take c=0 with exact stats
+    lp1c = (
+        math.log(p("a", "b", 2, 3, 2))
+        + math.log(p("b", "a", 0, 1, 1))
+        + math.log(p("a", "b", 2, 3, 2))
+    ) / 3
+    assert abs(capped[1]["kn_logprob"] - lp1c) < 1e-12
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        kn_bigram_logprob_scores(df, discount=1.0)

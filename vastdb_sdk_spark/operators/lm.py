@@ -976,3 +976,102 @@ def kl_drift_terms(
         .orderBy(F.desc("contribution"), F.asc("term"))
         .limit(int(top_k))
     )
+
+
+def kn_bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    top_n: int | None = None,
+    out_col: str = "kn_logprob",
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Mean bigram log-probability per document under an interpolated
+    KNESER-NEY model fit on the corpus itself — the smoothing that made
+    KenLM the de-facto pretraining quality filter: instead of flat
+    add-a mass, absolute discounting redistributes exactly
+    ``d * N1+(v,.)`` of each prefix's probability to a CONTINUATION
+    model (how many distinct contexts a word follows — "francisco" is
+    frequent but follows only "san", so its continuation probability is
+    tiny and boilerplate stitched around it scores low):
+
+        p_cont(w)  = (N1+(.,w) + 1) / (D + V + 1)
+        p(w | v)   = (max(c(v,w) - d, 0) + d * N1+(v,.) * p_cont(w)) / c(v)
+        p(w | v)   = p_cont(w)                       when c(v) = 0 (OOV prefix)
+
+    with N1+ the distinct-bigram-type counts, D the total distinct
+    bigram types and V the continuation vocabulary; the +1/+V+1 on the
+    continuation model reserves mass for unseen words (exact KN leaves
+    them at zero). Every input to the arithmetic is an exact integer
+    and ``d`` defaults to the dyadic 0.75, so per-bigram doubles are
+    bit-identical cross-engine.
+
+    Scale shape mirrors :func:`bigram_logprob_scores`: fit = one
+    positional explode + groupBy; the three model tables (per-prefix
+    ``c(v)/N1+(v,.)``, per-word ``N1+(.,w)``, the 1-row ``D/V``) are all
+    vocabulary-sized or smaller and BROADCAST, so scoring never shuffles
+    the exploded stream; ``top_n`` additionally caps + broadcasts the
+    bigram-count join (OOV pairs keep the exact backoff). Returns one
+    row per input row: (id_col, n_bigrams, out_col); docs with < 2
+    tokens score NULL."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    tk = tokens(F.col(text_col))
+    staged = df.select(F.col(id_col), tk.alias("__tk")).filter(
+        F.size("__tk") >= 2
+    )
+    pos = staged.select(
+        id_col,
+        "__tk",
+        F.explode(F.sequence(F.lit(1), F.size("__tk") - 1)).alias("__p"),
+    )
+    pairs = pos.select(
+        id_col,
+        F.element_at(F.col("__tk"), F.col("__p")).alias("v"),
+        F.element_at(F.col("__tk"), F.col("__p") + 1).alias("w"),
+    )
+    cnt = counts if counts is not None else fit_bigram_counts(df, text_col)
+    pfx = cnt.groupBy("v").agg(
+        F.sum("__c").alias("__cv"), F.count(F.lit(1)).alias("__n1f")
+    )
+    wst = cnt.groupBy("w").agg(F.count(F.lit(1)).alias("__n1b"))
+    tot = cnt.agg(
+        F.count(F.lit(1)).alias("__d"), F.count_distinct("w").alias("__vv")
+    )
+    if top_n is not None:
+        vocab = cnt.orderBy(
+            F.col("__c").desc(), F.col("v").asc(), F.col("w").asc()
+        ).limit(int(top_n))
+        joined = pairs.join(F.broadcast(vocab), ["v", "w"], "left")
+    else:
+        joined = pairs.join(cnt, ["v", "w"], "left")
+    joined = (
+        joined.join(F.broadcast(pfx), "v", "left")
+        .join(F.broadcast(wst), "w", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    d = float(discount)
+    pc = (
+        F.coalesce(F.col("__n1b"), F.lit(0)).cast("double") + F.lit(1.0)
+    ) / (
+        F.col("__d").cast("double") + F.col("__vv").cast("double") + F.lit(1.0)
+    )
+    seen = (
+        F.greatest(
+            F.coalesce(F.col("__c"), F.lit(0)).cast("double") - F.lit(d),
+            F.lit(0.0),
+        )
+        + F.lit(d) * F.coalesce(F.col("__n1f"), F.lit(0)).cast("double") * pc
+    ) / F.col("__cv").cast("double")
+    p = F.when(
+        F.col("__cv").isNull() | (F.col("__cv") == 0), pc
+    ).otherwise(seen)
+    scored = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.avg(F.log(p)).alias(out_col)
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .withColumn("n_bigrams", F.coalesce(F.col("n_bigrams"), F.lit(0)))
+    )
