@@ -826,3 +826,18 @@ def test_views_transactional(sql_session):
     t1.commit()
     with pytest.raises(Conflict):
         t2.commit()
+
+
+def test_explain_statement(sql_session):
+    s = sql_session
+    plan = s.execute_sql(
+        "EXPLAIN SELECT name, SUM(a) AS t FROM bkt.s.t GROUP BY name"
+    ).first()[0]
+    assert "HashAggregate" in plan or "Aggregate" in plan
+    # binds engine tables (the temp-view name appears, not an error) and
+    # works through logical views and time travel binding
+    s.execute_sql("CREATE VIEW bkt.s.ev AS SELECT a FROM bkt.s.t")
+    plan2 = s.execute_sql("EXPLAIN EXTENDED SELECT * FROM bkt.s.ev").first()[0]
+    assert "Parsed Logical Plan" in plan2
+    with pytest.raises(InvalidArgument):
+        s.execute_sql("EXPLAIN DROP TABLE bkt.s.t")

@@ -722,6 +722,20 @@ class SqlFrontend:
             _, _, _, src = self._resolve_table(m.group(2))
             keys = [_unquote(c) for c in _split_top(m.group(3))]
             return sync_table(src, dst, keys)
+        if kw == "EXPLAIN":
+            m = re.match(
+                r"(?is)EXPLAIN\s+(FORMATTED\s+|EXTENDED\s+|CODEGEN\s+|"
+                r"COST\s+)?(SELECT\b.*|WITH\b.*)$",
+                stmt,
+            )
+            if not m:
+                raise InvalidArgument(
+                    f"cannot parse (expected EXPLAIN [FORMATTED|EXTENDED|"
+                    f"CODEGEN|COST] SELECT ...): {stmt!r}"
+                )
+            mode = (m.group(1) or "FORMATTED ").strip()
+            bound = self._bind_views(self._bind_time_travel(m.group(2)))
+            return self._tx.spark.sql(f"EXPLAIN {mode} {bound}")
         if kw in ("DESCRIBE", "DESC"):
             return self._describe(stmt)
         if kw == "INSERT":
