@@ -288,3 +288,99 @@ def test_sync_signatures_sql_verb(clean_schema):
         assert _rows(sig) == sorted(
             tuple(x) for x in _expected_bands(src.select_df()).collect()
         )
+
+
+# ---------------------------------------------------------------------------
+# property-based: random committed DML, then sync — the maintained derived
+# table must ALWAYS equal a from-scratch derivation of the current source
+
+
+def _word(k):
+    return f"w{k % 7} common w{k % 5} tail{k}"
+
+
+def _doc_batch(keys, tag=""):
+    return pa.table(
+        {
+            "doc_id": pa.array(list(keys), pa.int64()),
+            "text": pa.array([_word(k) + tag for k in keys]),
+            "lang": pa.array(["en"] * len(keys)),
+            "source": pa.array(["s"] * len(keys)),
+            "n_chars": pa.array([len(_word(k)) for k in keys], pa.int64()),
+        }
+    )
+
+
+def test_property_random_dml_then_sync_equals_rebuild(clean_schema):
+    """Deterministic mini-property sweep (hypothesis-style without the
+    per-example engine setup cost): several randomized-shape DML scripts
+    over the corpus, each followed by one incremental sync; after EVERY
+    sync the signature table must equal deriving from scratch."""
+    from vastdb_sdk_spark.sources.replicate import sync_minhash_signatures
+
+    session = clean_schema
+    with session.transaction() as tx:
+        sc = tx.bucket("bkt").schema("s")
+        t = sc.create_table(
+            "src",
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("text", pa.string()),
+                    ("lang", pa.string()),
+                    ("source", pa.string()),
+                    ("n_chars", pa.int64()),
+                ]
+            ),
+        )
+        t.insert(_doc_batch(range(40)))
+        sc.create_table(
+            "sig",
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("band_id", pa.int32()),
+                    ("band_key", pa.int64()),
+                ]
+            ),
+        )
+
+    def _tables(tx):
+        s = tx.bucket("bkt").schema("s")
+        return s.table("src"), s.table("sig")
+
+    with session.transaction() as tx:
+        src, sig = _tables(tx)
+        sync_minhash_signatures(src, sig)
+
+    scripts = [
+        [("delete", 3, 0), ("insert", 100)],
+        [("update", 2, 1), ("delete", 5, 2), ("insert", 200)],
+        [("insert", 300), ("update", 7, 3)],
+        [("delete", 2, 0), ("delete", 2, 1)],  # empties most of the table
+        [("insert", 400), ("insert", 500), ("update", 3, 2)],
+    ]
+    nxt = 1000
+    for script in scripts:
+        with session.transaction() as tx:
+            src, _ = _tables(tx)
+            for op in script:
+                if op[0] == "delete":
+                    src.delete_where(D.doc_id % op[1] == op[2])
+                elif op[0] == "update":
+                    src.update_where(
+                        D.doc_id % op[1] == op[2],
+                        {"text": f"rewritten body {op[2]}"},
+                    )
+                else:
+                    src.insert(_doc_batch(range(nxt, nxt + 5), tag=" new"))
+                    nxt += 5
+        with session.transaction() as tx:
+            src, sig = _tables(tx)
+            r = sync_minhash_signatures(src, sig)
+            assert r["mode"] == "incremental"
+        with session.transaction() as tx:
+            src, sig = _tables(tx)
+            assert _rows(sig) == sorted(
+                tuple(x) for x in _expected_bands(src.select_df()).collect()
+            ), f"drift after script {script}"
