@@ -132,6 +132,8 @@ statement_junk = st.one_of(
                 "SELECT", "INSERT INTO", "UPDATE", "DELETE FROM", "MERGE INTO",
                 "CREATE TABLE", "DROP TABLE", "ALTER TABLE", "SHOW", "DESCRIBE",
                 "OPTIMIZE", "VACUUM", "RESTORE", "TRUNCATE", "COPY", "WITH",
+                "CREATE VIEW", "CREATE OR REPLACE VIEW", "DROP VIEW",
+                "EXPLAIN", "SYNC TABLE", "SYNC SIGNATURES",
             ]
         ),
         st.lists(
@@ -246,3 +248,19 @@ def test_fuzz_select_literal_never_rewritten(fz, lit):
         f"SELECT {_q(lit)} AS v FROM bkt.s.t WHERE a = 1"
     ).collect()
     assert [r.v for r in rows] == [lit]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tricky_value)
+def test_fuzz_view_definition_roundtrip(fz, value):
+    """A view whose SELECT embeds a keyword/quote-laden literal must store
+    and serve that literal byte-identically (the binder masks quoted
+    strings before identifier rewriting — a view definition is exactly
+    the adversarial case: it is re-bound on every read)."""
+    fz.execute_sql("CREATE OR REPLACE VIEW bkt.s.fzv AS SELECT " + _q(value) + " AS lit, a FROM bkt.s.t")
+    rows = fz.execute_sql("SELECT lit FROM bkt.s.fzv").collect()
+    assert rows and all(r["lit"] == value for r in rows)
