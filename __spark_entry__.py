@@ -4716,6 +4716,22 @@ def q_tx_kn_logprob(spark, sf):
     )
 
 
+def q_tx_span_corrupt(spark, sf):
+    """T5 span corruption (operators/augment.span_corrupt — Raffel et al.
+    2020 §3.1.4, the denoising-objective data pipeline as a corpus
+    operator): mask ~15% of tokens in mean-3 spans, one sentinel per
+    merged span in the input, sentinel-prefixed span contents plus a
+    closing sentinel in the target. Masking is a pure function of
+    (doc_id, position) via md5 bits, so the ENTIRE transform — start
+    decisions, span lengths, coverage merging, sentinel numbering, both
+    reassembled strings — replays in SQL (the nibble polynomial +
+    identical windows). Two doc-keyed shuffles, no Python, no RNG."""
+    from vastdb_sdk_spark.operators.augment import span_corrupt
+
+    d = _t(spark, sf, "documents")
+    return span_corrupt(d, corruption_rate=0.15, mean_span=3)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4851,6 +4867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e25_sig_sync": q_e25_sig_sync,
         "e26_sql_views": q_e26_sql_views,
         "tx_kn_logprob": q_tx_kn_logprob,
+        "tx_span_corrupt": q_tx_span_corrupt,
         "ds_train_test_split": q_ds_train_test_split,
         # Directly below: the four ANN gates whose oracles were ALSO
         # converted to planted-id form this round (ann_rhp_topk,
@@ -4958,6 +4975,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # DuckDB oracles
+
+
+def _md5_int_sql(expr: str, lo: int, n: int = 12) -> str:
+    """DuckDB twin of F.conv(F.substring(F.md5(expr), lo, n), 16, 10):
+    integer value of an md5 hex substring (nibble polynomial, the
+    _mh_base_sql device with a parameterized offset)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {lo + k}, 1)) - 1)"
+        f" * {16 ** (n - 1 - k)}"
+        for k in range(n)
+    )
+    return f"({terms})"
 
 
 def _mh_lsh_chain_sql(tag: str, src: str, id_expr: str, text_expr: str) -> str:
@@ -6453,6 +6482,70 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(s.n_bigrams, 0) AS n_bigrams,
                    s.kn_lp
             FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        "tx_span_corrupt": f"""
+            WITH toks AS (
+                SELECT doc_id, {tok} AS tk FROM documents
+            ), pos AS (
+                SELECT doc_id,
+                       unnest(tk) AS tok,
+                       unnest(range(0, len(tk))) AS p
+                FROM toks
+            ), h AS (
+                SELECT doc_id, tok, p,
+                       {_md5_int_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)", 1)} AS h1,
+                       {_md5_int_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)", 13)} AS h2
+                FROM pos
+            ), st AS (
+                SELECT *, CASE WHEN h1 % 20 = 0
+                               THEN p + 1 + (h2 % 5) ELSE -1 END AS reach
+                FROM h
+            ), cov AS (
+                SELECT *, MAX(reach) OVER (
+                    PARTITION BY doc_id ORDER BY p
+                    ROWS UNBOUNDED PRECEDING) > p AS masked
+                FROM st
+            ), nw AS (
+                SELECT *, masked AND NOT COALESCE(LAG(masked) OVER (
+                    PARTITION BY doc_id ORDER BY p), FALSE) AS isnew
+                FROM cov
+            ), num AS (
+                SELECT *, SUM(CASE WHEN isnew THEN 1 ELSE 0 END) OVER (
+                    PARTITION BY doc_id ORDER BY p
+                    ROWS UNBOUNDED PRECEDING) - 1 AS span
+                FROM nw
+            ), pieces AS (
+                SELECT doc_id, p,
+                       CASE WHEN NOT masked THEN tok
+                            WHEN isnew THEN '<extra_id_' || span || '>'
+                       END AS inp,
+                       CASE WHEN isnew THEN '<extra_id_' || span || '>'
+                                            || ' ' || tok
+                            WHEN masked THEN tok
+                       END AS tgt,
+                       CASE WHEN masked THEN 1 ELSE 0 END AS m,
+                       CASE WHEN isnew THEN 1 ELSE 0 END AS n
+                FROM num
+            ), agg AS (
+                SELECT doc_id,
+                       string_agg(inp, ' ' ORDER BY p)
+                           FILTER (WHERE inp IS NOT NULL) AS input,
+                       string_agg(tgt, ' ' ORDER BY p)
+                           FILTER (WHERE tgt IS NOT NULL) AS tgt_body,
+                       COUNT(*) AS n_tokens,
+                       SUM(m) AS n_masked,
+                       SUM(n) AS n_spans
+                FROM pieces GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.input, '') AS input,
+                   CASE WHEN COALESCE(a.n_spans, 0) > 0
+                        THEN a.tgt_body || ' <extra_id_' || a.n_spans || '>'
+                        ELSE '<extra_id_0>' END AS target,
+                   COALESCE(a.n_tokens, 0) AS n_tokens,
+                   CAST(COALESCE(a.n_masked, 0) AS BIGINT) AS n_masked,
+                   CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "tx_rrf_fusion": f"""
             WITH t AS (

@@ -173,6 +173,7 @@ HEADLINE = [
     "e25_sig_sync",
     "e26_sql_views",
     "tx_kn_logprob",
+    "tx_span_corrupt",
 ]
 
 

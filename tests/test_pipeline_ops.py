@@ -1899,3 +1899,74 @@ def test_kn_bigram_logprob_hand_model(spark):
 
     with _pt.raises(ValueError):
         kn_bigram_logprob_scores(df, discount=1.0)
+
+
+def _span_corrupt_model(doc_id, text, rate, mean_span, sentinel="<extra_id_{}>"):
+    """Literal Python replay of operators/augment.span_corrupt."""
+    import hashlib
+    import re as _re
+
+    toks = [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+    k = max(1, round(mean_span / rate))
+    width = 2 * mean_span - 1
+    reach = -1
+    masked, new = [], []
+    for p, _t in enumerate(toks):
+        h = hashlib.md5(f"{doc_id}:{p}".encode()).hexdigest()
+        h1 = int(h[0:12], 16)
+        h2 = int(h[12:24], 16)
+        if h1 % k == 0:
+            reach = max(reach, p + 1 + h2 % width)
+        m = reach > p
+        new.append(m and not (masked[-1] if masked else False))
+        masked.append(m)
+    inp, tgt, span = [], [], -1
+    for p, t in enumerate(toks):
+        if new[p]:
+            span += 1
+            inp.append(sentinel.format(span))
+            tgt.append(sentinel.format(span))
+            tgt.append(t)
+        elif masked[p]:
+            tgt.append(t)
+        else:
+            inp.append(t)
+    tgt.append(sentinel.format(span + 1))
+    return (
+        " ".join(inp),
+        " ".join(tgt),
+        len(toks),
+        sum(masked),
+        span + 1,
+    )
+
+
+def test_span_corrupt_matches_hand_replay(spark):
+    from vastdb_sdk_spark.operators.augment import span_corrupt
+
+    docs = [
+        (i, f"alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            f"lam mu nu xi omicron pi rho sigma tau upsilon doc{i}")
+        for i in range(30)
+    ] + [(100, ""), (101, "solo")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in span_corrupt(df, corruption_rate=0.3, mean_span=2).collect()
+    }
+    any_masked = 0
+    for i, text in docs:
+        inp, tgt, n, nm, ns = _span_corrupt_model(i, text, 0.3, 2)
+        r = out[i]
+        assert r["input"] == inp, (i, r["input"], inp)
+        assert r["target"] == tgt, (i, r["target"], tgt)
+        assert (r["n_tokens"], r["n_masked"], r["n_spans"]) == (n, nm, ns)
+        any_masked += nm
+    # at rate 0.3 over 630 tokens, masking statistically certain
+    assert any_masked > 50
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        span_corrupt(df, corruption_rate=0.0)
+    with _pt.raises(ValueError):
+        span_corrupt(df, mean_span=0)

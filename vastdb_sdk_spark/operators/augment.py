@@ -1,0 +1,163 @@
+"""Training-data augmentation transforms.
+
+Beyond-parity (BASELINE.json north star): deterministic corpus-level
+noising for denoising-objective pretraining (T5 span corruption, UL2
+denoisers). Everything is a pure DataFrame transform driven by md5 hashes
+of (doc, position) — no RNG state, so the same corpus always yields the
+same pairs (reshuffling partitions, re-running, or regenerating a lost
+shard cannot change a single example), and an exact SQL twin exists for
+the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def _pos_hash(id_col: str, lo: int, hi: int) -> "F.Column":
+    """48-bit integer from md5(doc_id:pos), hex chars [lo, hi) — the same
+    reproducible-randomness device as the minhash md5 path (DuckDB twin:
+    the nibble polynomial of _mh_base_sql)."""
+    key = F.concat(
+        F.col(id_col).cast("string"), F.lit(":"), F.col("__pos").cast("string")
+    )
+    return F.conv(F.substring(F.md5(key), lo, hi - lo), 16, 10).cast("long")
+
+
+def span_corrupt(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corruption_rate: float = 0.15,
+    mean_span: int = 3,
+    sentinel: str = "<extra_id_{}>",
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4): mask ~15% of
+    tokens in spans of mean length 3; the corrupted INPUT replaces each
+    span with one sentinel token, the TARGET lists each sentinel followed
+    by the tokens it hid, closed by a final sentinel. The denoising-
+    objective data pipeline as a corpus operator.
+
+    Determinism: a token at position p STARTS a span iff
+    ``H(doc:p) % K == 0`` with ``K = round(mean_span / corruption_rate)``,
+    and the span length is ``1 + H2(doc:p) % (2*mean_span - 1)`` (uniform,
+    mean ``mean_span``) — both H values are md5 bits, so the masking is a
+    pure function of (doc_id, position): re-running, repartitioning, or
+    regenerating one lost shard reproduces identical pairs. Overlapping
+    spans merge (the running coverage max), exactly one sentinel per
+    merged span.
+
+    Plan: one positional explode, ONE window pass per doc computing the
+    running coverage maximum + span numbering (cumulative flags), one
+    ordered reassembly groupBy — two shuffles total, both keyed by the
+    doc id; no Python, no RNG, no collect. Returns (id_col, input,
+    target, n_tokens, n_masked, n_spans).
+    """
+    if not 0.0 < corruption_rate < 1.0:
+        raise ValueError(f"corruption_rate must be in (0,1), got {corruption_rate}")
+    if mean_span < 1:
+        raise ValueError(f"mean_span must be >= 1, got {mean_span}")
+    k_start = max(1, round(mean_span / corruption_rate))
+    width = 2 * mean_span - 1
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("__pos", "__tok"),
+    )
+    h1 = _pos_hash(id_col, 1, 13)
+    h2 = _pos_hash(id_col, 13, 25)
+    is_start = (h1 % F.lit(int(k_start))) == 0
+    span_len = F.lit(1) + (h2 % F.lit(int(width)))
+    staged = toks.select(
+        id_col,
+        "__pos",
+        "__tok",
+        F.when(is_start, F.col("__pos") + span_len).otherwise(F.lit(-1)).alias("__reach"),
+    )
+    w = (
+        W.partitionBy(id_col)
+        .orderBy("__pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    covered_until = F.max("__reach").over(w)
+    marked = staged.withColumn("__masked", covered_until > F.col("__pos"))
+    wp = W.partitionBy(id_col).orderBy("__pos")
+    new_span = F.col("__masked") & ~F.coalesce(
+        F.lag("__masked").over(wp), F.lit(False)
+    )
+    # sentinel index of the span covering this row (0-based); valid only
+    # on masked rows
+    numbered = marked.withColumn(
+        "__span",
+        F.sum(new_span.cast("int")).over(
+            W.partitionBy(id_col).orderBy("__pos").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        )
+        - 1,
+    ).withColumn("__new", new_span)
+    sent = F.format_string(sentinel.replace("{}", "%d"), F.col("__span"))
+    in_piece = F.when(~F.col("__masked"), F.col("__tok")).when(F.col("__new"), sent)
+    tgt_piece = F.when(
+        F.col("__new"), F.concat(sent, F.lit(" "), F.col("__tok"))
+    ).when(F.col("__masked"), F.col("__tok"))
+    pieces = numbered.select(
+        id_col,
+        "__pos",
+        in_piece.alias("__in"),
+        tgt_piece.alias("__tgt"),
+        F.col("__masked").cast("int").alias("__m"),
+        F.col("__new").cast("int").alias("__n"),
+    )
+
+    def _joined(col):
+        return F.concat_ws(
+            " ",
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("__pos"), F.col(col).alias("p"))
+                        )
+                    ),
+                    lambda s: F.when(s["p"].isNull(), F.array().cast("array<string>"))
+                    .otherwise(F.array(s["p"])),
+                )
+            ),
+        )
+
+    agg = pieces.groupBy(id_col).agg(
+        _joined("__in").alias("input"),
+        _joined("__tgt").alias("__tgt_body"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("__m").alias("n_masked"),
+        F.sum("__n").alias("n_spans"),
+    )
+    closing = F.format_string(
+        sentinel.replace("{}", "%d"), F.col("n_spans").cast("int")
+    )
+    agg = agg.select(
+        id_col,
+        "input",
+        F.when(F.col("n_spans") > 0, F.concat(F.col("__tgt_body"), F.lit(" "), closing))
+        .otherwise(closing)
+        .alias("target"),
+        "n_tokens",
+        F.col("n_masked").cast("long").alias("n_masked"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+    )
+    # docs with zero tokens never reach the explode: restore them with the
+    # empty input and the bare closing sentinel
+    base = df.select(id_col)
+    zero_sent = F.lit(sentinel.replace("{}", "0"))
+    return (
+        base.join(agg, id_col, "left")
+        .withColumn("input", F.coalesce(F.col("input"), F.lit("")))
+        .withColumn("target", F.coalesce(F.col("target"), zero_sent))
+        .withColumn("n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0)))
+        .withColumn("n_masked", F.coalesce(F.col("n_masked"), F.lit(0)))
+        .withColumn("n_spans", F.coalesce(F.col("n_spans"), F.lit(0)))
+    )
