@@ -4732,6 +4732,20 @@ def q_tx_span_corrupt(spark, sf):
     return span_corrupt(d, corruption_rate=0.15, mean_span=3)
 
 
+def q_tx_prefix_lm(spark, sf):
+    """Prefix-LM pairs (operators/augment.prefix_lm_split — the UL2
+    S-denoiser: deterministic split point drawn from md5 bits of the doc
+    id, uniform over [25%, 75%] of each doc's length; prefix conditions,
+    suffix is the target; n>=2 always leaves both non-empty). Pure
+    Column expressions — zero shuffle, zero Python, the scan stays in
+    whole-stage codegen. The oracle replays the hash arithmetic and the
+    slice boundaries exactly."""
+    from vastdb_sdk_spark.operators.augment import prefix_lm_split
+
+    d = _t(spark, sf, "documents")
+    return prefix_lm_split(d)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4868,6 +4882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e26_sql_views": q_e26_sql_views,
         "tx_kn_logprob": q_tx_kn_logprob,
         "tx_span_corrupt": q_tx_span_corrupt,
+        "tx_prefix_lm": q_tx_prefix_lm,
         "ds_train_test_split": q_ds_train_test_split,
         # Directly below: the four ANN gates whose oracles were ALSO
         # converted to planted-id form this round (ann_rhp_topk,
@@ -6546,6 +6561,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.n_masked, 0) AS BIGINT) AS n_masked,
                    CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "tx_prefix_lm": f"""
+            WITH toks AS (
+                SELECT doc_id, {tok} AS tk FROM documents
+            ), st AS (
+                SELECT doc_id, tk, len(tk) AS n,
+                       {_md5_int_sql("CAST(doc_id AS VARCHAR)", 1)} AS h,
+                       CAST(ceil(0.25 * len(tk)) AS BIGINT) AS lo,
+                       CAST(floor(0.75 * len(tk)) AS BIGINT) AS hi
+                FROM toks
+            ), sp AS (
+                SELECT doc_id, tk, n,
+                       CASE WHEN n >= 2
+                            THEN LEAST(GREATEST(lo + h % GREATEST(hi - lo + 1, 1), 1),
+                                       GREATEST(n - 1, 1))
+                            ELSE n END AS split
+                FROM st
+            )
+            SELECT doc_id,
+                   array_to_string(tk[1:split], ' ') AS input,
+                   array_to_string(tk[split+1:n], ' ') AS target,
+                   n AS n_tokens,
+                   split AS split_at
+            FROM sp
         """,
         "tx_rrf_fusion": f"""
             WITH t AS (

@@ -174,6 +174,7 @@ HEADLINE = [
     "e26_sql_views",
     "tx_kn_logprob",
     "tx_span_corrupt",
+    "tx_prefix_lm",
 ]
 
 

@@ -1970,3 +1970,41 @@ def test_span_corrupt_matches_hand_replay(spark):
         span_corrupt(df, corruption_rate=0.0)
     with _pt.raises(ValueError):
         span_corrupt(df, mean_span=0)
+
+
+def test_prefix_lm_split_hand_replay(spark):
+    import hashlib
+    import math
+    import re as _re
+    from vastdb_sdk_spark.operators.augment import prefix_lm_split
+
+    docs = [
+        (i, f"alpha beta gamma delta epsilon zeta eta theta doc{i} tail")
+        for i in range(20)
+    ] + [(100, ""), (101, "solo"), (102, "two tokens")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in prefix_lm_split(df).collect()}
+    for i, text in docs:
+        toks = [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+        n = len(toks)
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+        if n >= 2:
+            lo = math.ceil(0.25 * n)
+            hi = math.floor(0.75 * n)
+            split = min(max(lo + h % max(hi - lo + 1, 1), 1), max(n - 1, 1))
+        else:
+            split = n
+        r = out[i]
+        assert r["split_at"] == split, (i, r["split_at"], split)
+        assert r["input"] == " ".join(toks[:split])
+        assert r["target"] == " ".join(toks[split:])
+        assert r["n_tokens"] == n
+    # split always leaves a non-empty prefix AND suffix for n >= 2
+    for i, text in docs:
+        r = out[i]
+        if r["n_tokens"] >= 2:
+            assert r["input"] and r["target"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        prefix_lm_split(df, min_prefix=0.8, max_prefix=0.2)

@@ -161,3 +161,55 @@ def span_corrupt(
         .withColumn("n_masked", F.coalesce(F.col("n_masked"), F.lit(0)))
         .withColumn("n_spans", F.coalesce(F.col("n_spans"), F.lit(0)))
     )
+
+
+def prefix_lm_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_prefix: float = 0.25,
+    max_prefix: float = 0.75,
+) -> DataFrame:
+    """Prefix-LM pairs (the UL2 S-denoiser / sequential denoising case):
+    split each document's token stream at a DETERMINISTIC point drawn
+    uniformly from ``[min_prefix, max_prefix]`` of its length — the
+    prefix becomes the conditioning input, the suffix the target.
+
+    The split fraction comes from md5 bits of the doc id alone, so the
+    pair set is stable under re-runs and repartitioning (the
+    ``span_corrupt`` discipline). Split point =
+    ``1 + h % max(1, hi - lo + 1) + lo - 1`` clamped to ``[1, n-1]`` with
+    ``lo = ceil(min_prefix*n)``, ``hi = floor(max_prefix*n)`` — documents
+    with fewer than 2 tokens emit an empty target rather than an empty
+    prefix (a conditioning input must be non-empty).
+
+    Pure Column expressions over the token array (slice + array_join) —
+    zero shuffle, zero Python; the scan stays in whole-stage codegen.
+    Returns (id_col, input, target, n_tokens, split_at).
+    """
+    if not 0.0 < min_prefix <= max_prefix < 1.0:
+        raise ValueError(
+            f"need 0 < min_prefix <= max_prefix < 1, got {min_prefix}, {max_prefix}"
+        )
+    tk = tokens(F.col(text_col))
+    n = F.size(tk)
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    lo = F.ceil(F.lit(float(min_prefix)) * n).cast("long")
+    hi = F.floor(F.lit(float(max_prefix)) * n).cast("long")
+    span = F.greatest(hi - lo + 1, F.lit(1))
+    split = F.least(
+        F.greatest(lo + (h % span), F.lit(1)), F.greatest(n - 1, F.lit(1))
+    )
+    split = F.when(n >= 2, split).otherwise(n.cast("long"))
+    return df.select(
+        F.col(id_col),
+        F.array_join(F.slice(tk, F.lit(1), split.cast("int")), " ").alias("input"),
+        F.array_join(
+            F.slice(tk, (split + 1).cast("int"), F.greatest(n.cast("long") - split, F.lit(0)).cast("int")),
+            " ",
+        ).alias("target"),
+        n.alias("n_tokens"),
+        split.alias("split_at"),
+    )
