@@ -4746,6 +4746,31 @@ def q_tx_prefix_lm(spark, sf):
     return prefix_lm_split(d)
 
 
+def q_tx_mlm_mask(spark, sf):
+    """BERT MLM pairs (operators/augment.mlm_mask — Devlin et al. 2019
+    80/10/10): selection, branch, and the doc-local replacement token
+    are all md5 bits of (doc_id, position), so the full transform —
+    masked input string AND the pos:original label list — replays in
+    SQL. One doc-keyed shuffle, no Python, no RNG."""
+    from vastdb_sdk_spark.operators.augment import mlm_mask
+
+    d = _t(spark, sf, "documents")
+    return mlm_mask(d, mask_rate=0.15)
+
+
+def q_tx_contrastive(spark, sf):
+    """Contrastive triples (operators/augment.contrastive_pairs — the
+    SimCSE/DPR in-corpus recipe): anchor/positive are a doc's first two
+    16-token chunks, the negative is the next doc's positive on the md5
+    ring WITHIN an 8-way hash bucket (windows bucket-sized, never
+    corpus-sized; singleton buckets yield nothing). Deterministic ring
+    arithmetic replayed exactly in SQL."""
+    from vastdb_sdk_spark.operators.augment import contrastive_pairs
+
+    d = _t(spark, sf, "documents")
+    return contrastive_pairs(d, chunk_tokens=16, num_buckets=8)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4883,6 +4908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_kn_logprob": q_tx_kn_logprob,
         "tx_span_corrupt": q_tx_span_corrupt,
         "tx_prefix_lm": q_tx_prefix_lm,
+        "tx_mlm_mask": q_tx_mlm_mask,
+        "tx_contrastive": q_tx_contrastive,
         "ds_train_test_split": q_ds_train_test_split,
         # Directly below: the four ANN gates whose oracles were ALSO
         # converted to planted-id form this round (ann_rhp_topk,
@@ -6585,6 +6612,70 @@ def oracle_sql() -> dict[str, str]:
                    n AS n_tokens,
                    split AS split_at
             FROM sp
+        """,
+        "tx_mlm_mask": f"""
+            WITH toks AS (
+                SELECT doc_id, {tok} AS tk FROM documents
+            ), pos AS (
+                SELECT doc_id, tk,
+                       unnest(tk) AS tok,
+                       unnest(range(0, len(tk))) AS p
+                FROM toks
+            ), h AS (
+                SELECT doc_id, tk, tok, p,
+                       {_md5_int_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)", 1)} AS h1,
+                       {_md5_int_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)", 13)} AS h2
+                FROM pos
+            ), branched AS (
+                SELECT doc_id, p, tok,
+                       (h1 % 7 = 0) AS sel,
+                       CASE WHEN h1 % 7 <> 0 THEN tok
+                            WHEN h2 % 10 <= 7 THEN '[MASK]'
+                            WHEN h2 % 10 = 8 THEN tk[(h2 % len(tk)) + 1]
+                            ELSE tok END AS outt
+                FROM h
+            ), agg AS (
+                SELECT doc_id,
+                       string_agg(outt, ' ' ORDER BY p) AS input,
+                       string_agg(CAST(p AS VARCHAR) || ':' || tok, ' '
+                                  ORDER BY p) FILTER (WHERE sel) AS labels,
+                       COUNT(*) AS n_tokens,
+                       SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS n_selected
+                FROM branched GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.input, '') AS input,
+                   COALESCE(a.labels, '') AS labels,
+                   COALESCE(a.n_tokens, 0) AS n_tokens,
+                   CAST(COALESCE(a.n_selected, 0) AS BIGINT) AS n_selected
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "tx_contrastive": f"""
+            WITH toks AS (
+                SELECT doc_id, {tok} AS tk FROM documents
+            ), el AS (
+                SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h, tk
+                FROM toks WHERE len(tk) > 16
+            ), st AS (
+                SELECT doc_id, h,
+                       ({_md5_int_sql("CAST(doc_id AS VARCHAR)", 1)} % 8) AS b,
+                       array_to_string(tk[1:16], ' ') AS anchor,
+                       array_to_string(tk[17:32], ' ') AS positive
+                FROM el
+            ), rg AS (
+                SELECT doc_id, anchor, positive,
+                       COALESCE(LEAD(doc_id) OVER w,
+                                FIRST_VALUE(doc_id) OVER wf) AS neg_id,
+                       COALESCE(LEAD(positive) OVER w,
+                                FIRST_VALUE(positive) OVER wf) AS negative
+                FROM st
+                WINDOW w AS (PARTITION BY b ORDER BY h, doc_id),
+                       wf AS (PARTITION BY b ORDER BY h, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+            )
+            SELECT doc_id, anchor, positive, neg_id, negative
+            FROM rg WHERE neg_id <> doc_id
         """,
         "tx_rrf_fusion": f"""
             WITH t AS (

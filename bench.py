@@ -175,6 +175,8 @@ HEADLINE = [
     "tx_kn_logprob",
     "tx_span_corrupt",
     "tx_prefix_lm",
+    "tx_mlm_mask",
+    "tx_contrastive",
 ]
 
 

@@ -2008,3 +2008,100 @@ def test_prefix_lm_split_hand_replay(spark):
 
     with _pt.raises(ValueError):
         prefix_lm_split(df, min_prefix=0.8, max_prefix=0.2)
+
+
+def test_mlm_mask_matches_hand_replay(spark):
+    import hashlib
+    import re as _re
+    from vastdb_sdk_spark.operators.augment import mlm_mask
+
+    docs = [
+        (i, f"alpha beta gamma delta epsilon zeta eta theta iota kappa doc{i}")
+        for i in range(25)
+    ] + [(100, ""), (101, "solo")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r for r in mlm_mask(df, mask_rate=0.3).collect()
+    }
+    k = round(1 / 0.3)
+    branches = {"mask": 0, "replace": 0, "keep": 0}
+    for i, text in docs:
+        toks = [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+        inp, lbl = [], []
+        for p, t in enumerate(toks):
+            h = hashlib.md5(f"{i}:{p}".encode()).hexdigest()
+            h1, h2 = int(h[0:12], 16), int(h[12:24], 16)
+            if h1 % k == 0:
+                lbl.append(f"{p}:{t}")
+                b = h2 % 10
+                if b <= 7:
+                    inp.append("[MASK]")
+                    branches["mask"] += 1
+                elif b == 8:
+                    inp.append(toks[h2 % len(toks)])
+                    branches["replace"] += 1
+                else:
+                    inp.append(t)
+                    branches["keep"] += 1
+            else:
+                inp.append(t)
+        r = out[i]
+        assert r["input"] == " ".join(inp), (i, r["input"])
+        assert r["labels"] == " ".join(lbl)
+        assert (r["n_tokens"], r["n_selected"]) == (len(toks), len(lbl))
+    # all three branches exercised across the corpus
+    assert branches["mask"] > 0 and (branches["replace"] + branches["keep"]) > 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        mlm_mask(df, mask_rate=1.5)
+
+
+def test_contrastive_pairs_ring_and_chunks(spark):
+    import hashlib
+    import re as _re
+    from vastdb_sdk_spark.operators.augment import contrastive_pairs
+
+    docs = [
+        (i, " ".join(f"t{i}w{j}" for j in range(12))) for i in range(20)
+    ] + [(99, "short doc")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in contrastive_pairs(
+            df, chunk_tokens=5, num_buckets=4
+        ).collect()
+    }
+    # short doc (2 tokens <= 5) excluded
+    assert 99 not in out
+    # replay: chunks + bucketed md5 ring
+    def toks(t):
+        return [x for x in _re.split(r"[^a-z0-9]+", t.lower()) if x]
+
+    eligible = [(i, t) for i, t in docs if len(toks(t)) > 5]
+    ring = {}
+    buckets = {}
+    for i, t in eligible:
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        b = int(h[:12], 16) % 4
+        buckets.setdefault(b, []).append((h, i, t))
+    for b, rows in buckets.items():
+        rows.sort()
+        for j, (_h, i, t) in enumerate(rows):
+            nh, ni, nt = rows[(j + 1) % len(rows)]
+            ring[i] = (ni, nt)
+    for i, t in eligible:
+        ni, nt = ring[i]
+        if ni == i:  # singleton bucket
+            assert i not in out
+            continue
+        r = out[i]
+        tt = toks(t)
+        assert r["anchor"] == " ".join(tt[:5])
+        assert r["positive"] == " ".join(tt[5:10])
+        assert r["neg_id"] == ni
+        assert r["negative"] == " ".join(toks(nt)[5:10])
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        contrastive_pairs(df, chunk_tokens=0)

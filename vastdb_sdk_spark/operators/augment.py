@@ -213,3 +213,158 @@ def prefix_lm_split(
         n.alias("n_tokens"),
         split.alias("split_at"),
     )
+
+
+def mlm_mask(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask_rate: float = 0.15,
+    mask_token: str = "[MASK]",
+) -> DataFrame:
+    """BERT-style masked-LM pairs (Devlin et al. 2019 §3.1): select
+    ~``mask_rate`` of tokens; of the selected, 80% become ``mask_token``,
+    10% are replaced by another token, 10% stay verbatim — the model must
+    predict the ORIGINAL token at every selected position either way.
+
+    Determinism (the ``span_corrupt`` discipline): selection is
+    ``H1(doc:pos) % round(1/rate) == 0``; the 80/10/10 branch is
+    ``H2 % 10`` (0-7 mask, 8 replace, 9 keep); the replacement token is
+    the document's OWN token at position ``H2 % n`` — doc-local, so the
+    transform needs no vocabulary broadcast and stays a pure function of
+    (doc_id, position, doc content).
+
+    Returns (id_col, input, labels, n_tokens, n_selected) where
+    ``labels`` is the space-joined ``pos:original`` list for the selected
+    positions (0-based). One positional explode + one ordered reassembly
+    — a single doc-keyed shuffle, no Python, no RNG.
+    """
+    if not 0.0 < mask_rate < 1.0:
+        raise ValueError(f"mask_rate must be in (0,1), got {mask_rate}")
+    k_sel = max(1, round(1.0 / mask_rate))
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tk"))
+    pos = toked.select(
+        id_col, "__tk", F.posexplode("__tk").alias("__pos", "__tok")
+    )
+    h1 = _pos_hash(id_col, 1, 13)
+    h2 = _pos_hash(id_col, 13, 25)
+    selected = (h1 % F.lit(int(k_sel))) == 0
+    branch = h2 % 10
+    replacement = F.element_at(
+        F.col("__tk"), (h2 % F.size("__tk") + 1).cast("int")
+    )
+    out_tok = (
+        F.when(~selected, F.col("__tok"))
+        .when(branch <= 7, F.lit(mask_token))
+        .when(branch == 8, replacement)
+        .otherwise(F.col("__tok"))
+    )
+    label = F.when(
+        selected,
+        F.concat(F.col("__pos").cast("string"), F.lit(":"), F.col("__tok")),
+    )
+    pieces = pos.select(
+        id_col,
+        "__pos",
+        out_tok.alias("__out"),
+        label.alias("__lbl"),
+        selected.cast("int").alias("__sel"),
+    )
+
+    def _joined(col):
+        return F.concat_ws(
+            " ",
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("__pos"), F.col(col).alias("p"))
+                        )
+                    ),
+                    lambda s: F.when(
+                        s["p"].isNull(), F.array().cast("array<string>")
+                    ).otherwise(F.array(s["p"])),
+                )
+            ),
+        )
+
+    agg = pieces.groupBy(id_col).agg(
+        _joined("__out").alias("input"),
+        _joined("__lbl").alias("labels"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("__sel").cast("long").alias("n_selected"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .withColumn("input", F.coalesce(F.col("input"), F.lit("")))
+        .withColumn("labels", F.coalesce(F.col("labels"), F.lit("")))
+        .withColumn("n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0)))
+        .withColumn("n_selected", F.coalesce(F.col("n_selected"), F.lit(0)))
+    )
+
+
+def contrastive_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Contrastive training triples for embedding models (the SimCSE /
+    DPR in-corpus recipe): the ANCHOR is a document's first
+    ``chunk_tokens`` tokens, the POSITIVE its next chunk (two views of
+    the same document), and the NEGATIVE another document's positive
+    chunk — chosen deterministically as the next document on the md5
+    ring within a hash bucket, so every re-run and repartition yields
+    the same triples.
+
+    Only documents with more than ``chunk_tokens`` tokens qualify (the
+    positive must be non-empty). The negative ring is bucketed
+    (``num_buckets`` partitions of the md5 order, wrap-around inside
+    each bucket): windows are bucket-sized, never corpus-sized, and a
+    bucket with a single document yields no triple (its only candidate
+    negative is itself). Hash-bucket negatives are "random" negatives —
+    mine hard negatives with the ANN tier instead when semantic
+    difficulty matters.
+
+    Returns (id_col, anchor, positive, neg_id, negative). One
+    bucket-keyed shuffle.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    tk = tokens(F.col(text_col))
+    c = int(chunk_tokens)
+    staged = df.select(
+        F.col(id_col),
+        F.md5(F.col(id_col).cast("string")).alias("__h"),
+        tk.alias("__tk"),
+    ).filter(F.size("__tk") > c)
+    staged = staged.select(
+        id_col,
+        "__h",
+        (
+            F.conv(F.substring("__h", 1, 12), 16, 10).cast("long")
+            % F.lit(int(num_buckets))
+        ).alias("__b"),
+        F.array_join(F.slice("__tk", 1, c), " ").alias("anchor"),
+        F.array_join(F.slice("__tk", c + 1, c), " ").alias("positive"),
+    )
+    w = W.partitionBy("__b").orderBy(F.asc("__h"), F.asc(id_col))
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    neg_id = F.coalesce(
+        F.lead(F.col(id_col)).over(w), F.first(F.col(id_col)).over(wfull)
+    )
+    neg = F.coalesce(
+        F.lead("positive").over(w), F.first("positive").over(wfull)
+    )
+    out = staged.select(
+        id_col,
+        "anchor",
+        "positive",
+        neg_id.alias("neg_id"),
+        neg.alias("negative"),
+    )
+    return out.filter(F.col("neg_id") != F.col(id_col))
