@@ -4771,6 +4771,52 @@ def q_tx_contrastive(spark, sf):
     return contrastive_pairs(d, chunk_tokens=16, num_buckets=8)
 
 
+def q_tx_collapse_repeats(spark, sf):
+    """Consecutive-repeat line collapse (functions/text.
+    collapse_repeated_lines — chat echo / boilerplate stutter cleanup,
+    the row-local counterpart to corpus-level line dedup): docs get a
+    DETERMINISTIC stuttered structure — a doubled header, the body, a
+    tripled per-doc tail — and the collapsed text must match the oracle
+    byte-for-byte. Pure codegen'd Column, zero shuffle."""
+    from vastdb_sdk_spark.functions.text import collapse_repeated_lines
+
+    d = _t(spark, sf, "documents")
+    i = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.lit("HEADER LINE\nHEADER LINE\n"),
+        F.col("text"),
+        F.lit("\ntail "), i, F.lit("\ntail "), i, F.lit("\ntail "), i,
+    )
+    clean = collapse_repeated_lines(aug)
+    return d.select(
+        "doc_id",
+        F.md5(clean).alias("clean_md5"),
+        F.length(clean).alias("n_chars"),
+        F.size(F.split(clean, "\n", -1)).alias("n_lines"),
+    )
+
+
+def q_ds_score_normalize(spark, sf):
+    """Per-source score calibration (operators/sampling.
+    normalize_scores_per_group — a classifier score of 0.7 means
+    different things on web text and on code, so the within-group
+    z-score and percent rank are the standard step between scoring and
+    a mix-wide threshold). Scored on n_chars grouped by lang; z rounded
+    to 6 (stddev's partition-order FP noise), pct exact rational."""
+    from vastdb_sdk_spark.operators.sampling import normalize_scores_per_group
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("score")
+    )
+    out = normalize_scores_per_group(d, "score", "lang")
+    return out.select(
+        "doc_id",
+        "lang",
+        F.round("z", 6).alias("z"),
+        F.round("pct", 6).alias("pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4910,6 +4956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_prefix_lm": q_tx_prefix_lm,
         "tx_mlm_mask": q_tx_mlm_mask,
         "tx_contrastive": q_tx_contrastive,
+        "tx_collapse_repeats": q_tx_collapse_repeats,
+        "ds_score_normalize": q_ds_score_normalize,
         "ds_train_test_split": q_ds_train_test_split,
         # Directly below: the four ANN gates whose oracles were ALSO
         # converted to planted-id form this round (ann_rhp_topk,
@@ -6676,6 +6724,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, anchor, positive, neg_id, negative
             FROM rg WHERE neg_id <> doc_id
+        """,
+        "tx_collapse_repeats": """
+            WITH aug AS (
+                SELECT doc_id,
+                       'HEADER LINE' || chr(10) || 'HEADER LINE' || chr(10)
+                       || text
+                       || chr(10) || 'tail ' || CAST(doc_id AS VARCHAR)
+                       || chr(10) || 'tail ' || CAST(doc_id AS VARCHAR)
+                       || chr(10) || 'tail ' || CAST(doc_id AS VARCHAR)
+                           AS text
+                FROM documents
+            ), sp AS (
+                SELECT doc_id, string_split(text, chr(10)) AS l FROM aug
+            ), kept AS (
+                SELECT doc_id,
+                       array_to_string(
+                           list_filter(l, (x, i) -> i = 1 OR x <> l[i - 1]),
+                           chr(10)) AS clean
+                FROM sp
+            )
+            SELECT doc_id,
+                   md5(clean) AS clean_md5,
+                   length(clean) AS n_chars,
+                   len(string_split(clean, chr(10))) AS n_lines
+            FROM kept
+        """,
+        "ds_score_normalize": """
+            WITH d AS (
+                SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS score
+                FROM documents
+            ), s AS (
+                SELECT lang, AVG(score) AS mu, STDDEV_POP(score) AS sd
+                FROM d GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang,
+                   ROUND(CASE WHEN s.sd > 0
+                              THEN (d.score - s.mu) / s.sd END, 6) AS z,
+                   ROUND(PERCENT_RANK() OVER (
+                       PARTITION BY d.lang ORDER BY d.score ASC), 6) AS pct
+            FROM d JOIN s USING (lang)
         """,
         "tx_rrf_fusion": f"""
             WITH t AS (

@@ -177,6 +177,8 @@ HEADLINE = [
     "tx_prefix_lm",
     "tx_mlm_mask",
     "tx_contrastive",
+    "tx_collapse_repeats",
+    "ds_score_normalize",
 ]
 
 

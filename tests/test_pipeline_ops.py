@@ -2105,3 +2105,59 @@ def test_contrastive_pairs_ring_and_chunks(spark):
 
     with _pt.raises(ValueError):
         contrastive_pairs(df, chunk_tokens=0)
+
+
+def test_collapse_repeated_lines(spark):
+    from vastdb_sdk_spark.functions.text import collapse_repeated_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "a\na\nb\na\na\na\nc"),
+            (2, "same\nsame"),
+            (3, "only"),
+            (4, ""),
+            (5, "x\n\n\ny"),  # consecutive blanks collapse too
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", collapse_repeated_lines(F.col("text")).alias("c")
+        ).collect()
+    }
+    assert out[1] == "a\nb\na\nc"
+    assert out[2] == "same"
+    assert out[3] == "only"
+    assert out[4] == ""
+    assert out[5] == "x\n\ny"
+
+
+def test_normalize_scores_per_group(spark):
+    import math
+    from vastdb_sdk_spark.operators.sampling import normalize_scores_per_group
+
+    df = spark.createDataFrame(
+        [
+            ("web", 1.0), ("web", 2.0), ("web", 3.0),
+            ("code", 10.0), ("code", 30.0),
+            ("const", 5.0), ("const", 5.0),
+            ("single", 7.0),
+        ],
+        "source string, score double",
+    )
+    rows = normalize_scores_per_group(df, "score", "source").collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["source"], []).append(r)
+    web = sorted(by["web"], key=lambda r: r["score"])
+    sd = math.sqrt(2 / 3)  # population stddev of {1,2,3}
+    assert abs(web[0]["z"] - (-1 / sd)) < 1e-12
+    assert abs(web[1]["z"]) < 1e-12
+    assert [r["pct"] for r in web] == [0.0, 0.5, 1.0]
+    code = sorted(by["code"], key=lambda r: r["score"])
+    assert abs(code[1]["z"] - 1.0) < 1e-12  # {10,30}: sd=10, (30-20)/10
+    # constant group: zero spread has no z; pct still ranks
+    assert all(r["z"] is None for r in by["const"])
+    # singleton group: percent_rank = 0
+    assert by["single"][0]["pct"] == 0.0

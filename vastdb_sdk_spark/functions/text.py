@@ -370,3 +370,26 @@ def strip_html(col: Column) -> Column:
     for ent, rep in HTML_ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(c, WS_RUN_RE, " "))
+
+
+def collapse_repeated_lines(col: Column) -> Column:
+    """Drop CONSECUTIVE duplicate lines (chat echo, boilerplate stutter,
+    scraped-menu repetition): a line survives iff it differs from the
+    line directly above it; order and everything non-consecutive are
+    preserved. Counterpart to corpus-level line dedup
+    (operators/dedup.remove_duplicate_lines): this one is purely
+    row-local — a codegen'd Column expression, zero shuffle.
+
+    SQL twin (DuckDB): the same filter over (line, position) with the
+    previous element by index — keep in sync with the
+    ``tx_collapse_repeats`` oracle."""
+    lines = F.split(col, "\n", -1)
+    # when/otherwise (lazy per-row) rather than `|`: element_at(lines, 0)
+    # would raise under ANSI mode if evaluated for the first element
+    kept = F.filter(
+        lines,
+        lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
+            x != F.element_at(lines, i)
+        ),
+    )
+    return F.array_join(kept, "\n")

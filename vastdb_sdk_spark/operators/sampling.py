@@ -770,3 +770,43 @@ def assign_shards(
     return df.withColumn(shard_col, shard.cast("int")).withColumn(
         pos_col, (F.row_number().over(w) - 1).cast("long")
     )
+
+
+def normalize_scores_per_group(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    z_col: str = "z",
+    pct_col: str = "pct",
+) -> DataFrame:
+    """Make quality scores comparable ACROSS sources before a global
+    threshold: a classifier score of 0.7 means different things on web
+    text and on code, so per-source calibration — the within-group
+    z-score and the within-group percent rank — is the standard step
+    between scoring and mix-wide filtering.
+
+    z = (x - mean_g) / stddev_g (population stddev; NULL when the group
+    is constant — a zero spread has no z), pct = (rank - 1) / (n - 1)
+    (percent_rank, 0 for a 1-row group). Appends both columns.
+
+    Plan: one aggregate per group broadcast back (means/stddevs are
+    groups-sized) + one rank window per group partition — the window
+    sort is the only corpus-sized work, a single shuffle keyed by the
+    group.
+    """
+    from pyspark.sql import Window as W2
+
+    stats = df.groupBy(group_col).agg(
+        F.avg(score_col).alias("__mu"),
+        F.stddev_pop(score_col).alias("__sd"),
+    )
+    w = W2.partitionBy(group_col).orderBy(F.asc(score_col))
+    z = F.when(
+        F.col("__sd") > 0, (F.col(score_col) - F.col("__mu")) / F.col("__sd")
+    )
+    return (
+        df.join(F.broadcast(stats), group_col)
+        .withColumn(z_col, z)
+        .withColumn(pct_col, F.percent_rank().over(w))
+        .drop("__mu", "__sd")
+    )
