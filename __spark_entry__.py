@@ -4817,6 +4817,57 @@ def q_ds_score_normalize(spark, sf):
     )
 
 
+def q_tx_chat_render(spark, sf):
+    """SFT chat rendering with loss-mask spans (operators/augment.
+    render_chat): documents become DETERMINISTIC 4-turn transcripts
+    (user/assistant alternating, contents sliced from the token stream),
+    rendered ChatML-style; the gate hashes the rendered text AND the
+    flattened (start:length) span list pointing at the assistant
+    contents — pure integer offset arithmetic the oracle reproduces in
+    closed form. Two transcript-keyed shuffles, no Python."""
+    from vastdb_sdk_spark.operators.augment import render_chat
+
+    d = _t(spark, sf, "documents")
+    tk = _tokens(F.col("text"))
+    msg = lambda role, content: F.struct(  # noqa: E731
+        F.lit(role).alias("role"), content.alias("content")
+    )
+    msgs = F.array(
+        msg("user", F.array_join(F.slice(tk, 1, 5), " ")),
+        msg("assistant", F.array_join(F.slice(tk, 6, 5), " ")),
+        msg("user", F.concat(F.lit("continue "), F.col("doc_id").cast("string"))),
+        msg(
+            "assistant",
+            F.array_join(
+                F.slice(
+                    tk,
+                    11,
+                    F.greatest(F.size(tk) - 10, F.lit(0)),
+                ),
+                " ",
+            ),
+        ),
+    )
+    out = render_chat(d.select("doc_id", msgs.alias("messages")))
+    span_str = F.concat_ws(
+        " ",
+        F.transform(
+            F.col("spans"),
+            lambda sp: F.concat(
+                sp["start"].cast("string"), F.lit(":"), sp["length"].cast("string")
+            ),
+        ),
+    )
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.length("text").alias("n_chars"),
+        span_str.alias("spans"),
+        "n_turns",
+        "n_masked_turns",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4958,6 +5009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_contrastive": q_tx_contrastive,
         "tx_collapse_repeats": q_tx_collapse_repeats,
         "ds_score_normalize": q_ds_score_normalize,
+        "tx_chat_render": q_tx_chat_render,
         "ds_train_test_split": q_ds_train_test_split,
         # Directly below: the four ANN gates whose oracles were ALSO
         # converted to planted-id form this round (ann_rhp_topk,
@@ -6764,6 +6816,42 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(PERCENT_RANK() OVER (
                        PARTITION BY d.lang ORDER BY d.score ASC), 6) AS pct
             FROM d JOIN s USING (lang)
+        """,
+        "tx_chat_render": f"""
+            WITH toks AS (
+                SELECT doc_id, {tok} AS tk FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       array_to_string(tk[1:5], ' ') AS c1,
+                       array_to_string(tk[6:10], ' ') AS c2,
+                       'continue ' || CAST(doc_id AS VARCHAR) AS c3,
+                       CASE WHEN len(tk) > 10
+                            THEN array_to_string(tk[11:len(tk)], ' ')
+                            ELSE '' END AS c4
+                FROM toks
+            ), b AS (
+                SELECT doc_id, c2, c4,
+                       '<|im_start|>user' || chr(10) || c1
+                           || '<|im_end|>' || chr(10) AS b1,
+                       '<|im_start|>assistant' || chr(10) || c2
+                           || '<|im_end|>' || chr(10) AS b2,
+                       '<|im_start|>user' || chr(10) || c3
+                           || '<|im_end|>' || chr(10) AS b3,
+                       '<|im_start|>assistant' || chr(10) || c4
+                           || '<|im_end|>' || chr(10) AS b4
+                FROM c
+            )
+            SELECT doc_id,
+                   md5(b1 || b2 || b3 || b4) AS text_md5,
+                   length(b1 || b2 || b3 || b4) AS n_chars,
+                   CAST(length(b1) + 22 AS VARCHAR) || ':'
+                       || CAST(length(c2) AS VARCHAR) || ' '
+                       || CAST(length(b1) + length(b2) + length(b3) + 22
+                               AS VARCHAR) || ':'
+                       || CAST(length(c4) AS VARCHAR) AS spans,
+                   4 AS n_turns,
+                   CAST(2 AS BIGINT) AS n_masked_turns
+            FROM b
         """,
         "tx_rrf_fusion": f"""
             WITH t AS (

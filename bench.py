@@ -179,6 +179,7 @@ HEADLINE = [
     "tx_contrastive",
     "tx_collapse_repeats",
     "ds_score_normalize",
+    "tx_chat_render",
 ]
 
 

@@ -2161,3 +2161,60 @@ def test_normalize_scores_per_group(spark):
     assert all(r["z"] is None for r in by["const"])
     # singleton group: percent_rank = 0
     assert by["single"][0]["pct"] == 0.0
+
+
+def test_render_chat_spans(spark):
+    from pyspark.sql.types import (
+        ArrayType, LongType, StringType, StructField, StructType,
+    )
+    from vastdb_sdk_spark.operators.augment import render_chat
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField(
+                "messages",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("role", StringType()),
+                            StructField("content", StringType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, [("system", "be brief"), ("user", "hi"), ("assistant", "hello"),
+                 ("user", "more?"), ("assistant", "sure")]),
+            (2, [("user", "only question")]),
+            (3, []),
+            (4, None),
+            (5, [("assistant", None)]),  # null content renders empty
+        ],
+        schema,
+    )
+    out = {r["doc_id"]: r for r in render_chat(df).collect()}
+
+    def block(role, content):
+        return f"<|im_start|>{role}\n{content}<|im_end|>\n"
+
+    t1 = (
+        block("system", "be brief") + block("user", "hi")
+        + block("assistant", "hello") + block("user", "more?")
+        + block("assistant", "sure")
+    )
+    r1 = out[1]
+    assert r1["text"] == t1
+    assert (r1["n_turns"], r1["n_masked_turns"]) == (5, 2)
+    # spans point exactly at the assistant CONTENTS
+    for sp, want in zip(r1["spans"], ("hello", "sure")):
+        assert t1[sp["start"] : sp["start"] + sp["length"]] == want
+    assert out[2]["spans"] == [] and out[2]["n_turns"] == 1
+    for i in (3, 4):
+        assert out[i]["text"] == "" and out[i]["n_turns"] == 0
+    r5 = out[5]
+    assert r5["text"] == block("assistant", "")
+    assert r5["spans"][0]["length"] == 0

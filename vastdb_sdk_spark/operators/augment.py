@@ -368,3 +368,95 @@ def contrastive_pairs(
         neg.alias("negative"),
     )
     return out.filter(F.col("neg_id") != F.col(id_col))
+
+
+def render_chat(
+    df: DataFrame,
+    messages_col: str = "messages",
+    id_col: str = "doc_id",
+    mask_role: str = "assistant",
+) -> DataFrame:
+    """Render chat transcripts to training text WITH loss-mask spans —
+    the SFT data-prep step: ``messages`` is an
+    ``array<struct<role string, content string>>``; each turn renders as
+    the ChatML-style block ``<|im_start|>{role}\\n{content}<|im_end|>\\n``
+    and the turns concatenate in order. ``spans`` lists, for every turn
+    whose role is ``mask_role``, the (start, length) of its CONTENT
+    inside the rendered text — exactly the character ranges a trainer
+    unmasks for the loss (everything else is context).
+
+    All offsets are integer arithmetic over rendered-piece lengths
+    (cumulative sum per transcript), so the output is engine-exact.
+    NULL/empty transcripts render to '' with no spans.
+
+    Plan: one positional explode + one cumulative window + one ordered
+    reassembly — two transcript-keyed shuffles, no Python. Returns
+    (id_col, text, spans, n_turns, n_masked_turns).
+    """
+    pre = F.lit("<|im_start|>")
+    pieces = df.select(
+        F.col(id_col),
+        F.posexplode(F.coalesce(F.col(messages_col), F.array())).alias(
+            "__i", "__m"
+        ),
+    ).select(
+        id_col,
+        "__i",
+        F.col("__m.role").alias("__role"),
+        F.coalesce(F.col("__m.content"), F.lit("")).alias("__content"),
+    )
+    rendered = F.concat(
+        pre, F.col("__role"), F.lit("\n"), F.col("__content"), F.lit("<|im_end|>\n")
+    )
+    staged = pieces.select(
+        id_col,
+        "__i",
+        "__role",
+        "__content",
+        rendered.alias("__r"),
+        F.length(rendered).alias("__len"),
+    )
+    w = (
+        W.partitionBy(id_col)
+        .orderBy("__i")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("__len").over(w), F.lit(0)).cast("long")
+    content_start = start + F.lit(12) + F.length("__role") + F.lit(1)
+    marked = staged.select(
+        id_col,
+        "__i",
+        "__r",
+        (F.col("__role") == F.lit(mask_role)).alias("__mask"),
+        F.struct(
+            content_start.alias("start"),
+            F.length("__content").cast("long").alias("length"),
+        ).alias("__span"),
+    )
+    agg = marked.groupBy(id_col).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__i"), F.col("__r").alias("r")))
+                ),
+                lambda s: s["r"],
+            ),
+        ).alias("text"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("__mask"), F.col("__span")))
+        ).alias("spans"),
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.col("__mask").cast("int")).cast("long").alias("n_masked_turns"),
+    )
+    empty_spans = F.array().cast("array<struct<start:bigint,length:bigint>>")
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+        .withColumn("spans", F.coalesce(F.col("spans"), empty_spans))
+        .withColumn("n_turns", F.coalesce(F.col("n_turns"), F.lit(0)))
+        .withColumn(
+            "n_masked_turns", F.coalesce(F.col("n_masked_turns"), F.lit(0))
+        )
+    )
