@@ -841,3 +841,31 @@ def test_explain_statement(sql_session):
     assert "Parsed Logical Plan" in plan2
     with pytest.raises(InvalidArgument):
         s.execute_sql("EXPLAIN DROP TABLE bkt.s.t")
+
+
+def test_ctas_from_logical_view(sql_session):
+    """CREATE TABLE AS SELECT over a logical view: the view binds inside
+    the CTAS body like any other read, and the result is a real engine
+    table with the view's rows frozen at creation."""
+    s = sql_session
+    s.execute_sql(
+        "CREATE VIEW bkt.s.agg AS SELECT name, SUM(a) AS total"
+        " FROM bkt.s.t GROUP BY name"
+    )
+    s.execute_sql("CREATE TABLE bkt.s.frozen AS SELECT * FROM bkt.s.agg")
+    rows = s.execute_sql(
+        "SELECT * FROM bkt.s.frozen ORDER BY name"
+    ).collect()
+    assert [(r["name"], r["total"]) for r in rows] == [
+        ("one", 1), ("three", 3), ("two", 2)
+    ]
+    # the table froze: later churn moves the view but not the CTAS copy
+    s.execute_sql("INSERT INTO bkt.s.t VALUES (10, 0.0, 'one')")
+    assert (
+        s.execute_sql("SELECT total FROM bkt.s.agg WHERE name='one'")
+        .first()["total"] == 11
+    )
+    assert (
+        s.execute_sql("SELECT total FROM bkt.s.frozen WHERE name='one'")
+        .first()["total"] == 1
+    )
