@@ -67,6 +67,60 @@ _SQL_TOKENS = (
 )
 
 
+# Independent naive BPE trainer for the tx_bpe_learned oracle. Shares NO
+# code with operators/bpe.py: word counts come from DuckDB over the raw
+# parquet (same tokenizer as every other SQL oracle), and the merge loop
+# recomputes pair counts from scratch each step (the O(V * merges) naive
+# form, vs the engine's incremental trainer) — so a bug in the engine's
+# incremental bookkeeping would surface as a merge-table divergence and a
+# hash mismatch at the gate. The driver's correctness gate always runs at
+# sf0.01 on /root/testdata; SPARK_GRAFT_ORACLE_SF_DIR overrides the corpus
+# path for local oracle checks at other scale factors.
+_BPE_ORACLE_MERGES: dict[str, list] = {}
+
+
+def _naive_bpe_merges(sf_dir: str, num_merges: int = 30,
+                      top_words: int = 200_000) -> list:
+    if sf_dir in _BPE_ORACLE_MERGES:
+        return _BPE_ORACLE_MERGES[sf_dir]
+    import duckdb
+
+    tok = _SQL_TOKENS.format(c="text")
+    rows = duckdb.connect().execute(
+        f"SELECT w AS word, count(*) AS n FROM (SELECT unnest({tok}) AS w"
+        f" FROM '{sf_dir}/documents.parquet') GROUP BY w"
+        f" ORDER BY n DESC, w ASC LIMIT {top_words}"
+    ).fetchall()
+    vocab = {tuple(w) + ("</w>",): n for w, n in rows}
+    merges = []
+    for _ in range(num_merges):
+        pc: dict = {}
+        for sym, n in vocab.items():
+            for p in zip(sym, sym[1:]):
+                pc[p] = pc.get(p, 0) + n
+        eligible = [(c, p) for p, c in pc.items() if c >= 2]
+        if not eligible:
+            break
+        best_c = max(c for c, _ in eligible)
+        pair = min(p for c, p in eligible if c == best_c)
+        merges.append(pair)
+        new_vocab: dict = {}
+        for sym, n in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and (sym[i], sym[i + 1]) == pair:
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + n
+        vocab = new_vocab
+    _BPE_ORACLE_MERGES[sf_dir] = merges
+    return merges
+
+
 # ---------------------------------------------------------------------------
 # S/P: scans, projections, predicates (SURVEY.md §2.1-2.2)
 
@@ -3156,12 +3210,17 @@ def q_tx_bpe_learned(spark, sf):
     """BPE tokenizer TRAINING + application (operators/bpe.
     learn_bpe_merges + bpe_segment; Sennrich 2016): distributed word
     counts -> incremental driver merge loop (vocabulary-sized, never
-    corpus) -> broadcast-ranks greedy encode, zero shuffle. No DuckDB
-    oracle (the sequential merge loop is not SQL-expressible — the
-    driver records the weaker rows-only check; the trainer is pinned
-    against a naive reference implementation in pytest instead). The
-    query SELF-VALIDATES in-plan: recon_ok asserts the subword stream
-    reconstructs each document's pre-token characters exactly."""
+    corpus) -> broadcast-ranks greedy encode, zero shuffle. FULL DuckDB
+    oracle (round 10): the training loop is sequential but its output —
+    the ordered merge table — is vocabulary-sized and deterministic, so
+    the oracle re-learns it with an INDEPENDENT naive trainer (DuckDB
+    word counts + from-scratch pair recount each step; see
+    _naive_bpe_merges), inlines it as a rank list literal, and replays
+    greedy segmentation over the DISTINCT pre-token words with a
+    recursive CTE — so both the trainer (incremental vs naive) and the
+    encoder (mapInPandas vs CTE) are cross-checked by the value hash.
+    The query also SELF-VALIDATES in-plan: recon_ok asserts the subword
+    stream reconstructs each document's pre-token characters exactly."""
     from vastdb_sdk_spark.functions.text import tokens as _tok2
     from vastdb_sdk_spark.operators.bpe import (
         END_OF_WORD,
@@ -5426,7 +5485,80 @@ def oracle_sql() -> dict[str, str]:
             f"ELSE list_transform(range(1, len(toks) - {n - 2}), i -> {parts}) END"
         )
 
+    # tx_bpe_learned: the learned merge table is vocabulary-sized and
+    # deterministic, so the oracle inlines it (learned INDEPENDENTLY by
+    # the naive trainer above — never imported from operators/bpe) as a
+    # rank-ordered list literal and replays greedy lowest-rank-first
+    # segmentation over the DISTINCT pre-token words with a recursive
+    # CTE: each step merges the LEFTMOST occurrence of the present pair
+    # with the smallest rank (list_position returns the first index of
+    # the minimum), exactly the engine's per-word encode loop. Pair keys
+    # are 'left right' strings — tokens are [a-z0-9]+ so the space
+    # separator cannot collide.
+    import os as _os
+
+    _bpe_sf = _os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    bpe_ranks = (
+        "[" + ", ".join(f"'{a} {b}'" for a, b in _naive_bpe_merges(_bpe_sf)) + "]"
+    )
+    _bpe_rk = (
+        "list_transform(range(1, len(syms)), i -> CASE WHEN"
+        f" list_position({bpe_ranks}, syms[i] || ' ' || syms[i + 1]) = 0"
+        " THEN 999999 ELSE"
+        f" list_position({bpe_ranks}, syms[i] || ' ' || syms[i + 1]) END)"
+    )
+
     sqls = {
+        "tx_bpe_learned": f"""
+            WITH RECURSIVE words AS (
+                SELECT DISTINCT unnest({tok}) AS word FROM documents
+            ),
+            seg AS (
+                SELECT word,
+                       list_append(list_transform(range(1, length(word) + 1),
+                                                  i -> word[i:i]),
+                                   '</w>') AS syms,
+                       0 AS step
+                FROM words
+              UNION ALL
+                SELECT word,
+                       syms[1:best_i - 1]
+                         || [syms[best_i] || syms[best_i + 1]]
+                         || syms[best_i + 2:len(syms)] AS syms,
+                       step + 1
+                FROM (
+                    SELECT word, syms, step,
+                           list_position(rks, list_aggregate(rks, 'min'))
+                               AS best_i,
+                           list_aggregate(rks, 'min') AS best_r
+                    FROM (SELECT word, syms, step, {_bpe_rk} AS rks FROM seg)
+                )
+                WHERE best_r < 999999
+            ),
+            final AS (
+                SELECT word,
+                       len(syms) AS n_sub,
+                       replace(array_to_string(syms, ''), '</w>', '') = word
+                           AS recon
+                FROM seg
+                QUALIFY row_number() OVER (
+                    PARTITION BY word ORDER BY step DESC) = 1
+            ),
+            stream AS (SELECT doc_id, unnest({tok}) AS word FROM documents),
+            per_doc AS (
+                SELECT s.doc_id,
+                       CAST(sum(f.n_sub) AS BIGINT) AS n_bpe_tokens,
+                       bool_and(f.recon) AS recon_ok
+                FROM stream s JOIN final f USING (word)
+                GROUP BY s.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_bpe_tokens, 0) AS n_bpe_tokens,
+                   COALESCE(p.recon_ok, TRUE) AS recon_ok
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
         "tx_repetition": f"""
             WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
             g AS (
