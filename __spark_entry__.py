@@ -4933,153 +4933,93 @@ def q_tx_chat_render(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate reads a 50-query
-    # window from the front of this dict. Round-9 rotation (VERDICT r8
-    # item 2): (1) e17_semantic_dedup_inplace, NEW this round (the
-    # engine/batch twin of streaming semantic dedup, running the new
-    # linear auto-centroid default); (2) the 4 whose implementation or
-    # oracle changed this round (ann_ivfpq_persisted + ann_ivf_knn_join
-    # converted from self-certifying booleans to planted-id oracles;
-    # dd_semantic_dedup rides the re-defaulted semantic_dup_pairs;
-    # tx_hybrid_topk's shortlist aliasing); (3) tx_bpe_learned — the
-    # only registered query with no driver-green row ever (rows-only:
-    # the sequential merge loop has no SQL twin); (4) the full 43-query
-    # round-6-stale cohort (the stalest greens in the registry); (5)
-    # e18_refresh_incremental — ALSO new this round (the feed-driven
-    # incremental index refresh, previously engine-tested only) — fills
-    # the 50. After the boundary: the four planted-converted ANN gates
-    # (locally verified at sf0.01+sf0.1 this round) and the round-7
-    # greens lead the round-10 window, then round-8 greens, freshest
-    # last — no entry's latest green ever ages past ~3 rounds.
+    # window from the front of this dict.
+    #
+    # ROTATION MATH (the standing policy): 192 registered queries, 50
+    # gated per round => a full re-green cycle takes 4 rounds, so the
+    # honest staleness bound is "no query's latest driver-green is older
+    # than 4 rounds" once the backlog below is cleared. The registry is
+    # FROZEN this round (no new entries) to pay that backlog down.
+    #
+    # Round-10 window (all 50 = the never-driver-gated cohort; 52 such
+    # queries existed after round 9, so the 2 leftovers lead round 11):
+    # (1) tx_bpe_learned first — previously the registry's only rows-only
+    # gate, now carrying a full recursive-CTE oracle (independent naive
+    # trainer + greedy segmentation replay); (2) the 10 engine/matview/
+    # index/time-series gates (e19, e21-e26, el6_bloom, ts_gapfill,
+    # ts_anomaly); (3) the 39 operator gates (a11/a12, w9-w11, the dd_*
+    # near-dup five, the ds_* sampling nine, ann matryoshka + pca, and
+    # the tx_* text/LM seventeen). Every window entry was verified green
+    # locally at sf0.01 AND sf0.1 via tools/check_correctness.py.
+    #
+    # Round-11 window plan (recorded in SCALING.md): the 2 leftovers
+    # (tx_span_corrupt, tx_mlm_mask), then ds_train_test_split (round-6
+    # green — the stalest standing green), then the 44-query round-7
+    # cohort; round-12 takes the round-8 cohort (46), round-13 the
+    # round-9 cohort (49) — after which every green is <= 4 rounds old
+    # and the rotation becomes steady-state oldest-first.
     return {
-        "e17_semantic_dedup_inplace": q_e17_semantic_dedup_inplace,
-        "tx_bigram_logprob": q_tx_bigram_logprob,
-        "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
-        "ann_ivf_knn_join": q_ann_ivf_knn_join,
-        "dd_semantic_dedup": q_dd_semantic_dedup,
-        "tx_hybrid_topk": q_tx_hybrid_topk,
+        # -- round-10 window: lead gate (full oracle is new this round) --
         "tx_bpe_learned": q_tx_bpe_learned,
-        "tx_repetition": q_tx_repetition,
-        "tx_chunk_windows": q_tx_chunk_windows,
-        "tx_normalize": q_tx_normalize,
-        "e14_engine_dedup": q_e14_engine_dedup,
-        "dd_simhash": q_dd_simhash,
-        "dd_lsh_pairs": q_dd_lsh_pairs,
-        "tx_token_stats": q_tx_token_stats,
-        "tx_quality": q_tx_quality,
-        "tx_langid": q_tx_langid,
-        "mm_decode_stub": q_mm_decode_stub,
-        "mm_blob_meta": q_mm_blob_meta,
-        "e1_engine_scan": q_e1_engine_scan,
-        "e2_engine_sql": q_e2_engine_sql,
-        "e4_engine_dml": q_e4_engine_dml,
-        "e9_engine_merge": q_e9_engine_merge,
-        "e10_sql_frontend": q_e10_sql_frontend,
-        "e13_engine_zorder": q_e13_engine_zorder,
-        "el1_sorted_point": q_el1_sorted_point,
-        "a1_tpch_q1": q_a1_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q6": q_tpch_q6,
-        "j1_star_join_revenue": q_j1_star_join_revenue,
-        "s1_scan_project": q_s1_scan_project,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        "ds_stratified_sample": q_ds_stratified_sample,
-        "e18_refresh_incremental": q_e18_refresh_incremental,
-        # ---- window boundary (driver gates the 50 entries above) --------
-        # Directly below: the 41 queries ADDED LATE in round 9 (never
-        # driver-gated — each locally verified green at sf0.01 AND sf0.1
-        # via tools/check_correctness.py) lead the round-10 window. They
-        # comprise three cohorts in registry order: the mid-round
-        # additions (tx_tfidf_topterms .. w11_retention_cohorts), the
-        # session-3 tier (dd_line_dedup, dd_minhash_join, tx_rrf_fusion,
-        # ann_pca_project, ds_token_budget, tx_kl_drift, ds_shard_assign
-        # — inserted just below), and the session-2 tier (e22-e24
-        # matviews, NB train/classify, ts gapfill/anomaly, weighted
-        # sample, el6 bloom, DSIR, sentences x2, matryoshka, url canon,
-        # html strip). ds_train_test_split (round-6 green) follows, then
-        # the four planted-converted ANN gates and the round-7 greens
-        # fill whatever window room round 10 has left.
-        "tx_tfidf_topterms": q_tx_tfidf_topterms,
-        "ds_domain_caps": q_ds_domain_caps,
-        "ds_cluster_assign": q_ds_cluster_assign,
-        "tx_length_percentiles": q_tx_length_percentiles,
+        # -- engine / matview / index / time-series gates --------------
         "e19_engine_domain_cap": q_e19_engine_domain_cap,
-        "w9_hopping_window": q_w9_hopping_window,
-        "a11_grouping_sets": q_a11_grouping_sets,
-        "tx_pmi_topk": q_tx_pmi_topk,
-        "dd_tfidf_pairs": q_dd_tfidf_pairs,
-        "a12_pivot": q_a12_pivot,
-        "tx_token_entropy": q_tx_token_entropy,
-        "ds_source_overlap": q_ds_source_overlap,
-        "dd_keep_best": q_dd_keep_best,
-        "dd_winnow": q_dd_winnow,
-        "tx_zipf_slope": q_tx_zipf_slope,
-        "ds_borda_quality": q_ds_borda_quality,
         "e21_pipeline_recipe": q_e21_pipeline_recipe,
         "e22_matview_incremental": q_e22_matview_incremental,
-        "tx_nb_train": q_tx_nb_train,
-        "tx_nb_classify": q_tx_nb_classify,
-        "ts_gapfill": q_ts_gapfill,
-        "ds_weighted_sample": q_ds_weighted_sample,
-        "el6_bloom_point": q_el6_bloom_point,
-        "ds_dsir_weights": q_ds_dsir_weights,
         "e23_matview_rollup": q_e23_matview_rollup,
-        "tx_sentences": q_tx_sentences,
-        "tx_chunk_sentences": q_tx_chunk_sentences,
-        "ts_anomaly": q_ts_anomaly,
         "e24_matview_timebucket": q_e24_matview_timebucket,
-        "ann_matryoshka_topk": q_ann_matryoshka_topk,
-        "tx_url_canon": q_tx_url_canon,
-        "tx_html_strip": q_tx_html_strip,
-        "w10_funnel": q_w10_funnel,
-        "w11_retention_cohorts": q_w11_retention_cohorts,
-        # session-3 round-9 additions (locally verified at sf0.01 AND
-        # sf0.1 via tools/check_correctness.py; never driver-gated —
-        # part of the round-10 window lead cohort):
-        "dd_line_dedup": q_dd_line_dedup,
-        "dd_minhash_join": q_dd_minhash_join,
-        "tx_rrf_fusion": q_tx_rrf_fusion,
-        "ann_pca_project": q_ann_pca_project,
-        "ds_token_budget": q_ds_token_budget,
-        "tx_kl_drift": q_tx_kl_drift,
-        "ds_shard_assign": q_ds_shard_assign,
         "e25_sig_sync": q_e25_sig_sync,
         "e26_sql_views": q_e26_sql_views,
-        "tx_kn_logprob": q_tx_kn_logprob,
-        "tx_span_corrupt": q_tx_span_corrupt,
-        "tx_prefix_lm": q_tx_prefix_lm,
-        "tx_mlm_mask": q_tx_mlm_mask,
-        "tx_contrastive": q_tx_contrastive,
-        "tx_collapse_repeats": q_tx_collapse_repeats,
+        "el6_bloom_point": q_el6_bloom_point,
+        "ts_gapfill": q_ts_gapfill,
+        "ts_anomaly": q_ts_anomaly,
+        # -- operator gates --------------------------------------------
+        "a11_grouping_sets": q_a11_grouping_sets,
+        "a12_pivot": q_a12_pivot,
+        "w9_hopping_window": q_w9_hopping_window,
+        "w10_funnel": q_w10_funnel,
+        "w11_retention_cohorts": q_w11_retention_cohorts,
+        "dd_keep_best": q_dd_keep_best,
+        "dd_line_dedup": q_dd_line_dedup,
+        "dd_minhash_join": q_dd_minhash_join,
+        "dd_tfidf_pairs": q_dd_tfidf_pairs,
+        "dd_winnow": q_dd_winnow,
+        "ds_borda_quality": q_ds_borda_quality,
+        "ds_cluster_assign": q_ds_cluster_assign,
+        "ds_domain_caps": q_ds_domain_caps,
+        "ds_dsir_weights": q_ds_dsir_weights,
         "ds_score_normalize": q_ds_score_normalize,
+        "ds_shard_assign": q_ds_shard_assign,
+        "ds_source_overlap": q_ds_source_overlap,
+        "ds_token_budget": q_ds_token_budget,
+        "ds_weighted_sample": q_ds_weighted_sample,
+        "ann_matryoshka_topk": q_ann_matryoshka_topk,
+        "ann_pca_project": q_ann_pca_project,
         "tx_chat_render": q_tx_chat_render,
+        "tx_collapse_repeats": q_tx_collapse_repeats,
+        "tx_contrastive": q_tx_contrastive,
+        "tx_html_strip": q_tx_html_strip,
+        "tx_kl_drift": q_tx_kl_drift,
+        "tx_kn_logprob": q_tx_kn_logprob,
+        "tx_length_percentiles": q_tx_length_percentiles,
+        "tx_nb_classify": q_tx_nb_classify,
+        "tx_nb_train": q_tx_nb_train,
+        "tx_pmi_topk": q_tx_pmi_topk,
+        "tx_prefix_lm": q_tx_prefix_lm,
+        "tx_rrf_fusion": q_tx_rrf_fusion,
+        "tx_sentences": q_tx_sentences,
+        "tx_chunk_sentences": q_tx_chunk_sentences,
+        "tx_tfidf_topterms": q_tx_tfidf_topterms,
+        "tx_token_entropy": q_tx_token_entropy,
+        "tx_url_canon": q_tx_url_canon,
+        "tx_zipf_slope": q_tx_zipf_slope,
+        # ---- window boundary (driver gates the 50 entries above) --------
+        # Round-11 lead: the 2 never-gated leftovers, then the stalest
+        # standing greens (round-6, then the round-7 cohort).
+        "tx_span_corrupt": q_tx_span_corrupt,
+        "tx_mlm_mask": q_tx_mlm_mask,
         "ds_train_test_split": q_ds_train_test_split,
-        # Directly below: the four ANN gates whose oracles were ALSO
-        # converted to planted-id form this round (ann_rhp_topk,
-        # ann_pq_topk, ann_ivf_topk, ann_ivfpq_topk — all verified green
-        # at sf0.01 AND sf0.1 via tools/check_correctness.py this
-        # round); they lead the round-10 window together with
-        # tx_gopher_flags and the rest of the round-7-green cohort.
-        "ann_rhp_topk": q_ann_rhp_topk,
-        "ann_pq_topk": q_ann_pq_topk,
+        # -- round-7-green cohort (round-11 window fills from here) ----
         "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "tx_gopher_flags": q_tx_gopher_flags,
         "tx_c4_filter": q_tx_c4_filter,
         "tx_bpe_tokens": q_tx_bpe_tokens,
@@ -5123,6 +5063,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_pack_greedy": q_tx_pack_greedy,
         "dd_simhash_fast": q_dd_simhash_fast,
         "dd_embed_neardup": q_dd_embed_neardup,
+        # -- round-8-green cohort (round-12 window) --------------------
+        "ann_rhp_topk": q_ann_rhp_topk,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "dd_phash_neardup": q_dd_phash_neardup,
         "tx_clf_quality": q_tx_clf_quality,
         "dd_passage_dups": q_dd_passage_dups,
@@ -5166,6 +5110,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_ngram_overlap": q_dd_ngram_overlap,
         "tx_pii_scrub": q_tx_pii_scrub,
         "asof_last_purchase": q_asof_last_purchase,
+        # -- round-9-green cohort (freshest; round-13 window) ----------
+        "e17_semantic_dedup_inplace": q_e17_semantic_dedup_inplace,
+        "tx_bigram_logprob": q_tx_bigram_logprob,
+        "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
+        "ann_ivf_knn_join": q_ann_ivf_knn_join,
+        "dd_semantic_dedup": q_dd_semantic_dedup,
+        "tx_hybrid_topk": q_tx_hybrid_topk,
+        "tx_repetition": q_tx_repetition,
+        "tx_chunk_windows": q_tx_chunk_windows,
+        "tx_normalize": q_tx_normalize,
+        "e14_engine_dedup": q_e14_engine_dedup,
+        "dd_simhash": q_dd_simhash,
+        "dd_lsh_pairs": q_dd_lsh_pairs,
+        "tx_token_stats": q_tx_token_stats,
+        "tx_quality": q_tx_quality,
+        "tx_langid": q_tx_langid,
+        "mm_decode_stub": q_mm_decode_stub,
+        "mm_blob_meta": q_mm_blob_meta,
+        "e1_engine_scan": q_e1_engine_scan,
+        "e2_engine_sql": q_e2_engine_sql,
+        "e4_engine_dml": q_e4_engine_dml,
+        "e9_engine_merge": q_e9_engine_merge,
+        "e10_sql_frontend": q_e10_sql_frontend,
+        "e13_engine_zorder": q_e13_engine_zorder,
+        "el1_sorted_point": q_el1_sorted_point,
+        "a1_tpch_q1": q_a1_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
+        "j1_star_join_revenue": q_j1_star_join_revenue,
+        "s1_scan_project": q_s1_scan_project,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        "ds_stratified_sample": q_ds_stratified_sample,
+        "e18_refresh_incremental": q_e18_refresh_incremental,
     }
 
 
