@@ -892,6 +892,35 @@ def test_semantic_dedup_marks_and_pairs(spark):
     }
 
 
+def test_semantic_dup_pairs_grid_equivalence(spark):
+    """The (chunk_i, chunk_j) cell grid is a pure parallelization of the
+    per-cluster pair search: every unordered pair maps to exactly one
+    cell, so a tiny gemm_chunk (forcing the g>1 grid path with cross
+    cells) must yield the IDENTICAL (id_a, id_b, cos_sim) set as a
+    gemm_chunk larger than any cluster (the one-cell-per-cluster path)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((120, 8))
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    rows += [(1000 + i, (3.0 * vecs[i]).tolist()) for i in range(15)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    kw = dict(threshold=0.8, num_centroids=3, seed=42)
+    one_cell = similarity.semantic_dup_pairs(
+        df, "vec_id", "embedding", gemm_chunk=100_000, **kw
+    ).collect()
+    grid = similarity.semantic_dup_pairs(
+        df, "vec_id", "embedding", gemm_chunk=7, **kw
+    ).collect()
+    as_set = lambda rs: {(r.id_a, r.id_b, r.cos_sim) for r in rs}
+    assert len(grid) == len(as_set(grid))  # no pair computed twice
+    assert as_set(grid) == as_set(one_cell)
+    assert {(r.id_a, r.id_b) for r in one_cell} >= {
+        (i, 1000 + i) for i in range(15)
+    }
+
+
 def test_truncate_embeddings_and_matryoshka_funnel(spark):
     import math
 

@@ -1122,8 +1122,13 @@ def semantic_dup_pairs(
     as in the paper) and before the GEMM, so cosine is a plain dot and a
     positively-scaled duplicate (v vs 2v) is bit-identical after
     normalization — same cluster, cosine exactly 1. Per-cluster work is
-    one applyInPandas cell: chunked float64 GEMM, only >=threshold pairs
-    leave the task. ``num_centroids=None`` auto-sizes to a FIXED cluster
+    chunked float64 GEMM in applyInPandas cells, only >=threshold pairs
+    leave the task; when clusters are fewer than ~4x the executor cores
+    (the 65536-centroid clamp regime, or an explicit small
+    num_centroids), each cluster's pair space further splits into a
+    (chunk_i, chunk_j) cell grid so task count stays above core count —
+    same pair set, same total FLOPs, bounded (<=8x) shuffle replication.
+    ``num_centroids=None`` auto-sizes to a FIXED cluster
     size (``rows / target_cluster_rows`` centroids, clamped to
     [16, 65536]): per-cluster pair work stays |c|^2 ~ target^2 = O(1)
     and total work N·target = O(N) — an untouched default stays linear
@@ -1149,11 +1154,35 @@ def semantic_dup_pairs(
         raise ValueError(
             f"target_cluster_rows must be >= 2, got {target_cluster_rows}"
         )
+    n_rows = df.count()
     if num_centroids is None:
-        n_rows = df.count()
         num_centroids = int(
             min(65536, max(16, -(-n_rows // int(target_cluster_rows))))
         )
+    # Cell-grid sizing: when the centroid clamp (or an explicit small
+    # num_centroids) leaves fewer clusters than cores, one applyInPandas
+    # cell per cluster collapses parallelism — a 16-cluster corpus runs
+    # 16 tasks on a 32-core box, each doing the FULL |c|^2 pair grid. So
+    # in that regime the pair space of each cluster is split into a
+    # (chunk_i, chunk_j) upper-triangular grid of ~gemm_chunk-sized row
+    # blocks: rows land in a chunk by deterministic hash, each row
+    # replicates to the g cells its chunk touches, and every unordered
+    # pair maps to EXACTLY ONE cell ({chunk(a), chunk(b)}), so the union
+    # over cells is the same pair set as the one-cell-per-cluster plan
+    # (pinned by test_semantic_dup_pairs_grid_equivalence). Total work is
+    # unchanged (sum over cells of |A||B| ~ |c|^2/2); task count
+    # multiplies by g(g+1)/2; shuffle volume by g (capped at 8). When
+    # clusters already outnumber cores 4x — the normal auto-sized shape
+    # at scale, N/4096 clusters — the grid stays OFF: per-cluster cells
+    # are parallel enough and the plan keeps single-copy shuffle volume.
+    # Both paths emit the identical pair set, so the choice is pure
+    # physical planning, invisible to gates.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    exp_cluster = -(-n_rows // max(int(num_centroids), 1))
+    if int(num_centroids) >= 4 * par:
+        g = 1
+    else:
+        g = int(min(8, max(1, -(-exp_cluster // int(gemm_chunk)))))
     nvec = F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda x: x
@@ -1188,12 +1217,8 @@ def semantic_dup_pairs(
     thr = float(threshold)
     chunk = int(gemm_chunk)
 
-    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
-        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
-        ids = pdf[id_col].to_numpy()[order]
-        X = np.stack(pdf["__nvec"].to_numpy()[order]).astype(np.float64)
+    def _within_pairs(ids, X):
+        """All >=thr pairs within one row block, id_a < id_b; ids sorted."""
         out_a, out_b, out_s = [], [], []
         n = len(ids)
         for s in range(0, n, chunk):
@@ -1207,11 +1232,65 @@ def semantic_dup_pairs(
                     out_s.extend(S[r, i + 1 + hits])
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_s})
 
-    return (
-        assigned.groupBy("centroid_id")
-        .applyInPandas(_cell_pairs, out_schema)
-        .withColumn("cos_sim", F.round("cos_sim", 6))
-    )
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        X = np.stack(pdf["__nvec"].to_numpy()[order]).astype(np.float64)
+        return _within_pairs(ids, X)
+
+    def _grid_cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        if len(pdf) < 2:
+            return empty
+        ci, cj = int(pdf["__ci"].iloc[0]), int(pdf["__cj"].iloc[0])
+        if ci == cj:  # diagonal cell: within-block pairs
+            return _cell_pairs(pdf)
+        # cross cell: every (A-row, B-row) pair, ordered id_a < id_b
+        a_m = (pdf["__ck"] == ci).to_numpy()
+        A, B = pdf[a_m], pdf[~a_m]
+        if not len(A) or not len(B):
+            return empty
+        ida = A[id_col].to_numpy()
+        idb = B[id_col].to_numpy()
+        XA = np.stack(A["__nvec"].to_numpy()).astype(np.float64)
+        XB = np.stack(B["__nvec"].to_numpy()).astype(np.float64)
+        out_a, out_b, out_s = [], [], []
+        for s in range(0, len(ida), chunk):
+            S = XA[s : s + chunk] @ XB.T
+            rr, cc = np.nonzero(S >= thr)
+            if rr.size:
+                la, lb = ida[s + rr], idb[cc]
+                out_a.extend(np.minimum(la, lb))
+                out_b.extend(np.maximum(la, lb))
+                out_s.extend(S[rr, cc])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_s})
+
+    if g <= 1:  # plenty of clusters: one cell per cluster, no replication
+        pairs = assigned.groupBy("centroid_id").applyInPandas(
+            _cell_pairs, out_schema
+        )
+    else:
+        chunked = assigned.withColumn(
+            "__ck", F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(g))
+        )
+        cells = chunked.select(
+            "*",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(g - 1)),
+                    lambda x: F.struct(
+                        F.least(F.col("__ck"), x).alias("__ci"),
+                        F.greatest(F.col("__ck"), x).alias("__cj"),
+                    ),
+                )
+            ).alias("__cell"),
+        ).select("*", "__cell.__ci", "__cell.__cj").drop("__cell")
+        pairs = cells.groupBy("centroid_id", "__ci", "__cj").applyInPandas(
+            _grid_cell_pairs, out_schema
+        )
+    return pairs.withColumn("cos_sim", F.round("cos_sim", 6))
 
 
 def semantic_dedup(
