@@ -4642,9 +4642,15 @@ def q_e25_sig_sync(spark, sf):
     sync_minhash_signatures over sync_derived_rows): documents imported,
     the banded MinHash signature table fully built, then churn —
     DELETE WHERE doc_id%7=0, UPDATE doc 3's text, INSERT doc 9001 —
-    folded by a second sync that must run INCREMENTALLY (churn-bounded:
-    one matched-delete MERGE on affected keys + re-derive of final
-    images; a full-rebuild fallback appends a gate-breaking sentinel).
+    folded by a second sync with mode='incremental' EXPLICITLY: this
+    gate oracle-checks the churn-bounded fold itself (one matched-delete
+    MERGE on affected keys + re-derive of final images; any fallback
+    appends a gate-breaking sentinel). The default mode='auto' would
+    legitimately route this small corpus to a full rebuild — the
+    cost-based router (sync_derived_rows: manifest-stats size floor +
+    changed-row fraction, zero data I/O) exists precisely because the
+    fold's fixed intercept loses below ~1e5 rows; forcing incremental
+    here keeps the HARD path under the oracle at every sf.
     The md5 hash path makes the whole index SQL-reproducible: the
     oracle rebuilds the post-churn corpus and replays signatures and
     band keys via the shared _mh_lsh_chain_sql — a maintained index
@@ -4701,7 +4707,7 @@ def q_e25_sig_sync(spark, sf):
         )
     with session.transaction() as tx:
         docs, sig = _tables(tx)
-        r = sync_minhash_signatures(docs, sig, hash_fn="md5")
+        r = sync_minhash_signatures(docs, sig, hash_fn="md5", mode="incremental")
     tx = session.transaction()
     _, sig = _tables(tx)
     out = sig.select_df(columns=["doc_id", "band_id", "band_key"])

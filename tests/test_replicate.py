@@ -237,7 +237,7 @@ def test_sync_minhash_signatures_full_then_churn(clean_schema):
         )
     with session.transaction() as tx:
         src, sig = _sig_tables(tx)
-        r2 = sync_minhash_signatures(src, sig)
+        r2 = sync_minhash_signatures(src, sig, mode="incremental")
         assert r2["mode"] == "incremental"
         assert r2["from_version"] == v_synced
         assert r2["deleted_keys"] > 0 and r2["recomputed_keys"] >= 2
@@ -251,7 +251,9 @@ def test_sync_minhash_signatures_full_then_churn(clean_schema):
     with session.transaction() as tx:
         src, sig = _sig_tables(tx)
         before = _rows(sig)
-        r3 = sync_minhash_signatures(src, sig, from_version=r2["from_version"])
+        r3 = sync_minhash_signatures(
+            src, sig, from_version=r2["from_version"], mode="incremental"
+        )
         assert r3["mode"] == "incremental"
         assert _rows(sig) == before
     # cursor makes the default call a no-op
@@ -281,6 +283,7 @@ def test_sync_signatures_sql_verb(clean_schema):
         src.delete_where(D.doc_id < 10)
     r2 = session.execute_sql(
         "SYNC SIGNATURES bkt.s.sig FROM bkt.s.src ON (doc_id, text)"
+        " MODE INCREMENTAL"
     )
     assert r2["mode"] == "incremental" and r2["deleted_keys"] == 10
     with session.transaction() as tx:
@@ -377,10 +380,135 @@ def test_property_random_dml_then_sync_equals_rebuild(clean_schema):
                     nxt += 5
         with session.transaction() as tx:
             src, sig = _tables(tx)
-            r = sync_minhash_signatures(src, sig)
+            r = sync_minhash_signatures(src, sig, mode="incremental")
             assert r["mode"] == "incremental"
         with session.transaction() as tx:
             src, sig = _tables(tx)
             assert _rows(sig) == sorted(
                 tuple(x) for x in _expected_bands(src.select_df()).collect()
             ), f"drift after script {script}"
+
+
+# ---------------------------------------------------------------------------
+# cost-based AUTO routing (mode='auto') and NULL-key rejection
+
+
+def test_sync_derived_auto_routes_small_table_to_full(clean_schema):
+    """Below the size floor the incremental fold's fixed intercept loses
+    to a from-scratch rebuild, so AUTO must route 'full' — and the
+    result must equal the from-scratch derivation either way."""
+    from vastdb_sdk_spark.sources.replicate import sync_minhash_signatures
+
+    session = _sig_pair(clean_schema)
+    with session.transaction() as tx:
+        src, sig = _sig_tables(tx)
+        sync_minhash_signatures(src, sig)
+    with session.transaction() as tx:
+        src, _ = _sig_tables(tx)
+        src.delete_where(D.doc_id % 11 == 0)
+    with session.transaction() as tx:
+        src, sig = _sig_tables(tx)
+        # default floor (1e5) >> the test corpus -> full
+        r = sync_minhash_signatures(src, sig)
+        assert r["mode"] == "full"
+    with session.transaction() as tx:
+        src, sig = _sig_tables(tx)
+        assert _rows(sig) == sorted(
+            tuple(x) for x in _expected_bands(src.select_df()).collect()
+        )
+    # churn fraction is judged from CHANGED FILES' rows (metadata only),
+    # so spread the corpus over several files first — then a tiny touch
+    # in one file is a small fraction and, with the floor lowered below
+    # the corpus, AUTO picks the fold
+    for b in range(4):
+        with session.transaction() as tx:
+            src, _ = _sig_tables(tx)
+            src.insert(_doc_batch(range(5000 + 50 * b, 5050 + 50 * b)))
+    with session.transaction() as tx:
+        src, sig = _sig_tables(tx)
+        sync_minhash_signatures(src, sig)  # catch up on the inserts
+    with session.transaction() as tx:
+        src, _ = _sig_tables(tx)
+        # touch a row in one of the SMALL inserted files (the 500-row
+        # base file would alone exceed the 50% changed-row fraction)
+        src.update_where(D.doc_id == 5000, {"text": "tiny touch"})
+    with session.transaction() as tx:
+        src, sig = _sig_tables(tx)
+        r2 = sync_minhash_signatures(src, sig, full_rebuild_floor=1)
+        assert r2["mode"] == "incremental"
+    # floor low but the span touches >= half the rows -> full again
+    with session.transaction() as tx:
+        src, _ = _sig_tables(tx)
+        src.update_where(D.doc_id >= 0, {"text": "rewrite everything"})
+    with session.transaction() as tx:
+        src, sig = _sig_tables(tx)
+        r3 = sync_minhash_signatures(src, sig, full_rebuild_floor=1)
+        assert r3["mode"] == "full"
+    with session.transaction() as tx:
+        src, sig = _sig_tables(tx)
+        assert _rows(sig) == sorted(
+            tuple(x) for x in _expected_bands(src.select_df()).collect()
+        )
+
+
+def test_sync_derived_unrelated_commit_is_metadata_noop(clean_schema):
+    """A span that only touched OTHER tables must return noop without
+    advancing the cursor — detected from manifest stats alone."""
+    from vastdb_sdk_spark.sources.replicate import sync_minhash_signatures
+
+    session = _sig_pair(clean_schema)
+    with session.transaction() as tx:
+        src, sig = _sig_tables(tx)
+        sync_minhash_signatures(src, sig)
+    with session.transaction() as tx:  # churn elsewhere in the bucket
+        tx.bucket("bkt").schema("s").create_table(
+            "unrelated", pa.schema([("x", pa.int64())])
+        ).insert(pa.table({"x": [1, 2, 3]}))
+    with session.transaction() as tx:
+        src, sig = _sig_tables(tx)
+        r = sync_minhash_signatures(src, sig, full_rebuild_floor=1)
+        assert r["mode"] == "noop"
+        assert r["to_version"] == r["from_version"]
+
+
+def test_sync_null_keys_rejected(clean_schema):
+    """NULL keys have no row identity (anti-joins and MERGE conditions
+    never match them) — both sync paths must reject them loudly instead
+    of silently re-inserting on every replay."""
+    from vastdb_sdk_spark.sources.replicate import (
+        sync_derived_rows,
+        sync_table,
+    )
+
+    session = _pair(clean_schema)
+    with session.transaction() as tx:
+        src, dst = _tables(tx)
+        sync_table(src, dst, ["doc_id"])
+    with session.transaction() as tx:
+        src, _ = _tables(tx)
+        src.insert(
+            pa.table(
+                {
+                    "doc_id": pa.array([None], pa.int64()),
+                    "text": pa.array(["null-keyed row"]),
+                    "lang": pa.array(["en"]),
+                    "source": pa.array(["srcX"]),
+                    "n_chars": pa.array([14], pa.int64()),
+                }
+            )
+        )
+    with session.transaction() as tx:
+        src, dst = _tables(tx)
+        with pytest.raises(InvalidArgument, match="NULL"):
+            sync_table(src, dst, ["doc_id"])
+    with session.transaction() as tx:
+        src, dst = _tables(tx)
+        with pytest.raises(InvalidArgument, match="NULL"):
+            sync_derived_rows(
+                src,
+                dst,
+                ["doc_id"],
+                lambda d: d,
+                from_version=1,
+                mode="incremental",
+            )

@@ -123,7 +123,7 @@ def run_size(spark, mult: int, runs: int) -> dict:
         t0 = time.monotonic()
         with session.transaction() as tx:
             docs, sig = _tables(tx)
-            r = sync_minhash_signatures(docs, sig)
+            r = sync_minhash_signatures(docs, sig, mode="incremental")
             assert r["mode"] == "incremental", r
         incr.append(time.monotonic() - t0)
     return {

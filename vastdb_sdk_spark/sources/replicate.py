@@ -64,6 +64,7 @@ def sync_table(
             "upserts": 0,
             "deletes": 0,
         }
+    feed = None
     if from_version <= 0:
         # initial sync: no readable pre-version to diff against — every
         # current source row is a final image (the merge still upserts,
@@ -71,7 +72,10 @@ def sync_table(
         finals = src.select_df(columns=data_cols)
         removed = finals.select(*key_cols).limit(0)
     else:
-        feed = src.read_changes(from_version, to_version)
+        # the feed feeds BOTH classification joins and the merge source —
+        # persist it once instead of re-running the two-sided
+        # changed-file join per consumer
+        feed = src.read_changes(from_version, to_version).persist()
         finals = feed.filter(
             F.col("_change_type").isin("insert", "update_postimage")
         ).select(*data_cols)
@@ -93,22 +97,47 @@ def sync_table(
             ],
             F.lit("delete").alias("__sync_action"),
         )
-    )
-    non_key = [c for c in data_cols if c not in key_cols]
-    res = dst.merge(
-        source,
-        on=list(key_cols),
-        matched_clauses=[
-            ("delete", F.expr("s.__sync_action = 'delete'"), None),
-            ("update", None, {c: F.expr(f"s.{c}") for c in non_key}),
-        ],
-        not_matched_condition=F.expr("s.__sync_action <> 'delete'"),
-        when_not_matched="insert",
-        insert_assignments={c: F.expr(f"s.{c}") for c in data_cols},
-        target_alias="t",
-        source_alias="s",
-    )
-    dst.set_stream_offset(cursor_id, to_version)
+    ).persist()
+    try:
+        # NULL keys have no row identity: the gone-key anti-join and the
+        # MERGE's equi-condition never match a NULL, so a NULL-keyed row
+        # would classify as both gone AND upserted and re-insert on every
+        # replay — reject instead of silently corrupting net-effect
+        # semantics
+        n_null = source.agg(
+            F.max(
+                F.greatest(
+                    *[F.col(c).isNull().cast("int") for c in key_cols],
+                    F.lit(0),
+                )
+            ).alias("n")
+        ).first().n
+        if n_null:
+            raise InvalidArgument(
+                "sync_table: NULL in a key column within the sync span — "
+                "NULL keys have no row identity (anti-join and MERGE "
+                "conditions never match them); repair the source or "
+                "choose non-null key columns"
+            )
+        non_key = [c for c in data_cols if c not in key_cols]
+        res = dst.merge(
+            source,
+            on=list(key_cols),
+            matched_clauses=[
+                ("delete", F.expr("s.__sync_action = 'delete'"), None),
+                ("update", None, {c: F.expr(f"s.{c}") for c in non_key}),
+            ],
+            not_matched_condition=F.expr("s.__sync_action <> 'delete'"),
+            when_not_matched="insert",
+            insert_assignments={c: F.expr(f"s.{c}") for c in data_cols},
+            target_alias="t",
+            source_alias="s",
+        )
+        dst.set_stream_offset(cursor_id, to_version)
+    finally:
+        source.unpersist()
+        if feed is not None:
+            feed.unpersist()
     return {
         "from_version": from_version,
         "to_version": to_version,
@@ -123,6 +152,9 @@ def sync_derived_rows(
     key_cols: list[str],
     derive,
     from_version: int | None = None,
+    mode: str = "auto",
+    full_rebuild_floor: int = 100_000,
+    full_rebuild_fraction: float = 0.5,
 ) -> dict:
     """Feed-driven maintenance of a DERIVED table: keep ``dst`` equal to
     ``derive(src rows)`` where ``derive`` is a per-row (possibly
@@ -143,11 +175,23 @@ def sync_derived_rows(
     a full rebuild (dst cleared, every source row re-derived). The
     cursor rides the stream-offset mechanism, atomic with the data.
 
+    ``mode``: ``'auto'`` (default) routes by COST — incremental folding
+    carries a fixed intercept (feed classification join + matched-delete
+    MERGE), so it loses to a from-scratch rebuild when the table is
+    small (``full_rebuild_floor`` rows, manifest stats, no scan) or the
+    span touches most of it (``full_rebuild_fraction`` of the rows
+    behind changed files, from change_span_stats — metadata only).
+    ``'incremental'`` forces the fold; ``'full'`` forces a rebuild.
+    Either route leaves dst identical (both are exact), so routing is
+    pure physical planning, invisible to readers.
+
     Returns ``{"from_version", "to_version", "recomputed_keys",
     "deleted_keys", "inserted_rows", "mode"}``.
     """
     if not key_cols:
         raise InvalidArgument("sync_derived_rows needs at least one key column")
+    if mode not in ("auto", "incremental", "full"):
+        raise InvalidArgument(f"unknown sync mode {mode!r}")
     for side, t in (("source", src), ("derived", dst)):
         missing = [c for c in key_cols if c not in t.arrow_schema.names]
         if missing:
@@ -167,37 +211,29 @@ def sync_derived_rows(
             "mode": "noop",
         }
     src_cols = list(src.arrow_schema.names)
-    if from_version <= 0:
+
+    def _full_rebuild(frm):
         dst.delete_where(F.lit(True))
         derived = derive(src.select_df(columns=src_cols))
         n = dst.insert_df(derived)
         dst.set_stream_offset(cursor_id, to_version)
         return {
-            "from_version": 0,
+            "from_version": frm,
             "to_version": to_version,
             "recomputed_keys": -1,
             "deleted_keys": 0,
             "inserted_rows": n,
             "mode": "full",
         }
-    feed = src.read_changes(from_version, to_version)
-    finals = feed.filter(
-        F.col("_change_type").isin("insert", "update_postimage")
-    ).select(*src_cols)
-    removed = (
-        feed.filter(F.col("_change_type").isin("delete", "update_preimage"))
-        .select(*key_cols)
-        .distinct()
-    )
-    final_keys = finals.select(*key_cols).distinct()
-    affected = removed.unionByName(final_keys).distinct()
-    n_recomputed = final_keys.count()
-    n_gone = removed.join(final_keys, key_cols, "left_anti").count()
-    if n_recomputed == 0 and n_gone == 0:
+
+    if mode == "full" or from_version <= 0:
+        return _full_rebuild(max(from_version, 0))
+    span = src.change_span_stats(from_version, to_version)
+    if span["changed_files"] == 0:
         # the span touched other tables in the bucket, not the source:
-        # do NOT advance the cursor (a cursor write commits a version of
-        # its own and would ratchet forever); re-reading an empty span
-        # is file-diff-pruned and costs nothing
+        # metadata-only detection, no feed read. Do NOT advance the
+        # cursor (a cursor write commits a version of its own and would
+        # ratchet forever); re-reading the span later is file-diff-pruned
         return {
             "from_version": from_version,
             "to_version": from_version,
@@ -206,19 +242,93 @@ def sync_derived_rows(
             "inserted_rows": 0,
             "mode": "noop",
         }
-    # one MERGE deletes every derived row of an affected key (a source
-    # key may own MANY derived rows — matched-delete handles the fan-out)
-    res = dst.merge(
-        affected.withColumn("__aff", F.lit(1)),
-        on=list(key_cols),
-        matched_clauses=[("delete", None, None)],
-        when_not_matched=None,
-        target_alias="t",
-        source_alias="s",
+    if mode == "auto" and (
+        span["total_rows"] < int(full_rebuild_floor)
+        or span["changed_rows"]
+        >= float(full_rebuild_fraction) * max(span["total_rows"], 1)
+    ):
+        return _full_rebuild(from_version)
+    # incremental fold. The feed is consumed by several downstream jobs
+    # (key classification, the matched-delete MERGE, the re-derive
+    # insert) — persist it once, or every job re-runs the two-sided
+    # changed-file join that IS the intercept this routing exists to
+    # dodge
+    feed = src.read_changes(from_version, to_version).persist()
+    finals = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(*src_cols)
+    removed = (
+        feed.filter(F.col("_change_type").isin("delete", "update_preimage"))
+        .select(*key_cols)
+        .distinct()
     )
-    derived = derive(finals)
-    n = dst.insert_df(derived)
-    dst.set_stream_offset(cursor_id, to_version)
+    # one shuffle + ONE driver action classifies every affected key and
+    # checks key nullability (was: two count() jobs, each re-running the
+    # feed). NULL keys have no well-defined row identity — joins and
+    # MERGE conditions never match them — so they are rejected here.
+    keyed = (
+        finals.select(*key_cols)
+        .withColumn("__has_final", F.lit(1))
+        .unionByName(removed.withColumn("__has_final", F.lit(0)))
+        .groupBy(*key_cols)
+        .agg(F.max("__has_final").alias("__has_final"))
+        .persist()
+    )
+    tot = keyed.agg(
+        F.count(F.lit(1)).alias("n_aff"),
+        F.coalesce(F.sum("__has_final"), F.lit(0)).alias("n_final"),
+        F.max(
+            F.greatest(
+                *[F.col(c).isNull().cast("int") for c in key_cols],
+                F.lit(0),
+            )
+        ).alias("n_null"),
+    ).first()
+    if tot.n_null:
+        feed.unpersist()
+        keyed.unpersist()
+        raise InvalidArgument(
+            "sync_derived_rows: NULL in a key column within the change "
+            "span — NULL keys have no row identity (equi-joins and MERGE "
+            "conditions never match them); repair the source or choose "
+            "non-null key columns"
+        )
+    n_recomputed = int(tot.n_final)
+    n_gone = int(tot.n_aff) - n_recomputed
+    affected = keyed.select(*key_cols)
+    if n_recomputed == 0 and n_gone == 0:
+        # files churned but every row hash-matched (rewrite carry-overs:
+        # compaction, optimize) — no logical change; do NOT advance the
+        # cursor (a cursor write commits a version of its own and would
+        # ratchet forever)
+        feed.unpersist()
+        keyed.unpersist()
+        return {
+            "from_version": from_version,
+            "to_version": from_version,
+            "recomputed_keys": 0,
+            "deleted_keys": 0,
+            "inserted_rows": 0,
+            "mode": "noop",
+        }
+    try:
+        # one MERGE deletes every derived row of an affected key (a source
+        # key may own MANY derived rows — matched-delete handles the
+        # fan-out)
+        dst.merge(
+            affected.withColumn("__aff", F.lit(1)),
+            on=list(key_cols),
+            matched_clauses=[("delete", None, None)],
+            when_not_matched=None,
+            target_alias="t",
+            source_alias="s",
+        )
+        derived = derive(finals)
+        n = dst.insert_df(derived)
+        dst.set_stream_offset(cursor_id, to_version)
+    finally:
+        feed.unpersist()
+        keyed.unpersist()
     return {
         "from_version": from_version,
         "to_version": to_version,
@@ -239,6 +349,9 @@ def sync_minhash_signatures(
     shingle_k: int = 3,
     hash_fn: str = "xxhash64",
     from_version: int | None = None,
+    mode: str = "auto",
+    full_rebuild_floor: int = 100_000,
+    full_rebuild_fraction: float = 0.5,
 ) -> dict:
     """Keep a banded MinHash signature table — the persisted dedup index
     the streaming tier joins new batches against (streaming/dedup.
@@ -256,5 +369,12 @@ def sync_minhash_signatures(
         return lsh_band_keys(sigs, num_bands, id_col, hash_fn)
 
     return sync_derived_rows(
-        src, sig_table, [id_col], derive, from_version=from_version
+        src,
+        sig_table,
+        [id_col],
+        derive,
+        from_version=from_version,
+        mode=mode,
+        full_rebuild_floor=full_rebuild_floor,
+        full_rebuild_fraction=full_rebuild_fraction,
     )

@@ -691,7 +691,8 @@ class SqlFrontend:
         if kw == "SYNC":
             m = re.match(
                 rf"(?is)SYNC\s+SIGNATURES\s+({_DOTTED})\s+FROM\s+({_DOTTED})"
-                rf"(?:\s+ON\s*\(\s*({_IDENT})\s*,\s*({_IDENT})\s*\))?\s*$",
+                rf"(?:\s+ON\s*\(\s*({_IDENT})\s*,\s*({_IDENT})\s*\))?"
+                rf"(?:\s+MODE\s+(AUTO|INCREMENTAL|FULL))?\s*$",
                 stmt,
             )
             if m:
@@ -704,6 +705,7 @@ class SqlFrontend:
                     sig,
                     id_col=_unquote(m.group(3)) if m.group(3) else "doc_id",
                     text_col=_unquote(m.group(4)) if m.group(4) else "text",
+                    mode=(m.group(5) or "auto").lower(),
                 )
             m = re.match(
                 rf"(?is)SYNC\s+TABLE\s+({_DOTTED})\s+FROM\s+({_DOTTED})"
@@ -714,7 +716,8 @@ class SqlFrontend:
                 raise InvalidArgument(
                     "cannot parse (expected SYNC TABLE b.s.dst FROM "
                     "b.s.src ON (key1, ...), or SYNC SIGNATURES b.s.sig "
-                    f"FROM b.s.src [ON (id_col, text_col)]): {stmt!r}"
+                    "FROM b.s.src [ON (id_col, text_col)] "
+                    f"[MODE AUTO|INCREMENTAL|FULL]): {stmt!r}"
                 )
             from .sources.replicate import sync_table
 

@@ -1600,6 +1600,62 @@ class Table:
         self._mark_unsorted(entry)
         self._mutate(entry, "drop_passage_dup_rows")
 
+    def change_span_stats(
+        self, from_version: int, to_version: int | None = None
+    ) -> dict:
+        """Manifest-level summary of a change span — METADATA ONLY, zero
+        data I/O: how many files (and rows behind them) differ between
+        two committed versions, against the table's totals. This is what
+        a cost-based router reads to decide incremental-vs-full BEFORE
+        paying for the feed itself (sources/replicate.sync_derived_rows
+        ``mode='auto'``): a span touching most of the table's rows makes
+        a full re-derive cheaper than feed classification + merge.
+
+        Returns ``{"changed_files", "total_files", "changed_rows",
+        "total_rows"}`` where totals are the TO-side (current) table and
+        changed counts are files not byte-identical (path + DV set + row
+        base) in both versions — the same pruning key read_changes uses,
+        so ``changed_files == 0`` guarantees an empty feed."""
+        bkt = self.bucket
+        if to_version is None:
+            to_version = bkt.manifest.version
+        if from_version > to_version:
+            raise InvalidArgument(
+                f"change span is inverted: from_version={from_version} "
+                f"> to_version={to_version}"
+            )
+
+        def _table_at(version: int):
+            b = bkt.as_of(version=version)
+            s = b.schema(self.schema.name, fail_if_missing=False)
+            return s.table(self.name, fail_if_missing=False) if s else None
+
+        old_t, new_t = _table_at(from_version), _table_at(to_version)
+        if old_t is None and new_t is None:
+            raise MissingTable(self.path)
+
+        def _fkey(fe):
+            return (fe.rows, fe.dv_rows, tuple(fe.dv_paths), fe.row_id_base)
+
+        old_files = list(old_t.entry.files) if old_t else []
+        new_files = list(new_t.entry.files) if new_t else []
+        old_map = {f.path: f for f in old_files}
+        new_map = {f.path: f for f in new_files}
+        unchanged = {
+            p
+            for p in set(old_map) & set(new_map)
+            if _fkey(old_map[p]) == _fkey(new_map[p])
+        }
+        changed = [f for f in new_files if f.path not in unchanged]
+        changed_old_only = [f for f in old_files if f.path not in new_map]
+        return {
+            "changed_files": len(changed) + len(changed_old_only),
+            "total_files": len(new_files),
+            "changed_rows": sum(f.rows for f in changed)
+            + sum(f.rows for f in changed_old_only),
+            "total_rows": sum(f.rows for f in new_files),
+        }
+
     def read_changes(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:
