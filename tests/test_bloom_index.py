@@ -68,6 +68,15 @@ def test_point_lookup_prunes_to_one_file(clean_schema):
         # a value present nowhere prunes everything
         assert t.prune_preview(D.id == 10**9)["candidate_files"] == 0
         assert t.count_rows(D.id == 10**9) == 0
+        # cross-type literals Spark's equality WOULD match must not be
+        # pruned away: 5.0 / Decimal / numeric string on the int column
+        # hash to the canonical int form (build and probe share _canon)
+        for lit in (1234.0, "1234"):
+            assert (
+                t.prune_preview(D.id == lit)["candidate_files"] == 1
+            ), f"false negative for literal {lit!r}"
+        got = t.select(columns=["v"], predicate=(D.id == 1234.0)).read_all()
+        assert got.column("v").to_pylist() == ["s1234"]
 
 
 def test_new_files_conservative_then_incremental_refresh(clean_schema):

@@ -1381,3 +1381,35 @@ def test_refresh_flat_pq_append_only_and_removal_fallback(clean_schema):
         got = t.vector_search(vecs[1].tolist(), columns=["id"], limit=3,
                               approximate=True, rerank=20)
         assert 0 not in got.column("id").to_pylist()
+
+
+def test_session_page_size_default(spark, tmp_path):
+    """Session(page_size=) sets the default page for EVERY paginated
+    listing (reference 2.0.12: session-level pagination config); per-call
+    max_keys still overrides it."""
+    session = vastdb.connect(str(tmp_path / "wh"), spark=spark, page_size=2)
+    session.create_bucket("bkt")
+    with session.transaction() as tx:
+        b = tx.bucket("bkt")
+        sc = b.create_schema("s0")
+        for i in range(5):
+            b.create_schema(f"s{i + 1}")
+            sc.create_schema(f"inner{i}")
+            sc.create_table(f"t{i}", pa.schema([("a", pa.int64())]))
+    with session.transaction() as tx:
+        b = tx.bucket("bkt")
+        page, key, truncated = b.list_schemas()
+        assert len(page) == 2 and truncated  # session default applies
+        page2, _, _ = b.list_schemas(max_keys=4)
+        assert len(page2) == 4  # per-call override wins
+        sc = b.schema("s0")
+        tpage, _, ttrunc = sc.list_tables()
+        assert len(tpage) == 2 and ttrunc
+        spage, _, strunc = sc.list_schemas()
+        assert len(spage) == 2 and strunc
+        cpage, ckey, ctrunc = sc.table("t0").list_columns()
+        assert len(cpage) == 1 and not ctrunc  # table narrower than page
+        # full drains still see everything
+        assert len(b.schemas()) == 6
+    with pytest.raises(ValueError, match="page_size"):
+        vastdb.connect(str(tmp_path / "wh2"), spark=spark, page_size=0)

@@ -779,6 +779,25 @@ def test_views_errors_and_namespace(sql_session):
         s.execute_sql("CREATE VIEW bkt.s.t AS SELECT 1")
     with pytest.raises(MissingView):
         s.execute_sql("DROP VIEW bkt.s.nope")
+    # the namespace guard is TWO-way: a table/clone/rename/CTAS onto an
+    # existing view's name must fail, not silently shadow the view
+    # (sqlfront resolves tables first)
+    import pyarrow as _pa
+
+    with pytest.raises(ViewExists):
+        with s.transaction() as tx:
+            tx.bucket("bkt").schema("s").create_table(
+                "v", _pa.schema([("x", _pa.int64())])
+            )
+    with pytest.raises(ViewExists):
+        with s.transaction() as tx:
+            sc = tx.bucket("bkt").schema("s")
+            sc.clone_table(sc.table("t"), "v")
+    with pytest.raises(ViewExists):
+        with s.transaction() as tx:
+            tx.bucket("bkt").schema("s").table("t").rename("v")
+    with pytest.raises(ViewExists):
+        s.execute_sql("CREATE TABLE bkt.s.v AS SELECT 1 AS x")
     with pytest.raises(InvalidArgument):
         with s.transaction() as tx:
             tx.bucket("bkt").schema("s").create_view("w", "DROP TABLE x")

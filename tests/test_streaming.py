@@ -385,3 +385,47 @@ def test_stream_maintains_matviews_per_batch(session, stream_dir, tmp_path):
         audits = [r for r in tx.audit_log("bkt").collect()
                   if r.op == "refresh_matview"]
         assert len(audits) >= 1
+
+    # crash-recovery replay: a replayed micro-batch must skip ONLY the
+    # insert and still run the refresh — otherwise a crash between the
+    # insert tx and the refresh tx leaves every view stale forever in an
+    # availableNow one-shot run. Simulate the crash (insert + offset bump
+    # WITHOUT refresh), then re-run with a FRESH checkpoint: every batch
+    # id restarts below the recorded offset, so all batches are replays.
+    import os as _os
+
+    # the fresh checkpoint restarts batch ids at 0; pre-recording a high
+    # offset under ITS stream id makes every batch of the rerun a replay
+    stream_id2 = "ckpt:" + _os.path.abspath(str(tmp_path / "ckpt_mv2"))
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("events")
+        n_before = t.count_rows()
+        t.insert(pa.table({
+            "event_id": pa.array([-2], pa.int64()),
+            "ts": pa.array([1], pa.int64()),
+            "user_id": pa.array([-2], pa.int64()),
+            "event_type": pa.array(["crashrow"]),
+            "value": pa.array([5.0], pa.float64()),
+            "props": pa.array([""]),
+        }))
+        t.set_stream_offset(stream_id2, 10_000)
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("events")
+        assert t.materialized_view("by_type").stale  # crash left it stale
+        stream = ev.read_event_stream(spark, stream_dir)
+        q = stream_into_table_maintaining_views(
+            stream, t, str(tmp_path / "ckpt_mv2")  # offsets >> batch ids
+        ).start()
+        q.awaitTermination(120)
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("events")
+        assert t.count_rows() == n_before + 1  # replays inserted NOTHING
+        mv = t.materialized_view("by_type")
+        assert not mv.stale  # ...but the replay still refreshed
+        got = {r["event_type"]: (r["n"], round(r["total"], 6), r["mx"])
+               for r in mv.df().collect()}
+        want = {r["event_type"]: (r["n"], round(r["total"], 6), r["mx"])
+                for r in t.df().groupBy("event_type").agg(
+                    F.count("*").alias("n"), F.sum("value").alias("total"),
+                    F.max("value").alias("mx")).collect()}
+        assert got == want and "crashrow" in got

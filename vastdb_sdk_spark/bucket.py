@@ -86,6 +86,8 @@ class Bucket:
         from .schema import Schema
 
         names = sorted(n for n in self.manifest.schemas if "/" not in n)
+        if max_keys is None:  # session-wide default (Session(page_size=))
+            max_keys = self.tx._session.page_size
         page, key, truncated = paginate_names(
             names, next_key, max_keys, name_prefix, exact_match
         )

@@ -25,6 +25,7 @@ expression round-trip."""
 from __future__ import annotations
 
 import base64
+import decimal
 import hashlib
 import json
 import math
@@ -36,8 +37,37 @@ from .pruning import _NEG_INF, _POS_INF, _nonempty, extract_intervals
 _MIN_BITS = 64
 
 
+def _canon(value: Any) -> Any:
+    """Canonical form shared by build AND probe, so every pair of values
+    Spark's equality would MATCH (numeric type promotion: 5 == 5.0 ==
+    Decimal('5') == '5' == True&1) formats to one string before hashing.
+    Without this, a float literal on an int-indexed column (col == 5.0)
+    hashes '5.0' while the build hashed '5' — a FALSE NEGATIVE that
+    silently prunes files containing matching rows, violating the
+    module's unconditional-correctness contract. Collisions this
+    normalization introduces between values Spark would NOT match (e.g.
+    strings '007' and '7') are safe: Bloom collisions only ever create
+    false positives (kept files), never lost rows."""
+    if isinstance(value, bool):
+        return int(value)
+    if isinstance(value, float):
+        return int(value) if value.is_integer() else value
+    if isinstance(value, decimal.Decimal):
+        f = float(value)  # Spark compares decimal-vs-double in double
+        return int(f) if f.is_integer() else f
+    if isinstance(value, str):
+        try:
+            f = float(value)
+        except ValueError:
+            return value
+        if math.isfinite(f):
+            return int(f) if f.is_integer() else f
+        return value
+    return value
+
+
 def _hash_pair(value: Any, seed: int) -> tuple[int, int]:
-    d = hashlib.md5(f"{seed}:{value}".encode()).digest()
+    d = hashlib.md5(f"{seed}:{_canon(value)}".encode()).digest()
     return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:16], "big") | 1
 
 

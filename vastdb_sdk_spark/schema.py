@@ -77,6 +77,8 @@ class Schema:
             for n in self.bucket.manifest.schemas
             if n.startswith(prefix) and "/" not in n[len(prefix):]
         )
+        if max_keys is None:  # session-wide default (Session(page_size=))
+            max_keys = self.tx._session.page_size
         page, key, truncated = paginate_names(
             names, next_key, max_keys, name_prefix, exact_match
         )
@@ -110,6 +112,15 @@ class Schema:
             missing = [k for k in partition_by if k not in columns.names]
             if missing:
                 raise MissingTable(f"partition columns not in schema: {missing}")
+        # tables and logical views share one namespace; create_view checks
+        # the table side, and this is the reverse guard — without it a
+        # table silently SHADOWS an existing view (sqlfront resolves
+        # tables first), contradicting create_view's collision contract
+        if name in self._views_state():
+            raise ViewExists(
+                f"{self.name}.{name} (a logical view has this name; "
+                "tables and views share a namespace — drop the view first)"
+            )
         st = self._state
         entry = TableEntry(
             name=name,
@@ -144,6 +155,11 @@ class Schema:
         table, so shared files survive until both sides drop them."""
         from .table import Table
 
+        if name in self._views_state():  # shared table/view namespace
+            raise ViewExists(
+                f"{self.name}.{name} (a logical view has this name; "
+                "tables and views share a namespace — drop the view first)"
+            )
         st = self._state
         entry = TableEntry.from_json(source.entry.to_json())
         entry.name = name
@@ -211,6 +227,8 @@ class Schema:
         from .catalog.listing import paginate_names
         from .table import Table
 
+        if max_keys is None:  # session-wide default (Session(page_size=))
+            max_keys = self.tx._session.page_size
         page, key, truncated = paginate_names(
             self._table_names(), next_key, max_keys, name_prefix, exact_match
         )

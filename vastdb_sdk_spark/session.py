@@ -52,10 +52,18 @@ class Session:
         warehouse: str,
         spark: SparkSession | None = None,
         config: EngineConfig | None = None,
+        page_size: int | None = None,
     ):
         self.warehouse = os.path.abspath(warehouse)
         os.makedirs(self.warehouse, exist_ok=True)
         self.config = config or EngineConfig()
+        # session-wide default page size for every paginated listing
+        # (schemas/tables/columns), overridable per call via max_keys —
+        # reference 2.0.14 parity: vastdb/session.py (2.0.12) threads the
+        # same knob into each listing RPC
+        if page_size is not None and page_size <= 0:
+            raise ValueError(f"page_size must be positive, got {page_size}")
+        self.page_size = page_size
         self.spark = spark or build_spark(self.config)
 
     def __repr__(self) -> str:
@@ -205,9 +213,12 @@ def connect(
     warehouse: str,
     spark: SparkSession | None = None,
     config: EngineConfig | None = None,
+    page_size: int | None = None,
     **_compat_kwargs,
 ) -> Session:
     """Open a warehouse (reference: ``vastdb.connect()``,
-    vastdb/__init__.py:9-11). Extra kwargs (endpoint/access/secret/ssl...)
-    are accepted for drop-in compatibility and ignored."""
-    return Session(warehouse, spark=spark, config=config)
+    vastdb/__init__.py:9-11). ``page_size`` sets the session-wide default
+    for paginated listings (reference 2.0.12's Session pagination knob).
+    Extra kwargs (endpoint/access/secret/ssl...) are accepted for drop-in
+    compatibility and ignored."""
+    return Session(warehouse, spark=spark, config=config, page_size=page_size)

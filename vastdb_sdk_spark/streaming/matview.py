@@ -13,10 +13,13 @@ Each micro-batch runs TWO transactions:
 
 The split is deliberate: a refresh inside the insert transaction would
 hit the staged-DML guard and rebuild from scratch. Crash between the two
-transactions is safe — the view stays marked stale and the next batch's
-refresh folds the missed span too (the feed covers everything since
-``built_version``); refresh is idempotent, so it needs no offset
-bookkeeping of its own.
+transactions is safe — the view stays marked stale, and BOTH recovery
+paths fold the missed span: the next fresh batch's refresh covers it
+(the feed covers everything since ``built_version``), and a REPLAYED
+batch skips only the insert while still running the refresh — so an
+availableNow one-shot rerun whose only batch is a replay also restores
+per-batch freshness. Refresh is idempotent and no-ops when not stale,
+so it needs no offset bookkeeping of its own.
 """
 
 from __future__ import annotations
@@ -44,10 +47,16 @@ def stream_into_table_maintaining_views(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         with session.transaction() as tx:
             t = tx.bucket(bucket).schema(schema_name).table(table_name)
-            if batch_id <= t.stream_offset(stream_id):
-                return  # replayed micro-batch: already committed
-            t.insert_df(batch_df)
-            t.set_stream_offset(stream_id, batch_id)
+            if batch_id > t.stream_offset(stream_id):
+                t.insert_df(batch_df)
+                t.set_stream_offset(stream_id, batch_id)
+            # a replayed batch skips ONLY the insert (exactly-once). The
+            # refresh below still runs: after a crash between the insert
+            # tx and the refresh tx, the replay is the only chance an
+            # availableNow one-shot run gets to fold the missed span —
+            # returning early would end the run with every view stale.
+            # Refresh is idempotent and no-ops when nothing is stale, so
+            # the common replay costs one metadata check per view.
         with session.transaction() as tx:
             t = tx.bucket(bucket).schema(schema_name).table(table_name)
             names = views if views is not None else [

@@ -58,6 +58,7 @@ from .errors import (
     MissingTable,
     NotSupportedCommand,
     ProjectionExists,
+    ViewExists,
 )
 from .expr import to_spark_predicate
 from .types import (
@@ -128,8 +129,8 @@ class Table:
         reference test_tables.py:1430-1464)."""
         from .catalog.listing import DEFAULT_PAGE_SIZE
 
-        if max_keys is None:
-            max_keys = DEFAULT_PAGE_SIZE
+        if max_keys is None:  # session default, then the module default
+            max_keys = self.tx._session.page_size or DEFAULT_PAGE_SIZE
         if max_keys <= 0:
             raise ValueError(f"max_keys must be positive, got {max_keys}")
         schema = self.arrow_schema
@@ -2334,6 +2335,13 @@ class Table:
             )
 
     def rename(self, new_name: str) -> None:
+        # tables and logical views share one namespace (schema.create_table
+        # has the same guard) — renaming onto a view would shadow it
+        if new_name in self.schema._views_state():
+            raise ViewExists(
+                f"{self.schema.name}.{new_name} (a logical view has this "
+                "name; tables and views share a namespace)"
+            )
         st = self._state
         st.manifest.rename_table(self.schema.name, self.name, new_name)
         st.changes.record(
