@@ -512,3 +512,22 @@ def test_sync_null_keys_rejected(clean_schema):
                 from_version=1,
                 mode="incremental",
             )
+
+
+def test_sync_table_unrelated_commit_is_metadata_noop(clean_schema):
+    """sync_table on a span that only touched OTHER tables returns a
+    zero-action result without reading the feed or advancing the cursor
+    (a cursor write commits a version of its own and would ratchet)."""
+    session = _pair(clean_schema)
+    with session.transaction() as tx:
+        src, dst = _tables(tx)
+        sync_table(src, dst, ["doc_id"])
+    with session.transaction() as tx:  # churn elsewhere in the bucket
+        tx.bucket("bkt").schema("s").create_table(
+            "elsewhere", pa.schema([("x", pa.int64())])
+        ).insert(pa.table({"x": [1]}))
+    with session.transaction() as tx:
+        src, dst = _tables(tx)
+        r = sync_table(src, dst, ["doc_id"])
+        assert r["upserts"] == 0 and r["deletes"] == 0
+        assert r["to_version"] == r["from_version"]  # cursor untouched

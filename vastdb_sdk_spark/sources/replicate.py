@@ -71,6 +71,16 @@ def sync_table(
         # so re-running an interrupted initial sync is idempotent)
         finals = src.select_df(columns=data_cols)
         removed = finals.select(*key_cols).limit(0)
+    elif src.change_span_stats(from_version, to_version)["changed_files"] == 0:
+        # the span touched other tables only — metadata-only detection,
+        # zero Spark jobs. Do NOT advance the cursor: the write would
+        # commit a version of its own and every later sync would chase it
+        return {
+            "from_version": from_version,
+            "to_version": from_version,
+            "upserts": 0,
+            "deletes": 0,
+        }
     else:
         # the feed feeds BOTH classification joins and the merge source —
         # persist it once instead of re-running the two-sided
