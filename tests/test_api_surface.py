@@ -241,7 +241,10 @@ def test_gate_registry_integrity():
     # the EXPLICIT rows-only set: genuinely non-SQL-expressible ops (the
     # driver records the weaker rows-only check for them). Additions must
     # be listed here deliberately — a missing oracle is otherwise a bug.
-    rows_only = {"tx_bpe_learned"}  # sequential BPE merge loop
+    # Round 10 emptied it: tx_bpe_learned (the last member) now carries a
+    # full recursive-CTE oracle, so EVERY registered query is value-hash
+    # gated.
+    rows_only: set = set()
     assert set(qs) - set(oracles) == rows_only, (
         set(qs) - set(oracles) - rows_only
     )
