@@ -531,3 +531,31 @@ def test_sync_table_unrelated_commit_is_metadata_noop(clean_schema):
         r = sync_table(src, dst, ["doc_id"])
         assert r["upserts"] == 0 and r["deletes"] == 0
         assert r["to_version"] == r["from_version"]  # cursor untouched
+
+
+def test_change_span_stats_metadata_shapes(clean_schema):
+    """change_span_stats is metadata-only and must classify the three
+    span shapes: untouched (0 changed), DV-touched + appended files
+    (changed subset), and created-within-span (everything changed)."""
+    session = _pair(clean_schema)
+    with session.transaction() as tx:
+        src, _ = _tables(tx)
+        v0 = tx.bucket("bkt").manifest.version
+        st = src.change_span_stats(v0)
+        assert st["changed_files"] == 0 and st["changed_rows"] == 0
+        assert st["total_rows"] == 500
+    with session.transaction() as tx:
+        src, _ = _tables(tx)
+        src.insert(_doc_batch(range(7000, 7010)))
+    with session.transaction() as tx:
+        src, _ = _tables(tx)
+        src.delete_where(D.doc_id == 1)  # DV on the 500-row base file
+    with session.transaction() as tx:
+        src, _ = _tables(tx)
+        st = src.change_span_stats(v0)  # whole span: insert + DV
+        assert st["changed_files"] == 2
+        assert st["changed_rows"] == 510 and st["total_rows"] == 510
+        # table existed before v0's successor only as created-in-span
+        # for a fresh table: every file counts as changed
+        with pytest.raises(InvalidArgument, match="inverted"):
+            src.change_span_stats(10**9, v0)
