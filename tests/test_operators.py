@@ -586,6 +586,28 @@ def test_knn_join_blocked_matches_broadcast(spark):
         }
         assert got == ref, (nl, nr, set(got) ^ set(ref))
 
+    # cost-based routing: auto with a tiny broadcast_row_limit takes the
+    # blocked route (non-vector columns joined back, same column order
+    # and results); an unknown strategy is rejected
+    rdf_extra = rdf.withColumn("tag", F.concat(F.lit("t"), F.col("id_b")))
+    base = similarity.knn_join_cosine(ldf, rdf_extra, k=5)
+    routed = similarity.knn_join_cosine(
+        ldf, rdf_extra, k=5, broadcast_row_limit=3
+    )
+    assert routed.columns == base.columns
+    as_map = lambda df: {
+        (r.id_a, r.id_b): (r.cos_sim, r.tag) for r in df.collect()
+    }
+    bm, rm = as_map(base), as_map(routed)
+    assert set(bm) == set(rm)  # same pairs, same tie-breaks
+    for key, (cos_b, tag_b) in bm.items():
+        cos_r, tag_r = rm[key]
+        # the blocked route rounds cos_sim to 6 decimals (its contract);
+        # beyond that only low-order summation bits differ
+        assert tag_r == tag_b and abs(cos_r - cos_b) < 2e-6, key
+    with pytest.raises(ValueError, match="strategy"):
+        similarity.knn_join_cosine(ldf, rdf, strategy="hash")
+
     # gemm chunking smaller than the block must not change anything
     got = {
         (r.id_a, r.id_b): round(r.cos_sim, 5)

@@ -134,13 +134,53 @@ def knn_join_cosine(
     right_id: str = "id_b",
     left_vec: str = "vec_a",
     right_vec: str = "vec_b",
+    strategy: str = "auto",
+    broadcast_row_limit: int = 500_000,
 ) -> DataFrame:
-    """Exact k-NN join (every left row -> its k nearest right rows by cosine
-    similarity). Cross join + per-left-row window top-k; use only when one
-    side is broadcastable — for corpus-scale both-sides-large joins use the
-    IVF variant."""
+    """Exact k-NN join (every left row -> its k nearest right rows by
+    cosine similarity).
+
+    ``strategy``: ``'broadcast'`` cross-joins a broadcast right side +
+    per-left-row window top-k — optimal while the right side fits an
+    executor; ``'blocked'`` routes through
+    :func:`knn_join_cosine_blocked` (distributed block-GEMM grid, same
+    results and tie-breaks, pinned by test_knn_join_blocked_*; cos_sim
+    arrives 6-decimal-rounded, that variant's contract) and joins the
+    non-vector columns back on the ids — the shape that survives a right
+    side the driver cannot broadcast; ``'auto'`` (default) counts
+    the right side once and routes by ``broadcast_row_limit``, so the
+    same call keeps working from a laptop dim table to a corpus-scale
+    right side. The blocked route requires UNIQUE ids on both sides (the
+    join-back would otherwise fan out); broadcast has no such constraint.
+    Use the IVF variant when approximate recall is acceptable."""
     from pyspark.sql import Window as W
 
+    if strategy not in ("auto", "broadcast", "blocked"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        strategy = (
+            "broadcast"
+            if right.count() <= int(broadcast_row_limit)
+            else "blocked"
+        )
+    left_cols = [c for c in left.columns if c != left_vec]
+    right_cols = [c for c in right.columns if c != right_vec]
+    if strategy == "blocked":
+        pairs = knn_join_cosine_blocked(
+            left.select(left_id, left_vec),
+            right.select(right_id, right_vec),
+            k=k,
+            left_id=left_id,
+            right_id=right_id,
+            left_vec=left_vec,
+            right_vec=right_vec,
+        )
+        out = pairs
+        if left_cols != [left_id]:
+            out = out.join(left.drop(left_vec), left_id)
+        if right_cols != [right_id]:
+            out = out.join(right.drop(right_vec), right_id)
+        return out.select(*left_cols, *right_cols, "cos_sim")
     sim = cosine_similarity(F.col(left_vec), F.col(right_vec))
     joined = left.crossJoin(F.broadcast(right)).withColumn("cos_sim", sim)
     w = W.partitionBy(left_id).orderBy(F.col("cos_sim").desc(), F.col(right_id).asc())
