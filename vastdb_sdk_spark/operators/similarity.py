@@ -322,6 +322,7 @@ def build_ivf_index(
     sample_key: str | None = None,
     fit: str = "ml",
     train_rows: int = 20000,
+    n_rows: int | None = None,
 ) -> tuple[DataFrame, "np.ndarray"]:
     """IVF coarse quantizer: k-means centroids (pyspark.ml, distributed),
     every row tagged with its nearest centroid id. Write the result
@@ -359,7 +360,8 @@ def build_ivf_index(
             "silently run over the FULL corpus; pass sample_fraction"
         )
     if num_centroids is None:
-        n_rows = df.count()
+        if n_rows is None:
+            n_rows = df.count()
         num_centroids = int(min(65536, max(16, round(n_rows ** 0.5))))
     fit_df = df
     if sample_fraction is not None:
@@ -385,7 +387,13 @@ def build_ivf_index(
         # O(train_rows) at any corpus size) and it skips pyspark.ml's
         # fixed per-fit overhead (~5 s of iteration jobs even on tiny
         # data). Assignment stays distributed (assign_probe_centroids).
-        n_fit_rows = fit_df.count()
+        # callers that already counted the frame pass n_rows so the
+        # driver fit skips one corpus scan (only valid unsampled)
+        n_fit_rows = (
+            n_rows
+            if n_rows is not None and sample_fraction is None
+            else fit_df.count()
+        )
         frac = min(1.0, (train_rows * 1.2) / max(n_fit_rows, 1))
         sample = fit_df.select(vec_col)
         if frac < 1.0:
@@ -1245,6 +1253,7 @@ def semantic_dup_pairs(
         seed=seed,
         sample_fraction=sample_fraction,
         fit=fit,
+        n_rows=n_rows,  # already counted above — skip the re-scan
     )
     id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
