@@ -401,6 +401,11 @@ class MaterializedView:
             fn in NONSUBTRACTIVE_FNS for fn, _ in aggs.values()
         )
         base_scanned = False
+        # the feed feeds THREE jobs (delta keys, the removal probe, the
+        # delta merge) — persist it once instead of re-running the
+        # two-sided changed-file diff join per consumer (same fix as
+        # sources/replicate's sync fold)
+        phys_feed = phys_feed.persist()
         delta_keys = phys_feed.select(*[F.col(k) for k in keys]).distinct()
         delta_keys = delta_keys.persist()
         try:
@@ -460,6 +465,7 @@ class MaterializedView:
                 ] + new_files
         finally:
             delta_keys.unpersist()
+            phys_feed.unpersist()
         mcfg["stale"] = False
         mcfg["built_version"] = cur
         t._mutate(
