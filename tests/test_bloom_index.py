@@ -20,6 +20,39 @@ def test_bitmap_membership_and_fpp_shape():
     assert e["m"] == m and e["k"] == k and m % 8 == 0 and k >= 1
 
 
+def test_canonical_hashing_cross_type_property():
+    """Property: any two values Spark's numeric-promotion equality would
+    MATCH must hash identically (no Bloom false negatives), for ints,
+    floats, Decimals, bools, and numeric strings."""
+    import decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=-(2**53), max_value=2**53), st.integers(0, 99))
+    def check(n, seed):
+        forms = [n, float(n), decimal.Decimal(n), str(n), str(float(n))]
+        if n in (0, 1):
+            forms.append(bool(n))
+        hashes = {B._hash_pair(v, seed) for v in forms}
+        assert len(hashes) == 1, (n, forms)
+
+    check()
+
+    # a built bitmap over ints answers True for every equal-under-Spark
+    # literal form, at several sizes
+    vals = list(range(-50, 50))
+    e = B.build_bitmap(vals, fpp=0.01, seed=7)
+    for v in vals:
+        for lit in (v, float(v), decimal.Decimal(v), str(v), str(float(v))):
+            assert B.might_contain(e, lit, 7), lit
+    # non-integral floats keep their own identity both ways
+    ef = B.build_bitmap([0.5, 2.25], fpp=0.01, seed=7)
+    assert B.might_contain(ef, 0.5, 7) and B.might_contain(ef, "0.5", 7)
+    assert B.might_contain(ef, decimal.Decimal("2.25"), 7)
+
+
 def test_extract_points():
     pts = B.extract_points(D.x == 5, "x")
     assert pts == [5]
