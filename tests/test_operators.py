@@ -1095,3 +1095,47 @@ def test_pca_validation_and_model_shape(spark):
     out = pca_project(df, model)
     assert out.columns == ["vec_id", "embedding", "pca"]
     assert len(out.first()["pca"]) == 2
+
+
+def test_assign_centroids_twolevel_matches_flat(spark):
+    """Two-level coarse->fine assignment (large centroid counts): exact
+    duplicates always co-assign (deterministic per vector), the flat and
+    two-level paths agree on the overwhelming majority of rows, and the
+    result is independent of partitioning."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    cents = rng.standard_normal((512, 12))
+    rows = [(i, v.tolist()) for i, v in enumerate(rng.standard_normal((400, 12)))]
+    # bit-identical twins
+    rows += [(10_000 + i, list(rows[i][1])) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    flat = {
+        r.vec_id: r.centroid_id
+        for r in similarity.assign_probe_centroids(
+            df, cents, "embedding", twolevel_threshold=10**9
+        ).collect()
+    }
+    two = {
+        r.vec_id: r.centroid_id
+        for r in similarity.assign_probe_centroids(
+            df, cents, "embedding", twolevel_threshold=2
+        ).collect()
+    }
+    # duplicates co-assign under BOTH paths
+    for i in range(20):
+        assert two[i] == two[10_000 + i]
+        assert flat[i] == flat[10_000 + i]
+    # near-total agreement with the exact assign even on unclustered
+    # gaussians (the adversarial case; w=8 coarse probes measured 0.955)
+    agree = sum(flat[k] == two[k] for k in flat) / len(flat)
+    assert agree >= 0.93, agree
+    # partitioning-independent
+    two_r = {
+        r.vec_id: r.centroid_id
+        for r in similarity.assign_probe_centroids(
+            df.repartition(13), cents, "embedding", twolevel_threshold=2
+        ).collect()
+    }
+    assert two_r == two
