@@ -1413,3 +1413,44 @@ def test_session_page_size_default(spark, tmp_path):
         assert len(b.schemas()) == 6
     with pytest.raises(ValueError, match="page_size"):
         vastdb.connect(str(tmp_path / "wh2"), spark=spark, page_size=0)
+
+
+def test_import_many_files_distributed_footer_scan(session, tmp_path):
+    """Above FOOTER_SCAN_PARALLEL_MIN files the import reads footers in a
+    Spark job instead of a driver loop — registered rows, row-id bases,
+    stats and dedup detection must be identical to the sequential path."""
+    import vastdb_sdk_spark.table as tbl_mod
+
+    paths = []
+    for i in range(tbl_mod.FOOTER_SCAN_PARALLEL_MIN + 6):
+        p = tmp_path / f"part{i:03d}.parquet"
+        pq.write_table(
+            pa.table({"a": pa.array([i * 10, i * 10 + 1], pa.int64()),
+                      "b": pa.array([f"x{i}", f"y{i}"])}),
+            p,
+        )
+        paths.append(str(p))
+    with session.transaction() as tx:
+        sc = tx.bucket("bkt").create_schema("imp")
+        t = sc.create_table(
+            "many", pa.schema([("a", pa.int64()), ("b", pa.string())]),
+            sorting_key=["a"],
+        )
+        t.import_files(paths)
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("imp").table("many")
+        n = len(paths)
+        assert t.count_rows() == 2 * n
+        assert len(t.entry.files) == n
+        # row-id bases follow import order contiguously
+        bases = [fe.row_id_base for fe in t.entry.files]
+        assert bases == sorted(bases) and bases[0] == 0
+        # footer min/max stats captured for the sorting key
+        fe0 = t.entry.files[0]
+        assert fe0.col_stats.get("a") == [0, 1]
+        # point read lands correctly across the many files
+        got = t.select(columns=["b"], predicate=(D.a == 641)).read_all()
+        assert got.column("b").to_pylist() == ["y64"]
+        # re-import of any member is still rejected
+        with pytest.raises(vastdb.InvalidArgument, match="already imported"):
+            t.import_files([paths[3]])

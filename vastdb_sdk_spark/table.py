@@ -74,6 +74,59 @@ from .types import (
 
 INTERNAL_ROW_ID = "$row_id"  # reference: vastdb/table.py:41
 PHYSICAL_ROW_ID = "_vastdb_row_id"
+
+# import_files switches from the driver footer loop to a distributed scan
+# at this many files: below it one Spark job costs more than the loop;
+# above it the loop is the bottleneck (100k files x ~5 ms = minutes of
+# driver time for what tasks do in seconds)
+FOOTER_SCAN_PARALLEL_MIN = 64
+
+
+def _json_scalar_value(v):
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        # space separator so lexicographic order lines up with the
+        # string timestamp literals used in predicates
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v if isinstance(v, (int, float, str)) and not isinstance(v, bool) else None
+
+
+def _footer_scan_payload(path: str, stat_cols: list[str]) -> tuple:
+    """Everything import needs from ONE parquet footer — metadata only,
+    no data I/O; runs driver-side for small imports and inside Spark
+    tasks for large ones (the two paths share this function, so their
+    results are identical by construction). Returns
+    ``(schema_ipc_bytes, num_rows, size_bytes, col_stats_dict)``."""
+    md = pq.ParquetFile(path)
+    meta = md.metadata
+    names = meta.schema.to_arrow_schema().names
+    stats = {}
+    for col in stat_cols:
+        if col not in names:
+            continue
+        idx = names.index(col)
+        mins, maxs = [], []
+        for i in range(meta.num_row_groups):
+            st = meta.row_group(i).column(idx).statistics
+            if st is None or not st.has_min_max:
+                mins = []
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            lo = _json_scalar_value(min(mins))
+            hi = _json_scalar_value(max(maxs))
+            if lo is not None and hi is not None:
+                stats[col] = [lo, hi]
+    return (
+        md.schema_arrow.serialize().to_pybytes(),
+        meta.num_rows,
+        os.path.getsize(path),
+        stats,
+    )
 EXTERNAL_ROW_ID = "vastdb_rowid"  # reference: external row-id allocation column
 VECTOR_DIST_COL = "vast_pysdk_vector_dist"  # reference: vastdb/_adbc.py:140
 
@@ -751,17 +804,7 @@ class Table:
         entry.files.append(fe)
         return fe
 
-    @staticmethod
-    def _json_scalar(v):
-        import datetime as _dt
-
-        if isinstance(v, _dt.datetime):
-            # space separator so lexicographic order lines up with the
-            # string timestamp literals used in predicates
-            return v.isoformat(sep=" ")
-        if isinstance(v, _dt.date):
-            return v.isoformat()
-        return v if isinstance(v, (int, float, str)) and not isinstance(v, bool) else None
+    _json_scalar = staticmethod(_json_scalar_value)
 
     def _footer_col_stats(self, md, stat_cols: list[str], cmap: dict | None = None) -> dict:
         """Per-file [min, max] for ``stat_cols`` from parquet footer
@@ -2215,26 +2258,40 @@ class Table:
         arrow = self.arrow_schema
         storage = storage_arrow_schema(arrow)
         pmap = self._physical_map()
+        stat_cols = self._stat_columns(entry)
+        # footer scan: a driver loop under FOOTER_SCAN_PARALLEL_MIN files,
+        # one metadata-only Spark job above it — a 100k-file import reads
+        # footers in tasks instead of minutes of sequential driver I/O.
+        # Validation stays on the driver either way (same errors).
+        if len(paths) >= FOOTER_SCAN_PARALLEL_MIN:
+            sc = self.spark.sparkContext
+            slices = min(len(paths), sc.defaultParallelism * 4)
+            payloads = dict(
+                sc.parallelize(paths, slices)
+                .map(lambda p: (p, _footer_scan_payload(p, stat_cols)))
+                .collect()  # one small tuple per file — manifest-sized
+            )
+        else:
+            payloads = {p: _footer_scan_payload(p, stat_cols) for p in paths}
         import_rows = []
         for path in paths:
-            md = pq.ParquetFile(path)
-            fschema = md.schema_arrow
+            schema_bytes, nrows, fsize, col_stats = payloads[path]
+            fschema = pa.ipc.read_schema(pa.py_buffer(schema_bytes))
             for f in fschema:
                 if f.name not in arrow.names:
                     raise InvalidArgument(
                         f"import file {path!r} column {f.name!r} not in table schema"
                     )
-            nrows = md.metadata.num_rows
             cmap = {f.name: pmap.get(f.name, f.name) for f in fschema}
             if all(k == v for k, v in cmap.items()):
                 cmap = None
             fe = self._register_file(
                 entry, path, nrows, row_id_base=entry.next_row_id, column_map=cmap,
-                col_stats=self._footer_col_stats(md.metadata, self._stat_columns(entry)),
+                col_stats=col_stats,
             )
             entry.next_row_id += nrows
             import_rows.append(
-                (os.path.abspath(path), self.name, nrows, os.path.getsize(path),
+                (os.path.abspath(path), self.name, nrows, fsize,
                  time.time_ns() // 1000)
             )
         self._mark_unsorted(entry)
