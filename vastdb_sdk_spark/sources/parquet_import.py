@@ -10,9 +10,11 @@ zero-copy. Three merge policies (vastdb/util.py:46-83):
 - ``union``       — field-by-field union; conflicting types on the same
                     field name fail.
 
-Footer reads are driver-side (one footer per file — exactly what the
-reference's client does); at 100 TB with millions of files this loop would be
-distributed with ``spark.read.option("mergeSchema", true)`` sampling instead.
+Footer reads are driver-side below ``table.FOOTER_SCAN_PARALLEL_MIN``
+files (one footer per file — exactly what the reference's client does) and
+run as one metadata-only Spark job above it, mirroring ``import_files``:
+a 100k-file onboarding reads footers in tasks, and only the schemas (one
+IPC blob per file) return to the driver for the merge-policy pass.
 """
 
 from __future__ import annotations
@@ -88,7 +90,19 @@ def create_table_from_files(
     if isinstance(schema_merge_func, str):
         schema_merge_func = ImportMergePolicy(schema_merge_func)
     paths = list(parquet_files)
-    file_schemas = [pq.ParquetFile(p).schema_arrow for p in paths]
+    from ..table import FOOTER_SCAN_PARALLEL_MIN
+
+    if len(paths) >= FOOTER_SCAN_PARALLEL_MIN:
+        sc = schema.tx.spark.sparkContext
+        slices = min(len(paths), sc.defaultParallelism * 4)
+        blobs = (
+            sc.parallelize(paths, slices)
+            .map(lambda p: pq.ParquetFile(p).schema_arrow.serialize().to_pybytes())
+            .collect()
+        )
+        file_schemas = [pa.ipc.read_schema(pa.py_buffer(b)) for b in blobs]
+    else:
+        file_schemas = [pq.ParquetFile(p).schema_arrow for p in paths]
     unified = merge_schemas(file_schemas, schema_merge_func)
     table = schema.create_table(table_name, unified, create_imports_table=True)
     table.import_files(paths)
