@@ -284,3 +284,54 @@ def test_catalog_and_audit(clean_schema):
         audit = tx.audit_log("bkt").collect()
         ops = {r.op for r in audit}
         assert "create_table" in ops and "insert" in ops
+
+
+def test_audit_log_compaction_exact_and_crash_safe(clean_schema):
+    """compact_audit_log folds old per-commit JSONLs into parquet batches
+    and the reader stays EXACT: same rows before/after, after repeated
+    compaction, and after a simulated crash that wrote the batch but died
+    before deleting its input JSONLs."""
+    import os
+    import shutil
+
+    _make(clean_schema)
+    session = clean_schema
+    for i in range(12):  # 12 more commits -> 12 more audit files
+        with session.transaction() as tx:
+            tx.bucket("bkt").schema("s").table("t").insert(
+                pa.table({"a": pa.array([100 + i], pa.int64()),
+                          "b": pa.array([float(i)], pa.float32()),
+                          "s": pa.array([f"r{i}"])})
+            )
+    with session.transaction() as tx:
+        before = sorted(
+            (r.txid, r.op, r.object) for r in tx.audit_log("bkt").collect()
+        )
+    audit_dir = os.path.join(session._bucket_path("bkt"), "_audit")
+    n_jsonl = len([f for f in os.listdir(audit_dir) if f.endswith(".jsonl")])
+    r = session.compact_audit_log("bkt", keep_recent=5)
+    assert r["compacted_files"] == n_jsonl - 5 and r["rows"] > 0
+    assert len([f for f in os.listdir(audit_dir) if f.endswith(".jsonl")]) == 5
+    with session.transaction() as tx:
+        after = sorted(
+            (r.txid, r.op, r.object) for r in tx.audit_log("bkt").collect()
+        )
+    assert after == before
+    # simulated crash: re-materialize an already-compacted JSONL (as if
+    # the delete never ran) — the reader must IGNORE it, not double-count
+    leftover = os.path.join(audit_dir, "v0000000002.jsonl")
+    with open(leftover, "w") as f:
+        f.write('{"txid": 2, "ts": 1, "op": "ghost", "object": "x", "details": "{}"}\n')
+    with session.transaction() as tx:
+        ops = {r.op for r in tx.audit_log("bkt").collect()}
+        assert "ghost" not in ops
+    # the next compaction sweeps the leftover and folds the rest
+    r2 = session.compact_audit_log("bkt", keep_recent=0)
+    assert not os.path.exists(leftover)
+    assert r2["compacted_files"] == 5
+    with session.transaction() as tx:
+        final = sorted(
+            (r.txid, r.op, r.object) for r in tx.audit_log("bkt").collect()
+        )
+    assert final == before
+    assert len([f for f in os.listdir(audit_dir) if f.endswith(".jsonl")]) == 0

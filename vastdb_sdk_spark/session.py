@@ -87,6 +87,79 @@ class Session:
 
         return Transaction(self)
 
+    def compact_audit_log(
+        self, bucket_name: str, keep_recent: int = 64
+    ) -> dict:
+        """Fold old per-commit audit JSONLs into one parquet batch.
+
+        One tiny JSONL per commit is the right WRITE shape (no
+        read-modify-write on the hot commit path), but after ~1e5 commits
+        the audit READ pays one file-open per commit. This folds every
+        JSONL older than the newest ``keep_recent`` into a single parquet
+        file under ``_audit/compact/`` and deletes the folded JSONLs.
+
+        Crash-safe without coordination: the batch lands under a name
+        carrying the highest version it covers, and the audit reader
+        ignores JSONLs at or below that mark — so the write-then-delete
+        pair can die in the middle and reads stay exact (leftover JSONLs
+        are swept by the next compaction). Repeated compactions produce
+        non-overlapping batches (each starts past the previous mark).
+
+        Returns ``{"compacted_files", "up_to_version", "rows"}``."""
+        from .transaction import audit_compact_state, audit_jsonl_version
+
+        audit_dir = os.path.join(self._bucket_path(bucket_name), "_audit")
+        compact_dir = os.path.join(audit_dir, "compact")
+        if not os.path.isdir(audit_dir):
+            return {"compacted_files": 0, "up_to_version": 0, "rows": 0}
+        prev_up_to, _ = audit_compact_state(compact_dir)
+        jsonls = sorted(
+            (
+                os.path.join(audit_dir, f)
+                for f in os.listdir(audit_dir)
+                if f.endswith(".jsonl")
+            ),
+            key=audit_jsonl_version,
+        )
+        live = [p for p in jsonls if audit_jsonl_version(p) > prev_up_to]
+        stale = [p for p in jsonls if audit_jsonl_version(p) <= prev_up_to]
+        to_fold = live[: max(0, len(live) - int(keep_recent))]
+        for p in stale:  # leftovers of an interrupted earlier compaction
+            os.remove(p)
+        if not to_fold:
+            return {
+                "compacted_files": 0,
+                "up_to_version": prev_up_to,
+                "rows": 0,
+            }
+        up_to = audit_jsonl_version(to_fold[-1])
+        schema = "txid LONG, ts LONG, op STRING, object STRING, details STRING"
+        df = self.spark.read.schema(schema).json(to_fold)
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="auditcompact_", dir=audit_dir)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.makedirs(compact_dir, exist_ok=True)
+        rows = 0
+        i = 0
+        for f in sorted(os.listdir(tmp)):
+            if not f.endswith(".parquet"):
+                continue
+            dst = os.path.join(compact_dir, f"compact-{up_to:010d}-{i}.parquet")
+            os.replace(os.path.join(tmp, f), dst)
+            import pyarrow.parquet as _pq
+
+            rows += _pq.ParquetFile(dst).metadata.num_rows
+            i += 1
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        # the batch is durable under its high-water name: the reader now
+        # ignores these JSONLs even if a crash stops the deletes below
+        for p in to_fold:
+            os.remove(p)
+        return {"compacted_files": len(to_fold), "up_to_version": up_to, "rows": rows}
+
     def vacuum(
         self,
         bucket_name: str,

@@ -22,6 +22,31 @@ import time
 from .catalog.manifest import ChangeSet, Manifest, ManifestStore
 from .errors import NoAdbcConnection, TransactionClosed
 
+
+def audit_jsonl_version(filename: str) -> int:
+    """Commit version from a ``v<version>.jsonl`` audit filename."""
+    try:
+        return int(os.path.basename(filename)[1:].split(".")[0])
+    except ValueError:
+        return -1
+
+
+def audit_compact_state(compact_dir: str) -> tuple[int, list[str]]:
+    """(highest compacted version, compact parquet paths). Each batch file
+    is named ``compact-<upTo>-<i>.parquet``; the max <upTo> is the
+    high-water mark below which JSONLs are leftovers, not data."""
+    if not os.path.isdir(compact_dir):
+        return 0, []
+    up_to, paths = 0, []
+    for f in os.listdir(compact_dir):
+        if f.startswith("compact-") and f.endswith(".parquet"):
+            try:
+                up_to = max(up_to, int(f.split("-")[1]))
+            except (IndexError, ValueError):
+                continue
+            paths.append(os.path.join(compact_dir, f))
+    return up_to, sorted(paths)
+
 _txid_counter = itertools.count(int(time.time() * 1000) % (1 << 40))
 
 
@@ -170,13 +195,39 @@ class Transaction:
                 f.write(json.dumps(rec) + "\n")
 
     def audit_log(self, bucket_name: str):
-        """Audit-log DataFrame for a bucket (engine operations history)."""
+        """Audit-log DataFrame for a bucket (engine operations history).
+
+        Layout: one ``v<version>.jsonl`` per commit plus parquet batches
+        under ``_audit/compact/`` (Session.compact_audit_log folds old
+        JSONLs — one tiny file per commit is the right WRITE shape but a
+        pathological READ shape at ~1e5 commits). Exactness rule: each
+        compact file's name carries the highest version it covers, and
+        JSONLs at or below the compacted high-water mark are IGNORED here
+        — so a crash between writing a batch and deleting its inputs can
+        never double-count events."""
         audit_dir = os.path.join(self._session._bucket_path(bucket_name), "_audit")
         spark = self._session.spark
         schema = "txid LONG, ts LONG, op STRING, object STRING, details STRING"
-        if not os.path.isdir(audit_dir) or not os.listdir(audit_dir):
+        if not os.path.isdir(audit_dir):
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).json(audit_dir)
+        compact_dir = os.path.join(audit_dir, "compact")
+        up_to, compacts = audit_compact_state(compact_dir)
+        jsonls = [
+            os.path.join(audit_dir, f)
+            for f in os.listdir(audit_dir)
+            if f.endswith(".jsonl") and audit_jsonl_version(f) > up_to
+        ]
+        parts = []
+        if compacts:
+            parts.append(spark.read.schema(schema).parquet(*compacts))
+        if jsonls:
+            parts.append(spark.read.schema(schema).json(jsonls))
+        if not parts:
+            return spark.createDataFrame([], schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # -- SQL tier (the post-processing tier the reference reaches via
     #    DuckDB/ADBC — README.md:230-246; here it's Spark SQL natively) -----
