@@ -1454,3 +1454,23 @@ def test_import_many_files_distributed_footer_scan(session, tmp_path):
         # re-import of any member is still rejected
         with pytest.raises(vastdb.InvalidArgument, match="already imported"):
             t.import_files([paths[3]])
+
+
+def test_import_rejects_type_mismatch(session, tmp_path):
+    """A file whose column TYPE conflicts with the table schema must fail
+    the import with a clear error, not poison later scans."""
+    p = tmp_path / "bad.parquet"
+    pq.write_table(pa.table({"a": pa.array(["not", "an", "int"])}), p)
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").create_schema("timp").create_table(
+            "t", pa.schema([("a", pa.int64())])
+        )
+        with pytest.raises(vastdb.InvalidArgument, match="has type"):
+            t.import_files([str(p)])
+    # and a matching-typed file still imports fine afterwards
+    good = tmp_path / "good.parquet"
+    pq.write_table(pa.table({"a": pa.array([1, 2, 3], pa.int64())}), good)
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("timp").table("t")
+        t.import_files([str(good)])
+        assert t.count_rows() == 3

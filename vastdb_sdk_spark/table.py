@@ -2282,6 +2282,20 @@ class Table:
                     raise InvalidArgument(
                         f"import file {path!r} column {f.name!r} not in table schema"
                     )
+                # type containment (reference vastdb/util.py:46-63): a
+                # name-only check would let a string file into an int64
+                # column and the MISMATCH would only surface later as a
+                # raw scan crash. Files may carry either the logical type
+                # or its storage form (engine-exported parquet).
+                want = arrow.field(arrow.get_field_index(f.name)).type
+                want_storage = storage.field(
+                    storage.get_field_index(f.name)
+                ).type
+                if f.type not in (want, want_storage):
+                    raise InvalidArgument(
+                        f"import file {path!r} column {f.name!r} has type "
+                        f"{f.type}, table expects {want}"
+                    )
             cmap = {f.name: pmap.get(f.name, f.name) for f in fschema}
             if all(k == v for k, v in cmap.items()):
                 cmap = None
