@@ -2329,10 +2329,22 @@ class Table:
             else:
                 part = dict(partition)
             md = pq.ParquetFile(path)
+            storage = storage_arrow_schema(arrow)
             for f in md.schema_arrow:
                 if f.name not in arrow.names:
                     raise InvalidArgument(
                         f"import file {path!r} column {f.name!r} not in table schema"
+                    )
+                # same type-containment rule as import_files: fail here,
+                # not as a scan crash later
+                want = arrow.field(arrow.get_field_index(f.name)).type
+                want_storage = storage.field(
+                    storage.get_field_index(f.name)
+                ).type
+                if f.type not in (want, want_storage):
+                    raise InvalidArgument(
+                        f"import file {path!r} column {f.name!r} has type "
+                        f"{f.type}, table expects {want}"
                     )
             for pcol in part:
                 if pcol not in arrow.names:
