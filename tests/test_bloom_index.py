@@ -51,6 +51,15 @@ def test_canonical_hashing_cross_type_property():
     ef = B.build_bitmap([0.5, 2.25], fpp=0.01, seed=7)
     assert B.might_contain(ef, 0.5, 7) and B.might_contain(ef, "0.5", 7)
     assert B.might_contain(ef, decimal.Decimal("2.25"), 7)
+    # above 2^53 Spark's bigint-vs-double compare is LOSSY: the int
+    # 2^53 + 1 and the double 2^53.0 MATCH there, so the bitmap must
+    # answer True for the double literal too (ints collapse through
+    # float in that range — only ever adds false positives)
+    big = 2**53 + 1
+    eb = B.build_bitmap([big], fpp=0.01, seed=7)
+    assert B.might_contain(eb, big, 7)
+    assert B.might_contain(eb, float(2**53), 7)
+    assert B.might_contain(eb, 2**53, 7) == B.might_contain(eb, float(2**53), 7)
 
 
 def test_extract_points():

@@ -607,6 +607,14 @@ def test_knn_join_blocked_matches_broadcast(spark):
         assert tag_r == tag_b and abs(cos_r - cos_b) < 2e-6, key
     with pytest.raises(ValueError, match="strategy"):
         similarity.knn_join_cosine(ldf, rdf, strategy="hash")
+    # the blocked route refuses duplicate ids (they'd merge left groups
+    # and fan out the join-back); broadcast keeps pure row semantics
+    dup_r = rdf.unionByName(rdf.limit(1))
+    with pytest.raises(ValueError, match="unique right ids"):
+        similarity.knn_join_cosine(ldf, dup_r, k=2, strategy="blocked")
+    assert similarity.knn_join_cosine(
+        ldf.limit(2), dup_r, k=2, strategy="broadcast"
+    ).count() == 4
 
     # gemm chunking smaller than the block must not change anything
     got = {

@@ -335,3 +335,22 @@ def test_audit_log_compaction_exact_and_crash_safe(clean_schema):
         )
     assert final == before
     assert len([f for f in os.listdir(audit_dir) if f.endswith(".jsonl")]) == 0
+
+
+def test_audit_foreign_files_survive_compaction(clean_schema):
+    """Files in _audit the engine didn't write (no v<version>.jsonl name)
+    stay readable and are never deleted by compaction."""
+    import os
+
+    _make(clean_schema)
+    session = clean_schema
+    audit_dir = os.path.join(session._bucket_path("bkt"), "_audit")
+    foreign = os.path.join(audit_dir, "notes.jsonl")
+    with open(foreign, "w") as f:
+        f.write('{"txid": 999, "ts": 1, "op": "manual-note", "object": "x", "details": "{}"}\n')
+    with session.transaction() as tx:
+        assert "manual-note" in {r.op for r in tx.audit_log("bkt").collect()}
+    session.compact_audit_log("bkt", keep_recent=0)
+    assert os.path.exists(foreign)
+    with session.transaction() as tx:
+        assert "manual-note" in {r.op for r in tx.audit_log("bkt").collect()}

@@ -20,6 +20,7 @@ import datetime
 import decimal
 import hashlib
 import math
+import os
 import sys
 import time
 
@@ -129,6 +130,10 @@ def main():
     window_only = "--window" in args
     args = [a for a in args if a != "--window"]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    # oracles that learn constants from the corpus at build time (the BPE
+    # merge table) must learn them from the SAME sf being checked — thread
+    # the dir through unless the caller pinned it explicitly
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
     only = set(args[1:])
     if window_only:
         only = set(list(entry_mod.queries())[:50]) | only

@@ -166,6 +166,22 @@ def knn_join_cosine(
     left_cols = [c for c in left.columns if c != left_vec]
     right_cols = [c for c in right.columns if c != right_vec]
     if strategy == "blocked":
+        # the blocked route keys its grid and join-back on the ids:
+        # duplicates would silently merge left groups and fan out the
+        # join-back (>k rows per left id) — refuse loudly instead. The
+        # broadcast route has no such constraint (pure row semantics).
+        for side_df, idc, side in ((left, left_id, "left"), (right, right_id, "right")):
+            chk = side_df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct(F.col(idc)).alias("d"),
+            ).first()
+            if chk.n != chk.d:
+                raise ValueError(
+                    f"knn_join_cosine strategy='blocked' requires unique "
+                    f"{side} ids: {idc!r} has {chk.n} rows but only "
+                    f"{chk.d} distinct values (use strategy='broadcast' "
+                    "or deduplicate first)"
+                )
         pairs = knn_join_cosine_blocked(
             left.select(left_id, left_vec),
             right.select(right_id, right_vec),

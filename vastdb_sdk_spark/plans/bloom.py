@@ -35,6 +35,7 @@ from typing import Any, Iterable
 from .pruning import _NEG_INF, _POS_INF, _nonempty, extract_intervals
 
 _MIN_BITS = 64
+_EXACT_INT = 2**53  # doubles are integer-exact up to here
 
 
 def _canon(value: Any) -> Any:
@@ -47,22 +48,35 @@ def _canon(value: Any) -> Any:
     module's unconditional-correctness contract. Collisions this
     normalization introduces between values Spark would NOT match (e.g.
     strings '007' and '7') are safe: Bloom collisions only ever create
-    false positives (kept files), never lost rows."""
+    false positives (kept files), never lost rows.
+
+    Integers above 2^53 canonicalize through float: Spark compares
+    bigint-vs-double LOSSILY in double (9007199254740993 == 2^53.0
+    matches there), so exact-int hashing would produce a false negative
+    for exactly that cross-type pair; collapsing the >2^53 range to its
+    double image only merges values (more false positives, still
+    sound), and bigint-vs-bigint probes canonicalize identically on
+    both sides so exact equality keeps working."""
+    def _num(f: float):
+        # one normal form for every numeric's double image (a >2^53
+        # int's image can itself be <= 2^53 — e.g. float(2^53+1) ==
+        # 2^53.0 — so the image goes through the SAME rule)
+        return int(f) if f.is_integer() and abs(f) <= _EXACT_INT else f
+
     if isinstance(value, bool):
         return int(value)
+    if isinstance(value, int):
+        return value if abs(value) <= _EXACT_INT else _num(float(value))
     if isinstance(value, float):
-        return int(value) if value.is_integer() else value
+        return _num(value)
     if isinstance(value, decimal.Decimal):
-        f = float(value)  # Spark compares decimal-vs-double in double
-        return int(f) if f.is_integer() else f
+        return _num(float(value))  # Spark compares decimal-vs-double in double
     if isinstance(value, str):
         try:
             f = float(value)
         except ValueError:
             return value
-        if math.isfinite(f):
-            return int(f) if f.is_integer() else f
-        return value
+        return _num(f) if math.isfinite(f) else value
     return value
 
 

@@ -113,11 +113,13 @@ class Session:
         if not os.path.isdir(audit_dir):
             return {"compacted_files": 0, "up_to_version": 0, "rows": 0}
         prev_up_to, _ = audit_compact_state(compact_dir)
+        # foreign files (names the engine didn't write -> version None)
+        # are never folded and never deleted
         jsonls = sorted(
             (
                 os.path.join(audit_dir, f)
                 for f in os.listdir(audit_dir)
-                if f.endswith(".jsonl")
+                if f.endswith(".jsonl") and audit_jsonl_version(f) is not None
             ),
             key=audit_jsonl_version,
         )

@@ -192,8 +192,12 @@ def sync_derived_rows(
     span touches most of it (``full_rebuild_fraction`` of the rows
     behind changed files, from change_span_stats — metadata only).
     ``'incremental'`` forces the fold; ``'full'`` forces a rebuild.
-    Either route leaves dst identical (both are exact), so routing is
-    pure physical planning, invisible to readers.
+    Either route leaves dst's CONTENT identical (both are exact), so
+    routing is invisible to value readers — but a full rebuild rewrites
+    every row, so dst's ``$row_id``s and its own change feed see 100%
+    churn on that route. Callers that depend on dst row-id stability or
+    feed-sized downstream work should pass ``mode='incremental'``
+    explicitly (the engine's own gate and churn bench do).
 
     Returns ``{"from_version", "to_version", "recomputed_keys",
     "deleted_keys", "inserted_rows", "mode"}``.

@@ -94,20 +94,20 @@ def _json_scalar_value(v):
     return v if isinstance(v, (int, float, str)) and not isinstance(v, bool) else None
 
 
-def _footer_scan_payload(path: str, stat_cols: list[str]) -> tuple:
-    """Everything import needs from ONE parquet footer — metadata only,
-    no data I/O; runs driver-side for small imports and inside Spark
-    tasks for large ones (the two paths share this function, so their
-    results are identical by construction). Returns
-    ``(schema_ipc_bytes, num_rows, size_bytes, col_stats_dict)``."""
-    md = pq.ParquetFile(path)
-    meta = md.metadata
+def _meta_col_stats(meta, stat_cols: list[str], cmap: dict | None = None) -> dict:
+    """Per-file [min, max] for ``stat_cols`` from a parquet footer's
+    row-group statistics — the ONE implementation behind both the
+    insert-path Table._footer_col_stats and the import-path
+    _footer_scan_payload (a divergence would give imported and inserted
+    files different pruning stats)."""
+    out = {}
     names = meta.schema.to_arrow_schema().names
-    stats = {}
+    inv = {v: k for k, v in (cmap or {}).items()}
     for col in stat_cols:
-        if col not in names:
+        fcol = inv.get(col, col)
+        if fcol not in names:
             continue
-        idx = names.index(col)
+        idx = names.index(fcol)
         mins, maxs = [], []
         for i in range(meta.num_row_groups):
             st = meta.row_group(i).column(idx).statistics
@@ -120,12 +120,23 @@ def _footer_scan_payload(path: str, stat_cols: list[str]) -> tuple:
             lo = _json_scalar_value(min(mins))
             hi = _json_scalar_value(max(maxs))
             if lo is not None and hi is not None:
-                stats[col] = [lo, hi]
+                out[col] = [lo, hi]
+    return out
+
+
+def _footer_scan_payload(path: str, stat_cols: list[str]) -> tuple:
+    """Everything import needs from ONE parquet footer — metadata only,
+    no data I/O; runs driver-side for small imports and inside Spark
+    tasks for large ones (the two paths share this function, so their
+    results are identical by construction). Returns
+    ``(schema_ipc_bytes, num_rows, size_bytes, col_stats_dict)``."""
+    md = pq.ParquetFile(path)
+    meta = md.metadata
     return (
         md.schema_arrow.serialize().to_pybytes(),
         meta.num_rows,
         os.path.getsize(path),
-        stats,
+        _meta_col_stats(meta, stat_cols),
     )
 EXTERNAL_ROW_ID = "vastdb_rowid"  # reference: external row-id allocation column
 VECTOR_DIST_COL = "vast_pysdk_vector_dist"  # reference: vastdb/_adbc.py:140
@@ -808,28 +819,9 @@ class Table:
 
     def _footer_col_stats(self, md, stat_cols: list[str], cmap: dict | None = None) -> dict:
         """Per-file [min, max] for ``stat_cols`` from parquet footer
-        statistics (driver-side, one footer we already read)."""
-        out = {}
-        names = md.schema.to_arrow_schema().names
-        inv = {v: k for k, v in (cmap or {}).items()}
-        for col in stat_cols:
-            fcol = inv.get(col, col)
-            if fcol not in names:
-                continue
-            idx = names.index(fcol)
-            mins, maxs = [], []
-            for i in range(md.num_row_groups):
-                st = md.row_group(i).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    mins = []
-                    break
-                mins.append(st.min)
-                maxs.append(st.max)
-            if mins:
-                lo, hi = self._json_scalar(min(mins)), self._json_scalar(max(maxs))
-                if lo is not None and hi is not None:
-                    out[col] = [lo, hi]
-        return out
+        statistics (driver-side, one footer we already read). Delegates
+        to the module-level extractor the import scan also uses."""
+        return _meta_col_stats(md, stat_cols, cmap)
 
     def _arrow_col_stats(self, tbl: pa.Table, stat_cols: list[str]) -> dict:
         import pyarrow.compute as pc
@@ -1644,30 +1636,13 @@ class Table:
         self._mark_unsorted(entry)
         self._mutate(entry, "drop_passage_dup_rows")
 
-    def change_span_stats(
-        self, from_version: int, to_version: int | None = None
-    ) -> dict:
-        """Manifest-level summary of a change span — METADATA ONLY, zero
-        data I/O: how many files (and rows behind them) differ between
-        two committed versions, against the table's totals. This is what
-        a cost-based router reads to decide incremental-vs-full BEFORE
-        paying for the feed itself (sources/replicate.sync_derived_rows
-        ``mode='auto'``): a span touching most of the table's rows makes
-        a full re-derive cheaper than feed classification + merge.
-
-        Returns ``{"changed_files", "total_files", "changed_rows",
-        "total_rows"}`` where totals are the TO-side (current) table and
-        changed counts are files not byte-identical (path + DV set + row
-        base) in both versions — the same pruning key read_changes uses,
-        so ``changed_files == 0`` guarantees an empty feed."""
+    def _span_file_diff(self, from_version: int, to_version: int) -> tuple:
+        """Shared manifest-level file diff for change_span_stats AND
+        read_changes — ONE pruning key (path + rows + DV set + row base),
+        so "changed_files == 0 guarantees an empty feed" can never drift
+        between the cost router and the feed itself. Returns
+        ``(old_t, new_t, old_files, new_files, unchanged_paths)``."""
         bkt = self.bucket
-        if to_version is None:
-            to_version = bkt.manifest.version
-        if from_version > to_version:
-            raise InvalidArgument(
-                f"change span is inverted: from_version={from_version} "
-                f"> to_version={to_version}"
-            )
 
         def _table_at(version: int):
             b = bkt.as_of(version=version)
@@ -1690,8 +1665,35 @@ class Table:
             for p in set(old_map) & set(new_map)
             if _fkey(old_map[p]) == _fkey(new_map[p])
         }
+        return old_t, new_t, old_files, new_files, unchanged
+
+    def change_span_stats(
+        self, from_version: int, to_version: int | None = None
+    ) -> dict:
+        """Manifest-level summary of a change span — METADATA ONLY, zero
+        data I/O: how many files (and rows behind them) differ between
+        two committed versions, against the table's totals. This is what
+        a cost-based router reads to decide incremental-vs-full BEFORE
+        paying for the feed itself (sources/replicate.sync_derived_rows
+        ``mode='auto'``): a span touching most of the table's rows makes
+        a full re-derive cheaper than feed classification + merge.
+
+        Returns ``{"changed_files", "total_files", "changed_rows",
+        "total_rows"}`` where totals are the TO-side (current) table and
+        changed counts are files not byte-identical (path + DV set + row
+        base) in both versions — the same pruning key read_changes uses,
+        so ``changed_files == 0`` guarantees an empty feed."""
+        if to_version is None:
+            to_version = self.bucket.manifest.version
+        if from_version > to_version:
+            raise InvalidArgument(
+                f"change span is inverted: from_version={from_version} "
+                f"> to_version={to_version}"
+            )
+        _old_t, _new_t, old_files, new_files, unchanged = self._span_file_diff(from_version, to_version)
+        new_paths = {f.path for f in new_files}
         changed = [f for f in new_files if f.path not in unchanged]
-        changed_old_only = [f for f in old_files if f.path not in new_map]
+        changed_old_only = [f for f in old_files if f.path not in new_paths]
         return {
             "changed_files": len(changed) + len(changed_old_only),
             "total_files": len(new_files),
@@ -1737,14 +1739,7 @@ class Table:
                 "inserts as deletes and swap update images"
             )
 
-        def _table_at(version: int):
-            b = bkt.as_of(version=version)
-            s = b.schema(self.schema.name, fail_if_missing=False)
-            return s.table(self.name, fail_if_missing=False) if s else None
-
-        old_t, new_t = _table_at(from_version), _table_at(to_version)
-        if old_t is None and new_t is None:
-            raise MissingTable(self.path)
+        old_t, new_t, old_files, new_files, unchanged = self._span_file_diff(from_version, to_version)
         if old_t is not None and new_t is not None:
             if old_t.arrow_schema != new_t.arrow_schema:
                 raise InvalidArgument(
@@ -1755,19 +1750,6 @@ class Table:
                 )
         ref = new_t if new_t is not None else old_t
         cols = [f.name for f in ref.arrow_schema]
-
-        def _fkey(fe):
-            return (fe.rows, fe.dv_rows, tuple(fe.dv_paths), fe.row_id_base)
-
-        old_files = list(old_t.entry.files) if old_t else []
-        new_files = list(new_t.entry.files) if new_t else []
-        old_map = {f.path: f for f in old_files}
-        new_map = {f.path: f for f in new_files}
-        unchanged = {
-            p
-            for p in set(old_map) & set(new_map)
-            if _fkey(old_map[p]) == _fkey(new_map[p])
-        }
         old_read = [f for f in old_files if f.path not in unchanged]
         new_read = [f for f in new_files if f.path not in unchanged]
 
@@ -2319,6 +2301,7 @@ class Table:
         arrow = self.arrow_schema
         pmap = self._physical_map()
         import_rows = []
+        storage = storage_arrow_schema(arrow)
         for path, partition in files_and_partitions.items():
             path = _strip_bucket(path)
             if isinstance(partition, (pa.RecordBatch, pa.Table)):
@@ -2329,7 +2312,6 @@ class Table:
             else:
                 part = dict(partition)
             md = pq.ParquetFile(path)
-            storage = storage_arrow_schema(arrow)
             for f in md.schema_arrow:
                 if f.name not in arrow.names:
                     raise InvalidArgument(

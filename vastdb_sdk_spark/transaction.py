@@ -23,12 +23,18 @@ from .catalog.manifest import ChangeSet, Manifest, ManifestStore
 from .errors import NoAdbcConnection, TransactionClosed
 
 
-def audit_jsonl_version(filename: str) -> int:
-    """Commit version from a ``v<version>.jsonl`` audit filename."""
+def audit_jsonl_version(filename: str) -> int | None:
+    """Commit version from a ``v<version>.jsonl`` audit filename, or None
+    for a name the engine didn't write. Foreign files are always LIVE to
+    the reader and untouchable by compaction — the conservative stance
+    for a directory a user may drop files into."""
+    base = os.path.basename(filename)
     try:
-        return int(os.path.basename(filename)[1:].split(".")[0])
+        if not base.startswith("v"):
+            return None
+        return int(base[1:].split(".")[0])
     except ValueError:
-        return -1
+        return None
 
 
 def audit_compact_state(compact_dir: str) -> tuple[int, list[str]]:
@@ -215,7 +221,8 @@ class Transaction:
         jsonls = [
             os.path.join(audit_dir, f)
             for f in os.listdir(audit_dir)
-            if f.endswith(".jsonl") and audit_jsonl_version(f) > up_to
+            if f.endswith(".jsonl")
+            and (audit_jsonl_version(f) is None or audit_jsonl_version(f) > up_to)
         ]
         parts = []
         if compacts:
