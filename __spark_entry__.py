@@ -4947,84 +4947,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # than 4 rounds" once the backlog below is cleared. The registry is
     # FROZEN this round (no new entries) to pay that backlog down.
     #
-    # Round-10 window (all 50 = the never-driver-gated cohort; 52 such
-    # queries existed after round 9, so the 2 leftovers lead round 11):
-    # (1) tx_bpe_learned first — previously the registry's only rows-only
-    # gate, now carrying a full recursive-CTE oracle (independent naive
-    # trainer + greedy segmentation replay); (2) the 10 engine/matview/
-    # index/time-series gates (e19, e21-e26, el6_bloom, ts_gapfill,
-    # ts_anomaly); (3) the 39 operator gates (a11/a12, w9-w11, the dd_*
-    # near-dup five, the ds_* sampling nine, ann matryoshka + pca, and
-    # the tx_* text/LM seventeen). Every window entry was verified green
-    # locally at sf0.01 AND sf0.1 via tools/check_correctness.py.
-    #
-    # Round-11 window plan (recorded in SCALING.md): the 2 leftovers
-    # (tx_span_corrupt, tx_mlm_mask), then ds_train_test_split (round-6
-    # green — the stalest standing green), then the 44-query round-7
-    # cohort; round-12 takes the round-8 cohort (46), round-13 the
-    # round-9 cohort (49) — after which every green is <= 4 rounds old
-    # and the rotation becomes steady-state oldest-first.
+    # Round-11 window (executing the plan committed in round 10, see
+    # SCALING.md "Round 10"): (1) tx_span_corrupt + tx_mlm_mask — the
+    # last 2 never-driver-gated queries; after this round every registry
+    # query has a driver-green row; (2) ds_train_test_split (round-6
+    # green — the stalest standing green); (3) the 44-query round-7
+    # cohort in registry order; (4) the window's remaining 3 slots fill
+    # naturally from the round-8 cohort front (ann_rhp/pq/ivfpq_topk).
+    # Round-12 takes the rest of the round-8 cohort, round-13 the
+    # round-9 cohort, round-14 the round-10 cohort (now at the registry
+    # tail) — after which every green is <= 4 rounds old and the
+    # rotation becomes steady-state oldest-first. Registry stays FROZEN
+    # (no new entries) until the rotation is steady-state.
     return {
-        # -- round-10 window: lead gate (full oracle is new this round) --
-        "tx_bpe_learned": q_tx_bpe_learned,
-        # -- engine / matview / index / time-series gates --------------
-        "e19_engine_domain_cap": q_e19_engine_domain_cap,
-        "e21_pipeline_recipe": q_e21_pipeline_recipe,
-        "e22_matview_incremental": q_e22_matview_incremental,
-        "e23_matview_rollup": q_e23_matview_rollup,
-        "e24_matview_timebucket": q_e24_matview_timebucket,
-        "e25_sig_sync": q_e25_sig_sync,
-        "e26_sql_views": q_e26_sql_views,
-        "el6_bloom_point": q_el6_bloom_point,
-        "ts_gapfill": q_ts_gapfill,
-        "ts_anomaly": q_ts_anomaly,
-        # -- operator gates --------------------------------------------
-        "a11_grouping_sets": q_a11_grouping_sets,
-        "a12_pivot": q_a12_pivot,
-        "w9_hopping_window": q_w9_hopping_window,
-        "w10_funnel": q_w10_funnel,
-        "w11_retention_cohorts": q_w11_retention_cohorts,
-        "dd_keep_best": q_dd_keep_best,
-        "dd_line_dedup": q_dd_line_dedup,
-        "dd_minhash_join": q_dd_minhash_join,
-        "dd_tfidf_pairs": q_dd_tfidf_pairs,
-        "dd_winnow": q_dd_winnow,
-        "ds_borda_quality": q_ds_borda_quality,
-        "ds_cluster_assign": q_ds_cluster_assign,
-        "ds_domain_caps": q_ds_domain_caps,
-        "ds_dsir_weights": q_ds_dsir_weights,
-        "ds_score_normalize": q_ds_score_normalize,
-        "ds_shard_assign": q_ds_shard_assign,
-        "ds_source_overlap": q_ds_source_overlap,
-        "ds_token_budget": q_ds_token_budget,
-        "ds_weighted_sample": q_ds_weighted_sample,
-        "ann_matryoshka_topk": q_ann_matryoshka_topk,
-        "ann_pca_project": q_ann_pca_project,
-        "tx_chat_render": q_tx_chat_render,
-        "tx_collapse_repeats": q_tx_collapse_repeats,
-        "tx_contrastive": q_tx_contrastive,
-        "tx_html_strip": q_tx_html_strip,
-        "tx_kl_drift": q_tx_kl_drift,
-        "tx_kn_logprob": q_tx_kn_logprob,
-        "tx_length_percentiles": q_tx_length_percentiles,
-        "tx_nb_classify": q_tx_nb_classify,
-        "tx_nb_train": q_tx_nb_train,
-        "tx_pmi_topk": q_tx_pmi_topk,
-        "tx_prefix_lm": q_tx_prefix_lm,
-        "tx_rrf_fusion": q_tx_rrf_fusion,
-        "tx_sentences": q_tx_sentences,
-        "tx_chunk_sentences": q_tx_chunk_sentences,
-        "tx_tfidf_topterms": q_tx_tfidf_topterms,
-        "tx_token_entropy": q_tx_token_entropy,
-        "tx_url_canon": q_tx_url_canon,
-        "tx_zipf_slope": q_tx_zipf_slope,
-        # ---- window boundary (driver gates the 50 entries above) --------
-        # Round-11 lead: the 2 never-gated leftovers, then the stalest
-        # standing greens (round-6, then the round-7 cohort).
+        # -- round-11 window: the 2 never-gated leftovers lead ----------
         "tx_span_corrupt": q_tx_span_corrupt,
         "tx_mlm_mask": q_tx_mlm_mask,
+        # -- stalest standing green (round-6) ---------------------------
         "ds_train_test_split": q_ds_train_test_split,
-        # -- round-7-green cohort (round-11 window fills from here) ----
+        # -- round-7-green cohort ---------------------------------------
         "ann_ivf_topk": q_ann_ivf_topk,
         "tx_gopher_flags": q_tx_gopher_flags,
         "tx_c4_filter": q_tx_c4_filter,
@@ -5069,10 +5010,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_pack_greedy": q_tx_pack_greedy,
         "dd_simhash_fast": q_dd_simhash_fast,
         "dd_embed_neardup": q_dd_embed_neardup,
-        # -- round-8-green cohort (round-12 window) --------------------
+        # -- round-8-green cohort front: fills the window's last 3 slots --
         "ann_rhp_topk": q_ann_rhp_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        # ---- window boundary (driver gates the 50 entries above) --------
+        # -- rest of the round-8-green cohort (round-12 window) -----------
         "dd_phash_neardup": q_dd_phash_neardup,
         "tx_clf_quality": q_tx_clf_quality,
         "dd_passage_dups": q_dd_passage_dups,
@@ -5166,6 +5109,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "ds_stratified_sample": q_ds_stratified_sample,
         "e18_refresh_incremental": q_e18_refresh_incremental,
+        # -- round-10-green cohort (round-14 window) --------------------
+        "tx_bpe_learned": q_tx_bpe_learned,
+        "e19_engine_domain_cap": q_e19_engine_domain_cap,
+        "e21_pipeline_recipe": q_e21_pipeline_recipe,
+        "e22_matview_incremental": q_e22_matview_incremental,
+        "e23_matview_rollup": q_e23_matview_rollup,
+        "e24_matview_timebucket": q_e24_matview_timebucket,
+        "e25_sig_sync": q_e25_sig_sync,
+        "e26_sql_views": q_e26_sql_views,
+        "el6_bloom_point": q_el6_bloom_point,
+        "ts_gapfill": q_ts_gapfill,
+        "ts_anomaly": q_ts_anomaly,
+        "a11_grouping_sets": q_a11_grouping_sets,
+        "a12_pivot": q_a12_pivot,
+        "w9_hopping_window": q_w9_hopping_window,
+        "w10_funnel": q_w10_funnel,
+        "w11_retention_cohorts": q_w11_retention_cohorts,
+        "dd_keep_best": q_dd_keep_best,
+        "dd_line_dedup": q_dd_line_dedup,
+        "dd_minhash_join": q_dd_minhash_join,
+        "dd_tfidf_pairs": q_dd_tfidf_pairs,
+        "dd_winnow": q_dd_winnow,
+        "ds_borda_quality": q_ds_borda_quality,
+        "ds_cluster_assign": q_ds_cluster_assign,
+        "ds_domain_caps": q_ds_domain_caps,
+        "ds_dsir_weights": q_ds_dsir_weights,
+        "ds_score_normalize": q_ds_score_normalize,
+        "ds_shard_assign": q_ds_shard_assign,
+        "ds_source_overlap": q_ds_source_overlap,
+        "ds_token_budget": q_ds_token_budget,
+        "ds_weighted_sample": q_ds_weighted_sample,
+        "ann_matryoshka_topk": q_ann_matryoshka_topk,
+        "ann_pca_project": q_ann_pca_project,
+        "tx_chat_render": q_tx_chat_render,
+        "tx_collapse_repeats": q_tx_collapse_repeats,
+        "tx_contrastive": q_tx_contrastive,
+        "tx_html_strip": q_tx_html_strip,
+        "tx_kl_drift": q_tx_kl_drift,
+        "tx_kn_logprob": q_tx_kn_logprob,
+        "tx_length_percentiles": q_tx_length_percentiles,
+        "tx_nb_classify": q_tx_nb_classify,
+        "tx_nb_train": q_tx_nb_train,
+        "tx_pmi_topk": q_tx_pmi_topk,
+        "tx_prefix_lm": q_tx_prefix_lm,
+        "tx_rrf_fusion": q_tx_rrf_fusion,
+        "tx_sentences": q_tx_sentences,
+        "tx_chunk_sentences": q_tx_chunk_sentences,
+        "tx_tfidf_topterms": q_tx_tfidf_topterms,
+        "tx_token_entropy": q_tx_token_entropy,
+        "tx_url_canon": q_tx_url_canon,
+        "tx_zipf_slope": q_tx_zipf_slope,
     }
 
 
