@@ -241,3 +241,123 @@ def test_rename_keeps_index_attached_and_drop_guard(clean_schema):
         t.materialized_view("mv").drop()
         t.drop_column("ident")  # now allowed
         assert "ident" not in t.arrow_schema.names
+
+
+def test_scale_500_files_capped_bitmaps_and_streaming_probe(
+    clean_schema, tmp_path
+):
+    """100-TB-shape guarantees at test scale: 500 data files / ~1M total
+    distinct values build an index whose per-file bitmap is CAPPED
+    (max_bits), whose sidecar is a task-written parquet dataset of
+    bounded total size, and whose probe path works streamed (cache
+    forced off) — i.e. no driver-side collect of the bitmaps anywhere."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    n_files, per_file = 500, 2000
+    paths = []
+    d = tmp_path / "ext"
+    d.mkdir()
+    for f in range(n_files):
+        base = f * per_file
+        ids = np.arange(base, base + per_file, dtype=np.int64)
+        p = str(d / f"part-{f:04d}.parquet")
+        pq.write_table(pa.table({"id": ids}), p)
+        paths.append(p)
+    session = clean_schema
+    max_bits = 4096  # sizing() wants ~19k bits for 2000 values at 0.01
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "big", pa.schema([("id", pa.int64())])
+        )
+        t.import_files(paths)
+        with pytest.warns(UserWarning, match="bloom bitmap capped"):
+            r = t.build_column_index("id", max_bits=max_bits)
+        assert r["indexed_files"] == n_files
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("big")
+        cfg = t.column_indexes()["id"]
+        assert cfg["format"] == B.FORMAT_VERSION
+        assert cfg["hash_version"] == B.HASH_VERSION
+        sidecars = cfg["sidecars"]
+        assert len(sidecars) == 1
+        # bounded: every bitmap capped, dataset total ~= files * cap/8
+        total = sum(B.sidecar_dir_size(sd) for sd in sidecars)
+        assert total < n_files * (max_bits // 8) * 2  # parquet overhead slack
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(sidecars[0], format="parquet",
+                           ignore_prefixes=[".", "_"]).to_table(
+            columns=["m", "k"]
+        )
+        assert tbl.num_rows == n_files
+        assert max(tbl.column("m").to_pylist()) <= max_bits
+        # soundness at degraded fpp: a present value is never pruned away
+        pv = t.prune_preview(D.id == 123_456)
+        assert pv["total_files"] == n_files
+        assert 1 <= pv["candidate_files"] < 400  # fpp~0.39 -> mean ~196
+        got = t.select(columns=["id"], predicate=(D.id == 123_456)).read_all()
+        assert got.column("id").to_pylist() == [123_456]
+        # probe with the cache disabled (forces the streamed path)
+        old = B._CACHE_DIR_BYTES
+        B._SIDECAR_CACHE.clear()
+        try:
+            B._CACHE_DIR_BYTES = 0
+            pv2 = t.prune_preview(D.id == 123_456)
+        finally:
+            B._CACHE_DIR_BYTES = old
+        assert pv2 == pv
+
+
+def test_refresh_appends_delta_never_rewrites(clean_schema):
+    """Pure-append refresh writes ONLY a delta sidecar directory: the
+    original directory's files are untouched (same names, sizes,
+    mtimes), and the config's sidecar list grows by one."""
+    import os
+
+    session = _multi_file_table(clean_schema)
+    with session.transaction() as tx:
+        tx.bucket("bkt").schema("s").table("t").build_column_index("id")
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        (d1,) = t.column_indexes()["id"]["sidecars"]
+        before = {
+            f: os.stat(os.path.join(d1, f)).st_mtime_ns
+            for f in os.listdir(d1)
+        }
+        t.insert(pa.table({"id": [10**7], "v": ["new"]}))
+        res = t.refresh_column_index("id")
+        assert res == {"added_files": 1, "dropped_files": 0}
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        dirs = t.column_indexes()["id"]["sidecars"]
+        assert len(dirs) == 2 and dirs[0] == d1
+        after = {
+            f: os.stat(os.path.join(d1, f)).st_mtime_ns
+            for f in os.listdir(d1)
+        }
+        assert after == before
+        assert t.prune_preview(D.id == 10**7)["candidate_files"] == 1
+
+
+def test_version_guard_keeps_all_files():
+    """A config from an older format or hash scheme never prunes: version
+    skew degrades to a no-op, not a false negative."""
+
+    class FE:
+        def __init__(self, p):
+            self.path = p
+
+    files = [FE("/tmp/a.parquet"), FE("/tmp/b.parquet")]
+    pred = D.x == 5
+    # v1 monolithic-JSON config (no format key)
+    assert B.prune_files_by_bloom(
+        files, "x", pred, {"kind": "bloom", "seed": 42, "sidecar": "/nope"}
+    ) == files
+    # right format, wrong hash scheme
+    assert B.prune_files_by_bloom(
+        files, "x", pred,
+        {"format": B.FORMAT_VERSION, "hash_version": 99, "sidecars": []},
+    ) == files

@@ -10,32 +10,54 @@ for auxiliary per-object indexing: the reference's semi-sorted projections
 (vastdb/table.py:1040-1138) and Elysium sorted scans (865-887); the Bloom
 variant covers the unsorted-column case both leave open.
 
-Correctness is UNCONDITIONAL, not staleness-gated: the sidecar is keyed
-by data-file path, a Bloom has no false negatives, deletes only shrink a
-file's value set, and any rewrite/insert produces a NEW path that is
-simply absent from the sidecar and therefore never pruned. Refresh is
-incremental by construction — it builds bitmaps only for paths not yet
-indexed and drops entries for dead paths.
+Correctness is UNCONDITIONAL, not staleness-gated: sidecar entries are
+keyed by data-file path, a Bloom has no false negatives, deletes only
+shrink a file's value set, and any rewrite/insert produces a NEW path that
+is simply absent from the sidecar and therefore never pruned.
 
-Hashing is pure-Python md5 double-hashing (h1 + i*h2 mod m), so build
-(inside an Arrow-batched applyInPandas over per-file distinct values) and
-probe (driver-side, planning time) share one implementation and no Spark
-expression round-trip."""
+Scale design (format 2): the sidecar is a parquet DATASET (one row per
+data file: path, m, k, bits), written task-side by the index build job —
+the driver never holds the bitmaps. Bitmap size is CAPPED
+(``max_bits``, default 2^20 bits = 128 KiB/file); past the cap the
+false-positive rate degrades gracefully (never correctness). Refresh
+appends a delta directory for new files instead of rewriting, and
+compacts only when dead entries exist. Probing streams the dataset in
+Arrow batches restricted to the candidate paths, so planning-time driver
+memory is bounded by a batch, not the index; small sidecars are cached.
+
+Versioning: configs carry ``format`` (sidecar layout) and
+``hash_version`` (the value-canonicalization scheme below). A probe
+against a config with a missing or unexpected version keeps all files —
+an old sidecar can make pruning a no-op but can never cause a false
+negative (the failure mode a silently hash-incompatible probe would
+have: pruning files that DO contain matching rows).
+
+Hashing is md5 double-hashing (h1 + i*h2 mod m) over a canonical value
+form, so the task-side build (numpy-vectorized position scatter) and the
+driver-side probe share one implementation with bit-identical results."""
 
 from __future__ import annotations
 
 import base64
 import decimal
 import hashlib
-import json
 import math
 import os
+import warnings
 from typing import Any, Iterable
+
+import numpy as np
 
 from .pruning import _NEG_INF, _POS_INF, _nonempty, extract_intervals
 
 _MIN_BITS = 64
+_MAX_BITS = 1 << 20  # default per-file cap: 128 KiB bitmap
 _EXACT_INT = 2**53  # doubles are integer-exact up to here
+FORMAT_VERSION = 2  # parquet sidecar dataset (v1 = monolithic JSON)
+HASH_VERSION = 2  # _canon'ed md5 (v1 hashed raw reprs)
+# sidecar directories at most this large (bytes on disk) are cached as a
+# path->entry dict; larger ones are re-streamed per probe
+_CACHE_DIR_BYTES = 32 << 20
 
 
 def _canon(value: Any) -> Any:
@@ -65,10 +87,11 @@ def _canon(value: Any) -> Any:
 
     if isinstance(value, bool):
         return int(value)
-    if isinstance(value, int):
+    if isinstance(value, (int, np.integer)):
+        value = int(value)
         return value if abs(value) <= _EXACT_INT else _num(float(value))
-    if isinstance(value, float):
-        return _num(value)
+    if isinstance(value, (float, np.floating)):
+        return _num(float(value))
     if isinstance(value, decimal.Decimal):
         return _num(float(value))  # Spark compares decimal-vs-double in double
     if isinstance(value, str):
@@ -85,33 +108,75 @@ def _hash_pair(value: Any, seed: int) -> tuple[int, int]:
     return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:16], "big") | 1
 
 
-def sizing(n_values: int, fpp: float) -> tuple[int, int]:
-    """(m bits, k hashes) for ``n_values`` at target false-positive rate."""
+def sizing(n_values: int, fpp: float, max_bits: int = _MAX_BITS) -> tuple[int, int]:
+    """(m bits, k hashes) for ``n_values`` at target false-positive rate.
+
+    ``m`` is capped at ``max_bits``: an uncapped Bloom grows linearly with
+    per-file distinct count (~9.6 bits/value at fpp 0.01), which at the
+    module's own motivating scale (100k files, user-id-class columns)
+    makes the INDEX itself a storage/planning bottleneck. Past the cap
+    the achieved fpp degrades (k re-optimized for the capped m) — files
+    stop being prunable long before any correctness risk."""
     n = max(1, n_values)
     m = max(_MIN_BITS, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    if m > max_bits:
+        m = max(_MIN_BITS, max_bits)
+        eff = (1 - math.exp(-max(1, round(m / n * math.log(2))) * n / m)) ** max(
+            1, round(m / n * math.log(2))
+        )
+        warnings.warn(
+            f"bloom bitmap capped at {m} bits for {n} distinct values; "
+            f"effective fpp ~{eff:.3g} (target {fpp})",
+            stacklevel=2,
+        )
     m = (m + 7) // 8 * 8
     k = max(1, round(m / n * math.log(2)))
     return m, k
 
 
+def bitmap_bytes(values: Iterable[Any], m: int, k: int, seed: int) -> bytes:
+    """Raw Bloom bitmap over ``values`` (nulls excluded by the caller).
+
+    md5 runs per value (C-speed digest, the irreducible cost); the k
+    probe positions and the bit scatter are numpy-vectorized. Positions
+    reduce h1, h2 mod m FIRST — algebraically identical to
+    (h1 + i*h2) % m in exact arithmetic but free of uint64 overflow, so
+    the vectorized build and the scalar probe are bit-identical."""
+    h1 = []
+    h2 = []
+    for v in values:
+        a, b = _hash_pair(v, seed)
+        h1.append(a % m)
+        h2.append(b % m)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    if h1:
+        a1 = np.asarray(h1, dtype=np.int64)[:, None]
+        a2 = np.asarray(h2, dtype=np.int64)[:, None]
+        pos = (a1 + np.arange(k, dtype=np.int64)[None, :] * a2) % m
+        np.bitwise_or.at(
+            bits, pos >> 3, np.left_shift(1, (pos & 7)).astype(np.uint8)
+        )
+    return bits.tobytes()
+
+
 def build_bitmap(values: Iterable[Any], fpp: float, seed: int) -> dict:
     """Bloom bitmap over ``values`` (nulls excluded by the caller);
-    returns {m, k, bits (b64)}."""
+    returns {m, k, bits (b64)} — the in-memory/test-facing form.
+    Sidecar datasets store the raw :func:`bitmap_bytes` instead."""
     vals = list(values)
     m, k = sizing(len(vals), fpp)
-    bits = bytearray(m // 8)
-    for v in vals:
-        h1, h2 = _hash_pair(v, seed)
-        for i in range(k):
-            p = (h1 + i * h2) % m
-            bits[p >> 3] |= 1 << (p & 7)
-    return {"m": m, "k": k, "bits": base64.b64encode(bytes(bits)).decode()}
+    raw = bitmap_bytes(vals, m, k, seed)
+    return {"m": m, "k": k, "bits": base64.b64encode(raw).decode()}
 
 
 def might_contain(entry: dict, value: Any, seed: int) -> bool:
-    bits = base64.b64decode(entry["bits"])
+    bits = entry["bits"]
+    if isinstance(bits, str):
+        bits = base64.b64decode(bits)
     m, k = entry["m"], entry["k"]
     h1, h2 = _hash_pair(value, seed)
+    h1 %= m
+    h2 %= m
     for i in range(k):
         p = (h1 + i * h2) % m
         if not (bits[p >> 3] >> (p & 7)) & 1:
@@ -137,37 +202,111 @@ def extract_points(pred: Any, col: str) -> list | None:
     return pts
 
 
-# sidecars are written once under a unique path and never mutated, so a
-# process-wide cache by path can never serve stale bits
+# ---------------------------------------------------------------------------
+# sidecar dataset I/O (format 2)
+
+# sidecar directories are written once under a unique timestamped path
+# and never mutated, so a process-wide cache by dir can never serve
+# stale bits; only dirs under _CACHE_DIR_BYTES are cached
 _SIDECAR_CACHE: dict[str, dict] = {}
 
 
-def load_sidecar(path: str) -> dict:
-    cached = _SIDECAR_CACHE.get(path)
-    if cached is None:
-        with open(path) as fh:
-            cached = json.load(fh)
+def sidecar_dir_size(path: str) -> int:
+    total = 0
+    try:
+        for de in os.scandir(path):
+            if de.is_file():
+                total += de.stat().st_size
+    except OSError:
+        return 0
+    return total
+
+
+def _parquet_dataset(path: str):
+    import pyarrow.dataset as pads
+
+    # Spark writes _SUCCESS markers alongside the parts
+    return pads.dataset(path, format="parquet", exclude_invalid_files=False,
+                        ignore_prefixes=[".", "_"])
+
+
+def sidecar_paths(dirs: list[str]) -> set[str]:
+    """All data-file paths indexed across ``dirs`` (path column only —
+    manifest-sized, never the bitmaps)."""
+    out: set[str] = set()
+    for d in dirs:
+        for batch in _parquet_dataset(d).to_batches(columns=["path"]):
+            out.update(batch.column("path").to_pylist())
+    return out
+
+
+def _iter_entries(d: str, candidates: set[str] | None):
+    """Yield (path, entry) rows from one sidecar dir. Small dirs are
+    loaded once into the process cache; large dirs stream in Arrow
+    batches (restricted to ``candidates``) so the driver never
+    materializes a 100k-file index."""
+    cached = _SIDECAR_CACHE.get(d)
+    if cached is None and sidecar_dir_size(d) <= _CACHE_DIR_BYTES:
+        cached = {}
+        for batch in _parquet_dataset(d).to_batches():
+            pd_batch = batch.to_pydict()
+            for p, m, k, bits in zip(
+                pd_batch["path"], pd_batch["m"], pd_batch["k"], pd_batch["bits"]
+            ):
+                cached[p] = {"m": m, "k": k, "bits": bits}
         if len(_SIDECAR_CACHE) > 64:
             _SIDECAR_CACHE.clear()
-        _SIDECAR_CACHE[path] = cached
-    return cached
+        _SIDECAR_CACHE[d] = cached
+    if cached is not None:
+        if candidates is None:
+            yield from cached.items()
+        else:
+            for p in candidates:
+                e = cached.get(p)
+                if e is not None:
+                    yield p, e
+        return
+    import pyarrow.compute as pc
+    import pyarrow as pa
+
+    flt = None
+    if candidates is not None:
+        flt = pc.field("path").isin(pa.array(sorted(candidates)))
+    for batch in _parquet_dataset(d).to_batches(filter=flt):
+        pd_batch = batch.to_pydict()
+        for p, m, k, bits in zip(
+            pd_batch["path"], pd_batch["m"], pd_batch["k"], pd_batch["bits"]
+        ):
+            yield p, {"m": m, "k": k, "bits": bits}
 
 
 def prune_files_by_bloom(files: list, col: str, pred: Any, cfg: dict) -> list:
     """Drop files whose Bloom bitmap proves none of the predicate's point
     values are present. Files absent from the sidecar (inserted/rewritten
-    after the index build) are always kept."""
+    after the index build) are always kept, as is everything under a
+    config whose format/hash version this code doesn't know — version
+    skew degrades pruning to a no-op, never to a lost row."""
+    if (
+        cfg.get("format") != FORMAT_VERSION
+        or cfg.get("hash_version") != HASH_VERSION
+    ):
+        return files
     pts = extract_points(pred, col)
     if not pts:  # None (not a point set) or [] (contradiction -> minmax
         return files  # pruning already emptied it)
-    try:
-        side = load_sidecar(cfg["sidecar"])
-    except (OSError, ValueError):
-        return files
     seed = cfg.get("seed", 42)
-    out = []
-    for fe in files:
-        entry = side.get(os.path.abspath(fe.path))
-        if entry is None or any(might_contain(entry, p, seed) for p in pts):
-            out.append(fe)
-    return out
+    cand = {os.path.abspath(fe.path) for fe in files}
+    absent: set[str] = set()
+    try:
+        for d in cfg.get("sidecars", []):
+            remaining = cand - absent
+            if not remaining:
+                break
+            for p, entry in _iter_entries(d, remaining):
+                if not any(might_contain(entry, v, seed) for v in pts):
+                    absent.add(p)
+    except (OSError, ValueError, KeyError):
+        return files
+    if not absent:
+        return files
+    return [fe for fe in files if os.path.abspath(fe.path) not in absent]

@@ -999,7 +999,8 @@ class SqlFrontend:
         ):
             _, _, _, table = self._resolve_table(m.group(1))
             rows = [
-                (col, cfg["kind"], float(cfg["fpp"]), cfg["sidecar"])
+                (col, cfg["kind"], float(cfg["fpp"]),
+                 ";".join(cfg.get("sidecars", [])))
                 for col, cfg in sorted(table.column_indexes().items())
             ]
             return spark.createDataFrame(

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 import os
 import time
 from functools import reduce
@@ -2959,13 +2960,19 @@ class Table:
 
     def build_column_index(
         self, column: str, kind: str = "bloom", fpp: float = 0.01,
-        seed: int = 42,
+        seed: int = 42, max_bits: int = None,
     ) -> dict:
         """Build (or rebuild from scratch) a per-file Bloom index on an
-        integer or string column. Bitmaps live in an immutable JSON
-        sidecar keyed by data-file path; correctness is unconditional
-        (see plans/bloom.py) — files added or rewritten later are simply
-        not pruned until :meth:`refresh_column_index`."""
+        integer or string column. Bitmaps live in an immutable parquet
+        sidecar DATASET (one row per data file), written task-side by
+        the build job — the driver never holds the bitmaps; correctness
+        is unconditional (see plans/bloom.py) — files added or rewritten
+        later are simply not pruned until :meth:`refresh_column_index`.
+        ``max_bits`` caps the per-file bitmap (default 2^20 bits =
+        128 KiB); past it the false-positive rate degrades, never
+        correctness."""
+        from .plans import bloom as B
+
         if kind != "bloom":
             raise InvalidArgument(f"unsupported column index kind {kind!r}")
         if column not in self.arrow_schema.names:
@@ -2978,16 +2985,12 @@ class Table:
             raise InvalidArgument(
                 f"bloom index needs an integer or string column, got {dt}"
             )
-        side = self._build_bloom_entries(
-            column, [fe.path for fe in self.entry.files], fpp, seed
+        max_bits = B._MAX_BITS if max_bits is None else int(max_bits)
+        sidecar = self._new_bloom_sidecar_dir(column)
+        n = self._write_bloom_sidecar(
+            column, [fe.path for fe in self.entry.files], fpp, seed,
+            max_bits, sidecar,
         )
-        sidecar = os.path.join(
-            self._state.store.table_data_dir(self.schema.name, self.name),
-            f"bloomidx-{self._physical_of(column)}-{time.time_ns()}.json",
-        )
-        os.makedirs(os.path.dirname(sidecar), exist_ok=True)
-        with open(sidecar, "w") as fh:
-            json.dump(side, fh)
         entry = TableEntry.from_json(self.entry.to_json())
         # keyed by PHYSICAL name so rename_column never detaches the index
         entry.properties.setdefault("column_indexes", {})[
@@ -2996,24 +2999,37 @@ class Table:
             "kind": "bloom",
             "fpp": fpp,
             "seed": seed,
-            "sidecar": sidecar,
+            "max_bits": max_bits,
+            "format": B.FORMAT_VERSION,
+            "hash_version": B.HASH_VERSION,
+            "sidecars": [sidecar],
         }
         self._mutate(entry, "build_column_index", column=column, kind=kind)
-        return {"indexed_files": len(side)}
+        return {"indexed_files": n}
 
-    def _build_bloom_entries(
-        self, column: str, paths: list[str], fpp: float, seed: int
-    ) -> dict:
-        """Per-file Bloom bitmaps for ``paths`` — distributed: per-file
-        DISTINCT values (one shuffle keyed by (file, value)) feed an
-        Arrow-batched applyInPandas that builds each file's bitmap in its
-        task; only the finished (path, bitmap) rows — one per file, the
-        same cardinality the manifest itself holds — reach the driver."""
+    def _new_bloom_sidecar_dir(self, column: str) -> str:
+        d = os.path.join(
+            self._state.store.table_data_dir(self.schema.name, self.name),
+            f"bloomidx-{self._physical_of(column)}-{time.time_ns()}",
+        )
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        return d
+
+    def _write_bloom_sidecar(
+        self, column: str, paths: list[str], fpp: float, seed: int,
+        max_bits: int, out_dir: str,
+    ) -> int:
+        """Per-file Bloom bitmaps for ``paths``, written straight to a
+        parquet sidecar dataset — fully distributed: per-file DISTINCT
+        values (one shuffle keyed by (file, value)) feed an Arrow-batched
+        applyInPandas that builds each file's bitmap numpy-vectorized in
+        its task and the rows land in parquet from the tasks; only the
+        row COUNT (from parquet metadata) returns to the driver."""
         from .plans import bloom as B
 
         want = {os.path.abspath(p) for p in paths}
         if not want:
-            return {}
+            return 0
         keep = [fe for fe in self.entry.files if os.path.abspath(fe.path) in want]
         df = self.df(files=keep, with_file_path=True).select(
             F.col("__source_file").alias("__f"),
@@ -3021,60 +3037,108 @@ class Table:
         ).filter(F.col("__v").isNotNull()).distinct()
 
         def _one(pdf):
+            import warnings as _w
+
             import pandas as pd
 
-            entry = B.build_bitmap(pdf["__v"].tolist(), fpp, seed)
+            # _metadata.file_path is Hadoop's "file:/abs" form — key the
+            # sidecar by plain absolute path, the form the pruner probes
+            path = os.path.abspath(pdf["__f"].iloc[0].removeprefix("file:"))
+            vals = pdf["__v"].tolist()
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")  # cap warning re-raised driver-side
+                m, k = B.sizing(len(vals), fpp, max_bits)
+            bits = B.bitmap_bytes(vals, m, k, seed)
             return pd.DataFrame(
-                {"__f": [pdf["__f"].iloc[0]], "__e": [json.dumps(entry)]}
+                {
+                    "path": [path], "m": [m], "k": [k],
+                    "n_values": [len(vals)], "bits": [bits],
+                }
             )
 
-        rows = (
+        (
             df.groupBy("__f")
-            .applyInPandas(_one, "__f STRING, __e STRING")
-            .collect()
+            .applyInPandas(
+                _one,
+                "path STRING, m LONG, k LONG, n_values LONG, bits BINARY",
+            )
+            .repartition(max(1, len(keep) // 256))
+            .write.mode("overwrite").parquet(out_dir)
         )
-        # _metadata.file_path is Hadoop's "file:/abs" form — key the
-        # sidecar by plain absolute path, the form the pruner probes with
-        return {
-            os.path.abspath(r["__f"].removeprefix("file:")): json.loads(r["__e"])
-            for r in rows
-        }
+        meta = B._parquet_dataset(out_dir).to_table(columns=["m", "n_values"])
+        n_capped = sum(
+            1
+            for m, n in zip(
+                meta.column("m").to_pylist(), meta.column("n_values").to_pylist()
+            )
+            if m >= max_bits
+            and math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)) > max_bits
+        )
+        if n_capped:
+            import warnings
+
+            warnings.warn(
+                f"bloom bitmap capped at {max_bits} bits for {n_capped} of "
+                f"{meta.num_rows} files; their false-positive rate degrades "
+                f"above the {fpp} target (raise max_bits to restore it)",
+                stacklevel=3,
+            )
+        return meta.num_rows
+
+    # refresh compacts the sidecar list once it accumulates this many
+    # delta directories, even with zero dead entries
+    _BLOOM_COMPACT_DIRS = 16
 
     def refresh_column_index(self, column: str) -> dict:
-        """Incremental maintenance: index files not yet in the sidecar,
-        drop entries for files no longer live. Cost tracks the NEW-file
-        delta, never the table."""
+        """Incremental maintenance: APPEND a delta sidecar for files not
+        yet indexed; entries for dead files are retained (they are never
+        probed — pruning keys on live manifest paths) until a refresh
+        that observes dead entries compacts the dataset task-side. Cost
+        tracks the NEW-file delta, never the table, except on
+        compaction, which rewrites bitmap rows without rebuilding any
+        bitmap. A pre-format-2 config triggers a full rebuild."""
         from .plans import bloom as B
 
-        cfg = self.entry.properties.get("column_indexes", {}).get(
-            self._physical_of(column)
-        )
+        phys = self._physical_of(column)
+        cfg = self.entry.properties.get("column_indexes", {}).get(phys)
         if cfg is None:
             raise MissingProjection(f"column index on {column!r}")
-        side = dict(B.load_sidecar(cfg["sidecar"]))
-        live = {os.path.abspath(fe.path) for fe in self.entry.files}
-        dropped = [p for p in side if p not in live]
-        for p in dropped:
-            del side[p]
-        missing = [p for p in live if p not in side]
-        if missing:
-            side.update(
-                self._build_bloom_entries(
-                    column, missing, cfg["fpp"], cfg["seed"]
-                )
+        if cfg.get("format") != B.FORMAT_VERSION:
+            # v1 monolithic-JSON sidecar (pre-canonicalization hashes):
+            # unreadable by design — rebuild from scratch at the same knobs
+            res = self.build_column_index(
+                column, fpp=cfg.get("fpp", 0.01), seed=cfg.get("seed", 42)
             )
-        sidecar = os.path.join(
-            self._state.store.table_data_dir(self.schema.name, self.name),
-            f"bloomidx-{self._physical_of(column)}-{time.time_ns()}.json",
-        )
-        with open(sidecar, "w") as fh:
-            json.dump(side, fh)
+            return {"added_files": res["indexed_files"], "dropped_files": 0}
+        dirs = list(cfg["sidecars"])
+        indexed = B.sidecar_paths(dirs)
+        live = {os.path.abspath(fe.path) for fe in self.entry.files}
+        missing = sorted(live - indexed)
+        dead = indexed - live
+        max_bits = cfg.get("max_bits", B._MAX_BITS)
+        if missing:
+            delta = self._new_bloom_sidecar_dir(column)
+            self._write_bloom_sidecar(
+                column, missing, cfg["fpp"], cfg["seed"], max_bits, delta
+            )
+            dirs.append(delta)
+        if dead or len(dirs) > self._BLOOM_COMPACT_DIRS:
+            spark = self.spark
+            compacted = self._new_bloom_sidecar_dir(column)
+            live_df = spark.createDataFrame(
+                [(p,) for p in sorted(live)], "path STRING"
+            )
+            (
+                spark.read.parquet(*dirs)
+                .join(F.broadcast(live_df), "path", "left_semi")
+                .repartition(max(1, len(live) // 256))
+                .write.mode("overwrite").parquet(compacted)
+            )
+            dirs = [compacted]
         entry = TableEntry.from_json(self.entry.to_json())
-        entry.properties["column_indexes"][self._physical_of(column)] = {
-            **cfg, "sidecar": sidecar,
-        }
+        entry.properties["column_indexes"][phys] = {**cfg, "sidecars": dirs}
         self._mutate(entry, "refresh_column_index", column=column)
-        return {"added_files": len(missing), "dropped_files": len(dropped)}
+        return {"added_files": len(missing), "dropped_files": len(dead)}
 
     def drop_column_index(self, column: str) -> None:
         entry = TableEntry.from_json(self.entry.to_json())
