@@ -337,6 +337,71 @@ def test_audit_log_compaction_exact_and_crash_safe(clean_schema):
     assert len([f for f in os.listdir(audit_dir) if f.endswith(".jsonl")]) == 0
 
 
+def test_audit_multipart_publish_marker_last(clean_schema):
+    """A multi-part compaction batch publishes extra parts under
+    compactdata-* names BEFORE the compact-* marker: an orphan data part
+    (marker never landed) is invisible to the reader and swept by the
+    next compaction; a data part at-or-below the marker is real data."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    _make(clean_schema)
+    session = clean_schema
+    for i in range(8):
+        with session.transaction() as tx:
+            tx.bucket("bkt").schema("s").table("t").insert(
+                pa.table({"a": pa.array([200 + i], pa.int64()),
+                          "b": pa.array([float(i)], pa.float32()),
+                          "s": pa.array([f"m{i}"])})
+            )
+    r = session.compact_audit_log("bkt", keep_recent=2)
+    assert r["compacted_files"] > 0
+    up_to = r["up_to_version"]
+    with session.transaction() as tx:
+        before = sorted(
+            (x.txid, x.op, x.object) for x in tx.audit_log("bkt").collect()
+        )
+    compact_dir = os.path.join(
+        session._bucket_path("bkt"), "_audit", "compact"
+    )
+
+    def _fake_part(name, op):
+        pq.write_table(
+            pa.table({
+                "txid": pa.array([10**6], pa.int64()),
+                "ts": pa.array([1], pa.int64()),
+                "op": pa.array([op]),
+                "object": pa.array(["x"]),
+                "details": pa.array(["{}"]),
+            }),
+            os.path.join(compact_dir, name),
+        )
+
+    # orphan: data part whose batch marker never landed (crash before
+    # the marker move) -> ignored by reads, swept by the next compaction
+    orphan = f"compactdata-{up_to + 50:010d}-0.parquet"
+    _fake_part(orphan, "orphan-part")
+    with session.transaction() as tx:
+        assert "orphan-part" not in {
+            x.op for x in tx.audit_log("bkt").collect()
+        }
+        assert sorted(
+            (x.txid, x.op, x.object) for x in tx.audit_log("bkt").collect()
+        ) == before
+    session.compact_audit_log("bkt", keep_recent=0)
+    assert not os.path.exists(os.path.join(compact_dir, orphan))
+    # a data part at-or-below the marker belongs to a published batch
+    marker_up_to = max(
+        int(f.split("-")[1])
+        for f in os.listdir(compact_dir)
+        if f.startswith("compact-") and f.endswith(".parquet")
+    )
+    _fake_part(f"compactdata-{marker_up_to:010d}-9.parquet", "extra-part")
+    with session.transaction() as tx:
+        assert "extra-part" in {x.op for x in tx.audit_log("bkt").collect()}
+
+
 def test_audit_foreign_files_survive_compaction(clean_schema):
     """Files in _audit the engine didn't write (no v<version>.jsonl name)
     stay readable and are never deleted by compaction."""

@@ -128,6 +128,18 @@ class Session:
         to_fold = live[: max(0, len(live) - int(keep_recent))]
         for p in stale:  # leftovers of an interrupted earlier compaction
             os.remove(p)
+        if os.path.isdir(compact_dir):
+            # data parts whose marker never landed (interrupted publish):
+            # the reader ignores them; sweep so a later marker at a higher
+            # version can never resurrect them as duplicate rows
+            for f in os.listdir(compact_dir):
+                if f.startswith("compactdata-") and f.endswith(".parquet"):
+                    try:
+                        v = int(f.split("-")[1])
+                    except (IndexError, ValueError):
+                        continue
+                    if v > prev_up_to:
+                        os.remove(os.path.join(compact_dir, f))
         if not to_fold:
             return {
                 "compacted_files": 0,
@@ -142,17 +154,25 @@ class Session:
         tmp = tempfile.mkdtemp(prefix="auditcompact_", dir=audit_dir)
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         os.makedirs(compact_dir, exist_ok=True)
+        parts = [f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")]
+        # atomic publish: extra data parts land under NON-marker names
+        # first (the reader ignores them until their batch's marker
+        # exists), the single marker part moves LAST — a crash anywhere
+        # in between leaves the JSONLs authoritative and reads exact
         rows = 0
-        i = 0
-        for f in sorted(os.listdir(tmp)):
-            if not f.endswith(".parquet"):
-                continue
-            dst = os.path.join(compact_dir, f"compact-{up_to:010d}-{i}.parquet")
-            os.replace(os.path.join(tmp, f), dst)
-            import pyarrow.parquet as _pq
+        import pyarrow.parquet as _pq
 
+        for i, f in enumerate(parts[:-1]):
+            dst = os.path.join(
+                compact_dir, f"compactdata-{up_to:010d}-{i}.parquet"
+            )
+            os.replace(os.path.join(tmp, f), dst)
             rows += _pq.ParquetFile(dst).metadata.num_rows
-            i += 1
+        dst = os.path.join(
+            compact_dir, f"compact-{up_to:010d}-{len(parts) - 1}.parquet"
+        )
+        os.replace(os.path.join(tmp, parts[-1]), dst)
+        rows += _pq.ParquetFile(dst).metadata.num_rows
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)

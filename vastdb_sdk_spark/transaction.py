@@ -38,18 +38,37 @@ def audit_jsonl_version(filename: str) -> int | None:
 
 
 def audit_compact_state(compact_dir: str) -> tuple[int, list[str]]:
-    """(highest compacted version, compact parquet paths). Each batch file
-    is named ``compact-<upTo>-<i>.parquet``; the max <upTo> is the
-    high-water mark below which JSONLs are leftovers, not data."""
+    """(highest compacted version, compact parquet paths).
+
+    A batch normally lands as ONE ``compact-<upTo>-<i>.parquet``; the max
+    <upTo> over those MARKER files is the high-water mark below which
+    JSONLs are leftovers, not data. A multi-part batch publishes its
+    extra parts as ``compactdata-<upTo>-<i>.parquet`` BEFORE the marker
+    moves last — so a data part is only ever counted once its batch's
+    marker exists (its <upTo> is at or below the marker-derived mark),
+    and a crash mid-publish leaves ignorable orphans plus the still-live
+    JSONLs: reads stay exact, the next compaction sweeps both."""
     if not os.path.isdir(compact_dir):
         return 0, []
-    up_to, paths = 0, []
+    up_to, markers, datas = 0, [], []
     for f in os.listdir(compact_dir):
-        if f.startswith("compact-") and f.endswith(".parquet"):
+        if not f.endswith(".parquet"):
+            continue
+        if f.startswith("compact-"):
             try:
                 up_to = max(up_to, int(f.split("-")[1]))
             except (IndexError, ValueError):
                 continue
+            markers.append(f)
+        elif f.startswith("compactdata-"):
+            datas.append(f)
+    paths = [os.path.join(compact_dir, f) for f in markers]
+    for f in datas:
+        try:
+            v = int(f.split("-")[1])
+        except (IndexError, ValueError):
+            continue
+        if v <= up_to:  # batch's marker landed -> the part is real data
             paths.append(os.path.join(compact_dir, f))
     return up_to, sorted(paths)
 
