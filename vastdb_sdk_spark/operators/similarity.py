@@ -144,10 +144,12 @@ def knn_join_cosine(
     per-left-row window top-k — optimal while the right side fits an
     executor; ``'blocked'`` routes through
     :func:`knn_join_cosine_blocked` (distributed block-GEMM grid, same
-    results and tie-breaks, pinned by test_knn_join_blocked_*; cos_sim
-    arrives 6-decimal-rounded, that variant's contract) and joins the
-    non-vector columns back on the ids — the shape that survives a right
-    side the driver cannot broadcast; ``'auto'`` (default) counts
+    results and tie-breaks, pinned by test_knn_join_blocked_*) and joins
+    the non-vector columns back on the ids — the shape that survives a
+    right side the driver cannot broadcast. BOTH strategies select top-k
+    by raw similarity and emit cos_sim 6-decimal-rounded, so auto-routing
+    across the row-count boundary never changes the observable output
+    format; ``'auto'`` (default) counts
     the right side once and routes by ``broadcast_row_limit``, so the
     same call keeps working from a laptop dim table to a corpus-scale
     right side. The blocked route requires UNIQUE ids on both sides (the
@@ -157,7 +159,8 @@ def knn_join_cosine(
 
     if strategy not in ("auto", "broadcast", "blocked"):
         raise ValueError(f"unknown strategy {strategy!r}")
-    if strategy == "auto":
+    auto_routed = strategy == "auto"
+    if auto_routed:
         strategy = (
             "broadcast"
             if right.count() <= int(broadcast_row_limit)
@@ -176,11 +179,18 @@ def knn_join_cosine(
                 F.countDistinct(F.col(idc)).alias("d"),
             ).first()
             if chk.n != chk.d:
+                routed = (
+                    " strategy='auto' routed here because the right side "
+                    f"exceeds broadcast_row_limit={int(broadcast_row_limit)};"
+                    if auto_routed
+                    else ""
+                )
                 raise ValueError(
                     f"knn_join_cosine strategy='blocked' requires unique "
                     f"{side} ids: {idc!r} has {chk.n} rows but only "
-                    f"{chk.d} distinct values (use strategy='broadcast' "
-                    "or deduplicate first)"
+                    f"{chk.d} distinct values.{routed} deduplicate first, "
+                    "or force strategy='broadcast' if the right side fits "
+                    "an executor"
                 )
         pairs = knn_join_cosine_blocked(
             left.select(left_id, left_vec),
@@ -200,10 +210,14 @@ def knn_join_cosine(
     sim = cosine_similarity(F.col(left_vec), F.col(right_vec))
     joined = left.crossJoin(F.broadcast(right)).withColumn("cos_sim", sim)
     w = W.partitionBy(left_id).orderBy(F.col("cos_sim").desc(), F.col(right_id).asc())
+    # select by RAW similarity (like the blocked route) but emit cos_sim
+    # 6-decimal-rounded like it too, so auto-routing across the row-count
+    # boundary never changes the observable output format
     return (
         joined.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn", left_vec, right_vec)
+        .withColumn("cos_sim", F.round("cos_sim", 6))
     )
 
 
@@ -570,6 +584,15 @@ def assign_probe_centroids(
                 ridx = rows[sel]
                 best_d[ridx] = d[sel]
                 best_i[ridx] = ids[sel]
+            # a row whose probed coarse groups are ALL empty (possible
+            # when k-means reseeding leaves dead coarse centroids) still
+            # has best_i at the int64 sentinel — int32-casting that would
+            # silently wrap to a garbage centroid id; fall back to the
+            # exact flat assign for exactly those rows
+            miss = np.nonzero(~np.isfinite(best_d))[0]
+            if miss.size:
+                D = c_sq[None, :] - 2.0 * (X[miss] @ cent.T)
+                best_i[miss] = np.argmin(D, axis=1)
             rep = pdf.reset_index(drop=True)
             rep[out_col] = best_i.astype("int32")
             yield rep
