@@ -102,6 +102,19 @@ def resample(
     span = obs.groupBy(*group_cols).agg(
         F.min("__b").alias("__b0"), F.max("__b").alias("__b1")
     )
+    # Pin the span exchange at an explicit partition count: AQE sizes the
+    # post-shuffle coalesce from the PRE-explode stats (one tiny row per
+    # group), so left alone it collapses this exchange to ~1 partition and
+    # the sequence-explode below — which multiplies rows by the grid
+    # density — plus the join and the fill windows would all run in that
+    # single task. An explicit N is exempt from AQE coalescing, keeps the
+    # hash-partitioning the window reuses, and costs nothing extra (the
+    # groupBy above shuffles on the same keys anyway).
+    try:
+        n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
+    span = span.repartition(n_parts, *group_cols)
     guard = F.assert_true(
         F.col("__b1") - F.col("__b0") < F.lit(int(max_buckets_per_group)),
         F.lit("resample grid exceeds max_buckets_per_group"),
