@@ -180,6 +180,28 @@ HEADLINE = [
     "tx_collapse_repeats",
     "ds_score_normalize",
     "tx_chat_render",
+    # round-11 gate-window coverage (the rotated window must be fully
+    # bench-covered so the driver's parsed record carries every median)
+    "ann_ivf_topk",
+    "e15_jsonl_ingest",
+    "a7_approx_distinct",
+    "j4_outer_join_counts",
+    "a3_having",
+    "a5_conditional_agg",
+    "e5_engine_projection",
+    "e6_engine_snapshot",
+    "e7_engine_partitioned",
+    "e8_engine_predicate_dml",
+    "e11_merge_conditional",
+    "e12_engine_restore",
+    "p8_struct_field",
+    "p10_literals",
+    "p2_comparisons",
+    "p5_isnull",
+    "p6_startswith",
+    "p7_contains",
+    "p11_false_predicate",
+    "ann_rhp_topk",
 ]
 
 
