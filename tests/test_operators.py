@@ -922,6 +922,51 @@ def test_semantic_dedup_marks_and_pairs(spark):
     }
 
 
+def test_semantic_dup_pairs_twolevel_clamp_recall(spark):
+    """Near-duplicate RECALL in the centroid-clamp regime, where
+    assign_probe_centroids goes two-level/approximate (C >= threshold,
+    coarse groups genuinely pruned: 16 groups, 8 probed). Every other
+    gate builds with C <= 64 — this is the only test exercising the
+    regime the 100-TB auto-sizing actually lands in. Plants 60
+    NEAR-duplicate pairs (noise, cos ~0.997 — not bit-identical, so
+    co-assignment is NOT guaranteed by determinism alone) in a 20k
+    gaussian corpus at C=256 and asserts (a) planted-pair recall >= 0.9
+    and (b) the two-level assign loses at most one pair vs the exact
+    flat assign (measured: both find 59/60; the shared miss is a
+    k-means boundary split, inherent to SemDeDup's same-cluster rule)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n_base, n_pairs, dim = 20000, 60, 16
+    X = rng.normal(size=(n_base, dim))
+    rows = [(i, X[i].tolist()) for i in range(n_base)]
+    planted = []
+    for j in range(n_pairs):
+        a = j * 200
+        v = X[a] / np.linalg.norm(X[a])
+        noise = rng.normal(size=dim)
+        noise *= 0.08 / np.linalg.norm(noise)
+        w = v + noise
+        bid = n_base + j
+        rows.append((bid, w.tolist()))
+        cos = float(v @ (w / np.linalg.norm(w)))
+        planted.append((a, bid, cos))
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>"
+    ).repartition(16)
+    wanted = [(a, b) for a, b, c in planted if c >= 0.95]
+    recalls = {}
+    for label, thr in (("twolevel", 32), ("flat", 10**9)):
+        pairs = similarity.semantic_dup_pairs(
+            df, threshold=0.95, num_centroids=256, twolevel_threshold=thr
+        )
+        got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+               for r in pairs.collect()}
+        recalls[label] = sum(1 for p in wanted if p in got)
+    assert recalls["twolevel"] >= 0.9 * len(wanted), recalls
+    assert recalls["twolevel"] >= recalls["flat"] - 1, recalls
+
+
 def test_semantic_dup_pairs_grid_equivalence(spark):
     """The (chunk_i, chunk_j) cell grid is a pure parallelization of the
     per-cluster pair search: every unordered pair maps to exactly one

@@ -353,6 +353,7 @@ def build_ivf_index(
     fit: str = "ml",
     train_rows: int = 20000,
     n_rows: int | None = None,
+    twolevel_threshold: int = 4096,
 ) -> tuple[DataFrame, "np.ndarray"]:
     """IVF coarse quantizer: k-means centroids (pyspark.ml, distributed),
     every row tagged with its nearest centroid id. Write the result
@@ -435,7 +436,13 @@ def build_ivf_index(
             [np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 0]]
         )
         centroids = _lloyd_kmeans(train, num_centroids, seed)
-        return assign_probe_centroids(df, centroids, vec_col, 1), centroids
+        return (
+            assign_probe_centroids(
+                df, centroids, vec_col, 1,
+                twolevel_threshold=twolevel_threshold,
+            ),
+            centroids,
+        )
     if fit != "ml":
         raise ValueError(f"fit must be 'ml' or 'driver', got {fit!r}")
     to_vec = lambda c: array_to_vector(F.col(c).cast("array<double>"))
@@ -1280,6 +1287,7 @@ def semantic_dup_pairs(
     sample_fraction: float | None = None,
     target_cluster_rows: int = 4096,
     fit: str = "driver",
+    twolevel_threshold: int = 4096,
 ) -> DataFrame:
     """High-cosine pairs within k-means clusters of the NORMALIZED
     embedding space. Returns (id_a, id_b, cos_sim) with id_a < id_b.
@@ -1372,6 +1380,11 @@ def semantic_dup_pairs(
         sample_fraction=sample_fraction,
         fit=fit,
         n_rows=n_rows,  # already counted above — skip the re-scan
+        # two-level assignment switch point (assign_probe_centroids): at
+        # C >= this, assignment goes coarse-grouped/approximate — near-dup
+        # recall in THAT regime is pinned by
+        # test_semantic_dup_pairs_twolevel_clamp_recall
+        twolevel_threshold=twolevel_threshold,
     )
     id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
