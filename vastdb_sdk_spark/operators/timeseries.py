@@ -107,14 +107,21 @@ def resample(
     # group), so left alone it collapses this exchange to ~1 partition and
     # the sequence-explode below — which multiplies rows by the grid
     # density — plus the join and the fill windows would all run in that
-    # single task. An explicit N is exempt from AQE coalescing, keeps the
-    # hash-partitioning the window reuses, and costs nothing extra (the
-    # groupBy above shuffles on the same keys anyway).
+    # single task (observed: every post-span stage at (0+1)/1 tasks).
+    # The count must DIFFER from spark.sql.shuffle.partitions: a user
+    # repartition whose hash partitioning exactly equals the child
+    # aggregate's (same keys, same N) is elided by
+    # EnsureRequirements.optimizeOutRepartition, which re-exposes the
+    # coalescible ENSURE_REQUIREMENTS exchange. 2N keeps the shuffle
+    # origin REPARTITION_BY_NUM (exempt from AQE coalescing), still
+    # hash-partitions on the group keys (so the fill windows below add
+    # no further exchange — {group} satisfies their clustering), and the
+    # extra shuffle moves only the tiny pre-explode span frame.
     try:
         n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         n_parts = df.sparkSession.sparkContext.defaultParallelism
-    span = span.repartition(n_parts, *group_cols)
+    span = span.repartition(2 * n_parts, *group_cols)
     guard = F.assert_true(
         F.col("__b1") - F.col("__b0") < F.lit(int(max_buckets_per_group)),
         F.lit("resample grid exceeds max_buckets_per_group"),
