@@ -1779,6 +1779,11 @@ def q_dd_simhash_fast(spark, sf):
     fp = simhash(d, "text", "doc_id").join(
         d.select("doc_id", F.xxhash64("text").alias("td")), "doc_id"
     )
+    # three consumers below (per-text agg, diversity agg, final join) —
+    # persist the per-doc fingerprint frame so the tokenize+vote pipeline
+    # runs once, the same checkpoint-before-fan-out any multi-consumer
+    # reader of an expensive projection wants at scale
+    fp = fp.persist()
     per_text = fp.groupBy("td").agg(
         F.countDistinct("simhash").alias("n_fp")
     )
@@ -1817,11 +1822,12 @@ def q_dd_simhash(spark, sf):
     from vastdb_sdk_spark.operators.dedup import simhash
 
     fp = simhash(_t(spark, sf, "documents"), "text", "doc_id", hash_fn="md5")
-    bits = [
-        F.when(F.shiftright(F.col("simhash"), 63 - j).bitwiseAND(F.lit(1)) != 0, "1").otherwise("0")
-        for j in range(64)
-    ]
-    return fp.select("doc_id", F.concat(*bits).alias("simhash_bits"))
+    # bin() emits the two's-complement binary string (64 chars when the
+    # sign bit is set, unpadded otherwise) — one expression node where a
+    # per-bit when/concat chain was 64, a pure driver-planning-time win
+    return fp.select(
+        "doc_id", F.lpad(F.bin("simhash"), 64, "0").alias("simhash_bits")
+    )
 
 
 def q_sessionize_batch(spark, sf):

@@ -297,15 +297,22 @@ def phash_images(
                 dcts[k] = _dct_mat(k)
             return dcts[k]
 
+        # n*n-bit fold weights, MSB-first: value = sum(bits[i] << (n*n-1-i));
+        # disjoint powers of two, so the uint64 sum can't overflow
+        weights = (np.uint64(1) << np.arange(n * n - 1, -1, -1, dtype=np.uint64))
+
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            ids, hashes = [], []
-            for mid, payload in zip(pdf.iloc[:, ipos], pdf.iloc[:, ppos]):
+            ids = pdf.iloc[:, ipos].tolist()
+            hashes: list = [None] * len(ids)
+            # decode stays per-image (the pixels= seam takes one payload);
+            # DCT + median-threshold + bit fold batch per (h, w) shape —
+            # one stacked matmul per shape instead of per-image numpy
+            by_shape: dict = {}
+            for row_i, payload in enumerate(pdf.iloc[:, ppos]):
                 px = fn(bytes(payload)) if payload is not None else None
                 if px is None:
-                    ids.append(mid)
-                    hashes.append(None)
                     continue
                 px = np.asarray(px, dtype=np.float64)
                 h_dim, w_dim = px.shape
@@ -315,17 +322,21 @@ def phash_images(
                         f"({h_dim}x{w_dim}); decode/resize to at least "
                         f"{n}x{n} pixels"
                     )
-                freq = _dct(h_dim) @ px @ _dct(w_dim).T
-                block = freq[:n, :n].copy()
-                flat = block.flatten()
-                med = np.median(flat[1:])  # skip the DC coefficient
-                bits = (flat > med).astype(np.uint64)
-                bits[0] = 0  # DC excluded from the fingerprint
-                h = np.uint64(0)
-                for b in bits:
-                    h = np.uint64(h << np.uint64(1)) | b
-                ids.append(mid)
-                hashes.append(int(np.int64(h)))  # two's-complement into long
+                by_shape.setdefault((h_dim, w_dim), ([], []))
+                by_shape[(h_dim, w_dim)][0].append(row_i)
+                by_shape[(h_dim, w_dim)][1].append(px)
+            for (h_dim, w_dim), (rows, pxs) in by_shape.items():
+                stack = np.stack(pxs)  # (B, h, w)
+                freq = _dct(h_dim)[None, :, :] @ stack @ _dct(w_dim).T[None, :, :]
+                flat = freq[:, :n, :n].reshape(len(rows), n * n)
+                med = np.median(flat[:, 1:], axis=1)  # skip the DC coeff
+                bits = flat > med[:, None]
+                bits[:, 0] = False  # DC excluded from the fingerprint
+                vals = (bits.astype(np.uint64) * weights[None, :]).sum(
+                    axis=1, dtype=np.uint64
+                ).astype(np.int64)  # two's-complement into long
+                for row_i, v in zip(rows, vals):
+                    hashes[row_i] = int(v)
             yield pd.DataFrame({id_col: ids, "phash": hashes})
 
     return df.mapInPandas(batches, schema=out_schema)
