@@ -361,3 +361,59 @@ def test_version_guard_keeps_all_files():
         files, "x", pred,
         {"format": B.FORMAT_VERSION, "hash_version": 99, "sidecars": []},
     ) == files
+
+
+def test_build_on_empty_table_then_refresh(clean_schema):
+    """Zero data files at build time: the config must record NO sidecar
+    dirs (the write job never ran, so a recorded dir wouldn't exist and
+    the first refresh would crash reading it); inserts then arrive via
+    plain refresh."""
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "t", pa.schema([("id", pa.int64()), ("v", pa.string())])
+        )
+        assert t.build_column_index("id") == {"indexed_files": 0}
+        assert t.column_indexes()["id"]["sidecars"] == []
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        t.insert(pa.table({"id": [1, 2, 3], "v": ["a", "b", "c"]}))
+        assert t.refresh_column_index("id") == {
+            "added_files": 1, "dropped_files": 0,
+        }
+        assert t.prune_preview(D.id == 2)["candidate_files"] == 1
+        assert t.prune_preview(D.id == 99)["candidate_files"] == 0
+
+
+def test_allnull_column_file_indexes_once_and_prunes(clean_schema):
+    """A file whose indexed column is entirely null gets an all-zero
+    bitmap row: point probes prune it (NULL never equals a value), and
+    refresh converges — no phantom 'missing' file re-indexed per call,
+    no empty delta dir accumulation forcing spurious compactions."""
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "t", pa.schema([("id", pa.int64()), ("v", pa.string())])
+        )
+        t.insert(pa.table({"id": [1, 2], "v": ["a", "b"]}))
+        t.insert(
+            pa.table({"id": pa.array([None, None], pa.int64()),
+                      "v": ["x", "y"]})
+        )
+        assert t.build_column_index("id") == {"indexed_files": 2}
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        # all-null file pruned on point lookups; values still correct
+        assert t.prune_preview(D.id == 1)["candidate_files"] == 1
+        got = t.select(columns=["v"], predicate=(D.id == 1)).read_all()
+        assert got.column("v").to_pylist() == ["a"]
+        # refresh is a no-op: nothing missing, no new sidecar dirs
+        before = list(t.column_indexes()["id"]["sidecars"])
+        assert t.refresh_column_index("id") == {
+            "added_files": 0, "dropped_files": 0,
+        }
+        assert t.refresh_column_index("id") == {
+            "added_files": 0, "dropped_files": 0,
+        }
+        assert list(t.column_indexes()["id"]["sidecars"]) == before
+        # isnull predicates don't consult the bloom (not a point set):
+        # the all-null file must still be scannable
+        assert t.count_rows(D.v == "x") == 1

@@ -37,7 +37,9 @@ def main() -> int:
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         runs.append(time.time() - t0)
-        spark.catalog.clearCache()
+    # bench.py clears ONCE per query, after all warm runs — match it, or
+    # persist-dependent gates measure a different thing here than there
+    spark.catalog.clearCache()
     runs.sort()
     print(json.dumps({
         "query": name, "sf_dir": sf_dir, "cold": round(cold, 3),

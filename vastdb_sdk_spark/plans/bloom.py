@@ -134,6 +134,15 @@ def sizing(n_values: int, fpp: float, max_bits: int = _MAX_BITS) -> tuple[int, i
     return m, k
 
 
+def is_capped(n_values: int, fpp: float, max_bits: int = _MAX_BITS) -> bool:
+    """Whether ``sizing`` would cap the bitmap for this distinct count —
+    the ONE home of the uncapped-m formula, shared by the task-side
+    builder (which stamps it per sidecar row) and any caller that wants
+    to report capping without re-deriving the arithmetic."""
+    n = max(1, n_values)
+    return int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))) > max_bits
+
+
 def bitmap_bytes(values: Iterable[Any], m: int, k: int, seed: int) -> bytes:
     """Raw Bloom bitmap over ``values`` (nulls excluded by the caller).
 

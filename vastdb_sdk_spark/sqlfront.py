@@ -1000,7 +1000,10 @@ class SqlFrontend:
             _, _, _, table = self._resolve_table(m.group(1))
             rows = [
                 (col, cfg["kind"], float(cfg["fpp"]),
-                 ";".join(cfg.get("sidecars", [])))
+                 ";".join(
+                     cfg.get("sidecars")
+                     or ([cfg["sidecar"]] if cfg.get("sidecar") else [])
+                 ))
                 for col, cfg in sorted(table.column_indexes().items())
             ]
             return spark.createDataFrame(

@@ -2986,11 +2986,17 @@ class Table:
                 f"bloom index needs an integer or string column, got {dt}"
             )
         max_bits = B._MAX_BITS if max_bits is None else int(max_bits)
-        sidecar = self._new_bloom_sidecar_dir(column)
-        n = self._write_bloom_sidecar(
-            column, [fe.path for fe in self.entry.files], fpp, seed,
-            max_bits, sidecar,
-        )
+        paths = [fe.path for fe in self.entry.files]
+        if paths:
+            sidecars = [self._new_bloom_sidecar_dir(column)]
+            n = self._write_bloom_sidecar(
+                column, paths, fpp, seed, max_bits, sidecars[0]
+            )
+        else:
+            # zero data files: record NO sidecar dirs (the write job never
+            # ran, so the dir doesn't exist — a phantom entry would make
+            # the first refresh crash reading it); refresh appends deltas
+            sidecars, n = [], 0
         entry = TableEntry.from_json(self.entry.to_json())
         # keyed by PHYSICAL name so rename_column never detaches the index
         entry.properties.setdefault("column_indexes", {})[
@@ -3002,7 +3008,7 @@ class Table:
             "max_bits": max_bits,
             "format": B.FORMAT_VERSION,
             "hash_version": B.HASH_VERSION,
-            "sidecars": [sidecar],
+            "sidecars": sidecars,
         }
         self._mutate(entry, "build_column_index", column=column, kind=kind)
         return {"indexed_files": n}
@@ -3024,7 +3030,14 @@ class Table:
         values (one shuffle keyed by (file, value)) feed an Arrow-batched
         applyInPandas that builds each file's bitmap numpy-vectorized in
         its task and the rows land in parquet from the tasks; only the
-        row COUNT (from parquet metadata) returns to the driver."""
+        row COUNT (from parquet metadata) returns to the driver.
+
+        EVERY requested file gets a row: files whose indexed column is
+        entirely null yield no aggregation group, so the driver appends
+        all-zero-bitmap entries for them (no value can equal NULL, so a
+        zero bitmap soundly prunes such files on every point probe) —
+        without them refresh_column_index would see the file as
+        never-indexed and re-'index' it on every call forever."""
         from .plans import bloom as B
 
         want = {os.path.abspath(p) for p in paths}
@@ -3053,6 +3066,7 @@ class Table:
                 {
                     "path": [path], "m": [m], "k": [k],
                     "n_values": [len(vals)], "bits": [bits],
+                    "capped": [B.is_capped(len(vals), fpp, max_bits)],
                 }
             )
 
@@ -3060,30 +3074,53 @@ class Table:
             df.groupBy("__f")
             .applyInPandas(
                 _one,
-                "path STRING, m LONG, k LONG, n_values LONG, bits BINARY",
+                "path STRING, m LONG, k LONG, n_values LONG, bits BINARY,"
+                " capped BOOLEAN",
             )
             .repartition(max(1, len(keep) // 256))
             .write.mode("overwrite").parquet(out_dir)
         )
-        meta = B._parquet_dataset(out_dir).to_table(columns=["m", "n_values"])
-        n_capped = sum(
-            1
-            for m, n in zip(
-                meta.column("m").to_pylist(), meta.column("n_values").to_pylist()
+        ds = B._parquet_dataset(out_dir)
+        if ds.schema.names:
+            meta = ds.to_table(columns=["path", "capped"])
+            written = set(meta.column("path").to_pylist())
+            capped_flags = meta.column("capped").to_pylist()
+        else:  # zero groups (every file all-null): Spark wrote no parts
+            written, capped_flags = set(), []
+        absent = sorted(want - written)
+        if absent:
+            # entirely-null indexed column: one all-zero bitmap row each
+            # (driver-side append, bounded by file count — metadata-sized)
+            import pyarrow.parquet as _pq
+
+            _pq.write_table(
+                pa.table(
+                    {
+                        "path": pa.array(absent, pa.string()),
+                        "m": pa.array([B._MIN_BITS] * len(absent), pa.int64()),
+                        "k": pa.array([1] * len(absent), pa.int64()),
+                        "n_values": pa.array([0] * len(absent), pa.int64()),
+                        "bits": pa.array(
+                            [b"\x00" * (B._MIN_BITS // 8)] * len(absent),
+                            pa.binary(),
+                        ),
+                        "capped": pa.array([False] * len(absent), pa.bool_()),
+                    }
+                ),
+                os.path.join(out_dir, "allnull-00000.parquet"),
             )
-            if m >= max_bits
-            and math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)) > max_bits
-        )
+        n_capped = sum(1 for c in capped_flags if c)
+        n_rows = len(written) + len(absent)
         if n_capped:
             import warnings
 
             warnings.warn(
                 f"bloom bitmap capped at {max_bits} bits for {n_capped} of "
-                f"{meta.num_rows} files; their false-positive rate degrades "
+                f"{n_rows} files; their false-positive rate degrades "
                 f"above the {fpp} target (raise max_bits to restore it)",
                 stacklevel=3,
             )
-        return meta.num_rows
+        return n_rows
 
     # refresh compacts the sidecar list once it accumulates this many
     # delta directories, even with zero dead entries
@@ -3129,7 +3166,14 @@ class Table:
                 [(p,) for p in sorted(live)], "path STRING"
             )
             (
-                spark.read.parquet(*dirs)
+                # explicit schema: delta dirs written before the `capped`
+                # column existed read as null for it instead of poisoning
+                # the merged schema
+                spark.read.schema(
+                    "path STRING, m LONG, k LONG, n_values LONG,"
+                    " bits BINARY, capped BOOLEAN"
+                )
+                .parquet(*dirs)
                 .join(F.broadcast(live_df), "path", "left_semi")
                 .repartition(max(1, len(live) // 256))
                 .write.mode("overwrite").parquet(compacted)
