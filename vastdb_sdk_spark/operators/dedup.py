@@ -1204,6 +1204,11 @@ def minhash_join(
             F.col(f"r.{right_id}").alias("right_id"),
         )
         .distinct()
+        # three consumers below (two broadcast id-projections + the final
+        # join): without the persist each re-runs BOTH tables' signature
+        # + banding pipelines — the same contract minhash_dedup_pairs
+        # documents; candidates are bucket-capped, tiny vs the corpora
+        .persist()
     )
     # exact verify on candidates only; each side re-tokenizes just the
     # documents that appear in a candidate (left-semi prune).
