@@ -417,3 +417,127 @@ def test_allnull_column_file_indexes_once_and_prunes(clean_schema):
         # isnull predicates don't consult the bloom (not a point set):
         # the all-null file must still be scannable
         assert t.count_rows(D.v == "x") == 1
+
+
+def test_mixed_type_predicate_degrades_not_crashes(clean_schema):
+    """Literal-type mixtures on one column (int vs str) make the interval
+    algebra's comparisons TypeError internally; planning must degrade to
+    'cannot prune', never crash."""
+    session = _multi_file_table(clean_schema)
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        t.build_column_index("id")
+        # PLANNING must not crash (execution of these predicates is
+        # Spark's business — ANSI mode rejects cast('abc' as bigint),
+        # which is the reference-consistent behavior)
+        bad = (D.id == 5) & (D.id == "abc")
+        assert t.prune_preview(bad)["total_files"] == 6
+        bad2 = ((D.id > 5) & (D.id <= "zz")) | (D.id == 7)
+        assert t.prune_preview(bad2)["total_files"] == 6
+        # intervals themselves degrade to unconstrained, not raise
+        from vastdb_sdk_spark.plans.pruning import extract_intervals
+
+        assert extract_intervals(bad, "id") is None
+        assert extract_intervals(bad2, "id") is None
+
+
+def test_temporal_and_numeric_literals_never_prune_string_column(clean_schema):
+    """A datetime literal (or any non-string literal) against a STRING
+    bloom column makes Spark cast the COLUMN — equalities the string-
+    keyed hash can't replicate — so those probes must keep all files."""
+    import datetime
+
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "ts", pa.schema([("s", pa.string()), ("v", pa.int64())])
+        )
+        # 'T'-separated ISO strings cast to the same timestamps as the
+        # space-separated probe literal would
+        t.insert(pa.table({
+            "s": ["2026-08-16T10:00:00", "7d", "x"], "v": [1, 2, 3],
+        }))
+        t.build_column_index("s")
+        assert t.column_indexes()["s"]["col_type"] == "string"
+        # temporal literal: no pruning (candidate == total)
+        pv = t.prune_preview(D.s == datetime.datetime(2026, 8, 16, 10))
+        assert pv["candidate_files"] == pv["total_files"]
+        # numeric literal on the string column: no pruning either
+        # (cast('7d' as double) = 7.0 matches 7 under Spark's promotion)
+        pv = t.prune_preview(D.s == 7)
+        assert pv["candidate_files"] == pv["total_files"]
+        # plain string probes still prune
+        assert t.prune_preview(D.s == "absent")["candidate_files"] == 0
+        assert t.prune_preview(D.s == "x")["candidate_files"] == 1
+
+
+def test_corrupt_sidecar_entry_keeps_all_files():
+    """m=0 or short bitmaps in a sidecar row must degrade pruning to a
+    no-op, not crash planning."""
+    import types
+
+    from vastdb_sdk_spark.plans.bloom import (
+        FORMAT_VERSION, HASH_VERSION, prune_files_by_bloom,
+    )
+
+    fe = types.SimpleNamespace(path="/tmp/nonexistent-f1.parquet")
+    cfg = {
+        "format": FORMAT_VERSION, "hash_version": HASH_VERSION,
+        "seed": 42, "col_type": "integer",
+        "sidecars": ["/tmp/nonexistent-bloom-dir"],
+    }
+    from vastdb_sdk_spark.expr import _ as DD  # same deferred namespace
+    # missing dir -> OSError path -> keep all
+    assert prune_files_by_bloom([fe], "id", (DD.id == 5), cfg) == [fe]
+    # corrupt entries -> ZeroDivision/IndexError path -> keep all
+    from vastdb_sdk_spark.plans import bloom as B2
+
+    orig = B2._iter_entries
+    try:
+        B2._iter_entries = lambda d, cand: iter(
+            [("/tmp/nonexistent-f1.parquet", {"m": 0, "k": 1, "bits": b""})]
+        )
+        assert prune_files_by_bloom([fe], "id", (DD.id == 5), cfg) == [fe]
+        B2._iter_entries = lambda d, cand: iter(
+            [("/tmp/nonexistent-f1.parquet",
+              {"m": 1024, "k": 3, "bits": b"\x00" * 4})]
+        )
+        assert prune_files_by_bloom([fe], "id", (DD.id == 5), cfg) == [fe]
+    finally:
+        B2._iter_entries = orig
+
+
+def test_sizing_cap_byte_aligned_and_is_capped_agrees():
+    m, k = B.sizing(1_000_000, 0.01, max_bits=100_001)
+    assert m <= 100_001 and m % 8 == 0  # never exceeds the stated cap
+    assert B.is_capped(1_000_000, 0.01, 100_001)
+    assert not B.is_capped(10, 0.01, 100_001)
+    # tiny n, huge cap: uncapped
+    m2, _ = B.sizing(10, 0.01)
+    assert not B.is_capped(10, 0.01) and m2 % 8 == 0
+
+
+def test_superseded_sidecar_dirs_deleted(clean_schema):
+    """Rebuild and compaction must not strand full index copies on disk."""
+    import os
+
+    session = _multi_file_table(clean_schema)
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        t.build_column_index("id")
+        first = list(t.column_indexes()["id"]["sidecars"])
+        t.build_column_index("id")  # rebuild supersedes the first dir
+        second = list(t.column_indexes()["id"]["sidecars"])
+        assert first != second
+        assert not any(os.path.exists(d) for d in first)
+        assert all(os.path.exists(d) for d in second)
+        # dead entries (predicate delete rewrites nothing, but an update
+        # does) -> compaction replaces the dir list and deletes the olds
+        t.update_where(D.id == 3, {"v": "rewritten"})
+        t.refresh_column_index("id")
+        third = list(t.column_indexes()["id"]["sidecars"])
+        if third != second:
+            assert not any(os.path.exists(d) for d in second if d not in third)
+        # pruning still sound afterwards
+        assert t.prune_preview(D.id == 3)["candidate_files"] >= 1
+        t.drop_column_index("id")
+        assert not any(os.path.exists(d) for d in third)

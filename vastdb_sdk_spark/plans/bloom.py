@@ -118,9 +118,14 @@ def sizing(n_values: int, fpp: float, max_bits: int = _MAX_BITS) -> tuple[int, i
     the achieved fpp degrades (k re-optimized for the capped m) — files
     stop being prunable long before any correctness risk."""
     n = max(1, n_values)
+    cap = _cap_bits(max_bits)
     m = max(_MIN_BITS, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
-    if m > max_bits:
-        m = max(_MIN_BITS, max_bits)
+    m = (m + 7) // 8 * 8
+    if m > cap:
+        # the effective cap rounds DOWN to a byte multiple (never above
+        # the caller's max_bits) — rounding the capped m up overshot the
+        # stated cap by up to 7 bits
+        m = cap
         eff = (1 - math.exp(-max(1, round(m / n * math.log(2))) * n / m)) ** max(
             1, round(m / n * math.log(2))
         )
@@ -129,18 +134,25 @@ def sizing(n_values: int, fpp: float, max_bits: int = _MAX_BITS) -> tuple[int, i
             f"effective fpp ~{eff:.3g} (target {fpp})",
             stacklevel=2,
         )
-    m = (m + 7) // 8 * 8
     k = max(1, round(m / n * math.log(2)))
     return m, k
 
 
+def _cap_bits(max_bits: int) -> int:
+    """The cap ``sizing`` actually enforces: byte-aligned (rounded DOWN,
+    so the stated limit is never exceeded), floored at _MIN_BITS."""
+    return max(_MIN_BITS, (int(max_bits) // 8) * 8)
+
+
 def is_capped(n_values: int, fpp: float, max_bits: int = _MAX_BITS) -> bool:
-    """Whether ``sizing`` would cap the bitmap for this distinct count —
-    the ONE home of the uncapped-m formula, shared by the task-side
-    builder (which stamps it per sidecar row) and any caller that wants
-    to report capping without re-deriving the arithmetic."""
+    """Whether ``sizing`` caps the bitmap for this distinct count — the
+    ONE home of the uncapped-m formula (and the same ``_cap_bits``
+    effective cap sizing enforces), shared by the task-side builder
+    (which stamps it per sidecar row) and any caller that wants to
+    report capping without re-deriving the arithmetic."""
     n = max(1, n_values)
-    return int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))) > max_bits
+    m = max(_MIN_BITS, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    return (m + 7) // 8 * 8 > _cap_bits(max_bits)
 
 
 def bitmap_bytes(values: Iterable[Any], m: int, k: int, seed: int) -> bytes:
@@ -197,18 +209,66 @@ def extract_points(pred: Any, col: str) -> list | None:
     """The exact candidate values ``col`` can take under ``pred``, or None
     when the constraint is not a pure point set (ranges, unconstrained).
     Sound for Bloom pruning: if pred's rows all have col in the returned
-    set, a file containing none of them cannot match."""
-    ivs = extract_intervals(pred, col)
-    if ivs is None:
+    set, a file containing none of them cannot match.
+
+    Temporal literals disable pruning entirely: ``extract_intervals``
+    normalizes datetime/date to ISO strings (the min/max-stats format),
+    but a datetime literal against a STRING column makes Spark cast the
+    COLUMN to timestamp — an equality the string-keyed hash cannot
+    replicate ('2026-08-16T10:00:00' with a T separator matches the
+    timestamp but not the normalized space-separated probe string), so
+    any temporal literal on ``col`` anywhere in ``pred`` returns None."""
+    if _has_temporal_literal(pred, col):
         return None
-    pts = []
-    for iv in ivs:
-        if not _nonempty(iv):
-            continue  # contradictory branch constrains nothing it can match
-        if iv.lo is _NEG_INF or iv.hi is _POS_INF or iv.lo != iv.hi:
+    try:
+        ivs = extract_intervals(pred, col)
+        if ivs is None:
             return None
-        pts.append(iv.lo)
-    return pts
+        pts = []
+        for iv in ivs:
+            if not _nonempty(iv):
+                continue  # contradictory branch constrains nothing it can match
+            if iv.lo is _NEG_INF or iv.hi is _POS_INF or iv.lo != iv.hi:
+                return None
+            pts.append(iv.lo)
+        return pts
+    except TypeError:  # mixed-type point comparisons: degrade, don't crash
+        return None
+
+
+def _has_temporal_literal(pred: Any, col: str) -> bool:
+    """Any datetime/date literal compared against ``col`` in the tree."""
+    import datetime as _dt
+
+    from ..expr import BinOp, ColumnRef, Isin, Literal
+
+    def _temporal(v: Any) -> bool:
+        return isinstance(v, (_dt.date, _dt.datetime))
+
+    def _walk(node: Any) -> bool:
+        if isinstance(node, BinOp):
+            if node.op in ("and", "or"):
+                return _walk(node.left) or _walk(node.right)
+            sides = [(node.left, node.right), (node.right, node.left)]
+            for cside, lside in sides:
+                if (
+                    isinstance(cside, ColumnRef)
+                    and cside.path == (col,)
+                    and isinstance(lside, Literal)
+                    and _temporal(lside.value)
+                ):
+                    return True
+            return False
+        if isinstance(node, Isin):
+            return (
+                isinstance(node.inner, ColumnRef)
+                and node.inner.path == (col,)
+                and any(_temporal(v) for v in node.values)
+            )
+        inner = getattr(node, "inner", None)
+        return _walk(inner) if inner is not None else False
+
+    return _walk(pred)
 
 
 # ---------------------------------------------------------------------------
@@ -216,8 +276,11 @@ def extract_points(pred: Any, col: str) -> list | None:
 
 # sidecar directories are written once under a unique timestamped path
 # and never mutated, so a process-wide cache by dir can never serve
-# stale bits; only dirs under _CACHE_DIR_BYTES are cached
-_SIDECAR_CACHE: dict[str, dict] = {}
+# stale bits; only dirs under _CACHE_DIR_BYTES are cached, the TOTAL is
+# LRU-bounded by _CACHE_TOTAL_BYTES (dict insertion order = recency),
+# and superseded dirs simply age out
+_SIDECAR_CACHE: dict[str, tuple[dict, int]] = {}
+_CACHE_TOTAL_BYTES = 256 << 20
 
 
 def sidecar_dir_size(path: str) -> int:
@@ -249,23 +312,46 @@ def sidecar_paths(dirs: list[str]) -> set[str]:
     return out
 
 
+def _batch_rows(batch):
+    """(path, entry) rows of one Arrow batch — the ONE home of the sidecar
+    row shape, shared by the cache-build and streaming branches."""
+    pd_batch = batch.to_pydict()
+    for p, m, k, bits in zip(
+        pd_batch["path"], pd_batch["m"], pd_batch["k"], pd_batch["bits"]
+    ):
+        yield p, {"m": m, "k": k, "bits": bits}
+
+
+def _cache_put(d: str, cached: dict, nbytes: int) -> None:
+    """LRU insert bounded by TOTAL cached bytes (bitmaps are ~half-set and
+    incompressible, so on-disk dir size ~= in-memory size): evict oldest
+    dirs until under budget instead of the old clear-everything-at-64."""
+    _SIDECAR_CACHE[d] = (cached, nbytes)
+    total = sum(n for _, n in _SIDECAR_CACHE.values())
+    while total > _CACHE_TOTAL_BYTES and len(_SIDECAR_CACHE) > 1:
+        old_d, (_, old_n) = next(iter(_SIDECAR_CACHE.items()))
+        if old_d == d and len(_SIDECAR_CACHE) == 1:
+            break
+        del _SIDECAR_CACHE[old_d]
+        total -= old_n
+
+
 def _iter_entries(d: str, candidates: set[str] | None):
     """Yield (path, entry) rows from one sidecar dir. Small dirs are
-    loaded once into the process cache; large dirs stream in Arrow
+    loaded once into the process LRU cache; large dirs stream in Arrow
     batches (restricted to ``candidates``) so the driver never
     materializes a 100k-file index."""
-    cached = _SIDECAR_CACHE.get(d)
-    if cached is None and sidecar_dir_size(d) <= _CACHE_DIR_BYTES:
-        cached = {}
-        for batch in _parquet_dataset(d).to_batches():
-            pd_batch = batch.to_pydict()
-            for p, m, k, bits in zip(
-                pd_batch["path"], pd_batch["m"], pd_batch["k"], pd_batch["bits"]
-            ):
-                cached[p] = {"m": m, "k": k, "bits": bits}
-        if len(_SIDECAR_CACHE) > 64:
-            _SIDECAR_CACHE.clear()
-        _SIDECAR_CACHE[d] = cached
+    hit = _SIDECAR_CACHE.get(d)
+    if hit is not None:  # LRU touch
+        _SIDECAR_CACHE[d] = _SIDECAR_CACHE.pop(d)
+    cached = hit[0] if hit is not None else None
+    if cached is None:
+        nbytes = sidecar_dir_size(d)
+        if nbytes <= _CACHE_DIR_BYTES:
+            cached = {}
+            for batch in _parquet_dataset(d).to_batches():
+                cached.update(_batch_rows(batch))
+            _cache_put(d, cached, nbytes)
     if cached is not None:
         if candidates is None:
             yield from cached.items()
@@ -282,11 +368,7 @@ def _iter_entries(d: str, candidates: set[str] | None):
     if candidates is not None:
         flt = pc.field("path").isin(pa.array(sorted(candidates)))
     for batch in _parquet_dataset(d).to_batches(filter=flt):
-        pd_batch = batch.to_pydict()
-        for p, m, k, bits in zip(
-            pd_batch["path"], pd_batch["m"], pd_batch["k"], pd_batch["bits"]
-        ):
-            yield p, {"m": m, "k": k, "bits": bits}
+        yield from _batch_rows(batch)
 
 
 def prune_files_by_bloom(files: list, col: str, pred: Any, cfg: dict) -> list:
@@ -303,6 +385,18 @@ def prune_files_by_bloom(files: list, col: str, pred: Any, cfg: dict) -> list:
     pts = extract_points(pred, col)
     if not pts:  # None (not a point set) or [] (contradiction -> minmax
         return files  # pruning already emptied it)
+    # STRING columns only prune on string literals: a numeric probe makes
+    # Spark cast the COLUMN (Java Double.parseDouble semantics — '7d',
+    # hex floats, 'Infinity' all parse), equalities Python-side _canon
+    # cannot replicate, so a non-str literal would risk a false negative.
+    # The reverse direction (int column, numeric-string literal) stays
+    # prunable — _canon collapses those forms exactly. A config without
+    # the col_type stamp gets the same keep-all treatment as a version
+    # mismatch.
+    if cfg.get("col_type") != "integer" and not all(
+        isinstance(v, str) for v in pts
+    ):
+        return files
     seed = cfg.get("seed", 42)
     cand = {os.path.abspath(fe.path) for fe in files}
     absent: set[str] = set()
@@ -314,8 +408,11 @@ def prune_files_by_bloom(files: list, col: str, pred: Any, cfg: dict) -> list:
             for p, entry in _iter_entries(d, remaining):
                 if not any(might_contain(entry, v, seed) for v in pts):
                     absent.add(p)
-    except (OSError, ValueError, KeyError):
-        return files
+    except (
+        OSError, ValueError, KeyError,
+        ZeroDivisionError, IndexError, TypeError,
+    ):  # unreadable dir or corrupt entry (m=0, short bits): keep all —
+        return files  # degrade to no pruning, never a planning crash
     if not absent:
         return files
     return [fe for fe in files if os.path.abspath(fe.path) not in absent]

@@ -75,14 +75,26 @@ def _norm_literal(v: Any) -> Any:
 
 def extract_intervals(pred: Any, col: str) -> list[Interval] | None:
     """Intervals that ``col`` must fall in for ``pred`` to hold; ``None``
-    means unconstrained (no pruning possible)."""
+    means unconstrained (no pruning possible).
+
+    A predicate mixing literal TYPES on one column (col == 5 & col == 'a')
+    makes the interval algebra's max/min/<= comparisons raise TypeError;
+    planning must degrade to "cannot prune", never crash — the guard
+    wrapper turns any such comparison failure into None."""
+    try:
+        return _extract_intervals(pred, col)
+    except TypeError:
+        return None
+
+
+def _extract_intervals(pred: Any, col: str) -> list[Interval] | None:
     if not isinstance(pred, Expr):
         return None
     node = pred
     if isinstance(node, BinOp):
         if node.op == "and":
-            left = extract_intervals(node.left, col)
-            right = extract_intervals(node.right, col)
+            left = _extract_intervals(node.left, col)
+            right = _extract_intervals(node.right, col)
             if left is None:
                 return right
             if right is None:
@@ -94,8 +106,8 @@ def extract_intervals(pred: Any, col: str) -> list[Interval] | None:
             ]
             return [iv for iv in out if _nonempty(iv)] or [Interval(1, 0)]
         if node.op == "or":
-            left = extract_intervals(node.left, col)
-            right = extract_intervals(node.right, col)
+            left = _extract_intervals(node.left, col)
+            right = _extract_intervals(node.right, col)
             if left is None or right is None:
                 return None  # one branch unconstrained -> no pruning
             return left + right
@@ -148,6 +160,16 @@ def _nonempty(iv: Interval) -> bool:
     return iv.lo <= iv.hi
 
 
+def _safe_overlaps(intervals: list[Interval], lo: Any, hi: Any) -> bool:
+    """``any(overlaps)`` that degrades to True (keep the file) when a
+    stats-vs-literal type mismatch makes the comparison itself raise —
+    pruning must never turn a weird predicate into a planning crash."""
+    try:
+        return any(iv.overlaps(lo, hi) for iv in intervals if _nonempty(iv))
+    except TypeError:
+        return True
+
+
 def prune_files(files: list, col: str, pred: Any) -> list:
     """Drop FileEntry objects whose recorded col_stats[col] = [min, max]
     cannot satisfy ``pred``. Files without stats are kept (conservative)."""
@@ -162,7 +184,7 @@ def prune_files(files: list, col: str, pred: Any) -> list:
             out.append(fe)
             continue
         lo, hi = mm
-        if any(iv.overlaps(lo, hi) for iv in intervals if _nonempty(iv)):
+        if _safe_overlaps(intervals, lo, hi):
             out.append(fe)
     return out
 
@@ -185,7 +207,7 @@ def prune_files_by_partition(files: list, pred: Any) -> list:
             if v is None or not _comparable(v):
                 kept.append(fe)
                 continue
-            if any(iv.overlaps(v, v) for iv in intervals if _nonempty(iv)):
+            if _safe_overlaps(intervals, v, v):
                 kept.append(fe)
         files = kept
     return files

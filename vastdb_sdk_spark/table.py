@@ -2986,6 +2986,13 @@ class Table:
                 f"bloom index needs an integer or string column, got {dt}"
             )
         max_bits = B._MAX_BITS if max_bits is None else int(max_bits)
+        if max_bits < B._MIN_BITS:
+            raise InvalidArgument(
+                f"max_bits must be >= {B._MIN_BITS}, got {max_bits}"
+            )
+        old_cfg = self.entry.properties.get("column_indexes", {}).get(
+            self._physical_of(column)
+        )
         paths = [fe.path for fe in self.entry.files]
         if paths:
             sidecars = [self._new_bloom_sidecar_dir(column)]
@@ -3006,12 +3013,30 @@ class Table:
             "fpp": fpp,
             "seed": seed,
             "max_bits": max_bits,
+            # probe-side type gate: string columns only prune on string
+            # literals (numeric literals make Spark cast the COLUMN with
+            # Java parse semantics _canon can't replicate)
+            "col_type": "integer" if pa.types.is_integer(dt) else "string",
             "format": B.FORMAT_VERSION,
             "hash_version": B.HASH_VERSION,
             "sidecars": sidecars,
         }
         self._mutate(entry, "build_column_index", column=column, kind=kind)
+        self._drop_bloom_dirs(old_cfg, keep=sidecars)
         return {"indexed_files": n}
+
+    @staticmethod
+    def _drop_bloom_dirs(cfg: dict | None, keep: list[str] = ()) -> None:
+        """Delete a superseded config's sidecar dirs (post-publish): every
+        compaction/rebuild otherwise strands a full index copy on disk.
+        Safe under concurrency and snapshots: a reader holding the old
+        manifest degrades to keep-all when a dir vanishes mid-probe, and
+        a refresh on a restored config falls back to a full rebuild."""
+        import shutil
+
+        for d in (cfg or {}).get("sidecars", []) or []:
+            if d and d not in keep and "bloomidx-" in os.path.basename(d):
+                shutil.rmtree(d, ignore_errors=True)
 
     def _new_bloom_sidecar_dir(self, column: str) -> str:
         d = os.path.join(
@@ -3148,7 +3173,17 @@ class Table:
             )
             return {"added_files": res["indexed_files"], "dropped_files": 0}
         dirs = list(cfg["sidecars"])
-        indexed = B.sidecar_paths(dirs)
+        try:
+            indexed = B.sidecar_paths(dirs)
+        except OSError:
+            # a sidecar dir is gone (config restored from a snapshot taken
+            # before a rebuild deleted its dirs): rebuild from scratch —
+            # probing already degrades to keep-all for the same reason
+            res = self.build_column_index(
+                column, fpp=cfg.get("fpp", 0.01), seed=cfg.get("seed", 42),
+                max_bits=cfg.get("max_bits"),
+            )
+            return {"added_files": res["indexed_files"], "dropped_files": 0}
         live = {os.path.abspath(fe.path) for fe in self.entry.files}
         missing = sorted(live - indexed)
         dead = indexed - live
@@ -3182,6 +3217,7 @@ class Table:
         entry = TableEntry.from_json(self.entry.to_json())
         entry.properties["column_indexes"][phys] = {**cfg, "sidecars": dirs}
         self._mutate(entry, "refresh_column_index", column=column)
+        self._drop_bloom_dirs(cfg, keep=dirs)
         return {"added_files": len(missing), "dropped_files": len(dead)}
 
     def drop_column_index(self, column: str) -> None:
@@ -3190,8 +3226,10 @@ class Table:
         phys = self._physical_of(column)
         if phys not in cidx:
             raise MissingProjection(f"column index on {column!r}")
+        cfg = cidx[phys]
         del cidx[phys]
         self._mutate(entry, "drop_column_index", column=column)
+        self._drop_bloom_dirs(cfg)
 
     def column_indexes(self) -> dict[str, dict]:
         """Indexes keyed by the column's CURRENT logical name."""
