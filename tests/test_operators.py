@@ -1192,3 +1192,57 @@ def test_assign_centroids_twolevel_matches_flat(spark):
         ).collect()
     }
     assert two_r == two
+
+
+def test_knn_join_cosine_shared_column_names_across_strategies(spark):
+    """left and right sharing a non-id column name ('text') must produce
+    the same rows on both routes — the blocked join-back used unqualified
+    selection and raised an ambiguous-column error."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    left = spark.createDataFrame(
+        [(i, rng.normal(size=8).tolist(), f"l{i}") for i in range(20)],
+        "id_a LONG, vec_a ARRAY<DOUBLE>, text STRING",
+    )
+    right = spark.createDataFrame(
+        [(i, rng.normal(size=8).tolist(), f"r{i}") for i in range(30)],
+        "id_b LONG, vec_b ARRAY<DOUBLE>, text STRING",
+    )
+    wide = similarity.knn_join_cosine(left, right, k=3, strategy="broadcast")
+    narrow = similarity.knn_join_cosine(left, right, k=3, strategy="blocked")
+    assert wide.columns == narrow.columns
+    key = lambda r: (r[0], r[3])  # (id_a, id_b)
+    a = sorted(map(tuple, wide.collect()), key=key)
+    b = sorted(map(tuple, narrow.collect()), key=key)
+    assert a == b
+
+
+def test_rhp_topk_multiprobe_hamming_three_reaches_h3_buckets(spark):
+    """multiprobe_hamming=3 must actually probe hamming-3 buckets (the
+    old hand-rolled expansion silently capped at 2)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    indexed, planes = similarity.build_rhp_index(df, num_planes=6, dim=8)
+    q = rows[0][1]
+    got2 = {r.vec_id for r in similarity.rhp_topk(
+        indexed, planes, q, k=200, multiprobe_hamming=2, id_col="vec_id"
+    ).collect()}
+    got3 = {r.vec_id for r in similarity.rhp_topk(
+        indexed, planes, q, k=200, multiprobe_hamming=3, id_col="vec_id"
+    ).collect()}
+    got6 = {r.vec_id for r in similarity.rhp_topk(
+        indexed, planes, q, k=200, multiprobe_hamming=6, id_col="vec_id"
+    ).collect()}
+    assert got2 <= got3 <= got6
+    assert got6 == {r[0] for r in rows}  # h=num_planes probes everything
+    assert len(got3) > len(got2)  # h=3 buckets genuinely reachable
+
+
+def test_build_rhp_index_empty_frame_raises_value_error(spark):
+    df = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="pass dim="):
+        similarity.build_rhp_index(df)

@@ -90,7 +90,13 @@ def build_rhp_index(
     """Attach an LSH bucket id to every row. Returns (indexed_df, planes).
     Persist/write the indexed_df once; queries then prune to one bucket."""
     if dim is None:
-        dim = len(df.select(vec_col).head()[0])
+        probe = df.select(vec_col).head()
+        if probe is None or probe[0] is None:
+            raise ValueError(
+                f"cannot infer embedding dim from an empty frame or null "
+                f"{vec_col!r}; pass dim= explicitly"
+            )
+        dim = len(probe[0])
     planes = _hyperplanes(dim, num_planes, seed)
     return df.withColumn("lsh_bucket", rhp_signature_col(vec_col, planes)), planes
 
@@ -109,19 +115,23 @@ def rhp_topk(
     ``multiprobe_hamming`` bit flips (recall/latency dial). The bucket filter
     is an isin() over at most sum_{i<=h} C(p,i) longs — partition-prunable if
     the index is written bucketed/partitioned by lsh_bucket."""
+    import itertools
+
     q = np.asarray(query_vec, dtype=float)
     qsig = 0
     for i, plane in enumerate(planes):
         if float(q @ plane) >= 0:
             qsig |= 1 << i
+    # every bucket within multiprobe_hamming bit flips, for ANY h — an
+    # earlier hand-rolled version silently capped at h=2, so a caller
+    # dialing recall up past that got the h=2 result with no warning
     buckets = {qsig}
-    if multiprobe_hamming >= 1:
-        for i in range(len(planes)):
-            buckets.add(qsig ^ (1 << i))
-    if multiprobe_hamming >= 2:
-        for i in range(len(planes)):
-            for j in range(i + 1, len(planes)):
-                buckets.add(qsig ^ (1 << i) ^ (1 << j))
+    for h in range(1, int(multiprobe_hamming) + 1):
+        for flips in itertools.combinations(range(len(planes)), h):
+            sig = qsig
+            for i in flips:
+                sig ^= 1 << i
+            buckets.add(sig)
     pruned = indexed_df.filter(F.col("lsh_bucket").isin(*[int(b) for b in buckets]))
     return brute_force_topk(pruned, query_vec, k, vec_col, metric, id_col)
 
@@ -201,12 +211,29 @@ def knn_join_cosine(
             left_vec=left_vec,
             right_vec=right_vec,
         )
-        out = pairs
+        # alias-scoped join-backs: left and right may SHARE non-id column
+        # names (both carrying 'text', say) — unqualified selection would
+        # raise an ambiguous-column error here while the broadcast route
+        # sailed through, breaking the same-output-for-auto contract
+        out = pairs.alias("p")
+        lref = rref = "p"
         if left_cols != [left_id]:
-            out = out.join(left.drop(left_vec), left_id)
+            out = out.join(
+                left.drop(left_vec).alias("l"),
+                F.col(f"p.{left_id}") == F.col(f"l.{left_id}"),
+            )
+            lref = "l"
         if right_cols != [right_id]:
-            out = out.join(right.drop(right_vec), right_id)
-        return out.select(*left_cols, *right_cols, "cos_sim")
+            out = out.join(
+                right.drop(right_vec).alias("r"),
+                F.col(f"p.{right_id}") == F.col(f"r.{right_id}"),
+            )
+            rref = "r"
+        return out.select(
+            *[F.col(f"{lref}.{c}").alias(c) for c in left_cols],
+            *[F.col(f"{rref}.{c}").alias(c) for c in right_cols],
+            F.col("p.cos_sim").alias("cos_sim"),
+        )
     sim = cosine_similarity(F.col(left_vec), F.col(right_vec))
     joined = left.crossJoin(F.broadcast(right)).withColumn("cos_sim", sim)
     w = W.partitionBy(left_id).orderBy(F.col("cos_sim").desc(), F.col(right_id).asc())
@@ -418,13 +445,20 @@ def build_ivf_index(
         # O(train_rows) at any corpus size) and it skips pyspark.ml's
         # fixed per-fit overhead (~5 s of iteration jobs even on tiny
         # data). Assignment stays distributed (assign_probe_centroids).
-        # callers that already counted the frame pass n_rows so the
-        # driver fit skips one corpus scan (only valid unsampled)
+        # k-means needs n >> k: a train sample smaller than the requested
+        # centroid count silently degenerates to one-point 'centroids'
+        # (k clamped to the sample size inside _lloyd_kmeans), which at
+        # corpus scale quietly re-grows the per-cluster pair work the
+        # auto-sizing exists to bound — scale the budget with k (4 points
+        # per centroid minimum, the usual k-means training floor) instead
         n_fit_rows = (
             n_rows
             if n_rows is not None and sample_fraction is None
-            else fit_df.count()
+            # the sampled branch above already counted fit_df — reuse it
+            # rather than re-scanning the (corpus-backed) sample filter
+            else (n_fit if sample_fraction is not None else fit_df.count())
         )
+        train_rows = max(int(train_rows), 4 * int(num_centroids))
         frac = min(1.0, (train_rows * 1.2) / max(n_fit_rows, 1))
         sample = fit_df.select(vec_col)
         if frac < 1.0:
@@ -620,6 +654,7 @@ def ivf_knn_join(
     right_id: str = "id_b",
     left_vec: str = "vec_a",
     right_vec: str = "vec_b",
+    twolevel_threshold: int | None = None,
 ) -> DataFrame:
     """Approximate k-NN join for two LARGE sides (neither broadcastable):
     the right side must already carry ``centroid_id`` (build_ivf_index);
@@ -627,10 +662,23 @@ def ivf_knn_join(
     (assign_probe_centroids — broadcast numpy centroid matrix + Arrow-batched
     mapInPandas, O(1) plan size at any num_centroids), and the join is
     an equi-join on centroid_id — shuffle volume is O(rows * nprobe), never
-    a cross product. Per-left-row top-k by cosine via window."""
+    a cross product. Per-left-row top-k by cosine via window.
+
+    This is a SEARCH path, so the left assignment stays the exact flat
+    assign by default even at nprobe=1 with large centroid counts —
+    otherwise probe recall would silently depend on the two-level
+    approximation the BUILD path uses. Pass ``twolevel_threshold`` to
+    opt in to the approximate assign when the probe-side FLOP cost
+    matters more than boundary recall."""
     from pyspark.sql import Window as W
 
-    lhs = assign_probe_centroids(left, centroids, left_vec, nprobe=nprobe)
+    lhs = assign_probe_centroids(
+        left, centroids, left_vec, nprobe=nprobe,
+        twolevel_threshold=(
+            twolevel_threshold if twolevel_threshold is not None
+            else (1 << 62)  # exact flat assign: search recall first
+        ),
+    )
     sim = cosine_similarity(F.col(left_vec), F.col(right_vec))
     joined = lhs.join(right, "centroid_id").withColumn("cos_sim", sim)
     w = W.partitionBy(left_id).orderBy(F.col("cos_sim").desc(), F.col(right_id).asc())
@@ -790,7 +838,9 @@ def ivf_topk(
     """Probe the nprobe nearest centroids' partitions, exact distance inside."""
     q = np.asarray(query_vec, dtype=float)
     d2 = ((centroids - q) ** 2).sum(axis=1)
-    probe = [int(i) for i in np.argsort(d2)[:nprobe]]
+    # stable sort: equidistant centroids at the nprobe boundary must give
+    # the same probe set on every platform (ivfpq_topk already does this)
+    probe = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
     pruned = indexed_df.filter(F.col("centroid_id").isin(probe))
     return brute_force_topk(pruned, query_vec, k, vec_col, metric, id_col)
 
@@ -1110,9 +1160,14 @@ def build_ivfpq_index(
     sampled-driver-fit design of build_ivf_index/build_pq_index (one
     bounded toPandas at BUILD time); encode is broadcast variables +
     Arrow-batched mapInPandas — O(1) plan size, zero shuffle."""
+    # count once; build_ivf_index needs it only to auto-size centroids,
+    # and the PQ sample fraction below reuses it — without n_rows= this
+    # was two full corpus scans
+    n_rows = df.count()
     indexed, centroids = build_ivf_index(
         df, vec_col, num_centroids, seed,
         sample_fraction=sample_fraction, sample_key=sample_key,
+        n_rows=n_rows,
     )
     if dim is None:
         dim = centroids.shape[1]
@@ -1122,7 +1177,6 @@ def build_ivfpq_index(
             f"dim={dim} not divisible by num_subspaces={m}; pick m dividing "
             "the embedding width"
         )
-    n_rows = df.count()
     frac = min(1.0, (train_rows * 1.2) / max(n_rows, 1))
     sample = indexed.select(vec_col, "centroid_id")
     if frac < 1.0:
@@ -1357,21 +1411,28 @@ def semantic_dup_pairs(
         g = 1
     else:
         g = int(min(8, max(1, -(-exp_cluster // int(gemm_chunk)))))
-    nvec = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: x
-        / F.greatest(
+    # materialize the L2 norm ONCE per row before the transform: a norm
+    # aggregate embedded in the lambda body is re-evaluated per element
+    # (HOF lambdas get no loop-invariant hoisting), turning the
+    # normalization scan O(d^2) per row — ~768 full sum-of-squares per
+    # 768-dim embedding instead of one
+    staged = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__vd")
+    ).withColumn(
+        "__norm",
+        F.greatest(
             F.sqrt(
-                F.aggregate(
-                    F.col(vec_col).cast("array<double>"),
-                    F.lit(0.0),
-                    lambda a, y: a + y * y,
-                )
+                F.aggregate(F.col("__vd"), F.lit(0.0), lambda a, y: a + y * y)
             ),
             F.lit(1e-30),
         ),
     )
-    normed = df.select(F.col(id_col), nvec.alias("__nvec"))
+    normed = staged.select(
+        F.col(id_col),
+        F.transform(F.col("__vd"), lambda x: x / F.col("__norm")).alias(
+            "__nvec"
+        ),
+    )
     assigned, _cents = build_ivf_index(
         normed,
         vec_col="__nvec",
@@ -1506,7 +1567,11 @@ def semantic_dedup(
     comps = dup_clusters(pairs)  # (doc_id, cluster_id)
     agg = F.min if keep == "min" else F.max
     keepers = comps.groupBy("cluster_id").agg(agg("doc_id").alias("__keeper"))
-    marked = comps.join(F.broadcast(keepers), "cluster_id").select(
+    # no broadcast HINT: keepers is component-count sized, which on a
+    # heavy-duplication corpus is unbounded — a forced broadcast would
+    # OOM the driver there, while AQE already broadcasts it whenever it
+    # is actually small
+    marked = comps.join(keepers, "cluster_id").select(
         F.col("doc_id").alias(id_col),
         F.col("cluster_id").alias("sem_cluster"),
         (F.col("doc_id") == F.col("__keeper")).alias("keep"),
@@ -1580,14 +1645,30 @@ def truncate_embeddings(
     if dims < 1:
         raise ValueError(f"dims={dims} must be >= 1")
     t = F.slice(F.col(vec_col), 1, int(dims))
-    if renormalize:
-        norm = F.sqrt(
-            F.aggregate(
-                t, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
-            )
-        )
-        t = F.transform(t, lambda x: x.cast("double") / F.greatest(norm, F.lit(1e-30)))
-    return df.withColumn(out_col, t)
+    if not renormalize:
+        return df.withColumn(out_col, t)
+    # materialize slice + norm per row BEFORE the divide-transform: a norm
+    # aggregate referenced inside the lambda is re-evaluated per element
+    # (no loop-invariant hoisting in HOF eval), i.e. O(dims^2) per row
+    staged = df.withColumn("__mrl_t", t).withColumn(
+        "__mrl_norm",
+        F.greatest(
+            F.sqrt(
+                F.aggregate(
+                    F.col("__mrl_t"),
+                    F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double"),
+                )
+            ),
+            F.lit(1e-30),
+        ),
+    )
+    return staged.withColumn(
+        out_col,
+        F.transform(
+            F.col("__mrl_t"), lambda x: x.cast("double") / F.col("__mrl_norm")
+        ),
+    ).drop("__mrl_t", "__mrl_norm")
 
 
 def matryoshka_topk(
