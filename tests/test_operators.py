@@ -1246,3 +1246,77 @@ def test_build_rhp_index_empty_frame_raises_value_error(spark):
     df = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
     with pytest.raises(ValueError, match="pass dim="):
         similarity.build_rhp_index(df)
+
+
+def test_dedup_exact_null_safe_digest_and_null_order_groups(spark):
+    from vastdb_sdk_spark.operators.dedup import dedup_exact, exact_duplicate_groups
+
+    # ('x', NULL) vs (NULL, 'x'): concat_ws used to skip NULLs, colliding
+    # the two distinct rows into one digest and silently dropping one
+    df = spark.createDataFrame(
+        [("x", None), (None, "x"), ("x", None)], "a STRING, b STRING"
+    )
+    kept = dedup_exact(df, cols=["a", "b"])
+    assert sorted(((r.a, r.b) for r in kept.collect()), key=str) == sorted(
+        [("x", None), (None, "x")], key=str
+    )
+    groups = exact_duplicate_groups(df, cols=["a", "b"]).collect()
+    assert sorted(g.n_copies for g in groups) == [1, 2]
+    # null-vs-empty-string stay distinct too (the length prefix)
+    df2 = spark.createDataFrame([("", "y"), (None, "y")], "a STRING, b STRING")
+    assert dedup_exact(df2, cols=["a", "b"]).count() == 2
+    # a duplicate group whose order_col is NULL everywhere keeps a REAL
+    # member (min_by alone would emit an all-NULL row)
+    df3 = spark.createDataFrame(
+        [("t", None), ("t", None), ("u", 5)], "text STRING, ts LONG"
+    )
+    rows = dedup_exact(df3, cols=["text"], order_col="ts").collect()
+    assert sorted(((r.text, r.ts) for r in rows), key=str) == sorted(
+        [("t", None), ("u", 5)], key=str
+    )
+
+
+def test_minhash_empty_docs_not_mutual_duplicates(spark):
+    """'!!!' and '???' tokenize to [] -> both used to collapse to the
+    degenerate '' shingle and verify as Jaccard-1.0 duplicates."""
+    from vastdb_sdk_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_dedup_pairs, minhash_join,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "!!!"), (2, "???"), (3, None), (4, ""),
+         (5, "the quick brown fox jumps over the lazy dog"),
+         (6, "the quick brown fox jumps over the lazy dog")],
+        "doc_id LONG, text STRING",
+    )
+    pairs = minhash_dedup_pairs(df, num_hashes=16, num_bands=4, threshold=0.8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(5, 6)}
+    assert lsh_candidate_pairs(df).filter("id_a < 5").count() == 0
+    joined = minhash_join(df, df.withColumnRenamed("doc_id", "rid"),
+                          right_id="rid", threshold=0.8)
+    assert {(r.left_id, r.right_id) for r in joined.collect()} == {
+        (5, 5), (5, 6), (6, 5), (6, 6)
+    }
+
+
+def test_lsh_band_validation(spark):
+    from vastdb_sdk_spark.operators.dedup import lsh_candidate_pairs
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="must be in"):
+        lsh_candidate_pairs(df, num_hashes=16, num_bands=32)
+    with pytest.raises(ValueError, match="divide"):
+        lsh_candidate_pairs(df, num_hashes=16, num_bands=5)
+
+
+def test_remove_duplicate_lines_null_text_counts(spark):
+    from vastdb_sdk_spark.operators.dedup import remove_duplicate_lines
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\na"), (2, None)], "doc_id LONG, text STRING"
+    )
+    rows = {r.doc_id: r for r in remove_duplicate_lines(df).collect()}
+    # null text used to report n_lines_dropped = -1 (size(split(NULL)))
+    assert rows[2].n_lines_dropped >= 0
+    assert rows[1].n_lines_dropped >= 0

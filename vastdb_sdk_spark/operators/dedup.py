@@ -30,13 +30,32 @@ from ..functions.text import shingles_from_tokens, tokens
 # exact
 
 
+def _content_digest(cols: list[str]) -> Column:
+    """md5 over the row's column values, NULL-safe: each value is length-
+    prefixed and NULL gets its own marker, so ('x', NULL) and (NULL, 'x')
+    — which concat_ws would both collapse to 'x' by silently SKIPPING
+    nulls — digest differently, and no value string can forge another's
+    boundary. Grouping by this digest equals SQL GROUP BY over the
+    columns (NULLs equal within a column, positions distinct)."""
+    parts = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.coalesce(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s),
+                F.lit("\x00"),
+            )
+        )
+    return F.md5(F.concat_ws("\x1f", *parts))
+
+
 def exact_duplicate_groups(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Group rows by content digest; returns one row per distinct content
-    with ``n_copies`` and the full id list. Digest = md5 over the
-    concatenated columns (uniform key -> no shuffle skew)."""
-    cols = cols or df.columns
-    digest = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
-    return df.groupBy(digest.alias("content_hash")).agg(
+    with ``n_copies``. Digest = NULL-safe md5 over the columns (uniform
+    key -> no shuffle skew)."""
+    return df.groupBy(
+        _content_digest(cols or df.columns).alias("content_hash")
+    ).agg(
         F.count(F.lit(1)).alias("n_copies"),
     )
 
@@ -45,16 +64,24 @@ def dedup_exact(
     df: DataFrame, cols: list[str] | None = None, order_col: str | None = None
 ) -> DataFrame:
     """Keep exactly one row per distinct content (the min of ``order_col``
-    if given). Implemented as a window-free groupBy+join-back-free
-    min_by/struct trick: a single shuffle, no second pass over the data."""
+    if given; rows whose order value is NULL sort last, so a group whose
+    members are ALL null-ordered still keeps a real representative —
+    bare min_by would skip every member and emit an all-NULL row).
+    Implemented as a window-free groupBy+join-back-free min_by/struct
+    trick: a single shuffle, no second pass over the data."""
     cols = cols or df.columns
-    digest = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
     if order_col is None:
         # any representative: min over the struct of all columns
         agg = F.min_by(F.struct(*df.columns), F.struct(*df.columns))
     else:
-        agg = F.min_by(F.struct(*df.columns), F.col(order_col))
-    kept = df.groupBy(digest.alias("__h")).agg(agg.alias("__row"))
+        agg = F.min_by(
+            F.struct(*df.columns),
+            F.struct(
+                F.col(order_col).isNull().alias("n"),
+                F.col(order_col).alias("v"),
+            ),
+        )
+    kept = df.groupBy(_content_digest(cols).alias("__h")).agg(agg.alias("__row"))
     return kept.select(*[F.col(f"__row.{c}").alias(c) for c in df.columns])
 
 
@@ -122,6 +149,22 @@ def minhash_signatures(
     return based.select(id_col, sig.alias("minhash_sig"))
 
 
+def _check_bands(num_hashes: int, num_bands: int) -> None:
+    """num_bands must divide num_hashes: a band width flooring to 0 gives
+    every document IDENTICAL band keys (a corpus-wide cross product), and
+    a non-dividing split silently ignores the trailing signature rows,
+    skewing the documented S-curve. Both fail loudly instead."""
+    if not 1 <= int(num_bands) <= int(num_hashes):
+        raise ValueError(
+            f"num_bands={num_bands} must be in [1, num_hashes={num_hashes}]"
+        )
+    if int(num_hashes) % int(num_bands) != 0:
+        raise ValueError(
+            f"num_bands={num_bands} must divide num_hashes={num_hashes} "
+            "(trailing signature rows would be silently ignored)"
+        )
+
+
 def lsh_band_keys(
     sig_df: DataFrame,
     num_bands: int,
@@ -181,7 +224,15 @@ def lsh_candidate_pairs(
     an oversized bucket are near-certain duplicates of each other, so at
     scale handle them with EXACT dedup first (dedup_exact removes
     byte-identical mass cheaply) and use the cap as the backstop; dropped
-    buckets cost one extra window pass over the band rows."""
+    buckets cost one extra window pass over the band rows.
+
+    Token-empty documents (null/empty/punctuation-only text) are excluded
+    from candidate generation: they all share the single degenerate
+    shingle ``""``, so they'd form ONE quadratic bucket and verify as
+    mutual duplicates at Jaccard 1.0 — '!!!' and '???' are not near-dups
+    of each other. Byte-identical blank pages belong to EXACT dedup."""
+    _check_bands(num_hashes, num_bands)
+    df = df.filter(F.size(tokens(F.col(text_col))) > 0)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, hash_fn)
     bands = lsh_band_keys(sigs, num_bands, id_col, hash_fn)
     if max_bucket_size is not None:
@@ -228,7 +279,11 @@ def jaccard_verify_pairs(
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    suspects = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    # no broadcast HINT: on a degenerate corpus (no bucket cap) the
+    # candidate-id frame is unbounded, and a forced broadcast dies on
+    # driver memory instead of degrading to a shuffled semi-join; AQE
+    # still broadcasts it whenever it is actually small
+    suspects = df.join(cand_ids, id_col, "left_semi")
     sh = suspects.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__tk")
     ).select(
@@ -334,16 +389,6 @@ def minhash_dedup_pairs_managed(
 
 # ---------------------------------------------------------------------------
 # SimHash
-
-
-def _hash_bit_pm(h, j: int) -> Column:
-    """+1/-1 vote from bit j (0..63) of a 32-hex-char hash string. ``h`` is
-    a column NAME: the expression is built as a SQL string because instr()
-    hex-nibble parsing benchmarked measurably faster than conv()."""
-    pos, sh = 1 + j // 4, 3 - j % 4
-    return F.expr(
-        f"((shiftright(instr('0123456789abcdef', substring({h}, {pos}, 1)) - 1, {sh}) & 1) * 2 - 1)"
-    )
 
 
 def simhash(
@@ -563,8 +608,30 @@ def dup_clusters(
                 "silently skip dedup — map ids to longs (hash/dense_rank) "
                 "before clustering"
             )
+
+    def _id_to_long(c: str) -> Column:
+        dt = schema_by_name[c]
+        if (
+            dt.typeName() == "decimal"
+            and getattr(dt, "precision", 39) > 18
+        ):
+            # wide decimals (DuckDB HUGEINT ids arrive as decimal(38,0))
+            # can exceed long range, where a non-ANSI cast NULLs the id
+            # and NULL nodes silently fall out of the propagation joins —
+            # the keep-all-duplicates failure the string guard exists to
+            # prevent. Range-check explicitly so both ANSI modes fail loud.
+            v = F.col(c)
+            guard = F.assert_true(
+                v.between(
+                    F.lit(-(2**63)).cast(dt), F.lit(2**63 - 1).cast(dt)
+                ),
+                F.lit(f"dup_clusters: {c} id exceeds long range"),
+            )
+            return F.when(guard.isNull(), v.cast("long"))
+        return F.col(c).cast("long")
+
     e = pairs.select(
-        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+        _id_to_long(id_a).alias("src"), _id_to_long(id_b).alias("dst")
     )
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1128,7 +1195,9 @@ def remove_duplicate_lines(
         ).alias(out_col),
         F.count(F.lit(1)).alias("n_lines_kept"),
     )
-    n_total = F.size(F.split(F.col(text_col), "\n", -1))
+    # coalesce like the out_col path: size(split(NULL)) is -1 (legacy) or
+    # NULL (ANSI), either of which corrupts n_lines_dropped aggregates
+    n_total = F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1))
     return (
         df.join(reassembled, id_col, "left")
         .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
@@ -1141,7 +1210,7 @@ def remove_duplicate_lines(
 # two-table MinHash fuzzy join (record linkage)
 
 
-def minhash_join(
+def _minhash_join_impl(
     left: DataFrame,
     right: DataFrame,
     left_text: str = "text",
@@ -1154,7 +1223,7 @@ def minhash_join(
     shingle_k: int = 3,
     hash_fn: str = "xxhash64",
     max_bucket_size: int | None = None,
-) -> DataFrame:
+):
     """Fuzzy JOIN between two tables on text similarity (record linkage /
     cross-corpus contamination): emit ``(left_id, right_id, jaccard)`` for
     every cross-table pair whose exact shingle-set Jaccard >= ``threshold``.
@@ -1174,6 +1243,11 @@ def minhash_join(
     """
     if threshold <= 0 or threshold > 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    _check_bands(num_hashes, num_bands)
+    # token-empty rows out, same contract as lsh_candidate_pairs: they
+    # share the degenerate "" shingle and would cross-join at Jaccard 1.0
+    left = left.filter(F.size(tokens(F.col(left_text))) > 0)
+    right = right.filter(F.size(tokens(F.col(right_text))) > 0)
     sig_l = minhash_signatures(left, left_text, left_id, num_hashes, shingle_k, hash_fn)
     sig_r = minhash_signatures(right, right_text, right_id, num_hashes, shingle_k, hash_fn)
     bands_l = lsh_band_keys(sig_l, num_bands, left_id, hash_fn)
@@ -1240,6 +1314,29 @@ def minhash_join(
     inter = F.size(F.array_intersect("__shl", "__shr"))
     union = F.size(F.array_union("__shl", "__shr"))
     jac = inter / F.greatest(union, F.lit(1))
-    return joined.select(
+    verified = joined.select(
         "left_id", "right_id", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= F.lit(float(threshold)))
+    return verified, cand
+
+
+def minhash_join(*args, **kwargs) -> DataFrame:
+    """See :func:`_minhash_join_impl` for semantics. The internal candidate
+    frame stays persisted until context GC (same contract as
+    :func:`minhash_dedup_pairs`); loops calling this per table/batch pair
+    should use :func:`minhash_join_managed`, which unpersists on exit."""
+    verified, _cand = _minhash_join_impl(*args, **kwargs)
+    return verified
+
+
+@contextlib.contextmanager
+def minhash_join_managed(*args, **kwargs):
+    """:func:`minhash_join` with a bounded cache lifetime: yields the
+    verified-pairs frame and unpersists the internal candidate cache on
+    exit — consume (or persist a derivative of) the yielded frame INSIDE
+    the block."""
+    verified, cand = _minhash_join_impl(*args, **kwargs)
+    try:
+        yield verified
+    finally:
+        cand.unpersist(blocking=True)
