@@ -1310,6 +1310,69 @@ def test_lsh_band_validation(spark):
         lsh_candidate_pairs(df, num_hashes=16, num_bands=5)
 
 
+def test_lsh_token_empty_guard_no_filter_side_tokenize(spark):
+    """The token-empty exclusion must NOT be a filter: PushDownPredicates
+    substitutes a filter's alias references back to the tokenizer expression
+    (verified on pyspark 4.1.2), re-running the regex split once per row on
+    top of the signature pipeline's own evaluation — the r11 2x regression.
+    Pins the mark_empty/skip_col path: no Filter node in the optimized plan
+    may contain the tokenizer's split()."""
+    from vastdb_sdk_spark.operators.dedup import lsh_candidate_pairs, minhash_join
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "")], "doc_id LONG, text STRING"
+    )
+    for plan_df in (
+        lsh_candidate_pairs(df, num_hashes=8, num_bands=4),
+        minhash_join(
+            df, df.withColumnRenamed("doc_id", "rid"), right_id="rid",
+            threshold=0.8,
+        ),
+    ):
+        opt = plan_df._jdf.queryExecution().optimizedPlan().toString()
+        bad = [
+            ln for ln in opt.splitlines()
+            if "Filter" in ln and "split(" in ln
+        ]
+        assert not bad, f"filter-side tokenization reintroduced: {bad[0][:200]}"
+
+
+def test_unmanaged_candidate_cache_is_bounded(spark):
+    """The unmanaged minhash APIs persist their candidate frames; a long
+    session calling them per table must not accumulate caches without bound
+    (the r11 session-spread suspect). The registry keeps at most the cap,
+    oldest-first, and re-persisting the SAME pipeline replaces its entry
+    (CacheManager shares one entry across identical plans)."""
+    from vastdb_sdk_spark.operators import dedup
+
+    base = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta epsilon") for i in range(20)],
+        "doc_id LONG, text STRING",
+    )
+    before = list(dedup._unmanaged_caches)
+    frames = []
+    for k in range(dedup._UNMANAGED_CACHE_CAP + 2):
+        # distinct filters => semantically distinct pipelines
+        frames.append(
+            dedup.minhash_dedup_pairs(
+                base.filter(F.col("doc_id") >= k), num_hashes=8, num_bands=4
+            )
+        )
+        frames[-1].count()
+    assert len(dedup._unmanaged_caches) <= dedup._UNMANAGED_CACHE_CAP
+    # same pipeline re-run: replaces, not grows
+    n = len(dedup._unmanaged_caches)
+    dedup.minhash_dedup_pairs(
+        base.filter(F.col("doc_id") >= 1), num_hashes=8, num_bands=4
+    ).count()
+    assert len(dedup._unmanaged_caches) == n
+    # evicted frames still compute correct (empty) results
+    assert frames[0].count() == frames[0].count()
+    spark.catalog.clearCache()
+    del dedup._unmanaged_caches[:]
+    dedup._unmanaged_caches.extend(before)
+
+
 def test_remove_duplicate_lines_null_text_counts(spark):
     from vastdb_sdk_spark.operators.dedup import remove_duplicate_lines
 

@@ -20,6 +20,7 @@ any source (engine tables via ``Table.df()`` or raw ``spark.read``).
 from __future__ import annotations
 
 import contextlib
+import threading
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -118,20 +119,39 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_k: int = 3,
     hash_fn: str = "xxhash64",
+    mark_empty: bool = False,
 ) -> DataFrame:
     """Per-document MinHash signature: sig_i = min over shingles of
     (A_i * base(shingle) + B_i) mod P. The whole signature is computed in
     staged projections (no explode, no shuffle) and the base is hashed
-    once per shingle regardless of num_hashes."""
+    once per shingle regardless of num_hashes.
+
+    ``mark_empty=True`` adds a ``__tkempty`` boolean column (True for
+    token-empty or NULL text) computed from the ALREADY-materialized token
+    array in the same staged projection. This is how the LSH pipelines
+    exclude token-empty docs without a ``filter(size(tokens(..)))``:
+    PushDownPredicates substitutes a filter's alias references back to the
+    producing expression (verified on pyspark 4.1.2), so a pre-filter
+    re-runs the regex tokenizer once per row on top of the signature
+    pipeline's own evaluation — the r11 2x regression on this family."""
+    extra = []
+    if mark_empty:
+        # coalesce: NULL text => size(NULL)=NULL => flag True, same drop
+        # behavior the old size(tokens(..)) > 0 filter had for NULLs
+        extra = [
+            F.coalesce(F.size(F.col("__tk")) == 0, F.lit(True)).alias("__tkempty")
+        ]
     toked = df.select(id_col, tokens(F.col(text_col)).alias("__tk"))
     staged = toked.select(
-        id_col, shingles_from_tokens(F.col("__tk"), shingle_k).alias("__sh")
+        id_col, shingles_from_tokens(F.col("__tk"), shingle_k).alias("__sh"), *extra
     )
+    passthru = ["__tkempty"] if mark_empty else []
     based = staged.select(
         id_col,
         F.transform(
             F.col("__sh"), lambda x: minhash_base(x, hash_fn)
         ).alias("__hb"),
+        *passthru,
     )
     # NB: the permutation lambda must take exactly ONE argument — PySpark
     # treats a second parameter (even a defaulted one) as the element-index
@@ -146,7 +166,7 @@ def minhash_signatures(
             for i in range(num_hashes)
         ]
     )
-    return based.select(id_col, sig.alias("minhash_sig"))
+    return based.select(id_col, sig.alias("minhash_sig"), *passthru)
 
 
 def _check_bands(num_hashes: int, num_bands: int) -> None:
@@ -170,11 +190,19 @@ def lsh_band_keys(
     num_bands: int,
     id_col: str = "doc_id",
     hash_fn: str = "xxhash64",
+    skip_col: str | None = None,
 ) -> DataFrame:
     """Explode signatures into (band_id, band_key) rows. Two docs share a
     band_key iff their signature rows in that band agree exactly. With
     ``xxhash64`` the band key is a LONG (8-byte shuffle key); the ``md5``
-    variant keeps the oracle-reproducible 32-char hex key."""
+    variant keeps the oracle-reproducible 32-char hex key.
+
+    ``skip_col`` names a boolean column of ``sig_df`` (see
+    ``minhash_signatures(mark_empty=True)``): rows where it is True (or
+    NULL) get a NULL band array, which ``explode`` drops — zero band rows,
+    so they can never join. This exclusion path adds NO filter operator,
+    hence nothing for PushDownPredicates to substitute back into a second
+    tokenizer evaluation."""
     n = num_bands
     sig_str = F.transform(F.col("minhash_sig"), lambda x: x.cast("string"))
 
@@ -197,6 +225,10 @@ def lsh_band_keys(
         F.sequence(F.lit(0), F.lit(n - 1)),
         lambda b: F.struct(b.alias("band_id"), _band_key(b).alias("band_key")),
     )
+    if skip_col is not None:
+        # when(cond) with no otherwise: False OR NULL cond => NULL array
+        # => explode emits no rows for this document
+        bands = F.when(~F.col(skip_col), bands)
     return sig_df.select(id_col, F.explode(bands).alias("b")).select(
         id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
     )
@@ -230,11 +262,15 @@ def lsh_candidate_pairs(
     from candidate generation: they all share the single degenerate
     shingle ``""``, so they'd form ONE quadratic bucket and verify as
     mutual duplicates at Jaccard 1.0 — '!!!' and '???' are not near-dups
-    of each other. Byte-identical blank pages belong to EXACT dedup."""
+    of each other. Byte-identical blank pages belong to EXACT dedup.
+    The exclusion is the mark_empty/skip_col path (one tokenizer
+    evaluation), NOT a filter — see minhash_signatures' docstring for the
+    PushDownPredicates double-tokenize hazard a filter reintroduces."""
     _check_bands(num_hashes, num_bands)
-    df = df.filter(F.size(tokens(F.col(text_col))) > 0)
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, hash_fn)
-    bands = lsh_band_keys(sigs, num_bands, id_col, hash_fn)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, hash_fn, mark_empty=True
+    )
+    bands = lsh_band_keys(sigs, num_bands, id_col, hash_fn, skip_col="__tkempty")
     if max_bucket_size is not None:
         from pyspark.sql import Window as W
 
@@ -274,10 +310,11 @@ def jaccard_verify_pairs(
     shingle sets are computed for |candidates| documents, not |corpus| —
     at 100 TB candidates are a vanishing fraction and this is the difference
     between re-tokenizing the corpus twice and touching only suspects."""
-    cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    # no .distinct(): a left-semi join is set-semantics on the probe side
+    # regardless of duplicate build-side keys, so deduplicating candidate
+    # ids here would only add a shuffle + an AQE stage barrier
+    cand_ids = pairs.select(F.col("id_a").alias(id_col)).union(
+        pairs.select(F.col("id_b").alias(id_col))
     )
     # no broadcast HINT: on a degenerate corpus (no bucket cap) the
     # candidate-id frame is unbounded, and a forced broadcast dies on
@@ -290,22 +327,39 @@ def jaccard_verify_pairs(
         F.col(id_col),
         F.array_distinct(shingles_from_tokens(F.col("__tk"), shingle_k)).alias("__sh"),
     )
-    a = sh.alias("sa")
-    b = sh.alias("sb")
-    joined = (
-        pairs.join(a, pairs.id_a == F.col(f"sa.{id_col}"))
-        .join(b, pairs.id_b == F.col(f"sb.{id_col}"))
-        .select(
-            "id_a",
-            "id_b",
-            F.col("sa.__sh").alias("sh_a"),
-            F.col("sb.__sh").alias("sh_b"),
+    # ONE join + ONE groupBy instead of two joins against two aliases of
+    # `sh`: Spark has no subplan reuse short of ReusedExchange, so the
+    # aliased two-join shape evaluated the whole suspects->shingles subtree
+    # twice and paid an extra AQE join round. Here each pair explodes into
+    # its two member ids, joins the shingle frame once, and the pair is
+    # reassembled by a single hash aggregate. A pair with an id absent
+    # from `df` loses that side's row, its shingle slot stays NULL, the
+    # Jaccard is NULL, and the >= threshold filter drops it — same outcome
+    # as the old inner joins. NB: duplicate input pairs collapse to one
+    # output row (the internal caller feeds distinct candidates).
+    sides = pairs.select(
+        "id_a",
+        "id_b",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col),
+    )
+    grouped = (
+        sides.join(sh, id_col)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(
+                F.when(F.col(id_col) == F.col("id_a"), F.col("__sh")),
+                ignorenulls=True,
+            ).alias("sh_a"),
+            F.first(
+                F.when(F.col(id_col) == F.col("id_b"), F.col("__sh")),
+                ignorenulls=True,
+            ).alias("sh_b"),
         )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter / F.greatest(union, F.lit(1))
-    return joined.select(
+    return grouped.select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
 
@@ -328,15 +382,59 @@ def minhash_dedup_pairs(
     The candidate set is persisted before verification: it is tiny relative
     to the corpus and is consumed three times (two id projections + the
     verify join) — without the persist the whole signature pipeline would
-    re-run per consumer. The persisted frame lives until the Spark context
-    GCs it; loops calling this per table/batch should use
-    :func:`minhash_dedup_pairs_managed`, which unpersists it on exit
+    re-run per consumer. The cache outlives the call so repeated actions on
+    the returned frame stay cheap, but total accumulation is BOUNDED: the
+    module keeps at most ``_UNMANAGED_CACHE_CAP`` live candidate caches,
+    evicting oldest-first (an evicted frame silently recomputes if still
+    referenced). Loops wanting deterministic per-iteration cleanup should
+    use :func:`minhash_dedup_pairs_managed`, which unpersists on exit
     (Table.dedup_near_rows and the streaming path do)."""
-    verified, _pairs = _minhash_pipeline(
+    verified, pairs = _minhash_pipeline(
         df, text_col, id_col, num_hashes, num_bands, threshold, shingle_k,
         hash_fn, max_bucket_size,
     )
+    _register_unmanaged_cache(pairs)
     return verified
+
+
+# Bounded lifetime for the unmanaged APIs' internal candidate caches: a
+# long-lived session calling minhash_dedup_pairs / minhash_join per table
+# would otherwise accumulate CacheManager entries until context GC (the
+# r11 session-spread suspect). Oldest-first eviction; cap 4 keeps the
+# common interactive pattern (re-running the same pipeline) fully cached.
+_UNMANAGED_CACHE_CAP = 4
+_unmanaged_caches: list[DataFrame] = []
+_unmanaged_lock = threading.Lock()
+
+
+def _register_unmanaged_cache(frame: DataFrame) -> None:
+    """Track an unmanaged persist, evicting the oldest beyond the cap.
+
+    A re-persist of a semantically identical plan REPLACES its entry
+    instead of growing the list: CacheManager shares one cache entry across
+    identical plans, so unpersisting the old reference later would also
+    drop the new one's cache. Eviction only unpersists — a caller still
+    holding an evicted frame recomputes on next use; slower, never wrong."""
+    evicted: list[DataFrame] = []
+    with _unmanaged_lock:
+        replaced = False
+        for i, old in enumerate(_unmanaged_caches):
+            try:
+                if old.sameSemantics(frame):
+                    _unmanaged_caches[i] = frame
+                    replaced = True
+                    break
+            except Exception:
+                continue
+        if not replaced:
+            _unmanaged_caches.append(frame)
+            evicted = _unmanaged_caches[:-_UNMANAGED_CACHE_CAP]
+            del _unmanaged_caches[:-_UNMANAGED_CACHE_CAP]
+    for old in evicted:
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing left to free
 
 
 def _minhash_pipeline(
@@ -1244,14 +1342,18 @@ def _minhash_join_impl(
     if threshold <= 0 or threshold > 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     _check_bands(num_hashes, num_bands)
-    # token-empty rows out, same contract as lsh_candidate_pairs: they
-    # share the degenerate "" shingle and would cross-join at Jaccard 1.0
-    left = left.filter(F.size(tokens(F.col(left_text))) > 0)
-    right = right.filter(F.size(tokens(F.col(right_text))) > 0)
-    sig_l = minhash_signatures(left, left_text, left_id, num_hashes, shingle_k, hash_fn)
-    sig_r = minhash_signatures(right, right_text, right_id, num_hashes, shingle_k, hash_fn)
-    bands_l = lsh_band_keys(sig_l, num_bands, left_id, hash_fn)
-    bands_r = lsh_band_keys(sig_r, num_bands, right_id, hash_fn)
+    # token-empty rows excluded, same contract as lsh_candidate_pairs: they
+    # share the degenerate "" shingle and would cross-join at Jaccard 1.0.
+    # mark_empty/skip_col, not a filter — one tokenizer evaluation per side
+    # (see minhash_signatures' docstring for the pushdown hazard).
+    sig_l = minhash_signatures(
+        left, left_text, left_id, num_hashes, shingle_k, hash_fn, mark_empty=True
+    )
+    sig_r = minhash_signatures(
+        right, right_text, right_id, num_hashes, shingle_k, hash_fn, mark_empty=True
+    )
+    bands_l = lsh_band_keys(sig_l, num_bands, left_id, hash_fn, skip_col="__tkempty")
+    bands_r = lsh_band_keys(sig_r, num_bands, right_id, hash_fn, skip_col="__tkempty")
     if max_bucket_size is not None:
         from pyspark.sql import Window as W
 
@@ -1285,10 +1387,13 @@ def _minhash_join_impl(
         .persist()
     )
     # exact verify on candidates only; each side re-tokenizes just the
-    # documents that appear in a candidate (left-semi prune).
+    # documents that appear in a candidate (left-semi prune). No .distinct()
+    # inside the broadcasts: semi-join semantics ignore duplicate build-side
+    # keys and the dedup shuffle would cost an extra AQE barrier per side;
+    # the frame is bucket-capped so the duplicated broadcast stays small.
     sh_l = (
         left.join(
-            F.broadcast(cand.select(F.col("left_id").alias(left_id)).distinct()),
+            F.broadcast(cand.select(F.col("left_id").alias(left_id))),
             left_id,
             "left_semi",
         )
@@ -1300,7 +1405,7 @@ def _minhash_join_impl(
     )
     sh_r = (
         right.join(
-            F.broadcast(cand.select(F.col("right_id").alias(right_id)).distinct()),
+            F.broadcast(cand.select(F.col("right_id").alias(right_id))),
             right_id,
             "left_semi",
         )
@@ -1322,10 +1427,12 @@ def _minhash_join_impl(
 
 def minhash_join(*args, **kwargs) -> DataFrame:
     """See :func:`_minhash_join_impl` for semantics. The internal candidate
-    frame stays persisted until context GC (same contract as
-    :func:`minhash_dedup_pairs`); loops calling this per table/batch pair
-    should use :func:`minhash_join_managed`, which unpersists on exit."""
-    verified, _cand = _minhash_join_impl(*args, **kwargs)
+    cache is tracked by the same bounded oldest-first registry as
+    :func:`minhash_dedup_pairs` (cap ``_UNMANAGED_CACHE_CAP``); loops
+    wanting deterministic per-iteration cleanup should use
+    :func:`minhash_join_managed`, which unpersists on exit."""
+    verified, cand = _minhash_join_impl(*args, **kwargs)
+    _register_unmanaged_cache(cand)
     return verified
 
 
