@@ -121,6 +121,34 @@ def test_point_lookup_prunes_to_one_file(clean_schema):
         assert got.column("v").to_pylist() == ["s1234"]
 
 
+def test_refresh_backfills_col_type_stamp(clean_schema):
+    """A config built before the col_type stamp existed (simulated by
+    deleting the key) must keep-all on numeric probes — and a refresh must
+    backfill the stamp from the arrow schema so numeric pruning resumes;
+    the bitmaps themselves are hash-compatible, so no rebuild happens."""
+    session = _multi_file_table(clean_schema)
+    with session.transaction() as tx:
+        tx.bucket("bkt").schema("s").table("t").build_column_index("id")
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        phys = t._physical_of("id")
+        entry = t.entry
+        assert entry.properties["column_indexes"][phys].pop("col_type") == "integer"
+        t._mutate(entry, "strip col_type (simulate pre-stamp config)")
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        # pre-stamp config: numeric probe degrades to keep-all
+        assert t.prune_preview(D.id == 1234)["candidate_files"] == 6
+        res = t.refresh_column_index("id")
+        assert res == {"added_files": 0, "dropped_files": 0}
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        phys = t._physical_of("id")
+        assert t.entry.properties["column_indexes"][phys]["col_type"] == "integer"
+        # stamp restored: numeric pruning works again, no rebuild needed
+        assert t.prune_preview(D.id == 1234)["candidate_files"] == 1
+
+
 def test_new_files_conservative_then_incremental_refresh(clean_schema):
     session = _multi_file_table(clean_schema)
     with session.transaction() as tx:

@@ -922,6 +922,44 @@ def test_semantic_dedup_marks_and_pairs(spark):
     }
 
 
+def test_norm_hoist_survives_collapse_project(spark):
+    """CollapseProject inlines a non-cheap alias referenced ONCE back into
+    a transform() lambda body — re-evaluating the L2-norm aggregate per
+    element, O(d^2) per row. The when(norm > 0, ...) barrier makes the
+    alias referenced twice, which CollapseProject refuses to collapse.
+    Pins the hoist in the OPTIMIZED plan for truncate_embeddings and
+    semantic_dup_pairs; a future optimizer rule or refactor that re-inlines
+    the aggregate fails here, not in a bench regression."""
+    from vastdb_sdk_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    rows = [(i, v.tolist()) for i, v in enumerate(rng.standard_normal((30, 8)))]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    def assert_hoisted(plan_df, label):
+        opt = plan_df._jdf.queryExecution().optimizedPlan().toString()
+        bad = [
+            ln
+            for ln in opt.splitlines()
+            if "transform(" in ln and "sqrt(aggregate(" in ln
+        ]
+        assert not bad, f"{label}: norm aggregate inlined into lambda: {bad[0][:200]}"
+
+    tr = similarity.truncate_embeddings(df, dims=4)
+    assert_hoisted(tr, "truncate_embeddings")
+    # values: still exact unit-norm truncation
+    row = tr.filter(F.col("vec_id") == 0).collect()[0]
+    v = np.array(rows[0][1][:4])
+    np.testing.assert_allclose(
+        np.array(row.embedding_trunc), v / np.linalg.norm(v), rtol=1e-12
+    )
+
+    pairs = similarity.semantic_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.95, num_centroids=2, seed=1
+    )
+    assert_hoisted(pairs, "semantic_dup_pairs")
+
+
 def test_semantic_dup_pairs_twolevel_clamp_recall(spark):
     """Near-duplicate RECALL in the centroid-clamp regime, where
     assign_probe_centroids goes two-level/approximate (C >= threshold,

@@ -439,6 +439,17 @@ def test_dup_clusters_rejects_non_integral_ids(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dup_clusters(dec).collect()}
     assert got == {1: 1, 2: 1}
+    # a NULL wide-decimal id fails loud with a message that covers nulls —
+    # assert_true throws on NULL conditions too, so without the isNotNull
+    # leg the error would misleadingly claim the id "exceeds long range"
+    nulled = spark.createDataFrame(
+        [(None, 2)], "id_a LONG, id_b LONG"
+    ).select(
+        F.col("id_a").cast("decimal(38,0)").alias("id_a"),
+        F.col("id_b").cast("decimal(38,0)").alias("id_b"),
+    )
+    with _pytest.raises(Exception, match="NULL or exceeds long range"):
+        dup_clusters(nulled).collect()
 
 
 def test_quality_percentile_filter_single_row_stratum(spark):

@@ -153,6 +153,73 @@ def test_interval_extraction_datetime_and_prefix():
     assert not pfx[0].overlaps("abd", "abz")
 
 
+def test_temporal_literal_on_string_column_never_false_prunes(clean_schema):
+    """A datetime literal against a STRING sort column makes Spark cast the
+    COLUMN to timestamp, so a 'T'-separated stored string matches the
+    predicate — but the min/max stats probe compares the normalized
+    space-separated ISO string lexically ('T' > ' '), which used to
+    false-prune the file holding the matching rows. The type-aware gate
+    must keep every file; the matching timestamp-typed pairing must still
+    prune."""
+    import datetime as dt
+
+    from vastdb_sdk_spark.plans.pruning import (
+        _temporal_stats_hazard,
+        prune_files,
+        prune_files_by_partition,
+    )
+
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "ts_str", pa.schema([("ts", pa.string()), ("v", pa.int64())]),
+            sorting_key=["ts"],
+        )
+        rows = [
+            f"2024-01-{d:02d}T{h:02d}:00:00" for d in range(1, 11) for h in range(24)
+        ]
+        t.insert(pa.table({"ts": pa.array(rows), "v": pa.array(range(len(rows)), pa.int64())}))
+    with clean_schema.transaction() as tx:
+        tx.bucket("bkt").schema("s").table("ts_str").optimize(target_file_rows=60)
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("ts_str")
+        pred = D.ts >= dt.datetime(2024, 1, 9)
+        # semantics first: Spark casts the string column, rows DO match
+        n = t.select_df(predicate=pred).count()
+        assert n == 48
+        # the gate: no file with matching rows may be dropped
+        pruned = t._pruned_files(pred)
+        assert pruned is None or len(pruned) == len(t.entry.files)
+
+    # unit level: string/unknown column type -> keep-all; timestamp -> prune
+    class FE:
+        def __init__(self, lo, hi):
+            self.col_stats = {"ts": [lo, hi]}
+            self.partition = {"ts": lo}
+
+    files = [FE("2024-01-01T00:00:00", "2024-01-05T23:00:00")]
+    pred = D.ts >= dt.datetime(2024, 1, 9)
+    assert prune_files(files, "ts", pred, col_type=pa.string()) == files
+    assert prune_files(files, "ts", pred, col_type=None) == files
+    assert prune_files_by_partition(files, pred, col_types={"ts": pa.string()}) == files
+    # matching granularity still prunes: timestamp column stats are stored
+    # space-separated, and a non-overlapping file is dropped
+    ok = [FE("2024-01-01 00:00:00", "2024-01-05 23:00:00")]
+    assert prune_files(ok, "ts", pred, col_type=pa.timestamp("us")) == []
+    keep = [FE("2024-01-08 00:00:00", "2024-01-12 00:00:00")]
+    assert prune_files(keep, "ts", pred, col_type=pa.timestamp("us")) == keep
+    # the walker must not recurse into synthesized ColumnRef children
+    # (Expr.__getattr__ fabricates .inner on a ColumnRef)
+    assert prune_files(keep, "ts", D.ts.startswith("2024"), col_type=pa.string()) == keep
+    # date literal on a timestamp column is a granularity MISMATCH
+    # (midnight stat '.. 00:00:00' sorts above the bare date probe)
+    assert _temporal_stats_hazard(
+        D.ts == dt.date(2024, 1, 1), "ts", pa.timestamp("us")
+    )
+    assert not _temporal_stats_hazard(
+        D.ts == dt.date(2024, 1, 1), "ts", pa.date32()
+    )
+
+
 def test_string_sortkey_prefix_pruning(clean_schema):
     with clean_schema.transaction() as tx:
         t = tx.bucket("bkt").schema("s").create_table(

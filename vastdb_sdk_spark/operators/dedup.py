@@ -718,12 +718,18 @@ def dup_clusters(
             # and NULL nodes silently fall out of the propagation joins —
             # the keep-all-duplicates failure the string guard exists to
             # prevent. Range-check explicitly so both ANSI modes fail loud.
+            # isNotNull first: between() is NULL for a NULL id and
+            # assert_true throws on NULL conditions too, so without it a
+            # NULL id would fail with the misleading range message.
             v = F.col(c)
             guard = F.assert_true(
-                v.between(
+                v.isNotNull()
+                & v.between(
                     F.lit(-(2**63)).cast(dt), F.lit(2**63 - 1).cast(dt)
                 ),
-                F.lit(f"dup_clusters: {c} id exceeds long range"),
+                F.lit(
+                    f"dup_clusters: {c} id is NULL or exceeds long range"
+                ),
             )
             return F.when(guard.isNull(), v.cast("long"))
         return F.col(c).cast("long")

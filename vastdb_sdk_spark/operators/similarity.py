@@ -1415,7 +1415,15 @@ def semantic_dup_pairs(
     # aggregate embedded in the lambda body is re-evaluated per element
     # (HOF lambdas get no loop-invariant hoisting), turning the
     # normalization scan O(d^2) per row — ~768 full sum-of-squares per
-    # 768-dim embedding instead of one
+    # 768-dim embedding instead of one. A bare alias is NOT enough:
+    # CollapseProject inlines a non-cheap alias referenced once — even
+    # into a lambda body — so the `when(__norm > 0, ...)` below is a
+    # deliberate barrier: it makes __norm referenced TWICE in the
+    # consuming projection, which CollapseProject refuses to collapse.
+    # Semantically identity: __norm = greatest(sqrt(..), 1e-30) is always
+    # > 0 (NaN compares greater than 0 under Spark's NaN ordering), and
+    # the optimizer cannot fold a runtime comparison. Pinned by
+    # test_norm_hoist_survives_collapse_project.
     staged = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__vd")
     ).withColumn(
@@ -1429,9 +1437,10 @@ def semantic_dup_pairs(
     )
     normed = staged.select(
         F.col(id_col),
-        F.transform(F.col("__vd"), lambda x: x / F.col("__norm")).alias(
-            "__nvec"
-        ),
+        F.when(
+            F.col("__norm") > F.lit(0.0),
+            F.transform(F.col("__vd"), lambda x: x / F.col("__norm")),
+        ).alias("__nvec"),
     )
     assigned, _cents = build_ivf_index(
         normed,
@@ -1649,7 +1658,13 @@ def truncate_embeddings(
         return df.withColumn(out_col, t)
     # materialize slice + norm per row BEFORE the divide-transform: a norm
     # aggregate referenced inside the lambda is re-evaluated per element
-    # (no loop-invariant hoisting in HOF eval), i.e. O(dims^2) per row
+    # (no loop-invariant hoisting in HOF eval), i.e. O(dims^2) per row.
+    # The `when(__mrl_norm > 0, ...)` is a CollapseProject barrier, NOT a
+    # real condition: a non-cheap alias referenced once gets inlined back
+    # into the lambda body, undoing the staging; referenced twice it stays
+    # hoisted. Always-true (greatest with 1e-30; NaN > 0 under Spark's
+    # NaN ordering) and not statically foldable. Pinned by
+    # test_norm_hoist_survives_collapse_project.
     staged = df.withColumn("__mrl_t", t).withColumn(
         "__mrl_norm",
         F.greatest(
@@ -1665,8 +1680,12 @@ def truncate_embeddings(
     )
     return staged.withColumn(
         out_col,
-        F.transform(
-            F.col("__mrl_t"), lambda x: x.cast("double") / F.col("__mrl_norm")
+        F.when(
+            F.col("__mrl_norm") > F.lit(0.0),
+            F.transform(
+                F.col("__mrl_t"),
+                lambda x: x.cast("double") / F.col("__mrl_norm"),
+            ),
         ),
     ).drop("__mrl_t", "__mrl_norm")
 

@@ -48,7 +48,13 @@ from typing import Any, Iterable
 
 import numpy as np
 
-from .pruning import _NEG_INF, _POS_INF, _nonempty, extract_intervals
+from .pruning import (
+    _NEG_INF,
+    _POS_INF,
+    _has_temporal_literal,
+    _nonempty,
+    extract_intervals,
+)
 
 _MIN_BITS = 64
 _MAX_BITS = 1 << 20  # default per-file cap: 128 KiB bitmap
@@ -236,39 +242,9 @@ def extract_points(pred: Any, col: str) -> list | None:
         return None
 
 
-def _has_temporal_literal(pred: Any, col: str) -> bool:
-    """Any datetime/date literal compared against ``col`` in the tree."""
-    import datetime as _dt
-
-    from ..expr import BinOp, ColumnRef, Isin, Literal
-
-    def _temporal(v: Any) -> bool:
-        return isinstance(v, (_dt.date, _dt.datetime))
-
-    def _walk(node: Any) -> bool:
-        if isinstance(node, BinOp):
-            if node.op in ("and", "or"):
-                return _walk(node.left) or _walk(node.right)
-            sides = [(node.left, node.right), (node.right, node.left)]
-            for cside, lside in sides:
-                if (
-                    isinstance(cside, ColumnRef)
-                    and cside.path == (col,)
-                    and isinstance(lside, Literal)
-                    and _temporal(lside.value)
-                ):
-                    return True
-            return False
-        if isinstance(node, Isin):
-            return (
-                isinstance(node.inner, ColumnRef)
-                and node.inner.path == (col,)
-                and any(_temporal(v) for v in node.values)
-            )
-        inner = getattr(node, "inner", None)
-        return _walk(inner) if inner is not None else False
-
-    return _walk(pred)
+# _has_temporal_literal moved to plans.pruning (shared with the min/max
+# pruner, which gates the same false-prune hazard type-aware); re-exported
+# here because extract_points' contract references it.
 
 
 # ---------------------------------------------------------------------------

@@ -160,6 +160,97 @@ def _nonempty(iv: Interval) -> bool:
     return iv.lo <= iv.hi
 
 
+def _temporal_literal_kinds(pred: Any, col: str) -> set:
+    """Which temporal literal kinds ({'date', 'datetime'}) are compared
+    against ``col`` anywhere in the tree. Empty set = none."""
+    import datetime as _dt
+
+    kinds: set = set()
+
+    def _kind(v: Any) -> str | None:
+        # order matters: datetime IS-A date
+        if isinstance(v, _dt.datetime):
+            return "datetime"
+        if isinstance(v, _dt.date):
+            return "date"
+        return None
+
+    def _walk(node: Any) -> None:
+        if isinstance(node, BinOp):
+            if node.op in ("and", "or"):
+                _walk(node.left)
+                _walk(node.right)
+                return
+            for cside, lside in ((node.left, node.right), (node.right, node.left)):
+                if (
+                    isinstance(cside, ColumnRef)
+                    and cside.path == (col,)
+                    and isinstance(lside, Literal)
+                ):
+                    k = _kind(lside.value)
+                    if k:
+                        kinds.add(k)
+            return
+        if isinstance(node, Isin):
+            if isinstance(node.inner, ColumnRef) and node.inner.path == (col,):
+                for v in node.values:
+                    k = _kind(v)
+                    if k:
+                        kinds.add(k)
+            return
+        # ONLY follow a real stored `inner` (Not/IsNull/StrOp wrappers):
+        # Expr.__getattr__ synthesizes child ColumnRefs for unknown names,
+        # so a plain getattr(node, "inner") on a ColumnRef fabricates an
+        # endless .inner chain and blows the stack (the walker bloom.py
+        # shipped with had exactly this latent recursion for startswith
+        # probes; regression-pinned in test_plans)
+        inner = node.__dict__.get("inner") if isinstance(node, Expr) else None
+        if inner is not None:
+            _walk(inner)
+
+    _walk(pred)
+    return kinds
+
+
+def _has_temporal_literal(pred: Any, col: str) -> bool:
+    """Any datetime/date literal compared against ``col`` in the tree."""
+    return bool(_temporal_literal_kinds(pred, col))
+
+
+def _temporal_stats_hazard(pred: Any, col: str, col_type: Any) -> bool:
+    """True when min/max pruning on ``col`` must be skipped: the predicate
+    compares the column against a temporal literal, but the STORED column
+    type does not match the literal's granularity. Spark evaluates such a
+    predicate by casting the COLUMN (a string column probed with a
+    datetime literal becomes a timestamp; a timestamp column probed with a
+    date literal compares at midnight), while the stats comparison here is
+    lexical over the normalized ISO string — a 'T'-separated stored string
+    matches the predicate yet misses the space-separated probe, and a date
+    probe 'YYYY-MM-DD' sorts strictly below the matching midnight stat
+    'YYYY-MM-DD 00:00:00'. Either shape can FALSE-PRUNE a file that
+    contains matching rows. Only the exactly-matching pairings are safe:
+    datetime literal <-> timestamp column, date literal <-> date column
+    (both sides then share one ISO format and lexical order is
+    chronological order). Unknown column type (None) is a hazard."""
+    kinds = _temporal_literal_kinds(pred, col)
+    if not kinds:
+        return False
+    if col_type is None:
+        return True
+    try:
+        import pyarrow as pa
+
+        if kinds == {"datetime"} and pa.types.is_timestamp(col_type):
+            return False
+        if kinds == {"date"} and (
+            pa.types.is_date32(col_type) or pa.types.is_date64(col_type)
+        ):
+            return False
+    except Exception:
+        return True
+    return True
+
+
 def _safe_overlaps(intervals: list[Interval], lo: Any, hi: Any) -> bool:
     """``any(overlaps)`` that degrades to True (keep the file) when a
     stats-vs-literal type mismatch makes the comparison itself raise —
@@ -170,9 +261,16 @@ def _safe_overlaps(intervals: list[Interval], lo: Any, hi: Any) -> bool:
         return True
 
 
-def prune_files(files: list, col: str, pred: Any) -> list:
+def prune_files(files: list, col: str, pred: Any, col_type: Any = None) -> list:
     """Drop FileEntry objects whose recorded col_stats[col] = [min, max]
-    cannot satisfy ``pred``. Files without stats are kept (conservative)."""
+    cannot satisfy ``pred``. Files without stats are kept (conservative).
+
+    ``col_type`` is the column's pyarrow type when the caller knows it;
+    temporal literals whose granularity doesn't match the stored type
+    disable pruning on this column (see ``_temporal_stats_hazard`` — the
+    same false-prune the Bloom path gates against)."""
+    if _temporal_stats_hazard(pred, col, col_type):
+        return files
     intervals = extract_intervals(pred, col)
     if intervals is None:
         return files
@@ -189,15 +287,21 @@ def prune_files(files: list, col: str, pred: Any) -> list:
     return out
 
 
-def prune_files_by_partition(files: list, pred: Any) -> list:
+def prune_files_by_partition(
+    files: list, pred: Any, col_types: dict | None = None
+) -> list:
     """Partition pruning at the manifest level: a file whose constant
     partition value (import_partitioned_files) cannot satisfy the predicate
     is dropped before Spark plans. The partition value is an exact point, so
-    the min/max machinery applies with lo == hi."""
+    the min/max machinery applies with lo == hi. ``col_types`` maps column
+    name -> pyarrow type for the temporal-literal hazard gate (same
+    contract as :func:`prune_files`)."""
     part_cols = set()
     for fe in files:
         part_cols |= set(fe.partition or {})
     for col in part_cols:
+        if _temporal_stats_hazard(pred, col, (col_types or {}).get(col)):
+            continue
         intervals = extract_intervals(pred, col)
         if intervals is None:
             continue

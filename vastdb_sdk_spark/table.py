@@ -698,9 +698,12 @@ class Table:
         from .plans.pruning import prune_files, prune_files_by_partition
 
         entry = self.entry
-        files = prune_files_by_partition(entry.files, predicate)
+        # column types let the pruner gate the temporal-literal hazard
+        # type-aware (datetime probe on a string column would false-prune)
+        types = {f.name: f.type for f in self.arrow_schema}
+        files = prune_files_by_partition(entry.files, predicate, col_types=types)
         for col in self._stat_columns(entry):
-            files = prune_files(files, col, predicate)
+            files = prune_files(files, col, predicate, col_type=types.get(col))
         cidx = entry.properties.get("column_indexes", {})
         if cidx:
             from .plans.bloom import prune_files_by_bloom
@@ -778,8 +781,9 @@ class Table:
         if predicate is not None and not isinstance(predicate, (bool, Column)):
             from .plans.pruning import prune_files
 
+            types = {f.name: f.type for f in self.arrow_schema}
             for col in proj["sorted"]:
-                files = prune_files(files, col, predicate)
+                files = prune_files(files, col, predicate, col_type=types.get(col))
         sub_schema = pa.schema(
             [_resolve_field(self.arrow_schema, n) for n in proj["sorted"] + proj["unsorted"]]
         )
@@ -3215,7 +3219,17 @@ class Table:
             )
             dirs = [compacted]
         entry = TableEntry.from_json(self.entry.to_json())
-        entry.properties["column_indexes"][phys] = {**cfg, "sidecars": dirs}
+        new_cfg = {**cfg, "sidecars": dirs}
+        if "col_type" not in new_cfg:
+            # backfill the stamp for configs built before col_type existed:
+            # the probe gate treats a missing stamp as "not integer", so an
+            # old integer-column index silently stops pruning on numeric
+            # probes and nothing would ever re-stamp it. The bitmaps
+            # themselves are hash-compatible (hash_version matched above),
+            # so stamping alone re-enables numeric pruning.
+            dt = _resolve_field(self.arrow_schema, column).type
+            new_cfg["col_type"] = "integer" if pa.types.is_integer(dt) else "string"
+        entry.properties["column_indexes"][phys] = new_cfg
         self._mutate(entry, "refresh_column_index", column=column)
         self._drop_bloom_dirs(cfg, keep=dirs)
         return {"added_files": len(missing), "dropped_files": len(dead)}
