@@ -1965,12 +1965,15 @@ def q_dd_embed_neardup(spark, sf):
     # Tuning notes (sf0.1, measured): persisting the augmented union is
     # SLOWER (4.9s -> 6.1s; materialization barrier + InMemoryRelation
     # breaks scan/transform codegen fusion), so the plan stays fully
-    # pipelined.  num_planes=20/num_bands=2 (10-bit bands, 1024 buckets)
-    # beats the old 12/2 (6-bit bands, 64 buckets) 3.6s -> 2.8s because the
-    # exact-cosine verify join over |bucket|^2 candidates dominates the
-    # signature cost — and more buckets is also the correct direction as
-    # the corpus grows.  Twin recall is banding-independent: a cosine~1
-    # pair flips a sign bit only when a plane dot sits within 1e-6 of 0.
+    # pipelined.  Bucket sizing is ADAPTIVE (r12): target_bucket_rows=10
+    # reproduces the hand-tuned 10-bit bands at sf0.1 (n=10k -> 1024
+    # buckets) and GROWS the band bits with the corpus (n=100k -> 14-bit
+    # bands) so the |bucket|^2 verify join — the decade-scaling hotspot,
+    # 3.55x for 10x data at fixed bits — stays ~n * target_bucket_rows.
+    # Twin recall is banding-independent: a cosine~1 pair flips a sign
+    # bit only when a plane dot sits within 1e-6 of 0.
+    import pyarrow.parquet as _pq
+
     emb = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -1982,8 +1985,10 @@ def q_dd_embed_neardup(spark, sf):
         ).alias("embedding"),
     )
     aug = emb.unionByName(twins)
+    n_aug = 2 * _pq.ParquetFile(f"{sf}/embeddings.parquet").metadata.num_rows
     pairs = embedding_near_dup_pairs(
-        aug, threshold=0.95, num_planes=20, num_bands=2, dim=64
+        aug, threshold=0.95, num_bands=2, dim=64,
+        target_bucket_rows=10, n_rows=n_aug,
     )
     return pairs.select("id_a", "id_b")
 
@@ -4984,75 +4989,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # than 4 rounds" once the backlog below is cleared. The registry is
     # FROZEN this round (no new entries) to pay that backlog down.
     #
-    # Round-11 window (executing the plan committed in round 10, see
-    # SCALING.md "Round 10"): (1) tx_span_corrupt + tx_mlm_mask — the
-    # last 2 never-driver-gated queries; after this round every registry
-    # query has a driver-green row; (2) ds_train_test_split (round-6
-    # green — the stalest standing green); (3) the 44-query round-7
-    # cohort in registry order; (4) the window's remaining 3 slots fill
-    # naturally from the round-8 cohort front (ann_rhp/pq/ivfpq_topk).
-    # Round-12 takes the rest of the round-8 cohort, round-13 the
-    # round-9 cohort, round-14 the round-10 cohort (now at the registry
-    # tail) — after which every green is <= 4 rounds old and the
-    # rotation becomes steady-state oldest-first. Registry stays FROZEN
-    # (no new entries) until the rotation is steady-state.
+    # Round-12 window (executing the plan committed in round 11, see
+    # VERDICT.md r11 "Next round" #2): the REMAINDER of the round-8-green
+    # cohort in registry order (43 queries — everything after the three
+    # ann_* entries the round-11 window already re-greened), plus the
+    # round-9-cohort front (7) to fill the 50. Round-13 takes the rest of
+    # the round-9 cohort, round-14 the round-10 cohort — after which every
+    # green is <= 4 rounds old and the rotation becomes steady-state
+    # oldest-first. The round-11 window (re-greened last round, including
+    # the never-gated backlog) rotates to the tail as the freshest cohort.
+    # Registry stays FROZEN at 192 (no new entries) until steady state.
     return {
-        # -- round-11 window: the 2 never-gated leftovers lead ----------
-        "tx_span_corrupt": q_tx_span_corrupt,
-        "tx_mlm_mask": q_tx_mlm_mask,
-        # -- stalest standing green (round-6) ---------------------------
-        "ds_train_test_split": q_ds_train_test_split,
-        # -- round-7-green cohort ---------------------------------------
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "tx_gopher_flags": q_tx_gopher_flags,
-        "tx_c4_filter": q_tx_c4_filter,
-        "tx_bpe_tokens": q_tx_bpe_tokens,
-        "tx_unigram_logprob": q_tx_unigram_logprob,
-        "e15_jsonl_ingest": q_e15_jsonl_ingest,
-        "ann_quantize_int8": q_ann_quantize_int8,
-        "ds_quality_filter": q_ds_quality_filter,
-        "dd_dup_clusters": q_dd_dup_clusters,
-        "tx_bigram_topk": q_tx_bigram_topk,
-        "a7_approx_distinct": q_a7_approx_distinct,
-        "dd_lsh_pairs_fast": q_dd_lsh_pairs_fast,
-        "j2_semi_join": q_j2_semi_join,
-        "j3_anti_join": q_j3_anti_join,
-        "j4_outer_join_counts": q_j4_outer_join_counts,
-        "a2_count_distinct": q_a2_count_distinct,
-        "a3_having": q_a3_having,
-        "a4_rollup": q_a4_rollup,
-        "a5_conditional_agg": q_a5_conditional_agg,
-        "o1_limit_topk": q_o1_limit_topk,
-        "e3_engine_sorted_scan": q_e3_engine_sorted_scan,
-        "e5_engine_projection": q_e5_engine_projection,
-        "e6_engine_snapshot": q_e6_engine_snapshot,
-        "e7_engine_partitioned": q_e7_engine_partitioned,
-        "e8_engine_predicate_dml": q_e8_engine_predicate_dml,
-        "e11_merge_conditional": q_e11_merge_conditional,
-        "e12_engine_restore": q_e12_engine_restore,
-        "el2_sorted_ts_between": q_el2_sorted_ts_between,
-        "el3_sorted_conjunction": q_el3_sorted_conjunction,
-        "el4_sorted_or_ranges": q_el4_sorted_or_ranges,
-        "el5_sorted_isin": q_el5_sorted_isin,
-        "p8_struct_field": q_p8_struct_field,
-        "p10_literals": q_p10_literals,
-        "p2_comparisons": q_p2_comparisons,
-        "p3_between": q_p3_between,
-        "p4_isin": q_p4_isin,
-        "p5_isnull": q_p5_isnull,
-        "p6_startswith": q_p6_startswith,
-        "p7_contains": q_p7_contains,
-        "p11_false_predicate": q_p11_false_predicate,
-        "tpch_q12": q_tpch_q12,
-        "tx_pack_greedy": q_tx_pack_greedy,
-        "dd_simhash_fast": q_dd_simhash_fast,
-        "dd_embed_neardup": q_dd_embed_neardup,
-        # -- round-8-green cohort front: fills the window's last 3 slots --
-        "ann_rhp_topk": q_ann_rhp_topk,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        # ---- window boundary (driver gates the 50 entries above) --------
-        # -- rest of the round-8-green cohort (round-12 window) -----------
+        # -- round-12 window: rest of the round-8-green cohort ------------
         "dd_phash_neardup": q_dd_phash_neardup,
         "tx_clf_quality": q_tx_clf_quality,
         "dd_passage_dups": q_dd_passage_dups,
@@ -5096,7 +5044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_ngram_overlap": q_dd_ngram_overlap,
         "tx_pii_scrub": q_tx_pii_scrub,
         "asof_last_purchase": q_asof_last_purchase,
-        # -- round-9-green cohort (freshest; round-13 window) ----------
+        # -- round-9-cohort front: fills the window's last 7 slots --------
         "e17_semantic_dedup_inplace": q_e17_semantic_dedup_inplace,
         "tx_bigram_logprob": q_tx_bigram_logprob,
         "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
@@ -5104,6 +5052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_semantic_dedup": q_dd_semantic_dedup,
         "tx_hybrid_topk": q_tx_hybrid_topk,
         "tx_repetition": q_tx_repetition,
+        # ---- window boundary (driver gates the 50 entries above) --------
+        # -- rest of the round-9-green cohort (round-13 window) -----------
         "tx_chunk_windows": q_tx_chunk_windows,
         "tx_normalize": q_tx_normalize,
         "e14_engine_dedup": q_e14_engine_dedup,
@@ -5197,6 +5147,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_token_entropy": q_tx_token_entropy,
         "tx_url_canon": q_tx_url_canon,
         "tx_zipf_slope": q_tx_zipf_slope,
+        # -- round-11-green cohort (freshest; re-greened last round) ------
+        "tx_span_corrupt": q_tx_span_corrupt,
+        "tx_mlm_mask": q_tx_mlm_mask,
+        "ds_train_test_split": q_ds_train_test_split,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "tx_gopher_flags": q_tx_gopher_flags,
+        "tx_c4_filter": q_tx_c4_filter,
+        "tx_bpe_tokens": q_tx_bpe_tokens,
+        "tx_unigram_logprob": q_tx_unigram_logprob,
+        "e15_jsonl_ingest": q_e15_jsonl_ingest,
+        "ann_quantize_int8": q_ann_quantize_int8,
+        "ds_quality_filter": q_ds_quality_filter,
+        "dd_dup_clusters": q_dd_dup_clusters,
+        "tx_bigram_topk": q_tx_bigram_topk,
+        "a7_approx_distinct": q_a7_approx_distinct,
+        "dd_lsh_pairs_fast": q_dd_lsh_pairs_fast,
+        "j2_semi_join": q_j2_semi_join,
+        "j3_anti_join": q_j3_anti_join,
+        "j4_outer_join_counts": q_j4_outer_join_counts,
+        "a2_count_distinct": q_a2_count_distinct,
+        "a3_having": q_a3_having,
+        "a4_rollup": q_a4_rollup,
+        "a5_conditional_agg": q_a5_conditional_agg,
+        "o1_limit_topk": q_o1_limit_topk,
+        "e3_engine_sorted_scan": q_e3_engine_sorted_scan,
+        "e5_engine_projection": q_e5_engine_projection,
+        "e6_engine_snapshot": q_e6_engine_snapshot,
+        "e7_engine_partitioned": q_e7_engine_partitioned,
+        "e8_engine_predicate_dml": q_e8_engine_predicate_dml,
+        "e11_merge_conditional": q_e11_merge_conditional,
+        "e12_engine_restore": q_e12_engine_restore,
+        "el2_sorted_ts_between": q_el2_sorted_ts_between,
+        "el3_sorted_conjunction": q_el3_sorted_conjunction,
+        "el4_sorted_or_ranges": q_el4_sorted_or_ranges,
+        "el5_sorted_isin": q_el5_sorted_isin,
+        "p8_struct_field": q_p8_struct_field,
+        "p10_literals": q_p10_literals,
+        "p2_comparisons": q_p2_comparisons,
+        "p3_between": q_p3_between,
+        "p4_isin": q_p4_isin,
+        "p5_isnull": q_p5_isnull,
+        "p6_startswith": q_p6_startswith,
+        "p7_contains": q_p7_contains,
+        "p11_false_predicate": q_p11_false_predicate,
+        "tpch_q12": q_tpch_q12,
+        "tx_pack_greedy": q_tx_pack_greedy,
+        "dd_simhash_fast": q_dd_simhash_fast,
+        "dd_embed_neardup": q_dd_embed_neardup,
+        "ann_rhp_topk": q_ann_rhp_topk,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
     }
 
 

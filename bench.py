@@ -202,6 +202,26 @@ HEADLINE = [
     "p7_contains",
     "p11_false_predicate",
     "ann_rhp_topk",
+    # round-12 gate-window coverage (rotation policy: every driver-gated
+    # query must have a headline bench row)
+    "e16_change_feed",
+    "dd_simhash_pairs",
+    "a10_approx_percentile",
+    "w3_lag_delta",
+    "w5_first_last",
+    "w6_ntile",
+    "w7_event_time_window",
+    "w8_attribution_join",
+    "set1_union",
+    "set3_except",
+    "f4_conditional",
+    "f5_array_agg",
+    "f6_levenshtein",
+    "a6_cube",
+    "a8_grouping_sets",
+    "a9_percentiles",
+    "dd_fingerprint",
+    "dd_ngram_overlap",
 ]
 
 

@@ -198,6 +198,42 @@ def test_embedding_near_dup_pairs_banded(spark):
     assert {(r.id_a, r.id_b) for r in single} <= {(r.id_a, r.id_b) for r in pairs}
 
 
+def test_embedding_near_dup_adaptive_bucket_sizing(spark):
+    """target_bucket_rows sizes planes_per_band as ceil(log2(n/target)) so
+    mean bucket population — hence the |bucket|^2 verify cost per bucket —
+    stays ~constant as the corpus grows (the r11 decade-scaling fix for
+    dd_embed_neardup). Near-1.0 duplicates survive any plane count (they
+    flip a sign only when a plane dot sits within epsilon of 0)."""
+    import numpy as np_
+
+    rng = np_.random.default_rng(11)
+    base = rng.standard_normal((200, 16))
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    # planted twins for ids 0..9 (tiny perturbation, cosine ~ 1)
+    rows += [
+        (1000 + i, (base[i] + np_.eye(16)[0] * 1e-9).tolist()) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    pairs = similarity.embedding_near_dup_pairs(
+        df, threshold=0.999, num_bands=2, dim=16,
+        target_bucket_rows=8, n_rows=len(rows),
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(i, 1000 + i) for i in range(10)}
+
+    # sizing math: n=210, target=8 -> r=ceil(log2(26.25))=5 -> 10 planes
+    import math
+
+    assert max(1, math.ceil(math.log2(210 / 8.0))) == 5
+    # the r grows with n: 10x the corpus adds ~log2(10) ~ 3-4 band bits,
+    # which is what keeps total verify work ~n * target instead of ~n^2
+    assert math.ceil(math.log2(2100 / 8.0)) - math.ceil(math.log2(210 / 8.0)) in (3, 4)
+    with pytest.raises(ValueError, match="target_bucket_rows"):
+        similarity.embedding_near_dup_pairs(
+            df, target_bucket_rows=0, n_rows=len(rows)
+        )
+
+
 # -- multimodal ------------------------------------------------------------
 
 

@@ -803,52 +803,72 @@ def naive_bayes_classify(
     orders can flip a near-tie, so gates compare only confident rows).
     Returns (id_col, out_col, __margin).
 
-    Scale design: the token stream fans out x(#classes) against the
-    BROADCAST priors frame (classes are few), left-joins the BROADCAST
-    weights vocabulary (classifier-sized, never corpus-sized) map-side,
-    and partial-aggregates the per-(doc, class) sums — the only shuffle
-    is keyed by (id_col, label), then one tiny per-doc top-1 reduce. No
-    per-row Python, no Zipf-head reducer (the vocab join is map-side)."""
+    Scale design (r12 restructure): the model is collected driver-side —
+    it is CLASSIFIER-sized (#classes priors; vocab x classes weights stay
+    distributed) — and the weights are pivoted to ONE row per token with
+    a log-likelihood column per class. The token stream then left-joins
+    the broadcast pivoted vocabulary ONCE (no x#classes row fan-out: the
+    previous shape pushed #classes copies of every token through the
+    shuffle and needed a second per-doc reduce, and the fan dominated the
+    decade profile at ~5x per stage) and ONE groupBy(id_col) computes all
+    class sums as parallel aggregates; argmax + runner-up margin are a
+    pure expression over the #classes score columns. One shuffle total,
+    no per-row Python. NB: collecting the priors makes this call EAGER
+    (the model frames are evaluated at plan-construction time) — persist
+    trained models you reuse."""
+    pr_rows = priors.select("label", "__prior", "__unseen_ll").collect()
+    if not pr_rows:
+        raise ValueError("naive_bayes_classify: priors frame is empty")
+    labels = sorted(r["label"] for r in pr_rows)
+    prior_of = {r["label"]: float(r["__prior"]) for r in pr_rows}
+    unseen_of = {r["label"]: float(r["__unseen_ll"]) for r in pr_rows}
+    # one vocab row per token, one ll column per class; a (label, tok)
+    # pair absent from the weights reads NULL -> that class's unseen mass
+    safe = [f"__ll_{i}" for i in range(len(labels))]
+    wide = (
+        weights.groupBy("tok")
+        .pivot("label", labels)
+        .agg(F.first("__ll"))
+        .select(
+            "tok",
+            *[F.col(f"`{lbl}`").alias(safe[i]) for i, lbl in enumerate(labels)],
+        )
+    )
     toks = df.select(
         F.col(id_col),
         F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok"),
     )
-    fan = toks.crossJoin(F.broadcast(priors.select("label", "__unseen_ll")))
-    scored = fan.join(F.broadcast(weights.select("label", "tok", "__ll")),
-                      ["label", "tok"], "left")
-    per_class = (
-        scored.groupBy(id_col, "label")
-        .agg(
-            F.sum(F.coalesce(F.col("__ll"), F.col("__unseen_ll"))).alias("__s"),
-        )
-        .join(F.broadcast(priors.select("label", "__prior")), "label")
-        .select(id_col, "label", (F.col("__s") + F.col("__prior")).alias("__score"))
+    scored = toks.join(F.broadcast(wide), "tok", "left")
+    sums = scored.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.coalesce(F.col(safe[i]), F.lit(unseen_of[lbl]))
+            ).alias(f"__s_{i}")
+            for i, lbl in enumerate(labels)
+        ]
     )
-    # top-1 + runner-up via one sort-based struct max pair (no window):
-    # max of (score, label) picks the argmax with deterministic label
-    # tiebreak; the margin needs the second-best score, so aggregate the
-    # top-2 with a 2-element sorted slice.
-    agg = per_class.groupBy(id_col).agg(
-        F.slice(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        (-F.col("__score")).alias("neg"),
-                        F.col("label").alias("lbl"),
-                    )
-                ),
-                asc=True,
-            ),
-            1,
-            2,
-        ).alias("__top2")
+    # argmax + runner-up margin as a pure expression: sort (neg score,
+    # label) structs ascending — smaller label wins ties, same contract
+    # as the previous per-(doc, class) reduce
+    arr = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    (-(F.col(f"__s_{i}") + F.lit(prior_of[lbl]))).alias("neg"),
+                    F.lit(lbl).alias("lbl"),
+                )
+                for i, lbl in enumerate(labels)
+            ]
+        ),
+        asc=True,
     )
+    staged = sums.select(F.col(id_col), F.slice(arr, 1, 2).alias("__top2"))
     best = F.col("__top2")[0]
     second = F.when(F.size("__top2") > 1, -F.col("__top2")[1]["neg"])
     margin = F.when(
         second.isNotNull(), (-best["neg"]) - second
     ).otherwise(F.lit(float("inf")))
-    out = agg.select(
+    out = staged.select(
         F.col(id_col),
         best["lbl"].alias(out_col),
         margin.alias("__margin"),

@@ -23,7 +23,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity, distance_column, dot
+from ..functions.vector import cosine_similarity, distance_column, dot, norm
 
 
 def brute_force_topk(
@@ -257,6 +257,8 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     num_bands: int = 1,
     dim: int | None = None,
+    target_bucket_rows: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, LSH-bucketed: the
     self-join key is the bucket id, so comparisons are |bucket|^2 not
@@ -272,13 +274,48 @@ def embedding_near_dup_pairs(
     verified, and duplicates from multi-band hits are dropped pre-verify
     with a distinct on the id pair — never a cross product.
 
+    ``target_bucket_rows`` switches plane-count sizing to ADAPTIVE (and
+    ignores ``num_planes``): planes_per_band = ceil(log2(n /
+    target_bucket_rows)), so the expected bucket population — and with it
+    the |bucket|^2 verify cost per bucket — stays ~constant as the corpus
+    grows instead of verify work growing ~n^2/2^r at fixed bits. This is
+    the 100 TB shape: total verify cost ~ n * target_bucket_rows. The
+    trade is boundary recall: P(candidate) at the threshold falls as
+    s^r shrinks with r ~ log2(n) — raise ``num_bands`` to compensate
+    (near-1.0 duplicates are insensitive: they flip a sign bit only when
+    a plane dot sits within epsilon of 0). ``n_rows`` passes a known
+    corpus size to keep plan construction free of driver actions; None
+    falls back to a count().
+
     Pass ``dim`` (embedding width) to keep plan construction free of driver
     actions; leaving it None falls back to a one-row ``head()`` probe."""
+    if target_bucket_rows is not None:
+        if target_bucket_rows < 1:
+            raise ValueError(
+                f"target_bucket_rows={target_bucket_rows} must be >= 1"
+            )
+        n = int(n_rows) if n_rows is not None else df.count()
+        import math
+
+        r = max(1, math.ceil(math.log2(max(n, 2) / float(target_bucket_rows))))
+        # 62-bit cap: band bits must fit the LONG bucket key (and past
+        # that, buckets of a fixed corpus are singletons anyway)
+        r = min(r, 62 // max(num_bands, 1))
+        num_planes = r * max(num_bands, 1)
     indexed, _ = build_rhp_index(df, vec_col, num_planes, seed, dim=dim)
+    # hoist the L2 norm to BEFORE the bucket join: cosine_similarity
+    # inline would recompute both row norms PER CANDIDATE PAIR (3 O(d)
+    # aggregates per pair); computed on the join inputs it runs once per
+    # row — the Join node is a barrier no projection collapse can cross —
+    # leaving one dot per pair. dot/(na*nb) is the identical expression
+    # tree cosine_similarity builds, so values are bit-identical.
+    indexed = indexed.withColumn("__nrm", norm(F.col(vec_col)))
     if num_bands <= 1:
         a = indexed.alias("a")
         b = indexed.alias("b")
-        sim = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        sim = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+            F.col("a.__nrm") * F.col("b.__nrm")
+        )
         return (
             a.join(
                 b,
@@ -328,9 +365,15 @@ def embedding_near_dup_pairs(
         )
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    sim = cosine_similarity(F.col("__va"), F.col("__vb"))
+    # same norm hoist as the single-band branch: one norm per corpus row
+    # (linear) instead of two per candidate pair
+    va = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    ).withColumn("__na", norm(F.col("__va")))
+    vb = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    ).withColumn("__nb", norm(F.col("__vb")))
+    sim = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
