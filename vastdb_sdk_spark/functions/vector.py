@@ -48,6 +48,19 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_similarity_to_lit(col: Column, vec: list[float]) -> Column:
+    """``cosine_similarity(col, lit(vec))`` with the LITERAL's norm
+    computed at plan time: ``norm`` over an array literal is a HOF
+    aggregate Catalyst does not constant-fold, so the generic form
+    re-evaluates an O(d) fold per ROW for a value known when the plan is
+    built. Python's left-fold sum over doubles performs the identical
+    IEEE operation sequence as the aggregate, so values are
+    bit-identical with the generic expression."""
+    q = [float(v) for v in vec]
+    qn = sum(v * v for v in q) ** 0.5
+    return dot(col, _vec_lit(q)) / (norm(col) * F.lit(qn))
+
+
 def cosine_distance(a: Column, b: Column) -> Column:
     return F.lit(1.0) - cosine_similarity(a, b)
 
@@ -66,8 +79,9 @@ _METRICS = {
 
 
 def distance_column(col: Column, vec: list[float], metric: str = "l2sq") -> Column:
-    try:
-        fn = _METRICS[metric]
-    except KeyError:
-        raise ValueError(f"unknown metric {metric!r}; have {sorted(_METRICS)}") from None
-    return fn(col, _vec_lit(vec))
+    if metric not in _METRICS:
+        raise ValueError(f"unknown metric {metric!r}; have {sorted(_METRICS)}")
+    if metric == "cosine":
+        # plan-time literal norm (see cosine_similarity_to_lit)
+        return F.lit(1.0) - cosine_similarity_to_lit(col, vec)
+    return _METRICS[metric](col, _vec_lit(vec))

@@ -328,7 +328,7 @@ def hybrid_topk(
         raise ValueError(f"k={k} must be >= 1")
     if shortlist < k:
         raise ValueError(f"shortlist={shortlist} must be >= k={k}")
-    from ..functions.vector import cosine_similarity
+    from ..functions.vector import cosine_similarity_to_lit
 
     # the shortlist's columns are ALIASED before the join: if emb_df also
     # carries a column named id_col or "bm25" (e.g. emb_df IS df, or
@@ -340,12 +340,13 @@ def hybrid_topk(
         .limit(int(shortlist))
         .select(F.col(id_col).alias("__sl_id"), F.col("bm25").alias("__sl_bm25"))
     )
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     joined = emb_df.join(
         F.broadcast(sl), sl["__sl_id"] == emb_df[emb_id_col], "inner"
     )
     return (
-        joined.withColumn(out_col, cosine_similarity(F.col(emb_col), qlit))
+        # literal query norm computed at plan time (bit-identical values;
+        # the generic form re-folds the O(d) literal norm per row)
+        joined.withColumn(out_col, cosine_similarity_to_lit(F.col(emb_col), query_vec))
         .orderBy(F.desc(out_col), F.asc("__sl_id"))
         .limit(int(k))
         .select(

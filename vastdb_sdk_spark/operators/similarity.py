@@ -234,8 +234,20 @@ def knn_join_cosine(
             *[F.col(f"{rref}.{c}").alias(c) for c in right_cols],
             F.col("p.cos_sim").alias("cos_sim"),
         )
-    sim = cosine_similarity(F.col(left_vec), F.col(right_vec))
-    joined = left.crossJoin(F.broadcast(right)).withColumn("cos_sim", sim)
+    # norms hoisted to the JOIN INPUTS (the Join node is a barrier no
+    # projection collapse crosses): one O(d) fold per row instead of two
+    # per (left x right) PAIR; dot/(nl*nr) is the identical expression
+    # tree cosine_similarity builds, so values are bit-identical
+    left_n = left.withColumn("__nl", norm(F.col(left_vec)))
+    right_n = right.withColumn("__nr", norm(F.col(right_vec)))
+    sim = dot(F.col(left_vec), F.col(right_vec)) / (
+        F.col("__nl") * F.col("__nr")
+    )
+    joined = (
+        left_n.crossJoin(F.broadcast(right_n))
+        .withColumn("cos_sim", sim)
+        .drop("__nl", "__nr")
+    )
     w = W.partitionBy(left_id).orderBy(F.col("cos_sim").desc(), F.col(right_id).asc())
     # select by RAW similarity (like the blocked route) but emit cos_sim
     # 6-decimal-rounded like it too, so auto-routing across the row-count
@@ -722,7 +734,14 @@ def ivf_knn_join(
             else (1 << 62)  # exact flat assign: search recall first
         ),
     )
-    sim = cosine_similarity(F.col(left_vec), F.col(right_vec))
+    # same norm hoist as knn_join_cosine: one fold per row on each join
+    # input (the right-side norm would otherwise be re-folded once per
+    # matching LEFT row and vice versa); values bit-identical
+    lhs = lhs.withColumn("__nl", norm(F.col(left_vec)))
+    right = right.withColumn("__nr", norm(F.col(right_vec)))
+    sim = dot(F.col(left_vec), F.col(right_vec)) / (
+        F.col("__nl") * F.col("__nr")
+    )
     joined = lhs.join(right, "centroid_id").withColumn("cos_sim", sim)
     w = W.partitionBy(left_id).orderBy(F.col("cos_sim").desc(), F.col(right_id).asc())
     return (

@@ -258,7 +258,8 @@ def stream_dedup_semantic_against_table(
     (id_col int64, band_id int32, band_key int64)."""
     import os
 
-    from ..functions.vector import cosine_similarity
+    from ..functions.vector import dot as vdot
+    from ..functions.vector import norm as vnorm
     from ..operators.similarity import embedding_near_dup_pairs, rhp_band_keys
 
     session = corpus_table.tx._session
@@ -306,9 +307,11 @@ def stream_dedup_semantic_against_table(
                     )
                     .distinct()
                 )
+                # norms hoisted to the join inputs (one fold per row, not
+                # two per candidate pair; the Join is a collapse barrier)
                 va = survivors.select(
                     F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
-                )
+                ).withColumn("__na", vnorm(F.col("__va")))
                 old_ids = cand.select(F.col("id_b").alias(id_col)).distinct()
                 vb = (
                     ct.df()
@@ -318,12 +321,14 @@ def stream_dedup_semantic_against_table(
                         F.col(id_col).alias("id_b"),
                         F.col(vec_col).alias("__vb"),
                     )
+                    .withColumn("__nb", vnorm(F.col("__vb")))
                 )
                 verified = (
                     cand.join(va, "id_a")
                     .join(vb, "id_b")
                     .filter(
-                        cosine_similarity(F.col("__va"), F.col("__vb"))
+                        vdot(F.col("__va"), F.col("__vb"))
+                        / (F.col("__na") * F.col("__nb"))
                         >= threshold
                     )
                 )
