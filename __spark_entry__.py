@@ -4297,12 +4297,14 @@ def q_tx_nb_classify(spark, sf):
     (operators/lm.naive_bayes_classify): self-train on documents.lang,
     then predict each document's label — prior + Σ ln p(token|class)
     with smoothed unseen-token mass, argmax over classes (ties to the
-    smaller label). Plan: token stream fans out x(#classes) against the
-    broadcast priors, left-joins the BROADCAST weight vocabulary
-    map-side, partial-aggregates per (doc, class), one tiny top-2
-    reduce per doc. Only predictions with best-vs-runner-up margin
-    >= 0.001 are emitted, so partition-order FP noise (~1e-13) cannot
-    flip a near-tie into a hash mismatch on either engine."""
+    smaller label). Plan (r12): weights pivot to one row per token with
+    an ll column per class; the token stream left-joins that BROADCAST
+    vocabulary ONCE (no x#classes row fan-out) and a single
+    groupBy(doc_id) computes all class sums as parallel aggregates;
+    argmax + margin are a pure expression over the score columns. Only
+    predictions with best-vs-runner-up margin >= 0.001 are emitted, so
+    partition-order FP noise (~1e-13) cannot flip a near-tie into a
+    hash mismatch on either engine."""
     from vastdb_sdk_spark.operators.lm import (
         naive_bayes_classify,
         naive_bayes_train,

@@ -1637,6 +1637,28 @@ def test_naive_bayes_classify_min_margin_and_min_count(spark):
     assert naive_bayes_classify(
         probe, weights, priors, min_margin=1.0
     ).count() == 0
+    # NULL-labeled training docs fall out of the model at train's label
+    # equijoins (null keys never match) — the trained classes exclude
+    # NULL, and classify still works over the surviving classes. An
+    # externally built priors frame WITH a null label fails loud instead
+    # (the pivoted classify cannot name a NULL class column).
+    import pytest as _pytest
+
+    nulled = spark.createDataFrame(
+        [(1, None, "cheap pills"), (2, "ham", "meeting notes")],
+        "doc_id LONG, cls STRING, text STRING",
+    )
+    w2, p2 = naive_bayes_train(nulled, "cls", "text")
+    assert [r["label"] for r in p2.select("label").collect()] == ["ham"]
+    assert naive_bayes_classify(probe, w2, p2).count() == 1
+    bad_priors = p2.unionByName(
+        p2.select(
+            F.lit(None).cast("string").alias("label"),
+            "__prior", "__unseen_ll", "__n_docs",
+        )
+    )
+    with _pytest.raises(ValueError, match="NULL label"):
+        naive_bayes_classify(probe, w2, bad_priors)
 
 
 # ---------------------------------------------------------------------------

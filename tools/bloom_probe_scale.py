@@ -3,9 +3,12 @@
 
 The 500-file gate (tests/test_bloom_index.py) proves the BUILD is bounded;
 this pins the planning-time cost of a point probe as the file count grows
-500 -> 5000: cold (sidecar page cache cleared — every probe streams the
-parquet sidecar) and warm (process cache hot), plus soundness (the one
-true file is always a candidate) and sidecar size linearity.
+500 -> 5000: "cold" = the in-process _SIDECAR_CACHE is cleared before each
+probe, so every probe re-streams and re-parses the parquet sidecar (NB:
+the OS page cache stays hot — this measures parse+probe cost, not disk
+I/O; a truly I/O-cold driver restart adds the read of sidecar_bytes once),
+"warm" = process cache hot, plus soundness (the true file is always a
+candidate) and sidecar size linearity.
 
 Usage: python tools/bloom_probe_scale.py [out.json]
 """

@@ -57,7 +57,13 @@ def cosine_similarity_to_lit(col: Column, vec: list[float]) -> Column:
     IEEE operation sequence as the aggregate, so values are
     bit-identical with the generic expression."""
     q = [float(v) for v in vec]
-    qn = sum(v * v for v in q) ** 0.5
+    # explicit left fold, NOT builtin sum(): CPython >= 3.12 gives float
+    # sum() Neumaier compensation, which would break the bit-identical
+    # claim against Spark's plain left-fold aggregate in the last ulp
+    qn = 0.0
+    for v in q:
+        qn += v * v
+    qn **= 0.5
     return dot(col, _vec_lit(q)) / (norm(col) * F.lit(qn))
 
 

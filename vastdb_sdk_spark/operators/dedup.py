@@ -337,6 +337,11 @@ def jaccard_verify_pairs(
     # Jaccard is NULL, and the >= threshold filter drops it — same outcome
     # as the old inner joins. NB: duplicate input pairs collapse to one
     # output row (the internal caller feeds distinct candidates).
+    # CONTRACT: one text per id. If `df` carries duplicate ids, F.max
+    # picks the lexicographically-largest shingle set for that id —
+    # deterministic, but only one of the texts is verified (the old
+    # two-join shape emitted a row per text combination); deduplicate
+    # upstream if duplicate ids are possible.
     sides = pairs.select(
         "id_a",
         "id_b",
@@ -346,13 +351,11 @@ def jaccard_verify_pairs(
         sides.join(sh, id_col)
         .groupBy("id_a", "id_b")
         .agg(
-            F.first(
-                F.when(F.col(id_col) == F.col("id_a"), F.col("__sh")),
-                ignorenulls=True,
+            F.max(
+                F.when(F.col(id_col) == F.col("id_a"), F.col("__sh"))
             ).alias("sh_a"),
-            F.first(
-                F.when(F.col(id_col) == F.col("id_b"), F.col("__sh")),
-                ignorenulls=True,
+            F.max(
+                F.when(F.col(id_col) == F.col("id_b"), F.col("__sh"))
             ).alias("sh_b"),
         )
     )
@@ -1393,13 +1396,16 @@ def _minhash_join_impl(
         .persist()
     )
     # exact verify on candidates only; each side re-tokenizes just the
-    # documents that appear in a candidate (left-semi prune). No .distinct()
-    # inside the broadcasts: semi-join semantics ignore duplicate build-side
-    # keys and the dedup shuffle would cost an extra AQE barrier per side;
-    # the frame is bucket-capped so the duplicated broadcast stays small.
+    # documents that appear in a candidate (left-semi prune). The id
+    # projections are DEDUPLICATED and the join is AQE-decided, not a
+    # forced broadcast: without the distinct the build side is O(candidate
+    # pairs) — on a skewed corpus with no bucket cap (the default) one
+    # boilerplate doc matching 10^6 partners would broadcast 10^6
+    # duplicate rows and die on driver memory instead of degrading to a
+    # shuffled semi-join. AQE still broadcasts whenever it is small.
     sh_l = (
         left.join(
-            F.broadcast(cand.select(F.col("left_id").alias(left_id))),
+            cand.select(F.col("left_id").alias(left_id)).distinct(),
             left_id,
             "left_semi",
         )
@@ -1411,7 +1417,7 @@ def _minhash_join_impl(
     )
     sh_r = (
         right.join(
-            F.broadcast(cand.select(F.col("right_id").alias(right_id))),
+            cand.select(F.col("right_id").alias(right_id)).distinct(),
             right_id,
             "left_semi",
         )

@@ -820,20 +820,28 @@ def naive_bayes_classify(
     pr_rows = priors.select("label", "__prior", "__unseen_ll").collect()
     if not pr_rows:
         raise ValueError("naive_bayes_classify: priors frame is empty")
+    if any(r["label"] is None for r in pr_rows):
+        # a NULL training label is garbage-in: the old fan-join shape
+        # silently scored a NULL class that could never match a weight;
+        # the pivoted shape cannot name a NULL column — fail loud instead
+        raise ValueError(
+            "naive_bayes_classify: priors contain a NULL label; drop or "
+            "fill null label rows before training"
+        )
     labels = sorted(r["label"] for r in pr_rows)
     prior_of = {r["label"]: float(r["__prior"]) for r in pr_rows}
     unseen_of = {r["label"]: float(r["__unseen_ll"]) for r in pr_rows}
     # one vocab row per token, one ll column per class; a (label, tok)
-    # pair absent from the weights reads NULL -> that class's unseen mass
+    # pair absent from the weights reads NULL -> that class's unseen mass.
+    # toDF renames POSITIONALLY (pivot with explicit values emits columns
+    # in that order): re-parsing label text as a quoted identifier would
+    # break on labels containing a backtick
     safe = [f"__ll_{i}" for i in range(len(labels))]
     wide = (
         weights.groupBy("tok")
         .pivot("label", labels)
         .agg(F.first("__ll"))
-        .select(
-            "tok",
-            *[F.col(f"`{lbl}`").alias(safe[i]) for i, lbl in enumerate(labels)],
-        )
+        .toDF("tok", *safe)
     )
     toks = df.select(
         F.col(id_col),

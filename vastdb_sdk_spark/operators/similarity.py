@@ -306,23 +306,31 @@ def embedding_near_dup_pairs(
             raise ValueError(
                 f"target_bucket_rows={target_bucket_rows} must be >= 1"
             )
+        if not 1 <= int(num_bands) <= 62:
+            raise ValueError(
+                f"num_bands={num_bands} must be in [1, 62] with adaptive "
+                "sizing (band bits must fit the LONG bucket key)"
+            )
         n = int(n_rows) if n_rows is not None else df.count()
         import math
 
         r = max(1, math.ceil(math.log2(max(n, 2) / float(target_bucket_rows))))
         # 62-bit cap: band bits must fit the LONG bucket key (and past
-        # that, buckets of a fixed corpus are singletons anyway)
-        r = min(r, 62 // max(num_bands, 1))
-        num_planes = r * max(num_bands, 1)
+        # that, buckets of a fixed corpus are singletons anyway); the
+        # outer max(1, ..) keeps a large num_bands from flooring r to 0,
+        # which would put EVERY row in one constant bucket
+        r = max(1, min(r, 62 // int(num_bands)))
+        num_planes = r * int(num_bands)
     indexed, _ = build_rhp_index(df, vec_col, num_planes, seed, dim=dim)
-    # hoist the L2 norm to BEFORE the bucket join: cosine_similarity
-    # inline would recompute both row norms PER CANDIDATE PAIR (3 O(d)
-    # aggregates per pair); computed on the join inputs it runs once per
-    # row — the Join node is a barrier no projection collapse can cross —
-    # leaving one dot per pair. dot/(na*nb) is the identical expression
-    # tree cosine_similarity builds, so values are bit-identical.
-    indexed = indexed.withColumn("__nrm", norm(F.col(vec_col)))
     if num_bands <= 1:
+        # hoist the L2 norm to BEFORE the bucket join: cosine_similarity
+        # inline would recompute both row norms PER CANDIDATE PAIR (3 O(d)
+        # aggregates per pair); computed on the join inputs it runs once
+        # per row — the Join node is a barrier no projection collapse can
+        # cross — leaving one dot per pair. dot/(na*nb) is the identical
+        # expression tree cosine_similarity builds: values bit-identical.
+        # (The banded branch hoists its own norms on va/vb below.)
+        indexed = indexed.withColumn("__nrm", norm(F.col(vec_col)))
         a = indexed.alias("a")
         b = indexed.alias("b")
         sim = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
