@@ -1454,8 +1454,20 @@ def q_dd_minhash_sig(spark, sf):
 
 def q_dd_ngram_overlap(spark, sf):
     """Near-dup candidates by shared 8-char-gram count between documents of
-    the same source (bounded self-join: same-source blocking)."""
-    d = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    the same source (bounded self-join: same-source blocking).
+
+    The input repartition spreads the ~2000x gram EXPLODE across cores:
+    the bench parquet is a single split, so without it each self-join side
+    scans+explodes ~10M gram rows in ONE task (measured 20.6s isolated,
+    every pre-join stage at 1/1 tasks; 3.5s repartitioned). At production
+    scale parquet splits provide this parallelism natively; the
+    repartition costs one shuffle of the raw docs."""
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        _t(spark, sf, "documents")
+        .select("doc_id", "source", "text")
+        .repartition(par)
+    )
     lowered = F.lower(F.col("text"))
     grams = F.array_distinct(
         F.transform(
