@@ -656,3 +656,48 @@ def test_matview_binds_into_tx_sql(clean_schema):
         want = {r["lang"]: r["cnt"] for r in
                 t.df().groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
         assert got == want
+
+
+def test_count_col_is_nonnull_count(clean_schema):
+    """count(col) must be the NON-NULL count: normalize_aggs accepted
+    ('count', col) but the state served _mv_count (COUNT(*)), silently
+    counting nulls. Covers the fresh build, the incremental fold, and the
+    state rollup."""
+    import pyarrow as pa
+
+    session = clean_schema
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table(
+            "nn", pa.schema([("k", pa.string()), ("v", pa.int64())])
+        )
+        t.insert(pa.table({
+            "k": ["a", "a", "a", "b", "b"],
+            "v": pa.array([1, None, 3, None, None], pa.int64()),
+        }))
+        t.create_materialized_view(
+            "mv", ["k"],
+            {"rows": "count", "vals": ("count", "v"), "sv": ("sum", "v")},
+            num_buckets=4,
+        )
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("nn")
+        got = {r["k"]: (r["rows"], r["vals"]) for r in t.materialized_view("mv").df().collect()}
+        assert got == {"a": (3, 2), "b": (2, 0)}
+        # incremental fold: one new null and one new non-null per group
+        t.insert(pa.table({
+            "k": ["a", "b"], "v": pa.array([None, 7], pa.int64()),
+        }))
+    with session.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("nn")
+        mv = t.materialized_view("mv")
+        assert mv.stale
+        res = mv.refresh()
+        assert res["mode"] in ("incremental", "full")
+        got = {r["k"]: (r["rows"], r["vals"]) for r in mv.df().collect()}
+        assert got == {"a": (4, 2), "b": (3, 1)}
+        # rollup to the empty key subset folds non-null counts by addition
+        rolled = t.aggregate_df([], {
+            "vals": ("count", "v"), "rows": "count",
+        })
+        row = rolled.collect()[0]
+        assert (row["rows"], row["vals"]) == (7, 3)

@@ -559,3 +559,64 @@ def test_change_span_stats_metadata_shapes(clean_schema):
         # for a fresh table: every file counts as changed
         with pytest.raises(InvalidArgument, match="inverted"):
             src.change_span_stats(10**9, v0)
+
+
+def test_full_resync_deletes_orphans(clean_schema):
+    """A re-seeded replica (forced from_version=0) must also DELETE
+    destination rows whose keys are gone from the source: the change feed
+    carries no tombstones from before the window, so the old upsert-only
+    initial sync kept orphans forever, violating the row-identical
+    guarantee."""
+    session = _pair(clean_schema)
+    with session.transaction() as tx:
+        src, dst = _tables(tx)
+        sync_table(src, dst, ["doc_id"])
+        assert _rows(src) == _rows(dst)
+    # delete some source rows OUTSIDE any sync span, then force a re-seed
+    with session.transaction() as tx:
+        src, dst = _tables(tx)
+        src.delete_where(D.doc_id < 100)
+    with session.transaction() as tx:
+        src, dst = _tables(tx)
+        # dst still carries the orphans; a forced full resync must drop them
+        assert len(_rows(dst)) > len(_rows(src))
+        sync_table(src, dst, ["doc_id"], from_version=0)
+        assert _rows(src) == _rows(dst)
+
+
+def test_sync_signatures_config_recorded_and_conflicts_raise(clean_schema):
+    """The MinHash parameters are recorded on the signature table by the
+    first sync; a later sync passing CONFLICTING values must fail loud —
+    an incremental resync under different knobs would re-derive only the
+    churned documents, silently mixing two signature spaces in one
+    index."""
+    from vastdb_sdk_spark.sources.replicate import sync_minhash_signatures
+
+    with clean_schema.transaction() as tx:
+        sc = tx.bucket("bkt").schema("s")
+        create_table_from_files(sc, "src", [f"{SF}/documents.parquet"])
+        sc.create_table(
+            "sig",
+            pa.schema(
+                [("doc_id", pa.int64()), ("band_id", pa.int32()),
+                 ("band_key", pa.string())]
+            ),
+        )
+    with clean_schema.transaction() as tx:
+        src = tx.bucket("bkt").schema("s").table("src")
+        sig = tx.bucket("bkt").schema("s").table("sig")
+        sync_minhash_signatures(src, sig, hash_fn="md5", num_hashes=8)
+    with clean_schema.transaction() as tx:
+        sig = tx.bucket("bkt").schema("s").table("sig")
+        cfg = sig.entry.properties["minhash_config"]
+        assert cfg["hash_fn"] == "md5" and cfg["num_hashes"] == 8
+        assert cfg["num_bands"] == 4  # unset -> module default, recorded
+    with clean_schema.transaction() as tx:
+        src = tx.bucket("bkt").schema("s").table("src")
+        sig = tx.bucket("bkt").schema("s").table("sig")
+        with pytest.raises(InvalidArgument, match="recorded"):
+            sync_minhash_signatures(src, sig, num_hashes=16)
+        # unset parameters resolve FROM the record: a parameterless resync
+        # is a no-op span, not a default-knob rederive
+        res = sync_minhash_signatures(src, sig)
+        assert res["to_version"] == res["from_version"]

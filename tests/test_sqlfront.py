@@ -888,3 +888,76 @@ def test_ctas_from_logical_view(sql_session):
         s.execute_sql("SELECT total FROM bkt.s.frozen WHERE name='one'")
         .first()["total"] == 1
     )
+
+
+def test_merge_clause_without_then_fails_loud(sql_session):
+    """The clause finditer SKIPS unparseable text: a WHEN MATCHED missing
+    THEN used to silently execute the merge with the surviving clause
+    subset (insert-only here), committing wrong data with no error."""
+    s = sql_session
+    s.execute_sql("CREATE TABLE bkt.s.src (a BIGINT, b DOUBLE, name STRING)")
+    s.execute_sql("INSERT INTO bkt.s.src VALUES (1, 9.5, 'ONE'), (9, 9.0, 'nine')")
+    with pytest.raises(InvalidArgument, match="THEN"):
+        s.execute_sql(
+            "MERGE INTO bkt.s.t USING bkt.s.src ON a = a"
+            " WHEN MATCHED UPDATE SET b = s.b"   # <- missing THEN
+            " WHEN NOT MATCHED THEN INSERT *"
+        )
+    # the target must be untouched (no partial insert-only merge ran)
+    assert s.execute_sql("SELECT count(*) AS n FROM bkt.s.t").first()["n"] == 3
+
+
+def test_insert_unknown_column_fails_loud(sql_session):
+    """An INSERT column list naming a non-column used to pass the arity
+    check and silently DROP the value (the intended column filled NULL)."""
+    with pytest.raises(InvalidArgument, match="nmae"):
+        sql_session.execute_sql(
+            "INSERT INTO bkt.s.t (a, nmae) VALUES (10, 'x')"
+        )
+    assert (
+        sql_session.execute_sql("SELECT count(*) AS n FROM bkt.s.t").first()["n"]
+        == 3
+    )
+
+
+def test_double_quoted_literal_not_rewritten_as_table(sql_session):
+    """Spark treats double-quoted strings as literals; the old single-
+    quote-only mask let "bkt.s.t" be rewritten into the temp-view name, so
+    the predicate silently compared against the view name."""
+    sql_session.execute_sql("INSERT INTO bkt.s.t VALUES (7, 0.0, 'bkt.s.t')")
+    got = sql_session.execute_sql(
+        'SELECT a FROM bkt.s.t WHERE name = "bkt.s.t"'
+    ).collect()
+    assert [r["a"] for r in got] == [7]
+
+
+def test_underscore_table_names_do_not_collide(session):
+    """vastdb_sql view names were '_'-joined: buck.a_b.c and buck.a.b_c
+    mapped to ONE temp view and the second silently overwrote the first —
+    a join of the two tables read the same table twice."""
+    session.execute_sql("CREATE SCHEMA bkt.a_b")
+    session.execute_sql("CREATE SCHEMA bkt.a")
+    session.execute_sql("CREATE TABLE bkt.a_b.c (x BIGINT)")
+    session.execute_sql("CREATE TABLE bkt.a.b_c (x BIGINT)")
+    session.execute_sql("INSERT INTO bkt.a_b.c VALUES (1)")
+    session.execute_sql("INSERT INTO bkt.a.b_c VALUES (2)")
+    rows = session.execute_sql(
+        "SELECT l.x AS lx, r.x AS rx FROM bkt.a_b.c l CROSS JOIN bkt.a.b_c r"
+    ).collect()
+    assert [(r["lx"], r["rx"]) for r in rows] == [(1, 2)]
+
+
+def test_restore_to_named_snapshot(sql_session):
+    """RESTORE ... TO VERSION AS OF '<name>' must resolve the NAMED
+    snapshot (like SELECT time travel does) instead of crashing in
+    datetime.fromisoformat."""
+    s = sql_session
+    with s.transaction() as tx:
+        tx.bucket("bkt").create_snapshot("before-load")
+    s.execute_sql("INSERT INTO bkt.s.t VALUES (99, 9.9, 'extra')")
+    assert s.execute_sql("SELECT count(*) AS n FROM bkt.s.t").first()["n"] == 4
+    res = s.execute_sql(
+        "RESTORE TABLE bkt.s.t TO VERSION AS OF 'before-load'"
+    )
+    assert "restored_to_version" in res
+    assert s.execute_sql("SELECT count(*) AS n FROM bkt.s.t").first()["n"] == 3

@@ -187,6 +187,10 @@ def _state_aggs(aggs: dict[str, list]) -> list:
     exprs = [F.count(F.lit(1)).alias("_mv_count")]
     for out, (fn, src) in aggs.items():
         if fn == "count":
+            if src is not None:
+                # count(col) = NON-NULL count; serving it from _mv_count
+                # would count nulls (the pre-r12 silent bug)
+                exprs.append(F.count(F.col(src)).alias(f"_mv_nn_{out}"))
             continue
         c = F.col(src)
         if fn in ("sum", "avg"):
@@ -207,7 +211,9 @@ def _state_aggs(aggs: dict[str, list]) -> list:
 def _state_cols(aggs: dict[str, list]) -> list[str]:
     cols = ["_mv_count"]
     for out, (fn, _src) in aggs.items():
-        if fn in ("sum", "avg"):
+        if fn == "count" and _src is not None:
+            cols.append(f"_mv_nn_{out}")
+        elif fn in ("sum", "avg"):
             cols += [f"_mv_sum_{out}", f"_mv_nn_{out}"]
         elif fn == "min":
             cols.append(f"_mv_min_{out}")
@@ -280,7 +286,13 @@ class MaterializedView:
         outs = [F.col(p).alias(inv.get(p, p)) for p in cfg["group_by"]]
         for out, (fn, _src) in cfg["aggs"].items():
             if fn == "count":
-                outs.append(F.col("_mv_count").alias(out))
+                outs.append(
+                    F.col("_mv_count").alias(out)
+                    if _src is None
+                    else F.coalesce(
+                        F.col(f"_mv_nn_{out}"), F.lit(0).cast("long")
+                    ).alias(out)
+                )
             elif fn == "sum":
                 outs.append(
                     F.when(
@@ -499,6 +511,14 @@ class MaterializedView:
         dexprs = [F.sum(sign).alias("_d_count")]
         for out, (fn, src) in aggs.items():
             if fn == "count":
+                if src is not None:
+                    dexprs.append(
+                        F.sum(
+                            F.when(F.col(src).isNotNull(), sign).otherwise(
+                                F.lit(0)
+                            )
+                        ).alias(f"_d_nn_{out}")
+                    )
                 continue
             c = F.col(src)
             if fn == "min":
@@ -530,6 +550,11 @@ class MaterializedView:
         sel.append(new_count.alias("_mv_count"))
         for out, (fn, _src) in aggs.items():
             if fn == "count":
+                if _src is not None:
+                    nn = F.coalesce(old[f"_mv_nn_{out}"], zero) + F.coalesce(
+                        delta[f"_d_nn_{out}"], zero
+                    )
+                    sel.append(nn.alias(f"_mv_nn_{out}"))
                 continue
             if fn == "min":
                 sel.append(
@@ -697,10 +722,13 @@ def state_covers(cfg: dict, req_specs: list[dict], aggs: dict[str, list]) -> boo
     if any(_match_key(cfg, s) is None for s in req_specs):
         return False
     for _out, (fn, src) in aggs.items():
-        if fn == "count":
+        if fn == "count" and src is None:
             continue
         ok = any(
-            (mfn in ("sum", "avg") and fn in ("sum", "avg") and msrc == src)
+            # sum/avg states carry both _mv_sum and _mv_nn, so they serve
+            # sum, avg, AND count(src); a count(src) state carries only
+            # _mv_nn, so it serves count(src) alone
+            (mfn in ("sum", "avg") and fn in ("sum", "avg", "count") and msrc == src)
             or (mfn == fn and msrc == src)
             for mfn, msrc in cfg["aggs"].values()
         )
@@ -716,6 +744,8 @@ def _state_col_for(cfg: dict, fn: str, src: str) -> str:
             continue
         if fn in ("sum", "avg") and mfn in ("sum", "avg"):
             return mout
+        if fn == "count" and mfn in ("sum", "avg", "count"):
+            return mout  # all three carry _mv_nn_<mout> for this source
         if mfn == fn:
             return mout
     raise KeyError((fn, src))
@@ -731,8 +761,18 @@ def rollup_from_state(mv, req_specs: list[dict], aggs: dict[str, list]) -> DataF
     st = mv._state_df()
     exprs = []
     for out, (fn, src) in aggs.items():
-        if fn == "count":
+        if fn == "count" and src is None:
             exprs.append(F.sum("_mv_count").alias(out))
+            continue
+        if fn == "count":
+            # count(col) folds by adding non-null counts; any state with
+            # sum/avg/count on the same source carries _mv_nn
+            mout = _state_col_for(cfg, fn, src)
+            exprs.append(
+                F.coalesce(
+                    F.sum(F.col(f"_mv_nn_{mout}")), F.lit(0).cast("long")
+                ).alias(out)
+            )
             continue
         mout = _state_col_for(cfg, fn, src)
         if fn == "sum":

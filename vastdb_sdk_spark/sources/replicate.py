@@ -130,6 +130,15 @@ def sync_table(
                 "choose non-null key columns"
             )
         non_key = [c for c in data_cols if c not in key_cols]
+        # initial/full sync (from_version <= 0) must also DELETE dst rows
+        # absent from the source: the change feed carries no tombstones
+        # for rows deleted before the sync window, so a re-seeded replica
+        # would otherwise keep orphans forever — violating the module's
+        # row-identical guarantee. Incremental spans must NOT use this
+        # clause (rows simply untouched by the span would be wiped).
+        nmbs = (
+            [("delete", None, None)] if from_version <= 0 else None
+        )
         res = dst.merge(
             source,
             on=list(key_cols),
@@ -140,6 +149,7 @@ def sync_table(
             not_matched_condition=F.expr("s.__sync_action <> 'delete'"),
             when_not_matched="insert",
             insert_assignments={c: F.expr(f"s.{c}") for c in data_cols},
+            not_matched_by_source_clauses=nmbs,
             target_alias="t",
             source_alias="s",
         )
@@ -288,44 +298,45 @@ def sync_derived_rows(
         .agg(F.max("__has_final").alias("__has_final"))
         .persist()
     )
-    tot = keyed.agg(
-        F.count(F.lit(1)).alias("n_aff"),
-        F.coalesce(F.sum("__has_final"), F.lit(0)).alias("n_final"),
-        F.max(
-            F.greatest(
-                *[F.col(c).isNull().cast("int") for c in key_cols],
-                F.lit(0),
-            )
-        ).alias("n_null"),
-    ).first()
-    if tot.n_null:
-        feed.unpersist()
-        keyed.unpersist()
-        raise InvalidArgument(
-            "sync_derived_rows: NULL in a key column within the change "
-            "span — NULL keys have no row identity (equi-joins and MERGE "
-            "conditions never match them); repair the source or choose "
-            "non-null key columns"
-        )
-    n_recomputed = int(tot.n_final)
-    n_gone = int(tot.n_aff) - n_recomputed
-    affected = keyed.select(*key_cols)
-    if n_recomputed == 0 and n_gone == 0:
-        # files churned but every row hash-matched (rewrite carry-overs:
-        # compaction, optimize) — no logical change; do NOT advance the
-        # cursor (a cursor write commits a version of its own and would
-        # ratchet forever)
-        feed.unpersist()
-        keyed.unpersist()
-        return {
-            "from_version": from_version,
-            "to_version": from_version,
-            "recomputed_keys": 0,
-            "deleted_keys": 0,
-            "inserted_rows": 0,
-            "mode": "noop",
-        }
+    # the try/finally starts IMMEDIATELY after the persists: the
+    # classification action below runs Spark jobs that can fail (executor
+    # loss, bad derive lineage), and an early raise outside the finally
+    # would leak both cached frames for the life of the session — one per
+    # failing sync attempt
     try:
+        tot = keyed.agg(
+            F.count(F.lit(1)).alias("n_aff"),
+            F.coalesce(F.sum("__has_final"), F.lit(0)).alias("n_final"),
+            F.max(
+                F.greatest(
+                    *[F.col(c).isNull().cast("int") for c in key_cols],
+                    F.lit(0),
+                )
+            ).alias("n_null"),
+        ).first()
+        if tot.n_null:
+            raise InvalidArgument(
+                "sync_derived_rows: NULL in a key column within the change "
+                "span — NULL keys have no row identity (equi-joins and MERGE "
+                "conditions never match them); repair the source or choose "
+                "non-null key columns"
+            )
+        n_recomputed = int(tot.n_final)
+        n_gone = int(tot.n_aff) - n_recomputed
+        affected = keyed.select(*key_cols)
+        if n_recomputed == 0 and n_gone == 0:
+            # files churned but every row hash-matched (rewrite carry-overs:
+            # compaction, optimize) — no logical change; do NOT advance the
+            # cursor (a cursor write commits a version of its own and would
+            # ratchet forever)
+            return {
+                "from_version": from_version,
+                "to_version": from_version,
+                "recomputed_keys": 0,
+                "deleted_keys": 0,
+                "inserted_rows": 0,
+                "mode": "noop",
+            }
         # one MERGE deletes every derived row of an affected key (a source
         # key may own MANY derived rows — matched-delete handles the
         # fan-out)
@@ -353,15 +364,25 @@ def sync_derived_rows(
     }
 
 
+_MINHASH_CFG_DEFAULTS = {
+    "text_col": "text",
+    "id_col": "doc_id",
+    "num_hashes": 16,
+    "num_bands": 4,
+    "shingle_k": 3,
+    "hash_fn": "xxhash64",
+}
+
+
 def sync_minhash_signatures(
     src,
     sig_table,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 16,
-    num_bands: int = 4,
-    shingle_k: int = 3,
-    hash_fn: str = "xxhash64",
+    text_col: str | None = None,
+    id_col: str | None = None,
+    num_hashes: int | None = None,
+    num_bands: int | None = None,
+    shingle_k: int | None = None,
+    hash_fn: str | None = None,
     from_version: int | None = None,
     mode: str = "auto",
     full_rebuild_floor: int = 100_000,
@@ -373,22 +394,73 @@ def sync_minhash_signatures(
     band_key)``) — in sync with its corpus table after batch DML, at
     churn cost. The batch half of the dedup-index lifecycle: streaming
     ingest appends signatures per micro-batch; THIS folds deletes,
-    updates and bulk imports the stream never saw."""
+    updates and bulk imports the stream never saw.
+
+    The MinHash parameters are RECORDED on the sig table
+    (``properties['minhash_config']``) by the first sync: later syncs
+    default to the recorded values, and an explicitly-passed CONFLICTING
+    value fails loud — an incremental resync under different parameters
+    would re-derive only the churned documents' rows, silently mixing two
+    incompatible signature spaces in one index (band keys from the two
+    populations never collide correctly, so near-dup joins quietly lose
+    recall). Unset parameters fall back to the module defaults
+    (16/4/3/xxhash64, text/doc_id)."""
     from ..operators.dedup import lsh_band_keys, minhash_signatures
+
+    explicit = {
+        "text_col": text_col,
+        "id_col": id_col,
+        "num_hashes": num_hashes,
+        "num_bands": num_bands,
+        "shingle_k": shingle_k,
+        "hash_fn": hash_fn,
+    }
+    recorded = sig_table.entry.properties.get("minhash_config") or {}
+    conflicts = {
+        k: (recorded[k], v)
+        for k, v in explicit.items()
+        if v is not None and k in recorded and recorded[k] != v
+    }
+    if conflicts:
+        raise InvalidArgument(
+            "sync_minhash_signatures: parameters conflict with the config "
+            f"recorded on {sig_table.path}: "
+            + ", ".join(
+                f"{k}={new!r} (recorded {old!r})"
+                for k, (old, new) in conflicts.items()
+            )
+            + "; rebuild the signature table to change its parameters"
+        )
+    cfg = {
+        k: (
+            explicit[k]
+            if explicit[k] is not None
+            else recorded.get(k, _MINHASH_CFG_DEFAULTS[k])
+        )
+        for k in _MINHASH_CFG_DEFAULTS
+    }
 
     def derive(rows):
         sigs = minhash_signatures(
-            rows, text_col, id_col, num_hashes, shingle_k, hash_fn
+            rows, cfg["text_col"], cfg["id_col"], cfg["num_hashes"],
+            cfg["shingle_k"], cfg["hash_fn"],
         )
-        return lsh_band_keys(sigs, num_bands, id_col, hash_fn)
+        return lsh_band_keys(sigs, cfg["num_bands"], cfg["id_col"], cfg["hash_fn"])
 
-    return sync_derived_rows(
+    res = sync_derived_rows(
         src,
         sig_table,
-        [id_col],
+        [cfg["id_col"]],
         derive,
         from_version=from_version,
         mode=mode,
         full_rebuild_floor=full_rebuild_floor,
         full_rebuild_fraction=full_rebuild_fraction,
     )
+    if recorded != cfg:
+        from ..catalog.manifest import TableEntry
+
+        entry = TableEntry.from_json(sig_table.entry.to_json())
+        entry.properties["minhash_config"] = cfg
+        sig_table._mutate(entry, "record_minhash_config")
+    return res

@@ -117,16 +117,70 @@ def _split_top(text: str, sep: str = ",") -> list[str]:
     return out
 
 
+def _mask_strings_null(text: str) -> str:
+    """Length-preserving copy with every quoted string — single OR double
+    quoted, doubled-quote AND backslash escapes — replaced by NUL bytes,
+    quotes included. NUL is a non-word character, so ``_DOTTED`` can
+    neither match inside a masked literal nor stitch across its edges.
+    The previous inline regex (single quotes, ''-escapes only) let a
+    double-quoted Spark string literal like \"b.s.t\" — or the tail of
+    'it\\'s b.s.t' — be rewritten as a table identifier."""
+    out = list(text)
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if text[j] == "\\":
+                    j += 2
+                    continue
+                if text[j] == ch:
+                    if j + 1 < n and text[j + 1] == ch:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            end = min(j, n - 1)
+            for k in range(i, end + 1):
+                out[k] = "\0"
+            i = end + 1
+        else:
+            i += 1
+    return "".join(out)
+
+
+def _view_token(*parts: str) -> str:
+    """Identifier-safe, collision-free token for temp-view names: the
+    readable parts keep only word characters, and an md5 of the
+    NUL-joined ORIGINAL parts disambiguates — '_'-joining alone maps
+    (a_b, c) and (a, b_c) to the same name, silently aliasing two
+    different tables to one temp view."""
+    import hashlib
+
+    safe = "_".join(re.sub(r"[^A-Za-z0-9_]", "_", p) for p in parts)
+    h = hashlib.md5("\0".join(parts).encode("utf-8")).hexdigest()[:8]
+    return f"{safe}_{h}"
+
+
 class SqlFrontend:
     """Statement dispatcher bound to one open transaction."""
 
     def __init__(self, tx, default_bucket: str | None = None):
         self._tx = tx
         self._default_bucket = default_bucket
+        self._bn_cache: list[str] | None = None
 
     # -- identifier resolution --------------------------------------------
 
     def _bucket_names(self) -> list[str]:
+        # memoized per STATEMENT (execute() clears it): without a default
+        # bucket, every dotted identifier in SELECT text — including every
+        # alias.col reference — pays a table AND a view resolution probe,
+        # each scanning the warehouse; a statement with N identifiers over
+        # B buckets did ~2*N*B listdir/manifest probes
+        if self._bn_cache is not None:
+            return self._bn_cache
         import os
 
         from .catalog.manifest import ManifestStore
@@ -137,6 +191,7 @@ class SqlFrontend:
             path = os.path.join(wh, name)
             if os.path.isdir(path) and ManifestStore(path).exists():
                 names.append(name)
+        self._bn_cache = names
         return names
 
     def _resolve_table(self, dotted: str, must_exist: bool = True):
@@ -208,7 +263,7 @@ class SqlFrontend:
         tables and other views; ``_guard`` carries the in-flight view
         chain and turns a cycle into a clean error). Quoted strings are
         masked first so literals like 'a.b.c' are never rewritten."""
-        masked = re.sub(r"'(?:[^']|'')*'", lambda m: "\0" * len(m.group()), text)
+        masked = _mask_strings_null(text)
         rewrites = {}
         for m in re.finditer(_DOTTED, masked):
             dotted = m.group()
@@ -224,7 +279,10 @@ class SqlFrontend:
                 if key in _guard:
                     chain = " -> ".join(".".join(k) for k in (*_guard, key))
                     raise InvalidArgument(f"circular view reference: {chain}")
-                view = f"vastdb_lview_{b}_{s}_{v}_{self._tx.txid & 0xFFFF:04x}"
+                view = (
+                    f"vastdb_lview_{_view_token(b, s, v)}"
+                    f"_{self._tx.txid & 0xFFFF:04x}"
+                )
                 bound = self._bind_views(
                     self._bind_time_travel(vsql), (*_guard, key)
                 )
@@ -232,7 +290,10 @@ class SqlFrontend:
                 rewrites[dotted] = view
                 continue
             b, s, t, table = hit
-            view = f"vastdb_sql_{b}_{s}_{t}_{self._tx.txid & 0xFFFF:04x}"
+            view = (
+                f"vastdb_sql_{_view_token(b, s, t)}"
+                f"_{self._tx.txid & 0xFFFF:04x}"
+            )
             table.df().createOrReplaceTempView(view)
             rewrites[dotted] = view
         # longest first so `b.s.t` wins over a nested `s.t` match
@@ -247,7 +308,7 @@ class SqlFrontend:
                 last = m.end()
             out.append(text[last:])
             text = "".join(out)
-            masked = re.sub(r"'(?:[^']|'')*'", lambda m: "\0" * len(m.group()), text)
+            masked = _mask_strings_null(text)
         return text
 
     def _bind_time_travel(self, text: str) -> str:
@@ -255,7 +316,7 @@ class SqlFrontend:
         temp views over the historical manifest (Bucket.as_of / named
         snapshots). Runs before _bind_views so the suffix is consumed
         together with the identifier."""
-        masked = re.sub(r"'(?:[^']|'')*'", lambda m: "\0" * len(m.group()), text)
+        masked = _mask_strings_null(text)
         pattern = (
             rf"(?is)({_DOTTED})\s+(?:FOR\s+)?"
             rf"(SYSTEM_VERSION|VERSION|SYSTEM_TIME|TIMESTAMP)\s+AS\s+OF\s+"
@@ -282,8 +343,8 @@ class SqlFrontend:
                     # quoted VERSION AS OF = named snapshot
                     snap = bucket.snapshot(literal)
             view = (
-                f"vastdb_tt_{b}_{s}_{t}_{self._tx.txid & 0xFFFF:04x}"
-                f"_{abs(hash((kind, raw))) & 0xFFFFFF:06x}"
+                f"vastdb_tt_{_view_token(b, s, t, kind, raw)}"
+                f"_{self._tx.txid & 0xFFFF:04x}"
             )
             snap.schema(s).table(t).df().createOrReplaceTempView(view)
             text = text[: m.start()] + view + text[m.end() :]
@@ -298,6 +359,7 @@ class SqlFrontend:
         """Execute one statement; returns a DataFrame for SELECT-like
         statements, None for DDL, and a result dict for DML."""
         stmt = statement.strip().rstrip(";").strip()
+        self._bn_cache = None  # buckets may have been created/dropped
         head = stmt.split(None, 2)
         kw = head[0].upper() if head else ""
         if kw in ("SELECT", "WITH", "VALUES", "TABLE"):
@@ -419,8 +481,15 @@ class SqlFrontend:
                 raise InvalidArgument(f"cannot parse: {stmt!r}")
             b, _, _, table = self._resolve_table(m.group(1))
             raw = m.group(3)
-            if raw.isdigit() and m.group(2).upper() == "VERSION":
+            kind = m.group(2).upper()
+            if raw.isdigit() and kind == "VERSION":
                 version = int(raw)
+            elif raw.startswith("'") and kind == "VERSION":
+                # quoted VERSION AS OF = NAMED SNAPSHOT, same as SELECT
+                # time travel (_bind_time_travel); routing it to
+                # as_of(timestamp=...) crashed in fromisoformat
+                literal = raw[1:-1].replace("''", "'")
+                version = self._tx.bucket(b).snapshot(literal).manifest.version
             else:
                 literal = raw[1:-1].replace("''", "'") if raw.startswith("'") else raw
                 ts = float(literal) if not raw.startswith("'") else literal
@@ -1060,6 +1129,17 @@ class SqlFrontend:
             names = arrow.names
         elif len(names) != len(src.columns):
             raise InvalidArgument("INSERT column list does not match source arity")
+        else:
+            # every listed name must be a real column: an unknown name
+            # would pass the arity check, never be read by the projection
+            # below, and its VALUE would silently vanish (the intended
+            # column filled with NULL)
+            unknown = [c for c in names if c not in set(arrow.names)]
+            if unknown:
+                raise InvalidArgument(
+                    f"INSERT column(s) not in table: {unknown}; have"
+                    f" {list(arrow.names)}"
+                )
         src = src.toDF(*names)
         from .types import arrow_type_to_spark, storage_arrow_type
 
@@ -1168,12 +1248,24 @@ class SqlFrontend:
             return assignments
 
         otail, mtail = stmt[m.start(6):], masked[m.start(6):]
+        # coverage check: finditer SKIPS unparseable text (a WHEN clause
+        # missing THEN, say) and would silently execute the merge with
+        # the surviving subset of clauses — committing wrong data with
+        # no error. Every character of the WHEN-tail must belong to a
+        # parsed clause.
+        covered = 0
         for wm in re.finditer(
             r"(?is)WHEN\s+(NOT\s+)?MATCHED(\s+BY\s+(?:SOURCE|TARGET))?"
             r"(?:\s+AND\s+(.*?))?\s+THEN\s+"
             r"(.*?)(?=\s+WHEN\s+(?:NOT\s+)?MATCHED\b|\s*$)",
             mtail,
         ):
+            if otail[covered:wm.start()].strip():
+                raise InvalidArgument(
+                    "cannot parse MERGE clause (missing THEN?): "
+                    f"{otail[covered:wm.start()].strip()!r}"
+                )
+            covered = wm.end()
             action = otail[wm.start(4):wm.end(4)].strip()
             action_masked = mtail[wm.start(4):wm.end(4)].strip()
             guard = (
@@ -1226,6 +1318,11 @@ class SqlFrontend:
                 dest.append(("update", guard, _parse_set(action[um.start(1):um.end(1)])))
             else:
                 raise InvalidArgument(f"unsupported MERGE action: {action!r}")
+        if otail[covered:].strip():
+            raise InvalidArgument(
+                "cannot parse MERGE clause (missing THEN?): "
+                f"{otail[covered:].strip()!r}"
+            )
         return target.merge(
             source,
             on,
