@@ -5003,71 +5003,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # than 4 rounds" once the backlog below is cleared. The registry is
     # FROZEN this round (no new entries) to pay that backlog down.
     #
-    # Round-12 window (executing the plan committed in round 11, see
-    # VERDICT.md r11 "Next round" #2): the REMAINDER of the round-8-green
-    # cohort in registry order (43 queries — everything after the three
-    # ann_* entries the round-11 window already re-greened), plus the
-    # round-9-cohort front (7) to fill the 50. Round-13 takes the rest of
-    # the round-9 cohort, round-14 the round-10 cohort — after which every
-    # green is <= 4 rounds old and the rotation becomes steady-state
-    # oldest-first. The round-11 window (re-greened last round, including
-    # the never-gated backlog) rotates to the tail as the freshest cohort.
-    # Registry stays FROZEN at 192 (no new entries) until steady state.
+    # Round-13 window (executing the plan committed in round 11 and
+    # re-confirmed by VERDICT.md r12 "Next round" #1): the REMAINDER of
+    # the round-9-green cohort in registry order (42 queries), plus the
+    # round-10-cohort front (8) to fill the 50. Round-14 takes the rest
+    # of the round-10 cohort (+ the round-11-cohort front) — after which
+    # every green is <= 4 rounds old and the rotation is steady-state
+    # oldest-first. The round-12 window (re-greened last round) rotates
+    # to the tail as the freshest cohort. Registry stays FROZEN at 192
+    # (no new entries) until steady state; the r15 extension plan lives
+    # in SCALING.md.
     return {
-        # -- round-12 window: rest of the round-8-green cohort ------------
-        "dd_phash_neardup": q_dd_phash_neardup,
-        "tx_clf_quality": q_tx_clf_quality,
-        "dd_passage_dups": q_dd_passage_dups,
-        "e16_change_feed": q_e16_change_feed,
-        "tx_bm25_topk": q_tx_bm25_topk,
-        "ann_knn_join_blocked": q_ann_knn_join_blocked,
-        "ds_resample_mix": q_ds_resample_mix,
-        "dd_contamination": q_dd_contamination,
-        "skew_salted_agg": q_skew_salted_agg,
-        "skew_salted_join": q_skew_salted_join,
-        "mm_frame_sample": q_mm_frame_sample,
-        "dd_simhash_pairs": q_dd_simhash_pairs,
-        "range_join_purchases": q_range_join_purchases,
-        "sessionize_batch": q_sessionize_batch,
-        "a10_approx_percentile": q_a10_approx_percentile,
-        "w1_topk_per_group": q_w1_topk_per_group,
-        "w2_running_sum": q_w2_running_sum,
-        "w3_lag_delta": q_w3_lag_delta,
-        "w4_dense_rank": q_w4_dense_rank,
-        "w5_first_last": q_w5_first_last,
-        "w6_ntile": q_w6_ntile,
-        "w7_event_time_window": q_w7_event_time_window,
-        "w8_attribution_join": q_w8_attribution_join,
-        "set1_union": q_set1_union,
-        "set2_intersect": q_set2_intersect,
-        "set3_except": q_set3_except,
-        "f1_json_expansion": q_f1_json_expansion,
-        "f2_string_funcs": q_f2_string_funcs,
-        "f3_date_funcs": q_f3_date_funcs,
-        "f4_conditional": q_f4_conditional,
-        "f5_array_agg": q_f5_array_agg,
-        "f6_levenshtein": q_f6_levenshtein,
-        "a6_cube": q_a6_cube,
-        "a8_grouping_sets": q_a8_grouping_sets,
-        "a9_percentiles": q_a9_percentiles,
-        "o5_vector_topk_l2": q_o5_vector_topk_l2,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "dd_exact": q_dd_exact,
-        "dd_fingerprint": q_dd_fingerprint,
-        "dd_minhash_sig": q_dd_minhash_sig,
-        "dd_ngram_overlap": q_dd_ngram_overlap,
-        "tx_pii_scrub": q_tx_pii_scrub,
-        "asof_last_purchase": q_asof_last_purchase,
-        # -- round-9-cohort front: fills the window's last 7 slots --------
-        "e17_semantic_dedup_inplace": q_e17_semantic_dedup_inplace,
-        "tx_bigram_logprob": q_tx_bigram_logprob,
-        "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
-        "ann_ivf_knn_join": q_ann_ivf_knn_join,
-        "dd_semantic_dedup": q_dd_semantic_dedup,
-        "tx_hybrid_topk": q_tx_hybrid_topk,
-        "tx_repetition": q_tx_repetition,
-        # ---- window boundary (driver gates the 50 entries above) --------
-        # -- rest of the round-9-green cohort (round-13 window) -----------
+        # -- round-13 window: rest of the round-9-green cohort ------------
         "tx_chunk_windows": q_tx_chunk_windows,
         "tx_normalize": q_tx_normalize,
         "e14_engine_dedup": q_e14_engine_dedup,
@@ -5110,7 +5057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "ds_stratified_sample": q_ds_stratified_sample,
         "e18_refresh_incremental": q_e18_refresh_incremental,
-        # -- round-10-green cohort (round-14 window) --------------------
+        # -- round-10-cohort front: fills the window's last 8 slots -------
         "tx_bpe_learned": q_tx_bpe_learned,
         "e19_engine_domain_cap": q_e19_engine_domain_cap,
         "e21_pipeline_recipe": q_e21_pipeline_recipe,
@@ -5119,6 +5066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e24_matview_timebucket": q_e24_matview_timebucket,
         "e25_sig_sync": q_e25_sig_sync,
         "e26_sql_views": q_e26_sql_views,
+        # ---- window boundary (driver gates the 50 entries above) --------
+        # -- rest of the round-10-green cohort (round-14 window front) ----
         "el6_bloom_point": q_el6_bloom_point,
         "ts_gapfill": q_ts_gapfill,
         "ts_anomaly": q_ts_anomaly,
@@ -5212,6 +5161,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rhp_topk": q_ann_rhp_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        # -- round-12-green cohort (freshest; re-greened last round) ------
+        "dd_phash_neardup": q_dd_phash_neardup,
+        "tx_clf_quality": q_tx_clf_quality,
+        "dd_passage_dups": q_dd_passage_dups,
+        "e16_change_feed": q_e16_change_feed,
+        "tx_bm25_topk": q_tx_bm25_topk,
+        "ann_knn_join_blocked": q_ann_knn_join_blocked,
+        "ds_resample_mix": q_ds_resample_mix,
+        "dd_contamination": q_dd_contamination,
+        "skew_salted_agg": q_skew_salted_agg,
+        "skew_salted_join": q_skew_salted_join,
+        "mm_frame_sample": q_mm_frame_sample,
+        "dd_simhash_pairs": q_dd_simhash_pairs,
+        "range_join_purchases": q_range_join_purchases,
+        "sessionize_batch": q_sessionize_batch,
+        "a10_approx_percentile": q_a10_approx_percentile,
+        "w1_topk_per_group": q_w1_topk_per_group,
+        "w2_running_sum": q_w2_running_sum,
+        "w3_lag_delta": q_w3_lag_delta,
+        "w4_dense_rank": q_w4_dense_rank,
+        "w5_first_last": q_w5_first_last,
+        "w6_ntile": q_w6_ntile,
+        "w7_event_time_window": q_w7_event_time_window,
+        "w8_attribution_join": q_w8_attribution_join,
+        "set1_union": q_set1_union,
+        "set2_intersect": q_set2_intersect,
+        "set3_except": q_set3_except,
+        "f1_json_expansion": q_f1_json_expansion,
+        "f2_string_funcs": q_f2_string_funcs,
+        "f3_date_funcs": q_f3_date_funcs,
+        "f4_conditional": q_f4_conditional,
+        "f5_array_agg": q_f5_array_agg,
+        "f6_levenshtein": q_f6_levenshtein,
+        "a6_cube": q_a6_cube,
+        "a8_grouping_sets": q_a8_grouping_sets,
+        "a9_percentiles": q_a9_percentiles,
+        "o5_vector_topk_l2": q_o5_vector_topk_l2,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "dd_exact": q_dd_exact,
+        "dd_fingerprint": q_dd_fingerprint,
+        "dd_minhash_sig": q_dd_minhash_sig,
+        "dd_ngram_overlap": q_dd_ngram_overlap,
+        "tx_pii_scrub": q_tx_pii_scrub,
+        "asof_last_purchase": q_asof_last_purchase,
+        "e17_semantic_dedup_inplace": q_e17_semantic_dedup_inplace,
+        "tx_bigram_logprob": q_tx_bigram_logprob,
+        "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
+        "ann_ivf_knn_join": q_ann_ivf_knn_join,
+        "dd_semantic_dedup": q_dd_semantic_dedup,
+        "tx_hybrid_topk": q_tx_hybrid_topk,
+        "tx_repetition": q_tx_repetition,
     }
 
 

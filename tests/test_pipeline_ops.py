@@ -1848,6 +1848,37 @@ def test_rrf_fuse_hand_model(spark):
         rrf_fuse([l1], k=0)
 
 
+def test_rrf_fuse_oversized_input_guard(spark):
+    """VERDICT r12 #4: rrf_fuse's per-list ranking is an unpartitioned
+    window — a corpus-sized input must be refused loudly, not funneled
+    through one single-partition sort. Pin all three guard paths:
+    statically-bounded shortlists pass for free, unbounded frames over
+    the cap raise, and max_list_rows=None knowingly accepts."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+    from vastdb_sdk_spark.operators.lm import _plan_max_rows, rrf_fuse
+
+    corpus = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).cast("double").alias("score")
+    )
+    # static Catalyst bound: limit(n) carries maxRows=n (Range is itself
+    # statically bounded at 500 — above the cap, so the probe path runs)
+    assert _plan_max_rows(corpus.limit(7)) == 7
+    assert _plan_max_rows(corpus) == 500
+
+    with _pt.raises(ValueError, match="max_list_rows"):
+        rrf_fuse([corpus], max_list_rows=100)
+    with _pt.raises(ValueError):
+        rrf_fuse([corpus.limit(50)], max_list_rows=0)
+
+    # statically bounded shortlist under the cap: no probe, works
+    ok = rrf_fuse([corpus.limit(50)], max_list_rows=100, top_k=3).collect()
+    assert len(ok) == 3
+    # explicit opt-out accepts the single-partition sort
+    opt = rrf_fuse([corpus], max_list_rows=None, top_k=3).collect()
+    assert [r["doc_id"] for r in opt] == [96, 193, 290]
+
+
 def test_kl_drift_terms_hand_model(spark):
     import math
     from vastdb_sdk_spark.operators.lm import kl_drift_terms

@@ -887,12 +887,34 @@ def naive_bayes_classify(
     return out
 
 
+#: rrf_fuse ranks each input list with an UNPARTITIONED row_number window —
+#: a single-partition global sort, correct and cheap for top-N shortlists
+#: but a scale hazard if a caller passes a corpus-sized score frame. The
+#: guard mirrors similarity.rhp_signature_col's explicit-refusal pattern:
+#: inputs above this bound are rejected with instructions, not silently
+#: funneled through one task.
+_MAX_RRF_LIST_ROWS = 100_000
+
+
+def _plan_max_rows(df: DataFrame) -> int | None:
+    """Catalyst's static row-count bound for a plan (LogicalPlan.maxRows),
+    or None when unbounded. A ``limit(n)`` input — every real retrieval
+    shortlist — carries maxRows=n, so the rrf_fuse size guard costs
+    nothing on the intended inputs."""
+    try:
+        mr = df._jdf.queryExecution().optimizedPlan().maxRows()
+        return int(mr.get()) if mr.isDefined() else None
+    except Exception:  # non-JVM frame / API drift: fall back to the probe
+        return None
+
+
 def rrf_fuse(
     lists: "list[DataFrame]",
     id_col: str = "doc_id",
     score_col: str = "score",
     k: int = 60,
     top_k: int | None = None,
+    max_list_rows: int | None = _MAX_RRF_LIST_ROWS,
 ) -> DataFrame:
     """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) of N
     ranked retrieval lists: rrf(d) = Σ_i 1/(k + rank_i(d)), summed over
@@ -915,6 +937,16 @@ def rrf_fuse(
 
     Returns (id_col, rank_1..rank_N nullable, rrf) ordered by rrf DESC,
     id ASC; ``top_k`` truncates to the final cut.
+
+    Size guard (``max_list_rows``, default 100k): each list's ranking is
+    an unpartitioned window, sized for shortlists — a corpus-sized input
+    would become one single-partition global sort. Lists whose plan
+    carries a static Catalyst bound (any ``limit(n)`` shortlist —
+    ``LogicalPlan.maxRows``) are checked for free; an unbounded plan pays
+    one EAGER ``limit(cap+1).count()`` probe (scans at most cap+1 rows,
+    documented eager evaluation) and is refused over the cap with
+    instructions to pre-truncate via a distributed top-k. Pass
+    ``max_list_rows=None`` to accept the single-partition sort knowingly.
     """
     from pyspark.sql import Window as W
 
@@ -922,6 +954,23 @@ def rrf_fuse(
         raise ValueError("lists must be non-empty")
     if k < 1:
         raise ValueError(f"k={k} must be >= 1")
+    if max_list_rows is not None:
+        if max_list_rows < 1:
+            raise ValueError(f"max_list_rows={max_list_rows} must be >= 1")
+        for i, df in enumerate(lists):
+            bound = _plan_max_rows(df)
+            if bound is not None and bound <= max_list_rows:
+                continue  # statically shortlist-sized: zero-cost check
+            if df.limit(max_list_rows + 1).count() > max_list_rows:
+                raise ValueError(
+                    f"rrf_fuse input list {i} exceeds max_list_rows="
+                    f"{max_list_rows}: per-list ranking is an unpartitioned "
+                    "window (single-partition global sort), sized for top-N "
+                    "retrieval shortlists, not corpora. Pre-truncate each "
+                    "list with a distributed top-k (orderBy(...).limit(n) — "
+                    "TakeOrdered, as hybrid_topk does), or raise "
+                    "max_list_rows / pass None to accept the sort."
+                )
     ranked = []
     for i, df in enumerate(lists):
         w = W.orderBy(F.desc(score_col), F.asc(id_col))
