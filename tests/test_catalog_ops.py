@@ -269,6 +269,74 @@ def test_projection_lifecycle_and_routing(clean_schema):
         assert t.projections() == []
 
 
+def test_projection_split_record_batch_reader(clean_schema):
+    """VERDICT r12 #6: the reference exposes a per-split Arrow reader on a
+    projection handle (vastdb/table.py:168). Round-trip: multi-file
+    projection, split readers partition it disjointly, predicates stay
+    inside projection columns, guards are loud."""
+    import pytest as _pt
+
+    from vastdb_sdk_spark.errors import InvalidArgument, NotSupportedCommand
+
+    data1 = pa.table(
+        {
+            "k": pa.array(list(range(100)), pa.int64()),
+            "v": pa.array([i * 2 for i in range(100)], pa.int64()),
+            "w": pa.array([str(i) for i in range(100)]),
+        }
+    )
+    data2 = pa.table(
+        {
+            "k": pa.array(list(range(100, 200)), pa.int64()),
+            "v": pa.array([i * 2 for i in range(100, 200)], pa.int64()),
+            "w": pa.array([str(i) for i in range(100, 200)]),
+        }
+    )
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").create_table("psplit", data1.schema)
+        t.insert(data1)
+        t.create_projection("by_k", ["k"], ["v"])
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("psplit")
+        t.insert(data2)  # second file; projection goes stale
+        proj = t.projection("by_k")
+        with _pt.raises(NotSupportedCommand, match="stale"):
+            proj.select_splits()
+        proj.rebuild()
+        proj = t.projection("by_k")
+
+        # single reader == full projection content
+        whole = proj.split_record_batch_reader().read_all()
+        assert sorted(whole.column("k").to_pylist()) == list(range(200))
+        assert whole.schema.names == ["k", "v"]
+
+        # multi-split: disjoint union equals the whole, schema per split
+        readers = proj.select_splits(num_splits=4)
+        assert 1 <= len(readers) <= 4
+        ks: list[int] = []
+        for r in readers:
+            tb = r.read_all()
+            assert tb.schema.names == ["k", "v"]
+            ks.extend(tb.column("k").to_pylist())
+        assert sorted(ks) == list(range(200))
+
+        # predicate on projection columns prunes inside splits
+        got = [
+            x
+            for r in proj.select_splits(predicate=(D.k >= 150), num_splits=4)
+            for x in r.read_all().column("v").to_pylist()
+        ]
+        assert sorted(got) == [i * 2 for i in range(150, 200)]
+
+        # guards: out-of-projection column / predicate, bad split index
+        with _pt.raises(InvalidArgument):
+            proj.select_splits(columns=["w"])
+        with _pt.raises(InvalidArgument):
+            proj.select_splits(predicate=(D.w == "1"))
+        with _pt.raises(InvalidArgument):
+            proj.split_record_batch_reader(split=99)
+
+
 # -- vector search ---------------------------------------------------------
 
 
