@@ -225,6 +225,68 @@ HEADLINE = [
 ]
 
 
+# Machine-drift CANARIES (VERDICT r8/r11/r12): this box drifts up to ~3x
+# intra-day, so raw cross-round comparisons are meaningless — r11 and r12
+# each burned a session adjudicating "regressions" that were the machine.
+# These fixed trivial scans never change across rounds; every measurement
+# is normalized against this PINNED baseline (the r11 driver capture — the
+# fastest committed full-protocol session, commit 5ffcaf7), interleaved
+# THROUGHOUT the run so slow-drift within one session is also corrected.
+# Cross-round claims read `normalized` values only (tools/bench_compare.py).
+CANARY_BASELINE = {
+    "lineitem_count": 0.262,
+    "lineitem_filter_agg": 0.3636,
+    "orders_scan_noop": 0.2381,
+}
+CANARY_EVERY = 25  # checkpoint cadence, in headline queries
+
+
+def _canary_thunks(spark, sf_dir):
+    return (
+        ("lineitem_count", lambda: spark.read.parquet(
+            f"{sf_dir}/lineitem.parquet").count()),
+        ("lineitem_filter_agg", lambda: spark.read.parquet(
+            f"{sf_dir}/lineitem.parquet")
+            .filter("l_quantity > 25").groupBy("l_returnflag").count()
+            .write.mode("overwrite").format("noop").save()),
+        ("orders_scan_noop", lambda: spark.read.parquet(
+            f"{sf_dir}/orders.parquet")
+            .write.mode("overwrite").format("noop").save()),
+    )
+
+
+def measure_canaries(spark, sf_dir, n_runs: int = 3) -> dict[str, float]:
+    """Median-of-n canary wall times (warm JVM)."""
+    out: dict[str, float] = {}
+    for cname, thunk in _canary_thunks(spark, sf_dir):
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            thunk()
+            runs.append(time.time() - t0)
+        out[cname] = round(statistics.median(runs), 4)
+    return out
+
+
+def canary_drift(values: dict, baseline: dict | None = None) -> float:
+    """This session's slowdown factor vs the pinned baseline: median over
+    canaries of measured/baseline. 1.0 = baseline-speed machine; 2.8 was
+    observed intra-day on this box. Pure function (unit-tested)."""
+    baseline = baseline or CANARY_BASELINE
+    ratios = [
+        values[k] / baseline[k]
+        for k in baseline
+        if k in values and values[k] > 0 and baseline[k] > 0
+    ]
+    return round(statistics.median(ratios), 4) if ratios else 1.0
+
+
+def nearest_checkpoint(idx: int, checkpoints: list[dict]) -> dict:
+    """The canary checkpoint closest (by query index) to query ``idx``.
+    Pure function (unit-tested)."""
+    return min(checkpoints, key=lambda c: abs(c["at_query_index"] - idx))
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -235,29 +297,19 @@ def main() -> int:
     # warm up the JVM + parquet footer caches on a trivial action
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # Machine-drift CANARY (VERDICT r8): round-8 burned a day adjudicating a
-    # 1.26x cross-round drift that turned out to be the machine, not the
-    # code. These fixed trivial scans never change across rounds, so the
-    # judge can normalize cross-round medians by the canary ratio. Measured
-    # FIRST (warm JVM, cold query) and recorded in BENCH_COLD.json.
-    canary: dict[str, float] = {}
-    for cname, thunk in (
-        ("lineitem_count", lambda: spark.read.parquet(
-            f"{sf_dir}/lineitem.parquet").count()),
-        ("lineitem_filter_agg", lambda: spark.read.parquet(
-            f"{sf_dir}/lineitem.parquet")
-            .filter("l_quantity > 25").groupBy("l_returnflag").count()
-            .write.mode("overwrite").format("noop").save()),
-        ("orders_scan_noop", lambda: spark.read.parquet(
-            f"{sf_dir}/orders.parquet")
-            .write.mode("overwrite").format("noop").save()),
-    ):
-        runs = []
-        for _ in range(3):
-            t0 = time.time()
-            thunk()
-            runs.append(time.time() - t0)
-        canary[cname] = round(statistics.median(runs), 4)
+    # canary checkpoint 0: full median-of-3, before any headline query
+    checkpoints: list[dict] = []
+
+    def _checkpoint(at_idx: int, n_runs: int) -> None:
+        vals = measure_canaries(spark, sf_dir, n_runs)
+        checkpoints.append({
+            "at_query_index": at_idx,
+            "values": vals,
+            "drift": canary_drift(vals),
+        })
+
+    _checkpoint(0, 3)
+    canary = dict(checkpoints[0]["values"])  # legacy artifact key
 
     # Protocol: per query, one discarded cold run (codegen compile,
     # engine-warehouse build — the reference's own "first run discarded",
@@ -269,7 +321,11 @@ def main() -> int:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for qi, name in enumerate(HEADLINE):
+        # interleaved canary checkpoint every CANARY_EVERY queries (single
+        # run each — ~1 s; drift is a slow signal, cadence beats precision)
+        if qi and qi % CANARY_EVERY == 0:
+            _checkpoint(qi, 1)
         fn = queries[name]
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -285,6 +341,25 @@ def main() -> int:
         # drop anything a query persisted (e.g. LSH candidate sets) so later
         # queries aren't measured under another query's cache pressure
         spark.catalog.clearCache()
+    # closing checkpoint: full median-of-3 after the last query
+    _checkpoint(len(HEADLINE), 3)
+
+    # per-query normalization: raw / drift of the NEAREST checkpoint, so a
+    # cross-round reader compares baseline-machine seconds, not this
+    # session's weather. queries_detail carries raw + normalized +
+    # which-checkpoint for every query (VERDICT r12 #2).
+    detail: dict[str, dict] = {}
+    normalized: dict[str, float] = {}
+    for qi, name in enumerate(HEADLINE):
+        cp = nearest_checkpoint(qi, checkpoints)
+        d = max(cp["drift"], 1e-9)
+        normalized[name] = round(timings[name] / d, 3)
+        detail[name] = {
+            "raw": timings[name],
+            "normalized": normalized[name],
+            "drift": cp["drift"],
+            "canary_at": cp["at_query_index"],
+        }
 
     total = round(sum(timings.values()), 3)
     # Cold-run timings AND the full per-query dict go to a side file, NOT
@@ -302,7 +377,17 @@ def main() -> int:
             json.dump(
                 {"cold_run": cold, "warm_min_max": spread, "n_warm": n_warm,
                  "sf": sf, "canary": canary, "all_queries": timings,
-                 "total_all_queries": total},
+                 "total_all_queries": total,
+                 # self-normalizing fields (VERDICT r12 #2): pinned
+                 # baseline, interleaved checkpoints, and per-query
+                 # normalized values — cross-round comparisons MUST read
+                 # these (tools/bench_compare.py), never raw seconds
+                 "canary_baseline": CANARY_BASELINE,
+                 "canary_checkpoints": checkpoints,
+                 "all_queries_normalized": normalized,
+                 "total_all_queries_normalized": round(
+                     sum(normalized.values()), 3),
+                 "queries_detail": detail},
                 f,
             )
     except OSError:

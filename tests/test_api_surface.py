@@ -299,6 +299,62 @@ def test_bench_stdout_line_fits_driver_buffer():
     assert d2["metric"] == "headline_queries_total_wall_sec"
 
 
+def test_bench_canary_normalization_math():
+    """VERDICT r12 #2: BENCH artifacts must be self-normalizing — this
+    box drifts up to ~3x intra-day and every cross-round 'regression'
+    last round was machine weather. Pin the pure math: drift is the
+    median measured/baseline ratio, per-query normalization divides by
+    the NEAREST checkpoint's drift, and bench_compare reads normalized
+    values from both artifact generations."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import CANARY_BASELINE, canary_drift, nearest_checkpoint
+    from tools.bench_compare import compare, normalized_queries
+
+    base = dict(CANARY_BASELINE)
+    # a uniformly 2x-slower session measures drift 2.0
+    assert canary_drift({k: 2 * v for k, v in base.items()}) == 2.0
+    # median over canaries: one outlier does not move the factor
+    vals = {k: v for k, v in base.items()}
+    vals["lineitem_count"] = base["lineitem_count"] * 50
+    assert canary_drift(vals) == 1.0
+    # missing/zero canaries are skipped; nothing usable -> neutral 1.0
+    assert canary_drift({}) == 1.0
+    assert canary_drift({"lineitem_count": 0.0}) == 1.0
+
+    cps = [
+        {"at_query_index": 0, "drift": 1.0},
+        {"at_query_index": 25, "drift": 2.0},
+        {"at_query_index": 50, "drift": 3.0},
+    ]
+    assert nearest_checkpoint(3, cps)["drift"] == 1.0
+    assert nearest_checkpoint(20, cps)["drift"] == 2.0
+    assert nearest_checkpoint(49, cps)["drift"] == 3.0
+
+    # new-format artifact: normalized dict used verbatim
+    new_art = {
+        "all_queries": {"q1": 4.0},
+        "all_queries_normalized": {"q1": 2.0, "q2": 1.0},
+        "canary": {k: 2 * v for k, v in base.items()},
+    }
+    qn, how = normalized_queries(new_art)
+    assert qn == {"q1": 2.0, "q2": 1.0} and how == "checkpoints"
+    # old-format artifact: post-hoc single-canary correction
+    old_art = {
+        "all_queries": {"q1": 1.0, "q2": 1.0},
+        "canary": {k: 0.5 * v for k, v in base.items()},
+    }
+    qo, how_o = normalized_queries(old_art)
+    assert abs(qo["q1"] - 2.0) < 1e-9 and how_o.startswith("single-canary")
+
+    rep = compare(old_art, new_art, threshold=1.5)
+    assert rep["common_queries"] == 2
+    # q1: old 2.0 -> new 2.0 (flat); q2: old 2.0 -> new 1.0 (0.5x mover)
+    assert rep["median_ratio"] == 0.75
+    assert set(rep["movers"]) == {"q2"}
+
+
 def test_gate_outputs_are_scalar(spark):
     """The driver's canonicalizer sorts result frames in pandas, which
     cannot sort array/map/struct cells ("unhashable type: 'list'" — the

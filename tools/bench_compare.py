@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Cross-round bench comparison that reads NORMALIZED values only.
+
+This box drifts up to ~3x intra-day (adjudicated in VERDICT r12: every
+suspected 3-4x regression of the round was machine weather), so raw
+cross-round deltas are noise. This tool compares two BENCH_COLD.json
+artifacts in baseline-machine seconds:
+
+- new-format artifacts (r13+) carry ``all_queries_normalized`` produced
+  from canary checkpoints interleaved through the run — used verbatim;
+- old-format artifacts are normalized post-hoc by their single start-of-
+  run canary block (the best available correction; one factor for the
+  whole session).
+
+Usage: python tools/bench_compare.py OLD.json NEW.json [move_threshold]
+Exit 0 always (reporting tool, not a gate); one JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import canary_drift  # noqa: E402
+
+
+def normalized_queries(artifact: dict) -> tuple[dict[str, float], str]:
+    """(name -> baseline-machine seconds, how) for one artifact."""
+    if "all_queries_normalized" in artifact:
+        return dict(artifact["all_queries_normalized"]), "checkpoints"
+    drift = canary_drift(artifact.get("canary", {}))
+    raw = artifact.get("all_queries", {})
+    return {k: v / drift for k, v in raw.items()}, f"single-canary/{drift}"
+
+
+def compare(old: dict, new: dict, threshold: float = 1.5) -> dict:
+    qo, how_o = normalized_queries(old)
+    qn, how_n = normalized_queries(new)
+    common = sorted(set(qo) & set(qn))
+    ratios = {
+        q: round(qn[q] / qo[q], 3) for q in common if qo[q] > 0 and qn[q] > 0
+    }
+    movers = {
+        q: {"old": round(qo[q], 3), "new": round(qn[q], 3), "ratio": r}
+        for q, r in sorted(ratios.items(), key=lambda kv: -kv[1])
+        if r >= threshold or r <= 1 / threshold
+    }
+    tot_o = sum(qo[q] for q in common)
+    tot_n = sum(qn[q] for q in common)
+    return {
+        "common_queries": len(common),
+        "normalization": {"old": how_o, "new": how_n},
+        "total_ratio": round(tot_n / tot_o, 3) if tot_o else None,
+        "median_ratio": (
+            round(statistics.median(ratios.values()), 3) if ratios else None
+        ),
+        "movers": movers,
+    }
+
+
+def main() -> int:
+    with open(sys.argv[1]) as f:
+        old = json.load(f)
+    with open(sys.argv[2]) as f:
+        new = json.load(f)
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    print(json.dumps(compare(old, new, threshold)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
