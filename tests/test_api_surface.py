@@ -332,27 +332,36 @@ def test_bench_canary_normalization_math():
     assert nearest_checkpoint(20, cps)["drift"] == 2.0
     assert nearest_checkpoint(49, cps)["drift"] == 3.0
 
-    # new-format artifact: normalized dict used verbatim
+    # new-format artifact: normalized dict used verbatim (both-new mode)
     new_art = {
-        "all_queries": {"q1": 4.0},
+        "all_queries": {"q1": 4.0, "q2": 4.0},
         "all_queries_normalized": {"q1": 2.0, "q2": 1.0},
         "canary": {k: 2 * v for k, v in base.items()},
     }
     qn, how = normalized_queries(new_art)
     assert qn == {"q1": 2.0, "q2": 1.0} and how == "checkpoints"
-    # old-format artifact: post-hoc single-canary correction
+    # old-format artifact: post-hoc start-canary correction
     old_art = {
         "all_queries": {"q1": 1.0, "q2": 1.0},
         "canary": {k: 0.5 * v for k, v in base.items()},
     }
     qo, how_o = normalized_queries(old_art)
-    assert abs(qo["q1"] - 2.0) < 1e-9 and how_o.startswith("single-canary")
+    assert abs(qo["q1"] - 2.0) < 1e-9 and how_o.startswith("start-canary")
 
+    # MIXED formats: both sides fall back to start-canary normalization —
+    # checkpoint drifts embed the JVM warm-up profile, which only cancels
+    # when both sides are position-normalized (r13 measurement)
     rep = compare(old_art, new_art, threshold=1.5)
     assert rep["common_queries"] == 2
-    # q1: old 2.0 -> new 2.0 (flat); q2: old 2.0 -> new 1.0 (0.5x mover)
-    assert rep["median_ratio"] == 0.75
-    assert set(rep["movers"]) == {"q2"}
+    assert rep["normalization"]["new"].startswith("start-canary")
+    # old: 1.0/0.5 = 2.0 each; new: 4.0/2.0 = 2.0 each -> flat, no movers
+    assert rep["median_ratio"] == 1.0 and not rep["movers"]
+
+    # both new-format: position-normalized values used verbatim
+    old2 = dict(new_art, all_queries_normalized={"q1": 2.0, "q2": 2.0})
+    rep2 = compare(old2, new_art, threshold=1.5)
+    assert rep2["normalization"] == {"old": "checkpoints", "new": "checkpoints"}
+    assert rep2["median_ratio"] == 0.75 and set(rep2["movers"]) == {"q2"}
 
 
 def test_gate_outputs_are_scalar(spark):

@@ -28,18 +28,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import canary_drift  # noqa: E402
 
 
-def normalized_queries(artifact: dict) -> tuple[dict[str, float], str]:
-    """(name -> baseline-machine seconds, how) for one artifact."""
-    if "all_queries_normalized" in artifact:
+def normalized_queries(
+    artifact: dict, mode: str = "checkpoints"
+) -> tuple[dict[str, float], str]:
+    """(name -> baseline-machine seconds, how) for one artifact.
+
+    mode="checkpoints" uses the per-query position-matched normalization
+    when present. mode="start" divides raw values by the START-of-run
+    canary drift only — required when the OTHER side of a comparison is
+    an old-format artifact: checkpoint drifts embed the session's JVM
+    warm-up profile (canaries JIT ~40% faster by mid-run, measured
+    r13), which cancels only when BOTH sides are position-normalized.
+    Mixing the two schemes manufactures ~1.5x phantom movers."""
+    raw = artifact.get("all_queries", {})
+    if mode == "checkpoints" and "all_queries_normalized" in artifact:
         return dict(artifact["all_queries_normalized"]), "checkpoints"
     drift = canary_drift(artifact.get("canary", {}))
-    raw = artifact.get("all_queries", {})
-    return {k: v / drift for k, v in raw.items()}, f"single-canary/{drift}"
+    return {k: v / drift for k, v in raw.items()}, f"start-canary/{drift}"
 
 
 def compare(old: dict, new: dict, threshold: float = 1.5) -> dict:
-    qo, how_o = normalized_queries(old)
-    qn, how_n = normalized_queries(new)
+    both_new = (
+        "all_queries_normalized" in old and "all_queries_normalized" in new
+    )
+    mode = "checkpoints" if both_new else "start"
+    qo, how_o = normalized_queries(old, mode)
+    qn, how_n = normalized_queries(new, mode)
     common = sorted(set(qo) & set(qn))
     ratios = {
         q: round(qn[q] / qo[q], 3) for q in common if qo[q] > 0 and qn[q] > 0
