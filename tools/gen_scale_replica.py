@@ -58,8 +58,13 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/root/repo/.scale/sf1")
     ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated subset (default: all tables) — "
+                    "for single-operator scale points (e.g. a 100-copy "
+                    "embeddings-only sf10 for the embedding-dedup decade)")
     args = ap.parse_args()
     base, out, m = args.base, args.out, args.copies
+    only = set(args.tables.split(",")) if args.tables else None
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads={os.cpu_count() or 8}")
@@ -68,6 +73,8 @@ def main() -> None:
         return f"read_parquet('{base}/{t}.parquet')"
 
     def write(t: str, sql: str) -> None:
+        if only is not None and t not in only:
+            return
         # bounded row groups: a single 50k-row group would hand Spark ONE
         # splittable unit for the whole table (single-task scans — measured
         # to serialize every documents/embeddings query); 10k-row groups
