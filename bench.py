@@ -300,12 +300,18 @@ def main() -> int:
     # canary checkpoint 0: full median-of-3, before any headline query
     checkpoints: list[dict] = []
 
+    t_session0 = time.time()
+
     def _checkpoint(at_idx: int, n_runs: int) -> None:
         vals = measure_canaries(spark, sf_dir, n_runs)
         checkpoints.append({
             "at_query_index": at_idx,
             "values": vals,
             "drift": canary_drift(vals),
+            # session-relative wall clock: lets a sub-cadence machine
+            # spike (shorter than the 25-query checkpoint spacing) be
+            # correlated post-hoc (ann_quantize_int8 adjudication, r13)
+            "at_sec": round(time.time() - t_session0, 1),
         })
 
     _checkpoint(0, 3)
@@ -321,12 +327,14 @@ def main() -> int:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    started_at: dict[str, float] = {}
     for qi, name in enumerate(HEADLINE):
         # interleaved canary checkpoint every CANARY_EVERY queries (single
         # run each — ~1 s; drift is a slow signal, cadence beats precision)
         if qi and qi % CANARY_EVERY == 0:
             _checkpoint(qi, 1)
         fn = queries[name]
+        started_at[name] = round(time.time() - t_session0, 1)
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         cold[name] = round(time.time() - t0, 3)
@@ -359,6 +367,7 @@ def main() -> int:
             "normalized": normalized[name],
             "drift": cp["drift"],
             "canary_at": cp["at_query_index"],
+            "at_sec": started_at.get(name),
         }
 
     total = round(sum(timings.values()), 3)
