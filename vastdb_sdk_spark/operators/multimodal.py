@@ -5,11 +5,17 @@ Beyond-parity (BASELINE.json north star). Media payloads are opaque
 resize / frame-sample run as Arrow-batched ``mapInPandas`` pipelines so the
 Python boundary is crossed once per batch, not per row.
 
-The actual codecs (Pillow/librosa/av) are NOT in this container, so the
-decode step is STUBBED: ``decoder=None`` uses a deterministic fake that
-derives dimensions/features from the payload bytes (stable for tests);
-passing a real decoder callable plugs in the real library without touching
-the Spark-side plumbing (schema, batching, partitioning are identical).
+Third-party codecs (Pillow/librosa/av) are NOT in this container. The
+DEFAULT decode step (``decoder=None`` / ``pixels=None``) is a
+deterministic fake that derives dimensions/features from the payload
+bytes (stable for tests). REAL image decoding is available dependency-
+free via ``operators.imagecodec`` (pure-numpy 24bpp BMP + binary PNM
+from their public specs, Pillow fallback when importable):
+``decode_images(df, decoder=imagecodec.decode_meta)`` and
+``phash_images(df, pixels=imagecodec.decode_pixels)`` — same Spark-side
+plumbing (schema, batching, partitioning identical), tested end-to-end
+on spec-conformant payloads in tests/test_imagecodec.py. Audio/video
+codecs remain seam-only (``extractor=``/``resizer=`` callables).
 
 Scale notes: mapInPandas streams Arrow batches (no per-row pickling);
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds peak memory per
