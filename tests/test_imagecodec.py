@@ -164,6 +164,54 @@ def test_decode_images_with_real_decoder(spark):
         assert abs(got[i]["mean_luma"] - luma.mean() / 255.0) < 1e-5
 
 
+def test_resize_rgb_bilinear_properties():
+    from vastdb_sdk_spark.operators.imagecodec import resize_rgb
+
+    a = _img(8, 6, seed=21)
+    # identity resize is exact
+    assert np.array_equal(resize_rgb(a, 6, 8), a)
+    # constant image stays constant at any size
+    const = np.full((5, 7, 3), 42, dtype=np.uint8)
+    assert (resize_rgb(const, 13, 3) == 42).all()
+    # 2x upscale of a horizontal step keeps left/right plateaus
+    step = np.zeros((4, 4), dtype=np.uint8)
+    step[:, 2:] = 200
+    up = resize_rgb(step, 8, 8)
+    assert up.shape == (8, 8)
+    assert (up[:, :3] == 0).all() and (up[:, -3:] == 200).all()
+    # interpolated band is monotone between the plateaus
+    mid = up[0, 3:5].astype(int)
+    assert 0 < mid[0] <= mid[1] < 200
+    with pytest.raises(ImageDecodeError, match="positive"):
+        resize_rgb(a, 0, 4)
+
+
+def test_resize_images_with_real_resizer(spark):
+    """The resizer= seam end-to-end: decode BMP -> bilinear 16x16 ->
+    re-encode BMP; output payloads decode to the expected dims and the
+    canonical decode->resize->phash pipeline runs on them."""
+    from vastdb_sdk_spark.operators.imagecodec import (
+        decode_bmp as dec,
+        decode_pixels as px,
+        make_resizer,
+    )
+    from vastdb_sdk_spark.operators.multimodal import phash_images, resize_images
+
+    imgs = {1: _img(32, 24, seed=31), 2: _img(9, 40, seed=32)}
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_bmp(a))) for i, a in imgs.items()],
+        "media_id long, payload binary",
+    )
+    small = resize_images(df, 16, 16, resizer=make_resizer("bmp"))
+    rows = {r["media_id"]: r for r in small.collect()}
+    for i in imgs:
+        assert (rows[i]["width"], rows[i]["height"]) == (16, 16)
+        assert dec(bytes(rows[i]["payload"])).shape == (16, 16, 3)
+    hashed = phash_images(small.select("media_id", "payload"), pixels=px)
+    got = {r["media_id"]: r["phash"] for r in hashed.collect()}
+    assert got[1] is not None and got[2] is not None and got[1] != got[2]
+
+
 def test_pillow_fallback_when_available():
     PIL = pytest.importorskip("PIL")  # noqa: F841 — absent in this container
     import io

@@ -220,6 +220,50 @@ def decode_pixels(payload: bytes) -> "np.ndarray | None":
     return decode_rgb(payload).astype(np.float64) @ _LUMA
 
 
+def resize_rgb(arr: "np.ndarray", width: int, height: int) -> "np.ndarray":
+    """Bilinear resize of an (H, W[, C]) uint8 array to (height, width[, C])
+    — the standard align-corners=False convention (sample at pixel
+    centers, edge-clamped), matching what PIL/OpenCV do for BILINEAR.
+    Pure-numpy separable implementation: one vectorized gather+lerp per
+    axis, no Python per-pixel loops."""
+    if width <= 0 or height <= 0:
+        raise ImageDecodeError(f"target dims must be positive, got {width}x{height}")
+    a = np.asarray(arr)
+    squeeze = a.ndim == 2
+    if squeeze:
+        a = a[:, :, None]
+    h, w = a.shape[:2]
+    out = a.astype(np.float64)
+
+    def axis_coords(src: int, dst: int) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+        centers = (np.arange(dst) + 0.5) * (src / dst) - 0.5
+        lo = np.clip(np.floor(centers).astype(int), 0, src - 1)
+        hi = np.clip(lo + 1, 0, src - 1)
+        frac = np.clip(centers - lo, 0.0, 1.0)
+        return lo, hi, frac
+
+    lo, hi, fr = axis_coords(h, height)
+    out = out[lo] * (1 - fr)[:, None, None] + out[hi] * fr[:, None, None]
+    lo, hi, fr = axis_coords(w, width)
+    out = out[:, lo] * (1 - fr)[None, :, None] + out[:, hi] * fr[None, :, None]
+    out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out[:, :, 0] if squeeze else out
+
+
+def make_resizer(fmt: str = "bmp"):
+    """A real ``resize_images(resizer=...)`` seam implementation:
+    payload -> decode (any supported format) -> bilinear resize ->
+    re-encode as ``fmt`` ('bmp' or 'pnm'). Returns the callable."""
+    if fmt not in ("bmp", "pnm"):
+        raise ImageDecodeError(f"unsupported re-encode format {fmt!r}")
+    enc = encode_bmp if fmt == "bmp" else encode_pnm
+
+    def _resize(payload: bytes, width: int, height: int) -> bytes:
+        return enc(resize_rgb(decode_rgb(payload), width, height))
+
+    return _resize
+
+
 def decode_meta(payload: bytes) -> dict:
     """The ``decode_images(decoder=...)`` seam: real (width, height,
     mean_luma) from the decoded pixels; mean_luma normalized to [0, 1]
