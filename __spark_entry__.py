@@ -5000,74 +5000,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION MATH (the standing policy): 192 registered queries, 50
     # gated per round => a full re-green cycle takes 4 rounds, so the
     # honest staleness bound is "no query's latest driver-green is older
-    # than 4 rounds" once the backlog below is cleared. The registry is
-    # FROZEN this round (no new entries) to pay that backlog down.
+    # than 4 rounds". This round (14) runs the LAST backlog leg.
     #
-    # Round-13 window (executing the plan committed in round 11 and
-    # re-confirmed by VERDICT.md r12 "Next round" #1): the REMAINDER of
-    # the round-9-green cohort in registry order (42 queries), plus the
-    # round-10-cohort front (8) to fill the 50. Round-14 takes the rest
-    # of the round-10 cohort (+ the round-11-cohort front) — after which
-    # every green is <= 4 rounds old and the rotation is steady-state
-    # oldest-first. The round-12 window (re-greened last round) rotates
-    # to the tail as the freshest cohort. Registry stays FROZEN at 192
-    # (no new entries) until steady state; the r15 extension plan lives
-    # in SCALING.md.
+    # Round-14 window (the plan committed in round 11, re-confirmed by
+    # VERDICT.md r13 "Next round" #1): the REMAINDER of the
+    # round-10-green cohort in registry order (42 queries, from
+    # el6_bloom_point), plus the round-11-cohort front (8) to fill the
+    # 50. After this round every green is <= 4 rounds old and the
+    # rotation is steady-state oldest-first: each round simply gates the
+    # current front 50 and rotates them to the tail. The round-13 window
+    # (re-greened last round) rotates to the tail as the freshest
+    # cohort. Registry stays FROZEN at 192 through this round; it
+    # UNFREEZES in r15 per the extension plan in SCALING.md (new entries
+    # join at the tail as the freshest cohort).
     return {
-        # -- round-13 window: rest of the round-9-green cohort ------------
-        "tx_chunk_windows": q_tx_chunk_windows,
-        "tx_normalize": q_tx_normalize,
-        "e14_engine_dedup": q_e14_engine_dedup,
-        "dd_simhash": q_dd_simhash,
-        "dd_lsh_pairs": q_dd_lsh_pairs,
-        "tx_token_stats": q_tx_token_stats,
-        "tx_quality": q_tx_quality,
-        "tx_langid": q_tx_langid,
-        "mm_decode_stub": q_mm_decode_stub,
-        "mm_blob_meta": q_mm_blob_meta,
-        "e1_engine_scan": q_e1_engine_scan,
-        "e2_engine_sql": q_e2_engine_sql,
-        "e4_engine_dml": q_e4_engine_dml,
-        "e9_engine_merge": q_e9_engine_merge,
-        "e10_sql_frontend": q_e10_sql_frontend,
-        "e13_engine_zorder": q_e13_engine_zorder,
-        "el1_sorted_point": q_el1_sorted_point,
-        "a1_tpch_q1": q_a1_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q6": q_tpch_q6,
-        "j1_star_join_revenue": q_j1_star_join_revenue,
-        "s1_scan_project": q_s1_scan_project,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        "ds_stratified_sample": q_ds_stratified_sample,
-        "e18_refresh_incremental": q_e18_refresh_incremental,
-        # -- round-10-cohort front: fills the window's last 8 slots -------
-        "tx_bpe_learned": q_tx_bpe_learned,
-        "e19_engine_domain_cap": q_e19_engine_domain_cap,
-        "e21_pipeline_recipe": q_e21_pipeline_recipe,
-        "e22_matview_incremental": q_e22_matview_incremental,
-        "e23_matview_rollup": q_e23_matview_rollup,
-        "e24_matview_timebucket": q_e24_matview_timebucket,
-        "e25_sig_sync": q_e25_sig_sync,
-        "e26_sql_views": q_e26_sql_views,
-        # ---- window boundary (driver gates the 50 entries above) --------
-        # -- rest of the round-10-green cohort (round-14 window front) ----
+        # -- round-14 window: rest of the round-10-green cohort -----------
         "el6_bloom_point": q_el6_bloom_point,
         "ts_gapfill": q_ts_gapfill,
         "ts_anomaly": q_ts_anomaly,
@@ -5110,7 +5057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_token_entropy": q_tx_token_entropy,
         "tx_url_canon": q_tx_url_canon,
         "tx_zipf_slope": q_tx_zipf_slope,
-        # -- round-11-green cohort (freshest; re-greened last round) ------
+        # -- round-11-cohort front: fills the window's last 8 slots -------
         "tx_span_corrupt": q_tx_span_corrupt,
         "tx_mlm_mask": q_tx_mlm_mask,
         "ds_train_test_split": q_ds_train_test_split,
@@ -5119,6 +5066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_c4_filter": q_tx_c4_filter,
         "tx_bpe_tokens": q_tx_bpe_tokens,
         "tx_unigram_logprob": q_tx_unigram_logprob,
+        # ---- window boundary (driver gates the 50 entries above) --------
+        # -- rest of the round-11-green cohort ------------------------------
         "e15_jsonl_ingest": q_e15_jsonl_ingest,
         "ann_quantize_int8": q_ann_quantize_int8,
         "ds_quality_filter": q_ds_quality_filter,
@@ -5161,7 +5110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rhp_topk": q_ann_rhp_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        # -- round-12-green cohort (freshest; re-greened last round) ------
+        # -- round-12-green cohort ----------------------------------------
         "dd_phash_neardup": q_dd_phash_neardup,
         "tx_clf_quality": q_tx_clf_quality,
         "dd_passage_dups": q_dd_passage_dups,
@@ -5212,6 +5161,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_semantic_dedup": q_dd_semantic_dedup,
         "tx_hybrid_topk": q_tx_hybrid_topk,
         "tx_repetition": q_tx_repetition,
+        # -- round-13 window (freshest; re-greened last round) ------------
+        "tx_chunk_windows": q_tx_chunk_windows,
+        "tx_normalize": q_tx_normalize,
+        "e14_engine_dedup": q_e14_engine_dedup,
+        "dd_simhash": q_dd_simhash,
+        "dd_lsh_pairs": q_dd_lsh_pairs,
+        "tx_token_stats": q_tx_token_stats,
+        "tx_quality": q_tx_quality,
+        "tx_langid": q_tx_langid,
+        "mm_decode_stub": q_mm_decode_stub,
+        "mm_blob_meta": q_mm_blob_meta,
+        "e1_engine_scan": q_e1_engine_scan,
+        "e2_engine_sql": q_e2_engine_sql,
+        "e4_engine_dml": q_e4_engine_dml,
+        "e9_engine_merge": q_e9_engine_merge,
+        "e10_sql_frontend": q_e10_sql_frontend,
+        "e13_engine_zorder": q_e13_engine_zorder,
+        "el1_sorted_point": q_el1_sorted_point,
+        "a1_tpch_q1": q_a1_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
+        "j1_star_join_revenue": q_j1_star_join_revenue,
+        "s1_scan_project": q_s1_scan_project,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        "ds_stratified_sample": q_ds_stratified_sample,
+        "e18_refresh_incremental": q_e18_refresh_incremental,
+        # -- round-10-cohort front (re-greened in round 13) ---------------
+        "tx_bpe_learned": q_tx_bpe_learned,
+        "e19_engine_domain_cap": q_e19_engine_domain_cap,
+        "e21_pipeline_recipe": q_e21_pipeline_recipe,
+        "e22_matview_incremental": q_e22_matview_incremental,
+        "e23_matview_rollup": q_e23_matview_rollup,
+        "e24_matview_timebucket": q_e24_matview_timebucket,
+        "e25_sig_sync": q_e25_sig_sync,
+        "e26_sql_views": q_e26_sql_views,
     }
 
 
