@@ -536,15 +536,16 @@ class Table:
 
         Predicate ``False`` short-circuits to an empty reader with the right
         schema and zero Spark jobs (reference: table.py:485-489).
+
+        LAZY: the plan — file list, deletion-vector sidecars, pushed
+        predicate — is pinned at construction, but the Spark job runs when
+        the first batch is pulled (reference semantics: vastdb/table.py:
+        536-569 hands out readers whose work happens on consumption). A
+        reader held across a later file-compacting DML (DV rewrite,
+        shrink) may fail on pull if its pinned files were deleted — the
+        same hazard the reference's mid-read-truncate has.
         """
-        arrow = self.arrow_schema
-        out_fields = []
-        names = arrow.names if columns is None else columns
-        for c in names:
-            out_fields.append(_resolve_field(arrow, c))
-        if internal_row_id:
-            out_fields.append(pa.field(INTERNAL_ROW_ID, _ROW_ID_ARROW, False))
-        out_schema = pa.schema(out_fields)
+        out_schema = self._select_out_schema(columns, internal_row_id)
 
         if predicate is False:
             return pa.RecordBatchReader.from_batches(out_schema, iter([]))
@@ -558,13 +559,34 @@ class Table:
             limit_rows=limit_rows,
         )
         batch_rows = cfg.limit_rows_per_sub_split
-        est_rows = limit_rows if limit_rows is not None else self.entry.num_rows
+        est_override = self.__dict__.get("_est_rows_override")
+        est_rows = (
+            limit_rows
+            if limit_rows is not None
+            else est_override
+            if est_override is not None
+            else self.entry.num_rows
+        )
         if est_rows > cfg.spill_threshold_rows:
             return self._spill_reader(df, out_schema, batch_rows)
-        tbl = df.toArrow()
-        tbl = cast_table_to_schema(tbl, out_schema)
-        batches = tbl.to_batches(max_chunksize=batch_rows)
-        return pa.RecordBatchReader.from_batches(out_schema, iter(batches))
+
+        def gen():
+            tbl = cast_table_to_schema(df.toArrow(), out_schema)
+            for b in tbl.to_batches(max_chunksize=batch_rows):
+                yield b
+
+        return pa.RecordBatchReader.from_batches(out_schema, gen())
+
+    def _select_out_schema(
+        self, columns: list[str] | None, internal_row_id: bool = False
+    ) -> pa.Schema:
+        """Result schema of a select() — validates requested columns."""
+        arrow = self.arrow_schema
+        names = arrow.names if columns is None else columns
+        out_fields = [_resolve_field(arrow, c) for c in names]
+        if internal_row_id:
+            out_fields.append(pa.field(INTERNAL_ROW_ID, _ROW_ID_ARROW, False))
+        return pa.schema(out_fields)
 
     def _spill_reader(
         self, df: DataFrame, out_schema: pa.Schema, batch_rows: int
@@ -573,7 +595,8 @@ class Table:
         result to a temp parquet dataset, stream it back batch-by-batch, and
         delete it when the reader is exhausted. The driver never holds more
         than one batch — the analog of the reference's bounded-queue merge
-        (vastdb/table.py:597-704)."""
+        (vastdb/table.py:597-704). The write job, like the in-memory path's
+        collect, runs on first batch pull."""
         import shutil
 
         import pyarrow.dataset as pads
@@ -581,9 +604,9 @@ class Table:
         tmpdir = os.path.join(
             self._state.store.bucket_path, "_tmp", f"sel-{os.getpid()}-{time.time_ns()}"
         )
-        df.write.mode("overwrite").parquet(tmpdir)
 
         def gen():
+            df.write.mode("overwrite").parquet(tmpdir)
             try:
                 dataset = pads.dataset(tmpdir, format="parquet")
                 for batch in dataset.to_batches(batch_size=batch_rows):
@@ -607,35 +630,49 @@ class Table:
         """Split the scan into independent per-split Arrow readers for
         caller-managed parallelism (reference: ``select_splits``,
         vastdb/table.py:536-569 — one reader per split). Splits are disjoint
-        groups of data files; each reader runs its own (small) Spark job when
-        consumed."""
+        groups of data files.
+
+        LAZY: constructing the list pins the snapshot (each split's file
+        group + the table entry) but runs no Spark job and builds no plan;
+        each split plans and runs its own (small) Spark job when its reader
+        is first pulled, so consuming splits on N workers parallelizes the
+        planning too. An explicit ``num_splits`` returns exactly that many
+        readers — trailing readers may be empty (the reference's
+        fixed-count contract); a derived count is capped at the file
+        count."""
         config = config or QueryConfig()
         entry = self.entry
+        files = entry.files
+        explicit = num_splits is not None
         if num_splits is None:
             num_splits = config.num_splits or max(
                 1, entry.num_rows // config.rows_per_split
             )
-        files = entry.files
-        if not files:
-            return [self.select(columns, predicate, config, internal_row_id=internal_row_id)]
-        num_splits = min(num_splits, len(files))
+        if not explicit:
+            num_splits = min(num_splits, max(1, len(files)))
+        num_splits = max(1, num_splits)
         groups: list[list[FileEntry]] = [[] for _ in range(num_splits)]
         for i, fe in enumerate(files):
             groups[i % num_splits].append(fe)
+        out_schema = self._select_out_schema(columns, internal_row_id)
+        entry_json = entry.to_json()
 
-        readers = []
-        for grp in groups:
-            if not grp:
-                continue
-            sub = Table(self.name, self.schema)
-            sub_entry = TableEntry.from_json(entry.to_json())
-            sub_entry.files = grp
-            sub_entry.projections = {}
-            sub._entry_override = sub_entry
-            readers.append(
-                sub.select(columns, predicate, config, internal_row_id=internal_row_id)
-            )
-        return readers
+        def lazy_reader(grp: list[FileEntry]) -> pa.RecordBatchReader:
+            def gen():
+                if not grp:
+                    return
+                sub = Table(self.name, self.schema)
+                sub_entry = TableEntry.from_json(entry_json)
+                sub_entry.files = grp
+                sub_entry.projections = {}
+                sub._entry_override = sub_entry
+                yield from sub.select(
+                    columns, predicate, config, internal_row_id=internal_row_id
+                )
+
+            return pa.RecordBatchReader.from_batches(out_schema, gen())
+
+        return [lazy_reader(grp) for grp in groups]
 
     def count_rows(self, predicate: Any = None) -> int:
         """Count scan — the analog of reference ``select(columns=[])``
@@ -4068,28 +4105,16 @@ class Projection:
                 pass
         return TableStats(num_rows=sum(f.rows for f in files), size_in_bytes=size)
 
-    def select_splits(
+    def _split_plan(
         self,
-        columns: list[str] | None = None,
-        predicate: Any = None,
-        config: QueryConfig | None = None,
-        *,
-        num_splits: int | None = None,
-    ) -> list[pa.RecordBatchReader]:
-        """Per-split Arrow readers over THIS projection's files — the
-        projection-handle analog of ``Table.select_splits``, closing the
-        reference's per-split-reader-on-a-projection surface
-        (``split_record_batch_reader``, vastdb/table.py:168, handed out by
-        select_splits at :536-569). Each split is a disjoint group of the
-        projection's (narrow, sorted) files, so a reader pays only for
-        projection data; sort-key min/max pruning still applies inside
-        each split via the routed scan.
-
-        Guards (explicit, not silent fallback — a projection handle must
-        never quietly read base-table files): stale projections are
-        refused (rebuild()/refresh() first), requested/predicate columns
-        must be covered by the projection, and Spark ``Column``
-        predicates are rejected (they bypass projection routing)."""
+        columns: list[str] | None,
+        predicate: Any,
+        config: QueryConfig | None,
+        num_splits: int | None,
+    ) -> tuple[list[list[FileEntry]], list[str], QueryConfig, pa.Schema]:
+        """Guards + split grouping shared by :meth:`select_splits` and
+        :meth:`split_record_batch_reader` — validates eagerly, groups the
+        projection's files round-robin, runs NO Spark work."""
         t = self.table
         if self.stale:
             raise NotSupportedCommand(
@@ -4124,35 +4149,91 @@ class Projection:
             semi_sorted_projection_name=self.name,
         )
         files = [FileEntry.from_json(fj) for fj in cfg_proj["files"]]
-        if not files:
-            out_schema = pa.schema(
-                [_resolve_field(t.arrow_schema, c) for c in names]
-            )
-            return [pa.RecordBatchReader.from_batches(out_schema, iter([]))]
+        out_schema = pa.schema(
+            [_resolve_field(t.arrow_schema, c) for c in names]
+        )
+        explicit = num_splits is not None
         if num_splits is None:
             num_splits = forced.num_splits or max(
                 1, sum(f.rows for f in files) // forced.rows_per_split
             )
-        num_splits = min(max(1, num_splits), len(files))
+        if not explicit:
+            num_splits = min(max(1, num_splits), max(1, len(files)))
+        num_splits = max(1, num_splits)
         groups: list[list[FileEntry]] = [[] for _ in range(num_splits)]
         for i, fe in enumerate(files):
             groups[i % num_splits].append(fe)
+        return groups, names, forced, out_schema
 
-        readers = []
-        for grp in groups:
+    def _lazy_split_reader(
+        self,
+        grp: list[FileEntry],
+        names: list[str],
+        predicate: Any,
+        forced: QueryConfig,
+        out_schema: pa.Schema,
+    ) -> pa.RecordBatchReader:
+        """One split's reader. LAZY: the split's files + table entry are
+        pinned here, but the plan is built and the Spark job run on first
+        batch pull (reference semantics: vastdb/table.py:536-569)."""
+        t = self.table
+        entry_json = t.entry.to_json()
+        cfg_proj = {**self._cfg, "files": [f.to_json() for f in grp]}
+        proj_name = self.name
+
+        def gen():
             if not grp:
-                continue
+                return
             sub = Table(t.name, t.schema)
-            sub_entry = TableEntry.from_json(t.entry.to_json())
-            # base files emptied: routing below is FORCED to this
-            # projection, so base-file pruning would be dead work
+            sub_entry = TableEntry.from_json(entry_json)
+            # base files emptied: routing is FORCED to this projection,
+            # so base-file pruning would be dead work
             sub_entry.files = []
-            sub_entry.projections = {
-                self.name: {**cfg_proj, "files": [f.to_json() for f in grp]}
-            }
+            sub_entry.projections = {proj_name: cfg_proj}
             sub._entry_override = sub_entry
-            readers.append(sub.select(names, predicate, forced))
-        return readers
+            # spill estimate: entry.num_rows is 0 with base files emptied;
+            # carry the split's real row count so a big split streams
+            # through the bounded-memory spill path instead of toArrow()
+            sub._est_rows_override = sum(f.rows for f in grp)
+            yield from sub.select(names, predicate, forced)
+
+        return pa.RecordBatchReader.from_batches(out_schema, gen())
+
+    def select_splits(
+        self,
+        columns: list[str] | None = None,
+        predicate: Any = None,
+        config: QueryConfig | None = None,
+        *,
+        num_splits: int | None = None,
+    ) -> list[pa.RecordBatchReader]:
+        """Per-split Arrow readers over THIS projection's files — the
+        projection-handle analog of ``Table.select_splits``, closing the
+        reference's per-split-reader-on-a-projection surface
+        (``split_record_batch_reader``, vastdb/table.py:168, handed out by
+        select_splits at :536-569). Each split is a disjoint group of the
+        projection's (narrow, sorted) files, so a reader pays only for
+        projection data; sort-key min/max pruning still applies inside
+        each split via the routed scan.
+
+        LAZY: constructing the list runs no Spark job; each split plans
+        and runs on first pull. An explicit ``num_splits`` returns exactly
+        that many readers (trailing ones possibly empty — the reference's
+        fixed-count contract); a derived count is capped at the file
+        count.
+
+        Guards (explicit, not silent fallback — a projection handle must
+        never quietly read base-table files): stale projections are
+        refused (rebuild()/refresh() first), requested/predicate columns
+        must be covered by the projection, and Spark ``Column``
+        predicates are rejected (they bypass projection routing)."""
+        groups, names, forced, out_schema = self._split_plan(
+            columns, predicate, config, num_splits
+        )
+        return [
+            self._lazy_split_reader(grp, names, predicate, forced, out_schema)
+            for grp in groups
+        ]
 
     def split_record_batch_reader(
         self,
@@ -4166,15 +4247,18 @@ class Projection:
         """Arrow reader for ONE split of this projection (reference:
         vastdb/table.py:168 — the per-split ``split_record_batch_reader``
         the reference's select machinery hands out, here surfaced on the
-        Projection handle). Delegates to :meth:`select_splits`."""
-        readers = self.select_splits(
-            columns, predicate, config, num_splits=num_splits
+        Projection handle). Builds ONLY the requested split's reader —
+        sibling splits are neither planned nor executed."""
+        groups, names, forced, out_schema = self._split_plan(
+            columns, predicate, config, num_splits
         )
-        if not 0 <= split < len(readers):
+        if not 0 <= split < len(groups):
             raise InvalidArgument(
-                f"split {split} out of range (0..{len(readers) - 1})"
+                f"split {split} out of range (0..{len(groups) - 1})"
             )
-        return readers[split]
+        return self._lazy_split_reader(
+            groups[split], names, predicate, forced, out_schema
+        )
 
 
 # ---------------------------------------------------------------------------
