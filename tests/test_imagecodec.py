@@ -99,8 +99,12 @@ def test_decode_rgb_dispatch_and_luma():
     assert px.shape == (4, 4)
     assert np.allclose(px, 100.0)
     assert decode_pixels(None) is None
+    # PNG magic now dispatches to the built-in decoder, which refuses
+    # garbage loudly rather than falling through to Pillow
+    with pytest.raises(ImageDecodeError):
+        decode_rgb(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
     with pytest.raises(ImageDecodeError, match="unsupported image magic"):
-        decode_rgb(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)  # no Pillow here
+        decode_rgb(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # JPEG, no Pillow here
 
 
 def test_decode_meta_exact_dims_and_mean():
@@ -222,3 +226,174 @@ def test_pillow_fallback_when_available():
     buf = io.BytesIO()
     Image.fromarray(a).save(buf, format="PNG")
     assert np.array_equal(decode_rgb(buf.getvalue()), a)
+
+
+# -- PNG (stdlib-zlib decode, VERDICT r13 #5) --------------------------------
+
+
+def _png_wrap(w, h, color_type, raw, plte=None, depth=8, interlace=0):
+    """Assemble a spec-valid PNG around an already-filtered scanline
+    stream — independent of encode_png, so filters/paths are exercised
+    from hand-built bytes."""
+    import zlib
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    )
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def _png_filter_rows(a, ftypes):
+    """Apply the PNG filter of ftypes[y] to each row of an (H, W, C)
+    uint8 array — the test-side reference implementation of the spec's
+    filter definitions (per-pixel python, independent of the decoder)."""
+    h, w, ch = a.shape
+    flat = a.reshape(h, w * ch).astype(np.int32)
+    out = b""
+    for y in range(h):
+        ft = ftypes[y % len(ftypes)]
+        row = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * ch, dtype=np.int32)
+        filt = np.zeros(w * ch, dtype=np.int32)
+        for x in range(w * ch):
+            left = row[x - ch] if x >= ch else 0
+            up = prev[x]
+            upleft = prev[x - ch] if x >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) // 2
+            else:  # Paeth
+                p = left + up - upleft
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else upleft)
+            filt[x] = (row[x] - pred) & 0xFF
+        out += bytes([ft]) + filt.astype(np.uint8).tobytes()
+    return out
+
+
+def test_png_round_trip_gray_and_rgb():
+    from vastdb_sdk_spark.operators.imagecodec import decode_png, encode_png
+
+    g = np.arange(24, dtype=np.uint8).reshape(4, 6) * 10
+    assert np.array_equal(decode_png(encode_png(g)), g)
+    c = _img(7, 5, seed=41)
+    assert np.array_equal(decode_png(encode_png(c)), c)
+    # dispatch through the seam entry points
+    assert np.array_equal(decode_rgb(encode_png(c)), c)
+    px = decode_pixels(encode_png(np.full((3, 3), 77, dtype=np.uint8)))
+    assert np.allclose(px, 77.0)
+
+
+def test_png_all_filter_types_hand_built():
+    """Every filter type (None/Sub/Up/Average/Paeth) unfiltered correctly,
+    against a test-side per-pixel reference implementation of the spec."""
+    from vastdb_sdk_spark.operators.imagecodec import decode_png
+
+    rng = np.random.default_rng(43)
+    a = rng.integers(0, 256, size=(10, 6, 3), dtype=np.uint8)
+    for ftypes in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        raw = _png_filter_rows(a, ftypes)
+        got = decode_png(_png_wrap(6, 10, 2, raw))
+        assert np.array_equal(got, a), f"filters {ftypes}"
+    # grayscale (1 channel) through the same filters
+    g = rng.integers(0, 256, size=(8, 9, 1), dtype=np.uint8)
+    raw = _png_filter_rows(g, [0, 1, 2, 3, 4])
+    assert np.array_equal(decode_png(_png_wrap(9, 8, 0, raw)), g[:, :, 0])
+
+
+def test_png_palette_and_alpha_color_types():
+    from vastdb_sdk_spark.operators.imagecodec import decode_png
+
+    # color type 3: 2x2 palette image, filter 0 rows
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 0])
+    got = decode_png(_png_wrap(2, 2, 3, raw, plte=plte))
+    assert got[0, 0].tolist() == [255, 0, 0]
+    assert got[0, 1].tolist() == [0, 255, 0]
+    assert got[1, 0].tolist() == [0, 0, 255]
+    # color type 6 (RGBA): alpha dropped like PIL.convert("RGB")
+    rgba = np.dstack([_img(3, 3, seed=44), np.full((3, 3), 128, np.uint8)])
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(3))
+    got = decode_png(_png_wrap(3, 3, 6, raw))
+    assert np.array_equal(got, rgba[:, :, :3])
+    # color type 4 (gray+alpha)
+    ga = np.dstack([np.arange(9, dtype=np.uint8).reshape(3, 3) * 20,
+                    np.full((3, 3), 7, np.uint8)])
+    raw = b"".join(b"\x00" + ga[y].tobytes() for y in range(3))
+    assert np.array_equal(decode_png(_png_wrap(3, 3, 4, raw)), ga[:, :, 0])
+
+
+def test_png_refusals_are_loud():
+    from vastdb_sdk_spark.operators.imagecodec import decode_png, encode_png
+
+    good = encode_png(_img(4, 4, seed=45))
+    with pytest.raises(ImageDecodeError, match="signature"):
+        decode_png(b"NOPE" + good[4:])
+    # corrupt a data byte inside IDAT -> CRC mismatch
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT")
+    bad[idat_at + 6] ^= 0xFF
+    with pytest.raises(ImageDecodeError, match="CRC"):
+        decode_png(bytes(bad))
+    g = np.zeros((2, 2), dtype=np.uint8)
+    raw = b"\x00\x00\x00" * 2
+    with pytest.raises(ImageDecodeError, match="interlaced"):
+        decode_png(_png_wrap(2, 2, 0, raw, interlace=1))
+    with pytest.raises(ImageDecodeError, match="bit depth"):
+        decode_png(_png_wrap(2, 2, 0, raw, depth=16))
+    with pytest.raises(ImageDecodeError, match="filter type"):
+        decode_png(_png_wrap(2, 2, 0, b"\x09\x00\x00" + b"\x00\x00\x00"))
+    with pytest.raises(ImageDecodeError, match="truncated PNG scanlines"):
+        decode_png(_png_wrap(4, 4, 2, b"\x00\x00"))
+
+
+def test_pnm_low_maxval_rescaled_like_pillow():
+    # maxval 100 sample value 50 -> 128 after 8-bit rescale (ADVICE r13)
+    payload = b"P5\n2 1\n100\n" + bytes([50, 100])
+    got = decode_pnm(payload)
+    assert got.tolist() == [[128, 255]]
+    m = decode_meta(payload)
+    assert m["mean_luma"] == round(((128 + 255) / 2) / 255.0, 6)
+
+
+def test_bmp_offset_inside_headers_refused():
+    good = bytearray(encode_bmp(_img(4, 4, seed=46)))
+    struct.pack_into("<I", good, 10, 20)  # pixel offset inside the headers
+    with pytest.raises(ImageDecodeError, match="offset"):
+        decode_bmp(bytes(good))
+
+
+def test_resize_pipeline_on_png_payloads(spark):
+    """decode -> bilinear 16x16 -> re-encode PNG -> phash, end-to-end on
+    real PNG payloads through the Spark seams (VERDICT r13 #5)."""
+    from vastdb_sdk_spark.operators.imagecodec import (
+        decode_png as dec,
+        decode_pixels as px,
+        encode_png,
+        make_resizer,
+    )
+    from vastdb_sdk_spark.operators.multimodal import phash_images, resize_images
+
+    imgs = {1: _img(20, 30, seed=51), 2: _img(33, 11, seed=52)}
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_png(a))) for i, a in imgs.items()],
+        "media_id long, payload binary",
+    )
+    small = resize_images(df, 16, 16, resizer=make_resizer("png"))
+    rows = {r["media_id"]: r for r in small.collect()}
+    for i in imgs:
+        assert dec(bytes(rows[i]["payload"])).shape == (16, 16, 3)
+    hashed = phash_images(small.select("media_id", "payload"), pixels=px)
+    got = {r["media_id"]: r["phash"] for r in hashed.collect()}
+    assert got[1] is not None and got[2] is not None and got[1] != got[2]

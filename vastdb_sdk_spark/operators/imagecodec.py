@@ -13,7 +13,14 @@ public formats a scanner actually needs, straight from their specs:
   biCompression 0), rows stored bottom-up in BGR order and padded to
   4-byte boundaries.
 - **PNM** (netpbm P5 grayscale / P6 RGB, binary, maxval <= 255):
-  whitespace-separated ASCII header (with ``#`` comments) + raw samples.
+  whitespace-separated ASCII header (with ``#`` comments) + raw samples
+  (low-maxval samples rescaled to 8-bit, matching Pillow).
+- **PNG** (RFC 2083 / W3C spec, bit depth 8, non-interlaced) via stdlib
+  ``zlib``: chunk walk with CRC checks, concatenated-IDAT decompress,
+  per-row unfiltering (None/Sub/Up/Average/Paeth), color types
+  gray / RGB / palette / gray+alpha / RGBA (alpha dropped, like
+  ``PIL.convert("RGB")``) — the format a real multimodal corpus
+  actually contains.
 
 ``decode_pixels`` is the drop-in for ``phash_images(pixels=...)`` —
 grayscale float64 via the ITU-R BT.601 luma weights; ``decode_meta`` is
@@ -94,6 +101,11 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
     bi_size = struct.unpack_from("<I", payload, 14)[0]
     if bi_size < 40:
         raise ImageDecodeError(f"unsupported BMP header size {bi_size}")
+    if offset < 14 + bi_size:
+        raise ImageDecodeError(
+            f"bad BMP pixel-array offset {offset} (inside the headers; "
+            f"expected >= {14 + bi_size})"
+        )
     w, h_signed = struct.unpack_from("<ii", payload, 18)
     planes, bpp = struct.unpack_from("<HH", payload, 26)
     compression = struct.unpack_from("<I", payload, 30)[0]
@@ -177,7 +189,181 @@ def decode_pnm(payload: bytes) -> "np.ndarray":
             f"truncated PNM: need {off + need} bytes, have {len(payload)}"
         )
     data = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+    if maxval != 255:
+        # rescale low-maxval samples to full 8-bit range (what Pillow does
+        # for the same payload) so mean_luma/phash are maxval-independent;
+        # integer round-half-up avoids float-representation off-by-ones
+        data = (
+            (data.astype(np.uint32) * 255 + maxval // 2) // maxval
+        ).astype(np.uint8)
     return data.reshape(h, w) if ch == 1 else data.reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# PNG (stdlib-zlib decode straight from the public spec, RFC 2083 /
+# W3C PNG second edition: 8-byte signature, length-type-data-CRC chunks,
+# IHDR geometry, concatenated-IDAT zlib stream, per-row filter byte)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: channels per PNG color type (0 gray, 2 RGB, 3 palette, 4 gray+A, 6 RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def encode_png(arr: "np.ndarray") -> bytes:
+    """Encode (H, W) uint8 as grayscale or (H, W, 3) uint8 as RGB PNG
+    (bit depth 8, no interlace, filter 0 rows). Fixture builder —
+    byte-stream is spec-valid (Pillow opens it) and round-trips through
+    decode_png."""
+    import zlib
+
+    a = np.asarray(arr).astype(np.uint8, copy=False)
+    if a.ndim == 2:
+        color_type = 0
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color_type = 2
+    else:
+        raise ImageDecodeError(f"expected (H, W) or (H, W, 3), got {a.shape}")
+    h, w = a.shape[:2]
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> "np.ndarray":
+    """Reverse the per-row PNG filters (0 None, 1 Sub, 2 Up, 3 Average,
+    4 Paeth) over the decompressed scanline stream. Vectorized per row:
+    None/Up are whole-row numpy ops; Sub is a mod-256 cumsum over
+    bpp-strided lanes; Average/Paeth scan pixels but vectorize the
+    channel lanes."""
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ImageDecodeError(
+            f"truncated PNG scanlines: need {h * (stride + 1)}, have {len(raw)}"
+        )
+    lines = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = int(lines[y, 0])
+        row = lines[y, 1:].copy()
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub: recon[x] = filt[x] + recon[x - bpp]
+            row = (
+                np.cumsum(row.reshape(w, ch), axis=0, dtype=np.uint64) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif ftype == 2:  # Up
+            row += prev
+        elif ftype == 3:  # Average
+            px = row.reshape(w, ch)
+            up = prev.reshape(w, ch).astype(np.uint16)
+            left = np.zeros(ch, dtype=np.uint16)
+            for x in range(w):
+                left = (px[x] + ((left + up[x]) >> 1)).astype(np.uint16) & 0xFF
+                px[x] = left.astype(np.uint8)
+            row = px.reshape(stride)
+        elif ftype == 4:  # Paeth
+            px = row.reshape(w, ch).astype(np.int32)
+            up = prev.reshape(w, ch).astype(np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            upleft = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                p = left + up[x] - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - up[x]), np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up[x], upleft)
+                )
+                left = (px[x] + pred) & 0xFF
+                px[x] = left
+                upleft = up[x]
+            row = px.astype(np.uint8).reshape(stride)
+        else:
+            raise ImageDecodeError(f"bad PNG filter type {ftype} on row {y}")
+        out[y] = row
+        prev = out[y]
+    return out
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """Decode a PNG (bit depth 8, no interlace) to (H, W) grayscale or
+    (H, W, 3) RGB uint8. Color types: 0 gray, 2 RGB, 3 palette (PLTE),
+    4 gray+alpha, 6 RGBA — alpha is dropped (what ``PIL.convert("RGB")``
+    does). Adam7 interlace and sub-8/16-bit depths are refused loudly."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ImageDecodeError("not a PNG payload (bad signature)")
+    pos, ihdr, plte, idat = 8, None, None, []
+    n = len(payload)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = bytes(payload[pos + 4 : pos + 8])
+        data_off = pos + 8
+        if data_off + length + 4 > n:
+            raise ImageDecodeError(f"truncated PNG chunk {ctype!r}")
+        data = bytes(payload[data_off : data_off + length])
+        (crc,) = struct.unpack_from(">I", payload, data_off + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ImageDecodeError(f"bad CRC on PNG chunk {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos = data_off + length + 4
+    if ihdr is None or len(ihdr) != 13:
+        raise ImageDecodeError("PNG missing/bad IHDR")
+    if not idat:
+        raise ImageDecodeError("PNG missing IDAT")
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if comp != 0 or filt != 0:
+        raise ImageDecodeError(
+            f"bad PNG compression/filter method {comp}/{filt}"
+        )
+    if interlace != 0:
+        raise ImageDecodeError("Adam7-interlaced PNG not supported")
+    if depth != 8:
+        raise ImageDecodeError(f"only bit depth 8 supported (got {depth})")
+    ch = _PNG_CHANNELS.get(color_type)
+    if ch is None:
+        raise ImageDecodeError(f"bad PNG color type {color_type}")
+    if w <= 0 or h <= 0:
+        raise ImageDecodeError(f"bad PNG dims {w}x{h}")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ImageDecodeError(f"corrupt PNG IDAT stream: {e}") from e
+    px = _png_unfilter(raw, h, w, ch)
+    if color_type == 0:
+        return px.reshape(h, w)
+    if color_type == 2:
+        return px.reshape(h, w, 3)
+    if color_type == 3:
+        if plte is None or len(plte) % 3:
+            raise ImageDecodeError("paletted PNG missing/bad PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px.reshape(h, w)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ImageDecodeError("PNG palette index out of range")
+        return pal[idx]
+    if color_type == 4:
+        return px.reshape(h, w, 2)[:, :, 0]
+    return px.reshape(h, w, 4)[:, :, :3].copy()  # RGBA -> RGB
 
 
 # ---------------------------------------------------------------------------
@@ -196,6 +382,9 @@ def decode_rgb(payload: bytes) -> "np.ndarray":
     if head in (b"P5", b"P6"):
         a = decode_pnm(payload)
         return np.repeat(a[:, :, None], 3, axis=2) if a.ndim == 2 else a
+    if bytes(payload[:8]) == _PNG_SIG:
+        a = decode_png(payload)
+        return np.repeat(a[:, :, None], 3, axis=2) if a.ndim == 2 else a
     try:  # production path: real codecs via Pillow, if present
         import io
 
@@ -203,7 +392,7 @@ def decode_rgb(payload: bytes) -> "np.ndarray":
     except ImportError:
         raise ImageDecodeError(
             f"unsupported image magic {head!r} and Pillow is not installed "
-            "(built-in codecs: 24bpp BMP, binary P5/P6 PNM)"
+            "(built-in codecs: 24bpp BMP, binary P5/P6 PNM, 8-bit PNG)"
         ) from None
     try:
         return np.asarray(Image.open(io.BytesIO(bytes(payload))).convert("RGB"))
@@ -253,10 +442,11 @@ def resize_rgb(arr: "np.ndarray", width: int, height: int) -> "np.ndarray":
 def make_resizer(fmt: str = "bmp"):
     """A real ``resize_images(resizer=...)`` seam implementation:
     payload -> decode (any supported format) -> bilinear resize ->
-    re-encode as ``fmt`` ('bmp' or 'pnm'). Returns the callable."""
-    if fmt not in ("bmp", "pnm"):
+    re-encode as ``fmt`` ('bmp', 'pnm' or 'png'). Returns the callable."""
+    encoders = {"bmp": encode_bmp, "pnm": encode_pnm, "png": encode_png}
+    if fmt not in encoders:
         raise ImageDecodeError(f"unsupported re-encode format {fmt!r}")
-    enc = encode_bmp if fmt == "bmp" else encode_pnm
+    enc = encoders[fmt]
 
     def _resize(payload: bytes, width: int, height: int) -> bytes:
         return enc(resize_rgb(decode_rgb(payload), width, height))
