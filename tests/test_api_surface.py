@@ -504,3 +504,45 @@ def test_select_splits_fixed_count_contract(clean_schema):
         assert sum(tb.num_rows for tb in ptables) == 10
         # derived count still capped at file count (no empty-reader spam)
         assert len(t.select_splits()) >= 1
+
+
+def test_bench_compare_suspect_spike_flag():
+    """VERDICT r13 #6: a slow mover whose at_sec sits between two QUIET
+    checkpoints is flagged as a suspect sub-cadence spike (the exact
+    dd_lsh_pairs_fast signature) — a machine-generated bench_one
+    worklist; a mover with a loud flank, or below threshold, is not."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.bench_compare import compare
+
+    old = {
+        "all_queries": {"qa": 1.0, "qb": 1.0, "qc": 1.0},
+        "all_queries_normalized": {"qa": 1.0, "qb": 1.0, "qc": 1.0},
+    }
+    new = {
+        "all_queries": {"qa": 2.0, "qb": 2.0, "qc": 1.05},
+        "all_queries_normalized": {"qa": 2.0, "qb": 2.0, "qc": 1.05},
+        "canary_checkpoints": [
+            {"at_query_index": 0, "drift": 0.9, "at_sec": 0.0},
+            {"at_query_index": 25, "drift": 0.85, "at_sec": 100.0},
+            {"at_query_index": 50, "drift": 1.8, "at_sec": 200.0},
+        ],
+        "queries_detail": {
+            # qa: both flanks quiet (0.9 / 0.85) -> suspect
+            "qa": {"raw": 2.0, "at_sec": 50.0},
+            # qb: right flank loud (1.8) -> machine weather, not flagged
+            "qb": {"raw": 2.0, "at_sec": 150.0},
+            # qc: not a mover at all
+            "qc": {"raw": 1.05, "at_sec": 60.0},
+        },
+    }
+    rep = compare(old, new, threshold=1.5)
+    assert set(rep["movers"]) == {"qa", "qb"}
+    assert set(rep["suspect_spikes"]) == {"qa"}
+    s = rep["suspect_spikes"]["qa"]
+    assert s["flank_drifts"] == [0.9, 0.85] and "bench_one" in s["hint"]
+
+    # artifacts without checkpoints/at_sec degrade to an empty worklist
+    rep2 = compare(old, {k: new[k] for k in ("all_queries", "all_queries_normalized")})
+    assert rep2["suspect_spikes"] == {}

@@ -47,6 +47,48 @@ def normalized_queries(
     return {k: v / drift for k, v in raw.items()}, f"start-canary/{drift}"
 
 
+#: a flanking checkpoint is "quiet" when its drift is at or below this —
+#: the r13 spike signature read 2-2.5x per-query while both flanks
+#: measured 0.79-0.88
+QUIET_DRIFT = 1.2
+
+
+def suspect_spikes(
+    new: dict, slow_movers: dict[str, dict], quiet: float = QUIET_DRIFT
+) -> dict[str, dict]:
+    """Queries whose cross-round slowdown is UNEXPLAINED by the canaries:
+    the per-query ratio crossed the mover threshold while BOTH flanking
+    checkpoints of the new run measured quiet drift. That is the exact
+    signature of a machine spike shorter than the 25-query checkpoint
+    cadence (dd_lsh_pairs_fast / tpch_q22, r13) — but it is also what a
+    real regression looks like, so the output is a bench_one worklist,
+    not a verdict."""
+    cps = sorted(
+        (c for c in new.get("canary_checkpoints", []) if "at_sec" in c),
+        key=lambda c: c["at_sec"],
+    )
+    detail = new.get("queries_detail", {})
+    out = {}
+    for q, mv in slow_movers.items():
+        at = detail.get(q, {}).get("at_sec")
+        if at is None or len(cps) < 2:
+            continue
+        before = [c for c in cps if c["at_sec"] <= at]
+        after = [c for c in cps if c["at_sec"] >= at]
+        if not before or not after:
+            continue
+        d_before = before[-1]["drift"]
+        d_after = after[0]["drift"]
+        if max(d_before, d_after) <= quiet:
+            out[q] = {
+                **mv,
+                "at_sec": at,
+                "flank_drifts": [round(d_before, 4), round(d_after, 4)],
+                "hint": "suspect sub-cadence spike — bench_one this",
+            }
+    return out
+
+
 def compare(old: dict, new: dict, threshold: float = 1.5) -> dict:
     both_new = (
         "all_queries_normalized" in old and "all_queries_normalized" in new
@@ -65,6 +107,7 @@ def compare(old: dict, new: dict, threshold: float = 1.5) -> dict:
     }
     tot_o = sum(qo[q] for q in common)
     tot_n = sum(qn[q] for q in common)
+    slow = {q: m for q, m in movers.items() if m["ratio"] >= threshold}
     return {
         "common_queries": len(common),
         "normalization": {"old": how_o, "new": how_n},
@@ -73,6 +116,7 @@ def compare(old: dict, new: dict, threshold: float = 1.5) -> dict:
             round(statistics.median(ratios.values()), 3) if ratios else None
         ),
         "movers": movers,
+        "suspect_spikes": suspect_spikes(new, slow),
     }
 
 
