@@ -4993,6 +4993,206 @@ def q_tx_chat_render(spark, sf):
 # registry
 
 
+# ---------------------------------------------------------------------------
+# r15-PENDING gate queries (VERDICT r13 #4): builders + oracle SQL land a
+# round EARLY, pytest-exercised at sf0.001, but stay OUT of queries() /
+# oracle_sql() until the registry unfreezes in r15 (SCALING.md plan) —
+# one new oracle device at a time, and every new entry gates the round
+# it lands with a first-HEADLINE bench row in the same commit.
+
+
+def q_mm_decode_bmp(spark, sf):
+    """Codec-backed multimodal decode (operators/imagecodec.decode_rgb +
+    operators/multimodal.image_stats — makes the r13 decode seam
+    load-bearing under the gate; reference treats media as opaque blobs,
+    so this is beyond-parity per BASELINE.json). The id-arithmetic
+    fixture device (SCALING.md r15 plan #1): each document gets a 6x4
+    24bpp BMP whose row-major RGB flattening is pixel[i] =
+    (doc_id*31 + i) % 251, so the integer-exact stats — px_sum and the
+    POSITION-weighted px_wsum — are closed forms DuckDB computes from
+    the id alone. The oracle never decodes, yet any decode bug (4-byte
+    row padding, BGR order, bottom-up origin) shifts px_wsum and breaks
+    the match. Spark side: one mapInPandas to build payloads, one
+    Arrow-batched mapInPandas to decode — embarrassingly parallel, no
+    shuffle anywhere."""
+    import numpy as np
+    import pandas as pd
+
+    from vastdb_sdk_spark.operators.imagecodec import encode_bmp
+    from vastdb_sdk_spark.operators.multimodal import image_stats
+
+    H, W = 4, 6
+    nb = H * W * 3
+
+    def build(it):
+        for pdf in it:
+            idx = np.arange(nb, dtype=np.int64)
+            payloads = [
+                encode_bmp(((int(d) * 31 + idx) % 251).astype(np.uint8).reshape(H, W, 3))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = _t(spark, sf, "documents").select("doc_id").mapInPandas(
+        build, "media_id long, payload binary"
+    )
+    return image_stats(media)
+
+
+def q_e27_cdf_matview_e2e(spark, sf):
+    """CDF-consumer composition in ONE gated contract (SCALING.md r15
+    plan #3): DML churn on an engine table -> read_changes feed ->
+    feed-driven incremental matview fold -> serve, over TWO epochs. The
+    output carries both the served view AND per-epoch feed counts by
+    change type, so the oracle (full recompute + closed-form churn
+    counts) gates the feed itself, not just the final aggregate. Update
+    values are negative (impossible in organic n_chars data), so no
+    update can be hash-equal and silently vanish from the feed. Either
+    refresh falling back to a full rebuild (or scanning the base table)
+    appends a sentinel row that breaks the hash — the incremental path
+    is the gated contract, cost tracking churn, not table size."""
+    import tempfile
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark import _ as D
+    from vastdb_sdk_spark.sources import create_table_from_files
+
+    key = (sf, "__cdf_mv_e2e")
+    if key not in _ENGINE_WAREHOUSES:
+        wh = tempfile.mkdtemp(prefix="entry_e27_")
+        session = vastdb.connect(wh, spark=spark)
+        session.create_bucket("b")
+        schema = _pq.ParquetFile(f"{sf}/documents.parquet").schema_arrow
+        with session.transaction() as tx:
+            sc = tx.bucket("b").create_schema("s")
+            create_table_from_files(sc, "docs", [f"{sf}/documents.parquet"])
+        with session.transaction() as tx:  # committed clean build
+            tx.bucket("b").schema("s").table("docs").create_materialized_view(
+                "by_lang",
+                ["lang"],
+                {"n": "count", "chars": ("sum", "n_chars")},
+                num_buckets=8,
+            )
+        with session.transaction() as tx:  # epoch-1 churn
+            v0 = tx.bucket("b").manifest.version
+            t = tx.bucket("b").schema("s").table("docs")
+            t.delete_where(D.doc_id % 11 == 3)
+            t.update_where(D.doc_id % 13 == 0, {"n_chars": -2})
+        with session.transaction() as tx:  # epoch-1 feed + fold
+            b = tx.bucket("b")
+            v1 = b.manifest.version
+            t = b.schema("s").table("docs")
+            feed1 = {
+                r["_change_type"]: r["count"]
+                for r in t.read_changes(v0, v1).groupBy("_change_type").count().collect()
+            }
+            res1 = t.materialized_view("by_lang").refresh(mode="auto")
+        with session.transaction() as tx:  # epoch-2 churn
+            t = tx.bucket("b").schema("s").table("docs")
+            t.insert(
+                _pa.table(
+                    {
+                        "doc_id": _pa.array([900011, 900012, 900013], _pa.int64()),
+                        "text": _pa.array(["e27 a", "e27 b", "e27 c"]),
+                        "lang": _pa.array(["zz", "zz", "zz"]),
+                        "source": _pa.array(["e27_new", "e27_new", "e27_new"]),
+                        "n_chars": _pa.array([10, None, 7], _pa.int64()),
+                    }
+                ).cast(schema)
+            )
+            t.update_where(D.doc_id % 17 == 0, {"n_chars": -5})
+        with session.transaction() as tx:  # epoch-2 feed + fold
+            b = tx.bucket("b")
+            v2 = b.manifest.version
+            t = b.schema("s").table("docs")
+            feed2 = {
+                r["_change_type"]: r["count"]
+                for r in t.read_changes(v1, v2).groupBy("_change_type").count().collect()
+            }
+            res2 = t.materialized_view("by_lang").refresh(mode="auto")
+        _ENGINE_WAREHOUSES[key] = (wh, feed1, res1, feed2, res2)
+    wh, feed1, res1, feed2, res2 = _ENGINE_WAREHOUSES[key]
+
+    with vastdb.connect(wh, spark=spark).transaction() as tx:
+        mv = tx.bucket("b").schema("s").table("docs").materialized_view("by_lang")
+        out = mv.df().select(F.col("lang").alias("k"), "n", "chars")
+    feed_rows = [
+        (f"__feed{e}:{ct}", int(counts.get(ct, 0)), None)
+        for e, counts in ((1, feed1), (2, feed2))
+        for ct in ("insert", "delete", "update_preimage", "update_postimage")
+        if counts.get(ct)
+    ]
+    for i, res in enumerate((res1, res2), start=1):
+        if res.get("mode") != "incremental" or res.get("base_scanned"):
+            feed_rows.append((f"__refresh{i}_fell_back__", -1, -1))
+    return out.unionByName(
+        out.sparkSession.createDataFrame(feed_rows, out.schema)
+    )
+
+
+_R15_PENDING_ORACLES = {
+    "mm_decode_bmp": """
+        SELECT d.doc_id AS media_id,
+               6 AS width,
+               4 AS height,
+               CAST(SUM((d.doc_id * 31 + s.i) % 251) AS BIGINT) AS px_sum,
+               CAST(SUM(s.i * ((d.doc_id * 31 + s.i) % 251)) AS BIGINT)
+                   AS px_wsum
+        FROM documents d CROSS JOIN range(72) s(i)
+        GROUP BY d.doc_id
+    """,
+    "e27_cdf_matview_e2e": """
+        WITH final AS (
+            SELECT lang,
+                   CASE WHEN doc_id % 17 = 0 THEN -5
+                        WHEN doc_id % 13 = 0 THEN -2
+                        ELSE n_chars END AS n_chars
+            FROM documents WHERE doc_id % 11 <> 3
+            UNION ALL
+            SELECT lang, n_chars FROM (VALUES
+                ('zz', 10), ('zz', NULL), ('zz', 7)
+            ) AS ins(lang, n_chars)
+        )
+        SELECT lang AS k, COUNT(*) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM final GROUP BY lang
+        UNION ALL
+        SELECT '__feed1:delete', COUNT(*), NULL
+        FROM documents WHERE doc_id % 11 = 3
+        UNION ALL
+        SELECT '__feed1:update_preimage', COUNT(*), NULL
+        FROM documents WHERE doc_id % 13 = 0 AND doc_id % 11 <> 3
+        UNION ALL
+        SELECT '__feed1:update_postimage', COUNT(*), NULL
+        FROM documents WHERE doc_id % 13 = 0 AND doc_id % 11 <> 3
+        UNION ALL
+        SELECT '__feed2:insert', 3, NULL
+        UNION ALL
+        SELECT '__feed2:update_preimage', COUNT(*), NULL
+        FROM documents WHERE doc_id % 17 = 0 AND doc_id % 11 <> 3
+        UNION ALL
+        SELECT '__feed2:update_postimage', COUNT(*), NULL
+        FROM documents WHERE doc_id % 17 = 0 AND doc_id % 11 <> 3
+    """,
+}
+
+
+def r15_pending() -> dict[str, tuple]:
+    """(builder, oracle_sql) for the r15-pending entries — consumed by
+    tests/test_r15_pending.py now and by the r15 registry wiring later.
+    INVARIANT (pytest-enforced): disjoint from queries()/oracle_sql()."""
+    return {
+        "mm_decode_bmp": (q_mm_decode_bmp, _R15_PENDING_ORACLES["mm_decode_bmp"]),
+        "e27_cdf_matview_e2e": (
+            q_e27_cdf_matview_e2e,
+            _R15_PENDING_ORACLES["e27_cdf_matview_e2e"],
+        ),
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate reads a 50-query
     # window from the front of this dict.

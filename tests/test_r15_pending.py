@@ -1,0 +1,55 @@
+"""r15-pending gate queries (VERDICT r13 #4): the builders + oracle SQL
+land a round early and are exercised here at sf0.001 with the same
+comparison the driver's correctness gate applies (row count, column
+names, Arrow type classes, order-insensitive value hash) — but stay OUT
+of queries()/oracle_sql() until the registry unfreezes in r15."""
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from tools.check_correctness import (  # noqa: E402
+    spark_to_arrow,
+    table_lines,
+    type_class,
+    value_hash,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_r15_pending_disjoint_from_registry():
+    pending = entry_mod.r15_pending()
+    assert set(pending) == {"mm_decode_bmp", "e27_cdf_matview_e2e"}
+    assert not set(pending) & set(entry_mod.queries())
+    assert not set(pending) & set(entry_mod.oracle_sql())
+    # the frozen-at-192 contract holds through r14
+    assert len(entry_mod.queries()) == 192
+
+
+@pytest.mark.parametrize("name", ["mm_decode_bmp", "e27_cdf_matview_e2e"])
+def test_r15_pending_matches_oracle(spark, name):
+    fn, sql = entry_mod.r15_pending()[name]
+    con = duckdb.connect()
+    for t in entry_mod.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    stbl = spark_to_arrow(fn(spark, SF))
+    otbl = con.execute(sql).fetch_arrow_table()
+    assert stbl.num_rows == otbl.num_rows > 0
+    cols = sorted(stbl.column_names)
+    assert cols == sorted(otbl.column_names)
+    for c in cols:
+        sc = type_class(stbl.schema.field(c).type)
+        oc = type_class(otbl.schema.field(c).type)
+        assert sc == oc, f"{name}.{c}: spark {sc} != oracle {oc}"
+    slines = table_lines(stbl, cols)
+    olines = table_lines(otbl, cols)
+    assert value_hash(slines) == value_hash(olines), (
+        f"{name}: value mismatch; "
+        f"spark-only={list(set(slines) - set(olines))[:3]} "
+        f"oracle-only={list(set(olines) - set(slines))[:3]}"
+    )

@@ -111,6 +111,70 @@ def decode_images(
     return df.select(id_col, payload_col).mapInPandas(batches, DECODE_RESULT_SCHEMA)
 
 
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_wsum", T.LongType()),
+    ]
+)
+
+
+def image_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decoder: Callable[[bytes], "object"] | None = None,
+) -> DataFrame:
+    """Integer-exact per-image decode statistics via mapInPandas:
+    ``px_sum`` = sum of all decoded RGB bytes, ``px_wsum`` = the
+    position-weighted checksum sum(i * pixel[i]) over the row-major RGB
+    flattening. Unlike float means, these are exactly reproducible in
+    SQL — and ``px_wsum`` is POSITION-sensitive, so a decoder that flips
+    rows (bottom-up origin), swaps channels (BGR), or mis-handles row
+    padding produces a different value even when the byte multiset is
+    identical. This is the oracle device the mm_decode gate queries use:
+    payloads constructed so pixel[i] is a closed form of the row id make
+    both checksums DuckDB-computable without decoding anything.
+
+    ``decoder`` maps payload bytes -> (H, W, 3) uint8 (default: the real
+    dependency-free ``imagecodec.decode_rgb``)."""
+    import numpy as np
+
+    from .imagecodec import decode_rgb
+
+    decode = decoder or decode_rgb
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, sums, wsums = [], [], [], [], []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(mid)
+                if b is None:
+                    ws.append(None), hs.append(None)
+                    sums.append(None), wsums.append(None)
+                    continue
+                rgb = np.asarray(decode(bytes(b)), dtype=np.uint8)
+                flat = rgb.reshape(-1).astype(np.int64)
+                ws.append(int(rgb.shape[1]))
+                hs.append(int(rgb.shape[0]))
+                sums.append(int(flat.sum()))
+                wsums.append(int((flat * np.arange(flat.size)).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "px_sum": pd.array(sums, dtype="Int64"),
+                    "px_wsum": pd.array(wsums, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, IMAGE_STATS_SCHEMA)
+
+
 def extract_features(
     df: DataFrame,
     payload_col: str = "payload",
