@@ -1878,6 +1878,25 @@ def test_rrf_fuse_oversized_input_guard(spark):
     opt = rrf_fuse([corpus], max_list_rows=None, top_k=3).collect()
     assert [r["doc_id"] for r in opt] == [96, 193, 290]
 
+    # ADVICE r13: LocalRelation frames (SQL VALUES / inline rows — they
+    # carry no maxRows in Spark 4) are sized driver-side without a probe
+    # job, including after projections (ConvertToLocalRelation collapses
+    # them); pyspark createDataFrame builds a LogicalRDD and still pays
+    # the probe — that case is the documented eager path.
+    vals = ", ".join(f"({i}, {float(i % 7)})" for i in range(120))
+    local = spark.sql(f"SELECT * FROM VALUES {vals} AS t(doc_id, score)")
+    assert _plan_max_rows(local) == 120
+    assert _plan_max_rows(local.select("doc_id", "score")) == 120
+    before = spark.sparkContext._jsc.sc().statusStore().jobsList(None).size()
+    tiny = rrf_fuse([local], max_list_rows=200, top_k=2)  # lazy: no job yet
+    after = spark.sparkContext._jsc.sc().statusStore().jobsList(None).size()
+    assert after == before, "under-cap local frame must skip the probe job"
+    assert len(tiny.collect()) == 2
+    # over-cap: maxRows is an UPPER bound, so the probe (<= cap+1 rows)
+    # still adjudicates the actual count before refusing
+    with _pt.raises(ValueError, match="max_list_rows"):
+        rrf_fuse([local], max_list_rows=100)
+
 
 def test_kl_drift_terms_hand_model(spark):
     import math

@@ -900,10 +900,21 @@ def _plan_max_rows(df: DataFrame) -> int | None:
     """Catalyst's static row-count bound for a plan (LogicalPlan.maxRows),
     or None when unbounded. A ``limit(n)`` input — every real retrieval
     shortlist — carries maxRows=n, so the rrf_fuse size guard costs
-    nothing on the intended inputs."""
+    nothing on the intended inputs. In-memory frames (createDataFrame —
+    Spark 4 LocalRelation does NOT define maxRows) are sized from the
+    driver-side rows directly, so they skip the probe job too (ADVICE
+    r13: don't charge tiny composed frames an eager count)."""
     try:
-        mr = df._jdf.queryExecution().optimizedPlan().maxRows()
-        return int(mr.get()) if mr.isDefined() else None
+        plan = df._jdf.queryExecution().optimizedPlan()
+        mr = plan.maxRows()
+        if mr.isDefined():
+            return int(mr.get())
+        # ConvertToLocalRelation collapses projections/filters over
+        # local data, so a driver-built shortlist optimizes to a bare
+        # LocalRelation whose size is known without any Spark job
+        if plan.getClass().getSimpleName() == "LocalRelation":
+            return int(plan.data().size())
+        return None
     except Exception:  # non-JVM frame / API drift: fall back to the probe
         return None
 
@@ -942,7 +953,9 @@ def rrf_fuse(
     an unpartitioned window, sized for shortlists — a corpus-sized input
     would become one single-partition global sort. Lists whose plan
     carries a static Catalyst bound (any ``limit(n)`` shortlist —
-    ``LogicalPlan.maxRows``) are checked for free; an unbounded plan pays
+    ``LogicalPlan.maxRows``) are checked for free, as are SQL-VALUES /
+    JVM-local frames (LocalRelation sized driver-side); an unbounded plan
+    (parquet scans, pyspark createDataFrame's LogicalRDD) pays
     one EAGER ``limit(cap+1).count()`` probe (scans at most cap+1 rows,
     documented eager evaluation) and is refused over the cap with
     instructions to pre-truncate via a distributed top-k. Pass
