@@ -4673,6 +4673,51 @@ def q_ds_shard_assign(spark, sf):
     return assign_shards(d.select("doc_id"), 8)
 
 
+def _sig_template_clone(spark, sf):
+    """Clone of the (sf, process)-cached signature-index template
+    warehouse: documents imported + the banded MinHash signature table
+    FULLY built (sync_minhash_signatures, md5 path). The template is
+    immutable after build; callers churn the clone, so a warm bench run
+    measures the maintenance path users actually pay. Shared by
+    e25_sig_sync and the r15-pending tx_minhash_cdf_incremental."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark.sources import create_table_from_files
+    from vastdb_sdk_spark.sources.replicate import sync_minhash_signatures
+
+    key = (sf, "__sig_template")
+    if key not in _ENGINE_WAREHOUSES:
+        template = tempfile.mkdtemp(prefix="entry_sig_tmpl_")
+        session = vastdb.connect(template, spark=spark)
+        session.create_bucket("b")
+        with session.transaction() as tx:
+            sc = tx.bucket("b").create_schema("s")
+            create_table_from_files(sc, "docs", [f"{sf}/documents.parquet"])
+            sc.create_table(
+                "sig",
+                pa.schema(
+                    [
+                        ("doc_id", pa.int64()),
+                        ("band_id", pa.int32()),
+                        ("band_key", pa.string()),
+                    ]
+                ),
+            )
+        with session.transaction() as tx:
+            docs = tx.bucket("b").schema("s").table("docs")
+            sig = tx.bucket("b").schema("s").table("sig")
+            sync_minhash_signatures(docs, sig, hash_fn="md5")
+        _ENGINE_WAREHOUSES[key] = template
+    wh = tempfile.mkdtemp(prefix="entry_sig_")
+    shutil.rmtree(wh)
+    shutil.copytree(_ENGINE_WAREHOUSES[key], wh)
+    return wh
+
+
 def q_e25_sig_sync(spark, sf):
     """Batch dedup-index lifecycle (sources/replicate.
     sync_minhash_signatures over sync_derived_rows): documents imported,
@@ -4718,31 +4763,7 @@ def q_e25_sig_sync(spark, sf):
     # template's initial-sync data files by absolute path; the template
     # is immutable after build, and all churn postimages land in the
     # clone's own data dir.
-    key = (sf, "__sig_template")
-    if key not in _ENGINE_WAREHOUSES:
-        template = tempfile.mkdtemp(prefix="entry_sig_tmpl_")
-        session = vastdb.connect(template, spark=spark)
-        session.create_bucket("b")
-        with session.transaction() as tx:
-            sc = tx.bucket("b").create_schema("s")
-            create_table_from_files(sc, "docs", [f"{sf}/documents.parquet"])
-            sc.create_table(
-                "sig",
-                pa.schema(
-                    [
-                        ("doc_id", pa.int64()),
-                        ("band_id", pa.int32()),
-                        ("band_key", pa.string()),
-                    ]
-                ),
-            )
-        with session.transaction() as tx:
-            docs, sig = _tables(tx)
-            sync_minhash_signatures(docs, sig, hash_fn="md5")
-        _ENGINE_WAREHOUSES[key] = template
-    wh = tempfile.mkdtemp(prefix="entry_sig_")
-    shutil.rmtree(wh)
-    shutil.copytree(_ENGINE_WAREHOUSES[key], wh)
+    wh = _sig_template_clone(spark, sf)
     session = vastdb.connect(wh, spark=spark)
     with session.transaction() as tx:
         docs, _ = _tables(tx)
@@ -5133,6 +5154,282 @@ def q_e27_cdf_matview_e2e(spark, sf):
     )
 
 
+def q_mm_phash_neardup_real(spark, sf):
+    """pHash near-duplicate pairs over REALLY-decoded images (SCALING.md
+    r15 plan #2 — composes the imagecodec seam with multimodal.py's
+    Arrow-batched DCT): each document gets a REAL 24bpp BMP of a
+    32x32 id-seeded noise field; each doc_id < 25 also gets a planted
+    "re-encode" at -(doc_id+1) — the SAME pixel field through an affine
+    brightness/contrast shift plus a faint gradient, the invariance
+    class pHash exists for, then genuinely re-encoded as a second BMP.
+    pixels= is imagecodec.decode_pixels (real BMP parse -> BT.601 luma),
+    so padding/BGR/origin bugs change every hash. Measured margins
+    (operator-exact probe, 200 ids): planted hamming <= 4, organic
+    minimum 18 — radius 6 must recover EXACTLY the planted pairs.
+    One scan, zero shuffle before the pigeonhole block join."""
+    import numpy as np
+    import pandas as pd
+
+    from vastdb_sdk_spark.operators.dedup import simhash_near_pairs
+    from vastdb_sdk_spark.operators.imagecodec import decode_pixels, encode_bmp
+    from vastdb_sdk_spark.operators.multimodal import phash_images
+
+    def build(it):
+        i32 = np.arange(32) / 32.0
+        grad = (i32[None, :] + i32[:, None]) / 2
+        for pdf in it:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rng = np.random.default_rng(d + 1_000_003)
+                base = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+                ids.append(d)
+                payloads.append(encode_bmp(base))
+                if d < 25:
+                    pert = np.clip(
+                        np.rint(base.astype(np.float64) * 0.97 + 4 + 5 * grad),
+                        0,
+                        255,
+                    ).astype(np.uint8)
+                    ids.append(-(d + 1))
+                    payloads.append(encode_bmp(pert))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    corpus = _t(spark, sf, "documents").select("doc_id").mapInPandas(
+        build, "media_id long, payload binary"
+    )
+    fps = phash_images(corpus, pixels=decode_pixels).withColumnRenamed(
+        "phash", "simhash"
+    )
+    pairs = simhash_near_pairs(fps, "media_id", max_hamming=6)
+    # copies carry negative ids, so id_a (the smaller) is always the copy
+    return pairs.select(
+        F.col("id_a").alias("copy_id"), F.col("id_b").alias("orig_id")
+    )
+
+
+def q_e28_cdc_replica_sync(spark, sf):
+    """CDC replication under the gate (SCALING.md r15 plan #4 —
+    sources/replicate.sync_table): docs imported, replica initial-synced
+    (cursor 0: full seed), then one churn epoch (delete / update /
+    insert) folded by a cursor-driven incremental sync. The served
+    replica must equal the source's final state EXACTLY — including
+    orphan deletes (the r12 not-matched-by-source fix, now oracle-gated)
+    — pinned per-row via md5(text); the sync stats ride along as
+    sentinel-keyed rows, so a fold that over- or under-applies feed rows
+    breaks the hash even where the end state accidentally matches."""
+    import tempfile
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark import _ as D
+    from vastdb_sdk_spark.sources import create_table_from_files
+    from vastdb_sdk_spark.sources.replicate import sync_table
+
+    key = (sf, "__cdc_replica")
+    if key not in _ENGINE_WAREHOUSES:
+        wh = tempfile.mkdtemp(prefix="entry_e28_")
+        session = vastdb.connect(wh, spark=spark)
+        session.create_bucket("b")
+        schema = _pq.ParquetFile(f"{sf}/documents.parquet").schema_arrow
+        with session.transaction() as tx:
+            sc = tx.bucket("b").create_schema("s")
+            create_table_from_files(sc, "docs", [f"{sf}/documents.parquet"])
+            sc.create_table("replica", schema)
+        with session.transaction() as tx:
+            s1 = sync_table(
+                tx.bucket("b").schema("s").table("docs"),
+                tx.bucket("b").schema("s").table("replica"),
+                key_cols=["doc_id"],
+            )
+        with session.transaction() as tx:  # churn epoch
+            t = tx.bucket("b").schema("s").table("docs")
+            t.delete_where(D.doc_id % 7 == 2)
+            t.update_where(D.doc_id % 9 == 0, {"n_chars": -3})
+            t.insert(
+                _pa.table(
+                    {
+                        "doc_id": _pa.array([910001, 910002], _pa.int64()),
+                        "text": _pa.array(["e28 doc one", "e28 doc two"]),
+                        "lang": _pa.array(["zz", "zz"]),
+                        "source": _pa.array(["e28_new", "e28_new"]),
+                        "n_chars": _pa.array([11, None], _pa.int64()),
+                    }
+                ).cast(schema)
+            )
+        with session.transaction() as tx:
+            s2 = sync_table(
+                tx.bucket("b").schema("s").table("docs"),
+                tx.bucket("b").schema("s").table("replica"),
+                key_cols=["doc_id"],
+            )
+        _ENGINE_WAREHOUSES[key] = (wh, s1, s2)
+    wh, s1, s2 = _ENGINE_WAREHOUSES[key]
+
+    with vastdb.connect(wh, spark=spark).transaction() as tx:
+        rep = tx.bucket("b").schema("s").table("replica").select_df()
+    out = rep.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+    stats = [
+        (-1, "__sync1_upserts", "stats", int(s1["upserts"]), None),
+        (-2, "__sync2_upserts", "stats", int(s2["upserts"]), None),
+        (-3, "__sync2_deletes", "stats", int(s2["deletes"]), None),
+    ]
+    return out.unionByName(out.sparkSession.createDataFrame(stats, out.schema))
+
+
+def q_ann_filtered_ivf(spark, sf):
+    """Predicate-filtered approximate vector search in ONE plan
+    (SCALING.md r15 plan #5 — the production retrieval shape: metadata
+    filter + IVF probe; Catalyst pushes the predicate into the probed
+    cluster files' scan, table.py vector_search). THE ORACLE IS THE
+    PLANTED LABELED ID LIST: ten rows at ids -(i+1) sit essentially AT
+    the query (the _planted_ann_corpus margins: planted l2sq <= 0.01 vs
+    organic minimum 0.25) with labels alternating i % 2, so under
+    predicate label=1 the true top-5 is exactly -2,-4,-6,-8,-10 in rank
+    order — organic label-1 rows are 25x farther, and the planted rows
+    assign to the query's nearest centroid, probed at any nprobe >= 1."""
+    import tempfile
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark import _ as D
+
+    base = _query_vec(spark, sf, 0)
+    vec = list(base)
+    vec[0] += 0.5
+
+    key = (sf, "__ivf_filtered")
+    if key not in _ENGINE_WAREHOUSES:
+        wh = tempfile.mkdtemp(prefix="entry_annf_")
+        session = vastdb.connect(wh, spark=spark)
+        session.create_bucket("b")
+        src = f"{sf}/embeddings.parquet"
+        schema = _pq.ParquetFile(src).schema_arrow
+        planted = _pa.table(
+            {
+                "vec_id": _pa.array([-(i + 1) for i in range(10)], _pa.int64()),
+                "embedding": _pa.array(
+                    [[vec[0] + 0.01 * (i + 1)] + vec[1:] for i in range(10)],
+                    _pa.list_(_pa.float32()),
+                ),
+                "label": _pa.array([i % 2 for i in range(10)], _pa.int32()),
+            }
+        )
+        with session.transaction() as tx:
+            sc = tx.bucket("b").create_schema("s")
+            t = sc.create_table(
+                "emb",
+                schema,
+                vector_index={"column": "embedding", "metric": "l2sq"},
+            )
+            t.import_files([src])
+            t.insert(planted.cast(schema))
+        with session.transaction() as tx:
+            tx.bucket("b").schema("s").table("emb").build_vector_index(
+                kind="ivf", num_centroids=16, seed=42
+            )
+        _ENGINE_WAREHOUSES[key] = wh
+    wh = _ENGINE_WAREHOUSES[key]
+
+    with vastdb.connect(wh, spark=spark).transaction() as tx:
+        got = tx.bucket("b").schema("s").table("emb").vector_search(
+            vec,
+            columns=["vec_id"],
+            limit=5,
+            predicate=(D.label == 1),
+            approximate=True,
+            nprobe=4,
+        )
+    rows = [(i + 1, int(v)) for i, v in enumerate(got.column("vec_id").to_pylist())]
+    return spark.createDataFrame(rows, "rank INT, vec_id LONG")
+
+
+def q_tx_minhash_cdf_incremental(spark, sf):
+    """Near-dup candidate pairs served FROM a feed-maintained signature
+    index (SCALING.md r15 plan #6 — e25's churn-bounded incremental fold
+    composed with the LSH banding it exists for): the cached signature
+    template is cloned, churned (delete every 5th-mod-4 doc, rewrite doc
+    8, insert doc 9002 as an EXACT copy of doc 1's text — identical
+    shingle set, identical signature, collides in all 4 bands), folded
+    with mode='incremental' (fallback appends a gate-breaking sentinel),
+    and the output is the distinct band-collision pair set read straight
+    off the MAINTAINED index. The oracle replays signatures and band
+    keys from the post-churn corpus via the shared _mh_lsh_chain_sql and
+    joins bands the same way — a maintained index that drifted from the
+    from-scratch derivation changes the pair set. The planted copy
+    guarantees pair (1, 9002) is present, so the gate never passes
+    vacuously."""
+    import pyarrow as pa
+
+    import vastdb_sdk_spark as vastdb
+    from vastdb_sdk_spark import _ as D
+    from vastdb_sdk_spark.sources.replicate import sync_minhash_signatures
+
+    wh = _sig_template_clone(spark, sf)
+    session = vastdb.connect(wh, spark=spark)
+    copy_text = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") == 1)
+        .select("text")
+        .first()
+        .text
+    )
+    with session.transaction() as tx:
+        docs = tx.bucket("b").schema("s").table("docs")
+        docs.delete_where(D.doc_id % 5 == 4)
+        docs.update_where(
+            D.doc_id == 8, {"text": "completely different replacement body"}
+        )
+        docs.insert(
+            pa.table(
+                {
+                    "doc_id": pa.array([9002], pa.int64()),
+                    "text": pa.array([copy_text]),
+                    "lang": pa.array(["en"]),
+                    "source": pa.array(["srcY"]),
+                    "n_chars": pa.array([len(copy_text)], pa.int64()),
+                }
+            )
+        )
+    with session.transaction() as tx:
+        docs = tx.bucket("b").schema("s").table("docs")
+        sig = tx.bucket("b").schema("s").table("sig")
+        r = sync_minhash_signatures(docs, sig, hash_fn="md5", mode="incremental")
+    tx = session.transaction()
+    sig_df = tx.bucket("b").schema("s").table("sig").select_df(
+        columns=["doc_id", "band_id", "band_key"]
+    )
+    a = sig_df.select(
+        F.col("doc_id").alias("id_a"), "band_id", "band_key"
+    )
+    b = sig_df.select(
+        F.col("doc_id").alias("id_b"), "band_id", "band_key"
+    )
+    pairs = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if r["mode"] != "incremental":
+        pairs = pairs.unionByName(
+            spark.createDataFrame(
+                [(-999999, -999999)], "id_a long, id_b long"
+            )
+        )
+    return pairs
+
+
 _R15_PENDING_ORACLES = {
     "mm_decode_bmp": """
         SELECT d.doc_id AS media_id,
@@ -5143,6 +5440,40 @@ _R15_PENDING_ORACLES = {
                    AS px_wsum
         FROM documents d CROSS JOIN range(72) s(i)
         GROUP BY d.doc_id
+    """,
+    "mm_phash_neardup_real": """
+        -- ground truth: exactly the planted (copy, original) pairs —
+        -- real decode margins: planted hamming <= 4, organic min 18
+        SELECT -(doc_id + 1) AS copy_id, doc_id AS orig_id
+        FROM documents WHERE doc_id < 25
+    """,
+    "e28_cdc_replica_sync": """
+        SELECT doc_id, lang, source,
+               CASE WHEN doc_id % 9 = 0 THEN -3 ELSE n_chars END AS n_chars,
+               md5(text) AS text_md5
+        FROM documents WHERE doc_id % 7 <> 2
+        UNION ALL
+        SELECT * FROM (VALUES
+            (910001, 'zz', 'e28_new', 11, md5('e28 doc one')),
+            (910002, 'zz', 'e28_new', NULL, md5('e28 doc two'))
+        ) AS ins(doc_id, lang, source, n_chars, text_md5)
+        UNION ALL
+        SELECT -1, '__sync1_upserts', 'stats',
+               (SELECT COUNT(*) FROM documents), NULL
+        UNION ALL
+        SELECT -2, '__sync2_upserts', 'stats',
+               (SELECT COUNT(*) + 2 FROM documents
+                WHERE doc_id % 9 = 0 AND doc_id % 7 <> 2), NULL
+        UNION ALL
+        SELECT -3, '__sync2_deletes', 'stats',
+               (SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 2), NULL
+    """,
+    "ann_filtered_ivf": """
+        -- ground truth: planted label-1 rows in rank order; organic
+        -- label-1 rows are 25x farther and cannot enter the top-5
+        SELECT CAST(r + 1 AS INTEGER) AS rank,
+               -CAST(2 * (r + 1) AS BIGINT) AS vec_id
+        FROM range(5) t(r)
     """,
     "e27_cdf_matview_e2e": """
         WITH final AS (
@@ -5184,13 +5515,34 @@ def r15_pending() -> dict[str, tuple]:
     """(builder, oracle_sql) for the r15-pending entries — consumed by
     tests/test_r15_pending.py now and by the r15 registry wiring later.
     INVARIANT (pytest-enforced): disjoint from queries()/oracle_sql()."""
-    return {
-        "mm_decode_bmp": (q_mm_decode_bmp, _R15_PENDING_ORACLES["mm_decode_bmp"]),
-        "e27_cdf_matview_e2e": (
-            q_e27_cdf_matview_e2e,
-            _R15_PENDING_ORACLES["e27_cdf_matview_e2e"],
-        ),
+    sqls = dict(_R15_PENDING_ORACLES)
+    # replayed-signature oracle shares _mh_lsh_chain_sql with e25 so the
+    # hash arithmetic stays single-sourced
+    sqls["tx_minhash_cdf_incremental"] = f"""
+        WITH corpus AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id = 8
+                        THEN 'completely different replacement body'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 5 <> 4
+            UNION ALL
+            SELECT 9002 AS doc_id,
+                   (SELECT text FROM documents WHERE doc_id = 1) AS text
+        ), {_mh_lsh_chain_sql('x', 'corpus', 'doc_id', 'text')}
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands_x a JOIN bands_x b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.id < b.id
+    """
+    builders = {
+        "mm_decode_bmp": q_mm_decode_bmp,
+        "mm_phash_neardup_real": q_mm_phash_neardup_real,
+        "e27_cdf_matview_e2e": q_e27_cdf_matview_e2e,
+        "e28_cdc_replica_sync": q_e28_cdc_replica_sync,
+        "ann_filtered_ivf": q_ann_filtered_ivf,
+        "tx_minhash_cdf_incremental": q_tx_minhash_cdf_incremental,
     }
+    return {name: (fn, sqls[name]) for name, fn in builders.items()}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -24,14 +24,31 @@ SF = "/root/testdata/sf0.001"
 
 def test_r15_pending_disjoint_from_registry():
     pending = entry_mod.r15_pending()
-    assert set(pending) == {"mm_decode_bmp", "e27_cdf_matview_e2e"}
+    assert set(pending) == {
+        "mm_decode_bmp",
+        "mm_phash_neardup_real",
+        "e27_cdf_matview_e2e",
+        "e28_cdc_replica_sync",
+        "ann_filtered_ivf",
+        "tx_minhash_cdf_incremental",
+    }
     assert not set(pending) & set(entry_mod.queries())
     assert not set(pending) & set(entry_mod.oracle_sql())
     # the frozen-at-192 contract holds through r14
     assert len(entry_mod.queries()) == 192
 
 
-@pytest.mark.parametrize("name", ["mm_decode_bmp", "e27_cdf_matview_e2e"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "mm_decode_bmp",
+        "mm_phash_neardup_real",
+        "e27_cdf_matview_e2e",
+        "e28_cdc_replica_sync",
+        "ann_filtered_ivf",
+        "tx_minhash_cdf_incremental",
+    ],
+)
 def test_r15_pending_matches_oracle(spark, name):
     fn, sql = entry_mod.r15_pending()[name]
     con = duckdb.connect()
