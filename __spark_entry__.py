@@ -5054,6 +5054,10 @@ def q_mm_decode_bmp(spark, sf):
             ]
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
+    # no repartition pin here (measured at sf0.1: the 72-byte encode+
+    # decode chain is ~10us/row, so a shuffle costs more than the single
+    # task it breaks up — 0.50s single-task vs 0.93s pinned); production
+    # media tables get multi-task scans from their file splits natively
     media = _t(spark, sf, "documents").select("doc_id").mapInPandas(
         build, "media_id long, payload binary"
     )
@@ -5195,7 +5199,12 @@ def q_mm_phash_neardup_real(spark, sf):
                     payloads.append(encode_bmp(pert))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    corpus = _t(spark, sf, "documents").select("doc_id").mapInPandas(
+    # gate-side parallelism pin (the dd_ngram_overlap lesson): sf0.1
+    # documents is ONE parquet file -> one partition, and the per-image
+    # RNG-field + encode + decode + stacked-DCT chain is heavy enough
+    # that one task serializes it (measured 2.92s -> 1.96s with the pin);
+    # production media tables get this parallelism from file splits
+    corpus = _t(spark, sf, "documents").select("doc_id").repartition(32).mapInPandas(
         build, "media_id long, payload binary"
     )
     fps = phash_images(corpus, pixels=decode_pixels).withColumnRenamed(
