@@ -658,12 +658,18 @@ class Table:
         entry_json = entry.to_json()
 
         def lazy_reader(grp: list[FileEntry]) -> pa.RecordBatchReader:
+            # deep-copy the group's file entries NOW: plan construction is
+            # deferred, and a later in-place manifest mutation (e.g. a DV
+            # sidecar append) must not leak into a pinned-but-unpulled
+            # reader's snapshot
+            grp_json = [fe.to_json() for fe in grp]
+
             def gen():
-                if not grp:
+                if not grp_json:
                     return
                 sub = Table(self.name, self.schema)
                 sub_entry = TableEntry.from_json(entry_json)
-                sub_entry.files = grp
+                sub_entry.files = [FileEntry.from_json(fj) for fj in grp_json]
                 sub_entry.projections = {}
                 sub._entry_override = sub_entry
                 yield from sub.select(
