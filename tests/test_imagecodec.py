@@ -351,7 +351,9 @@ def test_png_refusals_are_loud():
     with pytest.raises(ImageDecodeError, match="interlaced"):
         decode_png(_png_wrap(2, 2, 0, raw, interlace=1))
     with pytest.raises(ImageDecodeError, match="bit depth"):
-        decode_png(_png_wrap(2, 2, 0, raw, depth=16))
+        decode_png(_png_wrap(2, 2, 0, raw, depth=4))
+    with pytest.raises(ImageDecodeError, match="bit depth"):
+        decode_png(_png_wrap(2, 2, 3, raw, depth=16))  # 16-bit palette
     with pytest.raises(ImageDecodeError, match="filter type"):
         decode_png(_png_wrap(2, 2, 0, b"\x09\x00\x00" + b"\x00\x00\x00"))
     with pytest.raises(ImageDecodeError, match="truncated PNG scanlines"):
@@ -397,3 +399,38 @@ def test_resize_pipeline_on_png_payloads(spark):
     hashed = phash_images(small.select("media_id", "payload"), pixels=px)
     got = {r["media_id"]: r["phash"] for r in hashed.collect()}
     assert got[1] is not None and got[2] is not None and got[1] != got[2]
+
+
+def test_png_16bit_high_byte_reduction():
+    """16-bit PNGs (big-endian samples per spec) decode to the high byte
+    — the standard 8-bit display reduction — including through the
+    Sub filter, whose bpp stride is channels x 2 bytes for depth 16."""
+    import struct as _st
+
+    from vastdb_sdk_spark.operators.imagecodec import decode_png
+
+    # 2x2 gray16, filter 0: samples 0x1234 0xABCD / 0xFF00 0x0080
+    row0 = b"\x00" + _st.pack(">HH", 0x1234, 0xABCD)
+    row1 = b"\x00" + _st.pack(">HH", 0xFF00, 0x0080)
+    got = decode_png(_png_wrap(2, 2, 0, row0 + row1, depth=16))
+    assert got.tolist() == [[0x12, 0xAB], [0xFF, 0x00]]
+
+    # 1x3 RGB16 through the Sub filter: recon[x] = filt[x] + recon[x-6]
+    recon = np.array(
+        [[0x0102, 0x0304, 0x0506], [0x1112, 0x1314, 0x1516],
+         [0x2122, 0x2324, 0x2526]], dtype=np.uint16
+    )  # three pixels, channels as columns
+    raw_bytes = recon.astype(">u2").tobytes()
+    b = np.frombuffer(raw_bytes, dtype=np.uint8).astype(np.int32)
+    filt = b.copy()
+    filt[6:] = (b[6:] - b[:-6]) & 0xFF  # Sub with bpp=6
+    scanline = b"\x01" + filt.astype(np.uint8).tobytes()
+    got = decode_png(_png_wrap(3, 1, 2, scanline, depth=16))
+    assert got.shape == (1, 3, 3)
+    assert got[0].tolist() == [[0x01, 0x03, 0x05], [0x11, 0x13, 0x15],
+                               [0x21, 0x23, 0x25]]
+
+    # RGBA16: alpha dropped after high-byte reduction
+    rgba = _st.pack(">HHHH", 0xAA00, 0xBB00, 0xCC00, 0xFFFF)
+    got = decode_png(_png_wrap(1, 1, 6, b"\x00" + rgba, depth=16))
+    assert got.tolist() == [[[0xAA, 0xBB, 0xCC]]]

@@ -244,7 +244,8 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> "np.ndarray":
     4 Paeth) over the decompressed scanline stream. Vectorized per row:
     None/Up are whole-row numpy ops; Sub is a mod-256 cumsum over
     bpp-strided lanes; Average/Paeth scan pixels but vectorize the
-    channel lanes."""
+    channel lanes. ``ch`` is the filter unit bpp — BYTES per pixel
+    (channels x bytes-per-sample), per the spec's filter definitions."""
     stride = w * ch
     if len(raw) < h * (stride + 1):
         raise ImageDecodeError(
@@ -297,10 +298,13 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> "np.ndarray":
 
 
 def decode_png(payload: bytes) -> "np.ndarray":
-    """Decode a PNG (bit depth 8, no interlace) to (H, W) grayscale or
-    (H, W, 3) RGB uint8. Color types: 0 gray, 2 RGB, 3 palette (PLTE),
-    4 gray+alpha, 6 RGBA — alpha is dropped (what ``PIL.convert("RGB")``
-    does). Adam7 interlace and sub-8/16-bit depths are refused loudly."""
+    """Decode a PNG (bit depth 8 or 16, no interlace) to (H, W)
+    grayscale or (H, W, 3) RGB uint8. Color types: 0 gray, 2 RGB,
+    3 palette (PLTE), 4 gray+alpha, 6 RGBA — alpha is dropped (what
+    ``PIL.convert("RGB")`` does). 16-bit samples (big-endian per spec)
+    are reduced to their high byte — the standard 8-bit display
+    reduction. Adam7 interlace and sub-8-bit depths are refused
+    loudly."""
     import zlib
 
     if payload[:8] != _PNG_SIG:
@@ -337,8 +341,11 @@ def decode_png(payload: bytes) -> "np.ndarray":
         )
     if interlace != 0:
         raise ImageDecodeError("Adam7-interlaced PNG not supported")
-    if depth != 8:
-        raise ImageDecodeError(f"only bit depth 8 supported (got {depth})")
+    if depth not in (8, 16) or (depth == 16 and color_type == 3):
+        raise ImageDecodeError(
+            f"only bit depth 8/16 supported (got depth={depth}, "
+            f"color type {color_type}; palette is 8-bit-only per spec)"
+        )
     ch = _PNG_CHANNELS.get(color_type)
     if ch is None:
         raise ImageDecodeError(f"bad PNG color type {color_type}")
@@ -348,7 +355,11 @@ def decode_png(payload: bytes) -> "np.ndarray":
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ImageDecodeError(f"corrupt PNG IDAT stream: {e}") from e
-    px = _png_unfilter(raw, h, w, ch)
+    # filters operate on BYTES with bpp = channels * bytes-per-sample
+    px = _png_unfilter(raw, h, w, ch * (depth // 8))
+    if depth == 16:
+        # big-endian 16-bit samples -> high byte (8-bit display reduction)
+        px = px.reshape(h, w * ch, 2)[:, :, 0].reshape(h, w * ch)
     if color_type == 0:
         return px.reshape(h, w)
     if color_type == 2:
