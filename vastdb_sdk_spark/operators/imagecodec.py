@@ -297,14 +297,44 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> "np.ndarray":
     return out
 
 
+#: Adam7 pass geometry per the spec: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_deinterlace(raw: bytes, h: int, w: int, bpp: int) -> "np.ndarray":
+    """Reassemble an Adam7-interlaced scanline stream: each pass is an
+    independently-filtered sub-image (its own filter byte per row);
+    empty passes contribute zero bytes. Returns (h, w * bpp) bytes in
+    the same layout _png_unfilter emits for the progressive case."""
+    out = np.zeros((h, w, bpp), dtype=np.uint8)
+    pos = 0
+    for xs, ys, xstep, ystep in _ADAM7:
+        pw = (w - xs + xstep - 1) // xstep
+        ph = (h - ys + ystep - 1) // ystep
+        if pw <= 0 or ph <= 0:
+            continue
+        need = ph * (pw * bpp + 1)
+        sub = _png_unfilter(raw[pos : pos + need], ph, pw, bpp)
+        pos += need
+        out[ys::ystep, xs::xstep] = sub.reshape(ph, pw, bpp)
+    return out.reshape(h, w * bpp)
+
+
 def decode_png(payload: bytes) -> "np.ndarray":
-    """Decode a PNG (bit depth 8 or 16, no interlace) to (H, W)
-    grayscale or (H, W, 3) RGB uint8. Color types: 0 gray, 2 RGB,
-    3 palette (PLTE), 4 gray+alpha, 6 RGBA — alpha is dropped (what
-    ``PIL.convert("RGB")`` does). 16-bit samples (big-endian per spec)
-    are reduced to their high byte — the standard 8-bit display
-    reduction. Adam7 interlace and sub-8-bit depths are refused
-    loudly."""
+    """Decode a PNG (bit depth 8 or 16; progressive or Adam7-interlaced)
+    to (H, W) grayscale or (H, W, 3) RGB uint8. Color types: 0 gray,
+    2 RGB, 3 palette (PLTE), 4 gray+alpha, 6 RGBA — alpha is dropped
+    (what ``PIL.convert("RGB")`` does). 16-bit samples (big-endian per
+    spec) are reduced to their high byte — the standard 8-bit display
+    reduction. Sub-8-bit depths are refused loudly."""
     import zlib
 
     if payload[:8] != _PNG_SIG:
@@ -339,8 +369,8 @@ def decode_png(payload: bytes) -> "np.ndarray":
         raise ImageDecodeError(
             f"bad PNG compression/filter method {comp}/{filt}"
         )
-    if interlace != 0:
-        raise ImageDecodeError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ImageDecodeError(f"bad PNG interlace method {interlace}")
     if depth not in (8, 16) or (depth == 16 and color_type == 3):
         raise ImageDecodeError(
             f"only bit depth 8/16 supported (got depth={depth}, "
@@ -356,7 +386,11 @@ def decode_png(payload: bytes) -> "np.ndarray":
     except zlib.error as e:
         raise ImageDecodeError(f"corrupt PNG IDAT stream: {e}") from e
     # filters operate on BYTES with bpp = channels * bytes-per-sample
-    px = _png_unfilter(raw, h, w, ch * (depth // 8))
+    bpp = ch * (depth // 8)
+    if interlace == 1:
+        px = _png_deinterlace(raw, h, w, bpp)
+    else:
+        px = _png_unfilter(raw, h, w, bpp)
     if depth == 16:
         # big-endian 16-bit samples -> high byte (8-bit display reduction)
         px = px.reshape(h, w * ch, 2)[:, :, 0].reshape(h, w * ch)
