@@ -351,7 +351,7 @@ def test_png_refusals_are_loud():
     with pytest.raises(ImageDecodeError, match="interlace"):
         decode_png(_png_wrap(2, 2, 0, raw, interlace=2))
     with pytest.raises(ImageDecodeError, match="bit depth"):
-        decode_png(_png_wrap(2, 2, 0, raw, depth=4))
+        decode_png(_png_wrap(2, 2, 2, raw, depth=4))  # sub-8 RGB invalid
     with pytest.raises(ImageDecodeError, match="bit depth"):
         decode_png(_png_wrap(2, 2, 3, raw, depth=16))  # 16-bit palette
     with pytest.raises(ImageDecodeError, match="filter type"):
@@ -476,3 +476,67 @@ def test_png_adam7_16bit():
     raw = _adam7_stream(a16, bytes_per_sample=2)
     got = decode_png(_png_wrap(7, 6, 0, raw, depth=16, interlace=1))
     assert np.array_equal(got, (a16 >> 8).astype(np.uint8))
+
+
+def _pack_bits(vals, depth):
+    """MSB-first bit-pack one row of sub-8-bit samples, zero-padded to a
+    byte boundary (the spec's packed-scanline layout)."""
+    bits = []
+    for v in vals:
+        bits.extend((v >> (depth - 1 - i)) & 1 for i in range(depth))
+    while len(bits) % 8:
+        bits.append(0)
+    return np.packbits(np.array(bits, dtype=np.uint8)).tobytes()
+
+
+def test_png_sub8_gray_and_palette():
+    """1/2/4-bit PNGs: packed MSB-first rows, filter unit = 1 byte;
+    gray scales to the exact full 8-bit range, palette indexes PLTE."""
+    from vastdb_sdk_spark.operators.imagecodec import decode_png
+
+    # 1-bit gray, 10 px wide (crosses a byte boundary), 2 rows
+    rows = [[1, 0, 1, 1, 0, 0, 1, 0, 1, 1], [0] * 10]
+    raw = b"".join(b"\x00" + _pack_bits(r, 1) for r in rows)
+    got = decode_png(_png_wrap(10, 2, 0, raw, depth=1))
+    assert got.tolist() == [[v * 255 for v in rows[0]], [0] * 10]
+
+    # 2-bit gray: values 0..3 -> 0,85,170,255
+    raw = b"\x00" + _pack_bits([0, 1, 2, 3, 3], 2)
+    got = decode_png(_png_wrap(5, 1, 0, raw, depth=2))
+    assert got.tolist() == [[0, 85, 170, 255, 255]]
+
+    # 4-bit gray: value v -> v*17; Up filter on the second row
+    r1 = _pack_bits([0, 7, 15], 4)
+    r2_filt = bytes((b2 - b1) & 0xFF for b1, b2 in zip(r1, _pack_bits([1, 8, 15], 4)))
+    raw = b"\x00" + r1 + b"\x02" + r2_filt
+    got = decode_png(_png_wrap(3, 2, 0, raw, depth=4))
+    assert got.tolist() == [[0, 119, 255], [17, 136, 255]]
+
+    # 2-bit palette
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    raw = b"\x00" + _pack_bits([0, 1, 2, 3], 2)
+    got = decode_png(_png_wrap(4, 1, 3, raw, plte=plte, depth=2))
+    assert got[0].tolist() == [[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]]
+
+    # palette index out of range still loud at sub-8
+    raw = b"\x00" + _pack_bits([3], 2)
+    with pytest.raises(ImageDecodeError, match="palette index"):
+        decode_png(_png_wrap(1, 1, 3, raw, plte=bytes([1, 2, 3]), depth=2))
+
+
+def test_png_sub8_adam7():
+    from vastdb_sdk_spark.operators.imagecodec import decode_png
+
+    rng = np.random.default_rng(63)
+    a = rng.integers(0, 2, size=(9, 11), dtype=np.uint8)  # 1-bit field
+    out = b""
+    for xs, ys, xstep, ystep in [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                                 (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                                 (0, 1, 1, 2)]:
+        sub = a[ys::ystep, xs::xstep]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for row in sub:
+            out += b"\x00" + _pack_bits(row.tolist(), 1)
+    got = decode_png(_png_wrap(11, 9, 0, out, depth=1, interlace=1))
+    assert np.array_equal(got, a * 255)

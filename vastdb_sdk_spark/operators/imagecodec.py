@@ -15,12 +15,13 @@ public formats a scanner actually needs, straight from their specs:
 - **PNM** (netpbm P5 grayscale / P6 RGB, binary, maxval <= 255):
   whitespace-separated ASCII header (with ``#`` comments) + raw samples
   (low-maxval samples rescaled to 8-bit, matching Pillow).
-- **PNG** (RFC 2083 / W3C spec, bit depth 8, non-interlaced) via stdlib
-  ``zlib``: chunk walk with CRC checks, concatenated-IDAT decompress,
-  per-row unfiltering (None/Sub/Up/Average/Paeth), color types
-  gray / RGB / palette / gray+alpha / RGBA (alpha dropped, like
-  ``PIL.convert("RGB")``) — the format a real multimodal corpus
-  actually contains.
+- **PNG** (RFC 2083 / W3C spec) via stdlib ``zlib``: chunk walk with
+  CRC checks, concatenated-IDAT decompress, per-row unfiltering
+  (None/Sub/Up/Average/Paeth), color types gray / RGB / palette /
+  gray+alpha / RGBA (alpha dropped, like ``PIL.convert("RGB")``),
+  bit depths 1/2/4 (packed, gray+palette) / 8 / 16 (high-byte
+  reduction), progressive AND Adam7-interlaced — the format a real
+  multimodal corpus actually contains, at full common-case coverage.
 
 ``decode_pixels`` is the drop-in for ``phash_images(pixels=...)`` —
 grayscale float64 via the ITU-R BT.601 luma weights; ``decode_meta`` is
@@ -309,32 +310,56 @@ _ADAM7 = (
 )
 
 
-def _png_deinterlace(raw: bytes, h: int, w: int, bpp: int) -> "np.ndarray":
+def _png_pass_pixels(
+    raw: bytes, h: int, w: int, ch: int, depth: int
+) -> tuple["np.ndarray", int]:
+    """Byte-level pixels of one (sub-)image from a filtered scanline
+    stream: returns ((h, w, B) uint8 with B = ch * max(depth//8, 1),
+    bytes consumed). Sub-8-bit rows are bit-packed MSB-first with a
+    1-byte filter unit (per spec); samples come out unscaled."""
+    if depth >= 8:
+        bpp = ch * (depth // 8)
+        need = h * (w * bpp + 1)
+        return _png_unfilter(raw[:need], h, w, bpp).reshape(h, w, bpp), need
+    row_bytes = (w * depth + 7) // 8
+    need = h * (row_bytes + 1)
+    # filters treat the packed row as bytes with bpp = 1 (spec: filters
+    # operate on bytes regardless of bit depth)
+    rows = _png_unfilter(raw[:need], h, row_bytes, 1)
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    vals = (bits.reshape(h, w, depth) * weights).sum(axis=2, dtype=np.uint16)
+    return vals.astype(np.uint8)[:, :, None], need
+
+
+def _png_deinterlace(
+    raw: bytes, h: int, w: int, ch: int, depth: int
+) -> "np.ndarray":
     """Reassemble an Adam7-interlaced scanline stream: each pass is an
     independently-filtered sub-image (its own filter byte per row);
-    empty passes contribute zero bytes. Returns (h, w * bpp) bytes in
-    the same layout _png_unfilter emits for the progressive case."""
-    out = np.zeros((h, w, bpp), dtype=np.uint8)
+    empty passes contribute zero bytes. Returns (h, w, B) byte-level
+    pixels, B = ch * max(depth//8, 1)."""
+    out = np.zeros((h, w, ch * max(depth // 8, 1)), dtype=np.uint8)
     pos = 0
     for xs, ys, xstep, ystep in _ADAM7:
         pw = (w - xs + xstep - 1) // xstep
         ph = (h - ys + ystep - 1) // ystep
         if pw <= 0 or ph <= 0:
             continue
-        need = ph * (pw * bpp + 1)
-        sub = _png_unfilter(raw[pos : pos + need], ph, pw, bpp)
-        pos += need
-        out[ys::ystep, xs::xstep] = sub.reshape(ph, pw, bpp)
-    return out.reshape(h, w * bpp)
+        sub, used = _png_pass_pixels(raw[pos:], ph, pw, ch, depth)
+        pos += used
+        out[ys::ystep, xs::xstep] = sub
+    return out
 
 
 def decode_png(payload: bytes) -> "np.ndarray":
-    """Decode a PNG (bit depth 8 or 16; progressive or Adam7-interlaced)
-    to (H, W) grayscale or (H, W, 3) RGB uint8. Color types: 0 gray,
-    2 RGB, 3 palette (PLTE), 4 gray+alpha, 6 RGBA — alpha is dropped
-    (what ``PIL.convert("RGB")`` does). 16-bit samples (big-endian per
-    spec) are reduced to their high byte — the standard 8-bit display
-    reduction. Sub-8-bit depths are refused loudly."""
+    """Decode a PNG (progressive or Adam7-interlaced) to (H, W)
+    grayscale or (H, W, 3) RGB uint8. Color types: 0 gray (depth
+    1/2/4/8/16), 2 RGB (8/16), 3 palette (1/2/4/8, PLTE), 4 gray+alpha
+    (8/16), 6 RGBA (8/16) — alpha is dropped (what ``PIL.convert("RGB")``
+    does). 16-bit samples (big-endian per spec) are reduced to their
+    high byte — the standard 8-bit display reduction; sub-8-bit gray
+    scales to the full 8-bit range (255/85/17 steps, exact)."""
     import zlib
 
     if payload[:8] != _PNG_SIG:
@@ -371,10 +396,13 @@ def decode_png(payload: bytes) -> "np.ndarray":
         )
     if interlace not in (0, 1):
         raise ImageDecodeError(f"bad PNG interlace method {interlace}")
-    if depth not in (8, 16) or (depth == 16 and color_type == 3):
+    valid_depths = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(
+        color_type, (8, 16)
+    )
+    if depth not in valid_depths:
         raise ImageDecodeError(
-            f"only bit depth 8/16 supported (got depth={depth}, "
-            f"color type {color_type}; palette is 8-bit-only per spec)"
+            f"bad bit depth {depth} for PNG color type {color_type} "
+            f"(spec allows {valid_depths})"
         )
     ch = _PNG_CHANNELS.get(color_type)
     if ch is None:
@@ -385,30 +413,34 @@ def decode_png(payload: bytes) -> "np.ndarray":
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ImageDecodeError(f"corrupt PNG IDAT stream: {e}") from e
-    # filters operate on BYTES with bpp = channels * bytes-per-sample
-    bpp = ch * (depth // 8)
     if interlace == 1:
-        px = _png_deinterlace(raw, h, w, bpp)
+        px = _png_deinterlace(raw, h, w, ch, depth)
     else:
-        px = _png_unfilter(raw, h, w, bpp)
+        px, _ = _png_pass_pixels(raw, h, w, ch, depth)
     if depth == 16:
         # big-endian 16-bit samples -> high byte (8-bit display reduction)
-        px = px.reshape(h, w * ch, 2)[:, :, 0].reshape(h, w * ch)
+        px = px[:, :, 0::2]
     if color_type == 0:
-        return px.reshape(h, w)
+        gray = px[:, :, 0]
+        if depth < 8:
+            # exact full-range scaling: 255 / (2^depth - 1) is integral
+            gray = (gray.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(
+                np.uint8
+            )
+        return gray
     if color_type == 2:
-        return px.reshape(h, w, 3)
+        return px
     if color_type == 3:
         if plte is None or len(plte) % 3:
             raise ImageDecodeError("paletted PNG missing/bad PLTE")
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        idx = px.reshape(h, w)
+        idx = px[:, :, 0]
         if int(idx.max(initial=0)) >= pal.shape[0]:
             raise ImageDecodeError("PNG palette index out of range")
         return pal[idx]
     if color_type == 4:
-        return px.reshape(h, w, 2)[:, :, 0]
-    return px.reshape(h, w, 4)[:, :, :3].copy()  # RGBA -> RGB
+        return px[:, :, 0].copy()
+    return px[:, :, :3].copy()  # RGBA -> RGB
 
 
 # ---------------------------------------------------------------------------
