@@ -1,0 +1,89 @@
+"""Pure-stdlib WAV codec (operators/audiocodec.py) — spec-conformant
+RIFF/WAVE payloads, no audio libraries."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from vastdb_sdk_spark.operators.audiocodec import (
+    AudioDecodeError,
+    decode_audio_meta,
+    decode_wav,
+    encode_wav,
+)
+
+
+def test_wav_round_trip_16bit_stereo():
+    rng = np.random.default_rng(71)
+    a = rng.integers(-32768, 32768, size=(480, 2), dtype=np.int16)
+    samples, rate = decode_wav(encode_wav(a, 48000))
+    assert rate == 48000 and samples.shape == (480, 2)
+    assert np.array_equal(np.rint(samples * 32768.0).astype(np.int16), a)
+
+
+def test_wav_round_trip_8bit_mono_and_odd_pad():
+    # odd data size exercises the RIFF word-alignment pad byte
+    a = np.arange(101, dtype=np.uint8)[:, None]
+    blob = encode_wav(a, 8000, bits=8)
+    assert len(blob) % 2 == 0  # padded
+    samples, rate = decode_wav(blob)
+    assert rate == 8000 and samples.shape == (101, 1)
+    assert np.allclose(samples[:, 0], (a[:, 0].astype(float) - 128) / 128)
+
+
+def test_wav_hand_built_spec_payload():
+    """Byte-by-byte per the public spec, independent of encode_wav:
+    RIFF size field, WAVE tag, fmt chunk (PCM, mono, 4 Hz, 16-bit),
+    data chunk with 3 known frames."""
+    pcm = struct.pack("<3h", 1000, -2000, 32767)
+    fmt = struct.pack("<HHIIHH", 1, 1, 4, 8, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    samples, rate = decode_wav(blob)
+    assert rate == 4
+    assert np.rint(samples[:, 0] * 32768).astype(int).tolist() == [1000, -2000, 32767]
+    m = decode_audio_meta(blob)
+    assert m["sample_rate"] == 4 and m["n_frames"] == 3 and m["n_channels"] == 1
+    assert m["duration_ms"] == 750  # 3 frames at 4 Hz
+    assert m["s_sum"] == 1000 - 2000 + 32767
+    assert m["s_wsum"] == 0 * 1000 + 1 * -2000 + 2 * 32767
+
+
+def test_wav_extra_chunks_skipped():
+    # LIST/INFO chunk before data, odd-size with pad — must be skipped
+    a = np.array([[10, -10]], dtype=np.int16)
+    blob = bytearray(encode_wav(a, 44100))
+    # splice an odd-sized junk chunk right after "fmt "
+    insert_at = blob.index(b"data")
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    blob[insert_at:insert_at] = junk
+    struct.pack_into("<I", blob, 4, len(blob) - 8)
+    samples, rate = decode_wav(bytes(blob))
+    assert rate == 44100 and samples.shape == (1, 2)
+
+
+def test_wav_refusals_are_loud():
+    a = np.zeros((4, 1), dtype=np.int16)
+    good = encode_wav(a, 16000)
+    with pytest.raises(AudioDecodeError, match="RIFF"):
+        decode_wav(b"NOPE" + good[4:])
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, bad.index(b"fmt ") + 8, 85)  # wFormatTag=MP3
+    with pytest.raises(AudioDecodeError, match="PCM"):
+        decode_wav(bytes(bad))
+    with pytest.raises(AudioDecodeError, match="truncated"):
+        decode_wav(good[:-3])
+    assert decode_audio_meta(None)["sample_rate"] is None
+
+
+def test_audio_meta_id_arithmetic_device():
+    """The oracle device: samples a closed form of an id -> s_sum/s_wsum
+    computable in SQL without decoding (mirrors image_stats)."""
+    did = 37
+    n = 50
+    vals = ((did * 31 + np.arange(n)) % 251).astype(np.int16)
+    m = decode_audio_meta(encode_wav(vals[:, None], 1000))
+    assert m["s_sum"] == int(vals.sum())
+    assert m["s_wsum"] == int((vals.astype(np.int64) * np.arange(n)).sum())
