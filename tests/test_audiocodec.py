@@ -87,3 +87,25 @@ def test_audio_meta_id_arithmetic_device():
     m = decode_audio_meta(encode_wav(vals[:, None], 1000))
     assert m["s_sum"] == int(vals.sum())
     assert m["s_wsum"] == int((vals.astype(np.int64) * np.arange(n)).sum())
+
+
+def test_audio_stats_spark_seam(spark):
+    """audio_stats end-to-end: real WAV payloads through the Arrow-
+    batched mapInPandas seam; stats match the per-payload decode and
+    null payloads stay null."""
+    from vastdb_sdk_spark.operators.multimodal import audio_stats
+
+    rng = np.random.default_rng(73)
+    blobs = {
+        1: encode_wav(rng.integers(-1000, 1000, size=(30, 1), dtype=np.int16), 16000),
+        2: encode_wav(rng.integers(0, 256, size=(44, 2), dtype=np.uint8), 8000, bits=8),
+    }
+    rows = [(i, bytearray(b)) for i, b in blobs.items()] + [(3, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r.asDict() for r in audio_stats(df).collect()}
+    for i, blob in blobs.items():
+        m = decode_audio_meta(blob)
+        for k, v in m.items():
+            assert got[i][k] == v, (i, k)
+    assert got[3]["sample_rate"] is None and got[3]["s_sum"] is None
+    assert got[1]["sample_rate"] == 16000 and got[2]["n_channels"] == 2

@@ -175,6 +175,53 @@ def image_stats(
     return df.select(id_col, payload_col).mapInPandas(batches, IMAGE_STATS_SCHEMA)
 
 
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("s_sum", T.LongType()),
+        T.StructField("s_wsum", T.LongType()),
+    ]
+)
+
+
+def audio_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decoder: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Per-payload audio decode statistics via mapInPandas — the audio
+    twin of :func:`image_stats`: real (sample_rate, duration_ms,
+    n_channels, n_frames) plus the integer-exact ``s_sum`` and
+    position-weighted ``s_wsum`` checksums, SQL-reproducible for
+    id-arithmetic oracle fixtures. ``decoder`` maps payload bytes to
+    the meta dict (default: the dependency-free
+    ``audiocodec.decode_audio_meta`` — RIFF/WAVE PCM); null payloads
+    yield null stats, total output rows == input rows."""
+    from .audiocodec import decode_audio_meta
+
+    decode = decoder or decode_audio_meta
+    fields = [f.name for f in AUDIO_STATS_SCHEMA.fields if f.name != "media_id"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [
+                decode(bytes(b)) if b is not None else decode(None)
+                for b in pdf[payload_col]
+            ]
+            out = {"media_id": pdf[id_col]}
+            for f in fields:
+                dtype = "Int32" if f in ("sample_rate", "n_channels") else "Int64"
+                out[f] = pd.array([m.get(f) for m in metas], dtype=dtype)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_STATS_SCHEMA)
+
+
 def extract_features(
     df: DataFrame,
     payload_col: str = "payload",
