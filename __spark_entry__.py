@@ -5089,6 +5089,45 @@ def q_mm_decode_bmp(spark, sf):
     return image_stats(media)
 
 
+def q_mm_decode_wav(spark, sf):
+    """Codec-backed AUDIO decode (operators/audiocodec.decode_wav +
+    multimodal.audio_stats — the audio twin of mm_decode_bmp, making the
+    second media modality load-bearing under the gate; reference treats
+    media as opaque blobs, so beyond-parity per BASELINE.json). The
+    id-arithmetic fixture device: each document gets a 200-frame 16-bit
+    mono 16 kHz WAV whose interleaved sample stream is sample[i] =
+    (doc_id*31 + i) % 251, so s_sum and the POSITION-weighted s_wsum are
+    closed forms DuckDB computes from the id alone — the oracle never
+    parses RIFF, yet chunk-walk/alignment/endianness bugs shift s_wsum
+    and break the match. One mapInPandas to build payloads, one
+    Arrow-batched mapInPandas to decode — no shuffle anywhere (per-row
+    work is ~microseconds, so no repartition pin: the mm_decode_bmp
+    measurement)."""
+    import numpy as np
+    import pandas as pd
+
+    from vastdb_sdk_spark.operators.audiocodec import encode_wav
+    from vastdb_sdk_spark.operators.multimodal import audio_stats
+
+    N, RATE = 200, 16000
+
+    def build(it):
+        idx = np.arange(N, dtype=np.int64)
+        for pdf in it:
+            payloads = [
+                encode_wav(
+                    ((int(d) * 31 + idx) % 251).astype(np.int16)[:, None], RATE
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = _t(spark, sf, "documents").select("doc_id").mapInPandas(
+        build, "media_id long, payload binary"
+    )
+    return audio_stats(media)
+
+
 def q_e27_cdf_matview_e2e(spark, sf):
     """CDF-consumer composition in ONE gated contract (SCALING.md r15
     plan #3): DML churn on an engine table -> read_changes feed ->
@@ -5481,6 +5520,18 @@ _R15_PENDING_ORACLES = {
         SELECT -(doc_id + 1) AS copy_id, doc_id AS orig_id
         FROM documents WHERE doc_id < 25
     """,
+    "mm_decode_wav": """
+        SELECT d.doc_id AS media_id,
+               16000 AS sample_rate,
+               CAST(200 * 1000 / 16000 AS BIGINT) AS duration_ms,
+               1 AS n_channels,
+               CAST(200 AS BIGINT) AS n_frames,
+               CAST(SUM((d.doc_id * 31 + s.i) % 251) AS BIGINT) AS s_sum,
+               CAST(SUM(s.i * ((d.doc_id * 31 + s.i) % 251)) AS BIGINT)
+                   AS s_wsum
+        FROM documents d CROSS JOIN range(200) s(i)
+        GROUP BY d.doc_id
+    """,
     "e28_cdc_replica_sync": """
         SELECT doc_id, lang, source,
                CASE WHEN doc_id % 9 = 0 THEN -3 ELSE n_chars END AS n_chars,
@@ -5570,6 +5621,7 @@ def r15_pending() -> dict[str, tuple]:
     """
     builders = {
         "mm_decode_bmp": q_mm_decode_bmp,
+        "mm_decode_wav": q_mm_decode_wav,
         "mm_phash_neardup_real": q_mm_phash_neardup_real,
         "e27_cdf_matview_e2e": q_e27_cdf_matview_e2e,
         "e28_cdc_replica_sync": q_e28_cdc_replica_sync,

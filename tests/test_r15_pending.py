@@ -26,6 +26,7 @@ def test_r15_pending_disjoint_from_registry():
     pending = entry_mod.r15_pending()
     assert set(pending) == {
         "mm_decode_bmp",
+        "mm_decode_wav",
         "mm_phash_neardup_real",
         "e27_cdf_matview_e2e",
         "e28_cdc_replica_sync",
@@ -42,6 +43,7 @@ def test_r15_pending_disjoint_from_registry():
     "name",
     [
         "mm_decode_bmp",
+        "mm_decode_wav",
         "mm_phash_neardup_real",
         "e27_cdf_matview_e2e",
         "e28_cdc_replica_sync",
