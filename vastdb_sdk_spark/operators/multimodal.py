@@ -222,6 +222,113 @@ def audio_stats(
     return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_STATS_SCHEMA)
 
 
+VIDEO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("v_sum", T.LongType()),
+        T.StructField("v_wsum", T.LongType()),
+    ]
+)
+
+
+def video_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decoder: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Per-payload video decode statistics via mapInPandas — the video
+    member of the image_stats / audio_stats family: real (width, height,
+    n_frames, duration_ms) plus the integer-exact ``v_sum`` and
+    FRAME-MAJOR position-weighted ``v_wsum`` checksums, SQL-reproducible
+    for id-arithmetic oracle fixtures; because the weighting runs across
+    frames, frame ORDER and frame boundaries are part of the gated
+    contract. ``decoder`` maps payload bytes to the meta dict (default:
+    the dependency-free ``videocodec.decode_video_meta`` — Y4M and
+    uncompressed AVI); null payloads yield null stats, total output rows
+    == input rows."""
+    from .videocodec import decode_video_meta
+
+    decode = decoder or decode_video_meta
+    fields = [f.name for f in VIDEO_STATS_SCHEMA.fields if f.name != "media_id"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [
+                decode(bytes(b)) if b is not None else decode(None)
+                for b in pdf[payload_col]
+            ]
+            out = {"media_id": pdf[id_col]}
+            for f in fields:
+                dtype = "Int32" if f in ("width", "height", "n_frames") else "Int64"
+                out[f] = pd.array([m.get(f) for m in metas], dtype=dtype)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, VIDEO_STATS_SCHEMA)
+
+
+FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("f_sum", T.LongType()),
+        T.StructField("f_wsum", T.LongType()),
+    ]
+)
+
+
+def frame_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    stride: int = 1,
+) -> DataFrame:
+    """Per-FRAME decode statistics via mapInPandas: one output row per
+    sampled frame (every ``stride``-th, starting at 0) with integer-exact
+    ``f_sum`` / position-weighted ``f_wsum`` over that frame's rounded
+    luma plane — the exploded companion to :func:`video_stats` and the
+    REAL-decode counterpart of :func:`frame_sample_plan` (which samples
+    from metadata without decoding). Frames stream through
+    ``videocodec.iter_frame_luma`` one at a time, so a long clip never
+    materializes fully in worker memory; null payloads yield a single
+    null-stats row so row provenance is preserved."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    import numpy as np
+
+    from .videocodec import iter_frame_luma
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, sums, wsums = [], [], [], []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    ids.append(mid), idxs.append(None)
+                    sums.append(None), wsums.append(None)
+                    continue
+                for i, luma in enumerate(iter_frame_luma(bytes(b))):
+                    if i % stride:
+                        continue
+                    flat = np.rint(luma).astype(np.int64).reshape(-1)
+                    ids.append(mid), idxs.append(i)
+                    sums.append(int(flat.sum()))
+                    wsums.append(int((flat * np.arange(flat.size)).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "f_sum": pd.array(sums, dtype="Int64"),
+                    "f_wsum": pd.array(wsums, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, FRAME_STATS_SCHEMA)
+
+
 def extract_features(
     df: DataFrame,
     payload_col: str = "payload",
