@@ -5128,6 +5128,54 @@ def q_mm_decode_wav(spark, sf):
     return audio_stats(media)
 
 
+def q_mm_decode_y4m(spark, sf):
+    """Codec-backed VIDEO decode (operators/videocodec.decode_y4m +
+    multimodal.video_stats — the third media modality made load-bearing
+    under the gate, after mm_decode_bmp and mm_decode_wav; reference
+    treats media as opaque blobs, so beyond-parity per BASELINE.json).
+    The id-arithmetic fixture device EXTENDED TO THE TIME AXIS: each
+    document gets a 10-frame 4x4 YUV4MPEG2 clip whose luma plane of
+    frame f is luma[j] = (doc_id*31 + f*97 + j) % 251, so v_sum and the
+    FRAME-MAJOR position-weighted v_wsum (i = f*16 + j) are closed forms
+    DuckDB computes from the id alone — the oracle never parses a FRAME
+    marker, yet header-walk / chroma-plane-arithmetic / frame-order bugs
+    all shift v_wsum and break the match. One mapInPandas to build
+    payloads, one Arrow-batched mapInPandas to decode — no shuffle
+    anywhere (per-row work is ~microseconds: the mm_decode_bmp
+    no-repartition measurement)."""
+    import numpy as np
+    import pandas as pd
+
+    from vastdb_sdk_spark.operators.multimodal import video_stats
+    from vastdb_sdk_spark.operators.videocodec import encode_y4m
+
+    N_FRAMES, HW = 10, 4
+
+    def build(it):
+        j = np.arange(HW * HW, dtype=np.int64)
+        for pdf in it:
+            payloads = [
+                encode_y4m(
+                    np.stack(
+                        [
+                            ((int(d) * 31 + f * 97 + j) % 251)
+                            .astype(np.uint8)
+                            .reshape(HW, HW)
+                            for f in range(N_FRAMES)
+                        ]
+                    ),
+                    fps=(10, 1),
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = _t(spark, sf, "documents").select("doc_id").mapInPandas(
+        build, "media_id long, payload binary"
+    )
+    return video_stats(media)
+
+
 def q_e27_cdf_matview_e2e(spark, sf):
     """CDF-consumer composition in ONE gated contract (SCALING.md r15
     plan #3): DML churn on an engine table -> read_changes feed ->
@@ -5532,6 +5580,20 @@ _R15_PENDING_ORACLES = {
         FROM documents d CROSS JOIN range(200) s(i)
         GROUP BY d.doc_id
     """,
+    "mm_decode_y4m": """
+        SELECT d.doc_id AS media_id,
+               4 AS width,
+               4 AS height,
+               10 AS n_frames,
+               CAST(1000 AS BIGINT) AS duration_ms,
+               CAST(SUM((d.doc_id * 31 + (s.i // 16) * 97 + (s.i % 16)) % 251)
+                    AS BIGINT) AS v_sum,
+               CAST(SUM(s.i *
+                        ((d.doc_id * 31 + (s.i // 16) * 97 + (s.i % 16)) % 251))
+                    AS BIGINT) AS v_wsum
+        FROM documents d CROSS JOIN range(160) s(i)
+        GROUP BY d.doc_id
+    """,
     "e28_cdc_replica_sync": """
         SELECT doc_id, lang, source,
                CASE WHEN doc_id % 9 = 0 THEN -3 ELSE n_chars END AS n_chars,
@@ -5622,6 +5684,7 @@ def r15_pending() -> dict[str, tuple]:
     builders = {
         "mm_decode_bmp": q_mm_decode_bmp,
         "mm_decode_wav": q_mm_decode_wav,
+        "mm_decode_y4m": q_mm_decode_y4m,
         "mm_phash_neardup_real": q_mm_phash_neardup_real,
         "e27_cdf_matview_e2e": q_e27_cdf_matview_e2e,
         "e28_cdc_replica_sync": q_e28_cdc_replica_sync,
