@@ -99,12 +99,14 @@ def test_decode_rgb_dispatch_and_luma():
     assert px.shape == (4, 4)
     assert np.allclose(px, 100.0)
     assert decode_pixels(None) is None
-    # PNG magic now dispatches to the built-in decoder, which refuses
-    # garbage loudly rather than falling through to Pillow
+    # PNG and JPEG magics now dispatch to the built-in decoders, which
+    # refuse garbage loudly rather than falling through to Pillow
     with pytest.raises(ImageDecodeError):
         decode_rgb(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(ImageDecodeError, match="marker desync|no SOS"):
+        decode_rgb(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # garbage JPEG
     with pytest.raises(ImageDecodeError, match="unsupported image magic"):
-        decode_rgb(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # JPEG, no Pillow here
+        decode_rgb(b"GIF89a" + b"\x00" * 64)  # truly unknown, no Pillow
 
 
 def test_decode_meta_exact_dims_and_mean():

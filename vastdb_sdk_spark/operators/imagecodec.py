@@ -462,6 +462,11 @@ def decode_rgb(payload: bytes) -> "np.ndarray":
     if bytes(payload[:8]) == _PNG_SIG:
         a = decode_png(payload)
         return np.repeat(a[:, :, None], 3, axis=2) if a.ndim == 2 else a
+    if head == b"\xff\xd8":
+        from .jpegcodec import decode_jpeg
+
+        a = decode_jpeg(payload)
+        return np.repeat(a[:, :, None], 3, axis=2) if a.ndim == 2 else a
     try:  # production path: real codecs via Pillow, if present
         import io
 
@@ -469,7 +474,8 @@ def decode_rgb(payload: bytes) -> "np.ndarray":
     except ImportError:
         raise ImageDecodeError(
             f"unsupported image magic {head!r} and Pillow is not installed "
-            "(built-in codecs: 24bpp BMP, binary P5/P6 PNM, 8-bit PNG)"
+            "(built-in codecs: 24bpp BMP, binary P5/P6 PNM, 8-bit PNG, "
+            "baseline JPEG)"
         ) from None
     try:
         return np.asarray(Image.open(io.BytesIO(bytes(payload))).convert("RGB"))
