@@ -5128,6 +5128,46 @@ def q_mm_decode_wav(spark, sf):
     return audio_stats(media)
 
 
+def q_mm_decode_jpeg(spark, sf):
+    """Codec-backed LOSSY-format decode (operators/jpegcodec.decode_jpeg
+    via the imagecodec.decode_rgb dispatch + multimodal.image_stats).
+    JPEG is the format a real multimodal corpus contains more of than
+    everything else combined; the id-arithmetic device survives the
+    lossy codec via quantization-exact fixtures: each document gets a
+    16x16 grayscale JPEG of four FLAT 8x8 blocks with value
+    v(b) = 2*((doc_id*31 + b*17) % 128) — a flat block is DC-only and
+    an even value at quality 50 (q0=16) quantizes error-free, so the
+    decode is EXACT and px_sum / the position-weighted px_wsum over the
+    gray->RGB expansion (pixel p contributes v at indices 3p..3p+2) are
+    closed forms DuckDB computes from the id alone. The oracle never
+    touches a Huffman table, yet marker-walk / dequantize / IDCT /
+    predictor bugs all shift px_wsum and break the match. One
+    mapInPandas to build payloads, one Arrow-batched mapInPandas to
+    decode — no shuffle anywhere."""
+    import numpy as np
+    import pandas as pd
+
+    from vastdb_sdk_spark.operators.jpegcodec import encode_jpeg
+    from vastdb_sdk_spark.operators.multimodal import image_stats
+
+    def build(it):
+        yy, xx = np.mgrid[0:16, 0:16]
+        block = (yy // 8) * 2 + (xx // 8)
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                v = 2 * ((int(d) * 31 + np.arange(4) * 17) % 128)
+                payloads.append(
+                    encode_jpeg(v[block].astype(np.uint8), quality=50)
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = _t(spark, sf, "documents").select("doc_id").mapInPandas(
+        build, "media_id long, payload binary"
+    )
+    return image_stats(media)
+
+
 def q_mm_decode_y4m(spark, sf):
     """Codec-backed VIDEO decode (operators/videocodec.decode_y4m +
     multimodal.video_stats — the third media modality made load-bearing
@@ -5580,6 +5620,19 @@ _R15_PENDING_ORACLES = {
         FROM documents d CROSS JOIN range(200) s(i)
         GROUP BY d.doc_id
     """,
+    "mm_decode_jpeg": """
+        SELECT d.doc_id AS media_id,
+               16 AS width,
+               16 AS height,
+               CAST(SUM(3 * 2 * ((d.doc_id * 31
+                     + ((s.p // 16 // 8) * 2 + (s.p % 16) // 8) * 17) % 128))
+                    AS BIGINT) AS px_sum,
+               CAST(SUM((9 * s.p + 3) * 2 * ((d.doc_id * 31
+                     + ((s.p // 16 // 8) * 2 + (s.p % 16) // 8) * 17) % 128))
+                    AS BIGINT) AS px_wsum
+        FROM documents d CROSS JOIN range(256) s(p)
+        GROUP BY d.doc_id
+    """,
     "mm_decode_y4m": """
         SELECT d.doc_id AS media_id,
                4 AS width,
@@ -5684,6 +5737,7 @@ def r15_pending() -> dict[str, tuple]:
     builders = {
         "mm_decode_bmp": q_mm_decode_bmp,
         "mm_decode_wav": q_mm_decode_wav,
+        "mm_decode_jpeg": q_mm_decode_jpeg,
         "mm_decode_y4m": q_mm_decode_y4m,
         "mm_phash_neardup_real": q_mm_phash_neardup_real,
         "e27_cdf_matview_e2e": q_e27_cdf_matview_e2e,

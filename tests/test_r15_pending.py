@@ -27,6 +27,7 @@ def test_r15_pending_disjoint_from_registry():
     assert set(pending) == {
         "mm_decode_bmp",
         "mm_decode_wav",
+        "mm_decode_jpeg",
         "mm_decode_y4m",
         "mm_phash_neardup_real",
         "e27_cdf_matview_e2e",
@@ -45,6 +46,7 @@ def test_r15_pending_disjoint_from_registry():
     [
         "mm_decode_bmp",
         "mm_decode_wav",
+        "mm_decode_jpeg",
         "mm_decode_y4m",
         "mm_phash_neardup_real",
         "e27_cdf_matview_e2e",
