@@ -467,6 +467,10 @@ def decode_rgb(payload: bytes) -> "np.ndarray":
 
         a = decode_jpeg(payload)
         return np.repeat(a[:, :, None], 3, axis=2) if a.ndim == 2 else a
+    if bytes(payload[:4]) == b"GIF8":
+        from .gifcodec import decode_gif
+
+        return decode_gif(payload)[0][0]  # first frame
     try:  # production path: real codecs via Pillow, if present
         import io
 
@@ -475,7 +479,7 @@ def decode_rgb(payload: bytes) -> "np.ndarray":
         raise ImageDecodeError(
             f"unsupported image magic {head!r} and Pillow is not installed "
             "(built-in codecs: 24bpp BMP, binary P5/P6 PNM, 8-bit PNG, "
-            "baseline JPEG)"
+            "baseline JPEG, GIF)"
         ) from None
     try:
         return np.asarray(Image.open(io.BytesIO(bytes(payload))).convert("RGB"))

@@ -409,6 +409,13 @@ def iter_frame_luma(payload: bytes) -> Iterator["np.ndarray"]:
         for y in iter_y4m_frames(payload):
             yield y.astype(np.float64)
         return
+    if payload[:4] == b"GIF8":  # animated GIF = third frame source
+        from .gifcodec import decode_gif
+
+        frames, _ = decode_gif(payload)
+        for rgb in frames:
+            yield rgb.astype(np.float64) @ _LUMA
+        return
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         meta, frames = parse_avi(payload)
         if meta["compression"] not in (0, None) or meta["bpp"] not in (24, None):
@@ -451,6 +458,24 @@ def decode_video_meta(payload: bytes | None) -> dict:
         flat = frames.reshape(-1).astype(np.int64)
         num, den = meta["fps_num"], meta["fps_den"]
         n = frames.shape[0]
+    elif payload[:4] == b"GIF8":
+        from .gifcodec import decode_gif
+
+        frames, meta = decode_gif(payload)
+        flat = frames.reshape(-1).astype(np.int64)
+        n = frames.shape[0]
+        num, den = None, None
+        total_cs = sum(meta["delays_cs"])
+        return {
+            "width": int(meta["width"]),
+            "height": int(meta["height"]),
+            "n_frames": int(n),
+            "fps_num": None,
+            "fps_den": None,
+            "duration_ms": int(total_cs * 10) if total_cs else None,
+            "v_sum": int(flat.sum()),
+            "v_wsum": int((flat * np.arange(flat.size)).sum()),
+        }
     elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         frames, meta = decode_avi(payload)
         flat = frames.reshape(-1).astype(np.int64)
