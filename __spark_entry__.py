@@ -5143,7 +5143,7 @@ def q_mm_decode_jpeg(spark, sf):
     touches a Huffman table, yet marker-walk / dequantize / IDCT /
     predictor bugs all shift px_wsum and break the match. One
     mapInPandas to build payloads, one Arrow-batched mapInPandas to
-    decode — no shuffle anywhere."""
+    decode."""
     import numpy as np
     import pandas as pd
 
@@ -5162,7 +5162,12 @@ def q_mm_decode_jpeg(spark, sf):
                 )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
-    media = _t(spark, sf, "documents").select("doc_id").mapInPandas(
+    # parallelism pin (the mm_phash_neardup_real lesson, re-measured for
+    # this entry): per-row Huffman encode+decode is ~0.4 ms, heavy enough
+    # that the one-file -> one-task serialization dominates (probe at
+    # sf0.1: 1.87 normalized unpinned -> 0.56 pinned, drift-quoted);
+    # production media tables get this parallelism from file splits
+    media = _t(spark, sf, "documents").select("doc_id").repartition(32).mapInPandas(
         build, "media_id long, payload binary"
     )
     return image_stats(media)
