@@ -1,0 +1,289 @@
+"""Shard-file sources for LLM training-data pipelines: WebDataset tar
+shards and compressed JSONL.
+
+Real multimodal corpora at 100 TB don't arrive as parquet — they arrive
+as **tar shards** (the WebDataset layout: members ``<key>.<ext>`` where
+one sample is all members sharing a key, e.g. ``000123.jpg`` +
+``000123.txt`` + ``000123.json``) and as **compressed JSONL** text
+shards (``*.jsonl.gz`` / ``.zst`` / ``.lz4``). This module reads both
+Spark-natively:
+
+- Discovery and byte transport use Spark's built-in ``binaryFile``
+  source — each shard file is one row/one task, which is exactly the
+  WebDataset scale contract (parallelism == shard count; shards are
+  sized by the writer for even task granularity, typically 100 MB-1 GB).
+- Member extraction / decompression / JSON parsing run inside
+  Arrow-batched ``mapInPandas`` over the shard bytes — per-shard
+  streaming, nothing driver-side, no shuffle anywhere (a downstream
+  groupBy is the *caller's* choice, not the reader's).
+- Writers (``write_webdataset_shards``) exist so pipelines can round-trip
+  and tests can build real shards; they distribute by
+  ``shard = hash(key) % n`` so the layout is reproducible.
+
+Compression codecs come from stdlib ``zlib``/``gzip`` (gz) and
+``pyarrow.Codec`` (zstd / lz4 / brotli / snappy — all available in the
+pinned container). Everything here is declarative DataFrame plumbing
+plus per-shard Python leaves; Catalyst still prunes/filters the result
+like any other DataFrame.
+
+The reference SDK has no shard reader (it ingests parquet only —
+vastdb/table.py import paths); this is beyond-parity surface for the
+training-data tier, like the codec modules it composes with.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import posixpath
+import tarfile
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class ShardFormatError(ValueError):
+    """Malformed shard content (loud, never a silent skip)."""
+
+
+# ---------------------------------------------------------------------------
+# WebDataset tar shards
+
+WEBDATASET_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.StringType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("ext", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _split_member(name: str) -> tuple[str, str]:
+    """WebDataset member name -> (key, ext): the key is everything up to
+    the FIRST dot of the basename (so ``a/b/0001.seg.json`` has key
+    ``a/b/0001`` and ext ``seg.json``), matching the published layout."""
+    d, base = posixpath.split(name)
+    if "." not in base:
+        return name, ""
+    stem, ext = base.split(".", 1)
+    return posixpath.join(d, stem) if d else stem, ext
+
+
+def read_webdataset(
+    spark: SparkSession,
+    path: str,
+    pattern: str = "*.tar",
+    exts: "list[str] | None" = None,
+) -> DataFrame:
+    """Read WebDataset tar shards into one row per member:
+    (shard, key, ext, payload). Discovery + byte transport via Spark's
+    binaryFile source (one task per shard — the WebDataset parallelism
+    contract); member iteration via stdlib tarfile over an in-memory
+    stream inside mapInPandas. ``exts`` filters members early (before
+    they leave the worker) — decode of payloads composes downstream with
+    the imagecodec/audiocodec/videocodec seams."""
+    want = set(exts) if exts else None
+
+    def members(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"shard": [], "key": [], "ext": [], "payload": []}
+            for shard_path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    tf = tarfile.open(
+                        fileobj=io.BytesIO(bytes(content)), mode="r:*"
+                    )
+                except tarfile.TarError as e:
+                    raise ShardFormatError(
+                        f"bad tar shard {shard_path}: {e}"
+                    ) from e
+                with tf:
+                    for m in tf:
+                        if not m.isfile():
+                            continue
+                        key, ext = _split_member(m.name)
+                        if want is not None and ext not in want:
+                            continue
+                        f = tf.extractfile(m)
+                        rows["shard"].append(shard_path)
+                        rows["key"].append(key)
+                        rows["ext"].append(ext)
+                        rows["payload"].append(f.read() if f else b"")
+            yield pd.DataFrame(rows)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(members, WEBDATASET_SCHEMA)
+
+
+def group_samples(members: DataFrame, exts: list[str]) -> DataFrame:
+    """Pivot a member DataFrame into one row per SAMPLE:
+    (shard, key, <ext0>, <ext1>, ...) with each ext column carrying that
+    member's payload (null if absent). One shuffle on key — unavoidable
+    for cross-member assembly and bounded by corpus size; WebDataset
+    writers colocate a sample's members inside one shard, so with
+    shards already task-partitioned the shuffle moves no cross-node
+    data beyond the planner's hash redistribution."""
+    aggs = [
+        F.max(F.when(F.col("ext") == e, F.col("payload"))).alias(e)
+        for e in exts
+    ]
+    return members.groupBy("shard", "key").agg(*aggs)
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    key_col: str = "key",
+    payload_cols: "list[str] | None" = None,
+) -> int:
+    """Write (key, <ext> payload...) rows as ``shard-NNNNN.tar`` files in
+    out_dir — the round-trip companion to read_webdataset. Rows are
+    routed to ``hash(key) % n_shards`` and each shard is written by one
+    task (repartition on the shard id, then one tar per partition).
+    Returns the number of shards written. Payload columns' NAMES are the
+    member extensions (a ``txt`` column becomes ``<key>.txt``)."""
+    import os
+
+    cols = payload_cols or [
+        c for c in df.columns if c not in (key_col, "shard")
+    ]
+    os.makedirs(out_dir, exist_ok=True)
+    work = df.select(
+        F.col(key_col).alias("key"),
+        (F.abs(F.xxhash64(F.col(key_col))) % n_shards).alias("_shard"),
+        *[F.col(c) for c in cols],
+    ).repartition(n_shards, "_shard")
+
+    def write_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bufs: dict[int, tarfile.TarFile] = {}
+        raws: dict[int, io.BytesIO] = {}
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                sid = int(row["_shard"])
+                if sid not in bufs:
+                    raws[sid] = io.BytesIO()
+                    bufs[sid] = tarfile.open(
+                        fileobj=raws[sid], mode="w", format=tarfile.USTAR_FORMAT
+                    )
+                for c in cols:
+                    payload = row[c]
+                    if payload is None:
+                        continue
+                    data = bytes(payload)
+                    info = tarfile.TarInfo(name=f"{row['key']}.{c}")
+                    info.size = len(data)
+                    info.mtime = 0  # reproducible shards
+                    bufs[sid].addfile(info, io.BytesIO(data))
+        out = []
+        for sid, tf in bufs.items():
+            tf.close()
+            fname = os.path.join(out_dir, f"shard-{sid:05d}.tar")
+            with open(fname, "wb") as fh:
+                fh.write(raws[sid].getvalue())
+            out.append({"shard_id": sid, "path": fname})
+        yield pd.DataFrame(
+            out, columns=["shard_id", "path"]
+        ) if out else pd.DataFrame({"shard_id": [], "path": []})
+
+    written = work.mapInPandas(
+        write_partition, "shard_id int, path string"
+    ).collect()
+    return len(written)
+
+
+# ---------------------------------------------------------------------------
+# Compressed JSONL shards
+
+
+def _decompress(content: bytes, path: str, codec: "str | None") -> bytes:
+    name = codec
+    if name is None:
+        low = path.lower()
+        for suffix, c in (
+            (".gz", "gzip"),
+            (".zst", "zstd"),
+            (".zstd", "zstd"),
+            (".lz4", "lz4"),
+            (".br", "brotli"),
+            (".snappy", "snappy"),
+        ):
+            if low.endswith(suffix):
+                name = c
+                break
+    if name is None:
+        return content  # plain text shard
+    if name == "gzip":
+        import gzip as _gzip
+
+        try:
+            return _gzip.decompress(content)
+        except (OSError, EOFError, zlib.error) as e:
+            # BadGzipFile is OSError; truncation raises EOFError; body
+            # corruption surfaces as zlib.error
+            raise ShardFormatError(f"bad gzip shard {path}: {e}") from e
+    import pyarrow as pa
+
+    try:
+        # framed streaming decompress (.zst/.lz4/.br files are frame
+        # formats; the one-shot Codec API needs a size hint they carry
+        # in-band)
+        with pa.input_stream(pa.py_buffer(content), compression=name) as s:
+            return s.read()
+    except Exception as e:  # pyarrow raises several types here
+        raise ShardFormatError(f"bad {name} shard {path}: {e}") from e
+
+
+def read_jsonl_shards(
+    spark: SparkSession,
+    path: str,
+    schema: "T.StructType | str",
+    pattern: str = "*.jsonl*",
+    codec: "str | None" = None,
+) -> DataFrame:
+    """Read (optionally compressed) JSONL shards into typed rows. One
+    task per shard via binaryFile; decompression (gzip via stdlib,
+    zstd/lz4/brotli/snappy via pyarrow.Codec, inferred from the file
+    suffix unless ``codec`` pins it) and JSON parsing stream inside
+    mapInPandas. Schema is REQUIRED (inference would need a second pass
+    over compressed bytes — at 100 TB you know your schema); fields
+    missing from a line are null, malformed lines raise loudly with the
+    shard path and line number."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    names = [f.name for f in schema.fields]
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {n: [] for n in names}
+            for shard_path, content in zip(pdf["path"], pdf["content"]):
+                text = _decompress(bytes(content), shard_path, codec)
+                for ln, line in enumerate(text.splitlines(), 1):
+                    if not line.strip():
+                        continue
+                    try:
+                        obj = json.loads(line)
+                    except json.JSONDecodeError as e:
+                        raise ShardFormatError(
+                            f"bad JSON at {shard_path}:{ln}: {e}"
+                        ) from e
+                    for n in names:
+                        rows[n].append(obj.get(n))
+            yield pd.DataFrame(rows, columns=names)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(parse, schema)
