@@ -5221,6 +5221,48 @@ def q_mm_decode_y4m(spark, sf):
     return video_stats(media)
 
 
+def q_e29_webdataset_roundtrip(spark, sf):
+    """WebDataset shard lifecycle under the gate (sources/shards.py):
+    documents packed into 8 tar shards of keyed samples (txt = the text
+    bytes, cls = n_chars ascii; null n_chars -> member omitted), then
+    read back via read_webdataset (binaryFile one-task-per-shard) +
+    group_samples and served as (doc_id, text_md5, n_chars). The oracle
+    reads documents directly — any member-boundary, key-parse, pivot,
+    or byte-corruption bug breaks md5/row parity. Shard build is a
+    per-(sf, process) cached fixture (the e25/e16 template pattern), so
+    warm measures the READ path users pay."""
+    import os
+    import tempfile
+
+    from vastdb_sdk_spark.sources.shards import (
+        group_samples,
+        read_webdataset,
+        write_webdataset_shards,
+    )
+
+    key = (sf, "__webdataset")
+    if key not in _ENGINE_WAREHOUSES:
+        out = tempfile.mkdtemp(prefix="entry_e29_")
+        docs = _t(spark, sf, "documents").select(
+            F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("key"),
+            F.encode("text", "UTF-8").alias("txt"),
+            F.when(
+                F.col("n_chars").isNotNull(),
+                F.encode(F.col("n_chars").cast("string"), "UTF-8"),
+            ).alias("cls"),
+        )
+        write_webdataset_shards(docs, out, n_shards=8)
+        _ENGINE_WAREHOUSES[key] = out
+    out = _ENGINE_WAREHOUSES[key]
+    members = read_webdataset(spark, out)
+    samples = group_samples(members, ["txt", "cls"])
+    return samples.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.md5("txt").alias("text_md5"),
+        F.decode("cls", "UTF-8").cast("long").alias("n_chars"),
+    )
+
+
 def q_e27_cdf_matview_e2e(spark, sf):
     """CDF-consumer composition in ONE gated contract (SCALING.md r15
     plan #3): DML churn on an engine table -> read_changes feed ->
@@ -5652,6 +5694,12 @@ _R15_PENDING_ORACLES = {
         FROM documents d CROSS JOIN range(160) s(i)
         GROUP BY d.doc_id
     """,
+    "e29_webdataset_roundtrip": """
+        SELECT doc_id,
+               md5(text) AS text_md5,
+               CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
+    """,
     "e28_cdc_replica_sync": """
         SELECT doc_id, lang, source,
                CASE WHEN doc_id % 9 = 0 THEN -3 ELSE n_chars END AS n_chars,
@@ -5747,6 +5795,7 @@ def r15_pending() -> dict[str, tuple]:
         "mm_phash_neardup_real": q_mm_phash_neardup_real,
         "e27_cdf_matview_e2e": q_e27_cdf_matview_e2e,
         "e28_cdc_replica_sync": q_e28_cdc_replica_sync,
+        "e29_webdataset_roundtrip": q_e29_webdataset_roundtrip,
         "ann_filtered_ivf": q_ann_filtered_ivf,
         "tx_minhash_cdf_incremental": q_tx_minhash_cdf_incremental,
     }

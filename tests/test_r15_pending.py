@@ -32,6 +32,7 @@ def test_r15_pending_disjoint_from_registry():
         "mm_phash_neardup_real",
         "e27_cdf_matview_e2e",
         "e28_cdc_replica_sync",
+        "e29_webdataset_roundtrip",
         "ann_filtered_ivf",
         "tx_minhash_cdf_incremental",
     }
@@ -51,6 +52,7 @@ def test_r15_pending_disjoint_from_registry():
         "mm_phash_neardup_real",
         "e27_cdf_matview_e2e",
         "e28_cdc_replica_sync",
+        "e29_webdataset_roundtrip",
         "ann_filtered_ivf",
         "tx_minhash_cdf_incremental",
     ],
