@@ -165,3 +165,44 @@ def test_read_jsonl_shards_plain_missing_fields_and_errors(spark, tmp_path):
         read_jsonl_shards(
             spark, str(tmp_path), "doc_id long", pattern="*.gz"
         ).collect()
+
+
+def test_stream_webdataset_incremental(spark, tmp_path):
+    """Streaming twin: an availableNow pass drains the landing dir; a
+    shard dropped later is picked up by the next pass with checkpointed
+    progress (no reprocessing of the first shard)."""
+    from vastdb_sdk_spark.sources.shards import stream_webdataset
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    (land / "shard-0.tar").write_bytes(
+        _make_shard({"000000": {"txt": b"first"}})
+    )
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            stream_webdataset(spark, str(land), max_files_per_trigger=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r["key"], bytes(r["payload"]))
+            for r in spark.read.parquet(out).collect()
+        )
+
+    first = drain()
+    assert first == [("000000", b"first")]
+    (land / "shard-1.tar").write_bytes(
+        _make_shard({"000001": {"txt": b"second"}})
+    )
+    second = drain()
+    # the checkpoint guarantees shard-0 was NOT re-extracted: exactly
+    # one row per sample after two passes
+    assert second == [("000000", b"first"), ("000001", b"second")]

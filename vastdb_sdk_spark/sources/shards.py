@@ -74,20 +74,9 @@ def _split_member(name: str) -> tuple[str, str]:
     return posixpath.join(d, stem) if d else stem, ext
 
 
-def read_webdataset(
-    spark: SparkSession,
-    path: str,
-    pattern: str = "*.tar",
-    exts: "list[str] | None" = None,
-) -> DataFrame:
-    """Read WebDataset tar shards into one row per member:
-    (shard, key, ext, payload). Discovery + byte transport via Spark's
-    binaryFile source (one task per shard — the WebDataset parallelism
-    contract); member iteration via stdlib tarfile over an in-memory
-    stream inside mapInPandas. ``exts`` filters members early (before
-    they leave the worker) — decode of payloads composes downstream with
-    the imagecodec/audiocodec/videocodec seams."""
-    want = set(exts) if exts else None
+def _member_batches(want: "set[str] | None"):
+    """mapInPandas closure shared by the batch and streaming readers:
+    (path, content) rows -> one row per tar member."""
 
     def members(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -115,6 +104,23 @@ def read_webdataset(
                         rows["payload"].append(f.read() if f else b"")
             yield pd.DataFrame(rows)
 
+    return members
+
+
+def read_webdataset(
+    spark: SparkSession,
+    path: str,
+    pattern: str = "*.tar",
+    exts: "list[str] | None" = None,
+) -> DataFrame:
+    """Read WebDataset tar shards into one row per member:
+    (shard, key, ext, payload). Discovery + byte transport via Spark's
+    binaryFile source (one task per shard — the WebDataset parallelism
+    contract); member iteration via stdlib tarfile over an in-memory
+    stream inside mapInPandas. ``exts`` filters members early (before
+    they leave the worker) — decode of payloads composes downstream with
+    the imagecodec/audiocodec/videocodec seams."""
+    members = _member_batches(set(exts) if exts else None)
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", pattern)
@@ -199,6 +205,39 @@ def write_webdataset_shards(
         write_partition, "shard_id int, path string"
     ).collect()
     return len(written)
+
+
+def stream_webdataset(
+    spark: SparkSession,
+    path: str,
+    pattern: str = "*.tar",
+    exts: "list[str] | None" = None,
+    max_files_per_trigger: "int | None" = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_webdataset`: watches ``path`` for
+    NEW tar shards via Structured Streaming's binaryFile source and
+    emits the same (shard, key, ext, payload) rows per micro-batch —
+    continuous corpus ingestion (a crawler dropping shards into a
+    landing prefix) without a rewrite: the member-extraction
+    mapInPandas is stateless, so it composes with the streaming tier's
+    sinks (streaming/dedup.stream_dedup_against_table,
+    events.stream_into_table) exactly like the batch reader composes
+    with the batch operators. ``max_files_per_trigger`` bounds shards
+    per micro-batch (admission control for large backlogs)."""
+    members = _member_batches(set(exts) if exts else None)
+    # streaming sources require an explicit schema; binaryFile's is fixed
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", pattern)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(members, WEBDATASET_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
