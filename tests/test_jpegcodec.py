@@ -128,9 +128,13 @@ def test_refusals_are_loud():
     good = encode_jpeg(np.zeros((8, 8), np.uint8))
     with pytest.raises(JpegDecodeError, match="SOI"):
         decode_jpeg(b"JUNK" + good)
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF9 (arithmetic coding — genuinely unsupported)
+    arith = good.replace(b"\xff\xc0", b"\xff\xc9")
+    with pytest.raises(JpegDecodeError, match="SOF9"):
+        decode_jpeg(arith)
+    # SOF2 with a baseline-shaped full-band interleaved scan is invalid
     prog = good.replace(b"\xff\xc0", b"\xff\xc2")
-    with pytest.raises(JpegDecodeError, match="SOF2"):
+    with pytest.raises(JpegDecodeError, match="DC and AC mixed"):
         decode_jpeg(prog)
     with pytest.raises(JpegDecodeError, match="truncated|no SOS"):
         decode_jpeg(good[: good.index(b"\xff\xda")])
@@ -235,3 +239,113 @@ def test_mjpeg_avi_decodes_end_to_end():
     for j, f in zip(payloads, frames):
         got = decode_rgb(j)
         assert int(np.abs(got.astype(int) - f.astype(int)).max()) <= 3
+
+
+def test_progressive_matches_baseline_pixels():
+    """Progressive (SOF2) and baseline streams of the same image carry
+    the same quantized coefficients, so decode must be byte-identical —
+    across gray, 4:4:4, and 4:2:0 with odd dims."""
+    rng = np.random.default_rng(19)
+    gray = np.clip(
+        np.rint(
+            np.add.outer(np.linspace(0, 255, 17), np.linspace(0, 255, 24)) / 2
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    color = np.clip(
+        np.rint(
+            np.kron(
+                rng.integers(60, 190, (3, 3, 3)).astype(float),
+                np.ones((8, 8, 1)),
+            )
+        ),
+        0,
+        255,
+    ).astype(np.uint8)[:17, :21]
+    for img, kw in [
+        (gray, {"quality": 95}),
+        (color, {"quality": 95}),
+        (color, {"quality": 85, "subsampling": "420"}),
+    ]:
+        base = decode_jpeg(encode_jpeg(img, **kw))
+        blob = encode_jpeg(img, progressive=True, **kw)
+        assert b"\xff\xc2" in blob and blob.count(b"\xff\xda") >= 3
+        assert np.array_equal(decode_jpeg(blob), base)
+
+
+def test_progressive_eob_runs():
+    """A mostly-flat image makes long EOB runs across blocks (EOBn with
+    n > 1) — the run accounting must place the few non-empty blocks at
+    exactly the right positions."""
+    g = np.full((64, 64), 128, np.uint8)
+    g[20, 35] = 255  # one busy block among 64
+    blob = encode_jpeg(g, quality=85, progressive=True)
+    d = decode_jpeg(blob)
+    base = decode_jpeg(encode_jpeg(g, quality=85))
+    assert np.array_equal(d, base)
+    assert abs(int(d[20, 35]) - 255) <= 90  # the spike survives (lossy)
+    assert int(np.abs(d[:16, :16].astype(int) - 128).max()) <= 1
+
+
+def test_progressive_hand_built_ac_refinement():
+    """Byte-by-byte per T.81 Annex G, independent of encode_jpeg: one
+    8x8 gray block, q=1, three scans — DC first (Al=0), AC first at
+    Al=1 (toward-zero magnitudes: 5 -> +2, -3 -> -1, 1 -> absent), then
+    an AC REFINEMENT scan (Ah=1 -> Al=0) carrying one newly-significant
+    coefficient (k=10: run counts only the 7 ZERO-history positions),
+    two interleaved correction bits (k=1: 4 -> 5, k=3: -2 -> -3), and a
+    terminating EOB. Expected pixels computed with an independent
+    cosine-sum IDCT."""
+    dqt = b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + bytes([1] * 64)
+    sof = b"\xff\xc2" + struct.pack(">H", 11) + bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    dc_bits = bytes([1] + [0] * 15)
+    dht_dc = b"\xff\xc4" + struct.pack(">H", 20) + b"\x00" + dc_bits + bytes([5])
+    ac_bits = bytes([0, 0, 4] + [0] * 13)
+    dht_ac = (
+        b"\xff\xc4" + struct.pack(">H", 23) + b"\x10" + ac_bits
+        + bytes([0x00, 0x02, 0x11, 0x71])
+    )
+
+    def sos(ss, se, ahal, entropy):
+        return (
+            b"\xff\xda" + struct.pack(">H", 8)
+            + bytes([1, 1, 0x00, ss, se, ahal]) + entropy
+        )
+
+    blob = (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac
+        + sos(0, 0, 0x00, b"\x53")          # DC 20: '0' + 10100, pad 11
+        + sos(1, 63, 0x01, b"\x32\x0f")     # AC first at Al=1
+        + sos(1, 63, 0x10, b"\x7c\x7f")     # AC refinement to Al=0
+        + b"\xff\xd9"
+    )
+    d = decode_jpeg(blob)
+    # independent IDCT: f(y,x) = sum_{u,v} a(u)a(v) F[u,v] cos(...) / 4
+    zz = np.zeros(64)
+    zz[0], zz[1], zz[3], zz[10] = 20, 5, -3, 1
+    zigzag = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    F = np.zeros((8, 8))
+    for k, z in enumerate(zigzag):
+        F[z // 8, z % 8] = zz[k]
+    exp = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    au = (1 / np.sqrt(2)) if u == 0 else 1.0
+                    av = (1 / np.sqrt(2)) if v == 0 else 1.0
+                    s += (
+                        au * av * F[u, v]
+                        * np.cos((2 * y + 1) * u * np.pi / 16)
+                        * np.cos((2 * x + 1) * v * np.pi / 16)
+                    )
+            exp[y, x] = s / 4 + 128
+    exp = np.clip(np.rint(exp), 0, 255).astype(np.uint8)
+    assert np.array_equal(d, exp)

@@ -155,8 +155,12 @@ def _flat_huff(symbols: list[int], length: int) -> tuple[list[int], bytes]:
 
 
 _ENC_DC_BITS, _ENC_DC_VALS = _flat_huff(list(range(12)), 4)
+# run/size symbols plus EOBn (r<<4 for r=0..14: EOB runs, progressive)
+# and ZRL — 177 symbols, all at 8 bits (2**8 > 177 keeps it canonical)
 _ENC_AC_BITS, _ENC_AC_VALS = _flat_huff(
-    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)],
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)],
     8,
 )
 
@@ -286,9 +290,11 @@ def _category(v: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> "np.ndarray":
-    """Decode a baseline (sequential DCT, Huffman) JPEG to (H, W) uint8
-    grayscale or (H, W, 3) uint8 RGB. SOF0/SOF1 accepted; progressive /
-    arithmetic / hierarchical / 12-bit refused loudly."""
+    """Decode a baseline (SOF0/SOF1, sequential DCT) or PROGRESSIVE
+    (SOF2: spectral selection + successive approximation, DC/AC first
+    and refinement scans, EOB runs) Huffman JPEG to (H, W) uint8
+    grayscale or (H, W, 3) uint8 RGB. Arithmetic coding / hierarchical /
+    lossless / 12-bit modes refused loudly."""
     p = bytes(payload)
     if len(p) < 4 or p[:2] != b"\xff\xd8":
         raise JpegDecodeError("not a JPEG payload (missing SOI)")
@@ -296,6 +302,7 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
     frame = None
+    store = None  # progressive coefficient accumulator, per component
     restart_interval = 0
     pos = 2
     while pos + 4 <= len(p):
@@ -335,7 +342,7 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 vals = seg[i + 17 : i + 17 + n]
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             prec = seg[0]
             if prec != 8:
                 raise JpegDecodeError(f"only 8-bit precision (got {prec})")
@@ -347,12 +354,15 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {
+                "w": w, "h": h, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise JpegDecodeError(
                 f"unsupported JPEG process SOF{marker - 0xC0} "
-                "(only baseline/extended sequential Huffman)"
+                "(baseline/extended sequential + progressive Huffman only)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -360,17 +370,33 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             if frame is None:
                 raise JpegDecodeError("SOS before SOF")
             ns = seg[0]
-            scan = {}
+            data_pos = pos + 2 + seglen
+            if not frame["progressive"]:
+                scan = {}
+                for c in range(ns):
+                    cid, tdta = seg[1 + 2 * c : 3 + 2 * c]
+                    scan[cid] = (tdta >> 4, tdta & 15)
+                return _decode_scan(
+                    p, data_pos, frame, scan, quant, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            scan_comps = []
             for c in range(ns):
                 cid, tdta = seg[1 + 2 * c : 3 + 2 * c]
-                scan[cid] = (tdta >> 4, tdta & 15)
-            data_pos = pos + 2 + seglen
-            return _decode_scan(
-                p, data_pos, frame, scan, quant, huff_dc, huff_ac,
-                restart_interval,
+                scan_comps.append((cid, tdta >> 4, tdta & 15))
+            ss, se, ahl = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 15
+            if store is None:
+                store = _alloc_store(frame)
+            pos = _decode_progressive_scan(
+                p, data_pos, frame, store, scan_comps, ss, se, ah, al,
+                huff_dc, huff_ac, restart_interval,
             )
+            continue
         # APPn / COM / anything else: skip
         pos += 2 + seglen
+    if frame is not None and frame["progressive"] and store is not None:
+        return _render_coefficients(frame, store, quant)
     raise JpegDecodeError("no SOS marker (no image data)")
 
 
@@ -460,6 +486,248 @@ def _decode_scan(p, pos, frame, scan, quant, huff_dc, huff_ac, ri):
 
 
 # ---------------------------------------------------------------------------
+# Progressive decoding (T.81 Annex G): coefficients accumulate across
+# scans in a per-component store (zigzag order per block), rendered once
+# at EOI.
+
+
+def _frame_geometry(frame):
+    """(hmax, vmax, mcus_x, mcus_y) plus per-component padded block grid
+    (MCU-interleaved geometry) and exact block grid (non-interleaved
+    geometry, from the component's true sample dimensions)."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if w <= 0 or h <= 0:
+        raise JpegDecodeError(f"bad frame dims {w}x{h}")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    geo = []
+    for c in comps:
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        geo.append(
+            {
+                "pad_bx": mcus_x * c["h"],
+                "pad_by": mcus_y * c["v"],
+                "bx": -(-cw // 8),
+                "by": -(-ch // 8),
+            }
+        )
+    return hmax, vmax, mcus_x, mcus_y, geo
+
+
+def _alloc_store(frame):
+    _, _, _, _, geo = _frame_geometry(frame)
+    return [
+        np.zeros((g["pad_by"], g["pad_bx"], 64), np.int32) for g in geo
+    ]
+
+
+def _decode_progressive_scan(
+    p, pos, frame, store, scan_comps, ss, se, ah, al, huff_dc, huff_ac, ri
+):
+    """Decode one progressive scan into the coefficient store and return
+    the stream position of the next marker. Implements DC first/refine
+    (interleaved or single-component) and AC first/refine with EOB runs
+    (always single-component per T.81 G.1.1.1.1)."""
+    comps = frame["comps"]
+    hmax, vmax, mcus_x, mcus_y, geo = _frame_geometry(frame)
+    idx_of = {c["id"]: i for i, c in enumerate(comps)}
+    members = []
+    for cid, td, ta in scan_comps:
+        if cid not in idx_of:
+            raise JpegDecodeError(f"scan component {cid} not in frame")
+        members.append((idx_of[cid], td, ta))
+    if not 0 <= ss <= se <= 63 or ah > 13 or al > 13:
+        raise JpegDecodeError(f"bad spectral params Ss={ss} Se={se}")
+    if ss == 0 and se != 0:
+        raise JpegDecodeError("DC and AC mixed in one progressive scan")
+    if ss > 0 and len(members) != 1:
+        raise JpegDecodeError("progressive AC scan must be single-component")
+    br = _BitReader(p, pos)
+    rst_state = {"rst": 0, "preds": [0] * len(comps), "eobrun": 0}
+
+    def maybe_restart(unit):
+        if ri and unit and unit % ri == 0:
+            br.expect_restart(rst_state["rst"])
+            rst_state["rst"] = (rst_state["rst"] + 1) & 7
+            rst_state["preds"] = [0] * len(comps)
+            rst_state["eobrun"] = 0
+
+    if ss == 0:
+        # ---- DC scan ----
+        if len(members) > 1:
+            units = mcus_x * mcus_y  # interleaved over MCUs
+        else:
+            ci0 = members[0][0]
+            units = geo[ci0]["bx"] * geo[ci0]["by"]
+        for u in range(units):
+            maybe_restart(u)
+            if len(members) > 1:
+                my, mx = divmod(u, mcus_x)
+                for ci, td, _ in members:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            _dc_unit(
+                                br, store[ci],
+                                my * c["v"] + by, mx * c["h"] + bx,
+                                huff_dc, td, ah, al, rst_state, ci,
+                            )
+            else:
+                ci, td, _ = members[0]
+                by, bx = divmod(u, geo[ci]["bx"])
+                _dc_unit(br, store[ci], by, bx, huff_dc, td, ah, al,
+                         rst_state, ci)
+    else:
+        # ---- AC scan (single component, exact block grid) ----
+        ci, _, ta = members[0]
+        if ta not in huff_ac:
+            raise JpegDecodeError(f"missing Huffman table ac{ta}")
+        tbl = huff_ac[ta]
+        coef = store[ci]
+        units = geo[ci]["bx"] * geo[ci]["by"]
+        for u in range(units):
+            maybe_restart(u)
+            by, bx = divmod(u, geo[ci]["bx"])
+            if ah == 0:
+                _ac_first(br, coef[by, bx], tbl, ss, se, al, rst_state)
+            else:
+                _ac_refine(br, coef[by, bx], tbl, ss, se, al, rst_state)
+    # resync: advance to the next real marker (skip stuffing + RSTn)
+    pos = br.pos
+    n = len(p)
+    while pos + 1 < n:
+        if p[pos] == 0xFF and p[pos + 1] not in (0x00, 0xFF) and not (
+            0xD0 <= p[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return n
+
+
+def _dc_unit(br, coef, by, bx, huff_dc, td, ah, al, rst_state, ci):
+    if ah == 0:
+        if td not in huff_dc:
+            raise JpegDecodeError(f"missing Huffman table dc{td}")
+        t = br.decode_symbol(huff_dc[td])
+        if t > 11:
+            raise JpegDecodeError(f"bad DC category {t}")
+        rst_state["preds"][ci] += _extend(br.receive(t), t)
+        coef[by, bx, 0] = rst_state["preds"][ci] << al
+    else:
+        if br.read_bit():
+            coef[by, bx, 0] |= 1 << al
+
+
+def _ac_first(br, zz, tbl, ss, se, al, rst_state):
+    """AC first scan for one block (zz = that block's 64 zigzag coefs)."""
+    if rst_state["eobrun"] > 0:
+        rst_state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = br.decode_symbol(tbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            rst_state["eobrun"] = (1 << r) - 1
+            if r:
+                rst_state["eobrun"] += br.receive(r)
+            break
+        k += r
+        if k > se:
+            raise JpegDecodeError("AC index past Se in progressive scan")
+        zz[k] = _extend(br.receive(s), s) << al
+        k += 1
+
+
+def _ac_refine(br, zz, tbl, ss, se, al, rst_state):
+    """AC refinement for one block (T.81 G.2 / the libjpeg-equivalent
+    correction-bit walk): newly-significant coefficients arrive as +-1
+    at bit position al; every nonzero-history coefficient passed on the
+    way contributes one correction bit; EOB runs carry correction bits
+    for the remainder of the band."""
+    p1 = 1 << al
+    k = ss
+    if rst_state["eobrun"] == 0:
+        while k <= se:
+            rs = br.decode_symbol(tbl)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    rst_state["eobrun"] = (1 << r)
+                    if r:
+                        rst_state["eobrun"] += br.receive(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise JpegDecodeError(
+                        f"AC refinement sent size {s} (must be 1)"
+                    )
+                val = p1 if br.read_bit() else -p1
+            while k <= se:
+                if zz[k] != 0:
+                    if br.read_bit() and (abs(int(zz[k])) & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else -p1
+                else:
+                    if r == 0:
+                        if val:
+                            zz[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if rst_state["eobrun"] > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if br.read_bit() and (abs(int(zz[k])) & p1) == 0:
+                    zz[k] += p1 if zz[k] > 0 else -p1
+            k += 1
+        rst_state["eobrun"] -= 1
+
+
+def _render_coefficients(frame, store, quant):
+    """Dequantize + IDCT the accumulated store into the final image
+    (shared tail with the baseline path's per-block pipeline)."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax, vmax, _, _, geo = _frame_geometry(frame)
+    out_planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in quant:
+            raise JpegDecodeError(f"missing quant table {c['tq']}")
+        q = quant[c["tq"]]
+        g = geo[ci]
+        plane = np.zeros((g["pad_by"] * 8, g["pad_bx"] * 8))
+        for by in range(g["pad_by"]):
+            for bx in range(g["pad_bx"]):
+                zz = store[ci][by, bx].astype(np.int64)
+                if not zz.any():
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 128.0
+                    continue
+                coefs = np.zeros(64)
+                coefs[ZIGZAG] = (zz * q).astype(np.float64)
+                block = _C.T @ coefs.reshape(8, 8) @ _C + 128.0
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1 or fx > 1:
+            plane = np.repeat(np.repeat(plane, fy, 0), fx, 1)
+        out_planes.append(plane[:h, :w])
+    if len(comps) == 1:
+        return np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g2 = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g2, b], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
 # Encoder (fixture builder)
 
 
@@ -503,16 +771,134 @@ def _encode_block(
     return int(zz[0])
 
 
+def _flush_eobrun(wtr, ac_codes, eobrun: int) -> int:
+    """Emit a pending EOBn run (progressive AC): symbol (r<<4)|0 where
+    eobrun in [2**r, 2**(r+1)), followed by r magnitude bits."""
+    if eobrun > 0:
+        r = eobrun.bit_length() - 1
+        code, ln = ac_codes[r << 4]
+        wtr.write(code, ln)
+        if r:
+            wtr.write(eobrun - (1 << r), r)
+    return 0
+
+
+def _encode_progressive_scans(
+    padded, comps, qts, mcus_x, mcus_y, w, h, hmax, vmax, dc_codes, ac_codes
+):
+    """Entropy-code the progressive scan sequence: DC first (interleaved,
+    Al=1), DC refinement (raw bit per block), then one full-band AC scan
+    per component (Al=0) with EOB-run accumulation. Returns
+    [(sos_body, entropy_bytes), ...]."""
+    store = []
+    for c, plane, q in zip(comps, padded, qts):
+        pad_by, pad_bx = plane.shape[0] // 8, plane.shape[1] // 8
+        zzs = np.zeros((pad_by, pad_bx, 64), np.int64)
+        qz = q[ZIGZAG].astype(np.float64)
+        for by in range(pad_by):
+            for bx in range(pad_bx):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coefs = _C @ (block - 128.0) @ _C.T
+                zzs[by, bx] = np.clip(
+                    np.rint(coefs.reshape(64)[ZIGZAG] / qz), -1023, 1023
+                )
+        store.append(zzs)
+
+    def sos_body(members, ss, se, ah, al):
+        body = bytes([len(members)])
+        for cid, td, ta in members:
+            body += bytes([cid, (td << 4) | ta])
+        return body + bytes([ss, se, (ah << 4) | al])
+
+    def dc_blocks():
+        """(ci, by, bx) in interleaved MCU order — both DC scans and the
+        decoder walk blocks identically."""
+        for m in range(mcus_x * mcus_y):
+            my, mx = divmod(m, mcus_x)
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        yield ci, my * c["v"] + by, mx * c["h"] + bx
+
+    scans = []
+    all_members = [(c["id"], 0, 0) for c in comps]
+    # scan 1: DC first at Al=1 (successive approximation)
+    wtr = _BitWriter()
+    preds = [0] * len(comps)
+    for ci, by, bx in dc_blocks():
+        v = int(store[ci][by, bx, 0]) >> 1  # arithmetic shift per G.1.2.1
+        diff = v - preds[ci]
+        preds[ci] = v
+        t = _category(diff)
+        code, ln = dc_codes[t]
+        wtr.write(code, ln)
+        if t:
+            wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    scans.append((sos_body(all_members, 0, 0, 0, 1), wtr.flush()))
+    # scan 2: DC refinement — one raw bit (bit 0 of the value) per block
+    wtr = _BitWriter()
+    for ci, by, bx in dc_blocks():
+        wtr.write(int(store[ci][by, bx, 0]) & 1, 1)
+    scans.append((sos_body(all_members, 0, 0, 1, 0), wtr.flush()))
+    # per-component AC scans: full band 1..63, Al=0, exact block grid
+    for ci, c in enumerate(comps):
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        bx_n = -(-cw // 8)
+        by_n = -(-ch // 8)
+        wtr = _BitWriter()
+        eobrun = 0
+        for u in range(bx_n * by_n):
+            by, bx = divmod(u, bx_n)
+            zz = store[ci][by, bx]
+            nz = np.nonzero(zz[1:])[0]
+            if nz.size == 0:
+                eobrun += 1
+                if eobrun == 32767:
+                    eobrun = _flush_eobrun(wtr, ac_codes, eobrun)
+                continue
+            eobrun = _flush_eobrun(wtr, ac_codes, eobrun)
+            last = int(nz[-1]) + 1
+            k, run = 1, 0
+            while k <= last:
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                else:
+                    while run >= 16:
+                        code, ln = ac_codes[0xF0]
+                        wtr.write(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    code, ln = ac_codes[(run << 4) | s]
+                    wtr.write(code, ln)
+                    wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                k += 1
+            if last < 63:
+                eobrun += 1  # this block's EOB joins the next run
+        _flush_eobrun(wtr, ac_codes, eobrun)
+        scans.append(
+            (sos_body([(c["id"], 0, 0)], 1, 63, 0, 0), wtr.flush())
+        )
+    return scans
+
+
 def encode_jpeg(
     arr: "np.ndarray",
     quality: int = 85,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode (H, W) uint8 grayscale or (H, W, 3) uint8 RGB as a
     baseline JFIF JPEG (4:4:4 or 4:2:0 for color; DRI + RSTn emitted
-    when ``restart_interval`` > 0). Spec-valid streams any conforming
-    decoder reads; lossy round trip with decode_jpeg bounded by the
+    when ``restart_interval`` > 0), or as a PROGRESSIVE (SOF2) stream
+    when ``progressive=True``: DC-first-at-Al=1 + DC-refinement +
+    per-component full-band AC scans with EOB runs — exercising the
+    successive-approximation and spectral-selection decode paths with
+    identical pixel results. Spec-valid streams any conforming decoder
+    reads; lossy round trip with decode_jpeg bounded by the
     quantization tables at the given quality."""
     a = np.asarray(arr)
     gray = a.ndim == 2
@@ -578,31 +964,42 @@ def encode_jpeg(
             )
         )
 
-    wtr = _BitWriter()
-    preds = [0] * len(comps)
-    rst = 0
-    for m in range(mcus_x * mcus_y):
-        if restart_interval and m and m % restart_interval == 0:
-            wtr.out = bytearray(wtr.flush())  # byte-align (1-padded)
-            wtr.acc = wtr.n = 0
-            wtr.out += bytes([0xFF, 0xD0 + rst])
-            rst = (rst + 1) & 7
-            preds = [0] * len(comps)
-        my, mx = divmod(m, mcus_x)
-        for ci, c in enumerate(comps):
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    preds[ci] = _encode_block(
-                        wtr,
-                        padded[ci][y0 : y0 + 8, x0 : x0 + 8],
-                        qts[ci],
-                        preds[ci],
-                        dc_codes,
-                        ac_codes,
-                    )
-    entropy = wtr.flush()
+    if progressive:
+        if restart_interval:
+            raise JpegDecodeError(
+                "restart_interval with progressive not supported by this "
+                "fixture encoder"
+            )
+        scans = _encode_progressive_scans(
+            padded, comps, qts, mcus_x, mcus_y, w, h, hmax, vmax,
+            dc_codes, ac_codes,
+        )
+    else:
+        wtr = _BitWriter()
+        preds = [0] * len(comps)
+        rst = 0
+        for m in range(mcus_x * mcus_y):
+            if restart_interval and m and m % restart_interval == 0:
+                wtr.out = bytearray(wtr.flush())  # byte-align (1-padded)
+                wtr.acc = wtr.n = 0
+                wtr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                preds = [0] * len(comps)
+            my, mx = divmod(m, mcus_x)
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        preds[ci] = _encode_block(
+                            wtr,
+                            padded[ci][y0 : y0 + 8, x0 : x0 + 8],
+                            qts[ci],
+                            preds[ci],
+                            dc_codes,
+                            ac_codes,
+                        )
+        entropy = wtr.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -619,7 +1016,7 @@ def encode_jpeg(
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
     for c, _ in zip(comps, planes):
         sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
-    out.append(seg(0xC0, sof))
+    out.append(seg(0xC2 if progressive else 0xC0, sof))
     out.append(
         seg(0xC4, bytes([0x00]) + bytes(_ENC_DC_BITS) + _ENC_DC_VALS)
     )
@@ -628,11 +1025,16 @@ def encode_jpeg(
     )
     if restart_interval:
         out.append(seg(0xDD, struct.pack(">H", restart_interval)))
-    sos = bytes([len(comps)])
-    for c in comps:
-        sos += bytes([c["id"], 0x00])
-    sos += bytes([0, 63, 0])
-    out.append(seg(0xDA, sos))
-    out.append(entropy)
+    if progressive:
+        for sos_body, entropy in scans:
+            out.append(seg(0xDA, sos_body))
+            out.append(entropy)
+    else:
+        sos = bytes([len(comps)])
+        for c in comps:
+            sos += bytes([c["id"], 0x00])
+        sos += bytes([0, 63, 0])
+        out.append(seg(0xDA, sos))
+        out.append(entropy)
     out.append(b"\xff\xd9")
     return b"".join(out)
