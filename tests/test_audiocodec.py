@@ -109,3 +109,65 @@ def test_audio_stats_spark_seam(spark):
             assert got[i][k] == v, (i, k)
     assert got[3]["sample_rate"] is None and got[3]["s_sum"] is None
     assert got[1]["sample_rate"] == 16000 and got[2]["n_channels"] == 2
+
+
+def test_aiff_round_trip_and_f80_rate():
+    """AIFF: big-endian PCM, word-aligned IFF chunks, and the COMM
+    chunk's 80-bit extended-float sample rate round-tripped for the
+    rates that actually occur."""
+    from vastdb_sdk_spark.operators.audiocodec import (
+        _f80_pack,
+        _f80_unpack,
+        decode_aiff,
+        encode_aiff,
+    )
+
+    for rate in (1, 8000, 16000, 22050, 44100, 48000, 96000):
+        assert _f80_unpack(_f80_pack(rate)) == rate
+    rng = np.random.default_rng(79)
+    a = rng.integers(-32768, 32768, size=(321, 2), dtype=np.int16)
+    samples, rate = decode_aiff(encode_aiff(a, 44100))
+    assert rate == 44100 and samples.shape == (321, 2)
+    assert np.array_equal(np.rint(samples * 32768.0).astype(np.int16), a)
+    # 8-bit AIFF is SIGNED (unlike WAV's unsigned 8-bit)
+    b = rng.integers(-128, 128, size=(101, 1)).astype(np.int8)
+    samples8, rate8 = decode_aiff(encode_aiff(b, 8000, bits=8))
+    assert rate8 == 8000
+    assert np.array_equal(np.rint(samples8 * 128.0).astype(np.int8), b)
+
+
+def test_aiff_hand_built_spec_payload_and_meta_dispatch():
+    """Byte-by-byte per the AIFF-1.3 spec, independent of encode_aiff:
+    FORM/AIFF, COMM (mono, 3 frames, 16-bit, rate 4 as 80-bit extended
+    0x4001 8000...), SSND with offset 0. decode_audio_meta dispatches on
+    the FORM magic and the stats match WAV's contract."""
+    from vastdb_sdk_spark.operators.audiocodec import decode_audio_meta
+
+    pcm = struct.pack(">3h", 1000, -2000, 32767)
+    f80 = bytes([0x40, 0x01, 0x80, 0, 0, 0, 0, 0, 0, 0])  # 4.0
+    comm = struct.pack(">hIh", 1, 3, 16) + f80
+    ssnd = struct.pack(">II", 0, 0) + pcm
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    blob = b"FORM" + struct.pack(">I", len(body)) + body
+    m = decode_audio_meta(blob)
+    assert m["sample_rate"] == 4 and m["n_frames"] == 3
+    assert m["duration_ms"] == 750
+    assert m["s_sum"] == 1000 - 2000 + 32767
+    assert m["s_wsum"] == 0 * 1000 + 1 * -2000 + 2 * 32767
+
+
+def test_aiff_refusals_are_loud():
+    from vastdb_sdk_spark.operators.audiocodec import decode_aiff, encode_aiff
+
+    good = encode_aiff(np.zeros((4, 1), dtype=np.int16), 16000)
+    with pytest.raises(AudioDecodeError, match="FORM"):
+        decode_aiff(b"NOPE" + good[4:])
+    aifc = good[:8] + b"AIFC" + good[12:]
+    with pytest.raises(AudioDecodeError, match="AIFF-C"):
+        decode_aiff(aifc)
+    with pytest.raises(AudioDecodeError, match="truncated"):
+        decode_aiff(good[:-3])

@@ -106,7 +106,7 @@ def test_decode_rgb_dispatch_and_luma():
     with pytest.raises(ImageDecodeError, match="marker desync|no SOS"):
         decode_rgb(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # garbage JPEG
     with pytest.raises(ImageDecodeError, match="unsupported image magic"):
-        decode_rgb(b"II*\x00" + b"\x00" * 64)  # TIFF: unknown, no Pillow
+        decode_rgb(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 64)  # no Pillow
 
 
 def test_decode_meta_exact_dims_and_mean():

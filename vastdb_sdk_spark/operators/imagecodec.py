@@ -471,6 +471,11 @@ def decode_rgb(payload: bytes) -> "np.ndarray":
         from .gifcodec import decode_gif
 
         return decode_gif(payload)[0][0]  # first frame
+    if bytes(payload[:4]) in (b"II*\x00", b"MM\x00*"):
+        from .tiffcodec import decode_tiff
+
+        a = decode_tiff(payload)
+        return np.repeat(a[:, :, None], 3, axis=2) if a.ndim == 2 else a
     try:  # production path: real codecs via Pillow, if present
         import io
 
@@ -479,7 +484,7 @@ def decode_rgb(payload: bytes) -> "np.ndarray":
         raise ImageDecodeError(
             f"unsupported image magic {head!r} and Pillow is not installed "
             "(built-in codecs: 24bpp BMP, binary P5/P6 PNM, 8-bit PNG, "
-            "baseline JPEG, GIF)"
+            "baseline+progressive JPEG, GIF, baseline TIFF)"
         ) from None
     try:
         return np.asarray(Image.open(io.BytesIO(bytes(payload))).convert("RGB"))
