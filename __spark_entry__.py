@@ -5173,6 +5173,47 @@ def q_mm_decode_jpeg(spark, sf):
     return image_stats(media)
 
 
+def q_mm_decode_tiff(spark, sf):
+    """Codec-backed LOSSLESS-COMPRESSION decode (operators/tiffcodec +
+    imagecodec.decode_rgb dispatch + multimodal.image_stats): each
+    document gets a 16x16 grayscale TIFF with pixel[p] = (doc_id*31 + p)
+    % 251, encoded with the MAXIMAL machinery the format allows in one
+    payload — big-endian byte order, LZW (TIFF variant: MSB-first,
+    EarlyChange width rule), predictor 2 horizontal differencing, and
+    UNEVEN strips (rows_per_strip=5 over 16 rows: 5+5+5+1). Lossless
+    means decode is byte-exact, so px_sum / the position-weighted
+    px_wsum over the gray->RGB expansion stay closed forms of the id —
+    the oracle never touches an IFD, yet byte-order / strip-boundary /
+    LZW-width / predictor bugs all shift px_wsum and break the match.
+    Same parallelism pin as mm_decode_jpeg (per-row LZW work is heavy
+    enough to lose to one-file one-task serialization)."""
+    import numpy as np
+    import pandas as pd
+
+    from vastdb_sdk_spark.operators.multimodal import image_stats
+    from vastdb_sdk_spark.operators.tiffcodec import encode_tiff
+
+    def build(it):
+        p = np.arange(256, dtype=np.int64)
+        for pdf in it:
+            payloads = [
+                encode_tiff(
+                    (((int(d) * 31 + p) % 251).astype(np.uint8)).reshape(16, 16),
+                    compression="lzw",
+                    predictor=True,
+                    big_endian=True,
+                    rows_per_strip=5,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = _t(spark, sf, "documents").select("doc_id").repartition(32).mapInPandas(
+        build, "media_id long, payload binary"
+    )
+    return image_stats(media)
+
+
 def q_mm_decode_y4m(spark, sf):
     """Codec-backed VIDEO decode (operators/videocodec.decode_y4m +
     multimodal.video_stats — the third media modality made load-bearing
@@ -5680,6 +5721,17 @@ _R15_PENDING_ORACLES = {
         FROM documents d CROSS JOIN range(256) s(p)
         GROUP BY d.doc_id
     """,
+    "mm_decode_tiff": """
+        SELECT d.doc_id AS media_id,
+               16 AS width,
+               16 AS height,
+               CAST(SUM(3 * ((d.doc_id * 31 + s.p) % 251)) AS BIGINT)
+                   AS px_sum,
+               CAST(SUM((9 * s.p + 3) * ((d.doc_id * 31 + s.p) % 251))
+                   AS BIGINT) AS px_wsum
+        FROM documents d CROSS JOIN range(256) s(p)
+        GROUP BY d.doc_id
+    """,
     "mm_decode_y4m": """
         SELECT d.doc_id AS media_id,
                4 AS width,
@@ -5791,6 +5843,7 @@ def r15_pending() -> dict[str, tuple]:
         "mm_decode_bmp": q_mm_decode_bmp,
         "mm_decode_wav": q_mm_decode_wav,
         "mm_decode_jpeg": q_mm_decode_jpeg,
+        "mm_decode_tiff": q_mm_decode_tiff,
         "mm_decode_y4m": q_mm_decode_y4m,
         "mm_phash_neardup_real": q_mm_phash_neardup_real,
         "e27_cdf_matview_e2e": q_e27_cdf_matview_e2e,

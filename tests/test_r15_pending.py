@@ -28,6 +28,7 @@ def test_r15_pending_disjoint_from_registry():
         "mm_decode_bmp",
         "mm_decode_wav",
         "mm_decode_jpeg",
+        "mm_decode_tiff",
         "mm_decode_y4m",
         "mm_phash_neardup_real",
         "e27_cdf_matview_e2e",
@@ -48,6 +49,7 @@ def test_r15_pending_disjoint_from_registry():
         "mm_decode_bmp",
         "mm_decode_wav",
         "mm_decode_jpeg",
+        "mm_decode_tiff",
         "mm_decode_y4m",
         "mm_phash_neardup_real",
         "e27_cdf_matview_e2e",
