@@ -34,6 +34,15 @@ TABLES = [
 # helpers
 
 
+def _local_df(spark, rows, schema):
+    """Small literal frame as a pure Catalyst plan — see
+    vastdb_sdk_spark/localrel.py (a createDataFrame LogicalRDD costs
+    ~0.3 s of Python-RDD scan per action that reads it)."""
+    from vastdb_sdk_spark.localrel import local_df
+
+    return local_df(spark, rows, schema)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(us); read it under an explicit
@@ -1266,7 +1275,12 @@ def _planted_ann_corpus(spark, sf):
         (-(i + 1), [float(vec[0] + 0.01 * (i + 1))] + [float(x) for x in vec[1:]])
         for i in range(10)
     ]
-    planted = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    # literal plan, not a createDataFrame LogicalRDD: the RDD-backed frame
+    # costs ~0.3 s of Python-RDD scan per ACTION for ten rows (r14
+    # measurement), paid by every ann_* gate that unions this fixture
+    from vastdb_sdk_spark.localrel import local_df
+
+    planted = local_df(spark, rows, "vec_id LONG, embedding ARRAY<FLOAT>")
     corpus = (
         _t(spark, sf, "embeddings")
         .select("vec_id", "embedding")
@@ -2255,21 +2269,32 @@ def q_e4_engine_dml(spark, sf):
     with session.transaction() as tx:
         sc = tx.bucket("b").create_schema("s")
         t = create_table_from_files(sc, "orders", [f"{sf}/orders.parquet"])
-        del_ids = [
-            r["$row_id"]
-            for r in t.select_df(predicate=(D.o_orderstatus == "F"), internal_row_id=True)
+        # ids land on the driver as ARROW, not Row objects: same
+        # client-rowid API shape, but .collect() materializes ~50k Row
+        # objects (~0.8 s at sf0.1) where toArrow() is one columnar
+        # transfer (guide §6 "Arrow for driver transfers")
+        del_ids = (
+            t.select_df(predicate=(D.o_orderstatus == "F"), internal_row_id=True)
             .select("$row_id")
-            .collect()
-        ]
-        t.delete(pa.table({"$row_id": pa.array(del_ids, pa.uint64())}))
-        upd = t.select_df(
-            predicate=(D.o_orderpriority == "1-URGENT"), internal_row_id=True
-        ).select("$row_id").collect()
+            .toArrow()
+            .column("$row_id")
+        )
+        t.delete(pa.table({"$row_id": del_ids.cast(pa.uint64())}))
+        upd_ids = (
+            t.select_df(
+                predicate=(D.o_orderpriority == "1-URGENT"), internal_row_id=True
+            )
+            .select("$row_id")
+            .toArrow()
+            .column("$row_id")
+        )
         t.update(
             pa.table(
                 {
-                    "$row_id": pa.array([r["$row_id"] for r in upd], pa.uint64()),
-                    "o_totalprice": pa.array([-1.0] * len(upd), pa.float64()),
+                    "$row_id": upd_ids.cast(pa.uint64()),
+                    "o_totalprice": pa.array(
+                        [-1.0] * len(upd_ids), pa.float64()
+                    ),
                 }
             )
         )
@@ -2329,11 +2354,13 @@ def q_e6_engine_snapshot(spark, sf):
         tx.bucket("b").create_snapshot("v1")
     with session.transaction() as tx:
         t = tx.bucket("b").schema("s").table("nation")
-        ids = [
-            r["$row_id"]
-            for r in t.select_df(internal_row_id=True).select("$row_id").collect()
-        ]
-        t.delete(pa.table({"$row_id": pa.array(ids, pa.uint64())}))
+        ids = (
+            t.select_df(internal_row_id=True)
+            .select("$row_id")
+            .toArrow()
+            .column("$row_id")
+        )
+        t.delete(pa.table({"$row_id": ids.cast(pa.uint64())}))
     tx = session.transaction()
     assert tx.bucket("b").schema("s").table("nation").count_rows() == 0
     snap = tx.bucket("b").snapshot("v1")
@@ -2881,7 +2908,7 @@ def q_ann_ivfpq_persisted(spark, sf):
     rows = [(i + 1, int(vid)) for i, (vid, _dist) in enumerate(pairs)]
     if pairs != ref:  # cross-session bit-mismatch -> fail the gate
         rows.append((-999, -999))
-    return spark.createDataFrame(rows, "rank INT, vec_id LONG")
+    return _local_df(spark, rows, "rank INT, vec_id LONG")
 
 
 def q_dd_phash_neardup(spark, sf):
@@ -3211,7 +3238,7 @@ def q_e18_refresh_incremental(spark, sf):
     rows = [(i + 1, int(v)) for i, v in enumerate(got.column("vec_id").to_pylist())]
     if res.get("mode") != "incremental":  # refresh fell back -> fail gate
         rows.append((-999, -999))
-    return spark.createDataFrame(rows, "rank INT, vec_id LONG")
+    return _local_df(spark, rows, "rank INT, vec_id LONG")
 
 
 def q_tx_clf_quality(spark, sf):
@@ -3595,7 +3622,8 @@ def q_ds_cluster_assign(spark, sf):
         emb.filter(F.col("vec_id") < 8).collect(), key=lambda r: r.vec_id
     )
     C = np.asarray([r.embedding for r in crows], dtype=np.float64)
-    cdf = spark.createDataFrame(
+    cdf = _local_df(
+        spark,
         [(int(r.vec_id), [float(x) for x in r.embedding]) for r in crows],
         "centroid_id int, __cvec array<double>",
     )
@@ -5394,7 +5422,7 @@ def q_e27_cdf_matview_e2e(spark, sf):
         if res.get("mode") != "incremental" or res.get("base_scanned"):
             feed_rows.append((f"__refresh{i}_fell_back__", -1, -1))
     return out.unionByName(
-        out.sparkSession.createDataFrame(feed_rows, out.schema)
+        _local_df(out.sparkSession, feed_rows, out.schema)
     )
 
 
@@ -5531,7 +5559,7 @@ def q_e28_cdc_replica_sync(spark, sf):
         (-2, "__sync2_upserts", "stats", int(s2["upserts"]), None),
         (-3, "__sync2_deletes", "stats", int(s2["deletes"]), None),
     ]
-    return out.unionByName(out.sparkSession.createDataFrame(stats, out.schema))
+    return out.unionByName(_local_df(out.sparkSession, stats, out.schema))
 
 
 def q_ann_filtered_ivf(spark, sf):
@@ -5600,7 +5628,7 @@ def q_ann_filtered_ivf(spark, sf):
             nprobe=4,
         )
     rows = [(i + 1, int(v)) for i, v in enumerate(got.column("vec_id").to_pylist())]
-    return spark.createDataFrame(rows, "rank INT, vec_id LONG")
+    return _local_df(spark, rows, "rank INT, vec_id LONG")
 
 
 def q_tx_minhash_cdf_incremental(spark, sf):

@@ -386,7 +386,12 @@ def linear_classifier_scores(
     if not weights:
         raise ValueError("weights must be non-empty")
     spark = df.sparkSession
-    wdf = spark.createDataFrame(
+    from ..localrel import local_df
+
+    # literal plan: a createDataFrame LogicalRDD re-runs a Python-RDD
+    # scan on every action that reads the weights (~0.3 s fixed, r14)
+    wdf = local_df(
+        spark,
         [(str(t).lower(), float(w)) for t, w in weights.items()],
         "__tok STRING, __w DOUBLE",
     )

@@ -82,6 +82,13 @@ PHYSICAL_ROW_ID = "_vastdb_row_id"
 # driver time for what tasks do in seconds)
 FOOTER_SCAN_PARALLEL_MIN = 64
 
+# row-id derivation uses a literal path->base map (zero extra Spark jobs)
+# up to this many files per scan group; beyond it the lookup's per-row
+# linear key scan and the plan's literal count both grow with the file
+# count, so big scans fall back to the broadcast join, whose fixed cost
+# amortizes over their data
+RID_LITERAL_MAP_MAX_FILES = 64
+
 
 def _json_scalar_value(v):
     import datetime as _dt
@@ -451,18 +458,46 @@ class Table:
                         ("file:" + os.path.abspath(fe.path), fe.row_id_base)
                         for fe in fes
                     ]
-                    base_df = self.spark.createDataFrame(
-                        base_map, "__file_path STRING, __rid_base LONG"
-                    )
-                    df = (
-                        df.withColumn("__file_path", F.col("_metadata.file_path"))
-                        .withColumn("__row_index", F.col("_metadata.row_index"))
-                        .join(F.broadcast(base_df), "__file_path")
-                        .withColumn(
-                            INTERNAL_ROW_ID, F.col("__rid_base") + F.col("__row_index")
+                    if len(base_map) <= RID_LITERAL_MAP_MAX_FILES:
+                        # literal map lookup: zero extra Spark jobs. The
+                        # broadcast-join alternative costs ~0.5 s of fixed
+                        # broadcast-build machinery PER ACTION (measured
+                        # r14: 0.72 s vs 0.11 s noop on a 150k-row scan) —
+                        # for DML, which runs several row-id scans per
+                        # statement, that fixed cost dominated the gates.
+                        # GetMapValue on a literal map is a linear key scan
+                        # per row, so this path is bounded to small file
+                        # counts; larger scans take the join below.
+                        m = F.create_map(
+                            *[
+                                lit
+                                for path, bse in base_map
+                                for lit in (F.lit(path), F.lit(bse))
+                            ]
                         )
-                        .drop("__file_path", "__row_index", "__rid_base")
-                    )
+                        df = df.withColumn(
+                            INTERNAL_ROW_ID,
+                            F.element_at(m, F.col("_metadata.file_path"))
+                            + F.col("_metadata.row_index"),
+                        )
+                    else:
+                        base_df = self.spark.createDataFrame(
+                            base_map, "__file_path STRING, __rid_base LONG"
+                        )
+                        df = (
+                            df.withColumn(
+                                "__file_path", F.col("_metadata.file_path")
+                            )
+                            .withColumn(
+                                "__row_index", F.col("_metadata.row_index")
+                            )
+                            .join(F.broadcast(base_df), "__file_path")
+                            .withColumn(
+                                INTERNAL_ROW_ID,
+                                F.col("__rid_base") + F.col("__row_index"),
+                            )
+                            .drop("__file_path", "__row_index", "__rid_base")
+                        )
             elif has_phys_rid:
                 df = df.drop(PHYSICAL_ROW_ID)
             parts.append(df)
@@ -1136,7 +1171,15 @@ class Table:
             )
             self._state.staged_files.append(fpath)
 
-    def _rows_to_df(self, rows: pa.RecordBatch | pa.Table) -> DataFrame:
+    def _rows_to_df(self, rows: pa.RecordBatch | pa.Table) -> tuple[DataFrame, str]:
+        """Client-supplied rows as a Spark frame, PARQUET-BACKED: a
+        ``createDataFrame`` LocalRelation re-ships its rows through the
+        Python/Arrow conversion on EVERY action that reads it (~0.3 s of
+        fixed cost per action, measured r14) while a parquet-backed frame
+        with an explicit schema is plain file-scan input. The file is tiny
+        (the caller's id batch), written once on the driver. Returns
+        ``(df, path)`` — the caller removes ``path`` when its DML actions
+        are done."""
         if isinstance(rows, pa.RecordBatch):
             rows = pa.Table.from_batches([rows])
         # normalize $row_id to long for the join
@@ -1151,7 +1194,15 @@ class Table:
                 col = col.cast(pa.int64())
             cols[name] = col
         rows = pa.table(cols)
-        return self.spark.createDataFrame(rows.to_pandas())
+        path = os.path.join(
+            self._state.store.table_data_dir(self.schema.name, self.name),
+            f"idstage-{os.getpid()}-{time.time_ns()}.parquet",
+        )
+        pq.write_table(rows, path, compression="zstd")
+        return (
+            self.spark.read.schema(arrow_schema_to_spark(rows.schema)).parquet(path),
+            path,
+        )
 
     def update(
         self, rows: pa.RecordBatch | pa.Table, columns: list[str] | None = None
@@ -1180,7 +1231,7 @@ class Table:
         base_df = self.df(
             internal_row_id=True, files=affected, with_file_path=True
         )
-        upd_df = self._rows_to_df(rows)
+        upd_df, upd_path = self._rows_to_df(rows)
         joined = base_df.join(
             F.broadcast(upd_df),
             base_df[INTERNAL_ROW_ID] == upd_df["__update_row_id"],
@@ -1206,17 +1257,22 @@ class Table:
             # fully distributed, like update_where: replacement rows and DV
             # sidecars are both written from executors — matched row ids
             # never land on the driver (a 100x-scale batch through this
-            # path used to materialize every id in driver memory)
-            if matched_df.limit(1).count():
+            # path used to materialize every id in driver memory). The DV
+            # write goes FIRST: its footer count doubles as the match
+            # detector, replacing the old limit(1).count() pre-job
+            if self._write_dvs_distributed(
+                affected, matched_df.select(INTERNAL_ROW_ID, "__source_file")
+            ):
                 self._rewrite_files(
                     entry, [], matched_df.drop("__source_file"), "upd"
-                )
-                self._write_dvs_distributed(
-                    affected, matched_df.select(INTERNAL_ROW_ID, "__source_file")
                 )
                 self._fold_heavy_dvs(entry, affected)
         finally:
             matched_df.unpersist()
+            try:
+                os.remove(upd_path)
+            except OSError:
+                pass
         self._mark_unsorted(entry)
         self._mutate(entry, "update", rows=len(ids))
 
@@ -1234,11 +1290,13 @@ class Table:
 
     def _write_dvs_distributed(
         self, affected: list[FileEntry], dv_src: DataFrame
-    ) -> None:
+    ) -> int:
         """Write deletion vectors for ``dv_src`` rows (columns ``$row_id``,
         ``__source_file``) without driver-side id collection: one
         hive-partitioned write keyed on the source file, then footer-count
-        registration. Scales to predicates matching millions of rows."""
+        registration. Scales to predicates matching millions of rows.
+        Returns the total masked-row count (from the written footers), so
+        callers can detect a no-op without a separate pre-count job."""
         out = dv_src.select(
             F.col(INTERNAL_ROW_ID).cast("long").alias("deleted_row_id"),
             F.md5(F.col("__source_file")).alias("owner_fk"),
@@ -1251,6 +1309,7 @@ class Table:
         out.write.partitionBy("__fk").mode("overwrite").parquet(staging)
         self._state.staged_files.append(staging)
         by_key = {self._dv_owner_fk(fe): fe for fe in affected}
+        total = 0
         for dirname in sorted(os.listdir(staging)):
             if not dirname.startswith("__fk="):
                 continue
@@ -1266,6 +1325,8 @@ class Table:
                 fe.dv_paths.append(fpath)
                 added += n
             fe.dv_rows += added
+            total += added
+        return total
 
     def _fold_heavy_dvs(self, entry: TableEntry, candidates: list[FileEntry]) -> None:
         """Rewrite files whose deletion vectors exceed DV_REWRITE_FRACTION
@@ -1308,22 +1369,64 @@ class Table:
             for fe in entry.files
             if not (fe.row_id_range()[1] < lo or fe.row_id_range()[0] > hi)
         ]
+        # Files that will certainly cross DV_REWRITE_FRACTION go STRAIGHT
+        # to the fold rewrite, skipping the deletion-vector pass entirely:
+        # the id batch is client-supplied, so a per-file UPPER BOUND on
+        # matched rows (ids falling in the file's row-id range) is free on
+        # the driver — writing a DV sidecar only for _fold_heavy_dvs to
+        # rewrite the file anyway was one full wasted Spark write job per
+        # DELETE (r14 measurement: the DV pass was ~40% of delete() wall
+        # on a fold-triggering batch). The bound over-counts (dead ids,
+        # replacement-file id gaps), so it only ever routes a file to the
+        # rewrite a little early — both paths are exact.
+        heavy, light = [], []
+        if affected:
+            import bisect
+
+            sorted_ids = sorted(ids)
+            for fe in affected:
+                flo, fhi = fe.row_id_range()
+                in_range = bisect.bisect_right(sorted_ids, fhi) - bisect.bisect_left(
+                    sorted_ids, flo
+                )
+                if fe.rows and (fe.dv_rows + in_range) / fe.rows > self.DV_REWRITE_FRACTION:
+                    heavy.append(fe)
+                else:
+                    light.append(fe)
         if affected:
             # one distributed job: which requested ids are live, and in
             # which file? (Catalyst prunes the scan to metadata columns);
             # DV sidecars are written from executors like delete_where —
             # matched ids never collect on the driver
-            base = self.df(
-                internal_row_id=True, files=affected, with_file_path=True
-            ).select(INTERNAL_ROW_ID, "__source_file")
-            del_df = self._rows_to_df(rows.select([INTERNAL_ROW_ID]))
-            matched = base.join(
-                F.broadcast(del_df),
-                base[INTERNAL_ROW_ID] == del_df["__update_row_id"],
-                "left_semi",
-            )
-            self._write_dvs_distributed(affected, matched)
-            self._fold_heavy_dvs(entry, affected)
+            del_df, del_path = self._rows_to_df(rows.select([INTERNAL_ROW_ID]))
+            try:
+                if light:
+                    base = self.df(
+                        internal_row_id=True, files=light, with_file_path=True
+                    ).select(INTERNAL_ROW_ID, "__source_file")
+                    matched = base.join(
+                        F.broadcast(del_df),
+                        base[INTERNAL_ROW_ID] == del_df["__update_row_id"],
+                        "left_semi",
+                    )
+                    self._write_dvs_distributed(light, matched)
+                    # the range bound is an over-count, so no light file can
+                    # cross the fraction — fold only ever re-checks `light`
+                    # files already carrying earlier DVs
+                    self._fold_heavy_dvs(entry, light)
+                if heavy:
+                    keep = self.df(internal_row_id=True, files=heavy)
+                    keep = keep.join(
+                        F.broadcast(del_df),
+                        keep[INTERNAL_ROW_ID] == del_df["__update_row_id"],
+                        "left_anti",
+                    )
+                    self._rewrite_files(entry, heavy, keep, "del")
+            finally:
+                try:
+                    os.remove(del_path)
+                except OSError:
+                    pass
         self._mark_unsorted(entry)
         self._mutate(entry, "delete", rows=len(ids))
 
@@ -1394,17 +1497,15 @@ class Table:
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") > 1)
             .select(INTERNAL_ROW_ID, "__source_file")
-            .persist()
         )
-        try:
+        # ONE job: the DV write's own footer count detects the no-op —
+        # the old isEmpty() pre-check ran the window shuffle a second
+        # time just to decide whether to run it for real
+        if self._write_dvs_distributed(entry.files, losers) == 0:
             # a duplicate-free table must be a TRUE no-op: no manifest
             # mutation, no projection/vector-index staling, and a
             # concurrent writer stays conflict-free
-            if losers.limit(1).isEmpty():
-                return
-            self._write_dvs_distributed(entry.files, losers)
-        finally:
-            losers.unpersist()
+            return
         self._fold_heavy_dvs(entry, entry.files)
         self._mark_unsorted(entry)
         self._mutate(entry, "dedup_rows")
@@ -1457,14 +1558,11 @@ class Table:
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") > F.lit(int(n)))
             .select(INTERNAL_ROW_ID, "__source_file")
-            .persist()
         )
-        try:
-            if losers.limit(1).isEmpty():
-                return
-            self._write_dvs_distributed(entry.files, losers)
-        finally:
-            losers.unpersist()
+        # ONE job: footer count from the DV write replaces the isEmpty()
+        # pre-check (see dedup_rows)
+        if self._write_dvs_distributed(entry.files, losers) == 0:
+            return
         self._fold_heavy_dvs(entry, entry.files)
         self._mark_unsorted(entry)
         self._mutate(entry, "cap_rows_per_group")
@@ -1948,13 +2046,13 @@ class Table:
         out_cols.append(F.col("__source_file"))
         matched_df = base_df.select(*out_cols).persist()
         try:
-            n_matched = matched_df.count()
-            if n_matched:
+            # DV write first: its footer count replaces the old count()
+            # pre-job (one Spark job fewer per UPDATE)
+            if self._write_dvs_distributed(
+                affected, matched_df.select(INTERNAL_ROW_ID, "__source_file")
+            ):
                 self._rewrite_files(
                     entry, [], matched_df.drop("__source_file"), "updw"
-                )
-                self._write_dvs_distributed(
-                    affected, matched_df.select(INTERNAL_ROW_ID, "__source_file")
                 )
                 self._fold_heavy_dvs(entry, affected)
         finally:
@@ -3244,8 +3342,10 @@ class Table:
         if dead or len(dirs) > self._BLOOM_COMPACT_DIRS:
             spark = self.spark
             compacted = self._new_bloom_sidecar_dir(column)
-            live_df = spark.createDataFrame(
-                [(p,) for p in sorted(live)], "path STRING"
+            from .localrel import local_df
+
+            live_df = local_df(
+                spark, [(p,) for p in sorted(live)], "path STRING"
             )
             (
                 # explicit schema: delta dirs written before the `capped`

@@ -301,7 +301,10 @@ class Transaction:
             rows.append(
                 (bucket_name, sname, tname, "table", te.live_rows, len(te.files))
             )
-        df = self._session.spark.createDataFrame(
+        from .localrel import local_df
+
+        df = local_df(
+            self._session.spark,
             rows,
             "bucket STRING, schema_name STRING, table_name STRING, "
             "object_type STRING, num_rows LONG, num_files LONG",
