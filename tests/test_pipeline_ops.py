@@ -503,17 +503,42 @@ def test_minhash_dedup_pairs_managed_unpersists(spark):
     assert inside >= before  # the persist was actually in effect inside
 
 
+def test_dup_clusters_driver_route_matches_distributed(spark):
+    """The cost router's two routes are the same operator: driver
+    union-find (small pair lists) and distributed propagation must emit
+    identical labels, including chains that span the routing boundary."""
+    from vastdb_sdk_spark.operators.dedup import dup_clusters
+
+    edges = (
+        [(i, i + 1) for i in range(0, 40)]          # 41-node chain
+        + [(100, 103), (101, 103), (102, 101)]      # star with reordered ids
+        + [(200, 201)]                               # plain pair
+    )
+    pairs = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    via_driver = {
+        r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()
+    }
+    via_dist = {
+        r.doc_id: r.cluster_id
+        for r in dup_clusters(pairs, driver_max_pairs=0).collect()
+    }
+    assert via_driver == via_dist
+    assert via_driver[40] == 0 and via_driver[103] == 100
+
+
 def test_dup_clusters_raises_on_nonconvergence(spark):
     import pytest as _pytest
 
     from vastdb_sdk_spark.operators.dedup import dup_clusters
 
-    # a 10-hop path cannot converge in 2 rounds
+    # a 10-hop path cannot converge in 2 rounds (driver_max_pairs=0
+    # forces the distributed propagation; the driver union-find route is
+    # exact and has no iteration budget)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(300, 310)], "id_a LONG, id_b LONG"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dup_clusters(pairs, max_iterations=2)
+        dup_clusters(pairs, max_iterations=2, driver_max_pairs=0)
 
 
 def test_quality_percentile_filter_nondyadic_fraction(spark):
@@ -578,7 +603,12 @@ def test_dup_clusters_long_path_logarithmic_rounds(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1000, 1400)], "id_a LONG, id_b LONG"
     )
-    got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs, max_iterations=12).collect()}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dup_clusters(
+            pairs, max_iterations=12, driver_max_pairs=0
+        ).collect()
+    }
     assert got == {i: 1000 for i in range(1000, 1401)}
 
 

@@ -20,6 +20,7 @@ any source (engine tables via ``Table.df()`` or raw ``spark.read``).
 from __future__ import annotations
 
 import contextlib
+import os
 import threading
 
 from pyspark.sql import Column, DataFrame
@@ -658,6 +659,7 @@ def dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    driver_max_pairs: int = 100_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list: every node
     that appears in ``pairs`` is labeled with its component's minimum id
@@ -739,7 +741,78 @@ def dup_clusters(
 
     e = pairs.select(
         _id_to_long(id_a).alias("src"), _id_to_long(id_b).alias("dst")
-    )
+    ).persist()
+    # COST ROUTER (the sync_derived_rows pattern): the distributed
+    # propagation has a large fixed intercept — localCheckpoint + a
+    # convergence count per round, ~18 Spark jobs for a 2-round clique
+    # graph (r14 measurement: 1.5 s for 25 pairs) — while a pair list
+    # is usually tiny next to the corpus it came from. Up to
+    # ``driver_max_pairs`` edges (default 100k ≈ 1.6 MB — the same
+    # bounded-driver-collect class as vocab/centroid/manifest pulls),
+    # union-find on the driver computes the identical min-label
+    # components in microseconds; bigger graphs take the distributed
+    # rounds below unchanged. The one count() materializes the persisted
+    # edge frame either way, so neither route re-runs the (usually
+    # expensive) pair-generation lineage.
+    n_pairs = e.count()
+    if n_pairs <= int(driver_max_pairs):
+        try:
+            tbl = e.toArrow()
+            src_ids = tbl.column("src").to_pylist()
+            dst_ids = tbl.column("dst").to_pylist()
+        finally:
+            e.unpersist()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(src_ids, dst_ids):
+            # mirror the distributed semantics for NULL ids: a NULL side
+            # joins nothing, so the non-null side stays its own label
+            for x in (a, b):
+                if x is not None and x not in parent:
+                    parent[x] = x
+            if a is None or b is None:
+                continue
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # attach the larger-id root under the smaller: roots stay
+                # the component minimum, matching the propagation's labels
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        labels = [(n, find(n)) for n in parent]
+        spark = pairs.sparkSession
+        if len(labels) <= 1024:
+            from ..localrel import local_df
+
+            return local_df(spark, labels, "doc_id LONG, cluster_id LONG")
+        # larger label sets go back file-backed (plan-size bounded)
+        import tempfile
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="dupclusters_"), "labels.parquet"
+        )
+        _pq.write_table(
+            _pa.table(
+                {
+                    "doc_id": _pa.array([x for x, _ in labels], _pa.int64()),
+                    "cluster_id": _pa.array([y for _, y in labels], _pa.int64()),
+                }
+            ),
+            path,
+        )
+        return spark.read.schema("doc_id LONG, cluster_id LONG").parquet(path)
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
@@ -806,6 +879,7 @@ def dup_clusters(
             converged = True
             break
     edges.unpersist()
+    e.unpersist()
     if not converged:
         # returning partially-propagated labels would SILENTLY split
         # components — for dedup that means keeping multiple copies of the

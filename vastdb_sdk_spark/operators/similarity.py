@@ -1412,6 +1412,7 @@ def semantic_dup_pairs(
     target_cluster_rows: int = 4096,
     fit: str = "driver",
     twolevel_threshold: int = 4096,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """High-cosine pairs within k-means clusters of the NORMALIZED
     embedding space. Returns (id_a, id_b, cos_sim) with id_a < id_b.
@@ -1452,7 +1453,11 @@ def semantic_dup_pairs(
         raise ValueError(
             f"target_cluster_rows must be >= 2, got {target_cluster_rows}"
         )
-    n_rows = df.count()
+    # callers that already know the row count (e.g. dedup_near_rows,
+    # whose manifest carries exact live_rows) pass n_rows to skip a
+    # full count() scan of the corpus
+    if n_rows is None:
+        n_rows = df.count()
     if num_centroids is None:
         num_centroids = int(
             min(65536, max(16, -(-n_rows // int(target_cluster_rows))))

@@ -1707,6 +1707,8 @@ class Table:
                 semantic_dup_pairs(
                     docs, id_col="doc_id", vec_col="text",
                     threshold=threshold, num_centroids=num_centroids,
+                    # manifest-exact live rows: skips the count() scan
+                    n_rows=sum(fe.rows - fe.dv_rows for fe in entry.files),
                 )
             )
         with pairs_cm as verified:
@@ -2280,8 +2282,11 @@ class Table:
                 replace_df = reduce(DataFrame.unionByName, upd_parts).persist()
                 counts["updated"] = replace_df.count()
             if del_parts:
-                del_df = reduce(DataFrame.unionByName, del_parts).persist()
-                counts["deleted"] = del_df.count()
+                # not persisted and not pre-counted: the delete branch is
+                # consumed exactly once (the DV write below), whose footer
+                # count yields counts["deleted"] for free — the old
+                # count() here was one full extra job per delete-merge
+                del_df = reduce(DataFrame.unionByName, del_parts)
 
             if ins_clauses:
                 not_matched = source.join(base, cond, "left_anti")
@@ -2311,32 +2316,32 @@ class Table:
 
             # snapshot AFTER insert_df's own _mutate so its files survive
             entry = TableEntry.from_json(self.entry.to_json())
-            if counts["updated"] or counts["deleted"]:
-                if counts["updated"]:
-                    self._rewrite_files(
-                        entry, [], replace_df.drop("__source_file"), "merge"
-                    )
+            if counts["updated"] or del_df is not None:
                 masked_parts = []
                 if counts["updated"]:
                     masked_parts.append(
                         replace_df.select(INTERNAL_ROW_ID, "__source_file")
                     )
-                if counts["deleted"]:
+                if del_df is not None:
                     masked_parts.append(del_df)
                 matched_ids = reduce(DataFrame.unionByName, masked_parts)
                 # DV attribution targets pre-merge files only (matches were
                 # computed before the insert), keyed on the copy's entries
                 pre_paths = {fe.path for fe in pre_files}
                 affected = [fe for fe in entry.files if fe.path in pre_paths]
-                self._write_dvs_distributed(affected, matched_ids)
+                dv_total = self._write_dvs_distributed(affected, matched_ids)
+                counts["deleted"] = max(0, dv_total - counts["updated"])
+                if counts["updated"]:
+                    self._rewrite_files(
+                        entry, [], replace_df.drop("__source_file"), "merge"
+                    )
                 self._fold_heavy_dvs(entry, affected)
             self._mark_unsorted(entry)
             self._mutate(entry, "merge", **counts)
         finally:
             source.unpersist()
-            for df in (replace_df, del_df):
-                if df is not None:
-                    df.unpersist()
+            if replace_df is not None:
+                replace_df.unpersist()
         return counts
 
     def restore(self, version: int) -> None:
