@@ -1489,7 +1489,14 @@ def q_dd_ngram_overlap(spark, sf):
             lambda i: F.substring(lowered, i, 8),
         )
     )
-    g = d.select("doc_id", "source", F.explode(grams).alias("gram"))
+    # materialize the exploded gram stream ONCE before the self-join:
+    # Spark re-evaluates the scan + 2000x substring transform + explode
+    # for EACH join side (no subplan reuse) — the extraction is the
+    # dominant compute here, and the persist-before-self-join shape is
+    # the textbook fix (one extraction, both sides read the cache)
+    g = d.select(
+        "doc_id", "source", F.explode(grams).alias("gram")
+    ).localCheckpoint(eager=True)
     pairs = (
         g.alias("a")
         .join(

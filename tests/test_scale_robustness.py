@@ -129,17 +129,44 @@ def test_vacuum_removes_orphans(clean_schema):
         t.insert(data)
     with clean_schema.transaction() as tx:
         t = tx.bucket("bkt").schema("s").table("t")
-        # >30% of rows -> the deletion vector is folded: the original file
-        # and the transient DV sidecar are both orphaned by the rewrite
+        # >30% of rows in one batch -> the driver's id-range bound proves
+        # the fold up front and the delete routes STRAIGHT to the rewrite
+        # (r14: no transient DV sidecar is written any more) — only the
+        # original data file is orphaned
         t.delete(pa.table({"$row_id": pa.array(range(40), pa.uint64())}))
     deleted = clean_schema.vacuum("bkt")
-    assert len(deleted) == 2
+    assert len(deleted) == 1 and deleted[0].endswith(".parquet")
     with clean_schema.transaction() as tx:
         t = tx.bucket("bkt").schema("s").table("t")
         assert t.count_rows() == 60
         assert t.select_df().count() == 60  # data intact after vacuum
         for fe in t.entry.files:
             assert os.path.exists(fe.path)
+    # sidecar-then-fold path: two LIGHT deletes (each below the per-batch
+    # id-range bound) accumulate DV rows past DV_REWRITE_FRACTION; the
+    # second delete's fold pass rewrites the file, orphaning the phase-1
+    # file AND every transient DV sidecar written along the way
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        ids = sorted(
+            t.select(internal_row_id=True).read_all().column("$row_id").to_pylist()
+        )
+        t.delete(pa.table({"$row_id": pa.array(ids[:10], pa.uint64())}))
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        dv_paths = [p for fe in t.entry.files for p in fe.dv_paths]
+        assert dv_paths  # the light delete really took the sidecar path
+        data_paths = [fe.path for fe in t.entry.files]
+        t.delete(pa.table({"$row_id": pa.array(ids[10:22], pa.uint64())}))
+        # 22/60 > DV_REWRITE_FRACTION -> folded: sidecars gone from entry
+        assert all(not fe.dv_paths for fe in t.entry.files)
+    deleted2 = clean_schema.vacuum("bkt")
+    assert set(dv_paths) <= set(deleted2)  # transient sidecars orphaned
+    assert set(data_paths) <= set(deleted2)  # pre-fold data file orphaned
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        assert t.count_rows() == 38
+        assert t.select_df().count() == 38
 
 
 def test_vacuum_respects_snapshots(clean_schema):
@@ -151,12 +178,12 @@ def test_vacuum_respects_snapshots(clean_schema):
         tx.bucket("bkt").create_snapshot("keep")
     with clean_schema.transaction() as tx:
         t = tx.bucket("bkt").schema("s").table("t")
-        # heavy delete folds the DV -> old file + DV sidecar referenced only
-        # by the snapshot manifest
+        # heavy delete routes straight to the fold rewrite (r14: the
+        # id-range bound proves 6/10 > DV_REWRITE_FRACTION up front, so
+        # no transient DV sidecar exists) — the pre-delete data file is
+        # referenced by the snapshot manifest and must survive
         t.delete(pa.table({"$row_id": pa.array(range(6), pa.uint64())}))
-    # the transient DV sidecar (written then folded inside one tx) is
-    # referenced by no committed manifest -> vacuumable even with snapshots
-    assert len(clean_schema.vacuum("bkt", keep_snapshots=True)) == 1
+    assert len(clean_schema.vacuum("bkt", keep_snapshots=True)) == 0
     with clean_schema.transaction() as tx:
         snap = tx.bucket("bkt").snapshot("keep")
         assert snap.schema("s").table("t").count_rows() == 10  # still readable
@@ -178,16 +205,32 @@ def test_vacuum_data_files_sets_as_of_horizon(clean_schema):
         v_old = tx.bucket("bkt").manifest.version
         tx.bucket("bkt").create_snapshot("pinned")
     with clean_schema.transaction() as tx:
-        # fold-threshold delete rewrites the file -> the original parquet is
-        # referenced only by older manifests (and the pinned snapshot)
-        tx.bucket("bkt").schema("s").table("t").delete(
-            pa.table({"$row_id": pa.array(range(40), pa.uint64())})
+        # a SECOND file written after the snapshot, then fold-deleted: its
+        # original parquet is referenced only by post-snapshot pre-delete
+        # manifests — exactly what default vacuum removes. (The first
+        # file can no longer serve this role: r14's direct-rewrite delete
+        # writes no transient DV sidecar, and the first file itself is
+        # pinned by the snapshot.)
+        tx.bucket("bkt").schema("s").table("t").insert(
+            pa.table({"a": pa.array(range(100, 200), pa.int64())})
+        )
+    with clean_schema.transaction() as tx:
+        t = tx.bucket("bkt").schema("s").table("t")
+        rid = t.select(internal_row_id=True, columns=["a"]).read_all()
+        new_ids = [
+            r for r, a in zip(
+                rid.column("$row_id").to_pylist(), rid.column("a").to_pylist()
+            )
+            if a >= 100
+        ]
+        t.delete(
+            pa.table({"$row_id": pa.array(sorted(new_ids)[:40], pa.uint64())})
         )
     assert clean_schema.vacuum("bkt") != []
     with clean_schema.transaction() as tx:
         b = tx.bucket("bkt")
         # current state reads fine; the horizon commit added a version
-        assert b.schema("s").table("t").count_rows() == 60
+        assert b.schema("s").table("t").count_rows() == 160
         assert b.as_of(version=b.manifest.version - 1) is not None
         with pytest.raises(MissingSnapshot):
             b.as_of(version=v_old - 1)

@@ -27,6 +27,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles_from_tokens, tokens
+from .pinning import pin as _pin
+from .pinning import pin_scope as _pin_scope
 
 # ---------------------------------------------------------------------------
 # exact
@@ -271,7 +273,13 @@ def lsh_candidate_pairs(
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_k, hash_fn, mark_empty=True
     )
-    bands = lsh_band_keys(sigs, num_bands, id_col, hash_fn, skip_col="__tkempty")
+    # pinned before the self-join below: the signature pipeline
+    # (tokenize + shingle + num_hashes permutations) is the expensive
+    # part and Spark evaluates it once PER JOIN SIDE without this (r14).
+    # The pinned frame is num_bands narrow rows per doc.
+    bands = _pin(
+        lsh_band_keys(sigs, num_bands, id_col, hash_fn, skip_col="__tkempty")
+    )
     if max_bucket_size is not None:
         from pyspark.sql import Window as W
 
@@ -475,18 +483,20 @@ def minhash_dedup_pairs_managed(
     unmanaged variant would accumulate CacheManager entries. Consume (or
     persist a derivative of) the yielded frame INSIDE the block — after
     exit the candidate cache is gone and any action replays the full
-    signature pipeline."""
-    verified, pairs = _minhash_pipeline(
-        df, text_col, id_col, num_hashes, num_bands, threshold, shingle_k,
-        hash_fn, max_bucket_size,
-    )
-    try:
-        yield verified
-    finally:
-        # blocking: the managed variant's contract is deterministic cache
-        # accounting on exit — the default async unpersist leaves the entry
-        # listed for a while on a busy session
-        pairs.unpersist(blocking=True)
+    signature pipeline (and the internal band pin is released — a
+    post-exit action on the yielded frame fails rather than recompute)."""
+    with _pin_scope():
+        verified, pairs = _minhash_pipeline(
+            df, text_col, id_col, num_hashes, num_bands, threshold, shingle_k,
+            hash_fn, max_bucket_size,
+        )
+        try:
+            yield verified
+        finally:
+            # blocking: the managed variant's contract is deterministic cache
+            # accounting on exit — the default async unpersist leaves the
+            # entry listed for a while on a busy session
+            pairs.unpersist(blocking=True)
 
 
 # ---------------------------------------------------------------------------
@@ -630,9 +640,20 @@ def simhash_near_pairs(
             for i in range(nblocks)
         ]
     )
-    b = fp_df.select(id_col, "simhash", F.explode(blocks).alias("blk")).select(
-        id_col, "simhash", F.col("blk.block_id").alias("block_id"), F.col("blk.block_val").alias("block_val")
+    b = (
+        fp_df.select(id_col, "simhash", F.explode(blocks).alias("blk"))
+        .select(
+            id_col,
+            "simhash",
+            F.col("blk.block_id").alias("block_id"),
+            F.col("blk.block_val").alias("block_val"),
+        )
     )
+    # pinned before the self-join: fingerprinting (tokenize + hash +
+    # per-bit aggregation, or a DCT over decoded images on the pHash
+    # path) is the expensive part and would otherwise run once per
+    # join side (r14). The pinned frame is 4 narrow rows per doc.
+    b = _pin(b)
     lhs = b.alias("a")
     rhs = b.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
@@ -1230,8 +1251,15 @@ def tfidf_cosine_pairs(
     norm = weighted.groupBy("__id").agg(
         F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__norm")
     )
-    unit = weighted.join(norm, "__id").select(
-        "__id", "__t", "__df", (F.col("__w") / F.col("__norm")).alias("__u")
+    # the unit-weight inverted index feeds FOUR consumers (the prefix
+    # window and both sides of the candidate-verify dot product; plus
+    # the no-prefix-filter self-join) — pinned, or the whole
+    # tokenize -> tf -> df-join -> normalize chain re-runs per consumer
+    # (r14: dd_tfidf_pairs' plan held 10 corpus scans / 38 exchanges)
+    unit = _pin(
+        weighted.join(norm, "__id").select(
+            "__id", "__t", "__df", (F.col("__w") / F.col("__norm")).alias("__u")
+        )
     )
     left = unit.select(
         F.col("__t"), F.col("__id").alias("a"), F.col("__u").alias("__ua")
@@ -1255,9 +1283,13 @@ def tfidf_cosine_pairs(
     # accumulates in frame order, so the prefix is one sort per doc.
     order = W.partitionBy("__id").orderBy(F.asc("__df"), F.asc("__t"))
     cum = F.sum(F.col("__u") * F.col("__u")).over(order)
-    prefix = unit.withColumn("__cum", cum).filter(
-        F.lit(1.0) - (F.col("__cum") - F.col("__u") * F.col("__u"))
-        >= F.lit(float(threshold)) ** 2
+    # prefix feeds both sides of the candidate join: pin it too (it is a
+    # subset of the already-materialized unit rows plus one window pass)
+    prefix = _pin(
+        unit.withColumn("__cum", cum).filter(
+            F.lit(1.0) - (F.col("__cum") - F.col("__u") * F.col("__u"))
+            >= F.lit(float(threshold)) ** 2
+        )
     )
     cand = (
         prefix.select(F.col("__t"), F.col("__id").alias("a"))

@@ -25,6 +25,15 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
+# model-statistic frames here feed 3-5 separate subtrees (normalizer,
+# vocabulary cap, prefix stats, scoring join) — measured r14:
+# tx_kn_logprob's plan scanned the corpus 12 times and re-ran the
+# tokenize/explode Generate 10 times with ZERO reused exchanges. The pin
+# is per-invocation (no cross-run state): a fresh call re-fits and
+# re-materializes. Frames are vocabulary-sized, so the materialization
+# is small wherever the corpus is big.
+from .pinning import pin as _pin
+
 
 def fit_unigram_counts(
     df: DataFrame, text_col: str = "text"
@@ -73,7 +82,7 @@ def unigram_logprob_scores(
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    cnt = counts if counts is not None else fit_unigram_counts(df, text_col)
+    cnt = counts if counts is not None else _pin(fit_unigram_counts(df, text_col))
     # total/V come from the FULL distribution even when the scoring vocab
     # is capped — the cap changes which tokens fall into the OOV bucket,
     # not the model's normalizer.
@@ -188,7 +197,7 @@ def bigram_logprob_scores(
         F.element_at(F.col("__tk"), F.col("__p")).alias("v"),
         F.element_at(F.col("__tk"), F.col("__p") + 1).alias("w"),
     )
-    cnt = counts if counts is not None else fit_bigram_counts(df, text_col)
+    cnt = counts if counts is not None else _pin(fit_bigram_counts(df, text_col))
     # prefix counts and the continuation vocabulary come from the FULL
     # distribution even when the scoring vocab is capped
     pfx = cnt.groupBy("v").agg(F.sum("__c").alias("__cv"))
@@ -522,7 +531,7 @@ def pmi_top_pairs(
         raise ValueError(f"k={k} must be >= 1")
     if min_count < 1:
         raise ValueError(f"min_count={min_count} must be >= 1")
-    bc = counts if counts is not None else fit_bigram_counts(df, text_col)
+    bc = counts if counts is not None else _pin(fit_bigram_counts(df, text_col))
     left = bc.groupBy("v").agg(F.sum("__c").alias("__cl"))
     right = bc.groupBy("w").agg(F.sum("__c").alias("__cr"))
     tot = bc.agg(F.sum("__c").alias("__t"))
@@ -620,10 +629,16 @@ def source_vocab_overlap(
     — correctly rounded, hence identical in any engine.
 
     Returns (a, b, n_a, n_b, n_common, jaccard) with a < b."""
-    vocab = df.select(
-        F.col(group_col).alias("__g"),
-        F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("__t"),
-    ).distinct()
+    # per-group vocabulary — consumed THREE times (sizes + both join
+    # sides): pin it or the distinct shuffle runs per consumer
+    vocab = _pin(
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.explode(
+                tokens(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("__t"),
+        ).distinct()
+    )
     sizes = vocab.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
     inter = (
         vocab.select(F.col("__g").alias("a"), "__t")
@@ -1053,10 +1068,14 @@ def kl_drift_terms(
 
     ca = counts(df_a).withColumnRenamed("c", "count_a")
     cb = counts(df_b).withColumnRenamed("c", "count_b")
-    vocab = ca.join(cb, "term", "full_outer").select(
-        "term",
-        F.coalesce("count_a", F.lit(0)).alias("count_a"),
-        F.coalesce("count_b", F.lit(0)).alias("count_b"),
+    # vocabulary-sized, consumed by totals AND the scoring join: pin it
+    # or both word-count shuffles and the full-outer join run twice
+    vocab = _pin(
+        ca.join(cb, "term", "full_outer").select(
+            "term",
+            F.coalesce("count_a", F.lit(0)).alias("count_a"),
+            F.coalesce("count_b", F.lit(0)).alias("count_b"),
+        )
     )
     totals = vocab.groupBy().agg(
         F.sum("count_a").alias("__na"),
@@ -1127,7 +1146,7 @@ def kn_bigram_logprob_scores(
         F.element_at(F.col("__tk"), F.col("__p")).alias("v"),
         F.element_at(F.col("__tk"), F.col("__p") + 1).alias("w"),
     )
-    cnt = counts if counts is not None else fit_bigram_counts(df, text_col)
+    cnt = counts if counts is not None else _pin(fit_bigram_counts(df, text_col))
     pfx = cnt.groupBy("v").agg(
         F.sum("__c").alias("__cv"), F.count(F.lit(1)).alias("__n1f")
     )

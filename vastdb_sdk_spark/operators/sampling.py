@@ -543,8 +543,15 @@ def dsir_logratio_weights(
         target_df, text_col, id_col, num_buckets, seed
     )
 
+    from .pinning import pin as _pin
+
     def _dist(feats, name):
-        counts = feats.groupBy("__fb").agg(F.count(F.lit(1)).alias("__c"))
+        # B-sized bucket counts, consumed by the log-ratio select AND the
+        # totals aggregate: pin, or the corpus-wide feature explode
+        # re-runs per consumer (no subplan reuse in Spark)
+        counts = _pin(
+            feats.groupBy("__fb").agg(F.count(F.lit(1)).alias("__c"))
+        )
         total = counts.agg(F.sum("__c").alias("__t"))
         return counts.crossJoin(F.broadcast(total)).select(
             "__fb",

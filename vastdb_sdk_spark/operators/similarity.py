@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_similarity, distance_column, dot, norm
+from .pinning import pin as _pin
 
 
 def brute_force_topk(
@@ -330,7 +331,10 @@ def embedding_near_dup_pairs(
         # cross — leaving one dot per pair. dot/(na*nb) is the identical
         # expression tree cosine_similarity builds: values bit-identical.
         # (The banded branch hoists its own norms on va/vb below.)
-        indexed = indexed.withColumn("__nrm", norm(F.col(vec_col)))
+        # materialize the indexed frame ONCE before the self-join: Spark
+        # re-evaluates the signature projection (planes x dim dots per
+        # row) for EACH join side otherwise (r14; no subplan reuse)
+        indexed = _pin(indexed.withColumn("__nrm", norm(F.col(vec_col))))
         a = indexed.alias("a")
         b = indexed.alias("b")
         sim = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
@@ -354,7 +358,13 @@ def embedding_near_dup_pairs(
         raise ValueError("num_bands must divide num_planes evenly")
     r = num_planes // num_bands
     mask = (1 << r) - 1
-    banded = indexed.select(
+    # narrow (id, bucket) projection pinned before the banded self-join:
+    # the signature computation runs once, and no vectors materialize —
+    # the verify side below still reads them straight off the scan (the
+    # r12 note on dd_embed_neardup measured that persisting the full
+    # vector frame is SLOWER; this pin carries 16 bytes/row)
+    sig = _pin(indexed.select(id_col, "lsh_bucket"))
+    banded = sig.select(
         id_col,
         F.explode(
             F.array(

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.pinning import pin_scope as _pin_scope
+
 
 def stream_dedup_exact(
     stream: DataFrame,
@@ -139,75 +141,78 @@ def stream_dedup_near_against_table(
     stream_id = f"ckpt:{os.path.abspath(checkpoint_dir)}"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # every persist in this batch is released in the finally — a
-        # long-running stream must not accumulate CacheManager entries
-        # (hence lsh_candidate_pairs + jaccard_verify_pairs composed here
-        # with an explicit lifecycle, not minhash_dedup_pairs' internal
-        # batch-oriented persist)
-        batch = batch_df.select(*cols).dropDuplicates([id_col])
-        cached = []
+        # release every pin (internal localCheckpoint) per batch —
+        # same lifecycle contract as the explicit persists below
+        with _pin_scope():
+            # every persist in this batch is released in the finally — a
+            # long-running stream must not accumulate CacheManager entries
+            # (hence lsh_candidate_pairs + jaccard_verify_pairs composed here
+            # with an explicit lifecycle, not minhash_dedup_pairs' internal
+            # batch-oriented persist)
+            batch = batch_df.select(*cols).dropDuplicates([id_col])
+            cached = []
 
-        def _persist(df):
-            cached.append(df.persist())
-            return cached[-1]
+            def _persist(df):
+                cached.append(df.persist())
+                return cached[-1]
 
-        try:
-            # 1. in-batch near-dups: drop the higher id of every verified pair
-            in_cand = _persist(
-                lsh_candidate_pairs(
-                    batch, text_col, id_col, num_hashes, num_bands,
-                    shingle_k, "xxhash64", max_bucket_size,
-                )
-            )
-            in_pairs = jaccard_verify_pairs(
-                batch, in_cand, text_col, id_col, threshold, shingle_k
-            )
-            in_drop = in_pairs.select(F.col("id_b").alias(id_col)).distinct()
-            survivors = _persist(batch.join(in_drop, id_col, "left_anti"))
-            sigs = minhash_signatures(
-                survivors, text_col, id_col, num_hashes, shingle_k, "xxhash64"
-            )
-            bands = _persist(lsh_band_keys(sigs, num_bands, id_col, "xxhash64"))
-            with session.transaction() as tx:
-                ct = tx.bucket(bucket).schema(schema_name).table(corpus_name)
-                st = tx.bucket(bucket).schema(schema_name).table(sig_name)
-                if batch_id <= ct.stream_offset(stream_id):
-                    return  # replayed micro-batch: already committed
-                # 2. cross-batch candidates via the persisted signature table
-                old_bands = st.df().select(
-                    F.col(id_col).alias("__old_id"), "band_id", "band_key"
-                )
-                cand = (
-                    bands.join(old_bands, ["band_id", "band_key"])
-                    .select(
-                        F.col(id_col).alias("id_a"),
-                        F.col("__old_id").alias("id_b"),
-                    )
-                    .distinct()
-                )
-                old_texts = ct.df().select(id_col, text_col)
-                union_docs = survivors.select(id_col, text_col).unionByName(
-                    old_texts
-                )
-                verified = jaccard_verify_pairs(
-                    union_docs, cand, text_col, id_col, threshold, shingle_k
-                )
-                # persisted: consumed by BOTH inserts below — without it the
-                # verify stage (a corpus semi-join + shingle pass) runs twice
-                cross_drop = _persist(
-                    verified.select(F.col("id_a").alias(id_col)).distinct()
-                )
-                fresh = survivors.join(cross_drop, id_col, "left_anti")
-                ct.insert_df(fresh)
-                st.insert_df(
-                    bands.join(cross_drop, id_col, "left_anti").select(
-                        id_col, "band_id", "band_key"
+            try:
+                # 1. in-batch near-dups: drop the higher id of every verified pair
+                in_cand = _persist(
+                    lsh_candidate_pairs(
+                        batch, text_col, id_col, num_hashes, num_bands,
+                        shingle_k, "xxhash64", max_bucket_size,
                     )
                 )
-                ct.set_stream_offset(stream_id, batch_id)
-        finally:
-            for df in cached:
-                df.unpersist()
+                in_pairs = jaccard_verify_pairs(
+                    batch, in_cand, text_col, id_col, threshold, shingle_k
+                )
+                in_drop = in_pairs.select(F.col("id_b").alias(id_col)).distinct()
+                survivors = _persist(batch.join(in_drop, id_col, "left_anti"))
+                sigs = minhash_signatures(
+                    survivors, text_col, id_col, num_hashes, shingle_k, "xxhash64"
+                )
+                bands = _persist(lsh_band_keys(sigs, num_bands, id_col, "xxhash64"))
+                with session.transaction() as tx:
+                    ct = tx.bucket(bucket).schema(schema_name).table(corpus_name)
+                    st = tx.bucket(bucket).schema(schema_name).table(sig_name)
+                    if batch_id <= ct.stream_offset(stream_id):
+                        return  # replayed micro-batch: already committed
+                    # 2. cross-batch candidates via the persisted signature table
+                    old_bands = st.df().select(
+                        F.col(id_col).alias("__old_id"), "band_id", "band_key"
+                    )
+                    cand = (
+                        bands.join(old_bands, ["band_id", "band_key"])
+                        .select(
+                            F.col(id_col).alias("id_a"),
+                            F.col("__old_id").alias("id_b"),
+                        )
+                        .distinct()
+                    )
+                    old_texts = ct.df().select(id_col, text_col)
+                    union_docs = survivors.select(id_col, text_col).unionByName(
+                        old_texts
+                    )
+                    verified = jaccard_verify_pairs(
+                        union_docs, cand, text_col, id_col, threshold, shingle_k
+                    )
+                    # persisted: consumed by BOTH inserts below — without it the
+                    # verify stage (a corpus semi-join + shingle pass) runs twice
+                    cross_drop = _persist(
+                        verified.select(F.col("id_a").alias(id_col)).distinct()
+                    )
+                    fresh = survivors.join(cross_drop, id_col, "left_anti")
+                    ct.insert_df(fresh)
+                    st.insert_df(
+                        bands.join(cross_drop, id_col, "left_anti").select(
+                            id_col, "band_id", "band_key"
+                        )
+                    )
+                    ct.set_stream_offset(stream_id, batch_id)
+            finally:
+                for df in cached:
+                    df.unpersist()
 
     return (
         stream.writeStream.foreachBatch(write_batch)
@@ -271,81 +276,84 @@ def stream_dedup_semantic_against_table(
     stream_id = f"ckpt:{os.path.abspath(checkpoint_dir)}"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.select(*cols).dropDuplicates([id_col])
-        cached = []
+        # release every pin (internal localCheckpoint) per batch —
+        # same lifecycle contract as the explicit persists below
+        with _pin_scope():
+            batch = batch_df.select(*cols).dropDuplicates([id_col])
+            cached = []
 
-        def _persist(df):
-            cached.append(df.persist())
-            return cached[-1]
+            def _persist(df):
+                cached.append(df.persist())
+                return cached[-1]
 
-        try:
-            in_pairs = embedding_near_dup_pairs(
-                batch, id_col, vec_col, threshold, num_planes, seed,
-                num_bands, dim=dim,
-            )
-            in_drop = in_pairs.select(F.col("id_b").alias(id_col)).distinct()
-            survivors = _persist(batch.join(in_drop, id_col, "left_anti"))
-            bands = _persist(
-                rhp_band_keys(
-                    survivors, vec_col, id_col, num_planes, num_bands,
-                    seed, dim=dim,
+            try:
+                in_pairs = embedding_near_dup_pairs(
+                    batch, id_col, vec_col, threshold, num_planes, seed,
+                    num_bands, dim=dim,
                 )
-            )
-            with session.transaction() as tx:
-                ct = tx.bucket(bucket).schema(schema_name).table(corpus_name)
-                st = tx.bucket(bucket).schema(schema_name).table(sig_name)
-                if batch_id <= ct.stream_offset(stream_id):
-                    return  # replayed micro-batch: already committed
-                old_bands = st.df().select(
-                    F.col(id_col).alias("__old_id"), "band_id", "band_key"
-                )
-                cand = (
-                    bands.join(old_bands, ["band_id", "band_key"])
-                    .select(
-                        F.col(id_col).alias("id_a"),
-                        F.col("__old_id").alias("id_b"),
-                    )
-                    .distinct()
-                )
-                # norms hoisted to the join inputs (one fold per row, not
-                # two per candidate pair; the Join is a collapse barrier)
-                va = survivors.select(
-                    F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
-                ).withColumn("__na", vnorm(F.col("__va")))
-                old_ids = cand.select(F.col("id_b").alias(id_col)).distinct()
-                vb = (
-                    ct.df()
-                    .select(id_col, vec_col)
-                    .join(old_ids, id_col, "left_semi")
-                    .select(
-                        F.col(id_col).alias("id_b"),
-                        F.col(vec_col).alias("__vb"),
-                    )
-                    .withColumn("__nb", vnorm(F.col("__vb")))
-                )
-                verified = (
-                    cand.join(va, "id_a")
-                    .join(vb, "id_b")
-                    .filter(
-                        vdot(F.col("__va"), F.col("__vb"))
-                        / (F.col("__na") * F.col("__nb"))
-                        >= threshold
+                in_drop = in_pairs.select(F.col("id_b").alias(id_col)).distinct()
+                survivors = _persist(batch.join(in_drop, id_col, "left_anti"))
+                bands = _persist(
+                    rhp_band_keys(
+                        survivors, vec_col, id_col, num_planes, num_bands,
+                        seed, dim=dim,
                     )
                 )
-                cross_drop = _persist(
-                    verified.select(F.col("id_a").alias(id_col)).distinct()
-                )
-                fresh = survivors.join(cross_drop, id_col, "left_anti")
-                ct.insert_df(fresh)
-                st.insert_df(
-                    bands.join(cross_drop, id_col, "left_anti").select(
-                        id_col, "band_id", "band_key"
+                with session.transaction() as tx:
+                    ct = tx.bucket(bucket).schema(schema_name).table(corpus_name)
+                    st = tx.bucket(bucket).schema(schema_name).table(sig_name)
+                    if batch_id <= ct.stream_offset(stream_id):
+                        return  # replayed micro-batch: already committed
+                    old_bands = st.df().select(
+                        F.col(id_col).alias("__old_id"), "band_id", "band_key"
                     )
-                )
-                ct.set_stream_offset(stream_id, batch_id)
-        finally:
-            for df in cached:
-                df.unpersist()
+                    cand = (
+                        bands.join(old_bands, ["band_id", "band_key"])
+                        .select(
+                            F.col(id_col).alias("id_a"),
+                            F.col("__old_id").alias("id_b"),
+                        )
+                        .distinct()
+                    )
+                    # norms hoisted to the join inputs (one fold per row, not
+                    # two per candidate pair; the Join is a collapse barrier)
+                    va = survivors.select(
+                        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+                    ).withColumn("__na", vnorm(F.col("__va")))
+                    old_ids = cand.select(F.col("id_b").alias(id_col)).distinct()
+                    vb = (
+                        ct.df()
+                        .select(id_col, vec_col)
+                        .join(old_ids, id_col, "left_semi")
+                        .select(
+                            F.col(id_col).alias("id_b"),
+                            F.col(vec_col).alias("__vb"),
+                        )
+                        .withColumn("__nb", vnorm(F.col("__vb")))
+                    )
+                    verified = (
+                        cand.join(va, "id_a")
+                        .join(vb, "id_b")
+                        .filter(
+                            vdot(F.col("__va"), F.col("__vb"))
+                            / (F.col("__na") * F.col("__nb"))
+                            >= threshold
+                        )
+                    )
+                    cross_drop = _persist(
+                        verified.select(F.col("id_a").alias(id_col)).distinct()
+                    )
+                    fresh = survivors.join(cross_drop, id_col, "left_anti")
+                    ct.insert_df(fresh)
+                    st.insert_df(
+                        bands.join(cross_drop, id_col, "left_anti").select(
+                            id_col, "band_id", "band_key"
+                        )
+                    )
+                    ct.set_stream_offset(stream_id, batch_id)
+            finally:
+                for df in cached:
+                    df.unpersist()
 
     return (
         stream.writeStream.foreachBatch(write_batch)

@@ -1664,70 +1664,78 @@ class Table:
         )
         from .operators.similarity import embedding_near_dup_pairs
 
-        df = self.df(internal_row_id=True, files=entry.files, with_file_path=True)
-        docs = df.select(
-            F.col(INTERNAL_ROW_ID).alias("doc_id"), F.col(text_column).alias("text")
-        )
-        if method == "minhash":
-            pairs_cm = minhash_dedup_pairs_managed(
-                docs, "text", "doc_id", num_hashes, num_bands, threshold,
-                shingle_k, hash_fn="xxhash64", max_bucket_size=max_bucket_size,
-            )
-        elif method == "simhash":
-            pairs_cm = contextlib.nullcontext(
-                simhash_near_pairs(
-                    simhash(docs, "text", "doc_id", hash_fn="xxhash64"),
-                    "doc_id",
-                    max_hamming=max_hamming,
-                )
-            )
-        elif method == "embedding":
-            pairs_cm = contextlib.nullcontext(
-                embedding_near_dup_pairs(
-                    docs, id_col="doc_id", vec_col="text", threshold=threshold,
-                    num_planes=num_planes, num_bands=num_bands, dim=dim,
-                )
-            )
-        elif method == "tfidf":
-            from .operators.dedup import tfidf_cosine_pairs
+        from .operators.pinning import pin_scope
 
-            pairs_cm = contextlib.nullcontext(
-                tfidf_cosine_pairs(
-                    docs, "text", "doc_id", threshold=threshold,
-                    max_df=max_df,
-                    max_df_fraction=(0.2 if max_df is None else None),
-                ).select(
-                    F.col("a").alias("id_a"), F.col("b").alias("id_b")
-                )
+        # deterministic pin lifecycle: every internal localCheckpoint
+        # pin created by the pair generators below is released when
+        # this scope closes — a per-table DML loop must not wait on
+        # GC-driven block cleanup. Everything derived from the pins is
+        # fully consumed (the DV write) inside the scope.
+        with pin_scope():
+            df = self.df(internal_row_id=True, files=entry.files, with_file_path=True)
+            docs = df.select(
+                F.col(INTERNAL_ROW_ID).alias("doc_id"), F.col(text_column).alias("text")
             )
-        else:  # semantic (SemDeDup candidates)
-            from .operators.similarity import semantic_dup_pairs
+            if method == "minhash":
+                pairs_cm = minhash_dedup_pairs_managed(
+                    docs, "text", "doc_id", num_hashes, num_bands, threshold,
+                    shingle_k, hash_fn="xxhash64", max_bucket_size=max_bucket_size,
+                )
+            elif method == "simhash":
+                pairs_cm = contextlib.nullcontext(
+                    simhash_near_pairs(
+                        simhash(docs, "text", "doc_id", hash_fn="xxhash64"),
+                        "doc_id",
+                        max_hamming=max_hamming,
+                    )
+                )
+            elif method == "embedding":
+                pairs_cm = contextlib.nullcontext(
+                    embedding_near_dup_pairs(
+                        docs, id_col="doc_id", vec_col="text", threshold=threshold,
+                        num_planes=num_planes, num_bands=num_bands, dim=dim,
+                    )
+                )
+            elif method == "tfidf":
+                from .operators.dedup import tfidf_cosine_pairs
 
-            pairs_cm = contextlib.nullcontext(
-                semantic_dup_pairs(
-                    docs, id_col="doc_id", vec_col="text",
-                    threshold=threshold, num_centroids=num_centroids,
-                    # manifest-exact live rows: skips the count() scan
-                    n_rows=sum(fe.rows - fe.dv_rows for fe in entry.files),
+                pairs_cm = contextlib.nullcontext(
+                    tfidf_cosine_pairs(
+                        docs, "text", "doc_id", threshold=threshold,
+                        max_df=max_df,
+                        max_df_fraction=(0.2 if max_df is None else None),
+                    ).select(
+                        F.col("a").alias("id_a"), F.col("b").alias("id_b")
+                    )
                 )
-            )
-        with pairs_cm as verified:
-            pairs = verified.persist()
-            try:
-                # TRUE no-op when no qualifying pairs exist (see dedup_rows)
-                if pairs.limit(1).isEmpty():
-                    return
-                losers = (
-                    dup_clusters(pairs)
-                    .filter(F.col("doc_id") != F.col("cluster_id"))
-                    .select(F.col("doc_id").alias(INTERNAL_ROW_ID))
+            else:  # semantic (SemDeDup candidates)
+                from .operators.similarity import semantic_dup_pairs
+
+                pairs_cm = contextlib.nullcontext(
+                    semantic_dup_pairs(
+                        docs, id_col="doc_id", vec_col="text",
+                        threshold=threshold, num_centroids=num_centroids,
+                        # manifest-exact live rows: skips the count() scan
+                        n_rows=sum(fe.rows - fe.dv_rows for fe in entry.files),
+                    )
                 )
-                dv_src = df.join(losers, INTERNAL_ROW_ID, "left_semi").select(
-                    INTERNAL_ROW_ID, "__source_file"
-                )
-                self._write_dvs_distributed(entry.files, dv_src)
-            finally:
-                pairs.unpersist()
+            with pairs_cm as verified:
+                pairs = verified.persist()
+                try:
+                    # TRUE no-op when no qualifying pairs exist (see dedup_rows)
+                    if pairs.limit(1).isEmpty():
+                        return
+                    losers = (
+                        dup_clusters(pairs)
+                        .filter(F.col("doc_id") != F.col("cluster_id"))
+                        .select(F.col("doc_id").alias(INTERNAL_ROW_ID))
+                    )
+                    dv_src = df.join(losers, INTERNAL_ROW_ID, "left_semi").select(
+                        INTERNAL_ROW_ID, "__source_file"
+                    )
+                    self._write_dvs_distributed(entry.files, dv_src)
+                finally:
+                    pairs.unpersist()
         self._fold_heavy_dvs(entry, entry.files)
         self._mark_unsorted(entry)
         self._mutate(entry, "dedup_near_rows")
