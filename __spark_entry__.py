@@ -1114,8 +1114,19 @@ def q_a7_approx_distinct(spark, sf):
     the exact count and asserts the flag TRUE. A wrong sketch (or a >5%
     drift) flips the flag and fails the hash."""
     o = _t(spark, sf, "orders")
-    agg = o.groupBy("o_orderstatus").agg(
-        F.countDistinct("o_custkey").alias("exact_customers"),
+    # r14: two-level aggregation. Mixing countDistinct with
+    # approx_count_distinct in ONE agg makes Catalyst's distinct rewrite
+    # carry the partial HLL++ sketch buffer (400+ longs, ~3 KB) through
+    # EVERY (status, custkey) group of the first-level aggregate — a
+    # ~300 MB shuffle at sf0.1 for a 3-row result. Deduplicate the pairs
+    # first (narrow shuffle), then count + sketch over the distinct
+    # pairs: HLL++ registers are a max over hashed values, so inserting
+    # each custkey once yields the IDENTICAL estimate (set semantics).
+    dedup = o.select("o_orderstatus", "o_custkey").distinct()
+    agg = dedup.groupBy("o_orderstatus").agg(
+        # count(col) skips NULLs — same semantics as countDistinct over
+        # the raw rows (and as the oracle's COUNT(DISTINCT o_custkey))
+        F.count("o_custkey").alias("exact_customers"),
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("__approx"),
     )
     return agg.select(

@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod  # noqa: E402
+from vastdb_sdk_spark.operators.pinning import release_all_pins  # noqa: E402
 from vastdb_sdk_spark.session import build_spark  # noqa: E402
 
 HEADLINE = [
@@ -349,6 +350,12 @@ def main() -> int:
         # drop anything a query persisted (e.g. LSH candidate sets) so later
         # queries aren't measured under another query's cache pressure
         spark.catalog.clearCache()
+        # ... and release its pins (localCheckpoint blocks), which
+        # clearCache does NOT touch: GC-driven cleanup lets hundreds of
+        # queries' pins pile up in the block manager and was measured
+        # distorting later queries 2x+ (r14, OPTIMIZATION_r14.md).
+        # Between queries only — never inside a timed region.
+        release_all_pins(spark)
     # closing checkpoint: full median-of-3 after the last query
     _checkpoint(len(HEADLINE), 3)
 

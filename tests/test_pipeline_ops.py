@@ -503,6 +503,32 @@ def test_minhash_dedup_pairs_managed_unpersists(spark):
     assert inside >= before  # the persist was actually in effect inside
 
 
+def test_release_all_pins_sweeps_leaked_checkpoints(spark):
+    """Session-level pin sweep (r14): one-shot queries leave their
+    localCheckpoint blocks to GC-driven cleanup; harnesses that run many
+    queries back to back call release_all_pins between queries to drain
+    them deterministically (bench.py / check_correctness.py)."""
+    from vastdb_sdk_spark.operators.pinning import pin, release_all_pins
+
+    jsc = spark.sparkContext._jsc.sc()
+    # start from a drained session so the assertion is exact
+    release_all_pins(spark)
+    before = jsc.getPersistentRDDs().size()
+    pinned = pin(
+        spark.range(100).selectExpr("id", "id * 2 as dbl")
+    )
+    assert pinned.count() == 100  # consumable while pinned
+    assert jsc.getPersistentRDDs().size() > before
+    released = release_all_pins(spark)
+    assert released >= 1
+    import time as _time
+
+    deadline = _time.time() + 5.0
+    while jsc.getPersistentRDDs().size() > before and _time.time() < deadline:
+        _time.sleep(0.1)
+    assert jsc.getPersistentRDDs().size() <= before
+
+
 def test_dup_clusters_driver_route_matches_distributed(spark):
     """The cost router's two routes are the same operator: driver
     union-find (small pair lists) and distributed propagation must emit

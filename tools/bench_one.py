@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from bench import CANARY_BASELINE, canary_drift, measure_canaries  # noqa: E402
+from vastdb_sdk_spark.operators.pinning import release_all_pins  # noqa: E402
 from vastdb_sdk_spark.session import build_spark  # noqa: E402
 
 
@@ -51,6 +52,7 @@ def main() -> int:
     # bench.py clears ONCE per query, after all warm runs — match it, or
     # persist-dependent gates measure a different thing here than there
     spark.catalog.clearCache()
+    release_all_pins(spark)
     runs.sort()
     warm_median = statistics.median(runs)
     print(json.dumps({

@@ -156,10 +156,17 @@ def main():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    from vastdb_sdk_spark.operators.pinning import release_all_pins
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        # between-queries hygiene (same pair as bench.py): drop SQL caches
+        # AND pins the previous query leaked, so 192 queries' checkpoint
+        # blocks don't pile up in the block manager over the sweep
+        spark.catalog.clearCache()
+        release_all_pins(spark)
         try:
             stbl = spark_to_arrow(fn(spark, sf_dir))
         except Exception as e:

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from .parallelism import fan_out as _fan_out
 
 
 def _pos_hash(id_col: str, lo: int, hi: int) -> "F.Column":
@@ -63,7 +64,7 @@ def span_corrupt(
     k_start = max(1, round(mean_span / corruption_rate))
     width = 2 * mean_span - 1
 
-    toks = df.select(
+    toks = _fan_out(df).select(
         F.col(id_col),
         F.posexplode(tokens(F.col(text_col))).alias("__pos", "__tok"),
     )
@@ -203,7 +204,7 @@ def prefix_lm_split(
         F.greatest(lo + (h % span), F.lit(1)), F.greatest(n - 1, F.lit(1))
     )
     split = F.when(n >= 2, split).otherwise(n.cast("long"))
-    return df.select(
+    return _fan_out(df).select(
         F.col(id_col),
         F.array_join(F.slice(tk, F.lit(1), split.cast("int")), " ").alias("input"),
         F.array_join(
@@ -236,71 +237,83 @@ def mlm_mask(
 
     Returns (id_col, input, labels, n_tokens, n_selected) where
     ``labels`` is the space-joined ``pos:original`` list for the selected
-    positions (0-based). One positional explode + one ordered reassembly
-    — a single doc-keyed shuffle, no Python, no RNG.
+    positions (0-based). Every per-position decision is independent of
+    the other positions (unlike ``span_corrupt`` there is no coverage
+    merging), so the whole transform runs as array higher-order
+    functions over the token array — ZERO shuffle, zero Python, no
+    explode/reassembly, the scan stays in whole-stage codegen (r14;
+    previously one positional explode + a doc-keyed collect_list
+    reassembly + a join back).
     """
     if not 0.0 < mask_rate < 1.0:
         raise ValueError(f"mask_rate must be in (0,1), got {mask_rate}")
     k_sel = max(1, round(1.0 / mask_rate))
-    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tk"))
-    pos = toked.select(
-        id_col, "__tk", F.posexplode("__tk").alias("__pos", "__tok")
-    )
-    h1 = _pos_hash(id_col, 1, 13)
-    h2 = _pos_hash(id_col, 13, 25)
-    selected = (h1 % F.lit(int(k_sel))) == 0
-    branch = h2 % 10
-    replacement = F.element_at(
-        F.col("__tk"), (h2 % F.size("__tk") + 1).cast("int")
-    )
-    out_tok = (
-        F.when(~selected, F.col("__tok"))
-        .when(branch <= 7, F.lit(mask_token))
-        .when(branch == 8, replacement)
-        .otherwise(F.col("__tok"))
-    )
-    label = F.when(
-        selected,
-        F.concat(F.col("__pos").cast("string"), F.lit(":"), F.col("__tok")),
-    )
-    pieces = pos.select(
-        id_col,
-        "__pos",
-        out_tok.alias("__out"),
-        label.alias("__lbl"),
-        selected.cast("int").alias("__sel"),
+    # NULL text => empty token array => ("", "", 0, 0), same as the old
+    # explode path (no rows -> left-join nulls -> coalesced defaults)
+    tk = F.coalesce(
+        tokens(F.col(text_col)), F.array().cast("array<string>")
     )
 
-    def _joined(col):
-        return F.concat_ws(
-            " ",
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(F.col("__pos"), F.col(col).alias("p"))
-                        )
-                    ),
-                    lambda s: F.when(
-                        s["p"].isNull(), F.array().cast("array<string>")
-                    ).otherwise(F.array(s["p"])),
-                )
-            ),
+    def _h(pos, lo, hi):
+        key = F.concat(
+            F.col(id_col).cast("string"), F.lit(":"), pos.cast("string")
+        )
+        return F.conv(F.substring(F.md5(key), lo, hi - lo), 16, 10).cast("long")
+
+    def _selected(pos):
+        return (_h(pos, 1, 13) % F.lit(int(k_sel))) == 0
+
+    def _out_tok(tok, pos, tkc):
+        h2 = _h(pos, 13, 25)
+        branch = h2 % 10
+        replacement = F.element_at(tkc, (h2 % F.size(tkc) + 1).cast("int"))
+        return (
+            F.when(~_selected(pos), tok)
+            .when(branch <= 7, F.lit(mask_token))
+            .when(branch == 8, replacement)
+            .otherwise(tok)
         )
 
-    agg = pieces.groupBy(id_col).agg(
-        _joined("__out").alias("input"),
-        _joined("__lbl").alias("labels"),
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum("__sel").cast("long").alias("n_selected"),
-    )
-    return (
-        df.select(id_col)
-        .join(agg, id_col, "left")
-        .withColumn("input", F.coalesce(F.col("input"), F.lit("")))
-        .withColumn("labels", F.coalesce(F.col("labels"), F.lit("")))
-        .withColumn("n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0)))
-        .withColumn("n_selected", F.coalesce(F.col("n_selected"), F.lit(0)))
+    def _label(tok, pos):
+        # NULL for unselected positions — concat_ws skips NULL array
+        # elements, exactly like the old flatten-empty-array trick
+        return F.when(
+            _selected(pos),
+            F.concat(pos.cast("string"), F.lit(":"), tok),
+        )
+
+    # one struct per position, computed in ONE transform pass (md5 of
+    # (doc:pos) evaluated once per position via codegen subexpression
+    # elimination within the lambda); the three output columns then read
+    # the struct array — a multiply-referenced non-cheap alias, which
+    # CollapseProject deliberately does not inline (same device as
+    # minhash_signatures' staged projections)
+    return _fan_out(df).select(
+        F.col(id_col),
+        tk.alias("__tk"),
+    ).select(
+        F.col(id_col),
+        F.col("__tk"),
+        F.transform(
+            F.col("__tk"),
+            lambda tok, i: F.struct(
+                _out_tok(tok, i, F.col("__tk")).alias("out"),
+                _label(tok, i).alias("lbl"),
+                _selected(i).alias("sel"),
+            ),
+        ).alias("__pieces"),
+    ).select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", F.transform(F.col("__pieces"), lambda s: s["out"])
+        ).alias("input"),
+        F.concat_ws(
+            " ", F.transform(F.col("__pieces"), lambda s: s["lbl"])
+        ).alias("labels"),
+        F.size("__tk").cast("long").alias("n_tokens"),
+        F.size(
+            F.filter(F.col("__pieces"), lambda s: s["sel"])
+        ).cast("long").alias("n_selected"),
     )
 
 
@@ -337,7 +350,7 @@ def contrastive_pairs(
         raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
     tk = tokens(F.col(text_col))
     c = int(chunk_tokens)
-    staged = df.select(
+    staged = _fan_out(df).select(
         F.col(id_col),
         F.md5(F.col(id_col).cast("string")).alias("__h"),
         tk.alias("__tk"),

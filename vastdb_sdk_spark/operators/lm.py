@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from .parallelism import fan_out as _fan_out
 
 # model-statistic frames here feed 3-5 separate subtrees (normalizer,
 # vocabulary cap, prefix stats, scoring join) — measured r14:
@@ -45,7 +46,7 @@ def fit_unigram_counts(
     :func:`unigram_logprob_scores` as ``counts`` so the normalizer, the
     vocabulary cap and the scoring join all read ONE materialization
     instead of re-deriving the explode+groupBy lineage per use."""
-    toks = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    toks = _fan_out(df).select(F.explode(tokens(F.col(text_col))).alias("tok"))
     return toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__c"))
 
 
@@ -81,7 +82,7 @@ def unigram_logprob_scores(
     """
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
-    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    toks = _fan_out(df).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     cnt = counts if counts is not None else _pin(fit_unigram_counts(df, text_col))
     # total/V come from the FULL distribution even when the scoring vocab
     # is capped — the cap changes which tokens fall into the OOV bucket,
@@ -127,7 +128,7 @@ def fit_bigram_counts(
     vocabulary-squared-bounded but Zipf-concentrated, i.e. far smaller
     than the corpus; persist it for fit-once-score-many."""
     tk = tokens(F.col(text_col))
-    staged = df.select(tk.alias("__tk")).filter(F.size("__tk") >= 2)
+    staged = _fan_out(df).select(tk.alias("__tk")).filter(F.size("__tk") >= 2)
     pos = staged.select(
         "__tk",
         F.explode(F.sequence(F.lit(1), F.size("__tk") - 1)).alias("__p"),
@@ -184,7 +185,7 @@ def bigram_logprob_scores(
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
     tk = tokens(F.col(text_col))
-    staged = df.select(F.col(id_col), tk.alias("__tk")).filter(
+    staged = _fan_out(df).select(F.col(id_col), tk.alias("__tk")).filter(
         F.size("__tk") >= 2
     )
     pos = staged.select(
@@ -252,10 +253,15 @@ def bm25_scores(
     array HOFs (``size(filter(tokens, = term))``, one per query term —
     fine for the ≤dozens of terms a query has), and the corpus statistics
     (N, avgdl, per-term document frequencies) are ONE aggregate row
-    broadcast back. Two scans total (stats + scoring), zero shuffle
-    beyond the 1-row broadcast; at 100 TB the scoring pass is
-    filter-pushdown-friendly map work. Terms are matched under the same
-    tokenizer as everything else (lowercased alphanumeric runs)."""
+    broadcast back. ONE tokenize pass total (r14): the per-doc
+    ``(id, dl, tf_0..tf_k)`` frame — a few ints per document — is pinned
+    (materialized once, eagerly) and feeds BOTH the stats aggregate and
+    the scoring pass; previously each consumer re-ran the regex
+    tokenizer over the corpus. Zero shuffle beyond the 1-row broadcast;
+    at 100 TB the scoring pass is a narrow scan of the pinned frame.
+    Terms are matched under the same tokenizer as everything else
+    (lowercased alphanumeric runs). NOTE: the pin makes this operator
+    EAGER (one Spark job at call time)."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     # dedupe (order-preserving): a term passed twice must not double its
@@ -264,13 +270,24 @@ def bm25_scores(
     # NULL text behaves as an empty document (dl=0, every tf=0, score 0)
     # — without the coalesce, size(NULL)=-1 would poison avgdl and emit
     # garbage scores for the null rows
-    staged = df.select(
+    toked = _fan_out(df).select(
         F.col(id_col),
         tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__tk"),
-    ).withColumn("__dl", F.size("__tk"))
+    )
+
+    def raw_tf(t):
+        return F.size(F.filter(F.col("__tk"), lambda x: x == F.lit(t)))
+
+    staged = _pin(
+        toked.select(
+            F.col(id_col),
+            F.size("__tk").alias("__dl"),
+            *[raw_tf(t).alias(f"__tf_{i}") for i, t in enumerate(terms)],
+        )
+    )
 
     def tf(t):
-        return F.size(F.filter(F.col("__tk"), lambda x: x == F.lit(t)))
+        return F.col(f"__tf_{terms.index(t)}")
 
     stats = staged.groupBy().agg(
         F.count(F.lit(1)).alias("__n"),
@@ -404,7 +421,7 @@ def linear_classifier_scores(
         [(str(t).lower(), float(w)) for t, w in weights.items()],
         "__tok STRING, __w DOUBLE",
     )
-    toks = df.select(
+    toks = _fan_out(df).select(
         F.col(id_col),
         F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("__tok"),
     )
@@ -477,7 +494,7 @@ def tfidf_top_terms(
         raise ValueError(f"k={k} must be >= 1")
     from pyspark.sql import Window
 
-    toks = df.select(
+    toks = _fan_out(df).select(
         F.col(id_col),
         F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("term"),
     )
@@ -577,7 +594,7 @@ def token_entropy(
 
     Returns (id_col, n_tokens, entropy)."""
     tf = (
-        df.select(
+        _fan_out(df).select(
             F.col(id_col),
             F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("__t"),
         )
@@ -632,7 +649,7 @@ def source_vocab_overlap(
     # per-group vocabulary — consumed THREE times (sizes + both join
     # sides): pin it or the distinct shuffle runs per consumer
     vocab = _pin(
-        df.select(
+        _fan_out(df).select(
             F.col(group_col).alias("__g"),
             F.explode(
                 tokens(F.coalesce(F.col(text_col), F.lit("")))
@@ -699,7 +716,7 @@ def zipf_slope(
     if top_n < 3:
         raise ValueError(f"top_n={top_n} must be >= 3")
     counts = (
-        df.select(
+        _fan_out(df).select(
             F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("__t")
         )
         .groupBy("__t")
@@ -759,7 +776,7 @@ def naive_bayes_train(
     from the emitted weights (the smoothing denominators still count the
     full vocabulary, so pruning only drops rows a scorer would treat as
     unseen anyway at negligible mass)."""
-    toks = df.select(
+    toks = _fan_out(df).select(
         F.col(label_col).alias("label"),
         F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok"),
     )
@@ -863,7 +880,7 @@ def naive_bayes_classify(
         .agg(F.first("__ll"))
         .toDF("tok", *safe)
     )
-    toks = df.select(
+    toks = _fan_out(df).select(
         F.col(id_col),
         F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok"),
     )
@@ -1061,7 +1078,7 @@ def kl_drift_terms(
 
     def counts(df):
         return (
-            df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+            _fan_out(df).select(F.explode(tokens(F.col(text_col))).alias("term"))
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("c"))
         )
@@ -1133,7 +1150,7 @@ def kn_bigram_logprob_scores(
     if not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
     tk = tokens(F.col(text_col))
-    staged = df.select(F.col(id_col), tk.alias("__tk")).filter(
+    staged = _fan_out(df).select(F.col(id_col), tk.alias("__tk")).filter(
         F.size("__tk") >= 2
     )
     pos = staged.select(

@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .parallelism import fan_out as _fan_out
+
 MEDIA_META_SCHEMA = T.StructType(
     [
         T.StructField("media_type", T.StringType()),  # image|audio|video
@@ -108,7 +110,7 @@ def decode_images(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(batches, DECODE_RESULT_SCHEMA)
+    return _fan_out(df.select(id_col, payload_col)).mapInPandas(batches, DECODE_RESULT_SCHEMA)
 
 
 IMAGE_STATS_SCHEMA = T.StructType(
@@ -172,7 +174,7 @@ def image_stats(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(batches, IMAGE_STATS_SCHEMA)
+    return _fan_out(df.select(id_col, payload_col)).mapInPandas(batches, IMAGE_STATS_SCHEMA)
 
 
 AUDIO_STATS_SCHEMA = T.StructType(
@@ -219,7 +221,7 @@ def audio_stats(
                 out[f] = pd.array([m.get(f) for m in metas], dtype=dtype)
             yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_STATS_SCHEMA)
+    return _fan_out(df.select(id_col, payload_col)).mapInPandas(batches, AUDIO_STATS_SCHEMA)
 
 
 VIDEO_STATS_SCHEMA = T.StructType(
@@ -268,7 +270,7 @@ def video_stats(
                 out[f] = pd.array([m.get(f) for m in metas], dtype=dtype)
             yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(batches, VIDEO_STATS_SCHEMA)
+    return _fan_out(df.select(id_col, payload_col)).mapInPandas(batches, VIDEO_STATS_SCHEMA)
 
 
 FRAME_STATS_SCHEMA = T.StructType(
@@ -326,7 +328,7 @@ def frame_stats(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(batches, FRAME_STATS_SCHEMA)
+    return _fan_out(df.select(id_col, payload_col)).mapInPandas(batches, FRAME_STATS_SCHEMA)
 
 
 def extract_features(
@@ -364,7 +366,7 @@ def extract_features(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(batches, schema)
+    return _fan_out(df.select(id_col, payload_col)).mapInPandas(batches, schema)
 
 
 def frame_sample_plan(
@@ -441,7 +443,7 @@ def resize_images(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(batches, RESIZE_RESULT_SCHEMA)
+    return _fan_out(df.select(id_col, payload_col)).mapInPandas(batches, RESIZE_RESULT_SCHEMA)
 
 
 def _fake_pixels(payload: bytes, size: int = 32) -> "object":
