@@ -488,25 +488,29 @@ def _doc_feature_buckets(
     """(id, bucket) rows: one per unigram AND one per bigram occurrence
     (DSIR's hashed n-gram featurization, Xie et al. 2023 §3)."""
     from ..functions.text import tokens
+    from .parallelism import fan_out as _fan_out
 
-    toks = df.select(
+    # ONE tokenize + ONE explode (r14): the old two-branch union (explode
+    # unigrams, explode bigrams, unionByName) re-ran the tokenizer per
+    # branch — unigrams and bigrams now concatenate into a single array
+    # before one Generate. Same rows (aggregation consumers downstream),
+    # and the scan is fanned out so the per-token hashing parallelizes
+    # on single-split inputs.
+    toks = _fan_out(df).select(
         F.col(id_col), tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__tk")
     )
-    uni = toks.select(F.col(id_col), F.explode("__tk").alias("__f"))
-    bi = toks.select(
+    bigrams = F.when(
+        F.size("__tk") >= 2,
+        F.zip_with(
+            F.slice("__tk", 1, F.size("__tk") - 1),
+            F.slice("__tk", 2, F.size("__tk") - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array())
+    feats = toks.select(
         F.col(id_col),
-        F.explode(
-            F.when(
-                F.size("__tk") >= 2,
-                F.zip_with(
-                    F.slice("__tk", 1, F.size("__tk") - 1),
-                    F.slice("__tk", 2, F.size("__tk") - 1),
-                    lambda a, b: F.concat_ws(" ", a, b),
-                ),
-            ).otherwise(F.array())
-        ).alias("__f"),
+        F.explode(F.concat(F.col("__tk"), bigrams)).alias("__f"),
     )
-    feats = uni.unionByName(bi)
     return feats.select(
         F.col(id_col),
         _feature_bucket(F.col("__f"), num_buckets, seed).alias("__fb"),
@@ -538,12 +542,19 @@ def dsir_logratio_weights(
     BROADCASTS into the document feature stream, so the only
     corpus-sized shuffle is the final per-doc sum keyed by ``id_col``.
     Documents with no features get weight 0. No UDFs, no collects."""
-    raw_feats = _doc_feature_buckets(df, text_col, id_col, num_buckets, seed)
+    from .pinning import pin as _pin
+
+    # raw_feats feeds TWO consumers (the raw bucket distribution and the
+    # final per-doc log-ratio sum) — pinned, or the corpus-wide
+    # tokenize+hash explode re-runs per consumer (r14). Two ints per
+    # feature occurrence; the target stream has one consumer and stays
+    # lazy.
+    raw_feats = _pin(
+        _doc_feature_buckets(df, text_col, id_col, num_buckets, seed)
+    )
     tgt_feats = _doc_feature_buckets(
         target_df, text_col, id_col, num_buckets, seed
     )
-
-    from .pinning import pin as _pin
 
     def _dist(feats, name):
         # B-sized bucket counts, consumed by the log-ratio select AND the

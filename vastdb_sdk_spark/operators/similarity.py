@@ -191,7 +191,7 @@ def knn_join_cosine(
             chk = side_df.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.countDistinct(F.col(idc)).alias("d"),
-            ).first()
+            ).collect()[0]
             if chk.n != chk.d:
                 routed = (
                     " strategy='auto' routed here because the right side "

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..errors import InvalidArgument
+from ..operators.pinning import pin as _pin
+from ..operators.pinning import pin_scope as _pin_scope
 
 
 def sync_table(
@@ -64,14 +66,9 @@ def sync_table(
             "upserts": 0,
             "deletes": 0,
         }
-    feed = None
-    if from_version <= 0:
-        # initial sync: no readable pre-version to diff against — every
-        # current source row is a final image (the merge still upserts,
-        # so re-running an interrupted initial sync is idempotent)
-        finals = src.select_df(columns=data_cols)
-        removed = finals.select(*key_cols).limit(0)
-    elif src.change_span_stats(from_version, to_version)["changed_files"] == 0:
+    if from_version > 0 and src.change_span_stats(
+        from_version, to_version
+    )["changed_files"] == 0:
         # the span touched other tables only — metadata-only detection,
         # zero Spark jobs. Do NOT advance the cursor: the write would
         # commit a version of its own and every later sync would chase it
@@ -81,39 +78,53 @@ def sync_table(
             "upserts": 0,
             "deletes": 0,
         }
-    else:
-        # the feed feeds BOTH classification joins and the merge source —
-        # persist it once instead of re-running the two-sided
-        # changed-file join per consumer
-        feed = src.read_changes(from_version, to_version).persist()
-        finals = feed.filter(
-            F.col("_change_type").isin("insert", "update_postimage")
-        ).select(*data_cols)
-        removed = feed.filter(
-            F.col("_change_type").isin("delete", "update_preimage")
-        ).select(*key_cols).distinct()
-    # keys whose final state is "gone": removed and not re-materialized
-    gone = removed.join(
-        finals.select(*key_cols).distinct(), key_cols, "left_anti"
-    )
-    action = F.lit("upsert")
-    source = finals.withColumn("__sync_action", action).unionByName(
-        gone.select(
-            *[F.col(c) for c in key_cols],
-            *[
-                F.lit(None).cast(dict(finals.dtypes)[c]).alias(c)
-                for c in data_cols
-                if c not in key_cols
-            ],
-            F.lit("delete").alias("__sync_action"),
+    # pin_scope releases every pin on exit — success or raise — replacing
+    # the old persist + try/finally unpersists; everything derived is
+    # consumed inside (the MERGE and the cursor write run in-scope)
+    with _pin_scope():
+        if from_version <= 0:
+            # initial sync: no readable pre-version to diff against — every
+            # current source row is a final image (the merge still upserts,
+            # so re-running an interrupted initial sync is idempotent)
+            finals = src.select_df(columns=data_cols)
+            removed = finals.select(*key_cols).limit(0)
+        else:
+            # the feed feeds BOTH classification joins and the merge
+            # source — pinned (eager localCheckpoint, r14): computed once
+            # like the old persist, AND its lineage is truncated so the
+            # anti-join, union and MERGE plan tiny LogicalRDD scans
+            # instead of re-analyzing the two-sided changed-file join
+            feed = _pin(src.read_changes(from_version, to_version))
+            finals = feed.filter(
+                F.col("_change_type").isin("insert", "update_postimage")
+            ).select(*data_cols)
+            removed = feed.filter(
+                F.col("_change_type").isin("delete", "update_preimage")
+            ).select(*key_cols).distinct()
+        # keys whose final state is "gone": removed and not re-materialized
+        gone = removed.join(
+            finals.select(*key_cols).distinct(), key_cols, "left_anti"
         )
-    ).persist()
-    try:
+        action = F.lit("upsert")
+        source = _pin(
+            finals.withColumn("__sync_action", action).unionByName(
+                gone.select(
+                    *[F.col(c) for c in key_cols],
+                    *[
+                        F.lit(None).cast(dict(finals.dtypes)[c]).alias(c)
+                        for c in data_cols
+                        if c not in key_cols
+                    ],
+                    F.lit("delete").alias("__sync_action"),
+                )
+            )
+        )
         # NULL keys have no row identity: the gone-key anti-join and the
         # MERGE's equi-condition never match a NULL, so a NULL-keyed row
         # would classify as both gone AND upserted and re-insert on every
         # replay — reject instead of silently corrupting net-effect
-        # semantics
+        # semantics. collect(), not first(): the limit-1 take over an
+        # AQE-staged agg launches a fan of incremental-take jobs (r14)
         n_null = source.agg(
             F.max(
                 F.greatest(
@@ -121,7 +132,7 @@ def sync_table(
                     F.lit(0),
                 )
             ).alias("n")
-        ).first().n
+        ).collect()[0].n
         if n_null:
             raise InvalidArgument(
                 "sync_table: NULL in a key column within the sync span — "
@@ -154,10 +165,6 @@ def sync_table(
             source_alias="s",
         )
         dst.set_stream_offset(cursor_id, to_version)
-    finally:
-        source.unpersist()
-        if feed is not None:
-            feed.unpersist()
     return {
         "from_version": from_version,
         "to_version": to_version,
@@ -274,36 +281,38 @@ def sync_derived_rows(
         return _full_rebuild(from_version)
     # incremental fold. The feed is consumed by several downstream jobs
     # (key classification, the matched-delete MERGE, the re-derive
-    # insert) — persist it once, or every job re-runs the two-sided
-    # changed-file join that IS the intercept this routing exists to
-    # dodge
-    feed = src.read_changes(from_version, to_version).persist()
-    finals = feed.filter(
-        F.col("_change_type").isin("insert", "update_postimage")
-    ).select(*src_cols)
-    removed = (
-        feed.filter(F.col("_change_type").isin("delete", "update_preimage"))
-        .select(*key_cols)
-        .distinct()
-    )
-    # one shuffle + ONE driver action classifies every affected key and
-    # checks key nullability (was: two count() jobs, each re-running the
-    # feed). NULL keys have no well-defined row identity — joins and
-    # MERGE conditions never match them — so they are rejected here.
-    keyed = (
-        finals.select(*key_cols)
-        .withColumn("__has_final", F.lit(1))
-        .unionByName(removed.withColumn("__has_final", F.lit(0)))
-        .groupBy(*key_cols)
-        .agg(F.max("__has_final").alias("__has_final"))
-        .persist()
-    )
-    # the try/finally starts IMMEDIATELY after the persists: the
-    # classification action below runs Spark jobs that can fail (executor
-    # loss, bad derive lineage), and an early raise outside the finally
-    # would leak both cached frames for the life of the session — one per
-    # failing sync attempt
-    try:
+    # insert) — PIN it (eager localCheckpoint, r14): beyond computing
+    # the two-sided changed-file join once like the old persist did,
+    # the pin TRUNCATES the lineage, so the classification agg, the
+    # MERGE source and the re-derive each plan a tiny LogicalRDD scan
+    # instead of re-analyzing the whole feed plan (the driver gaps
+    # between the fold's jobs were over half its wall). pin_scope
+    # releases both pins on exit — success or raise — replacing the old
+    # try/finally unpersists; everything derived is consumed inside.
+    with _pin_scope():
+        feed = _pin(src.read_changes(from_version, to_version))
+        finals = feed.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(*src_cols)
+        removed = (
+            feed.filter(F.col("_change_type").isin("delete", "update_preimage"))
+            .select(*key_cols)
+            .distinct()
+        )
+        # one shuffle + ONE driver action classifies every affected key and
+        # checks key nullability (was: two count() jobs, each re-running the
+        # feed). NULL keys have no well-defined row identity — joins and
+        # MERGE conditions never match them — so they are rejected here.
+        keyed = _pin(
+            finals.select(*key_cols)
+            .withColumn("__has_final", F.lit(1))
+            .unionByName(removed.withColumn("__has_final", F.lit(0)))
+            .groupBy(*key_cols)
+            .agg(F.max("__has_final").alias("__has_final"))
+        )
+        # collect(), not first(): a limit-1 take over the AQE-staged agg
+        # was measured launching TEN incremental-take jobs (r14); the
+        # full collect of the single agg row is one job
         tot = keyed.agg(
             F.count(F.lit(1)).alias("n_aff"),
             F.coalesce(F.sum("__has_final"), F.lit(0)).alias("n_final"),
@@ -313,7 +322,7 @@ def sync_derived_rows(
                     F.lit(0),
                 )
             ).alias("n_null"),
-        ).first()
+        ).collect()[0]
         if tot.n_null:
             raise InvalidArgument(
                 "sync_derived_rows: NULL in a key column within the change "
@@ -351,9 +360,6 @@ def sync_derived_rows(
         derived = derive(finals)
         n = dst.insert_df(derived)
         dst.set_stream_offset(cursor_id, to_version)
-    finally:
-        feed.unpersist()
-        keyed.unpersist()
     return {
         "from_version": from_version,
         "to_version": to_version,

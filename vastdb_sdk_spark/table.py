@@ -2831,10 +2831,12 @@ class Table:
             raise InvalidArgument(
                 f"zorder needs numeric columns (equal-width binning): {bad}"
             )
-        # one JVM-side pass for the bin ranges
+        # one JVM-side pass for the bin ranges; collect(), not first() —
+        # a limit-1 take over an AQE-staged agg launches a fan of
+        # incremental-take jobs for the same single row (r14)
         aggs = [F.min(c).alias(f"__lo{i}") for i, c in enumerate(zorder)]
         aggs += [F.max(c).alias(f"__hi{i}") for i, c in enumerate(zorder)]
-        row = df.agg(*aggs).first()
+        row = df.agg(*aggs).collect()[0]
         k = len(zorder)
         terms = []
         for j, c in enumerate(zorder):
