@@ -2208,6 +2208,12 @@ class Table:
                     " (there is no source row to copy from)"
                 )
 
+        # NOTE (r14): pinning source/replace_df (eager localCheckpoints,
+        # like the sync folds) was tried and measured SLOWER for merge —
+        # e9's small-merge shape went 2.3 s -> 6.9 s (two extra eager
+        # jobs + lost scan/join codegen fusion dominate when the merge
+        # source is small, which is merge's common case here). The lazy
+        # persist piggybacks materialization on the count job below.
         if source_alias:
             source = source.alias(source_alias)
         source = source.persist()
