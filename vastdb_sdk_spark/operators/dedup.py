@@ -530,7 +530,7 @@ def simhash(
     ~40%; conv()+shift beat a 16-nibble instr()+LUT projection by another
     25%; an explode-free array-aggregate variant was 5x slower (per-token
     array allocation never beats codegen'd accumulators)."""
-    staged = _fan_out(df).select(F.col(id_col), tokens(F.col(text_col)).alias("__tk"))
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tk"))
     if hash_fn == "xxhash64":
         toks = staged.select(
             F.col(id_col), F.explode(F.col("__tk")).alias("__t")
@@ -1114,7 +1114,7 @@ def passage_dup_stats(
     (id_col, n_passages, n_dup_passages, dup_passage_fraction)."""
     if k < 2:
         raise ValueError(f"k must be >= 2 tokens, got {k}")
-    staged = _fan_out(df).select(F.col(id_col), tokens(F.col(text_col)).alias("__tk"))
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tk"))
     nonempty = staged.filter(F.size(F.col("__tk")) > 0)
     npos = F.greatest(F.size(F.col("__tk")) - k, F.lit(0))
     pos = nonempty.select(
@@ -1224,7 +1224,7 @@ def tfidf_cosine_pairs(
         raise ValueError(f"threshold={threshold} must be in (0, 1]")
     if max_df is None and max_df_fraction is None:
         raise ValueError("one of max_df / max_df_fraction is required")
-    toks = _fan_out(df).select(
+    toks = df.select(
         F.col(id_col).alias("__id"),
         F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("__t"),
     )
@@ -1346,7 +1346,7 @@ def line_dup_stats(
     """
     if min_docs < 1:
         raise ValueError(f"min_docs must be >= 1, got {min_docs}")
-    lines = _fan_out(df).select(
+    lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("__pos", "__line"),
     )
@@ -1388,7 +1388,7 @@ def remove_duplicate_lines(
     shuffles total, both on uniform hash keys; nothing is ever collected.
     """
     dup = line_dup_stats(df, text_col, id_col, min_docs).select("line_key")
-    lines = _fan_out(df).select(
+    lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("__pos", "__line"),
     )

@@ -24,7 +24,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
-from .parallelism import fan_out as _fan_out
 
 # model-statistic frames here feed 3-5 separate subtrees (normalizer,
 # vocabulary cap, prefix stats, scoring join) — measured r14:
@@ -46,7 +45,7 @@ def fit_unigram_counts(
     :func:`unigram_logprob_scores` as ``counts`` so the normalizer, the
     vocabulary cap and the scoring join all read ONE materialization
     instead of re-deriving the explode+groupBy lineage per use."""
-    toks = _fan_out(df).select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
     return toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__c"))
 
 
@@ -82,7 +81,7 @@ def unigram_logprob_scores(
     """
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
-    toks = _fan_out(df).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     cnt = counts if counts is not None else _pin(fit_unigram_counts(df, text_col))
     # total/V come from the FULL distribution even when the scoring vocab
     # is capped — the cap changes which tokens fall into the OOV bucket,
@@ -128,7 +127,7 @@ def fit_bigram_counts(
     vocabulary-squared-bounded but Zipf-concentrated, i.e. far smaller
     than the corpus; persist it for fit-once-score-many."""
     tk = tokens(F.col(text_col))
-    staged = _fan_out(df).select(tk.alias("__tk")).filter(F.size("__tk") >= 2)
+    staged = df.select(tk.alias("__tk")).filter(F.size("__tk") >= 2)
     pos = staged.select(
         "__tk",
         F.explode(F.sequence(F.lit(1), F.size("__tk") - 1)).alias("__p"),
@@ -185,7 +184,7 @@ def bigram_logprob_scores(
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
     tk = tokens(F.col(text_col))
-    staged = _fan_out(df).select(F.col(id_col), tk.alias("__tk")).filter(
+    staged = df.select(F.col(id_col), tk.alias("__tk")).filter(
         F.size("__tk") >= 2
     )
     pos = staged.select(
@@ -270,7 +269,7 @@ def bm25_scores(
     # NULL text behaves as an empty document (dl=0, every tf=0, score 0)
     # — without the coalesce, size(NULL)=-1 would poison avgdl and emit
     # garbage scores for the null rows
-    toked = _fan_out(df).select(
+    toked = df.select(
         F.col(id_col),
         tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__tk"),
     )
@@ -421,7 +420,7 @@ def linear_classifier_scores(
         [(str(t).lower(), float(w)) for t, w in weights.items()],
         "__tok STRING, __w DOUBLE",
     )
-    toks = _fan_out(df).select(
+    toks = df.select(
         F.col(id_col),
         F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("__tok"),
     )
@@ -494,7 +493,7 @@ def tfidf_top_terms(
         raise ValueError(f"k={k} must be >= 1")
     from pyspark.sql import Window
 
-    toks = _fan_out(df).select(
+    toks = df.select(
         F.col(id_col),
         F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("term"),
     )
@@ -594,7 +593,7 @@ def token_entropy(
 
     Returns (id_col, n_tokens, entropy)."""
     tf = (
-        _fan_out(df).select(
+        df.select(
             F.col(id_col),
             F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("__t"),
         )
@@ -649,7 +648,7 @@ def source_vocab_overlap(
     # per-group vocabulary — consumed THREE times (sizes + both join
     # sides): pin it or the distinct shuffle runs per consumer
     vocab = _pin(
-        _fan_out(df).select(
+        df.select(
             F.col(group_col).alias("__g"),
             F.explode(
                 tokens(F.coalesce(F.col(text_col), F.lit("")))
@@ -716,7 +715,7 @@ def zipf_slope(
     if top_n < 3:
         raise ValueError(f"top_n={top_n} must be >= 3")
     counts = (
-        _fan_out(df).select(
+        df.select(
             F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("__t")
         )
         .groupBy("__t")
@@ -776,7 +775,7 @@ def naive_bayes_train(
     from the emitted weights (the smoothing denominators still count the
     full vocabulary, so pruning only drops rows a scorer would treat as
     unseen anyway at negligible mass)."""
-    toks = _fan_out(df).select(
+    toks = df.select(
         F.col(label_col).alias("label"),
         F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok"),
     )
@@ -880,7 +879,7 @@ def naive_bayes_classify(
         .agg(F.first("__ll"))
         .toDF("tok", *safe)
     )
-    toks = _fan_out(df).select(
+    toks = df.select(
         F.col(id_col),
         F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok"),
     )
@@ -1078,7 +1077,7 @@ def kl_drift_terms(
 
     def counts(df):
         return (
-            _fan_out(df).select(F.explode(tokens(F.col(text_col))).alias("term"))
+            df.select(F.explode(tokens(F.col(text_col))).alias("term"))
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("c"))
         )
@@ -1150,7 +1149,7 @@ def kn_bigram_logprob_scores(
     if not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
     tk = tokens(F.col(text_col))
-    staged = _fan_out(df).select(F.col(id_col), tk.alias("__tk")).filter(
+    staged = df.select(F.col(id_col), tk.alias("__tk")).filter(
         F.size("__tk") >= 2
     )
     pos = staged.select(

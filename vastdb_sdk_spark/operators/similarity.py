@@ -24,7 +24,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_similarity, distance_column, dot, norm
-from .parallelism import fan_out as _fan_out
 from .pinning import pin as _pin
 
 
@@ -38,7 +37,7 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors of one query vector."""
     dist = distance_column(F.col(vec_col), query_vec, metric)
-    out = _fan_out(df).withColumn("distance", dist)
+    out = df.withColumn("distance", dist)
     order = [F.col("distance").asc()]
     if id_col:
         order.append(F.col(id_col).asc())
@@ -100,9 +99,7 @@ def build_rhp_index(
             )
         dim = len(probe[0])
     planes = _hyperplanes(dim, num_planes, seed)
-    return _fan_out(df).withColumn(
-        "lsh_bucket", rhp_signature_col(vec_col, planes)
-    ), planes
+    return df.withColumn("lsh_bucket", rhp_signature_col(vec_col, planes)), planes
 
 
 def rhp_topk(
@@ -1905,9 +1902,7 @@ def pca_fit(
                 {"n": [n], "m": [np.concatenate([s, g.ravel()]).tolist()]}
             )
 
-    partials = _fan_out(df.select(vec_col)).mapInPandas(
-        partial_batches, schema=part_schema
-    )
+    partials = df.select(vec_col).mapInPandas(partial_batches, schema=part_schema)
     reduced = (
         partials.select(
             "n", F.posexplode("m").alias("pos", "v")
@@ -1989,4 +1984,4 @@ def pca_project(
             out[out_col] = [row.tolist() for row in P]
             yield out
 
-    return _fan_out(df).mapInPandas(project_batches, schema=out_schema)
+    return df.mapInPandas(project_batches, schema=out_schema)
