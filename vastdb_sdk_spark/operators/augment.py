@@ -51,11 +51,15 @@ def span_corrupt(
     spans merge (the running coverage max), exactly one sentinel per
     merged span.
 
-    Plan: one positional explode, ONE window pass per doc computing the
-    running coverage maximum + span numbering (cumulative flags), one
-    ordered reassembly groupBy — two shuffles total, both keyed by the
-    doc id; no Python, no RNG, no collect. Returns (id_col, input,
-    target, n_tokens, n_masked, n_spans).
+    Plan (r14): ZERO shuffle — the span length is bounded by
+    ``2*mean_span - 1``, so coverage at position p depends only on the
+    previous ``2*mean_span - 2`` positions, and the whole transform
+    (start decisions, bounded-lookback coverage merge, sentinel
+    numbering, both reassembled strings) runs as array higher-order
+    functions over the token array in whole-stage codegen. Previously:
+    one positional explode + three window passes + an ordered
+    collect_list reassembly + a join back (two doc-keyed shuffles).
+    Returns (id_col, input, target, n_tokens, n_masked, n_spans).
     """
     if not 0.0 < corruption_rate < 1.0:
         raise ValueError(f"corruption_rate must be in (0,1), got {corruption_rate}")
@@ -63,104 +67,111 @@ def span_corrupt(
         raise ValueError(f"mean_span must be >= 1, got {mean_span}")
     k_start = max(1, round(mean_span / corruption_rate))
     width = 2 * mean_span - 1
+    sent_fmt = sentinel.replace("{}", "%d")
 
-    toks = _fan_out(df).select(
-        F.col(id_col),
-        F.posexplode(tokens(F.col(text_col))).alias("__pos", "__tok"),
-    )
-    h1 = _pos_hash(id_col, 1, 13)
-    h2 = _pos_hash(id_col, 13, 25)
-    is_start = (h1 % F.lit(int(k_start))) == 0
-    span_len = F.lit(1) + (h2 % F.lit(int(width)))
-    staged = toks.select(
-        id_col,
-        "__pos",
-        "__tok",
-        F.when(is_start, F.col("__pos") + span_len).otherwise(F.lit(-1)).alias("__reach"),
-    )
-    w = (
-        W.partitionBy(id_col)
-        .orderBy("__pos")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    covered_until = F.max("__reach").over(w)
-    marked = staged.withColumn("__masked", covered_until > F.col("__pos"))
-    wp = W.partitionBy(id_col).orderBy("__pos")
-    new_span = F.col("__masked") & ~F.coalesce(
-        F.lag("__masked").over(wp), F.lit(False)
-    )
-    # sentinel index of the span covering this row (0-based); valid only
-    # on masked rows
-    numbered = marked.withColumn(
-        "__span",
-        F.sum(new_span.cast("int")).over(
-            W.partitionBy(id_col).orderBy("__pos").rowsBetween(
-                W.unboundedPreceding, W.currentRow
-            )
+    # NULL text => empty token array => ("", bare closing sentinel, 0,
+    # 0, 0), same as the old explode path (no rows -> left-join nulls ->
+    # coalesced defaults)
+    tk = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
+
+    def _h(pos, lo, hi):
+        key = F.concat(
+            F.col(id_col).cast("string"), F.lit(":"), pos.cast("string")
         )
-        - 1,
-    ).withColumn("__new", new_span)
-    sent = F.format_string(sentinel.replace("{}", "%d"), F.col("__span"))
-    in_piece = F.when(~F.col("__masked"), F.col("__tok")).when(F.col("__new"), sent)
-    tgt_piece = F.when(
-        F.col("__new"), F.concat(sent, F.lit(" "), F.col("__tok"))
-    ).when(F.col("__masked"), F.col("__tok"))
-    pieces = numbered.select(
-        id_col,
-        "__pos",
-        in_piece.alias("__in"),
-        tgt_piece.alias("__tgt"),
-        F.col("__masked").cast("int").alias("__m"),
-        F.col("__new").cast("int").alias("__n"),
+        return F.conv(F.substring(F.md5(key), lo, hi - lo), 16, 10).cast("long")
+
+    # per-position span-start decisions and lengths, each computed ONCE
+    # into arrays (md5 of (doc:pos) per position); the later stages read
+    # the arrays. Staged selects keep the multiply-referenced arrays out
+    # of CollapseProject inlining (the minhash_signatures device).
+    starts = F.transform(
+        F.col("__tk"), lambda t, i: (_h(i, 1, 13) % F.lit(int(k_start))) == 0
+    )
+    lens = F.transform(
+        F.col("__tk"),
+        lambda t, i: (F.lit(1) + (_h(i, 13, 25) % F.lit(int(width)))).cast("int"),
     )
 
-    def _joined(col):
-        return F.concat_ws(
-            " ",
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(F.col("__pos"), F.col(col).alias("p"))
-                        )
-                    ),
-                    lambda s: F.when(s["p"].isNull(), F.array().cast("array<string>"))
-                    .otherwise(F.array(s["p"])),
+    def _covered(i):
+        # masked(i) = EXISTS d in [0, width-1]: start(i-d) AND len(i-d) > d
+        # — the bounded-lookback form of the running coverage max
+        conds = None
+        for d in range(int(width)):
+            c = (
+                (i - F.lit(d) >= 0)
+                & F.coalesce(
+                    F.element_at(F.col("__st"), (i - F.lit(d) + 1).cast("int")),
+                    F.lit(False),
                 )
-            ),
+                & (
+                    F.coalesce(
+                        F.element_at(
+                            F.col("__ln"), (i - F.lit(d) + 1).cast("int")
+                        ),
+                        F.lit(0),
+                    )
+                    > F.lit(d)
+                )
+            )
+            conds = c if conds is None else (conds | c)
+        return conds
+
+    masked = F.transform(F.col("__tk"), lambda t, i: _covered(i))
+    new_span = F.transform(
+        F.col("__tk"),
+        lambda t, i: F.element_at(F.col("__mk"), (i + 1).cast("int"))
+        & ~F.when(i > 0, F.element_at(F.col("__mk"), i.cast("int"))).otherwise(
+            F.lit(False)
+        ),
+    )
+
+    def _span_idx(i):
+        # number of span starts strictly BEFORE position i (0-based
+        # sentinel index of the span opening at i) — summed over the
+        # new-span flags; only evaluated at new-span positions
+        return F.aggregate(
+            F.slice(F.col("__ns"), 1, i.cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x.cast("int"),
         )
 
-    agg = pieces.groupBy(id_col).agg(
-        _joined("__in").alias("input"),
-        _joined("__tgt").alias("__tgt_body"),
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum("__m").alias("n_masked"),
-        F.sum("__n").alias("n_spans"),
+    def _sent(i):
+        return F.format_string(sent_fmt, _span_idx(i))
+
+    in_pieces = F.transform(
+        F.col("__tk"),
+        lambda t, i: F.when(
+            ~F.element_at(F.col("__mk"), (i + 1).cast("int")), t
+        ).when(F.element_at(F.col("__ns"), (i + 1).cast("int")), _sent(i)),
     )
-    closing = F.format_string(
-        sentinel.replace("{}", "%d"), F.col("n_spans").cast("int")
+    tgt_pieces = F.transform(
+        F.col("__tk"),
+        lambda t, i: F.when(
+            F.element_at(F.col("__ns"), (i + 1).cast("int")),
+            F.concat(_sent(i), F.lit(" "), t),
+        ).when(F.element_at(F.col("__mk"), (i + 1).cast("int")), t),
     )
-    agg = agg.select(
-        id_col,
-        "input",
-        F.when(F.col("n_spans") > 0, F.concat(F.col("__tgt_body"), F.lit(" "), closing))
-        .otherwise(closing)
-        .alias("target"),
-        "n_tokens",
-        F.col("n_masked").cast("long").alias("n_masked"),
-        F.col("n_spans").cast("long").alias("n_spans"),
-    )
-    # docs with zero tokens never reach the explode: restore them with the
-    # empty input and the bare closing sentinel
-    base = df.select(id_col)
-    zero_sent = F.lit(sentinel.replace("{}", "0"))
+    n_spans = F.size(F.filter(F.col("__ns"), lambda x: x))
+    closing = F.format_string(sent_fmt, n_spans)
+    body = F.concat_ws(" ", tgt_pieces)  # NULL pieces are skipped
     return (
-        base.join(agg, id_col, "left")
-        .withColumn("input", F.coalesce(F.col("input"), F.lit("")))
-        .withColumn("target", F.coalesce(F.col("target"), zero_sent))
-        .withColumn("n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0)))
-        .withColumn("n_masked", F.coalesce(F.col("n_masked"), F.lit(0)))
-        .withColumn("n_spans", F.coalesce(F.col("n_spans"), F.lit(0)))
+        _fan_out(df)
+        .select(F.col(id_col), tk.alias("__tk"))
+        .select(F.col(id_col), "__tk", starts.alias("__st"), lens.alias("__ln"))
+        .select(F.col(id_col), "__tk", masked.alias("__mk"))
+        .select(F.col(id_col), "__tk", "__mk", new_span.alias("__ns"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", in_pieces).alias("input"),
+            F.when(n_spans > 0, F.concat(body, F.lit(" "), closing))
+            .otherwise(closing)
+            .alias("target"),
+            F.size("__tk").cast("long").alias("n_tokens"),
+            F.size(F.filter(F.col("__mk"), lambda x: x))
+            .cast("long")
+            .alias("n_masked"),
+            n_spans.cast("long").alias("n_spans"),
+        )
     )
 
 
