@@ -125,35 +125,45 @@ def span_corrupt(
         ),
     )
 
-    def _span_idx(i):
-        # number of span starts strictly BEFORE position i (0-based
-        # sentinel index of the span opening at i) — summed over the
-        # new-span flags; only evaluated at new-span positions
-        return F.aggregate(
-            F.slice(F.col("__ns"), 1, i.cast("int")),
-            F.lit(0),
-            lambda acc, x: acc + x.cast("int"),
-        )
+    # Sentinel numbering is LINEAR (r15): span starts are marked with a
+    # placeholder byte (\x01 — tokens are [a-z0-9]+ so it cannot occur in
+    # text), the pieces are joined once, and the k-th placeholder becomes
+    # sentinel k by splitting on it and re-joining with the index-numbered
+    # sentinel. The previous form summed a slice of __ns at every span
+    # start (an O(i) aggregate, evaluated twice — in_pieces and
+    # tgt_pieces), making long documents O(n * n_spans); this is one
+    # split + one indexed transform per output string.
+    _PH = "\x01"
 
-    def _sent(i):
-        return F.format_string(sent_fmt, _span_idx(i))
+    def _number(joined):
+        # split keeps trailing empties (limit -1), so a trailing
+        # placeholder still yields its sentinel
+        return F.concat_ws(
+            "",
+            F.transform(
+                F.split(joined, _PH, -1),
+                lambda s, j: F.when(j == 0, s).otherwise(
+                    F.concat(F.format_string(sent_fmt, j - 1), s)
+                ),
+            ),
+        )
 
     in_pieces = F.transform(
         F.col("__tk"),
         lambda t, i: F.when(
             ~F.element_at(F.col("__mk"), (i + 1).cast("int")), t
-        ).when(F.element_at(F.col("__ns"), (i + 1).cast("int")), _sent(i)),
+        ).when(F.element_at(F.col("__ns"), (i + 1).cast("int")), F.lit(_PH)),
     )
     tgt_pieces = F.transform(
         F.col("__tk"),
         lambda t, i: F.when(
             F.element_at(F.col("__ns"), (i + 1).cast("int")),
-            F.concat(_sent(i), F.lit(" "), t),
+            F.concat(F.lit(_PH), F.lit(" "), t),
         ).when(F.element_at(F.col("__mk"), (i + 1).cast("int")), t),
     )
     n_spans = F.size(F.filter(F.col("__ns"), lambda x: x))
     closing = F.format_string(sent_fmt, n_spans)
-    body = F.concat_ws(" ", tgt_pieces)  # NULL pieces are skipped
+    body = _number(F.concat_ws(" ", tgt_pieces))  # NULL pieces are skipped
     return (
         _fan_out(df)
         .select(F.col(id_col), tk.alias("__tk"))
@@ -162,7 +172,7 @@ def span_corrupt(
         .select(F.col(id_col), "__tk", "__mk", new_span.alias("__ns"))
         .select(
             F.col(id_col),
-            F.concat_ws(" ", in_pieces).alias("input"),
+            _number(F.concat_ws(" ", in_pieces)).alias("input"),
             F.when(n_spans > 0, F.concat(body, F.lit(" "), closing))
             .otherwise(closing)
             .alias("target"),
