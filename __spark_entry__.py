@@ -4021,20 +4021,24 @@ def q_tx_sentences(spark, sf):
     from vastdb_sdk_spark.functions.text import sentences
 
     d = _t(spark, sf, "documents")
-    sent = sentences(F.col("text"))
-    ntoks = F.transform(sent, lambda s: F.size(_tokens(s)))
-    return d.select(
+    # stage the sentence array ONCE: inlined, the split+regexp_replace
+    # pipeline was re-evaluated five times per row (n_sentences, the
+    # mean's guard/numerator/denominator, first_sent_md5) — a multiply-
+    # referenced non-cheap alias stays staged (CollapseProject keeps it)
+    staged = d.select("doc_id", sentences(F.col("text")).alias("__s"))
+    ntoks = F.transform(F.col("__s"), lambda s: F.size(_tokens(s)))
+    return staged.select(
         "doc_id",
-        F.size(sent).alias("n_sentences"),
+        F.size("__s").alias("n_sentences"),
         F.round(
             F.when(
-                F.size(sent) > 0,
+                F.size("__s") > 0,
                 F.aggregate(ntoks, F.lit(0), lambda a, x: a + x).cast("double")
-                / F.size(sent),
+                / F.size("__s"),
             ),
             4,
         ).alias("mean_sent_tokens"),
-        F.md5(F.element_at(sent, 1)).alias("first_sent_md5"),
+        F.md5(F.element_at(F.col("__s"), 1)).alias("first_sent_md5"),
     )
 
 

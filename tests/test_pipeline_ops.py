@@ -529,6 +529,54 @@ def test_release_all_pins_sweeps_leaked_checkpoints(spark):
     assert jsc.getPersistentRDDs().size() <= before
 
 
+def test_release_all_pins_spares_user_persisted_frames(spark):
+    """The sweep is scoped to LIBRARY pins (r15): a frame the caller
+    persisted themselves must stay cached — and stay USABLE — after
+    release_all_pins (the r14 sweep unpersisted every persistent RDD,
+    which could break a concurrent consumer's own cache)."""
+    from vastdb_sdk_spark.operators.pinning import pin, release_all_pins
+
+    release_all_pins(spark)
+    user = spark.range(50).selectExpr("id", "id * 3 as trip").persist()
+    assert user.count() == 50  # materialize the user cache
+    pin(spark.range(10).selectExpr("id"))
+    released = release_all_pins(spark)
+    assert released >= 1
+    # the user's cache must still be registered and consumable
+    assert user.storageLevel.useMemory or user.storageLevel.useDisk
+    assert user.count() == 50
+    user.unpersist(True)
+
+
+def test_operator_loop_pins_drain_without_harness_cleanup(spark):
+    """Engine-owned pin lifecycle (VERDICT r14 #6): a many-iteration
+    one-shot operator loop followed by the library's own sweep leaves
+    ZERO library pins in the block manager — no bench-harness cleanup
+    required. (Each lsh_candidate_pairs call pins its band frame.)"""
+    from vastdb_sdk_spark.operators.dedup import lsh_candidate_pairs
+    from vastdb_sdk_spark.operators.pinning import (
+        _LIVE_PIN_IDS,
+        release_all_pins,
+    )
+
+    release_all_pins(spark)
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc {i}") for i in range(12)],
+        "doc_id LONG, text STRING",
+    )
+    for _ in range(50):
+        lsh_candidate_pairs(df, num_hashes=4, num_bands=2).count()
+    release_all_pins(spark)
+    assert not _LIVE_PIN_IDS
+    jsc = spark.sparkContext._jsc.sc()
+    import time as _time
+
+    deadline = _time.time() + 5.0
+    while jsc.getPersistentRDDs().size() > 0 and _time.time() < deadline:
+        _time.sleep(0.1)
+    assert jsc.getPersistentRDDs().size() == 0
+
+
 def test_dup_clusters_driver_route_matches_distributed(spark):
     """The cost router's two routes are the same operator: driver
     union-find (small pair lists) and distributed propagation must emit

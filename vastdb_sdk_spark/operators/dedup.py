@@ -816,15 +816,21 @@ def dup_clusters(
             from ..localrel import local_df
 
             return local_df(spark, labels, "doc_id LONG, cluster_id LONG")
-        # larger label sets go back file-backed (plan-size bounded)
+        # larger label sets go back file-backed (plan-size bounded).
+        # The caller consumes the returned frame after we return, so the
+        # file cannot be removed here; register the dir for removal at
+        # process exit instead — without it a long session leaks one
+        # temp dir per large-graph call (VERDICT r14).
+        import atexit
+        import shutil
         import tempfile
 
         import pyarrow as _pa
         import pyarrow.parquet as _pq
 
-        path = os.path.join(
-            tempfile.mkdtemp(prefix="dupclusters_"), "labels.parquet"
-        )
+        tmpdir = tempfile.mkdtemp(prefix="dupclusters_")
+        atexit.register(shutil.rmtree, tmpdir, ignore_errors=True)
+        path = os.path.join(tmpdir, "labels.parquet")
         _pq.write_table(
             _pa.table(
                 {

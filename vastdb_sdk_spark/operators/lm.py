@@ -260,7 +260,11 @@ def bm25_scores(
     at 100 TB the scoring pass is a narrow scan of the pinned frame.
     Terms are matched under the same tokenizer as everything else
     (lowercased alphanumeric runs). NOTE: the pin makes this operator
-    EAGER (one Spark job at call time)."""
+    EAGER (one Spark job at call time). The pin's blocks are reclaimed
+    by JVM GC once the result is unreferenced; long-lived sessions
+    calling this in a loop should drain deterministically with
+    ``operators.pinning.release_all_pins(spark)`` BETWEEN calls (after
+    fully consuming each result — released pins cannot recompute)."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     # dedupe (order-preserving): a term passed twice must not double its

@@ -29,13 +29,31 @@ _PIN_SINK: contextvars.ContextVar[list | None] = contextvars.ContextVar(
     "vastdb_pin_sink", default=None
 )
 
+# RDD ids of every live pin THIS library created (r15): the session
+# sweep below releases exactly these, so a user's own persist()ed or
+# checkpointed frames are never unpersisted out from under them.
+# Ids are removed on release; a released-by-GC pin's stale id is
+# harmless (the sweep looks ids up in the session's live-RDD map).
+_LIVE_PIN_IDS: set[int] = set()
+
+
+def _pin_rdd(pinned: DataFrame):
+    # the analyzed plan of a localCheckpoint result is a LogicalRDD
+    # whose .rdd holds the persisted checkpoint blocks
+    return pinned._jdf.queryExecution().analyzed().rdd()
+
 
 def pin(frame: DataFrame) -> DataFrame:
     """Materialize ``frame`` once (eager localCheckpoint) and return the
     checkpointed frame. Inside a :func:`pin_scope`, the pin is registered
     for release on scope exit; otherwise its blocks are reclaimed by the
-    ContextCleaner once the frame is unreferenced."""
+    ContextCleaner once the frame is unreferenced, or by an explicit
+    :func:`release` / :func:`release_all_pins` sweep."""
     pinned = frame.localCheckpoint(eager=True)
+    try:
+        _LIVE_PIN_IDS.add(_pin_rdd(pinned).id())
+    except Exception:
+        pass  # tracking is best-effort; GC still reclaims
     sink = _PIN_SINK.get()
     if sink is not None:
         sink.append(pinned)
@@ -47,32 +65,43 @@ def release(pinned: DataFrame) -> None:
     on it that was not itself materialized) is unusable afterwards: a
     localCheckpoint's lineage is truncated, so there is no recompute."""
     try:
-        # the analyzed plan of a localCheckpoint result is a LogicalRDD
-        # whose .rdd holds the persisted checkpoint blocks
-        pinned._jdf.queryExecution().analyzed().rdd().unpersist(True)
+        rdd = _pin_rdd(pinned)
+        _LIVE_PIN_IDS.discard(rdd.id())
+        rdd.unpersist(True)
     except Exception:
         pass  # session already stopped — nothing left to free
 
 
 def release_all_pins(spark) -> int:
-    """Unpersist EVERY persistent RDD in the session (blocking) and
-    return how many were released. Session-level sweep for harnesses
-    that run many independent one-shot queries back to back (bench
-    loops, correctness sweeps): a one-shot query's pins are reclaimed
-    only when the JVM garbage-collects the Dataset, so hundreds of
-    queries' localCheckpoint blocks pile up in the block manager in the
-    meantime — storage pressure, eviction churn, and multi-second GC
-    stalls measured on later queries (r14: dd_embed_neardup 3.1 s
-    isolated vs 6.6 s median / 15.9 s max mid-bench). Call BETWEEN
-    queries, never while a frame from the current query is still to be
-    consumed — released pins cannot recompute. Also sweeps SQL-cache
-    RDDs; harmless alongside ``spark.catalog.clearCache()``."""
+    """Unpersist every live pin THIS LIBRARY created (blocking) and
+    return how many were released. Session-level sweep for callers that
+    run many independent one-shot operator calls back to back (bench
+    loops, correctness sweeps, long library sessions): a one-shot call's
+    pins are reclaimed only when the JVM garbage-collects the Dataset
+    (delayed further by py4j reference cycles), so hundreds of calls'
+    localCheckpoint blocks pile up in the block manager in the meantime —
+    storage pressure, eviction churn, and multi-second GC stalls measured
+    on later queries (r14: dd_embed_neardup 3.1 s isolated vs 6.6 s
+    median / 15.9 s max mid-bench). Call BETWEEN queries, never while a
+    frame derived from the current call is still to be consumed —
+    released pins cannot recompute. Frames the caller persisted or
+    checkpointed themselves are NOT touched (r15; the sweep is scoped to
+    the library's own pins), so it composes with user caching; pair it
+    with ``spark.catalog.clearCache()`` if you also want SQL caches
+    dropped."""
     released = 0
     try:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        for jrdd in list(jmap.values()):
-            jrdd.unpersist(True)
-            released += 1
+        it = jmap.entrySet().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if int(kv.getKey()) in _LIVE_PIN_IDS:
+                kv.getValue().unpersist(True)
+                released += 1
+        # tracked ids absent from the live map were already reclaimed by
+        # the ContextCleaner — drop those stale entries too, so the
+        # registry never grows across a long session
+        _LIVE_PIN_IDS.clear()
     except Exception:
         pass  # session already stopped — nothing left to free
     return released

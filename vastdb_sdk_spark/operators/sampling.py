@@ -541,7 +541,12 @@ def dsir_logratio_weights(
     (map-side combined explode + groupBy); the per-bucket log-ratio table
     BROADCASTS into the document feature stream, so the only
     corpus-sized shuffle is the final per-doc sum keyed by ``id_col``.
-    Documents with no features get weight 0. No UDFs, no collects."""
+    Documents with no features get weight 0. No UDFs, no collects.
+    NOTE: the pins below make this operator EAGER and their blocks are
+    reclaimed by JVM GC once the result is unreferenced; loops should
+    drain deterministically with
+    ``operators.pinning.release_all_pins(spark)`` between calls (after
+    fully consuming each result — released pins cannot recompute)."""
     from .pinning import pin as _pin
 
     # raw_feats feeds TWO consumers (the raw bucket distribution and the

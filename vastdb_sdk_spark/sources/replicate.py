@@ -43,7 +43,15 @@ def sync_table(
     Both tables must carry ``key_cols`` (a logical row identity — the
     feed's ``$row_id`` is storage identity and deliberately NOT used
     across tables). Returns ``{"from_version", "to_version", "upserts",
-    "deletes"}`` and records ``to_version`` as the new cursor."""
+    "deletes"}`` and records ``to_version`` as the new cursor.
+
+    Failure mode (r14 pin tradeoff): the fold pins intermediates via
+    eager ``localCheckpoint`` — NON-reliable storage, so an executor
+    loss mid-fold loses blocks with no lineage recompute and the sync
+    FAILS instead of recovering transparently. That is safe (the cursor
+    only advances on success, so the fold is idempotent) but the
+    recovery path is a RERUN, not a hung retry — operators of long CDC
+    folds should retry the call."""
     if not key_cols:
         raise InvalidArgument("sync_table needs at least one key column")
     for side, t in (("source", src), ("destination", dst)):
