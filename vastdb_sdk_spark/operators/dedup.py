@@ -278,6 +278,15 @@ def lsh_candidate_pairs(
     # (tokenize + shingle + num_hashes permutations) is the expensive
     # part and Spark evaluates it once PER JOIN SIDE without this (r14).
     # The pinned frame is num_bands narrow rows per doc.
+    # r15 adjudication of the cross-session "~1.4x regression" suspect
+    # (VERDICT r14 #1): 4-arm interleaved A/B (pin/nopin x fan/nofan,
+    # tools/ab_lsh_arms.py, two sessions) + an 8-round pin-vs-nopin
+    # tie-break. fan_out is the load-bearing win (fan arms 2.0-2.5 s vs
+    # nofan 2.8-4.3 s in-session); pin vs nopin is noise (1.884 vs
+    # 1.941 s median over 8 interleaved rounds). Same-code sessions
+    # spanned 1.29-2.47 canary-normalized on this query — the family's
+    # documented 1.3-1.6x session drift (SCALING.md r8), not a code
+    # regression. KEEP pin+fan.
     bands = _pin(
         lsh_band_keys(sigs, num_bands, id_col, hash_fn, skip_col="__tkempty")
     )
