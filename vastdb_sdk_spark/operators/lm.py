@@ -1152,27 +1152,38 @@ def kn_bigram_logprob_scores(
     tokens score NULL."""
     if not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
-    tk = tokens(F.col(text_col))
-    staged = df.select(F.col(id_col), tk.alias("__tk")).filter(
-        F.size("__tk") >= 2
-    )
+    # coalesce: NULL text => empty token array => the sentinel row below
+    # (n_bigrams 0, NULL score), same as the old filter + join-back
+    tk = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
+    staged = df.select(F.col(id_col), tk.alias("__tk"))
+    # docs with < 2 tokens emit ONE sentinel position whose (v, w) are
+    # NULL: they survive the per-doc aggregate directly (count(v) = 0,
+    # avg skips the NULL score), which removes the old repair join — a
+    # full extra corpus scan + two exchanges just to re-attach short
+    # docs (r15; guide §2.4 remove shuffles outright)
     pos = staged.select(
         id_col,
         "__tk",
-        F.explode(F.sequence(F.lit(1), F.size("__tk") - 1)).alias("__p"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("__tk") - 1, F.lit(1)))
+        ).alias("__p"),
     )
+    real = F.size("__tk") >= 2
     pairs = pos.select(
         id_col,
-        F.element_at(F.col("__tk"), F.col("__p")).alias("v"),
-        F.element_at(F.col("__tk"), F.col("__p") + 1).alias("w"),
+        F.when(real, F.element_at(F.col("__tk"), F.col("__p"))).alias("v"),
+        F.when(real, F.element_at(F.col("__tk"), F.col("__p") + 1)).alias("w"),
     )
     cnt = counts if counts is not None else _pin(fit_bigram_counts(df, text_col))
     pfx = cnt.groupBy("v").agg(
         F.sum("__c").alias("__cv"), F.count(F.lit(1)).alias("__n1f")
     )
     wst = cnt.groupBy("w").agg(F.count(F.lit(1)).alias("__n1b"))
-    tot = cnt.agg(
-        F.count(F.lit(1)).alias("__d"), F.count_distinct("w").alias("__vv")
+    # D = total bigram types = sum of per-word type counts; V = distinct
+    # continuation words = wst's row count — derived from wst instead of
+    # a second count_distinct pass over cnt (one aggregation fewer, r15)
+    tot = wst.agg(
+        F.sum("__n1b").alias("__d"), F.count(F.lit(1)).alias("__vv")
     )
     if top_n is not None:
         vocab = cnt.orderBy(
@@ -1202,11 +1213,9 @@ def kn_bigram_logprob_scores(
     p = F.when(
         F.col("__cv").isNull() | (F.col("__cv") == 0), pc
     ).otherwise(seen)
-    scored = joined.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"), F.avg(F.log(p)).alias(out_col)
-    )
-    return (
-        df.select(id_col)
-        .join(scored, id_col, "left")
-        .withColumn("n_bigrams", F.coalesce(F.col("n_bigrams"), F.lit(0)))
+    # sentinel rows (NULL v) contribute neither to the count nor the
+    # mean: count(v) skips NULLs, and their score is forced NULL
+    return joined.groupBy(id_col).agg(
+        F.count(F.col("v")).alias("n_bigrams"),
+        F.avg(F.when(F.col("v").isNotNull(), F.log(p))).alias(out_col),
     )
