@@ -1479,7 +1479,8 @@ def q_dd_minhash_sig(spark, sf):
 
 def q_dd_ngram_overlap(spark, sf):
     """Near-dup candidates by shared 8-char-gram count between documents of
-    the same source (bounded self-join: same-source blocking).
+    the same source (inverted gram index, same-source blocking; pairs
+    emitted per bucket — the shuffle carries the gram stream ONCE).
 
     The input repartition spreads the ~2000x gram EXPLODE across cores:
     the bench parquet is a single split, so without it each self-join side
@@ -1500,23 +1501,37 @@ def q_dd_ngram_overlap(spark, sf):
             lambda i: F.substring(lowered, i, 8),
         )
     )
-    # materialize the exploded gram stream ONCE before the self-join:
-    # Spark re-evaluates the scan + 2000x substring transform + explode
-    # for EACH join side (no subplan reuse) — the extraction is the
-    # dominant compute here, and the persist-before-self-join shape is
-    # the textbook fix (one extraction, both sides read the cache)
-    g = d.select(
-        "doc_id", "source", F.explode(grams).alias("gram")
-    ).localCheckpoint(eager=True)
-    pairs = (
-        g.alias("a")
-        .join(
-            g.alias("b"),
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Inverted-index pair generation (r15; guide §2.3/§2.4): the old
+    # shape localCheckpointed the exploded gram stream and SELF-JOINED it
+    # on (gram, source) — the ~10M-row stream crossed the exchange TWICE
+    # (once per join side) before the per-bucket pair fan-out. A
+    # prefix-filter (PPJoin) cannot prune here: the threshold (40 shared
+    # grams) is tiny relative to per-doc gram counts (~2000), so every
+    # pair sharing one gram must be examined either way. What CAN shrink
+    # is the shuffle: group the stream ONCE per (source, gram), drop
+    # single-doc buckets for free, and emit each bucket's ordered id
+    # pairs map-side — one corpus-sized exchange instead of two, no
+    # eager materialization, and the pair aggregate gets map-side
+    # partial aggregation. Bucket pair volume is IDENTICAL to the join's
+    # (sorted ids, a < b), so shared-gram counts are unchanged.
+    g = d.select("doc_id", "source", F.explode(grams).alias("gram"))
+    buckets = (
+        g.groupBy("source", "gram")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    pairs = (
+        buckets.select(F.explode(combos).alias("pr"))
+        .groupBy(F.col("pr.a").alias("doc_a"), F.col("pr.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared_grams"))
         .filter(F.col("shared_grams") >= 40)
     )
@@ -5867,9 +5882,11 @@ _R15_PENDING_ORACLES = {
 
 
 def r15_pending() -> dict[str, tuple]:
-    """(builder, oracle_sql) for the r15-pending entries — consumed by
-    tests/test_r15_pending.py now and by the r15 registry wiring later.
-    INVARIANT (pytest-enforced): disjoint from queries()/oracle_sql()."""
+    """(builder, oracle_sql) for the 11 entries that joined the registry
+    when it unfroze in r15. Stays the single source for their oracle SQL
+    (oracle_sql() merges it) and for tests/test_r15_pending.py's
+    sf0.001 driver-style gate. INVARIANT (pytest-enforced): a SUBSET of
+    queries()/oracle_sql() since r15 (disjoint through r14)."""
     sqls = dict(_R15_PENDING_ORACLES)
     # replayed-signature oracle shares _mh_lsh_chain_sql with e25 so the
     # hash arithmetic stays single-sourced
@@ -5909,77 +5926,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate reads a 50-query
     # window from the front of this dict.
     #
-    # ROTATION MATH (the standing policy): 192 registered queries, 50
-    # gated per round => a full re-green cycle takes 4 rounds, so the
-    # honest staleness bound is "no query's latest driver-green is older
-    # than 4 rounds". This round (14) runs the LAST backlog leg.
-    #
-    # Round-14 window (the plan committed in round 11, re-confirmed by
-    # VERDICT.md r13 "Next round" #1): the REMAINDER of the
-    # round-10-green cohort in registry order (42 queries, from
-    # el6_bloom_point), plus the round-11-cohort front (8) to fill the
-    # 50. After this round every green is <= 4 rounds old and the
-    # rotation is steady-state oldest-first: each round simply gates the
-    # current front 50 and rotates them to the tail. The round-13 window
-    # (re-greened last round) rotates to the tail as the freshest
-    # cohort. Registry stays FROZEN at 192 through this round; it
-    # UNFREEZES in r15 per the extension plan in SCALING.md (new entries
-    # join at the tail as the freshest cohort).
+    # ROTATION MATH (the standing policy): 203 registered queries, 50
+    # gated per round. The registry UNFREEZES this round (15) per the
+    # extension plan in SCALING.md: the 11 r15-pending entries (built,
+    # pytest-gated at sf0.001 and pre-audited at sf0.1 in r13/r14) join
+    # the registry and gate IMMEDIATELY — new entries carry no green, so
+    # they lead the window — alongside the 39 oldest greens (the
+    # round-11-green cohort front). ceil(203/50) = 5, so the steady-state
+    # staleness bound relaxes from 4 to 5 rounds (the documented
+    # tradeoff for three media modalities + the shard tier). After this
+    # round the rotation is steady-state oldest-first: each round gates
+    # the current front 50 and rotates them to the tail. The round-14
+    # window (re-greened last round) rotates to the tail as the
+    # freshest cohort.
     return {
-        # -- round-14 window: rest of the round-10-green cohort -----------
-        "el6_bloom_point": q_el6_bloom_point,
-        "ts_gapfill": q_ts_gapfill,
-        "ts_anomaly": q_ts_anomaly,
-        "a11_grouping_sets": q_a11_grouping_sets,
-        "a12_pivot": q_a12_pivot,
-        "w9_hopping_window": q_w9_hopping_window,
-        "w10_funnel": q_w10_funnel,
-        "w11_retention_cohorts": q_w11_retention_cohorts,
-        "dd_keep_best": q_dd_keep_best,
-        "dd_line_dedup": q_dd_line_dedup,
-        "dd_minhash_join": q_dd_minhash_join,
-        "dd_tfidf_pairs": q_dd_tfidf_pairs,
-        "dd_winnow": q_dd_winnow,
-        "ds_borda_quality": q_ds_borda_quality,
-        "ds_cluster_assign": q_ds_cluster_assign,
-        "ds_domain_caps": q_ds_domain_caps,
-        "ds_dsir_weights": q_ds_dsir_weights,
-        "ds_score_normalize": q_ds_score_normalize,
-        "ds_shard_assign": q_ds_shard_assign,
-        "ds_source_overlap": q_ds_source_overlap,
-        "ds_token_budget": q_ds_token_budget,
-        "ds_weighted_sample": q_ds_weighted_sample,
-        "ann_matryoshka_topk": q_ann_matryoshka_topk,
-        "ann_pca_project": q_ann_pca_project,
-        "tx_chat_render": q_tx_chat_render,
-        "tx_collapse_repeats": q_tx_collapse_repeats,
-        "tx_contrastive": q_tx_contrastive,
-        "tx_html_strip": q_tx_html_strip,
-        "tx_kl_drift": q_tx_kl_drift,
-        "tx_kn_logprob": q_tx_kn_logprob,
-        "tx_length_percentiles": q_tx_length_percentiles,
-        "tx_nb_classify": q_tx_nb_classify,
-        "tx_nb_train": q_tx_nb_train,
-        "tx_pmi_topk": q_tx_pmi_topk,
-        "tx_prefix_lm": q_tx_prefix_lm,
-        "tx_rrf_fusion": q_tx_rrf_fusion,
-        "tx_sentences": q_tx_sentences,
-        "tx_chunk_sentences": q_tx_chunk_sentences,
-        "tx_tfidf_topterms": q_tx_tfidf_topterms,
-        "tx_token_entropy": q_tx_token_entropy,
-        "tx_url_canon": q_tx_url_canon,
-        "tx_zipf_slope": q_tx_zipf_slope,
-        # -- round-11-cohort front: fills the window's last 8 slots -------
-        "tx_span_corrupt": q_tx_span_corrupt,
-        "tx_mlm_mask": q_tx_mlm_mask,
-        "ds_train_test_split": q_ds_train_test_split,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "tx_gopher_flags": q_tx_gopher_flags,
-        "tx_c4_filter": q_tx_c4_filter,
-        "tx_bpe_tokens": q_tx_bpe_tokens,
-        "tx_unigram_logprob": q_tx_unigram_logprob,
-        # ---- window boundary (driver gates the 50 entries above) --------
-        # -- rest of the round-11-green cohort ------------------------------
+        # -- r15 registry additions (never gated -> lead the window) ------
+        "mm_decode_bmp": q_mm_decode_bmp,
+        "mm_decode_wav": q_mm_decode_wav,
+        "mm_decode_jpeg": q_mm_decode_jpeg,
+        "mm_decode_tiff": q_mm_decode_tiff,
+        "mm_decode_y4m": q_mm_decode_y4m,
+        "mm_phash_neardup_real": q_mm_phash_neardup_real,
+        "e27_cdf_matview_e2e": q_e27_cdf_matview_e2e,
+        "e28_cdc_replica_sync": q_e28_cdc_replica_sync,
+        "e29_webdataset_roundtrip": q_e29_webdataset_roundtrip,
+        "ann_filtered_ivf": q_ann_filtered_ivf,
+        "tx_minhash_cdf_incremental": q_tx_minhash_cdf_incremental,
+        # -- round-11-green cohort (oldest greens; first 39 fill the
+        #    window's remaining slots) -------------------------------------
         "e15_jsonl_ingest": q_e15_jsonl_ingest,
         "ann_quantize_int8": q_ann_quantize_int8,
         "ds_quality_filter": q_ds_quality_filter,
@@ -6019,9 +5993,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_pack_greedy": q_tx_pack_greedy,
         "dd_simhash_fast": q_dd_simhash_fast,
         "dd_embed_neardup": q_dd_embed_neardup,
+        # ---- window boundary (driver gates the 50 entries above) --------
         "ann_rhp_topk": q_ann_rhp_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        # -- round-14 window rotated to the tail below; r12/r13 cohorts
+        #    keep their relative order ------------------------------------
         # -- round-12-green cohort ----------------------------------------
         "dd_phash_neardup": q_dd_phash_neardup,
         "tx_clf_quality": q_tx_clf_quality,
@@ -6125,6 +6102,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e24_matview_timebucket": q_e24_matview_timebucket,
         "e25_sig_sync": q_e25_sig_sync,
         "e26_sql_views": q_e26_sql_views,
+        # -- round-14 window (freshest; re-greened last round) ------------
+        "el6_bloom_point": q_el6_bloom_point,
+        "ts_gapfill": q_ts_gapfill,
+        "ts_anomaly": q_ts_anomaly,
+        "a11_grouping_sets": q_a11_grouping_sets,
+        "a12_pivot": q_a12_pivot,
+        "w9_hopping_window": q_w9_hopping_window,
+        "w10_funnel": q_w10_funnel,
+        "w11_retention_cohorts": q_w11_retention_cohorts,
+        "dd_keep_best": q_dd_keep_best,
+        "dd_line_dedup": q_dd_line_dedup,
+        "dd_minhash_join": q_dd_minhash_join,
+        "dd_tfidf_pairs": q_dd_tfidf_pairs,
+        "dd_winnow": q_dd_winnow,
+        "ds_borda_quality": q_ds_borda_quality,
+        "ds_cluster_assign": q_ds_cluster_assign,
+        "ds_domain_caps": q_ds_domain_caps,
+        "ds_dsir_weights": q_ds_dsir_weights,
+        "ds_score_normalize": q_ds_score_normalize,
+        "ds_shard_assign": q_ds_shard_assign,
+        "ds_source_overlap": q_ds_source_overlap,
+        "ds_token_budget": q_ds_token_budget,
+        "ds_weighted_sample": q_ds_weighted_sample,
+        "ann_matryoshka_topk": q_ann_matryoshka_topk,
+        "ann_pca_project": q_ann_pca_project,
+        "tx_chat_render": q_tx_chat_render,
+        "tx_collapse_repeats": q_tx_collapse_repeats,
+        "tx_contrastive": q_tx_contrastive,
+        "tx_html_strip": q_tx_html_strip,
+        "tx_kl_drift": q_tx_kl_drift,
+        "tx_kn_logprob": q_tx_kn_logprob,
+        "tx_length_percentiles": q_tx_length_percentiles,
+        "tx_nb_classify": q_tx_nb_classify,
+        "tx_nb_train": q_tx_nb_train,
+        "tx_pmi_topk": q_tx_pmi_topk,
+        "tx_prefix_lm": q_tx_prefix_lm,
+        "tx_rrf_fusion": q_tx_rrf_fusion,
+        "tx_sentences": q_tx_sentences,
+        "tx_chunk_sentences": q_tx_chunk_sentences,
+        "tx_tfidf_topterms": q_tx_tfidf_topterms,
+        "tx_token_entropy": q_tx_token_entropy,
+        "tx_url_canon": q_tx_url_canon,
+        "tx_zipf_slope": q_tx_zipf_slope,
+        "tx_span_corrupt": q_tx_span_corrupt,
+        "tx_mlm_mask": q_tx_mlm_mask,
+        "ds_train_test_split": q_ds_train_test_split,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "tx_gopher_flags": q_tx_gopher_flags,
+        "tx_c4_filter": q_tx_c4_filter,
+        "tx_bpe_tokens": q_tx_bpe_tokens,
+        "tx_unigram_logprob": q_tx_unigram_logprob,
     }
 
 
@@ -9189,4 +9217,7 @@ def oracle_sql() -> dict[str, str]:
         # corpus-trained oracle to rows-only rather than shipping a merge
         # table learned on the wrong (or no) data
         del sqls["tx_bpe_learned"]
+    # r15 registry additions: their oracles live in r15_pending() (the
+    # single source the pre-landing pytest gate consumed since r13)
+    sqls.update({name: sql for name, (_fn, sql) in r15_pending().items()})
     return sqls

@@ -223,6 +223,19 @@ HEADLINE = [
     "a9_percentiles",
     "dd_fingerprint",
     "dd_ngram_overlap",
+    # round-15 registry additions (rotation policy: every driver-gated
+    # query gets a headline bench row the round it lands)
+    "mm_decode_bmp",
+    "mm_decode_wav",
+    "mm_decode_jpeg",
+    "mm_decode_tiff",
+    "mm_decode_y4m",
+    "mm_phash_neardup_real",
+    "e27_cdf_matview_e2e",
+    "e28_cdc_replica_sync",
+    "e29_webdataset_roundtrip",
+    "ann_filtered_ivf",
+    "tx_minhash_cdf_incremental",
 ]
 
 

@@ -1,8 +1,9 @@
-"""r15-pending gate queries (VERDICT r13 #4): the builders + oracle SQL
-land a round early and are exercised here at sf0.001 with the same
-comparison the driver's correctness gate applies (row count, column
-names, Arrow type classes, order-insensitive value hash) — but stay OUT
-of queries()/oracle_sql() until the registry unfreezes in r15."""
+"""The 11 entries that joined the registry when it unfroze in r15
+(VERDICT r13 #4 / SCALING.md extension plan): built + oracle-gated a
+round early, REGISTERED (window front) since r15. Exercised here at
+sf0.001 with the same comparison the driver's correctness gate applies
+(row count, column names, Arrow type classes, order-insensitive value
+hash)."""
 
 import sys
 
@@ -37,10 +38,14 @@ def test_r15_pending_disjoint_from_registry():
         "ann_filtered_ivf",
         "tx_minhash_cdf_incremental",
     }
-    assert not set(pending) & set(entry_mod.queries())
-    assert not set(pending) & set(entry_mod.oracle_sql())
-    # the frozen-at-192 contract holds through r14
-    assert len(entry_mod.queries()) == 192
+    # the registry unfroze in r15: the pending entries are now REGISTERED
+    # (window front) and their oracles merged into oracle_sql()
+    qs = entry_mod.queries()
+    assert set(pending) <= set(qs)
+    assert set(pending) <= set(entry_mod.oracle_sql())
+    assert len(qs) == 203
+    # they lead the gate window (never driver-gated before r15)
+    assert list(qs)[:11] == list(pending)
 
 
 @pytest.mark.parametrize(

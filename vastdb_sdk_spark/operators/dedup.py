@@ -30,6 +30,7 @@ from ..functions.text import shingles_from_tokens, tokens
 from .parallelism import fan_out as _fan_out
 from .pinning import pin as _pin
 from .pinning import pin_scope as _pin_scope
+from .pinning import release as _release
 
 # ---------------------------------------------------------------------------
 # exact
@@ -854,12 +855,18 @@ def dup_clusters(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     edges = edges.persist()
-    labels = (
+    # per-round label frames are PINNED (tracked checkpoints, r15): each
+    # round's result supersedes the previous one, whose blocks are
+    # released as soon as the new frame is materialized — the loop owns
+    # its lifecycle instead of leaking one checkpoint per round to GC
+    # (only the FINAL round's frame outlives the loop; the session sweep
+    # or GC reclaims it once the caller is done)
+    labels = _pin(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lab", F.col("node"))
-        .localCheckpoint(eager=True)
     )
+    cur_ckpt = labels
     converged = False
     for round_idx in range(max_iterations):
         neighbor_min = (
@@ -882,10 +889,12 @@ def dup_clusters(
         # label's label is in the same component. Engaged from round 3
         # only: real near-dup graphs (copy cliques/stars) converge in 2
         # plain rounds, so the common case never pays the extra join.
+        round_ckpt = None
         if round_idx >= 2:
             # materialize once: propagated feeds BOTH sides of the self-join
             # (same count-then-checkpoint discipline as below)
-            propagated = propagated.localCheckpoint(eager=True)
+            propagated = _pin(propagated)
+            round_ckpt = propagated
             jumped = (
                 propagated.alias("x")
                 .join(
@@ -905,12 +914,18 @@ def dup_clusters(
         # checkpoint BEFORE the convergence count: the count then reads the
         # materialized round result instead of re-running the join pipeline
         # (count-then-checkpoint computed every round twice)
-        new_labels = (
+        new_labels = _pin(
             jumped.join(labels.select("node", "lab"), "node")
             .select("node", "new_lab", "lab")
-            .localCheckpoint(eager=True)
         )
         changed = new_labels.filter(F.col("new_lab") < F.col("lab")).count()
+        # the previous round's label frame and this round's propagated
+        # frame are fully consumed (new_labels is materialized): free
+        # their blocks NOW instead of leaking them to GC
+        _release(cur_ckpt)
+        if round_ckpt is not None:
+            _release(round_ckpt)
+        cur_ckpt = new_labels
         labels = new_labels.select("node", F.col("new_lab").alias("lab"))
         if changed == 0:
             converged = True

@@ -37,9 +37,19 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     try:
         spark = df.sparkSession
         target = int(min_parts or spark.sparkContext.defaultParallelism)
-        nparts = df.rdd.getNumPartitions()
+        # JVM-side probe: finalizes the physical plan (unavoidable — the
+        # partition count IS a physical property) but skips df.rdd's
+        # Python-RDD conversion layer, which re-built serializers and a
+        # javaToPython stage per call (ADVICE r14)
+        nparts = df._jdf.rdd().getNumPartitions()
     except Exception:
-        return df  # non-JVM frame / API drift: never break the pipeline
+        try:
+            nparts = df.rdd.getNumPartitions()  # private-API drift fallback
+            target = int(
+                min_parts or df.sparkSession.sparkContext.defaultParallelism
+            )
+        except Exception:
+            return df  # non-JVM frame: never break the pipeline
     if nparts >= target or target <= 1:
         return df
     return df.repartition(target)
