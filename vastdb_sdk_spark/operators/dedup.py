@@ -158,18 +158,21 @@ def minhash_signatures(
         ).alias("__hb"),
         *passthru,
     )
-    # NB: the permutation lambda must take exactly ONE argument — PySpark
-    # treats a second parameter (even a defaulted one) as the element-index
-    # lambda variable, silently changing semantics. Hence the factory.
-    def _perm(i: int):
-        a, b0 = _mh_a(i), _mh_b(i)
-        return lambda x: F.pmod(F.lit(a) * x + F.lit(b0), F.lit(MINHASH_P))
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("__hb"), _perm(i)))
+    # The num_hashes permutation mins are built as ONE parsed SQL
+    # expression (r15): the Column-API loop (num_hashes x
+    # array_min(transform(...)) with a lambda each) cost ~1.3 s of py4j
+    # round-trips PER CALL on the driver — measured 1.294 -> 0.297 s
+    # construction for the 16-hash signature, identical values and plan.
+    # Literals carry the L suffix so the arithmetic stays bigint exactly
+    # like the F.lit int-times-long promotion did.
+    sig = F.expr(
+        "array("
+        + ", ".join(
+            f"array_min(transform(__hb, x -> pmod({_mh_a(i)}L * x"
+            f" + {_mh_b(i)}L, {MINHASH_P}L)))"
             for i in range(num_hashes)
-        ]
+        )
+        + ")"
     )
     return based.select(id_col, sig.alias("minhash_sig"), *passthru)
 

@@ -354,17 +354,34 @@ def sync_derived_rows(
                 "inserted_rows": 0,
                 "mode": "noop",
             }
-        # one MERGE deletes every derived row of an affected key (a source
-        # key may own MANY derived rows — matched-delete handles the
-        # fan-out)
-        dst.merge(
-            affected.withColumn("__aff", F.lit(1)),
-            on=list(key_cols),
-            matched_clauses=[("delete", None, None)],
-            when_not_matched=None,
-            target_alias="t",
-            source_alias="s",
-        )
+        # delete every derived row of an affected key. Single-key spans
+        # with a bounded key count take the predicate-DELETE fast path:
+        # the keys ride an isin predicate (manifest-prunable, one
+        # column-pruned scan + DV write), which measured 1.2-1.5 s vs
+        # 5-6 s for the generic matched-delete MERGE on the e25 shape
+        # (r15; the MERGE pays an inner join + clause routing + counts
+        # the fold does not need). The affected-key count is already on
+        # the driver (tot.n_aff); 20k keys bounds the literal list the
+        # plan carries. Larger spans and composite keys keep the MERGE —
+        # a 100 TB churn fold shuffles keys, never literal lists.
+        if len(key_cols) == 1 and int(tot.n_aff) <= 20_000:
+            from ..expr import ColumnRef
+
+            key_vals = [
+                r[0] for r in affected.select(key_cols[0]).collect()
+            ]
+            dst.delete_where(ColumnRef(key_cols[0]).isin(key_vals))
+        else:
+            # a source key may own MANY derived rows — matched-delete
+            # handles the fan-out
+            dst.merge(
+                affected.withColumn("__aff", F.lit(1)),
+                on=list(key_cols),
+                matched_clauses=[("delete", None, None)],
+                when_not_matched=None,
+                target_alias="t",
+                source_alias="s",
+            )
         derived = derive(finals)
         n = dst.insert_df(derived)
         dst.set_stream_offset(cursor_id, to_version)

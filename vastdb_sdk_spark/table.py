@@ -429,89 +429,99 @@ class Table:
                 fields.append(T.StructField(PHYSICAL_ROW_ID, T.LongType(), False))
             reader_schema = T.StructType(fields)
             df = self.spark.read.schema(reader_schema).parquet(*[fe.path for fe in fes])
-            if with_file_path:
-                df = df.withColumn("__source_file", F.col("_metadata.file_path"))
-            if dv_paths:
-                # DV scope key: masks apply per owning file, so a
-                # replacement row reusing a masked id stays visible
-                df = df.withColumn("__dv_fk", F.md5(F.col("_metadata.file_path")))
-            # file-name -> physical rename
-            for phys, (logical, _st) in phys_fields.items():
-                if logical in part_d:
-                    continue
-                file_col = _file_col_for(phys, cmap_d)
-                if file_col != phys:
-                    df = df.withColumnRenamed(file_col, phys)
-            # partition constants
+            # ONE projection straight to logical names (r15): the old
+            # withColumn/withColumnRenamed chains (source-file col, DV
+            # scope key, per-column renames, partition constants, rid) +
+            # a final physical->logical select cost ~330 py4j round
+            # trips / ~240 ms PER df() CALL in plan-rebuild chatter —
+            # and engine DML runs several df() scans per statement.
+            sel: list = []
             for phys, (logical, st_type) in phys_fields.items():
                 if logical in part_d:
-                    df = df.withColumn(phys, F.lit(part_d[logical]).cast(st_type))
+                    sel.append(F.lit(part_d[logical]).cast(st_type).alias(logical))
+                else:
+                    sel.append(F.col(_file_col_for(phys, cmap_d)).alias(logical))
             if want_rid:
                 if has_phys_rid:
-                    df = df.withColumnRenamed(PHYSICAL_ROW_ID, INTERNAL_ROW_ID)
-                else:
+                    sel.append(F.col(PHYSICAL_ROW_ID).alias(INTERNAL_ROW_ID))
+                elif len(fes) <= RID_LITERAL_MAP_MAX_FILES:
                     # keyed by full file path — basenames may collide across
                     # directories (e.g. zero-copy imports named alike).
                     # Spark's _metadata.file_path uses Hadoop's "file:/abs"
                     # form (single slash), not RFC-8089 file:///
-                    base_map = [
-                        ("file:" + os.path.abspath(fe.path), fe.row_id_base)
-                        for fe in fes
-                    ]
-                    if len(base_map) <= RID_LITERAL_MAP_MAX_FILES:
-                        # literal map lookup: zero extra Spark jobs. The
-                        # broadcast-join alternative costs ~0.5 s of fixed
-                        # broadcast-build machinery PER ACTION (measured
-                        # r14: 0.72 s vs 0.11 s noop on a 150k-row scan) —
-                        # for DML, which runs several row-id scans per
-                        # statement, that fixed cost dominated the gates.
-                        # GetMapValue on a literal map is a linear key scan
-                        # per row, so this path is bounded to small file
-                        # counts; larger scans take the join below.
-                        m = F.create_map(
-                            *[
-                                lit
-                                for path, bse in base_map
-                                for lit in (F.lit(path), F.lit(bse))
-                            ]
-                        )
-                        df = df.withColumn(
-                            INTERNAL_ROW_ID,
+                    #
+                    # literal map lookup: zero extra Spark jobs. The
+                    # broadcast-join alternative costs ~0.5 s of fixed
+                    # broadcast-build machinery PER ACTION (measured
+                    # r14: 0.72 s vs 0.11 s noop on a 150k-row scan) —
+                    # for DML, which runs several row-id scans per
+                    # statement, that fixed cost dominated the gates.
+                    # GetMapValue on a literal map is a linear key scan
+                    # per row, so this path is bounded to small file
+                    # counts; larger scans take the join below.
+                    m = F.create_map(
+                        *[
+                            lit
+                            for fe in fes
+                            for lit in (
+                                F.lit("file:" + os.path.abspath(fe.path)),
+                                F.lit(fe.row_id_base),
+                            )
+                        ]
+                    )
+                    sel.append(
+                        (
                             F.element_at(m, F.col("_metadata.file_path"))
-                            + F.col("_metadata.row_index"),
-                        )
-                    else:
-                        base_df = self.spark.createDataFrame(
-                            base_map, "__file_path STRING, __rid_base LONG"
-                        )
-                        df = (
-                            df.withColumn(
-                                "__file_path", F.col("_metadata.file_path")
-                            )
-                            .withColumn(
-                                "__row_index", F.col("_metadata.row_index")
-                            )
-                            .join(F.broadcast(base_df), "__file_path")
-                            .withColumn(
-                                INTERNAL_ROW_ID,
-                                F.col("__rid_base") + F.col("__row_index"),
-                            )
-                            .drop("__file_path", "__row_index", "__rid_base")
-                        )
-            elif has_phys_rid:
-                df = df.drop(PHYSICAL_ROW_ID)
+                            + F.col("_metadata.row_index")
+                        ).alias(INTERNAL_ROW_ID)
+                    )
+            if with_file_path:
+                sel.append(F.col("_metadata.file_path").alias("__source_file"))
+            if dv_paths:
+                # DV scope key: masks apply per owning file, so a
+                # replacement row reusing a masked id stays visible
+                sel.append(F.md5(F.col("_metadata.file_path")).alias("__dv_fk"))
+            rid_join = (
+                want_rid
+                and not has_phys_rid
+                and len(fes) > RID_LITERAL_MAP_MAX_FILES
+            )
+            if rid_join:
+                # the _metadata pseudo-column only resolves on the scan
+                # frame — carry what the rid join needs through the
+                # projection
+                sel.append(F.col("_metadata.file_path").alias("__file_path"))
+                sel.append(F.col("_metadata.row_index").alias("__row_index"))
+            df = df.select(*sel)
+            if rid_join:
+                base_map = [
+                    ("file:" + os.path.abspath(fe.path), fe.row_id_base)
+                    for fe in fes
+                ]
+                base_df = self.spark.createDataFrame(
+                    base_map, "__file_path STRING, __rid_base LONG"
+                )
+                df = (
+                    df.join(F.broadcast(base_df), "__file_path")
+                    .withColumn(
+                        INTERNAL_ROW_ID,
+                        F.col("__rid_base") + F.col("__row_index"),
+                    )
+                    .drop("__file_path", "__row_index", "__rid_base")
+                )
             parts.append(df)
 
-        out_cols = [
-            F.col(pmap.get(f.name, f.name)).alias(f.name) for f in arrow
-        ]
+        out_names = [f.name for f in arrow]
         if want_rid:
-            out_cols.append(F.col(INTERNAL_ROW_ID))
+            out_names.append(INTERNAL_ROW_ID)
         if with_file_path:
-            out_cols.append(F.col("__source_file"))
+            out_names.append("__source_file")
         if dv_paths:
-            out_cols.append(F.col("__dv_fk"))
-        parts = [p.select(*out_cols) for p in parts]
+            out_names.append("__dv_fk")
+        parts = [
+            p if p.columns == out_names else p.select(*out_names)
+            for p in parts
+        ]
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
