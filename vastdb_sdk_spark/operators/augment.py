@@ -225,7 +225,11 @@ def prefix_lm_split(
         F.greatest(lo + (h % span), F.lit(1)), F.greatest(n - 1, F.lit(1))
     )
     split = F.when(n >= 2, split).otherwise(n.cast("long"))
-    return _fan_out(df).select(
+    # NO fan_out (r15 interleaved A/B: nofan 0.649 vs fan 0.731 s median
+    # at 32 cores, sf0.1): the per-row work is two slices + joins — too
+    # light to repay the round-robin exchange, unlike span_corrupt /
+    # mlm_mask (md5-per-position, measured 1.9-2.4x fan wins)
+    return df.select(
         F.col(id_col),
         F.array_join(F.slice(tk, F.lit(1), split.cast("int")), " ").alias("input"),
         F.array_join(
@@ -371,7 +375,11 @@ def contrastive_pairs(
         raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
     tk = tokens(F.col(text_col))
     c = int(chunk_tokens)
-    staged = _fan_out(df).select(
+    # NO fan_out (r15 interleaved A/B: nofan 0.561 vs fan 0.661 s median
+    # at 32 cores, sf0.1): the pipeline shuffles immediately anyway (the
+    # bucket window), so the exchange is pure added cost — the r14
+    # keep/revert rule's "immediately shuffles" case
+    staged = df.select(
         F.col(id_col),
         F.md5(F.col(id_col).cast("string")).alias("__h"),
         tk.alias("__tk"),
