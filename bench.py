@@ -369,6 +369,14 @@ def main() -> int:
         # distorting later queries 2x+ (r14, OPTIMIZATION_r14.md).
         # Between queries only — never inside a timed region.
         release_all_pins(spark)
+        # ... and nudge the JVM so the ContextCleaner actually drains the
+        # query's broadcast blocks (r15): broadcasts are reclaimed only
+        # when a GC collects their JVM references — the same
+        # accumulate-until-GC pathology the r14 pin sweep fixed for
+        # localCheckpoints, left open for the hundreds of broadcast
+        # relations a 200-query session builds. Between queries only —
+        # never inside a timed region.
+        spark.sparkContext._jvm.System.gc()
     # closing checkpoint: full median-of-3 after the last query
     _checkpoint(len(HEADLINE), 3)
 

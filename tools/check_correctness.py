@@ -162,11 +162,14 @@ def main():
         if only and name not in only:
             continue
         t0 = time.time()
-        # between-queries hygiene (same pair as bench.py): drop SQL caches
-        # AND pins the previous query leaked, so 192 queries' checkpoint
-        # blocks don't pile up in the block manager over the sweep
+        # between-queries hygiene (same trio as bench.py): drop SQL
+        # caches, pins the previous query leaked, AND nudge the JVM so
+        # the ContextCleaner drains its broadcast blocks — a 203-query
+        # sweep otherwise piles up checkpoint + broadcast blocks in the
+        # block manager
         spark.catalog.clearCache()
         release_all_pins(spark)
+        spark.sparkContext._jvm.System.gc()
         try:
             stbl = spark_to_arrow(fn(spark, sf_dir))
         except Exception as e:
