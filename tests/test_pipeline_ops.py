@@ -560,6 +560,11 @@ def test_operator_loop_pins_drain_without_harness_cleanup(spark):
     )
 
     release_all_pins(spark)
+    jsc = spark.sparkContext._jsc.sc()
+    # relative baseline: in a shared session an EARLIER test's own
+    # persist may legitimately linger — the library-scoped sweep must
+    # not touch it, so assert the loop adds nothing, not absolute zero
+    base = jsc.getPersistentRDDs().size()
     df = spark.createDataFrame(
         [(i, f"alpha beta gamma delta epsilon zeta doc {i}") for i in range(12)],
         "doc_id LONG, text STRING",
@@ -568,13 +573,12 @@ def test_operator_loop_pins_drain_without_harness_cleanup(spark):
         lsh_candidate_pairs(df, num_hashes=4, num_bands=2).count()
     release_all_pins(spark)
     assert not _LIVE_PIN_IDS
-    jsc = spark.sparkContext._jsc.sc()
     import time as _time
 
     deadline = _time.time() + 5.0
-    while jsc.getPersistentRDDs().size() > 0 and _time.time() < deadline:
+    while jsc.getPersistentRDDs().size() > base and _time.time() < deadline:
         _time.sleep(0.1)
-    assert jsc.getPersistentRDDs().size() == 0
+    assert jsc.getPersistentRDDs().size() <= base
 
 
 def test_dup_clusters_driver_route_matches_distributed(spark):
